@@ -1,0 +1,20 @@
+"""duckdb_vss_spark — a PySpark-native vector-similarity analytics engine
+with the query surface of DuckDB's vss extension (see SURVEY.md), built
+Spark-first: declarative DataFrame plans, Arrow-batched numpy kernels where
+Python is unavoidable, per-partition immutable index artifacts.
+"""
+
+from .functions.distance import (  # noqa: F401
+    array_cosine_distance,
+    array_cosine_similarity,
+    array_distance,
+    array_distance_sq,
+    array_inner_product,
+    array_negative_inner_product,
+    distance_expr,
+)
+from .operators.knn import knn_join, knn_join_flat, knn_match  # noqa: F401
+from .operators.topk import max_by_k, min_by_k, topk  # noqa: F401
+from .session import get_spark  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,223 @@
+"""k-NN join operators: ``knn_join`` (vss_join parity), ``knn_match``
+(vss_match parity), and the flat candidate engine both build on.
+
+Reference surface:
+- ``vss_join(left, right, lcol, rcol, k, metric)`` -> rows of
+  ``(score, left_tbl STRUCT, right_tbl STRUCT)``
+  (reference macro: src/hnsw/hnsw_index_macros.cpp:9-46).
+- ``vss_match(right, lcol, rcol, k, metric)`` (lateral) -> per left row a
+  ``matches`` LIST of ``{'score', 'row'}``
+  (reference macro: src/hnsw/hnsw_index_macros.cpp:48-74).
+- The HNSW_INDEX_JOIN physical operator emits a 1-indexed match-rank
+  (reference: src/hnsw/hnsw_optimize_join.cpp:146).
+
+Execution strategy (Spark-first, designed for the 100 TB side being the
+*items* side):
+
+``broadcast-kernel`` (default when the probe side fits in a driver/executor
+broadcast, like the reference's probe-batched join which holds one batch of
+probes at a time, reference: src/hnsw/hnsw_optimize_join.cpp:135):
+  1. collect probe (id, vector) pairs once, broadcast as a numpy matrix;
+  2. ``mapInPandas`` over the items side: each partition folds its Arrow
+     batches into a running per-probe top-k with one GEMM per batch —
+     items never shuffle, partitions never exchange data;
+  3. the surviving ``num_partitions * Q * k`` candidate rows (tiny relative
+     to the input) are exactly re-ranked with a window on probe id;
+  4. full rows are joined back by id only if struct output is requested.
+  Unlike the reference's operator, which is declared non-parallel
+  (reference: src/hnsw/hnsw_optimize_join.cpp:65-67), every stage here
+  parallelizes across item partitions.
+
+``crossjoin``: pure DataFrame fallback (cross join + window top-k) when the
+probe side is itself huge; correct at any size but O(|L|*|R|) compute —
+the same asymptotics the reference macro has.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import METRIC_IS_DESCENDING, canonical_metric, distance_expr
+from ..functions.kernels import as_matrix, local_topk, pairwise_scores
+
+__all__ = ["knn_join_flat", "knn_join", "knn_match"]
+
+# Above this probe-row count we refuse to broadcast and fall back to the
+# cross-join plan (a 1M x 64-dim f64 probe matrix is ~512 MB of broadcast).
+DEFAULT_BROADCAST_PROBE_LIMIT = 1_000_000
+_PROBE_CHUNK = 1024  # bounds the (batch x probe-chunk) GEMM output size
+
+
+def _candidates_broadcast(
+    left: DataFrame, right: DataFrame, left_on: str, right_on: str, left_id: str, right_id: str, k: int, metric: str
+) -> DataFrame:
+    spark = left.sparkSession
+    probes_pdf = left.select(F.col(left_id).alias("qid"), F.col(left_on).alias("v")).filter(F.col(left_on).isNotNull()).toPandas()
+    qids = probes_pdf["qid"].to_numpy()
+    qmat = as_matrix(probes_pdf["v"]) if len(probes_pdf) else None
+    bc = spark.sparkContext.broadcast((qids, qmat))
+    desc = METRIC_IS_DESCENDING[metric]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        qids_l, qmat_l = bc.value
+        if qmat_l is None:
+            return
+        nq = len(qids_l)
+        # Running per-probe top-k fold across this partition's Arrow batches.
+        # best_scores/best_rids are (k, nq); best_vecs (k, nq, d) f32 keeps the
+        # candidate vectors so the exact score can be recomputed JVM-side
+        # without a second scan of the items table.
+        best_scores = best_rids = best_vecs = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rids = pdf["rid"].to_numpy()
+            vecs32 = np.vstack(pdf["v"].to_numpy()).astype(np.float32, copy=False)
+            imat = np.ascontiguousarray(vecs32, dtype=np.float64)
+            if best_scores is None:
+                d = imat.shape[1]
+                best_scores = np.full((k, nq), -np.inf if desc else np.inf)
+                best_rids = np.full((k, nq), -1, dtype=np.int64)
+                best_vecs = np.zeros((k, nq, d), dtype=np.float32)
+            for q0 in range(0, nq, _PROBE_CHUNK):
+                q1 = min(q0 + _PROBE_CHUNK, nq)
+                scores = pairwise_scores(imat, qmat_l[q0:q1], metric)  # (n_items, chunk)
+                idx = local_topk(scores, k, desc)  # (k', chunk)
+                cols = np.arange(q1 - q0)[None, :]
+                merged_s = np.vstack([best_scores[:, q0:q1], scores[idx, cols]])
+                merged_r = np.vstack([best_rids[:, q0:q1], rids[idx]])
+                merged_v = np.concatenate([best_vecs[:, q0:q1, :], vecs32[idx]], axis=0)
+                keep = local_topk(merged_s, k, desc)
+                best_scores[: keep.shape[0], q0:q1] = merged_s[keep, cols]
+                best_rids[: keep.shape[0], q0:q1] = merged_r[keep, cols]
+                best_vecs[: keep.shape[0], q0:q1, :] = merged_v[keep, cols, :]
+        if best_scores is None:
+            return
+        valid = best_rids.ravel(order="F") >= 0
+        out_q = np.repeat(qids_l, k)[valid]
+        out_r = best_rids.ravel(order="F")[valid]
+        out_v = best_vecs.transpose(1, 0, 2).reshape(k * nq, -1)[valid]
+        yield pd.DataFrame({"qid": out_q, "rid": out_r, "v": list(out_v)})
+
+    items = right.select(F.col(right_id).alias("rid"), F.col(right_on).alias("v")).filter(F.col(right_on).isNotNull())
+    qid_t = dict(left.dtypes)[left_id]
+    rid_t = dict(right.dtypes)[right_id]
+    cand = items.mapInPandas(gen, schema=f"qid {qid_t}, rid {rid_t}, v array<float>")
+    # Exact-score recompute: the GEMM kernel selects candidates ~1e-8-accurately;
+    # the authoritative score is the JVM double-precision expression, which
+    # matches DuckDB's DOUBLE[] computation bit-for-bit after an f32 round-trip.
+    probes_small = left.select(F.col(left_id).alias("qid"), F.col(left_on).alias("__qv"))
+    return (
+        cand.join(F.broadcast(probes_small), "qid")
+        .select("qid", "rid", distance_expr("__qv", "v", metric).alias("score"))
+    )
+
+
+def _candidates_crossjoin(
+    left: DataFrame, right: DataFrame, left_on: str, right_on: str, left_id: str, right_id: str, metric: str
+) -> DataFrame:
+    l = left.select(F.col(left_id).alias("qid"), F.col(left_on).alias("__lv")).filter(F.col(left_on).isNotNull())
+    r = right.select(F.col(right_id).alias("rid"), F.col(right_on).alias("__rv")).filter(F.col(right_on).isNotNull())
+    return l.crossJoin(r).select("qid", "rid", distance_expr("__lv", "__rv", metric).alias("score"))
+
+
+def knn_join_flat(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    k: int,
+    metric: str = "l2sq",
+    left_id: str = None,
+    right_id: str = None,
+    method: str = "auto",
+    broadcast_probe_limit: int = DEFAULT_BROADCAST_PROBE_LIMIT,
+) -> DataFrame:
+    """Flat k-NN join: ``(qid, rid, rnk, score)`` — for each left row the k
+    best right rows by ``metric``, ``rnk`` 1-indexed like the reference's
+    match-rank column (reference: src/hnsw/hnsw_optimize_join.cpp:146).
+
+    Ties broken by ``rid`` so results are deterministic.
+    """
+    m = canonical_metric(metric)
+    if left_id is None or right_id is None:
+        raise ValueError("knn_join requires explicit left_id/right_id columns")
+    use_kernel = method == "kernel" or (method == "auto" and _probe_count_ok(left, broadcast_probe_limit))
+    if use_kernel:
+        cand = _candidates_broadcast(left, right, left_on, right_on, left_id, right_id, k, m)
+    else:
+        cand = _candidates_crossjoin(left, right, left_on, right_on, left_id, right_id, m)
+    desc = METRIC_IS_DESCENDING[m]
+    order = [F.col("score").desc() if desc else F.col("score").asc(), F.col("rid").asc()]
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rid", "rnk", "score")
+    )
+
+
+def _probe_count_ok(left: DataFrame, limit: int) -> bool:
+    # cheap guard: limit+1-row count instead of a full count
+    return left.limit(limit + 1).count() <= limit
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    k: int,
+    metric: str = "l2sq",
+    left_id: str = None,
+    right_id: str = None,
+    method: str = "auto",
+) -> DataFrame:
+    """vss_join parity: ``(score, left_tbl STRUCT, right_tbl STRUCT)`` rows,
+    k matches per left row (reference: src/hnsw/hnsw_index_macros.cpp:9-46).
+    ``score`` polarity follows the metric (distance for l2sq, similarity for
+    cosine, inner product for ip)."""
+    flat = knn_join_flat(left, right, left_on, right_on, k, metric, left_id, right_id, method)
+    lstruct = left.select(F.col(left_id).alias("__qid"), F.struct(*left.columns).alias("left_tbl"))
+    rstruct = right.select(F.col(right_id).alias("__rid"), F.struct(*right.columns).alias("right_tbl"))
+    return (
+        flat.join(rstruct, flat["rid"] == rstruct["__rid"])
+        .join(lstruct, flat["qid"] == lstruct["__qid"])
+        .select(F.col("score").cast("float").alias("score"), "left_tbl", "right_tbl")
+    )
+
+
+def knn_match(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    k: int,
+    metric: str = "l2sq",
+    left_id: str = None,
+    right_id: str = None,
+    method: str = "auto",
+) -> DataFrame:
+    """vss_match parity: left rows + ``matches`` = LIST<STRUCT{score, row}>
+    of the k best right rows (reference: src/hnsw/hnsw_index_macros.cpp:48-74).
+    List is best-first, like min_by/max_by output order."""
+    m = canonical_metric(metric)
+    flat = knn_join_flat(left, right, left_on, right_on, k, m, left_id, right_id, method)
+    rstruct = right.select(F.col(right_id).alias("__rid"), F.struct(*right.columns).alias("row"))
+    matched = flat.join(rstruct, flat["rid"] == rstruct["__rid"]).select(
+        "qid", "rnk", F.struct(F.col("score").cast("float").alias("score"), F.col("row").alias("row")).alias("m")
+    )
+    per_q = matched.groupBy("qid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("rnk").alias("k"), F.col("m").alias("m")))),
+            lambda e: e["m"],
+        ).alias("matches")
+    )
+    return left.join(per_q, left[left_id] == per_q["qid"], "left").drop("qid")

@@ -1,0 +1,99 @@
+"""Top-k-by-distance operators (exact paths).
+
+Covers the query surface of the reference's Q1/Q2 rewrites in their exact
+(non-index) form:
+
+- ``topk``: ``SELECT ... ORDER BY distance(vec, CONST) LIMIT k``
+  (reference rewrite trigger: src/hnsw/hnsw_optimize_scan.cpp:30-99).
+- ``min_by_k`` / ``max_by_k``: DuckDB's 3-arg ``min_by(col, score, k)``
+  top-k aggregate (reference rewrite: src/hnsw/hnsw_optimize_topk.cpp:54-124),
+  which Spark lacks natively.
+
+Scale notes:
+- ``topk`` deliberately stays ``orderBy().limit()`` so Catalyst plans a
+  ``TakeOrderedAndProject``: each partition computes a partial top-k and only
+  k rows per partition travel to the driver — no full sort, no shuffle. This
+  is the right plan at 100 TB and it is what we assert in tests.
+- ``min_by_k`` reduces to a ``topk`` (k rows) followed by a single tiny
+  aggregation, instead of a ``collect_list`` over the whole table (which
+  would move every row to one reducer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.distance import METRIC_IS_DESCENDING, canonical_metric, distance_expr
+
+__all__ = ["topk", "min_by_k", "max_by_k"]
+
+
+def _score_and_order(df: DataFrame, vec_col, query, metric: str, score_name: str):
+    m = canonical_metric(metric)
+    score = distance_expr(vec_col, query, m).alias(score_name)
+    desc = METRIC_IS_DESCENDING[m]
+    return df.withColumn(score_name, score), desc
+
+
+def topk(
+    df: DataFrame,
+    vec_col,
+    query,
+    k: int,
+    metric: str = "l2sq",
+    score_col: str = "score",
+    tiebreak=None,
+) -> DataFrame:
+    """k nearest rows of ``df`` to the constant ``query`` vector.
+
+    Returns ``df``'s columns plus ``score_col``. ``tiebreak`` (a column name)
+    makes results deterministic under score ties — recommended for any
+    correctness harness; the reference's own tests sidestep ties with seeded
+    data (reference: test/sql/hnsw/hnsw_lateral_join_group.test:8).
+
+    Rows whose vector is NULL are excluded (the reference's index build
+    plan filters IS NOT NULL, reference: src/hnsw/hnsw_index_plan.cpp:118-133).
+    """
+    if isinstance(vec_col, str):
+        vec_col = F.col(vec_col)
+    scored, desc = _score_and_order(df.filter(vec_col.isNotNull()), vec_col, query, metric, score_col)
+    order = [F.col(score_col).desc() if desc else F.col(score_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak)
+    return scored.orderBy(*order).limit(k)
+
+
+def _by_k(df, value_col, score: Column, k: int, descending: bool, tiebreak) -> DataFrame:
+    """Shared engine of min_by_k/max_by_k: exact top-k then ordered list agg."""
+    value_col = F.col(value_col) if isinstance(value_col, str) else value_col
+    scored = df.select(value_col.alias("__v"), score.alias("__s"))
+    scored = scored.filter(F.col("__s").isNotNull())  # min_by skips NULL order values
+    order = [F.col("__s").desc() if descending else F.col("__s").asc()]
+    if tiebreak is not None:
+        scored = df.select(
+            value_col.alias("__v"),
+            score.alias("__s"),
+            (F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak).alias("__t"),
+        ).filter(F.col("__s").isNotNull())
+        order.append(F.col("__t"))
+    head = scored.orderBy(*order).limit(k)
+    # k rows left: sort-in-aggregate is O(k log k) on a single tiny group.
+    sort_key = F.struct(
+        (-F.col("__s") if descending else F.col("__s")).alias("s"),
+        *([F.col("__t").alias("t")] if tiebreak is not None else []),
+        F.col("__v").alias("v"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct(sort_key.alias("k"), F.col("__v").alias("v"))))
+    return head.agg(F.transform(arr, lambda e: e["v"]).alias("values"))
+
+
+def min_by_k(df, value_col, score: Column, k: int, tiebreak=None) -> DataFrame:
+    """DuckDB ``min_by(value, score, k)``: single-row DataFrame with column
+    ``values`` = the k values with the smallest scores, ascending."""
+    return _by_k(df, value_col, score, k, descending=False, tiebreak=tiebreak)
+
+
+def max_by_k(df, value_col, score: Column, k: int, tiebreak=None) -> DataFrame:
+    """DuckDB ``max_by(value, score, k)`` (descending)."""
+    return _by_k(df, value_col, score, k, descending=True, tiebreak=tiebreak)

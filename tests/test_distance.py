@@ -1,0 +1,64 @@
+"""Distance function parity with DuckDB's core functions (the numeric
+contract the reference extension builds on, SURVEY §1.3)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark import functions as vf
+
+from .conftest import assert_close
+
+A = [1.0, 2.0, 3.0]
+B = [4.0, 6.0, 8.0]
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("x")).collect()[0]["x"]
+
+
+def test_array_distance(spark):
+    # DuckDB array_distance is Euclidean (sqrt included)
+    assert_close(_one(spark, vf.array_distance(F.array(*map(F.lit, A)), B)), math.sqrt(50.0))
+
+
+def test_array_distance_sq_order_equivalent(spark):
+    assert_close(_one(spark, vf.array_distance_sq(F.array(*map(F.lit, A)), B)), 50.0)
+
+
+def test_inner_product(spark):
+    assert_close(_one(spark, vf.array_inner_product(F.array(*map(F.lit, A)), B)), 40.0)
+    assert_close(_one(spark, vf.array_negative_inner_product(F.array(*map(F.lit, A)), B)), -40.0)
+
+
+def test_cosine(spark):
+    dot = 40.0
+    sim = dot / (math.sqrt(14.0) * math.sqrt(116.0))
+    assert_close(_one(spark, vf.array_cosine_similarity(F.array(*map(F.lit, A)), B)), sim)
+    assert_close(_one(spark, vf.array_cosine_distance(F.array(*map(F.lit, A)), B)), 1.0 - sim)
+
+
+def test_matches_duckdb_on_real_vectors(spark, ddb, emb):
+    """f32-rounded values must agree exactly with duckdb's DOUBLE[] path."""
+    q = [((i * 7) % 16) / 16.0 for i in range(64)]
+    ours = {
+        r["vec_id"]: r["d"]
+        for r in emb.select(
+            "vec_id", vf.array_distance("embedding", q).cast("float").alias("d")
+        ).collect()
+    }
+    qsql = "[" + ",".join(str(x) for x in q) + "]"
+    theirs = dict(
+        ddb.execute(
+            f"SELECT vec_id, list_distance(embedding::DOUBLE[], {qsql}::DOUBLE[])::FLOAT FROM embeddings"
+        ).fetchall()
+    )
+    assert ours == theirs
+
+
+def test_metric_aliases():
+    assert vf.canonical_metric("l2") == "l2sq"
+    assert vf.canonical_metric("cos") == "cosine"
+    assert vf.canonical_metric("ip") == "ip"
