@@ -35,6 +35,9 @@ Q64_SQL = "[" + ",".join(str(x) for x in Q64) + "]::DOUBLE[]"
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_vss_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)  # driver-created sessions: make pkg importable on executors
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 

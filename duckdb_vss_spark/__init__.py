@@ -16,5 +16,8 @@ from .functions.distance import (  # noqa: F401
 from .operators.knn import knn_join, knn_join_flat, knn_match  # noqa: F401
 from .operators.topk import max_by_k, min_by_k, topk  # noqa: F401
 from .session import get_spark  # noqa: F401
+from .engine import VSSEngine  # noqa: F401
+from .index.catalog import BinderException, IndexCatalog  # noqa: F401
+from .index.ivf import IVFIndex, build_ivf  # noqa: F401
 
 __version__ = "0.1.0"

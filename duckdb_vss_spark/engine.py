@@ -1,0 +1,248 @@
+"""VSSEngine — the user-facing facade tying tables, indexes, planner
+dispatch, and operators together.
+
+This is the analog of "DuckDB with the vss extension loaded": you register
+tables, create HNSW-style indexes on vector columns, and issue top-k /
+min_by-k / knn-join queries; the engine's planner transparently routes each
+query to the index (HNSW_INDEX_SCAN / HNSW_INDEX_JOIN strategies) when the
+reference's trigger conditions hold, and falls back to the exact DataFrame
+plan otherwise (SURVEY §2.2, §4.1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.distance import METRIC_IS_DESCENDING, canonical_metric, distance_expr
+from .index.catalog import IndexCatalog
+from .operators.knn import knn_join_flat, knn_join_flat_indexed, knn_match
+from .operators.topk import _by_k
+from .operators.topk import topk as exact_topk
+from .plans import Decision, KnnJoinSpec, TopKAggSpec, TopKSpec, decide, explain_text
+
+__all__ = ["VSSEngine"]
+
+
+class VSSEngine:
+    def __init__(self, spark: SparkSession, index_root: str = ".vss_indexes"):
+        from .deploy import ensure_shipped
+
+        ensure_shipped(spark)
+        self.spark = spark
+        self.catalog = IndexCatalog(spark, index_root)
+        self.tables: dict[str, DataFrame] = {}
+        # SET hnsw_ef_search session override; > 0 wins over the per-index
+        # value (reference: src/hnsw/hnsw_index.cpp:318-329)
+        self.ef_search_override: Optional[int] = None
+
+    # -- tables -----------------------------------------------------------
+    def register_table(self, name: str, df: DataFrame) -> None:
+        self.tables[name] = df
+        df.createOrReplaceTempView(name)
+
+    def table(self, t: Union[str, DataFrame]) -> DataFrame:
+        if isinstance(t, DataFrame):
+            return t
+        if t in self.tables:
+            return self.tables[t]
+        return self.spark.table(t)
+
+    def _table_name(self, t: Union[str, DataFrame]) -> str:
+        return t if isinstance(t, str) else ""
+
+    # -- settings ---------------------------------------------------------
+    def set_ef_search(self, n: Optional[int]) -> None:
+        self.ef_search_override = n
+
+    # -- index DDL --------------------------------------------------------
+    def create_index(
+        self,
+        name: str,
+        table: Union[str, DataFrame],
+        column: str,
+        id_column: str,
+        options: dict | None = None,
+        nlist: int | None = None,
+        replace: bool = False,
+    ):
+        return self.catalog.create_index(
+            name,
+            self.table(table),
+            column,
+            id_column,
+            table_name=self._table_name(table),
+            options=options,
+            nlist=nlist,
+            replace=replace,
+        )
+
+    def drop_index(self, name: str) -> None:
+        self.catalog.drop_index(name)
+
+    def compact_index(self, name: str):
+        return self.catalog.compact_index(name)
+
+    def index_info(self) -> DataFrame:
+        return self.catalog.index_info()
+
+    def insert(self, index_name: str, df: DataFrame, vec_col: str | None = None, id_col: str | None = None) -> None:
+        idx = self.catalog.get(index_name)
+        idx.insert(df, vec_col or idx.manifest.get("column", "vec"), id_col or idx.manifest.get("id_column", "id"))
+
+    def delete(self, index_name: str, ids: list) -> None:
+        self.catalog.get(index_name).delete(self.spark, ids)
+
+    # -- index matching (the optimizer's TryBindIndexExpression analog,
+    #    reference: src/hnsw/hnsw_index.cpp:610-689) ----------------------
+    def _find_index(self, table_name: str, column: str, metric: str):
+        if not table_name:
+            return None
+        for name in self.catalog.list_indexes():
+            idx = self.catalog.get(name)
+            m = idx.manifest
+            if m.get("table_name") == table_name and m.get("column") == column and m.get("metric") == metric:
+                return idx
+        return None
+
+    def _decide(self, spec, idx) -> Decision:
+        return decide(spec, idx.manifest if idx is not None else None, self.ef_search_override)
+
+    # -- Q1: top-k by distance -------------------------------------------
+    def topk(
+        self,
+        table: Union[str, DataFrame],
+        vec_col: str,
+        query: list,
+        k: int,
+        metric: str = "l2sq",
+        where: str | None = None,
+        score_col: str = "score",
+        tiebreak: str | None = None,
+    ) -> DataFrame:
+        df, plan = self._plan_topk(table, vec_col, query, k, metric, where, score_col, tiebreak)
+        return df
+
+    def explain_topk(self, table, vec_col, query, k, metric="l2sq", where=None) -> str:
+        _, plan = self._plan_topk(table, vec_col, query, k, metric, where, "score", None)
+        return plan
+
+    def _plan_topk(self, table, vec_col, query, k, metric, where, score_col, tiebreak):
+        m = canonical_metric(metric)
+        df = self.table(table)
+        spec = TopKSpec(self._table_name(table) or "<df>", vec_col, list(query), k, m, where)
+        idx = self._find_index(self._table_name(table), vec_col, m)
+        decision = self._decide(spec, idx)
+        extra = {}
+        if decision.strategy == "HNSW_INDEX_SCAN":
+            extra = {"nprobe": idx.nprobe_for(decision.ef_search), "nlist": idx.nlist}
+            # candidate ids from the index; exact score; fetch full rows by id
+            # (rowid-fetch becomes a broadcast semi-join, SURVEY §1.1)
+            hits = idx.search(self.spark, list(query), k, decision.ef_search)
+            id_col = idx.manifest.get("id_column", "id")
+            fetched = df.join(F.broadcast(hits.withColumnRenamed("id", id_col).select(id_col)), id_col)
+            out = fetched.withColumn(score_col, distance_expr(vec_col, list(query), m))
+            if where:
+                # post-filter: applied AFTER the k candidates -> may yield < k
+                # rows (reference: test/sql/hnsw/where_clause_segfault.test:24-35)
+                out = out.filter(where)
+            desc = METRIC_IS_DESCENDING[m]
+            order = [F.col(score_col).desc() if desc else F.col(score_col).asc()]
+            if tiebreak:
+                order.append(F.col(tiebreak))
+            out = out.orderBy(*order).limit(k)
+        else:
+            src = df.filter(where) if where else df
+            out = exact_topk(src, vec_col, list(query), k, m, score_col=score_col, tiebreak=tiebreak)
+        return out, explain_text(spec, decision, extra)
+
+    # -- Q2: min_by top-k aggregate --------------------------------------
+    def min_by_k(
+        self,
+        table: Union[str, DataFrame],
+        value_col: str,
+        vec_col: str,
+        query: list,
+        k: int,
+        metric: str = "l2sq",
+    ) -> DataFrame:
+        df, _ = self._plan_min_by_k(table, value_col, vec_col, query, k, metric)
+        return df
+
+    def explain_min_by_k(self, table, value_col, vec_col, query, k, metric="l2sq") -> str:
+        _, plan = self._plan_min_by_k(table, value_col, vec_col, query, k, metric)
+        return plan
+
+    def _plan_min_by_k(self, table, value_col, vec_col, query, k, metric):
+        m = canonical_metric(metric)
+        df = self.table(table)
+        spec = TopKAggSpec(self._table_name(table) or "<df>", value_col, vec_col, list(query), k, m)
+        idx = self._find_index(self._table_name(table), vec_col, m)
+        decision = self._decide(spec, idx)
+        if decision.strategy == "HNSW_INDEX_SCAN":
+            hits = idx.search(self.spark, list(query), k, decision.ef_search)
+            id_col = idx.manifest.get("id_column", "id")
+            fetched = df.join(F.broadcast(hits.select(F.col("id").alias(id_col))), id_col)
+            scored = fetched.withColumn("__s", distance_expr(vec_col, list(query), m))
+            desc = METRIC_IS_DESCENDING[m]
+            out = _by_k(scored, value_col, F.col("__s"), k, descending=desc, tiebreak=None)
+        else:
+            desc = METRIC_IS_DESCENDING[m]
+            score = distance_expr(vec_col, list(query), m)
+            out = _by_k(df, value_col, score, k, descending=desc, tiebreak=None)
+        return out, explain_text(spec, decision)
+
+    # -- Q3/Q4/Q5: knn join ----------------------------------------------
+    def knn_join(
+        self,
+        left: Union[str, DataFrame],
+        right: Union[str, DataFrame],
+        left_col: str,
+        right_col: str,
+        k: int,
+        metric: str = "l2sq",
+        left_id: str = None,
+        right_id: str = None,
+        flat: bool = True,
+    ) -> DataFrame:
+        df, _ = self._plan_knn_join(left, right, left_col, right_col, k, metric, left_id, right_id, flat)
+        return df
+
+    def explain_knn_join(self, left, right, left_col, right_col, k, metric="l2sq", left_id=None, right_id=None) -> str:
+        _, plan = self._plan_knn_join(left, right, left_col, right_col, k, metric, left_id, right_id, True)
+        return plan
+
+    def _plan_knn_join(self, left, right, left_col, right_col, k, metric, left_id, right_id, flat):
+        m = canonical_metric(metric)
+        ldf, rdf = self.table(left), self.table(right)
+        spec = KnnJoinSpec(
+            self._table_name(left) or "<df>", self._table_name(right) or "<df>", left_col, right_col, k, m
+        )
+        idx = self._find_index(self._table_name(right), right_col, m)
+        decision = self._decide(spec, idx)
+        if decision.strategy == "HNSW_INDEX_JOIN":
+            out = knn_join_flat_indexed(ldf, idx, left_col, k, left_id, decision.ef_search)
+        else:
+            out = knn_join_flat(ldf, rdf, left_col, right_col, k, m, left_id, right_id)
+        if not flat:
+            lstruct = ldf.select(F.col(left_id).alias("__qid"), F.struct(*ldf.columns).alias("left_tbl"))
+            rstruct = rdf.select(F.col(right_id).alias("__rid"), F.struct(*rdf.columns).alias("right_tbl"))
+            out = (
+                out.join(rstruct, out["rid"] == rstruct["__rid"])
+                .join(lstruct, out["qid"] == lstruct["__qid"])
+                .select(F.col("score").cast("float").alias("score"), "left_tbl", "right_tbl")
+            )
+        return out, explain_text(spec, decision)
+
+    def vss_join(self, left, right, left_col, right_col, k, metric="l2sq", left_id=None, right_id=None) -> DataFrame:
+        """vss_join macro parity (struct output)."""
+        return self.knn_join(left, right, left_col, right_col, k, metric, left_id, right_id, flat=False)
+
+    def vss_match(self, left, right, left_col, right_col, k, metric="l2sq", left_id=None, right_id=None) -> DataFrame:
+        """vss_match macro parity (matches list output). Uses the exact path
+        via operators.knn (index routing applies only to the flat join)."""
+        return knn_match(
+            self.table(left), self.table(right), left_col, right_col, k, metric, left_id, right_id
+        )

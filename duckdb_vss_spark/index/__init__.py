@@ -1,0 +1,2 @@
+from .catalog import BinderException, IndexCatalog, validate_options  # noqa: F401
+from .ivf import IVFIndex, build_ivf, kmeans  # noqa: F401

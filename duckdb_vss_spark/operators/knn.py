@@ -54,19 +54,37 @@ _PROBE_CHUNK = 1024  # bounds the (batch x probe-chunk) GEMM output size
 
 
 def _candidates_broadcast(
-    left: DataFrame, right: DataFrame, left_on: str, right_on: str, left_id: str, right_id: str, k: int, metric: str
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_id: str,
+    right_id: str,
+    k: int,
+    metric: str,
+    probe_mask: "np.ndarray | None" = None,
+    right_list_col: str | None = None,
 ) -> DataFrame:
+    """Per-partition top-k candidate generation (see module docstring).
+
+    ``probe_mask`` (nlist, nq) bool + ``right_list_col``: IVF index-join mode —
+    item rows only compete for probes whose probe-set contains the item's
+    inverted list (the per-probe approximate search of the reference's
+    HNSW_INDEX_JOIN, reference: src/hnsw/hnsw_optimize_join.cpp:111-168).
+    """
+    import numpy as np  # noqa: F811
+
     spark = left.sparkSession
     probes_pdf = left.select(F.col(left_id).alias("qid"), F.col(left_on).alias("v")).filter(F.col(left_on).isNotNull()).toPandas()
     qids = probes_pdf["qid"].to_numpy()
     qmat = as_matrix(probes_pdf["v"]) if len(probes_pdf) else None
-    bc = spark.sparkContext.broadcast((qids, qmat))
+    bc = spark.sparkContext.broadcast((qids, qmat, probe_mask))
     desc = METRIC_IS_DESCENDING[metric]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        qids_l, qmat_l = bc.value
+        qids_l, qmat_l, mask_l = bc.value
         if qmat_l is None:
             return
         nq = len(qids_l)
@@ -86,9 +104,13 @@ def _candidates_broadcast(
                 best_scores = np.full((k, nq), -np.inf if desc else np.inf)
                 best_rids = np.full((k, nq), -1, dtype=np.int64)
                 best_vecs = np.zeros((k, nq, d), dtype=np.float32)
+            lists = pdf["__lst"].to_numpy() if mask_l is not None else None
             for q0 in range(0, nq, _PROBE_CHUNK):
                 q1 = min(q0 + _PROBE_CHUNK, nq)
                 scores = pairwise_scores(imat, qmat_l[q0:q1], metric)  # (n_items, chunk)
+                if mask_l is not None:
+                    allowed = mask_l[lists][:, q0:q1]  # (n_items, chunk)
+                    scores = np.where(allowed, scores, -np.inf if desc else np.inf)
                 idx = local_topk(scores, k, desc)  # (k', chunk)
                 cols = np.arange(q1 - q0)[None, :]
                 merged_s = np.vstack([best_scores[:, q0:q1], scores[idx, cols]])
@@ -100,13 +122,17 @@ def _candidates_broadcast(
                 best_vecs[: keep.shape[0], q0:q1, :] = merged_v[keep, cols, :]
         if best_scores is None:
             return
-        valid = best_rids.ravel(order="F") >= 0
+        # drop fill slots and masked-out entries (both carry +-inf scores)
+        valid = np.isfinite(best_scores.ravel(order="F"))
         out_q = np.repeat(qids_l, k)[valid]
         out_r = best_rids.ravel(order="F")[valid]
         out_v = best_vecs.transpose(1, 0, 2).reshape(k * nq, -1)[valid]
         yield pd.DataFrame({"qid": out_q, "rid": out_r, "v": list(out_v)})
 
-    items = right.select(F.col(right_id).alias("rid"), F.col(right_on).alias("v")).filter(F.col(right_on).isNotNull())
+    item_cols = [F.col(right_id).alias("rid"), F.col(right_on).alias("v")]
+    if right_list_col is not None:
+        item_cols.append(F.col(right_list_col).alias("__lst"))
+    items = right.select(*item_cols).filter(F.col(right_on).isNotNull())
     qid_t = dict(left.dtypes)[left_id]
     rid_t = dict(right.dtypes)[right_id]
     cand = items.mapInPandas(gen, schema=f"qid {qid_t}, rid {rid_t}, v array<float>")
@@ -191,6 +217,68 @@ def knn_join(
         flat.join(rstruct, flat["rid"] == rstruct["__rid"])
         .join(lstruct, flat["qid"] == lstruct["__qid"])
         .select(F.col("score").cast("float").alias("score"), "left_tbl", "right_tbl")
+    )
+
+
+def knn_join_flat_indexed(
+    left: DataFrame,
+    index,
+    left_on: str,
+    k: int,
+    left_id: str,
+    ef_search: int | None = None,
+) -> DataFrame:
+    """HNSW_INDEX_JOIN analog: per-probe approximate top-k against an
+    :class:`~duckdb_vss_spark.index.ivf.IVFIndex` (reference operator:
+    src/hnsw/hnsw_optimize_join.cpp:30-179). Unlike the reference's
+    non-parallel operator, probes and index partitions both parallelize.
+
+    Only the ``nprobe`` nearest inverted lists per probe are searched; the
+    tail is searched brute-force; deleted ids never appear. Scores are exact.
+    """
+    import numpy as np
+    import os
+
+    spark = left.sparkSession
+    metric = index.metric
+    probes_pdf = (
+        left.select(F.col(left_id).alias("qid"), F.col(left_on).alias("v"))
+        .filter(F.col(left_on).isNotNull())
+        .toPandas()
+    )
+    if len(probes_pdf) == 0:
+        return spark.createDataFrame([], f"qid {dict(left.dtypes)[left_id]}, rid {index.manifest.get('id_type', 'bigint')}, rnk int, score double")
+    qmat = as_matrix(probes_pdf["v"])
+    nprobe = index.nprobe_for(ef_search)
+    # (nq, nlist) centroid scores -> per-probe probe sets -> (nlist, nq) mask
+    probe_sets = index.probe_lists_batch(qmat, nprobe)
+    mask = np.zeros((index.nlist, len(probes_pdf)), dtype=bool)
+    for qi, lists in enumerate(probe_sets):
+        mask[lists, qi] = True
+    needed = sorted({int(l) for lists in probe_sets for l in lists})
+    data = spark.read.parquet(os.path.join(index.path, "data")).filter(F.col("list_id").isin(needed))
+    cand = _candidates_broadcast(
+        left, data, left_on, "vec", left_id, "id", k, metric,
+        probe_mask=mask, right_list_col="list_id",
+    )
+    # tail rows compete for every probe (brute force)
+    tail_path = os.path.join(index.path, "tail")
+    if os.path.exists(tail_path):
+        tail = spark.read.parquet(tail_path)
+        cand = cand.unionByName(
+            _candidates_broadcast(left, tail, left_on, "vec", left_id, "id", k, metric)
+        )
+    deleted_path = os.path.join(index.path, "deleted")
+    if os.path.exists(deleted_path):
+        deleted = spark.read.parquet(deleted_path).select(F.col("id").alias("rid")).distinct()
+        cand = cand.join(F.broadcast(deleted), "rid", "left_anti")
+    desc = METRIC_IS_DESCENDING[metric]
+    order = [F.col("score").desc() if desc else F.col("score").asc(), F.col("rid").asc()]
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rid", "rnk", "score")
     )
 
 

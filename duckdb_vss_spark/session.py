@@ -38,4 +38,8 @@ def get_spark(app_name: str = "duckdb-vss-spark", shuffle_partitions: int | None
         .config("spark.ui.enabled", "false")
     )
     builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    from .deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    return spark

@@ -1,0 +1,195 @@
+"""Index lifecycle: build, search recall, DDL validation (reference error
+strings), info schema, insert/delete/compact, restart durability, planner
+dispatch + explain markers.
+
+Mirrors the reference's test strategy (SURVEY §5): plan-shape assertions,
+ANN==exact labeled equivalence on seeded data, DDL error contract,
+lifecycle/durability."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark import VSSEngine, topk
+from duckdb_vss_spark.index.catalog import BinderException, validate_options
+
+Q = [((i * 7) % 16) / 16.0 for i in range(64)]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vss_indexes"))
+    eng = VSSEngine(spark, index_root=root)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    eng.register_table("emb", emb)
+    eng.create_index("emb_idx", "emb", "embedding", "vec_id", options={"metric": "l2sq"})
+    return eng
+
+
+# -- DDL validation contract (reference: test/sql/hnsw/hnsw_options.test) --
+
+@pytest.mark.parametrize(
+    "opts,msg",
+    [
+        ({"ef_construction": "foo"}, "HNSW index 'ef_construction' must be an integer"),
+        ({"ef_construction": 0}, "HNSW index 'ef_construction' must be at least 1"),
+        ({"ef_search": "foo"}, "HNSW index 'ef_search' must be an integer"),
+        ({"ef_search": 0}, "HNSW index 'ef_search' must be at least 1"),
+        ({"M": "foo"}, "HNSW index 'M' must be an integer"),
+        ({"M": 0}, "HNSW index 'M' must be at least 2"),
+        ({"M0": "foo"}, "HNSW index 'M0' must be an integer"),
+        ({"M0": 0}, "HNSW index 'M0' must be at least 2"),
+        ({"metric": 42}, "HNSW index 'metric' must be a string"),
+        ({"metric": "manhattan"}, "HNSW index 'metric' must be one of: 'l2sq', 'cosine', 'ip'"),
+        ({"bogus": 1}, "Unknown option for HNSW index: 'bogus'"),
+    ],
+)
+def test_option_validation_messages(opts, msg):
+    with pytest.raises(BinderException) as ei:
+        validate_options(opts)
+    assert str(ei.value) == msg
+
+
+def test_option_defaults():
+    o = validate_options({})
+    assert (o["M"], o["M0"], o["ef_construction"], o["ef_search"]) == (16, 32, 128, 64)
+    assert validate_options({"M": 5})["M0"] == 10  # m0 = 2*m
+
+
+def test_key_type_validation(spark, engine):
+    bad = spark.createDataFrame([(1, "x")], "id int, vec string")
+    with pytest.raises(BinderException, match=r"HNSW index keys must be of type FLOAT\[N\]"):
+        engine.catalog.create_index("bad", bad, "vec", "id")
+    bad2 = spark.createDataFrame([(1, [1, 2])], "id int, vec array<bigint>")
+    with pytest.raises(BinderException, match="key type must be one of"):
+        engine.catalog.create_index("bad2", bad2, "vec", "id")
+    good = spark.createDataFrame([(1, [1.0, 2.0])], "id int, a array<float>")
+    with pytest.raises(BinderException, match="single column of keys"):
+        engine.catalog.create_index("bad3", good, ["a", "a"], "id")
+
+
+# -- search correctness ----------------------------------------------------
+
+def test_index_search_full_probe_equals_exact(engine, spark, emb):
+    """With ef_search=256 (=> nprobe=nlist) the index search IS exact —
+    the labeled-equivalence technique of the reference tests (SURVEY §5.3)."""
+    idx = engine.catalog.get("emb_idx")
+    got = idx.search(spark, Q, 10, ef_search=256).collect()
+    exact = topk(emb_df(spark), "embedding", Q, 10, "l2sq", tiebreak="vec_id").collect()
+    assert [r["id"] for r in got] == [r["vec_id"] for r in exact]
+    for g, e in zip(got, exact):
+        assert abs(g["score"] - e["score"]) < 1e-9
+
+
+def test_index_search_default_recall(engine, spark):
+    idx = engine.catalog.get("emb_idx")
+    got = {r["id"] for r in idx.search(spark, Q, 10).collect()}
+    exact = {r["vec_id"] for r in topk(emb_df(spark), "embedding", Q, 10, "l2sq").collect()}
+    assert len(got & exact) >= 5  # default ef_search=64 probes half the lists
+
+
+def emb_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+# -- planner dispatch + explain -------------------------------------------
+
+def test_explain_shows_index_scan(engine):
+    plan = engine.explain_topk("emb", "embedding", Q, 5)
+    assert "HNSW_INDEX_SCAN" in plan and "emb_idx" in plan
+
+
+def test_explain_exact_fallback_wrong_metric(engine):
+    plan = engine.explain_topk("emb", "embedding", Q, 5, metric="cosine")
+    assert "HNSW_INDEX_SCAN" not in plan and "SEQ_SCAN" in plan
+
+
+def test_explain_exact_fallback_k_too_large(engine):
+    plan = engine.explain_topk("emb", "embedding", Q, 5000)
+    assert "HNSW_INDEX_SCAN" not in plan  # k >= 2048 -> silent exact fallback
+
+
+def test_engine_topk_index_path_matches_exact(engine, spark):
+    engine.set_ef_search(256)
+    try:
+        got = engine.topk("emb", "embedding", Q, 5, tiebreak="vec_id").select("vec_id", "score").collect()
+    finally:
+        engine.set_ef_search(None)
+    exact = topk(emb_df(spark), "embedding", Q, 5, "l2sq", tiebreak="vec_id").select("vec_id", "score").collect()
+    assert [(r["vec_id"], round(r["score"], 9)) for r in got] == [
+        (r["vec_id"], round(r["score"], 9)) for r in exact
+    ]
+
+
+def test_post_filter_semantics(engine):
+    """Residual WHERE applies AFTER the k index candidates -> can return < k
+    rows (reference: test/sql/hnsw/where_clause_segfault.test:24-35)."""
+    engine.set_ef_search(256)
+    try:
+        rows = engine.topk("emb", "embedding", Q, 10, where="vec_id % 2 = 0").collect()
+    finally:
+        engine.set_ef_search(None)
+    assert 0 < len(rows) < 10
+    assert all(r["vec_id"] % 2 == 0 for r in rows)
+
+
+def test_engine_knn_join_index_path(engine, spark):
+    probes = emb_df(spark).filter(F.col("vec_id") < 5)
+    engine.set_ef_search(256)
+    try:
+        got = engine.knn_join(probes, "emb", "embedding", "embedding", 3, left_id="vec_id", right_id="vec_id")
+        rows = got.collect()
+    finally:
+        engine.set_ef_search(None)
+    assert len(rows) == 15
+    by_q = {r["qid"]: r for r in rows if r["rnk"] == 1}
+    assert all(by_q[q]["rid"] == q and by_q[q]["score"] == 0.0 for q in by_q)
+    plan = engine.explain_knn_join(probes, "emb", "embedding", "embedding", 3, left_id="vec_id", right_id="vec_id")
+    assert "HNSW_INDEX_JOIN" in plan
+
+
+# -- info / lifecycle ------------------------------------------------------
+
+def test_index_info_schema(engine):
+    info = engine.index_info()
+    assert [f.name for f in info.schema.fields] == [
+        "catalog_name", "schema_name", "index_name", "table_name", "metric",
+        "dimensions", "count", "capacity", "approx_memory_usage", "levels", "levels_stats",
+    ]
+    row = [r for r in info.collect() if r["index_name"] == "emb_idx"][0]
+    assert row["metric"] == "l2sq" and row["dimensions"] == 64 and row["count"] == 500
+    assert row["capacity"] >= row["count"]
+
+
+def test_insert_delete_compact_lifecycle(spark, tmp_path):
+    eng = VSSEngine(spark, index_root=str(tmp_path))
+    emb = emb_df(spark).filter(F.col("vec_id") < 100)
+    eng.register_table("t", emb)
+    eng.create_index("t_idx", "t", "embedding", "vec_id")
+    # insert: new rows visible via tail
+    extra = emb_df(spark).filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    eng.insert("t_idx", extra, "embedding", "vec_id")
+    idx = eng.catalog.get("t_idx")
+    c = idx.counts(spark)
+    assert (c["base"], c["tail"]) == (100, 10)
+    target = extra.collect()[0]
+    hits = idx.search(spark, [float(x) for x in target["embedding"]], 1, ef_search=256).collect()
+    assert hits[0]["id"] == target["vec_id"]  # tail row found at distance 0
+    # delete: immediately invisible (reference: src/hnsw/hnsw_index.cpp:496-512)
+    eng.delete("t_idx", [target["vec_id"]])
+    hits = idx.search(spark, [float(x) for x in target["embedding"]], 5, ef_search=256).collect()
+    assert target["vec_id"] not in [h["id"] for h in hits]
+    assert len(hits) == 5  # over-fetch still returns k
+    # compact: folds tail, drops deleted (PRAGMA hnsw_compact_index)
+    idx2 = eng.compact_index("t_idx")
+    c2 = idx2.counts(spark)
+    assert (c2["base"], c2["tail"], c2["deleted"]) == (109, 0, 0)
+    # restart durability: fresh handle from disk only
+    from duckdb_vss_spark import IVFIndex
+
+    idx3 = IVFIndex(idx2.path)
+    assert idx3.manifest["count"] == 109
+    # drop
+    eng.drop_index("t_idx")
+    assert not eng.catalog.exists("t_idx")
