@@ -129,6 +129,208 @@ def _q_knn_match_ids(spark, sf_dir):
     )
 
 
+def _docs(spark, sf_dir):
+    from duckdb_vss_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _q_text_stats(spark, sf_dir):
+    """Text analysis: token counting (whitespace + BPE-ish regex), language
+    ID, quality scoring — all JVM-side expressions (north-star surface)."""
+    from duckdb_vss_spark.functions import text as T
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.token_count_regex("text").alias("n_tokens_bpe"),
+        T.lang_id("text").alias("lang_guess"),
+        T.quality_score("text").cast("float").alias("quality"),
+    )
+
+
+def _q_exact_dedup(spark, sf_dir):
+    """Exact dedup: md5-of-normalized-text fingerprint groups."""
+    from duckdb_vss_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), "text", "doc_id").select(
+        "doc_id", "canonical_id", "fingerprint", F.col("group_size").cast("long").alias("group_size")
+    )
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands) near-dup pairs, Jaccard-verified >= 0.5."""
+    from duckdb_vss_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), "text", "doc_id", 3, 16, 4, 0.5).select(
+        "id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard")
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    """SimHash(60-bit) near-dup pairs, Hamming <= 3 via exact 4-band bucketing."""
+    from duckdb_vss_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), "text", "doc_id", 3, 4).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3gram Jaccard pairs >= 0.5 via inverted shingle join."""
+    from duckdb_vss_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", 3, 0.5).select(
+        "id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard")
+    )
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (>= 0.4 on this synthetic corpus)."""
+    from duckdb_vss_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), "embedding", "vec_id", 0.4).select(
+        "id_a", "id_b", F.col("cos_sim").cast("float").alias("cos_sim")
+    )
+
+
+def _q_ann_index_topk(spark, sf_dir):
+    """HNSW_INDEX_SCAN path (IVF artifact), full-probe => exactly the brute
+    force result; exercises build + candidate scan + exact rescore."""
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_idx_"))
+    eng.register_table("embeddings_idx", _emb(spark, sf_dir))
+    eng.create_index("q_idx", "embeddings_idx", "embedding", "vec_id", replace=True)
+    eng.set_ef_search(10**6)  # probe all lists -> exact
+    return eng.topk("embeddings_idx", "embedding", Q64, 10, tiebreak="vec_id").select(
+        "vec_id", F.col("score").cast("float").alias("score")
+    )
+
+
+def _q_ann_index_knn_join(spark, sf_dir):
+    """HNSW_INDEX_JOIN path, full-probe => exact lateral top-3 per probe."""
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+
+    emb = _emb(spark, sf_dir)
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_idx_"))
+    eng.register_table("embeddings_idx", emb)
+    eng.create_index("qj_idx", "embeddings_idx", "embedding", "vec_id", replace=True)
+    eng.set_ef_search(10**6)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return eng.knn_join(probes, "embeddings_idx", "embedding", "embedding", 3, left_id="vec_id", right_id="vec_id").select(
+        "qid", "rid", F.col("rnk").cast("long").alias("rnk"), F.col("score").cast("float").alias("score")
+    )
+
+
+def _q_ann_ivf_default(spark, sf_dir):
+    """Approximate ANN at default ef_search (no oracle — rows-only check;
+    recall is tunable, exactness is not the contract here)."""
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_idx_"))
+    eng.register_table("embeddings_idx", _emb(spark, sf_dir))
+    eng.create_index("qa_idx", "embeddings_idx", "embedding", "vec_id", replace=True)
+    return eng.topk("embeddings_idx", "embedding", Q64, 10, tiebreak="vec_id").select(
+        "vec_id", F.col("score").cast("float").alias("score")
+    )
+
+
+def _tbl(spark, sf_dir, name):
+    from duckdb_vss_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _q_tpch_q1(spark, sf_dir):
+    """Core-dep relational surface (SURVEY §2.4): hash aggregate with
+    multiple aggregates (TPC-H Q1 shape)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("float").alias("sum_qty"),
+            F.sum("l_extendedprice").cast("float").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("float").alias("sum_disc_price"),
+            F.avg("l_quantity").cast("float").alias("avg_qty"),
+            F.avg("l_discount").cast("float").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_q3(spark, sf_dir):
+    """Join + agg + TopN (TPC-H Q3 shape): broadcast dims, partial-agg, top-10."""
+    cust = _tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("float").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_window_topn(spark, sf_dir):
+    """Window row_number per group (the decorrelated-lateral building block
+    the reference's join rewrite matches, SURVEY §2.4): latest 2 orders per
+    customer, restricted to custkeys < 50."""
+    from pyspark.sql import Window
+
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def _events(spark, sf_dir):
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; read nanos as long and floor-convert to microseconds (duckdb
+    applies the same ns->us truncation)."""
+    from duckdb_vss_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _q_events_hourly(spark, sf_dir):
+    """Time-bucketed aggregation on the events stream table (the batch
+    equivalent of the structured-streaming windowed count)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").cast("float").alias("sum_value"))
+    )
+
+
+def _q_events_json(spark, sf_dir):
+    """Semi-structured props extraction + struct/explode surface."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select("event_id", F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -139,10 +341,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_knn_join": _q_knn_join,
         "q07_knn_join_ip": _q_knn_join_ip,
         "q08_knn_match": _q_knn_match_ids,
+        "q09_text_stats": _q_text_stats,
+        "q10_exact_dedup": _q_exact_dedup,
+        "q11_minhash_lsh": _q_minhash_lsh,
+        "q12_simhash": _q_simhash,
+        "q13_ngram_jaccard": _q_ngram_jaccard,
+        "q14_embedding_neardup": _q_embedding_neardup,
+        "q15_ann_index_topk": _q_ann_index_topk,
+        "q16_ann_index_knn_join": _q_ann_index_knn_join,
+        "q17_ann_ivf_default": _q_ann_ivf_default,
+        "q18_tpch_q1": _q_tpch_q1,
+        "q19_tpch_q3": _q_tpch_q3,
+        "q20_window_topn": _q_window_topn,
+        "q21_events_hourly": _q_events_hourly,
+        "q22_events_json": _q_events_json,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from duckdb_vss_spark import oracle as O
+
     dist = f"list_distance(embedding::DOUBLE[], {Q64_SQL})"
     cos = f"list_cosine_similarity(embedding::DOUBLE[], {Q64_SQL})"
     ip = f"list_inner_product(embedding::DOUBLE[], {Q64_SQL})"
@@ -188,5 +406,131 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 10
             )
             SELECT qid, (list(rid ORDER BY rnk))[1:3] AS match_ids FROM j WHERE rnk <= 3 GROUP BY qid
+        """,
+        "q09_text_stats": f"""
+            SELECT doc_id,
+                   {O.sql_token_count('text')} AS n_tokens,
+                   {O.sql_token_count_regex('text')} AS n_tokens_bpe,
+                   {O.sql_lang_id('text')} AS lang_guess,
+                   ({O.sql_quality_score('text')})::FLOAT AS quality
+            FROM documents
+        """,
+        "q10_exact_dedup": f"""
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY {O.sql_fingerprint('text')}) AS canonical_id,
+                   {O.sql_fingerprint('text')} AS fingerprint,
+                   count(*) OVER (PARTITION BY {O.sql_fingerprint('text')}) AS group_size
+            FROM documents
+        """,
+        "q11_minhash_lsh": f"""
+            WITH halves AS MATERIALIZED (
+              SELECT doc_id,
+                     {O.sql_shingle_hash_halves('text', 3)[0]} AS h1s,
+                     {O.sql_shingle_hash_halves('text', 3)[1]} AS h2s,
+                     {O.sql_word_ngrams('text', 3)} AS sh
+              FROM documents
+            ),
+            sig AS MATERIALIZED (
+              SELECT doc_id,
+                     {O.sql_minhash_from_halves('h1s', 'h2s', 16)} AS sig,
+                     sh
+              FROM halves
+            ),
+            banded AS (
+              SELECT doc_id, b,
+                     {O.sql_hash64("array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')")} AS bucket
+              FROM sig, range(0, 4) r(b)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM banded a JOIN banded b2 USING (b, bucket)
+              WHERE a.doc_id < b2.doc_id
+            )
+            SELECT id_a, id_b,
+                   (len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)::FLOAT AS jaccard
+            FROM cand
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+            WHERE (len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE) >= 0.5
+        """,
+        "q12_simhash": f"""
+            WITH h AS (
+              SELECT doc_id, {O.sql_feature_hashes('text')} AS hs FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, {O.sql_simhash_from_hashes('hs')} AS s FROM h
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.s, b.s))::BIGINT AS hamming
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 3
+        """,
+        "q13_ngram_jaccard": f"""
+            WITH s AS (
+              SELECT doc_id, {O.sql_word_ngrams('text', 3)} AS sh FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   (len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE)::FLOAT AS jaccard
+            FROM s a, s b
+            WHERE a.doc_id < b.doc_id
+              AND (len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE) >= 0.5
+        """,
+        "q14_embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])::FLOAT AS cos_sim
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "q15_ann_index_topk": f"SELECT vec_id, {dist}::FLOAT AS score FROM embeddings ORDER BY score, vec_id LIMIT 10",
+        "q16_ann_index_knn_join": knn_flat.format(
+            dirn="ASC",
+            nprobe=10,
+            score_expr="list_distance(q.embedding::DOUBLE[], i.embedding::DOUBLE[])",
+        ),
+        # q17_ann_ivf_default: intentionally no oracle (approximate path)
+        "q18_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity)::FLOAT AS sum_qty,
+                   sum(l_extendedprice)::FLOAT AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount))::FLOAT AS sum_disc_price,
+                   avg(l_quantity)::FLOAT AS avg_qty,
+                   avg(l_discount)::FLOAT AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q19_tpch_q3": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   sum(l_extendedprice * (1 - l_discount))::FLOAT AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q20_window_topn": """
+            SELECT o_custkey, o_orderkey, rn FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn
+              FROM orders WHERE o_custkey < 50
+            ) WHERE rn <= 2
+        """,
+        "q21_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, sum(value)::FLOAT AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q22_events_json": """
+            SELECT json_extract_string(props, '$.k')::BIGINT AS k, count(*) AS n
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1
         """,
     }

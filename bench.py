@@ -66,6 +66,30 @@ def main() -> None:
         .collect()
     )
 
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).cache()
+    docs.count()
+    from duckdb_vss_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs
+
+    timings["exact_dedup"] = run(lambda: exact_dedup(docs, "text", "doc_id").count())
+    timings["minhash_lsh_dedup"] = run(lambda: minhash_lsh_pairs(docs, "text", "doc_id", 3, 16, 4, 0.5).count())
+    timings["ngram_jaccard_dedup"] = run(lambda: ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.5).count())
+
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="bench_idx_"))
+    eng.register_table("emb_bench", emb)
+    t0 = time.perf_counter()
+    eng.create_index("bench_idx", "emb_bench", "embedding", "vec_id", replace=True)
+    timings["ivf_index_build"] = time.perf_counter() - t0
+    timings["ivf_indexed_topk_k10"] = run(
+        lambda: eng.topk("emb_bench", "embedding", Q, 10, tiebreak="vec_id").collect()
+    )
+    timings["ivf_indexed_knn_join_100xN_k10"] = run(
+        lambda: eng.knn_join(probes, "emb_bench", "embedding", "embedding", 10, left_id="vec_id", right_id="vec_id").collect()
+    )
+
     sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
     print(
         json.dumps(

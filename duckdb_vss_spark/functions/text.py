@@ -1,0 +1,233 @@
+"""Text-analysis column functions for LLM-data-pipeline operators
+(north-star surface beyond duckdb-vss parity, per BASELINE.json):
+tokenization, token counting, quality scoring, language ID, fingerprinting,
+shingling, MinHash and SimHash signatures.
+
+Every builder here is a pure JVM-side Column expression (no Python UDFs in
+the hot path — these run over every document of a 100 TB corpus) and has an
+exact duckdb-SQL twin in :mod:`duckdb_vss_spark.oracle` generated from the
+same constants, so the correctness harness can hash-compare results.
+
+Hashing primitive shared with the oracle: ``bigint(md5(seed || s)[:15])`` —
+md5 is identical everywhere, and 15 hex digits (60 bits) fit a signed int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "token_count_regex",
+    "char_ngrams",
+    "word_ngrams",
+    "hash64",
+    "minhash_signature",
+    "simhash64",
+    "stopword_ratio",
+    "lang_id",
+    "quality_score",
+    "normalize_text",
+    "fingerprint_md5",
+    "LANGS",
+    "STOPWORDS",
+    "TOKEN_REGEX",
+    "DEFAULT_NUM_PERM",
+    "SIMHASH_BITS",
+]
+
+# Word-boundary tokenizer (whitespace) and a BPE-ish regex tokenizer:
+# letter runs | digit runs | single non-space symbol. The pattern is valid in
+# both Java regex (Spark) and RE2-ish duckdb regexp_extract_all.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# Minimal per-language stopword lists for the n-gram/stopword-ratio language
+# heuristic. Order = tie-break preference.
+LANGS = ("en", "de", "es", "fr", "zh")
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "他"],
+}
+DEFAULT_NUM_PERM = 16
+SIMHASH_BITS = 64
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of trimmed text."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_regex(col) -> Column:
+    """BPE-ish token count: letter runs + digit runs + individual symbols."""
+    return F.size(F.expr(f"regexp_extract_all({_sql_name(col)}, '{TOKEN_REGEX}', 0)"))
+
+
+def _sql_name(col) -> str:
+    if isinstance(col, str):
+        return col
+    raise ValueError("token_count_regex requires a plain column name")
+
+
+def char_ngrams(col, n: int = 3) -> Column:
+    """Distinct character n-grams of the normalized text (shingles), sorted
+    (duckdb's list_distinct does not preserve order, so sorted form is the
+    canonical cross-engine representation)."""
+    c = normalize_text(col)
+    return F.array_sort(F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(c) - (n - 1))),
+            lambda i: c.substr(i, F.lit(n)),
+        )
+    ))
+
+
+def word_ngrams(col, n: int = 3) -> Column:
+    """Distinct word n-gram shingles joined by a single space, sorted."""
+    t = tokens(col)
+    return F.array_sort(F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(t) - (n - 1))),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+    ))
+
+
+def hash64(col, seed: str = "") -> Column:
+    """Deterministic 60-bit positive int64 hash shared with the duckdb oracle:
+    ``CAST(CONV(SUBSTR(MD5(seed || s), 1, 15), 16, 10) AS BIGINT)``."""
+    s = F.concat(F.lit(seed), _c(col)) if seed else _c(col)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+# Kirsch-Mitzenmacher double hashing: one md5 per shingle yields two 40-bit
+# halves (h1, h2); permutation i hashes as (h1 + i*h2) mod 2^40. 16*2^40
+# stays far below int64 overflow in both engines, and one md5 replaces
+# num_perm md5s — the difference between 4s and 200s at sf0.1.
+MINHASH_MOD = 1 << 40
+
+
+def shingle_hash_halves(col, n: int = 3) -> tuple[Column, Column]:
+    """(h1s, h2s): 40-bit hash-half arrays of the word n-gram shingles.
+    Materialize these as columns before building signatures so the md5 pass
+    runs once, not once per permutation."""
+    hexes = F.transform(word_ngrams(col, n), F.md5)
+    h1s = F.transform(hexes, lambda h: F.conv(F.substring(h, 1, 10), 16, 10).cast("long"))
+    h2s = F.transform(hexes, lambda h: F.conv(F.substring(h, 11, 10), 16, 10).cast("long"))
+    return h1s, h2s
+
+
+def minhash_from_halves(h1s, h2s, num_perm: int = DEFAULT_NUM_PERM) -> Column:
+    """MinHash signature from hash-half array columns, built as ONE
+    ``transform(sequence(...))`` expression: ``F.array(*[...16 exprs])`` would
+    embed the h1s/h2s subtrees 32 times, and Catalyst's CollapseProject +
+    interpreted HOF evaluation then re-runs the whole shingle+md5 pipeline
+    per permutation (hundreds of seconds at sf0.1 — measured)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.zip_with(h1s, h2s, lambda a, b: (a + i * b) % MINHASH_MOD)),
+    )
+
+
+def minhash_signature(col, n: int = 3, num_perm: int = DEFAULT_NUM_PERM) -> Column:
+    """MinHash signature over word n-gram shingles (one-shot expression form;
+    inside operators prefer materializing :func:`shingle_hash_halves` first)."""
+    h1s, h2s = shingle_hash_halves(col, n)
+    return minhash_from_halves(h1s, h2s, num_perm)
+
+
+def _hash64_expr(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def simhash_from_hashes(hashes) -> Column:
+    """64-bit SimHash from a MATERIALIZED int64 hash-array column: bit j is 1
+    iff the count of features with bit j set exceeds half the features.
+
+    ``hashes`` should be a plain (post-shuffle) column, not a nested
+    expression: each of the 60 bit terms re-evaluates its argument subtree,
+    so feeding an expression that contains the tokenize+md5 pipeline makes
+    this quadratic (see operators.dedup.simhash_pairs for the explode-based
+    materialization)."""
+    hashes = _c(hashes)
+    nf = F.size(hashes)
+
+    def bit_term(j: int) -> Column:
+        votes = F.aggregate(
+            hashes, F.lit(0), lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int")
+        )
+        return F.when(votes * 2 > nf, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    bit_cols = [bit_term(j) for j in range(SIMHASH_BITS - 4)]  # top 4 bits of a 60-bit hash are 0
+    out = bit_cols[0]
+    for b in bit_cols[1:]:
+        out = out + b
+    return out
+
+
+def simhash64(col, n: int = 1) -> Column:
+    """One-shot SimHash over word n-gram features. Convenient for tests and
+    small frames; operators use the explode-and-materialize path instead
+    (the nested expression re-runs the feature pipeline per bit term)."""
+    feats = word_ngrams(col, n) if n > 1 else F.array_distinct(tokens(col))
+    return simhash_from_hashes(F.transform(feats, _hash64_expr))
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    """|distinct tokens ∩ stopwords(lang)| / |distinct tokens| (set semantics
+    on both sides: Spark array_intersect == duckdb list_intersect)."""
+    t = F.array_distinct(tokens(col))
+    hits = F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+    return hits.cast("double") / F.size(t).cast("double")
+
+
+def lang_id(col, threshold: float = 0.02) -> Column:
+    """Stopword-ratio language heuristic: the first language (in LANGS order)
+    whose ratio is maximal; 'und' when the best ratio is below threshold."""
+    ratios = {lang: stopword_ratio(col, lang) for lang in LANGS}
+    expr = F.lit("und")
+    # build reversed so earlier langs take precedence on ties
+    for lang in reversed(LANGS):
+        cond = ratios[lang] >= F.greatest(*[ratios[o] for o in LANGS if o != lang])
+        expr = F.when((ratios[lang] >= threshold) & cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(col) -> Column:
+    """Heuristic document quality in [0,1]:
+    0.4 * min(1, tokens/64) + 0.3 * min(1, stopword_ratio(en)*5)
+    + 0.3 * min(1, avg_token_len/6)."""
+    t = tokens(col)
+    ntok = F.size(t).cast("double")
+    nospace = F.length(F.regexp_replace(_c(col), r"\s+", ""))
+    avg_len = nospace.cast("double") / ntok
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), ntok / F.lit(64.0))
+        + F.lit(0.3) * F.least(F.lit(1.0), stopword_ratio(col, "en") * 5.0)
+        + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(6.0))
+    )
+
+
+def normalize_text(col) -> Column:
+    """Canonical form for fingerprinting: lowercase, non-alphanumerics to
+    space, whitespace collapsed, trimmed."""
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, "[^a-z0-9]+", " ")
+    return F.trim(F.regexp_replace(c, " +", " "))
+
+
+def fingerprint_md5(col) -> Column:
+    """Exact-duplicate document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))

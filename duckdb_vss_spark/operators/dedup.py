@@ -1,0 +1,254 @@
+"""Deduplication operators for LLM training-data pipelines (north-star
+surface, BASELINE.json): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
+
+Scale design notes (the part that matters at 100 TB):
+- every operator is a pure relational composition (hash/sort shuffles that
+  AQE can size) — no driver-side loops, no cross joins except where noted;
+- candidate generation always goes through an *inverted* structure
+  (fingerprint groups, LSH band buckets, shared shingles, shared SimHash
+  bands) so the quadratic all-pairs step only happens inside small buckets;
+- pair outputs are canonicalized ``id_a < id_b`` so results are
+  deterministic and hash-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import array_cosine_similarity
+from ..functions.text import (
+    DEFAULT_NUM_PERM,
+    fingerprint_md5,
+    hash64,
+    word_ngrams,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate assignment: every row mapped to the smallest id
+    sharing its normalized-text fingerprint.
+
+    Output: (id_col, canonical_id, fingerprint, group_size). One shuffle on
+    the fingerprint (hash-partitioned window) — scale-safe.
+    """
+    fp = df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("canonical_id"),
+        "fingerprint",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
+def _pairs_from_groups(grouped: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """(bucket keys, id) -> distinct candidate pairs (id_a < id_b) via
+    self-join within buckets."""
+    a = grouped.select(*key_cols, F.col(id_col).alias("id_a"))
+    b = grouped.select(*key_cols, F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, key_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle -> minhash(num_perm) -> band buckets (bands x rows_per_band) ->
+    bucket self-join -> exact Jaccard verification >= threshold.
+
+    Output: (id_a, id_b, jaccard DOUBLE). The band bucket join is the classic
+    LSH candidate generator: only documents agreeing on a full band collide,
+    so the self-join stays near-linear on non-adversarial corpora.
+    """
+    assert num_perm % bands == 0, "num_perm must divide into equal bands"
+    rows_per_band = num_perm // bands
+    from ..functions.text import minhash_from_halves
+
+    # Explode shingles to ROWS and hash them in whole-stage codegen, then
+    # collect the hash-half arrays behind a groupBy shuffle. Expression-only
+    # forms are quadratic here: HOF lambdas re-evaluate their argument
+    # subtrees per invocation, so a nested shingle->md5->minhash expression
+    # re-runs the tokenize+md5 pipeline once per permutation per band
+    # (measured 160 ms/row; this form is ~1 ms/row). The shuffle is the same
+    # one LSH needs for band-bucketing anyway, so at 100 TB this costs one
+    # extra narrow stage, not an extra shuffle.
+    shingled = df.select(F.col(id_col), F.explode(word_ngrams(text_col, shingle_n)).alias("s"))
+    hashed = shingled.select(
+        F.col(id_col),
+        F.col("s"),
+        F.conv(F.substring(F.md5("s"), 1, 10), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("s"), 11, 10), 16, 10).cast("long").alias("h2"),
+    )
+    per_doc = hashed.groupBy(id_col).agg(
+        F.collect_list("h1").alias("h1s"),
+        F.collect_list("h2").alias("h2s"),
+        F.collect_list("s").alias("shingles"),
+    )
+    sig = minhash_from_halves(F.col("h1s"), F.col("h2s"), num_perm)
+    # md5-based band bucket (not F.hash) so the duckdb oracle can produce
+    # identical buckets: hash64 of the comma-joined band slice
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    banded = per_doc.select(F.col(id_col), F.posexplode(band_arr).alias("b", "bucket"))
+    # candidates: equal bucket hash in ANY band -> one self-join on (band, bucket)
+    cand = _pairs_from_groups(banded, ["b", "bucket"], id_col)
+    sh = per_doc.select(F.col(id_col), "shingles")
+    ja = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return ja.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs with Hamming distance <= max_hamming.
+
+    Exact under banding: a 60-bit simhash split into ``bands`` equal chunks —
+    any pair within Hamming distance < bands must agree on >= 1 chunk
+    (pigeonhole), so the chunk-bucket join finds ALL such pairs; the final
+    bit_count filter is then exact. Requires ``max_hamming < bands``.
+
+    Output: (id_a, id_b, hamming INT).
+    """
+    if max_hamming >= bands:
+        raise ValueError("exactness requires max_hamming < bands (pigeonhole)")
+    width = 60 // bands
+    from ..functions.text import simhash_from_hashes, tokens
+
+    # materialize per-feature hashes as rows (codegen md5) then collect to an
+    # array behind the groupBy shuffle; see minhash_lsh_pairs for why the
+    # expression-only form is quadratic
+    feats = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("f"))
+    hashed = feats.select(F.col(id_col), hash64("f").alias("h"))
+    per_doc = hashed.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
+    sh = per_doc.select(F.col(id_col), simhash_from_hashes("hs").alias("sh"))
+    # band chunks: any pair with hamming < bands shares >= 1 chunk; one
+    # self-join on (band index, chunk value) finds all of them
+    chunk_arr = F.array(
+        *[F.shiftright(F.col("sh"), b * width).bitwiseAND(F.lit((1 << width) - 1)) for b in range(bands)]
+    )
+    banded = sh.select(F.col(id_col), F.posexplode(chunk_arr).alias("b", "bucket"))
+    cand = _pairs_from_groups(banded, ["b", "bucket"], id_col)
+    s = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    s2 = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(s, "id_a")
+        .join(s2, "id_b")
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity pairs >= threshold, computed without a
+    cross join: explode shingles to an inverted (shingle -> doc) table,
+    self-join on shingle to count shared shingles per pair, then
+    ``jaccard = shared / (|A| + |B| - shared)``.
+
+    Only pairs sharing >= 1 shingle are ever materialized, which is also the
+    complete candidate set for any threshold > 0.
+    Output: (id_a, id_b, jaccard DOUBLE).
+    """
+    sh = df.select(F.col(id_col), word_ngrams(text_col, shingle_n).alias("shingles"))
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n"))
+    inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    shared = (
+        inv.alias("x")
+        .join(inv.alias("y"), "shingle")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .groupBy(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: cosine_similarity >= threshold,
+    id_a < id_b. Exact all-pairs comparison (the JVM HOF expression keeps it
+    inside codegen); for corpora where O(n^2) is prohibitive use
+    ``knn_join`` with an IVF index and post-filter on score instead.
+    Output: (id_a, id_b, cos_sim DOUBLE)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", array_cosine_similarity("v_a", "v_b").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,125 @@
+"""Text-analysis function parity vs the duckdb oracle twins, and dedup
+operator semantics (north-star LLM-pipeline surface)."""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_vss_spark import oracle as O
+from duckdb_vss_spark.functions import text as T
+from duckdb_vss_spark.operators import dedup as D
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _cmp(docs, ddb, spark_col, sql_expr):
+    ours = {r["doc_id"]: r["v"] for r in docs.select("doc_id", spark_col.alias("v")).collect()}
+    theirs = dict(ddb.execute(f"SELECT doc_id, {sql_expr} FROM documents").fetchall())
+    assert ours == theirs
+
+
+def test_token_count_parity(docs, ddb):
+    _cmp(docs, ddb, T.token_count("text"), O.sql_token_count("text"))
+    _cmp(docs, ddb, T.token_count_regex("text"), O.sql_token_count_regex("text"))
+
+
+def test_fingerprint_parity(docs, ddb):
+    _cmp(docs, ddb, T.fingerprint_md5("text"), O.sql_fingerprint("text"))
+
+
+def test_hash64_parity(docs, ddb):
+    _cmp(docs, ddb, T.hash64("text", "x:"), O.sql_hash64("'x:' || text"))
+
+
+def test_shingles_parity(docs, ddb):
+    _cmp(docs, ddb, T.word_ngrams("text", 3), O.sql_word_ngrams("text", 3))
+
+
+def test_minhash_parity(docs, ddb):
+    # CTE form on the duckdb side: the inline expression form re-evaluates the
+    # whole shingle pipeline per list element (quadratic) in duckdb
+    h1s, h2s = O.sql_shingle_hash_halves("text", 3)
+    ours = {
+        r["doc_id"]: r["v"]
+        for r in docs.select("doc_id", T.minhash_signature("text", 3, 4).alias("v")).collect()
+    }
+    theirs = dict(
+        ddb.execute(
+            f"WITH h AS MATERIALIZED (SELECT doc_id, {h1s} AS h1s, {h2s} AS h2s FROM documents) "
+            f"SELECT doc_id, {O.sql_minhash_from_halves('h1s', 'h2s', 4)} FROM h"
+        ).fetchall()
+    )
+    assert {k: list(v) for k, v in ours.items()} == {k: list(v) for k, v in theirs.items()}
+
+
+def test_simhash_parity(docs, ddb, spark):
+    ours = {r["doc_id"]: r["v"] for r in docs.select("doc_id", T.simhash64("text").alias("v")).collect()}
+    theirs = dict(
+        ddb.execute(
+            f"WITH h AS (SELECT doc_id, {O.sql_feature_hashes('text')} AS hs FROM documents) "
+            f"SELECT doc_id, {O.sql_simhash_from_hashes('hs')} FROM h"
+        ).fetchall()
+    )
+    assert ours == theirs
+
+
+def test_langid_quality_parity(docs, ddb):
+    _cmp(docs, ddb, T.lang_id("text"), O.sql_lang_id("text"))
+    _cmp(docs, ddb, T.quality_score("text").cast("float"), f"({O.sql_quality_score('text')})::FLOAT")
+
+
+# -- dedup operators -------------------------------------------------------
+
+
+def test_exact_dedup_self_canonical(docs):
+    out = D.exact_dedup(docs, "text", "doc_id").collect()
+    assert len(out) == docs.count()
+    # no exact dups in fixture: every doc is its own canonical
+    assert all(r["doc_id"] == r["canonical_id"] for r in out)
+    # planted exact dup: duplicate one text
+    dup = docs.limit(1).union(docs.limit(1)).union(docs)  # doc 0 thrice
+    out2 = D.exact_dedup(dup.withColumn("doc_id", F_mono()), "text", "doc_id")
+    gs = out2.filter(out2["group_size"] >= 3).count()
+    assert gs >= 3
+
+
+def F_mono():
+    from pyspark.sql import functions as F
+
+    return F.monotonically_increasing_id()
+
+
+def test_ngram_jaccard_symmetric_canonical(docs):
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.3).collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    assert all(0.3 <= r["jaccard"] <= 1.0 for r in pairs)
+
+
+def test_simhash_banding_is_exact(docs, spark):
+    """banded candidate generation finds ALL pairs with hamming <= 3
+    (pigeonhole) — verify against brute force."""
+    from pyspark.sql import functions as F
+
+    sub = docs.limit(60)
+    banded = {(r["id_a"], r["id_b"]) for r in D.simhash_pairs(sub, "text", "doc_id", 3, 4).collect()}
+    sh = sub.select("doc_id", T.simhash64("text").alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_minhash_lsh_verifies_jaccard(docs):
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", 3, 16, 4, 0.5).collect()
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
