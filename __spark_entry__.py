@@ -331,6 +331,48 @@ def _q_events_json(spark, sf_dir):
     )
 
 
+def _stage_events_dir(sf_dir: str, copies: int = 1) -> str:
+    """Stage the single events.parquet file into a directory so the file
+    streaming source can list it (n copies = at-least-once replay)."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="vss_stream_")
+    for i in range(copies):
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, f"part-{i:03d}.parquet"))
+    return d
+
+
+def _q_stream_hourly(spark, sf_dir):
+    """Structured Streaming: watermarked tumbling-window counts, availableNow
+    => must equal the batch/duckdb result (same oracle as q21)."""
+    import uuid
+
+    from duckdb_vss_spark.streaming import read_events_stream, run_to_memory, windowed_counts
+
+    from duckdb_vss_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    stream = windowed_counts(read_events_stream(spark, _stage_events_dir(sf_dir)))
+    out = run_to_memory(stream, "q23m" + uuid.uuid4().hex[:8], output_mode="complete")
+    return out.select("hour", "event_type", "n", F.col("sum_value").cast("float").alias("sum_value"))
+
+
+def _q_stream_dedup(spark, sf_dir):
+    """Structured Streaming: every event delivered TWICE, dropDuplicates
+    state restores exactly-once counts == duckdb counts over one copy."""
+    import uuid
+
+    from duckdb_vss_spark.streaming import read_events_stream, run_to_memory, stream_dedup_counts
+
+    from duckdb_vss_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    stream = stream_dedup_counts(read_events_stream(spark, _stage_events_dir(sf_dir, copies=2)))
+    out = run_to_memory(stream, "q24m" + uuid.uuid4().hex[:8], output_mode="complete")
+    return out.select("event_type", "n", F.col("sum_value").cast("float").alias("sum_value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -355,6 +397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_window_topn": _q_window_topn,
         "q21_events_hourly": _q_events_hourly,
         "q22_events_json": _q_events_json,
+        "q23_stream_hourly": _q_stream_hourly,
+        "q24_stream_dedup": _q_stream_dedup,
     }
 
 
@@ -532,5 +576,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
             GROUP BY 1
+        """,
+        "q23_stream_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, sum(value)::FLOAT AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q24_stream_dedup": """
+            SELECT event_type, count(*) AS n, sum(value)::FLOAT AS sum_value
+            FROM events GROUP BY 1
         """,
     }

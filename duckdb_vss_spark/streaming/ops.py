@@ -1,0 +1,206 @@
+"""Streaming operators over the events / embeddings fixtures.
+
+Scale notes (the 100 TB posture):
+- file-source streams list and chunk input files per micro-batch
+  (``maxFilesPerTrigger``), so ingest parallelism = file count, not 1;
+- all aggregations below are keyed streaming aggs — state is hash
+  partitioned by (window, key) across executors, and watermarks bound the
+  state size (old windows are evicted once the watermark passes);
+- ``applyInPandasWithState`` state lives per key-partition on executors —
+  no driver state, no collect;
+- the stateless vector-scoring stream is a pure projection: it pipelines at
+  source speed with zero state and zero shuffle.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "events_schema",
+    "read_events_stream",
+    "windowed_counts",
+    "stream_dedup_counts",
+    "sessionize",
+    "running_totals_stateful",
+    "score_vector_stream",
+    "run_to_memory",
+]
+
+
+def events_schema() -> str:
+    """Explicit schema for the events file stream. ``ts`` arrives as int64
+    nanoseconds (the fixture stores parquet TIMESTAMP(NANOS), which Spark
+    reads via ``nanosAsLong``); :func:`read_events_stream` converts to a
+    proper timestamp with the same ns->us floor duckdb applies."""
+    return "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+
+
+def read_events_stream(
+    spark: SparkSession,
+    directory: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of event rows from a directory of parquet files.
+
+    Streaming reads require an explicit schema (no inference at run time —
+    schema drift is an error, matching the fixed-schema model of the
+    reference engine, SURVEY §1.1).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(events_schema())
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(directory)
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type: the streaming twin
+    of the batch ``GROUP BY date_trunc('hour', ts), event_type``.
+
+    Output: (hour TIMESTAMP, event_type, n BIGINT, sum_value DOUBLE).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "sum_value")
+    )
+
+
+def stream_dedup_counts(
+    events: DataFrame,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Exactly-once event counting under at-least-once delivery: drop
+    duplicate event_ids (state bounded by the watermark), then count per
+    event_type. The streaming analog of the batch exact-dedup operator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other merge
+    into one session (Spark's native session_window keyed state).
+
+    Output: (user_id, session_start, session_end, n_events, sum_value).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_RUNNING_SCHEMA = "event_type string, n bigint, sum_value double"
+_RUNNING_STATE = "n bigint, sum_value double"
+
+
+def _running_totals_fn(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (etype,) = key
+    if state.exists:
+        n, sv = state.get
+    else:
+        n, sv = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        sv += float(pdf["value"].sum())
+    state.update((n, sv))
+    yield pd.DataFrame({"event_type": [etype], "n": [n], "sum_value": [sv]})
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per
+    event_type, a running (count, sum(value)) that survives across
+    micro-batches. Each trigger emits the updated totals for the types seen
+    in that batch — the building block for streaming monitors/quotas that
+    plain windowed aggs can't express."""
+    return (
+        events.groupBy("event_type")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_RUNNING_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def score_vector_stream(
+    vectors: DataFrame,
+    vec_col: str,
+    query: list,
+    metric: str = "l2sq",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Stateless streaming vector scoring: distance of each arriving vector
+    to a constant query, optionally filtered to ``score <= threshold``
+    (l2sq) / ``>= threshold`` (similarity metrics). Pure projection — the
+    same JVM distance expression as the batch path, zero state."""
+    from ..functions.distance import METRIC_IS_DESCENDING, canonical_metric, distance_expr
+
+    m = canonical_metric(metric)
+    out = vectors.withColumn("score", distance_expr(vec_col, query, m))
+    if threshold is not None:
+        cond = F.col("score") >= threshold if METRIC_IS_DESCENDING[m] else F.col("score") <= threshold
+        out = out.filter(cond)
+    return out
+
+
+def run_to_memory(
+    stream: DataFrame,
+    name: str,
+    output_mode: str = "update",
+    timeout_sec: float = 120.0,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion over all currently-available
+    input (``availableNow`` trigger) into an in-memory sink and return the
+    resulting batch DataFrame. This is the test/driver harness path: one
+    pass sees all data, so the result must equal the batch twin."""
+    spark = stream.sparkSession
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.monotonic() + timeout_sec
+    while q.isActive and time.monotonic() < deadline:
+        time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not finish in {timeout_sec}s")
+    q.awaitTermination()
+    return spark.table(name)

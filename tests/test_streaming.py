@@ -1,0 +1,132 @@
+"""Structured Streaming ops vs their batch twins: with availableNow a
+single pass sees all data, so the streaming result must EQUAL the batch
+result (the same equivalence discipline as the ANN-vs-exact labeled tests,
+SURVEY §5 technique 3)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.streaming import (
+    read_events_stream,
+    run_to_memory,
+    running_totals_stateful,
+    score_vector_stream,
+    sessionize,
+    stream_dedup_counts,
+    windowed_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def events_dir_dup(tmp_path_factory):
+    """The same events delivered twice (at-least-once replay)."""
+    d = tmp_path_factory.mktemp("events_stream_dup")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-001.parquet")
+    return str(d)
+
+
+@pytest.fixture()
+def events_batch(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _name() -> str:
+    return "m" + uuid.uuid4().hex[:12]
+
+
+def test_windowed_counts_equals_batch(spark, events_dir, events_batch):
+    stream = windowed_counts(read_events_stream(spark, events_dir))
+    got = run_to_memory(stream, _name(), output_mode="complete")
+    exp = (
+        events_batch.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    g = {(r["hour"], r["event_type"]): (r["n"], round(r["sum_value"], 6)) for r in got.collect()}
+    e = {(r["hour"], r["event_type"]): (r["n"], round(r["sum_value"], 6)) for r in exp.collect()}
+    assert g == e
+
+
+def test_stream_dedup_under_replay(spark, events_dir_dup, events_batch):
+    """Every event delivered twice; dedup state must restore exactly-once
+    counts == batch counts over the single copy."""
+    stream = stream_dedup_counts(read_events_stream(spark, events_dir_dup))
+    got = run_to_memory(stream, _name(), output_mode="complete")
+    exp = events_batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )
+    g = {r["event_type"]: (r["n"], round(r["sum_value"], 6)) for r in got.collect()}
+    e = {r["event_type"]: (r["n"], round(r["sum_value"], 6)) for r in exp.collect()}
+    assert g == e
+
+
+def test_sessionize_total_events_preserved(spark, events_dir, events_batch):
+    got = run_to_memory(sessionize(read_events_stream(spark, events_dir), gap="30 minutes"), _name(), output_mode="complete")
+    # every event lands in exactly one session
+    assert got.agg(F.sum("n_events")).collect()[0][0] == events_batch.count()
+    bad = got.filter(F.col("session_end") < F.col("session_start")).count()
+    assert bad == 0
+    # sessions of the same user do not overlap
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    overlaps = (
+        got.withColumn("prev_end", F.lag("session_end").over(w))
+        .filter(F.col("prev_end").isNotNull() & (F.col("session_start") < F.col("prev_end")))
+        .count()
+    )
+    assert overlaps == 0
+
+
+def test_running_totals_stateful_equals_batch(spark, events_dir, events_batch):
+    stream = running_totals_stateful(read_events_stream(spark, events_dir, max_files_per_trigger=1))
+    got = run_to_memory(stream, _name(), output_mode="update")
+    # update-mode memory sink appends one row per key per batch: the final
+    # (largest-n) row per key is the ending state
+    final = (
+        got.groupBy("event_type")
+        .agg(F.max(F.struct("n", "sum_value")).alias("s"))
+        .select("event_type", F.col("s.n").alias("n"), F.col("s.sum_value").alias("sum_value"))
+    )
+    exp = events_batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )
+    g = {r["event_type"]: (r["n"], round(r["sum_value"], 6)) for r in final.collect()}
+    e = {r["event_type"]: (r["n"], round(r["sum_value"], 6)) for r in exp.collect()}
+    assert g == e
+
+
+def test_score_vector_stream(spark, tmp_path, emb):
+    d = tmp_path / "vec_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", d / "part-000.parquet")
+    q = [((i * 7) % 16) / 16.0 for i in range(64)]
+    vs = spark.readStream.schema("vec_id bigint, embedding array<float>, label int").parquet(str(d))
+    got = run_to_memory(
+        score_vector_stream(vs, "embedding", q, "l2sq"), _name(), output_mode="append"
+    )
+    assert got.count() == emb.count()
+    # spot-check one score against the batch expression
+    from duckdb_vss_spark import array_distance
+
+    exp = {r["vec_id"]: r["s"] for r in emb.select("vec_id", array_distance("embedding", q).alias("s")).collect()}
+    g = {r["vec_id"]: r["score"] for r in got.collect()}
+    assert g == pytest.approx(exp)
