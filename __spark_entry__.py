@@ -373,6 +373,26 @@ def _q_stream_dedup(spark, sf_dir):
     return out.select("event_type", "n", F.col("sum_value").cast("float").alias("sum_value"))
 
 
+def _q_multimodal_meta(spark, sf_dir):
+    """Multimodal: synthesize binary media blobs from documents, decode the
+    typed metadata back out (real byte round trip through Arrow batches;
+    header fields are id-derived so duckdb can oracle them)."""
+    from duckdb_vss_spark.operators import multimodal as M
+
+    media = M.synthesize_media(_docs(spark, sf_dir), "doc_id", "text", kind="image")
+    return M.decode_media_meta(media, "doc_id").select(
+        "doc_id", "media_type", "width", "height", F.col("n_bytes").cast("long").alias("n_bytes")
+    )
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    """Multimodal: video frame sampling (every 2nd frame of 1 + id % 8)."""
+    from duckdb_vss_spark.operators import multimodal as M
+
+    video = M.synthesize_media(_docs(spark, sf_dir), "doc_id", "text", kind="video")
+    return M.frame_sample(video, "doc_id", every_nth=2).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -399,6 +419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_events_json": _q_events_json,
         "q23_stream_hourly": _q_stream_hourly,
         "q24_stream_dedup": _q_stream_dedup,
+        "q25_multimodal_meta": _q_multimodal_meta,
+        "q26_multimodal_frames": _q_multimodal_frames,
     }
 
 
@@ -585,5 +607,16 @@ def oracle_sql() -> dict[str, str]:
         "q24_stream_dedup": """
             SELECT event_type, count(*) AS n, sum(value)::FLOAT AS sum_value
             FROM events GROUP BY 1
+        """,
+        "q25_multimodal_meta": """
+            SELECT doc_id, 'image' AS media_type,
+                   (16 + doc_id % 64)::INT AS width,
+                   (16 + (7 * doc_id) % 64)::INT AS height,
+                   16 + octet_length(encode(text)) AS n_bytes
+            FROM documents
+        """,
+        "q26_multimodal_frames": """
+            SELECT doc_id, unnest(range(0, 1 + doc_id % 8, 2)) AS frame_idx
+            FROM documents
         """,
     }
