@@ -54,6 +54,12 @@ def main() -> None:
             probes, emb, "embedding", "embedding", 10, "l2sq", left_id="vec_id", right_id="vec_id"
         ).collect()
     )
+    # full self-join: the scale-representative workload (duckdb sf0.1 best-of-2: 6.4s)
+    timings["knn_join_NxN_k10"] = run(
+        lambda: knn_join_flat(
+            emb, emb, "embedding", "embedding", 10, "l2sq", left_id="vec_id", right_id="vec_id"
+        ).count()
+    )
 
     timings["tpch_q1ish_agg"] = run(
         lambda: lineitem.groupBy("l_returnflag", "l_linestatus")

@@ -1,0 +1,98 @@
+"""Catalyst physical-plan shape assertions — the Spark analog of the
+reference's EXPLAIN tests (SURVEY §5 technique 1): prove that the plans we
+*intend* (partial top-k, parquet pushdown, column pruning, broadcast joins,
+whole-stage codegen) are the plans Catalyst actually produces. These are
+the properties that make the operators scale; a regression here is a
+performance bug even when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark import array_distance, topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_topk_plans_take_ordered(emb):
+    """ORDER BY dist LIMIT k must plan as TakeOrderedAndProject (per-partition
+    partial top-k, no global sort, no shuffle of the full table)."""
+    q = [0.1] * 64
+    plan = _physical(topk(emb, "embedding", q, 10, "l2sq", tiebreak="vec_id"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # a global sort would be wrong
+
+
+def test_filter_and_projection_pushdown(spark):
+    """Filter + column selection must reach the parquet scan: PushedFilters
+    non-empty and ReadSchema limited to the referenced columns."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _physical(df)
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema  # pruned
+
+
+def test_small_dim_join_broadcasts(spark):
+    """Dim-table join must plan as BroadcastHashJoin, not a shuffle join."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet").filter(F.col("c_mktsegment") == "BUILDING")
+    j = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    plan = _physical(j)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_distance_expr_stays_in_codegen(emb):
+    """The JVM distance expression must not fall back to a Python UDF
+    (BatchEvalPython / ArrowEvalPython in the plan would mean row-at-a-time
+    or batch Python in the hot path of every exact-path query)."""
+    df = emb.select(array_distance("embedding", [0.0] * 64).alias("d"))
+    plan = _physical(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_join_flat_has_no_items_shuffle(emb):
+    """The broadcast-kernel k-NN join shuffles only the tiny candidate set
+    (window on qid), never the items table: exactly one shuffle Exchange
+    below the window, fed by MapInPandas output."""
+    from duckdb_vss_spark import knn_join_flat
+
+    probes = emb.filter(F.col("vec_id") < 5)
+    df = knn_join_flat(probes, emb, "embedding", "embedding", 3, "l2sq", left_id="vec_id", right_id="vec_id")
+    plan = _physical(df)
+    assert "MapInPandas" in plan
+    # exactly one hash-partition exchange in the whole plan (the qid window
+    # over the tiny candidate set); the items scan feeds MapInPandas directly
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_exact_dedup_single_shuffle(spark):
+    """exact_dedup = one hash exchange (the fingerprint window), no more."""
+    from duckdb_vss_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(exact_dedup(docs, "text", "doc_id"))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_aggregate_is_partial_then_final(spark):
+    """groupBy aggregates must map-side combine (partial_ functions before
+    the exchange) — the difference between shuffling rows and shuffling
+    groups at 100 TB."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = _physical(agg)
+    assert "partial_sum" in plan
