@@ -393,6 +393,24 @@ def _q_multimodal_frames(spark, sf_dir):
     return M.frame_sample(video, "doc_id", every_nth=2).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
+def _q_sql_frontend_topk(spark, sf_dir):
+    """The reference's SQL spelling end-to-end: CREATE INDEX ... USING HNSW,
+    SET hnsw_ef_search, then ORDER BY array_distance LIMIT k routed through
+    the planner's HNSW_INDEX_SCAN path (full probe => exact)."""
+    import tempfile
+
+    from duckdb_vss_spark import SQLFrontend, VSSEngine
+
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_sql_"))
+    eng.register_table("embeddings_sql", _emb(spark, sf_dir))
+    fe = SQLFrontend(eng, register_udfs=False)
+    fe.sql("CREATE INDEX q27_idx ON embeddings_sql USING HNSW (embedding) WITH (metric = 'l2sq')")
+    fe.sql("SET hnsw_ef_search = 1000000")
+    q = "[" + ",".join(str(x) for x in Q64) + "]"
+    out = fe.sql(f"SELECT vec_id, score FROM embeddings_sql ORDER BY array_distance(embedding, {q}) LIMIT 10")
+    return out.select("vec_id", F.col("score").cast("float").alias("score")).orderBy("score", "vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -421,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_stream_dedup": _q_stream_dedup,
         "q25_multimodal_meta": _q_multimodal_meta,
         "q26_multimodal_frames": _q_multimodal_frames,
+        "q27_sql_topk": _q_sql_frontend_topk,
     }
 
 
@@ -619,4 +638,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest(range(0, 1 + doc_id % 8, 2)) AS frame_idx
             FROM documents
         """,
+        "q27_sql_topk": f"SELECT vec_id, {dist}::FLOAT AS score FROM embeddings ORDER BY score, vec_id LIMIT 10",
     }

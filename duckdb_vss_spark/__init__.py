@@ -19,5 +19,6 @@ from .session import get_spark  # noqa: F401
 from .engine import VSSEngine  # noqa: F401
 from .index.catalog import BinderException, IndexCatalog  # noqa: F401
 from .index.ivf import IVFIndex, build_ivf  # noqa: F401
+from .sql import SQLFrontend  # noqa: F401
 
 __version__ = "0.1.0"

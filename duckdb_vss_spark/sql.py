@@ -1,0 +1,269 @@
+"""SQL frontend: the duckdb-vss query surface as SQL strings.
+
+A reference user speaks SQL — ``CREATE INDEX ... USING HNSW``, top-k by
+``array_distance``, ``vss_join``/``vss_match`` macros, pragmas, settings
+(reference test corpus: test/sql/hnsw/*.test). This module gives those
+strings a home in the Spark engine:
+
+1. **DDL / pragma / settings** are parsed here and routed to the catalog:
+   ``CREATE INDEX``, ``DROP INDEX``, ``PRAGMA hnsw_compact_index('name')``,
+   ``SELECT * FROM pragma_hnsw_index_info()``, ``SET hnsw_ef_search = n``
+   (reference: src/hnsw/hnsw_index_plan.cpp, hnsw_index_pragmas.cpp,
+   hnsw_index.cpp:318-329).
+2. **Index-eligible query shapes** (the four optimizer-rewrite triggers,
+   SURVEY §2.2) are pattern-matched and dispatched through the engine's
+   planner so they hit HNSW_INDEX_SCAN / HNSW_INDEX_JOIN when an index
+   matches — the SQL-level equivalent of the reference's optimizer rules:
+   ``SELECT ... FROM t ORDER BY <distfn>(col, CONST) LIMIT k``,
+   ``SELECT min_by(col, <distfn>(vcol, CONST), k) FROM t``,
+   ``... FROM vss_join(l, r, lc, rc, k [, metric:='m'])``,
+   ``... FROM s, vss_match(t, outer_col, inner_col, k [, metric:='m'])``.
+   ``1 - array_cosine_similarity`` canonicalizes to cosine distance first
+   (reference: src/hnsw/hnsw_optimize_expr.cpp:17-70).
+3. **Everything else** falls back to ``spark.sql`` over the registered temp
+   views, with the five distance scalar functions registered as Arrow-batched
+   pandas UDFs under their duckdb names — so arbitrary SQL referencing
+   ``array_distance`` etc. still runs (slow path: Python batch transfer;
+   the pattern paths above stay JVM-side).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from .engine import VSSEngine
+
+__all__ = ["SQLFrontend", "register_distance_udfs"]
+
+_NUM = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
+# [1, 2.5, 3] with optional ::FLOAT[3] / ::FLOAT[] / ::DOUBLE[] cast suffix
+_ARRAY = rf"\[\s*(?P<elems>{_NUM}(?:\s*,\s*{_NUM})*)\s*\](?:::\s*(?:FLOAT|DOUBLE|REAL)\s*\[\s*\d*\s*\])?"
+
+_DIST_FNS = {
+    "array_distance": "l2sq",
+    "array_cosine_distance": "cosine",
+    "array_cosine_similarity": "cosine",
+    "array_inner_product": "ip",
+    "array_negative_inner_product": "ip",
+}
+
+
+def _parse_vec(elems: str) -> list[float]:
+    return [float(x) for x in elems.split(",")]
+
+
+def register_distance_udfs(spark) -> None:
+    """Register the duckdb distance scalar names as Arrow-batched pandas
+    UDFs for the raw-SQL fallback path. Formulas per SURVEY §1.3."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(fn):
+        @pandas_udf("double")
+        def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+            am = np.vstack(a.to_numpy()).astype(np.float64)
+            bm = np.vstack(b.to_numpy()).astype(np.float64)
+            return pd.Series(fn(am, bm))
+
+        return _udf
+
+    spark.udf.register("array_distance", _mk(lambda a, b: np.sqrt(((a - b) ** 2).sum(1))))
+    spark.udf.register("array_cosine_similarity", _mk(
+        lambda a, b: (a * b).sum(1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+    ))
+    spark.udf.register("array_cosine_distance", _mk(
+        lambda a, b: 1.0 - (a * b).sum(1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+    ))
+    spark.udf.register("array_inner_product", _mk(lambda a, b: (a * b).sum(1)))
+    spark.udf.register("array_negative_inner_product", _mk(lambda a, b: -(a * b).sum(1)))
+
+
+class SQLFrontend:
+    """``frontend.sql(text)`` — DDL returns None; queries return DataFrames."""
+
+    def __init__(self, engine: VSSEngine, register_udfs: bool = True):
+        self.engine = engine
+        self.spark = engine.spark
+        if register_udfs:
+            register_distance_udfs(self.spark)
+
+    # -- public ----------------------------------------------------------
+    def sql(self, text: str):
+        s = text.strip().rstrip(";").strip()
+        for handler in (
+            self._try_create_index,
+            self._try_drop_index,
+            self._try_pragma_compact,
+            self._try_pragma_info,
+            self._try_set_ef_search,
+            self._try_topk,
+            self._try_min_by,
+            self._try_vss_join,
+            self._try_vss_match,
+        ):
+            handled, result = handler(s)
+            if handled:
+                return result
+        return self.spark.sql(s)
+
+    # -- DDL / pragmas / settings ----------------------------------------
+    def _try_create_index(self, s):
+        m = re.match(
+            r"CREATE\s+INDEX\s+(?P<name>\w+)\s+ON\s+(?P<table>\w+)\s+USING\s+HNSW\s*"
+            r"\(\s*(?P<col>\w+)\s*\)\s*(?:WITH\s*\((?P<opts>[^)]*)\))?$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            return False, None
+        opts = {}
+        if m.group("opts"):
+            for kv in m.group("opts").split(","):
+                k, v = kv.split("=")
+                k = k.strip().lower()
+                v = v.strip().strip("'\"")
+                opts[k] = v if k == "metric" else int(v)
+        df = self.engine.table(m.group("table"))
+        id_col = _guess_id_column(df)
+        self.engine.create_index(m.group("name"), m.group("table"), m.group("col"), id_col, options=opts or None)
+        return True, None
+
+    def _try_drop_index(self, s):
+        m = re.match(r"DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)$", s, re.IGNORECASE)
+        if not m:
+            return False, None
+        self.engine.drop_index(m.group("name"))
+        return True, None
+
+    def _try_pragma_compact(self, s):
+        m = re.match(r"PRAGMA\s+hnsw_compact_index\s*\(\s*'(?P<name>\w+)'\s*\)$", s, re.IGNORECASE)
+        if not m:
+            return False, None
+        self.engine.compact_index(m.group("name"))
+        return True, None
+
+    def _try_pragma_info(self, s):
+        if re.match(r"SELECT\s+\*\s+FROM\s+pragma_hnsw_index_info\s*\(\s*\)$", s, re.IGNORECASE):
+            return True, self.engine.index_info()
+        return False, None
+
+    def _try_set_ef_search(self, s):
+        m = re.match(r"SET\s+hnsw_ef_search\s*=\s*(?P<n>\d+)$", s, re.IGNORECASE)
+        if not m:
+            return False, None
+        self.engine.set_ef_search(int(m.group("n")))
+        return True, None
+
+    # -- Q1: top-k by distance -------------------------------------------
+    # SELECT <cols|*> FROM t [WHERE <pred>] ORDER BY <distfn>(col, [..]) [ASC] LIMIT k
+    def _try_topk(self, s):
+        m = re.match(
+            rf"SELECT\s+(?P<proj>.+?)\s+FROM\s+(?P<table>\w+)"
+            rf"(?:\s+WHERE\s+(?P<where>.+?))?"
+            rf"\s+ORDER\s+BY\s+(?P<expr>(?:1\s*-\s*)?(?P<fn>{'|'.join(_DIST_FNS)}))\s*"
+            rf"\(\s*(?P<col>\w+)\s*,\s*(?P<vec>{_ARRAY})\s*\)\s*(?:ASC\s*)?"
+            rf"LIMIT\s+(?P<k>\d+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            return False, None
+        fn = m.group("fn").lower()
+        one_minus = m.group("expr").replace(" ", "").lower().startswith("1-")
+        # canonicalization: 1 - array_cosine_similarity -> cosine distance
+        # ascending == cosine metric; bare similarity ASC would be farthest-
+        # first, which the reference never accelerates — reject to fallback
+        if fn == "array_cosine_similarity" and not one_minus:
+            return False, None
+        metric = _DIST_FNS[fn]
+        vec = _parse_vec(re.match(_ARRAY, m.group("vec")).group("elems"))
+        out = self.engine.topk(
+            m.group("table"), m.group("col"), vec, int(m.group("k")), metric,
+            where=m.group("where"), tiebreak=None,
+        )
+        proj = m.group("proj").strip()
+        if proj != "*":
+            out = out.selectExpr(*[c.strip() for c in proj.split(",")])
+        return True, out
+
+    # -- Q2: min_by top-k aggregate --------------------------------------
+    # SELECT min_by(col, distfn(vcol, [..]), k) FROM t
+    def _try_min_by(self, s):
+        m = re.match(
+            rf"SELECT\s+min_by\s*\(\s*(?P<val>\w+)\s*,\s*(?P<fn>{'|'.join(_DIST_FNS)})\s*"
+            rf"\(\s*(?P<col>\w+)\s*,\s*(?P<vec>{_ARRAY})\s*\)\s*,\s*(?P<k>\d+)\s*\)\s*"
+            rf"FROM\s+(?P<table>\w+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            return False, None
+        vec = _parse_vec(re.match(_ARRAY, m.group("vec")).group("elems"))
+        out = self.engine.min_by_k(
+            m.group("table"), m.group("val"), m.group("col"), vec, int(m.group("k")), _DIST_FNS[m.group("fn").lower()]
+        )
+        return True, out
+
+    # -- Q4/Q5: table macros ---------------------------------------------
+    _MACRO_ARGS = (
+        r"\(\s*(?P<a1>\w+)\s*,\s*(?P<a2>\w+)\s*,\s*(?P<a3>\w+)\s*,\s*(?P<a4>\w+)\s*,"
+        r"\s*(?P<k>\d+)\s*(?:,\s*metric\s*:=\s*'(?P<metric>\w+)'\s*)?\)"
+    )
+
+    def _try_vss_join(self, s):
+        m = re.match(
+            rf"SELECT\s+(?P<proj>.+?)\s+FROM\s+vss_join\s*{self._MACRO_ARGS}$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            return False, None
+        out = self.engine.vss_join(
+            m.group("a1"), m.group("a2"), m.group("a3"), m.group("a4"),
+            int(m.group("k")), m.group("metric") or "l2sq",
+            left_id=_guess_id_column(self.engine.table(m.group("a1"))),
+            right_id=_guess_id_column(self.engine.table(m.group("a2"))),
+        )
+        proj = m.group("proj").strip()
+        if proj != "*":
+            out = out.selectExpr(*[c.strip() for c in proj.split(",")])
+        return True, out
+
+    def _try_vss_match(self, s):
+        # FROM <outer>, vss_match(<inner>, <outer_col>, <inner_col>, k [, metric:='m'])
+        m = re.match(
+            rf"SELECT\s+(?P<proj>.+?)\s+FROM\s+(?P<outer>\w+)\s*,\s*vss_match\s*"
+            rf"\(\s*(?P<inner>\w+)\s*,\s*(?P<ocol>\w+)\s*,\s*(?P<icol>\w+)\s*,\s*(?P<k>\d+)\s*"
+            rf"(?:,\s*metric\s*:=\s*'(?P<metric>\w+)'\s*)?\)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            return False, None
+        out = self.engine.vss_match(
+            m.group("outer"), m.group("inner"), m.group("ocol"), m.group("icol"),
+            int(m.group("k")), m.group("metric") or "l2sq",
+            left_id=_guess_id_column(self.engine.table(m.group("outer"))),
+            right_id=_guess_id_column(self.engine.table(m.group("inner"))),
+        )
+        proj = m.group("proj").strip()
+        if proj != "*":
+            out = out.selectExpr(*[c.strip() for c in proj.split(",")])
+        return True, out
+
+
+def _guess_id_column(df: DataFrame) -> str:
+    """First integer-typed column (the fixtures use vec_id/doc_id/event_id);
+    the reference keys its index on DuckDB's implicit rowid — our tables
+    carry an explicit surrogate id instead (SURVEY §1.1)."""
+    for name, t in df.dtypes:
+        if t in ("bigint", "int", "long", "integer") and (name.endswith("_id") or name.endswith("key") or name == "id"):
+            return name
+    for name, t in df.dtypes:
+        if t in ("bigint", "int", "long", "integer"):
+            return name
+    raise ValueError("no integer id column found to key the index on")

@@ -1,0 +1,110 @@
+"""SQL frontend: the reference's SQL surface (DDL, pragmas, settings,
+index-eligible query shapes, macros) against the duckdb oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark import VSSEngine
+from duckdb_vss_spark.sql import SQLFrontend
+
+SF = "/root/testdata/sf0.001"
+Q = [((i * 7) % 16) / 16.0 for i in range(64)]
+Q_SQL = "[" + ",".join(str(x) for x in Q) + "]"
+
+
+@pytest.fixture(scope="module")
+def fe(spark, tmp_path_factory):
+    eng = VSSEngine(spark, index_root=str(tmp_path_factory.mktemp("sql_idx")))
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    eng.register_table("embeddings", emb)
+    eng.register_table("queries", emb.filter(F.col("vec_id") < 5))
+    return SQLFrontend(eng)
+
+
+def test_create_index_and_info(fe):
+    assert fe.sql("CREATE INDEX sql_idx ON embeddings USING HNSW (embedding) WITH (metric = 'l2sq')") is None
+    info = fe.sql("SELECT * FROM pragma_hnsw_index_info()")
+    rows = {r["index_name"] for r in info.collect()}
+    assert "sql_idx" in rows
+
+
+def test_topk_sql_routes_to_index_and_matches_oracle(fe, ddb):
+    fe.sql("SET hnsw_ef_search = 1000000")  # full probe -> exact
+    df = fe.sql(f"SELECT vec_id, score FROM embeddings ORDER BY array_distance(embedding, {Q_SQL}) LIMIT 5")
+    plan = fe.engine.explain_topk("embeddings", "embedding", Q, 5)
+    assert "HNSW_INDEX_SCAN" in plan
+    got = sorted((r["vec_id"], round(r["score"], 4)) for r in df.collect())
+    q64 = "[" + ",".join(str(x) for x in Q) + "]::DOUBLE[]"
+    exp = sorted(
+        (i, round(s, 4))
+        for i, s in ddb.execute(
+            f"SELECT vec_id, list_distance(embedding::DOUBLE[], {q64}) FROM embeddings ORDER BY 2, 1 LIMIT 5"
+        ).fetchall()
+    )
+    assert got == exp
+    fe.sql("SET hnsw_ef_search = 0")
+
+
+def test_one_minus_cosine_canonicalizes(fe):
+    df = fe.sql(
+        f"SELECT vec_id FROM embeddings ORDER BY 1 - array_cosine_similarity(embedding, {Q_SQL}) LIMIT 3"
+    )
+    assert df.count() == 3
+
+
+def test_min_by_sql(fe, ddb):
+    fe.sql("SET hnsw_ef_search = 1000000")  # full probe -> exact via index path
+    df = fe.sql(f"SELECT min_by(vec_id, array_distance(embedding, {Q_SQL}), 3) FROM embeddings")
+    got = df.collect()[0]["values"]
+    q64 = "[" + ",".join(str(x) for x in Q) + "]::DOUBLE[]"
+    exp = ddb.execute(
+        f"SELECT (list(vec_id ORDER BY list_distance(embedding::DOUBLE[], {q64}), vec_id))[1:3] FROM embeddings"
+    ).fetchall()[0][0]
+    assert list(got) == list(exp)
+
+
+def test_vss_join_macro_sql(fe):
+    df = fe.sql("SELECT * FROM vss_join(queries, embeddings, embedding, embedding, 2)")
+    rows = df.collect()
+    assert len(rows) == 10  # 5 probes x k=2
+    assert set(df.columns) == {"score", "left_tbl", "right_tbl"}
+    # self-match at distance 0 exists for every probe
+    zero = [r for r in rows if abs(r["score"]) < 1e-9]
+    assert len(zero) == 5
+
+
+def test_vss_match_macro_sql(fe):
+    df = fe.sql("SELECT * FROM queries, vss_match(embeddings, embedding, embedding, 3)")
+    rows = df.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r["matches"]) == 3
+        assert r["matches"][0]["row"]["vec_id"] == r["vec_id"]  # best match = self
+
+
+def test_fallback_plain_sql(fe):
+    out = fe.sql("SELECT count(*) AS n FROM embeddings")
+    assert out.collect()[0]["n"] == 500
+
+
+def test_fallback_sql_with_registered_udf(fe, ddb):
+    """Arbitrary SQL using the duckdb distance names runs via pandas UDFs."""
+    got = fe.sql(
+        "SELECT vec_id, array_inner_product(embedding, embedding) AS ip FROM embeddings ORDER BY vec_id LIMIT 5"
+    ).collect()
+    exp = dict(
+        ddb.execute(
+            "SELECT vec_id, list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) FROM embeddings ORDER BY vec_id LIMIT 5"
+        ).fetchall()
+    )
+    for r in got:
+        assert r["ip"] == pytest.approx(exp[r["vec_id"]], rel=1e-6)
+
+
+def test_drop_index_sql(fe):
+    fe.sql("DROP INDEX sql_idx")
+    info = fe.sql("SELECT * FROM pragma_hnsw_index_info()")
+    assert "sql_idx" not in {r["index_name"] for r in info.collect()}
