@@ -95,14 +95,22 @@ def char_ngrams(col, n: int = 3) -> Column:
 
 
 def word_ngrams(col, n: int = 3) -> Column:
-    """Distinct word n-gram shingles joined by a single space, sorted."""
+    """Distinct word n-gram shingles joined by a single space, sorted.
+
+    Built from ``zip_with`` over shifted copies of the token array instead of
+    ``transform(sequence, i -> slice(t, i, n))``: a subtree referenced inside
+    a HOF lambda is re-evaluated per element, so the slice form re-runs the
+    regex tokenizer once per shingle position (O(tokens²) regex work per
+    row); the shifted-zip form evaluates it a constant ~2n times."""
     t = tokens(col)
-    return F.array_sort(F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(t) - (n - 1))),
-            lambda i: F.array_join(F.slice(t, i, n), " "),
-        )
-    ))
+    grams = t
+    for i in range(1, n):
+        shifted = F.slice(t, i + 1, F.greatest(F.lit(0), F.size(t) - i))
+        # concat_ws skips NULL pad elements, so trailing partial shingles
+        # degrade exactly like array_join over a short slice
+        grams = F.zip_with(grams, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    full = F.slice(grams, 1, F.greatest(F.lit(1), F.size(t) - (n - 1)))
+    return F.array_sort(F.array_distinct(full))
 
 
 def hash64(col, seed: str = "") -> Column:

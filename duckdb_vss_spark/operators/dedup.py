@@ -210,24 +210,39 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard DOUBLE).
     """
     sh = df.select(F.col(id_col), word_ngrams(text_col, shingle_n).alias("shingles"))
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n"))
-    inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    shared = (
-        inv.alias("x")
-        .join(inv.alias("y"), "shingle")
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .groupBy(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+    inv = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
+    # Rarest-first prefix filtering (AllPairs/PPJoin candidate generation):
+    # order every document's shingles by ascending document frequency (global
+    # total order), and index only the first |X| - ceil(t*|X|) + 1 shingles.
+    # Any pair with Jaccard >= t has overlap >= ceil(t*max(|A|,|B|)), so the
+    # two prefixes must intersect — candidates are complete (exact), and hot
+    # shingles (the quadratic-bucket risk in a naive inverted join) sort to
+    # the ends of the lists where prefixes rarely reach.
+    dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        inv.join(dfreq, "s")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ordered"))
     )
+    n = F.size("ordered")
+    plen = n - F.ceil(n * F.lit(float(threshold))).cast("int") + 1
+    prefix = ranked.select(
+        F.col(id_col), F.explode(F.slice(F.col("ordered"), F.lit(1), plen)).alias("e")
+    ).select(F.col(id_col), F.col("e.s").alias("s"))
+    cand = _pairs_from_groups(prefix, ["s"], id_col)
+    # exact verification on the full (distinct, sorted) shingle sets
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        shared.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            (F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")).alias(
-                "jaccard"
-            ),
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
