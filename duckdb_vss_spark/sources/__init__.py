@@ -30,6 +30,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the fixture stores parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects; read nanos as long and floor to micros (duckdb applies the
+        # same ns->us truncation)
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -40,8 +49,79 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register: boo
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = load_table(spark, sf_dir, name)
             out[name] = df
             if register:
                 df.createOrReplaceTempView(name)
     return out
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Format-dispatching reader: parquet / csv / json / orc / text.
+
+    Schema discipline: pass an explicit ``schema`` whenever the format can't
+    carry one (csv/json) — inference costs an extra full scan and is
+    nondeterministic under schema drift; at 100 TB both are bugs. Parquet/ORC
+    scans get predicate pushdown + column pruning from Catalyst for free
+    (asserted in tests/test_plans.py).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return getattr(reader, fmt)(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partitioned sink: directory-partitioned columnar output.
+
+    ``partition_by`` keys become directory levels that downstream scans prune
+    (the mechanism the IVF index artifact uses for its inverted lists).
+    ``max_records_per_file`` caps file sizes so a skewed partition key cannot
+    produce one giant file (small-file/giant-file balance is the #1 sink
+    issue at scale)."""
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    getattr(writer, fmt)(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles rows into ``num_buckets``
+    hash buckets on ``bucket_by`` so later equi-joins / aggregations on those
+    keys skip their shuffle entirely (Catalyst recognizes compatible
+    bucketing). This is the co-located-join strategy for repeatedly-joined
+    100 TB fact tables."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
