@@ -411,6 +411,33 @@ def _q_sql_frontend_topk(spark, sf_dir):
     return out.select("vec_id", F.col("score").cast("float").alias("score")).orderBy("score", "vec_id")
 
 
+def _q_knn_join_grouped(spark, sf_dir):
+    """Grouped lateral k-NN join (reference:
+    test/sql/hnsw/hnsw_lateral_join_group.test): per probe, aggregate over
+    its k matches — count, best score, and the match-id list."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 15)
+    flat = knn_join_flat(probes, emb, "embedding", "embedding", 4, "l2sq", left_id="vec_id", right_id="vec_id")
+    return flat.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("score").cast("float").alias("best"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("rnk").alias("k"), F.col("rid").alias("r")))),
+            lambda e: e["r"],
+        ).alias("ids"),
+    )
+
+
+def _q_topk_filtered(spark, sf_dir):
+    """Exact top-k with a pushed-down residual predicate (the non-index
+    polarity of the reference's filter semantics: exact path filters BEFORE
+    the top-k cut, so k rows still come back)."""
+    emb = _emb(spark, sf_dir).filter(F.col("label") == 1)
+    return topk(emb, "embedding", Q64, 10, "l2sq", tiebreak="vec_id").select(
+        "vec_id", "label", F.col("score").cast("float").alias("score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -440,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_multimodal_meta": _q_multimodal_meta,
         "q26_multimodal_frames": _q_multimodal_frames,
         "q27_sql_topk": _q_sql_frontend_topk,
+        "q28_knn_join_grouped": _q_knn_join_grouped,
+        "q29_topk_filtered": _q_topk_filtered,
     }
 
 
@@ -639,4 +668,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q27_sql_topk": f"SELECT vec_id, {dist}::FLOAT AS score FROM embeddings ORDER BY score, vec_id LIMIT 10",
+        "q28_knn_join_grouped": """
+            WITH j AS (
+              SELECT q.vec_id AS qid, i.vec_id AS rid,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_distance(q.embedding::DOUBLE[], i.embedding::DOUBLE[]), i.vec_id
+                     ) AS rnk,
+                     list_distance(q.embedding::DOUBLE[], i.embedding::DOUBLE[]) AS d
+              FROM embeddings q, embeddings i
+              WHERE q.vec_id < 15
+            )
+            SELECT qid, count(*) AS n, min(d)::FLOAT AS best,
+                   (list(rid ORDER BY rnk))[1:4] AS ids
+            FROM j WHERE rnk <= 4 GROUP BY qid
+        """,
+        "q29_topk_filtered": (
+            f"SELECT vec_id, label, {dist}::FLOAT AS score FROM embeddings "
+            f"WHERE label = 1 ORDER BY score, vec_id LIMIT 10"
+        ),
     }

