@@ -84,14 +84,19 @@ def _sql_name(col) -> str:
 def char_ngrams(col, n: int = 3) -> Column:
     """Distinct character n-grams of the normalized text (shingles), sorted
     (duckdb's list_distinct does not preserve order, so sorted form is the
-    canonical cross-engine representation)."""
+    canonical cross-engine representation).
+
+    Split-to-chars + shifted zip_with, like :func:`word_ngrams`: putting the
+    normalize/substr subtree inside a HOF lambda would re-run the regex
+    normalization once per character position."""
     c = normalize_text(col)
-    return F.array_sort(F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(c) - (n - 1))),
-            lambda i: c.substr(i, F.lit(n)),
-        )
-    ))
+    chars = F.split(c, "")
+    grams = chars
+    for i in range(1, n):
+        shifted = F.slice(chars, i + 1, F.greatest(F.lit(0), F.size(chars) - i))
+        grams = F.zip_with(grams, shifted, lambda x, y: F.concat_ws("", x, y))
+    full = F.slice(grams, 1, F.greatest(F.lit(1), F.size(chars) - (n - 1)))
+    return F.array_sort(F.array_distinct(full))
 
 
 def word_ngrams(col, n: int = 3) -> Column:
