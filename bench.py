@@ -80,6 +80,19 @@ def main() -> None:
     timings["minhash_lsh_dedup"] = run(lambda: minhash_lsh_pairs(docs, "text", "doc_id", 3, 16, 4, 0.5).count())
     timings["ngram_jaccard_dedup"] = run(lambda: ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.5).count())
 
+    from duckdb_vss_spark.operators.dedup import simhash_pairs
+    from duckdb_vss_spark.functions import text as T
+
+    timings["simhash_dedup"] = run(lambda: simhash_pairs(docs, "text", "doc_id", 3, 4).count())
+    timings["text_stats"] = run(
+        lambda: docs.select(
+            "doc_id",
+            T.token_count("text").alias("nt"),
+            T.lang_id("text").alias("lang"),
+            T.quality_score("text").alias("q"),
+        ).count()
+    )
+
     import tempfile
 
     from duckdb_vss_spark import VSSEngine

@@ -20,5 +20,13 @@ from .engine import VSSEngine  # noqa: F401
 from .index.catalog import BinderException, IndexCatalog  # noqa: F401
 from .index.ivf import IVFIndex, build_ivf  # noqa: F401
 from .sql import SQLFrontend  # noqa: F401
+from .operators.dedup import (  # noqa: F401
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from .operators.skew import salted_agg, salted_join  # noqa: F401
 
 __version__ = "0.1.0"
