@@ -14,6 +14,7 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,6 +33,16 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
 ]
+
+
+def _shared(df: DataFrame) -> DataFrame:
+    """Persist a per-document intermediate that downstream bucket self-joins
+    reference 3-4 times (both join sides + signature lookups). Spark performs
+    no common-subplan deduplication, so without this the entire upstream
+    tokenize/hash/aggregate pipeline recomputes once per reference — measured
+    3.5x slower on the simhash operator at sf0.1. MEMORY_AND_DISK: one row
+    per document (ids + signatures), spills gracefully at scale."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -101,10 +112,12 @@ def minhash_lsh_pairs(
         F.conv(F.substring(F.md5("s"), 1, 10), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring(F.md5("s"), 11, 10), 16, 10).cast("long").alias("h2"),
     )
-    per_doc = hashed.groupBy(id_col).agg(
-        F.collect_list("h1").alias("h1s"),
-        F.collect_list("h2").alias("h2s"),
-        F.collect_list("s").alias("shingles"),
+    per_doc = _shared(
+        hashed.groupBy(id_col).agg(
+            F.collect_list("h1").alias("h1s"),
+            F.collect_list("h2").alias("h2s"),
+            F.collect_list("s").alias("shingles"),
+        )
     )
     sig = minhash_from_halves(F.col("h1s"), F.col("h2s"), num_perm)
     # md5-based band bucket (not F.hash) so the duckdb oracle can produce
@@ -167,29 +180,46 @@ def simhash_pairs(
     if max_hamming >= bands:
         raise ValueError("exactness requires max_hamming < bands (pigeonhole)")
     width = 60 // bands
-    from ..functions.text import simhash_from_hashes, tokens
+    from ..functions.text import SIMHASH_BITS, tokens
 
-    # materialize per-feature hashes as rows (codegen md5) then collect to an
-    # array behind the groupBy shuffle; see minhash_lsh_pairs for why the
-    # expression-only form is quadratic
+    # materialize per-feature hashes as rows (codegen md5), then compute the
+    # per-bit majority votes directly in the groupBy as 60 codegen sums: one
+    # hash aggregate with map-side combine, shuffling 61 longs per doc-partial
+    # instead of the whole hash array + a 60-pass HOF fold per doc (4.5x
+    # faster at sf0.1, and the shuffle volume no longer grows with doc length)
     feats = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("f"))
     hashed = feats.select(F.col(id_col), hash64("f").alias("h"))
-    per_doc = hashed.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
-    sh = per_doc.select(F.col(id_col), simhash_from_hashes("hs").alias("sh"))
+    nbits = SIMHASH_BITS - 4  # top 4 bits of the 60-bit md5-derived hash are 0
+    votes = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("nf"),
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+            for j in range(nbits)
+        ],
+    )
+    sh_expr = F.lit(0).cast("long")
+    for j in range(nbits):
+        sh_expr = sh_expr + F.when(
+            F.col(f"b{j}") * 2 > F.col("nf"), F.lit(2**j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    sh = _shared(votes.select(F.col(id_col), sh_expr.alias("sh")))
     # band chunks: any pair with hamming < bands shares >= 1 chunk; one
-    # self-join on (band index, chunk value) finds all of them
+    # self-join on (band index, chunk value) finds all of them. The signature
+    # is a single long, so it rides along through the band explode and hamming
+    # computes inside the join — no signature-lookup joins afterwards (two
+    # fewer shuffles than the generic bucket-join + verify shape)
     chunk_arr = F.array(
         *[F.shiftright(F.col("sh"), b * width).bitwiseAND(F.lit((1 << width) - 1)) for b in range(bands)]
     )
-    banded = sh.select(F.col(id_col), F.posexplode(chunk_arr).alias("b", "bucket"))
-    cand = _pairs_from_groups(banded, ["b", "bucket"], id_col)
-    s = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    s2 = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    banded = sh.select(F.col(id_col), F.col("sh"), F.posexplode(chunk_arr).alias("b", "bucket"))
+    a = banded.select("b", "bucket", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b2 = banded.select("b", "bucket", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        cand.join(s, "id_a")
-        .join(s2, "id_b")
+        a.join(b2, ["b", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -209,7 +239,7 @@ def ngram_jaccard_pairs(
     complete candidate set for any threshold > 0.
     Output: (id_a, id_b, jaccard DOUBLE).
     """
-    sh = df.select(F.col(id_col), word_ngrams(text_col, shingle_n).alias("shingles"))
+    sh = _shared(df.select(F.col(id_col), word_ngrams(text_col, shingle_n).alias("shingles")))
     inv = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
     # Rarest-first prefix filtering (AllPairs/PPJoin candidate generation):
     # order every document's shingles by ascending document frequency (global

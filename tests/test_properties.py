@@ -44,7 +44,12 @@ def test_l2_kernel_matches_naive(mp):
     for i in range(items.shape[0]):
         for j in range(probes.shape[0]):
             exp = math.sqrt(((items[i] - probes[j]) ** 2).sum())
-            assert got[i, j] == pytest.approx(exp, rel=1e-9, abs=1e-7)
+            # The kernel's GEMM expansion |a|^2+|b|^2-2ab cancels
+            # catastrophically when a ~= b: the squared-distance residual is
+            # O(eps * (|a|^2+|b|^2)) and sqrt turns that into an absolute
+            # error of O(sqrt(eps) * norm) near zero distance.
+            tol = math.sqrt(64 * 2.3e-16 * ((items[i] ** 2).sum() + (probes[j] ** 2).sum()))
+            assert got[i, j] == pytest.approx(exp, rel=1e-9, abs=max(1e-9, tol))
 
 
 @settings(max_examples=200, deadline=None)
