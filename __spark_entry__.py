@@ -438,6 +438,59 @@ def _q_topk_filtered(spark, sf_dir):
     )
 
 
+def _q_tpch_q6(spark, sf_dir):
+    """Pure filter + single aggregate (TPC-H Q6 shape): every predicate is
+    parquet-pushable, the scan reads 4 of 11 columns, one map-side partial
+    sum — the shape whose plan must stay a single narrow stage at 100 TB."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).cast("float").alias("revenue"))
+
+
+def _q_index_insert_tail(spark, sf_dir):
+    """M1 maintenance: rows INSERTed after index build land in the unindexed
+    tail and are searched brute-force, unioned with the indexed lists
+    (reference: src/hnsw/hnsw_index.cpp:514-530; README.md:66-68). Full
+    probe => result equals brute force over the whole table."""
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+
+    emb = _emb(spark, sf_dir)
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_idx_"))
+    eng.register_table("emb_m1", emb.filter(F.col("vec_id") >= 100))
+    eng.create_index("qm1_idx", "emb_m1", "embedding", "vec_id", replace=True)
+    eng.register_table("emb_m1", emb)  # the table after INSERT
+    eng.insert("qm1_idx", emb.filter(F.col("vec_id") < 100), "embedding", "vec_id")
+    eng.set_ef_search(10**6)
+    return eng.topk("emb_m1", "embedding", Q64, 10, tiebreak="vec_id").select(
+        "vec_id", F.col("score").cast("float").alias("score")
+    )
+
+
+def _q_index_delete(spark, sf_dir):
+    """M2 maintenance: DELETEd ids become invisible to search immediately via
+    the deletion bitmap, filtered BEFORE the top-k cut so k rows still come
+    back (reference: src/hnsw/hnsw_index.cpp:496-512)."""
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_idx_"))
+    eng.register_table("emb_m2", _emb(spark, sf_dir))
+    eng.create_index("qm2_idx", "emb_m2", "embedding", "vec_id", replace=True)
+    eng.delete("qm2_idx", list(range(20)))
+    eng.set_ef_search(10**6)
+    return eng.topk("emb_m2", "embedding", Q64, 10, tiebreak="vec_id").select(
+        "vec_id", F.col("score").cast("float").alias("score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -469,6 +522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_sql_topk": _q_sql_frontend_topk,
         "q28_knn_join_grouped": _q_knn_join_grouped,
         "q29_topk_filtered": _q_topk_filtered,
+        "q30_tpch_q6": _q_tpch_q6,
+        "q31_index_insert_tail": _q_index_insert_tail,
+        "q32_index_delete": _q_index_delete,
     }
 
 
@@ -686,5 +742,18 @@ def oracle_sql() -> dict[str, str]:
         "q29_topk_filtered": (
             f"SELECT vec_id, label, {dist}::FLOAT AS score FROM embeddings "
             f"WHERE label = 1 ORDER BY score, vec_id LIMIT 10"
+        ),
+        "q30_tpch_q6": """
+            SELECT sum(l_extendedprice * l_discount)::FLOAT AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q31_index_insert_tail": f"SELECT vec_id, {dist}::FLOAT AS score FROM embeddings ORDER BY score, vec_id LIMIT 10",
+        "q32_index_delete": (
+            f"SELECT vec_id, {dist}::FLOAT AS score FROM embeddings "
+            f"WHERE vec_id >= 20 ORDER BY score, vec_id LIMIT 10"
         ),
     }
