@@ -114,3 +114,22 @@ def test_aggregate_is_partial_then_final(spark):
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
     plan = _physical(agg)
     assert "partial_sum" in plan
+
+
+def test_tpch_q6_scan_is_minimal(spark):
+    """The q30 entry query (TPC-H Q6 shape) must compile to a single narrow
+    stage whose scan carries every predicate in PushedFilters and reads only
+    the 4 referenced columns — at 100 TB this is the difference between
+    scanning ~35% of one column group and scanning the table."""
+    import __spark_entry__ as entrymod
+
+    plan = _physical(entrymod.queries()["q30_tpch_q6"](spark, SF))
+    assert "PushedFilters: [" in plan
+    for pred in ("l_shipdate", "l_discount", "l_quantity"):
+        assert pred in plan.split("PushedFilters:")[1].splitlines()[0]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_returnflag" not in read_schema and "l_orderkey" not in read_schema
+    # global agg over a filtered scan: one partial, one final, one exchange
+    assert plan.count("Exchange") == 1
