@@ -491,6 +491,29 @@ def _q_index_delete(spark, sf_dir):
     )
 
 
+def _q_index_compact(spark, sf_dir):
+    """M3 maintenance: PRAGMA hnsw_compact_index analog — rebuild folds the
+    appended tail in and drops tombstoned ids, after which search hits only
+    indexed lists (reference: src/hnsw/hnsw_index_pragmas.cpp:179-220).
+    Full probe => exact over live rows."""
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+
+    emb = _emb(spark, sf_dir)
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_idx_"))
+    eng.register_table("emb_m3", emb.filter(F.col("vec_id") >= 100))
+    eng.create_index("qm3_idx", "emb_m3", "embedding", "vec_id", replace=True)
+    eng.register_table("emb_m3", emb)
+    eng.insert("qm3_idx", emb.filter(F.col("vec_id") < 100), "embedding", "vec_id")
+    eng.delete("qm3_idx", list(range(10)))
+    eng.compact_index("qm3_idx")
+    eng.set_ef_search(10**6)
+    return eng.topk("emb_m3", "embedding", Q64, 10, tiebreak="vec_id").select(
+        "vec_id", F.col("score").cast("float").alias("score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -525,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_tpch_q6": _q_tpch_q6,
         "q31_index_insert_tail": _q_index_insert_tail,
         "q32_index_delete": _q_index_delete,
+        "q33_index_compact": _q_index_compact,
     }
 
 
@@ -755,5 +779,9 @@ def oracle_sql() -> dict[str, str]:
         "q32_index_delete": (
             f"SELECT vec_id, {dist}::FLOAT AS score FROM embeddings "
             f"WHERE vec_id >= 20 ORDER BY score, vec_id LIMIT 10"
+        ),
+        "q33_index_compact": (
+            f"SELECT vec_id, {dist}::FLOAT AS score FROM embeddings "
+            f"WHERE vec_id >= 10 ORDER BY score, vec_id LIMIT 10"
         ),
     }
