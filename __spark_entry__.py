@@ -91,10 +91,13 @@ def _q_cosine_distance_canonical(spark, sf_dir):
 
 
 def _q_minby_topk(spark, sf_dir):
-    """Q2: min_by(col, dist, k) top-k aggregate (SURVEY §2.2 Q2)."""
+    """Q2: min_by(col, dist, k) top-k aggregate (SURVEY §2.2 Q2). The driver's
+    hash canonicalizer cannot consume array columns, so the k-list is
+    posexploded to scalar (pos, vec_id) rows — same information, order kept."""
     emb = _emb(spark, sf_dir)
-    return min_by_k(emb, "vec_id", array_distance("embedding", Q64), 5, tiebreak="vec_id").select(
-        F.col("values").alias("knn_ids")
+    agg = min_by_k(emb, "vec_id", array_distance("embedding", Q64), 5, tiebreak="vec_id")
+    return agg.select(F.posexplode("values").alias("pos", "vec_id")).select(
+        F.col("pos").cast("long").alias("pos"), "vec_id"
     )
 
 
@@ -121,10 +124,15 @@ def _q_knn_match_ids(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10)
     flat = knn_join_flat(probes, emb, "embedding", "embedding", 3, "l2sq", left_id="vec_id", right_id="vec_id")
+    # rank-ordered id list rendered as a comma-joined string: scalar output
+    # column so the driver's hash canonicalizer can consume it
     return flat.groupBy("qid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("rnk").alias("k"), F.col("rid").alias("r")))),
-            lambda e: e["r"],
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("rnk").alias("k"), F.col("rid").alias("r")))),
+                lambda e: e["r"].cast("string"),
+            ),
+            ",",
         ).alias("match_ids")
     )
 
@@ -421,9 +429,12 @@ def _q_knn_join_grouped(spark, sf_dir):
     return flat.groupBy("qid").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("score").cast("float").alias("best"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("rnk").alias("k"), F.col("rid").alias("r")))),
-            lambda e: e["r"],
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("rnk").alias("k"), F.col("rid").alias("r")))),
+                lambda e: e["r"].cast("string"),
+            ),
+            ",",
         ).alias("ids"),
     )
 
@@ -578,7 +589,10 @@ def oracle_sql() -> dict[str, str]:
         "q04_cosine_canonical": (
             f"SELECT vec_id, (1.0 - {cos})::FLOAT AS cos_dist FROM embeddings ORDER BY cos_dist, vec_id LIMIT 10"
         ),
-        "q05_minby_topk": f"SELECT (list(vec_id ORDER BY {dist}, vec_id))[1:5] AS knn_ids FROM embeddings",
+        "q05_minby_topk": (
+            f"WITH l AS (SELECT (list(vec_id ORDER BY {dist}, vec_id))[1:5] AS ids FROM embeddings) "
+            "SELECT r.pos AS pos, l.ids[r.pos + 1] AS vec_id FROM l, range(0, 5) r(pos)"
+        ),
         "q06_knn_join": knn_flat.format(
             dirn="ASC",
             nprobe=20,
@@ -599,7 +613,8 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q, embeddings i
               WHERE q.vec_id < 10
             )
-            SELECT qid, (list(rid ORDER BY rnk))[1:3] AS match_ids FROM j WHERE rnk <= 3 GROUP BY qid
+            SELECT qid, array_to_string(list(rid ORDER BY rnk), ',') AS match_ids
+            FROM j WHERE rnk <= 3 GROUP BY qid
         """,
         "q09_text_stats": f"""
             SELECT doc_id,
@@ -760,7 +775,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 15
             )
             SELECT qid, count(*) AS n, min(d)::FLOAT AS best,
-                   (list(rid ORDER BY rnk))[1:4] AS ids
+                   array_to_string(list(rid ORDER BY rnk), ',') AS ids
             FROM j WHERE rnk <= 4 GROUP BY qid
         """,
         "q29_topk_filtered": (

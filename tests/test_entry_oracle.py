@@ -19,10 +19,11 @@ def _canon(v):
         if math.isnan(v):
             return "NaN"
         return float(f"{v:.9g}")
-    if isinstance(v, (list, tuple)):
-        return tuple(_canon(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple, dict)):
+        # The driver's canonicalizer cannot hash container values (round-1
+        # q05/q08/q28 failures): mirror that restriction so regressions are
+        # caught locally instead of in CORRECTNESS_r{N}.json.
+        raise AssertionError(f"array/struct-typed output value not hashable by the driver: {v!r}")
     return v
 
 
