@@ -283,16 +283,91 @@ def embedding_neardup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
+    method: str = "auto",
+    nlist: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: cosine_similarity >= threshold,
-    id_a < id_b. Exact all-pairs comparison (the JVM HOF expression keeps it
-    inside codegen); for corpora where O(n^2) is prohibitive use
-    ``knn_join`` with an IVF index and post-filter on score instead.
-    Output: (id_a, id_b, cos_sim DOUBLE)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    id_a < id_b. Output: (id_a, id_b, cos_sim DOUBLE).
+
+    Default path is an EXACT bucketed epsilon-join (no cross join): on unit
+    vectors ``cos(a,b) >= t  <=>  |a_hat - b_hat| <= r = sqrt(2(1-t))``, so
+    near-dup search is a radius self-join. We k-means the normalized vectors
+    into ``nlist`` cells, record each cell's max residual radius, and by the
+    triangle inequality a qualifying pair can only span cells (i, j) with
+    ``|c_i - c_j| <= rmax_i + rmax_j + r`` — the candidate join runs on that
+    (small, driver-computed) cell-pair table instead of all pairs. Candidates
+    are complete for any threshold; the final JVM cosine filter makes the
+    result exact. At 100 TB the quadratic work is confined to nearby cell
+    pairs; the tighter the threshold, the stronger the pruning. For loose
+    thresholds where r rivals the data diameter, pruning degrades toward
+    all-pairs — prefer ``knn_join`` + score filter there.
+
+    ``method="exact"`` opts into the plain all-pairs cross join (reference
+    lateral-join equivalence family:
+    test/sql/hnsw/hnsw_lateral_join_group.test:21-71).
+    """
+    if method == "exact":
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", array_cosine_similarity("v_a", "v_b").alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+        )
+    import math
+
+    import numpy as np
+
+    from ..index.ivf import KMEANS_SAMPLE, kmeans
+
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).filter(F.col(vec_col).isNotNull())
+    n = src.count()
+    if n == 0:
+        return spark.createDataFrame([], f"id_a {dict(df.dtypes)[id_col]}, id_b {dict(df.dtypes)[id_col]}, cos_sim double")
+    if nlist is None:
+        nlist = max(1, min(4096, int(math.sqrt(n))))
+    frac = min(1.0, KMEANS_SAMPLE / n)
+    sample = src.select("v") if frac >= 1.0 else src.select("v").sample(fraction=frac, seed=seed)
+    smat = np.vstack(sample.toPandas()["v"].to_numpy()).astype(np.float64)
+    smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-30)
+    cents = kmeans(smat, nlist, seed=seed)
+    nlist = cents.shape[0]
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        import numpy as np
+
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            d2 = (mat * mat).sum(1)[:, None] + (c * c).sum(1)[None, :] - 2.0 * (mat @ c.T)
+            np.maximum(d2, 0.0, out=d2)
+            li = d2.argmin(axis=1)
+            resid = np.sqrt(d2[np.arange(len(li)), li])
+            yield pdf.assign(list_id=li.astype(np.int32), resid=resid)
+
+    id_t = dict(df.dtypes)[id_col]
+    assigned = _shared(src.mapInPandas(assign, schema=f"id {id_t}, v array<float>, list_id int, resid double"))
+    rmax = np.zeros(nlist)
+    for row in assigned.groupBy("list_id").agg(F.max("resid").alias("rmax")).collect():
+        rmax[row["list_id"]] = row["rmax"]
+    # 1e-9 slack absorbs f32->f64 rounding at the radius boundary
+    r = math.sqrt(max(0.0, 2.0 * (1.0 - threshold))) + 1e-9
+    cc = (cents * cents).sum(1)
+    cdist = np.sqrt(np.maximum(cc[:, None] + cc[None, :] - 2.0 * (cents @ cents.T), 0.0))
+    la, lb = np.nonzero(cdist <= rmax[:, None] + rmax[None, :] + r)
+    pairs = spark.createDataFrame([(int(x), int(y)) for x, y in zip(la, lb)], "la int, lb int")
+    a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("list_id").alias("la"))
+    b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("list_id").alias("lb"))
     return (
-        a.crossJoin(b)
+        a.join(F.broadcast(pairs), "la")
+        .join(b, "lb")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", array_cosine_similarity("v_a", "v_b").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)

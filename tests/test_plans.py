@@ -133,3 +133,14 @@ def test_tpch_q6_scan_is_minimal(spark):
     assert "l_returnflag" not in read_schema and "l_orderkey" not in read_schema
     # global agg over a filtered scan: one partial, one final, one exchange
     assert plan.count("Exchange") == 1
+
+
+def test_embedding_neardup_has_no_cartesian(emb):
+    """The default embedding near-dup path must be the bucketed epsilon-join:
+    candidates flow through the (cell, cell) pair table via hash joins — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan."""
+    from duckdb_vss_spark.operators.dedup import embedding_neardup_pairs
+
+    plan = _physical(embedding_neardup_pairs(emb, "embedding", "vec_id", 0.4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
