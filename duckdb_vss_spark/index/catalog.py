@@ -14,10 +14,7 @@ test/sql/hnsw/hnsw_basic.test:36-55).
 
 from __future__ import annotations
 
-import json
 import math
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +27,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from . import fs
 from .ivf import DEFAULT_EF_SEARCH, IVFIndex, build_ivf
 
 __all__ = ["IndexCatalog", "BinderException", "validate_options"]
@@ -116,29 +114,48 @@ INFO_SCHEMA = StructType(
 
 
 class IndexCatalog:
-    """Named-index registry rooted at a directory (one artifact dir per index)."""
+    """Named-index registry rooted at a directory (one artifact dir per
+    index). The root may be a local path or any Hadoop-FS URI. Index handles
+    and the name listing are cached per catalog instance — a handle holds
+    only the (immutable-per-version) manifest + centroids, so reuse across
+    queries is safe; ``refresh()`` drops the caches if another session
+    mutates the root."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        fs.mkdirs(spark, root)
+        self._handles: dict[str, IVFIndex] = {}
+        self._names: list[str] | None = None
+
+    def refresh(self) -> None:
+        self._handles.clear()
+        self._names = None
 
     def _entry_path(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        return fs.join(self.root, name)
 
     def list_indexes(self) -> list[str]:
-        return sorted(
-            d for d in os.listdir(self.root)
-            if os.path.exists(os.path.join(self.root, d, "manifest.json"))
-        )
+        if self._names is None:
+            self._names = sorted(
+                d for d in fs.listdir(self.spark, self.root)
+                if fs.exists(self.spark, fs.join(self.root, d, "manifest.json"))
+            )
+        return self._names
 
     def exists(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._entry_path(name), "manifest.json"))
+        if name in self._handles:
+            return True
+        return fs.exists(self.spark, fs.join(self._entry_path(name), "manifest.json"))
 
     def get(self, name: str) -> IVFIndex:
+        if name in self._handles:
+            return self._handles[name]
         if not self.exists(name):
             raise KeyError(f"No HNSW index named '{name}'")
-        return IVFIndex(self._entry_path(name))
+        idx = IVFIndex(self._entry_path(name), self.spark)
+        self._handles[name] = idx
+        return idx
 
     def create_index(
         self,
@@ -162,22 +179,34 @@ class IndexCatalog:
         if self.exists(name) and not replace:
             raise BinderException(f"Index with name '{name}' already exists!")
         path = self._entry_path(name)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        idx = build_ivf(df, col, id_column, path, metric=opts["metric"], nlist=nlist, options=opts)
-        # record catalog metadata next to the artifact
-        idx.manifest.update({"index_name": name, "table_name": table_name, "column": col, "id_column": id_column})
-        with open(os.path.join(path, "manifest.json"), "w") as f:
-            json.dump(idx.manifest, f, indent=2)
+        if fs.exists(self.spark, path):
+            fs.delete(self.spark, path)
+        # catalog metadata rides in the same manifest write as the build
+        # commit, so the artifact is never visible without its identity
+        idx = build_ivf(
+            df, col, id_column, path,
+            metric=opts["metric"],
+            nlist=nlist,
+            options=opts,
+            extra_manifest={"index_name": name, "table_name": table_name, "column": col, "id_column": id_column},
+        )
+        self._handles[name] = idx
+        if self._names is not None and name not in self._names:
+            self._names = sorted([*self._names, name])
         return idx
 
     def drop_index(self, name: str) -> None:
         self.get(name).drop()
+        self._handles.pop(name, None)
+        if self._names is not None:
+            self._names = [n for n in self._names if n != name]
 
     def compact_index(self, name: str) -> IVFIndex:
         """PRAGMA hnsw_compact_index('name')
         (reference: src/hnsw/hnsw_index_pragmas.cpp:179-220)."""
-        return self.get(name).compact(self.spark)
+        idx = self.get(name).compact(self.spark)
+        self._handles[name] = idx
+        return idx
 
     def index_info(self) -> DataFrame:
         """One row per index, same 11-column schema as pragma_hnsw_index_info

@@ -19,31 +19,39 @@ for Spark's execution model (SURVEY §7.1):
   membership of far-away neighbors is approximate.
 - ``ef_search`` tunes recall at query time like the reference's setting
   (reference: src/hnsw/hnsw_index.cpp:318-329); we map it to the number of
-  probed lists: ``nprobe = clamp(ceil(nlist * ef_search / 128), 1, nlist)`` (so the usearch default ef_search=64 probes half the lists; ef_search>=128 degenerates to an exact full scan — recall is tunable, not guaranteed, like the reference).
+  probed lists: ``nprobe = clamp(ceil(nlist * ef_search / 128), 1, nlist)``
+  (so the usearch default ef_search=64 probes half the lists; ef_search>=128
+  degenerates to an exact full scan — recall is tunable, not guaranteed,
+  like the reference).
 - Maintenance is immutable-artifact style (SURVEY §2.3 M1-M3): INSERT
   appends to an unindexed *tail* searched brute-force and unioned in;
   DELETE records ids in a bitmap consulted before the top-k cut (deleted
   rows are invisible immediately, like the reference's tombstones,
-  reference: src/hnsw/hnsw_index.cpp:496-512); COMPACT is a full rebuild
-  folding tail in and dropping deleted ids.
+  reference: src/hnsw/hnsw_index.cpp:496-512); COMPACT builds a NEW version
+  directory and commits it by atomically overwriting the manifest — a crash
+  mid-compact leaves the previous version fully intact (unlike
+  delete-then-rename, there is no window with no index on disk).
+
+All control-plane I/O (manifest, centroids, existence checks) goes through
+the Hadoop FileSystem API (:mod:`.fs`), so the artifact root may be a local
+path or any ``file://`` / ``s3a://`` / ``abfss://`` / ``hdfs://`` URI — the
+same reach as the parquet data plane.
 
 Artifact layout::
 
     <root>/<name>/
-      manifest.json        # metric, dim, nlist, counts, params, versions
-      centroids.npy        # (nlist, dim) float64
-      data/list_id=*/...   # parquet (id, vec) inverted lists
-      tail/*.parquet       # unindexed appended rows (optional)
-      deleted/*.parquet    # deleted id bitmap (optional)
+      manifest.json          # metric, dim, nlist, counts, params, VERSION
+      <version>/             # e.g. v000001; manifest names the live one
+        centroids.npy        # (nlist, dim) float64
+        data/list_id=*/...   # parquet (id, vec) inverted lists
+        tail/*.parquet       # unindexed appended rows (optional)
+        deleted/*.parquet    # deleted id bitmap (optional)
 """
 
 from __future__ import annotations
 
-import json
 import math
-import os
-import shutil
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -51,6 +59,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fs
 from ..functions.distance import METRIC_IS_DESCENDING, canonical_metric, distance_expr
 
 __all__ = ["IVFIndex", "build_ivf", "kmeans"]
@@ -58,6 +67,7 @@ __all__ = ["IVFIndex", "build_ivf", "kmeans"]
 DEFAULT_EF_SEARCH = 64  # usearch default (reference: usearch/index.hpp:1282-1298)
 KMEANS_SAMPLE = 65536
 KMEANS_ITERS = 12
+FIRST_VERSION = "v000001"
 
 
 def kmeans(x: np.ndarray, nlist: int, iters: int = KMEANS_ITERS, seed: int = 42) -> np.ndarray:
@@ -98,20 +108,30 @@ def build_ivf(
     nlist: int | None = None,
     options: dict | None = None,
     seed: int = 42,
+    version: str = FIRST_VERSION,
+    extra_manifest: dict | None = None,
 ) -> "IVFIndex":
-    """Build the index artifact from a DataFrame. NULL vectors are excluded,
+    """Build one index version under ``path`` and commit it by writing the
+    manifest LAST — the manifest overwrite is the single atomic commit point
+    (object-store PUT / posix rename semantics), so a crash mid-build never
+    leaves a half-index as the live version. NULL vectors are excluded,
     mirroring the reference's IS NOT NULL build filter
     (reference: src/hnsw/hnsw_index_plan.cpp:118-133)."""
     metric = canonical_metric(metric)
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).filter(F.col(vec_col).isNotNull())
-    n = src.count()
+    # one job for count + dimension check (instead of count() + distinct())
+    stats = src.agg(
+        F.count(F.lit(1)).alias("n"), F.min(F.size("vec")).alias("dmin"), F.max(F.size("vec")).alias("dmax")
+    ).collect()[0]
+    n = stats["n"]
     if n == 0:
         raise ValueError("Cannot build an index over an empty vector column")
-    dims = src.select(F.size("vec").alias("d")).distinct().collect()
-    if len(dims) != 1:
-        raise ValueError(f"HNSW index keys must be fixed-size arrays; found lengths {sorted(r['d'] for r in dims)}")
-    dim = dims[0]["d"]
+    if stats["dmin"] != stats["dmax"]:
+        raise ValueError(
+            f"HNSW index keys must be fixed-size arrays; found lengths {sorted((stats['dmin'], stats['dmax']))}"
+        )
+    dim = stats["dmin"]
     if nlist is None:
         nlist = max(1, min(4096, int(math.sqrt(n))))
     sample = src.select("vec")
@@ -135,17 +155,18 @@ def build_ivf(
 
     id_t = dict(df.dtypes)[id_col]
     assigned = src.mapInPandas(assign, schema=f"id {id_t}, vec array<float>, list_id int")
-    os.makedirs(path, exist_ok=True)
+    vdir = fs.join(path, version)
     # one file per inverted list; lists are the unit of search-time pruning
     (
         assigned.repartition(F.col("list_id"))
         .write.mode("overwrite")
         .partitionBy("list_id")
-        .parquet(os.path.join(path, "data"))
+        .parquet(fs.join(vdir, "data"))
     )
-    np.save(os.path.join(path, "centroids.npy"), centroids)
+    fs.write_npy(spark, fs.join(vdir, "centroids.npy"), centroids)
     manifest = {
-        "format": "ivf-flat-parquet/v1",
+        "format": "ivf-flat-parquet/v2",
+        "version": version,
         "metric": metric,
         "dim": int(dim),
         "nlist": int(nlist),
@@ -154,20 +175,23 @@ def build_ivf(
         "seed": seed,
         "options": options or {},
     }
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
-    return IVFIndex(path)
+    manifest.update(extra_manifest or {})
+    fs.write_json(spark, fs.join(path, "manifest.json"), manifest)  # commit point
+    return IVFIndex(path, spark)
 
 
 class IVFIndex:
     """Handle to an on-disk IVF artifact; all search methods return lazy
     DataFrames so they compose with further relational ops."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, spark: Optional[SparkSession] = None):
         self.path = path
-        with open(os.path.join(path, "manifest.json")) as f:
-            self.manifest = json.load(f)
-        self.centroids = np.load(os.path.join(path, "centroids.npy"))
+        self.spark = spark or SparkSession.getActiveSession()
+        self.manifest = fs.read_json(self.spark, fs.join(path, "manifest.json"))
+        # v1 artifacts stored everything at the root; v2 adds version dirs
+        self.version = self.manifest.get("version", "")
+        self.vpath = fs.join(path, self.version) if self.version else path
+        self.centroids = fs.read_npy(self.spark, fs.join(self.vpath, "centroids.npy"))
 
     # -- properties -------------------------------------------------------
     @property
@@ -182,19 +206,30 @@ class IVFIndex:
     def nlist(self) -> int:
         return self.manifest["nlist"]
 
+    def data_path(self) -> str:
+        return fs.join(self.vpath, "data")
+
     def _tail_path(self) -> str:
-        return os.path.join(self.path, "tail")
+        return fs.join(self.vpath, "tail")
 
     def _deleted_path(self) -> str:
-        return os.path.join(self.path, "deleted")
+        return fs.join(self.vpath, "deleted")
+
+    def tail_df(self, spark: SparkSession) -> Optional[DataFrame]:
+        if fs.exists(spark, self._tail_path()):
+            return spark.read.parquet(self._tail_path()).select("id", "vec")
+        return None
+
+    def deleted_df(self, spark: SparkSession) -> Optional[DataFrame]:
+        if fs.exists(spark, self._deleted_path()):
+            return spark.read.parquet(self._deleted_path()).select("id").distinct()
+        return None
 
     def counts(self, spark: SparkSession) -> dict:
         base = self.manifest["count"]
-        tail = deleted = 0
-        if os.path.exists(self._tail_path()):
-            tail = spark.read.parquet(self._tail_path()).count()
-        if os.path.exists(self._deleted_path()):
-            deleted = spark.read.parquet(self._deleted_path()).select("id").distinct().count()
+        tail_df, deleted_df = self.tail_df(spark), self.deleted_df(spark)
+        tail = tail_df.count() if tail_df is not None else 0
+        deleted = deleted_df.count() if deleted_df is not None else 0
         return {"base": base, "tail": tail, "deleted": deleted, "live": base + tail - deleted}
 
     # -- search -----------------------------------------------------------
@@ -242,12 +277,13 @@ class IVFIndex:
         if len(query) != self.dim:
             raise ValueError(f"query dimension {len(query)} != index dimension {self.dim}")
         lists = self.probe_lists(query, self.nprobe_for(ef_search))
-        data = spark.read.parquet(os.path.join(self.path, "data"))
+        data = spark.read.parquet(self.data_path())
         cand = data.filter(F.col("list_id").isin(lists)).select("id", "vec")
-        if os.path.exists(self._tail_path()):
-            cand = cand.unionByName(spark.read.parquet(self._tail_path()).select("id", "vec"))
-        if os.path.exists(self._deleted_path()):
-            deleted = spark.read.parquet(self._deleted_path()).select("id").distinct()
+        tail = self.tail_df(spark)
+        if tail is not None:
+            cand = cand.unionByName(tail)
+        deleted = self.deleted_df(spark)
+        if deleted is not None:
             # deletions are immediately invisible (reference: src/hnsw/hnsw_index.cpp:496-512);
             # filtering happens BEFORE the top-k cut so k rows still come back
             cand = cand.join(F.broadcast(deleted), "id", "left_anti")
@@ -282,31 +318,42 @@ class IVFIndex:
     def compact(self, spark: SparkSession) -> "IVFIndex":
         """Full rebuild folding in the tail and dropping deleted ids —
         semantics of PRAGMA hnsw_compact_index
-        (reference: src/hnsw/hnsw_index.cpp:481-494)."""
-        data = spark.read.parquet(os.path.join(self.path, "data")).select("id", "vec")
-        if os.path.exists(self._tail_path()):
-            data = data.unionByName(spark.read.parquet(self._tail_path()).select("id", "vec"))
-        if os.path.exists(self._deleted_path()):
-            deleted = spark.read.parquet(self._deleted_path()).select("id").distinct()
+        (reference: src/hnsw/hnsw_index.cpp:481-494). Crash-safe: the rebuild
+        lands in a NEW version directory and only becomes live when the
+        manifest is overwritten (single atomic commit); the old version is
+        removed after the commit."""
+        data = spark.read.parquet(self.data_path()).select("id", "vec")
+        tail = self.tail_df(spark)
+        if tail is not None:
+            data = data.unionByName(tail)
+        deleted = self.deleted_df(spark)
+        if deleted is not None:
             data = data.join(F.broadcast(deleted), "id", "left_anti")
-        tmp = self.path + ".compacting"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        cur = int(self.version[1:]) if self.version else 0
+        new_version = f"v{cur + 1:06d}"
+        # carry catalog identity through the rebuild
+        keep = {k: v for k, v in self.manifest.items() if k in ("index_name", "table_name", "column", "id_column")}
         data = data.cache()
         try:
             build_ivf(
-                data, "vec", "id", tmp,
+                data, "vec", "id", self.path,
                 metric=self.metric,
                 options=self.manifest.get("options"),
                 seed=self.manifest.get("seed", 42),
+                version=new_version,
+                extra_manifest=keep,
             )
-            old = self.path
-            shutil.rmtree(old)
-            os.rename(tmp, old)
+            if self.version:
+                fs.delete(spark, fs.join(self.path, self.version))
+            else:
+                # legacy v1 layout stored payload at the artifact root
+                for leaf in ("centroids.npy", "data", "tail", "deleted"):
+                    if fs.exists(spark, fs.join(self.path, leaf)):
+                        fs.delete(spark, fs.join(self.path, leaf))
         finally:
             data.unpersist()
-        return IVFIndex(self.path)
+        return IVFIndex(self.path, spark)
 
     def drop(self) -> None:
         """DROP INDEX: free the artifact (reference: src/hnsw/hnsw_index.cpp:410-419)."""
-        shutil.rmtree(self.path, ignore_errors=True)
+        fs.delete(self.spark, self.path)

@@ -64,6 +64,8 @@ def _candidates_broadcast(
     metric: str,
     probe_mask: "np.ndarray | None" = None,
     right_list_col: str | None = None,
+    excluded_ids=None,
+    probes_pdf: "pd.DataFrame | None" = None,
 ) -> DataFrame:
     """Per-partition top-k candidate generation (see module docstring).
 
@@ -71,20 +73,31 @@ def _candidates_broadcast(
     item rows only compete for probes whose probe-set contains the item's
     inverted list (the per-probe approximate search of the reference's
     HNSW_INDEX_JOIN, reference: src/hnsw/hnsw_optimize_join.cpp:111-168).
+
+    ``excluded_ids``: ids filtered out INSIDE the kernel, before the
+    per-partition top-k cut — deleted rows must not crowd live neighbors out
+    of the k slots (the reference's tombstones are likewise invisible before
+    the cut, reference: src/hnsw/hnsw_index.cpp:496-512).
     """
     import numpy as np  # noqa: F811
 
     spark = left.sparkSession
-    probes_pdf = left.select(F.col(left_id).alias("qid"), F.col(left_on).alias("v")).filter(F.col(left_on).isNotNull()).toPandas()
+    if probes_pdf is None:
+        probes_pdf = (
+            left.select(F.col(left_id).alias("qid"), F.col(left_on).alias("v"))
+            .filter(F.col(left_on).isNotNull())
+            .toPandas()
+        )
     qids = probes_pdf["qid"].to_numpy()
     qmat = as_matrix(probes_pdf["v"]) if len(probes_pdf) else None
-    bc = spark.sparkContext.broadcast((qids, qmat, probe_mask))
+    excl = np.asarray(list(excluded_ids)) if excluded_ids is not None and len(excluded_ids) else None
+    bc = spark.sparkContext.broadcast((qids, qmat, probe_mask, excl))
     desc = METRIC_IS_DESCENDING[metric]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        qids_l, qmat_l, mask_l = bc.value
+        qids_l, qmat_l, mask_l, excl_l = bc.value
         if qmat_l is None:
             return
         nq = len(qids_l)
@@ -94,6 +107,8 @@ def _candidates_broadcast(
         # without a second scan of the items table.
         best_scores = best_rids = best_vecs = None
         for pdf in batches:
+            if excl_l is not None and len(pdf):
+                pdf = pdf[~pdf["rid"].isin(excl_l)]
             if len(pdf) == 0:
                 continue
             rids = pdf["rid"].to_numpy()
@@ -102,7 +117,12 @@ def _candidates_broadcast(
             if best_scores is None:
                 d = imat.shape[1]
                 best_scores = np.full((k, nq), -np.inf if desc else np.inf)
-                best_rids = np.full((k, nq), -1, dtype=np.int64)
+                # object dtype + None sentinel: rid columns may be strings,
+                # where an int64 fill would crash the vstack with a cast error
+                rid_numeric = np.issubdtype(rids.dtype, np.number)
+                best_rids = (
+                    np.full((k, nq), -1, dtype=np.int64) if rid_numeric else np.full((k, nq), None, dtype=object)
+                )
                 best_vecs = np.zeros((k, nq, d), dtype=np.float32)
             lists = pdf["__lst"].to_numpy() if mask_l is not None else None
             for q0 in range(0, nq, _PROBE_CHUNK):
@@ -175,9 +195,17 @@ def knn_join_flat(
     m = canonical_metric(metric)
     if left_id is None or right_id is None:
         raise ValueError("knn_join requires explicit left_id/right_id columns")
-    use_kernel = method == "kernel" or (method == "auto" and _probe_count_ok(left, broadcast_probe_limit))
+    probes_pdf = None
+    if method == "auto":
+        # guard folded into the probe collection itself: limit(n+1) rows come
+        # back in ONE job and double as the broadcast probe matrix — no
+        # separate count() pre-pass
+        probes_pdf = _collect_probes(left, left_on, left_id, broadcast_probe_limit)
+    use_kernel = method == "kernel" or (method == "auto" and probes_pdf is not None)
     if use_kernel:
-        cand = _candidates_broadcast(left, right, left_on, right_on, left_id, right_id, k, m)
+        cand = _candidates_broadcast(
+            left, right, left_on, right_on, left_id, right_id, k, m, probes_pdf=probes_pdf
+        )
     else:
         cand = _candidates_crossjoin(left, right, left_on, right_on, left_id, right_id, m)
     desc = METRIC_IS_DESCENDING[m]
@@ -190,9 +218,18 @@ def knn_join_flat(
     )
 
 
-def _probe_count_ok(left: DataFrame, limit: int) -> bool:
-    # cheap guard: limit+1-row count instead of a full count
-    return left.limit(limit + 1).count() <= limit
+def _collect_probes(left: DataFrame, left_on: str, left_id: str, limit: int):
+    """Collect the probe (id, vector) pairs, at most ``limit`` of them.
+    Returns None when the probe side exceeds the limit (caller falls back to
+    a distributed plan) — the limit+1 cap bounds driver memory, so the guard
+    and the collection are one job instead of a count() pre-pass."""
+    pdf = (
+        left.select(F.col(left_id).alias("qid"), F.col(left_on).alias("v"))
+        .filter(F.col(left_on).isNotNull())
+        .limit(limit + 1)
+        .toPandas()
+    )
+    return None if len(pdf) > limit else pdf
 
 
 def knn_join(
@@ -227,6 +264,7 @@ def knn_join_flat_indexed(
     k: int,
     left_id: str,
     ef_search: int | None = None,
+    broadcast_probe_limit: int = DEFAULT_BROADCAST_PROBE_LIMIT,
 ) -> DataFrame:
     """HNSW_INDEX_JOIN analog: per-probe approximate top-k against an
     :class:`~duckdb_vss_spark.index.ivf.IVFIndex` (reference operator:
@@ -234,18 +272,29 @@ def knn_join_flat_indexed(
     non-parallel operator, probes and index partitions both parallelize.
 
     Only the ``nprobe`` nearest inverted lists per probe are searched; the
-    tail is searched brute-force; deleted ids never appear. Scores are exact.
+    tail is searched brute-force; deleted ids are filtered inside the kernel
+    BEFORE the per-partition top-k cut. Scores are exact.
+
+    A probe side above ``broadcast_probe_limit`` rows cannot be broadcast —
+    fall back to the exact cross-join plan over the live index rows instead
+    of collecting an unbounded probe table to the driver.
     """
     import numpy as np
-    import os
 
     spark = left.sparkSession
     metric = index.metric
-    probes_pdf = (
-        left.select(F.col(left_id).alias("qid"), F.col(left_on).alias("v"))
-        .filter(F.col(left_on).isNotNull())
-        .toPandas()
-    )
+    probes_pdf = _collect_probes(left, left_on, left_id, broadcast_probe_limit)
+    if probes_pdf is None:
+        # probe side too big to broadcast: exact distributed plan over the
+        # live index rows instead of an unbounded driver collect
+        full = spark.read.parquet(index.data_path()).select("id", "vec")
+        tail = index.tail_df(spark)
+        if tail is not None:
+            full = full.unionByName(tail)
+        deleted = index.deleted_df(spark)
+        if deleted is not None:
+            full = full.join(F.broadcast(deleted), "id", "left_anti")
+        return knn_join_flat(left, full, left_on, "vec", k, metric, left_id, "id", method="crossjoin")
     if len(probes_pdf) == 0:
         return spark.createDataFrame([], f"qid {dict(left.dtypes)[left_id]}, rid {index.manifest.get('id_type', 'bigint')}, rnk int, score double")
     qmat = as_matrix(probes_pdf["v"])
@@ -256,22 +305,26 @@ def knn_join_flat_indexed(
     for qi, lists in enumerate(probe_sets):
         mask[lists, qi] = True
     needed = sorted({int(l) for lists in probe_sets for l in lists})
-    data = spark.read.parquet(os.path.join(index.path, "data")).filter(F.col("list_id").isin(needed))
+    deleted = index.deleted_df(spark)
+    # deleted ids ride into the kernel so live rows keep all k slots; the
+    # set is tombstone-sized (bounded by compact cadence), like the
+    # reference's in-RAM free list (reference: usearch/index_dense.hpp:1228-1248)
+    excl = [r["id"] for r in deleted.collect()] if deleted is not None else None
+    data = spark.read.parquet(index.data_path()).filter(F.col("list_id").isin(needed))
     cand = _candidates_broadcast(
         left, data, left_on, "vec", left_id, "id", k, metric,
-        probe_mask=mask, right_list_col="list_id",
+        probe_mask=mask, right_list_col="list_id", excluded_ids=excl, probes_pdf=probes_pdf,
     )
-    # tail rows compete for every probe (brute force)
-    tail_path = os.path.join(index.path, "tail")
-    if os.path.exists(tail_path):
-        tail = spark.read.parquet(tail_path)
+    # tail rows compete for every probe (brute force); the already-collected
+    # probe table is reused, so the tail union costs no extra driver job
+    tail = index.tail_df(spark)
+    if tail is not None:
         cand = cand.unionByName(
-            _candidates_broadcast(left, tail, left_on, "vec", left_id, "id", k, metric)
+            _candidates_broadcast(
+                left, tail, left_on, "vec", left_id, "id", k, metric,
+                excluded_ids=excl, probes_pdf=probes_pdf,
+            )
         )
-    deleted_path = os.path.join(index.path, "deleted")
-    if os.path.exists(deleted_path):
-        deleted = spark.read.parquet(deleted_path).select(F.col("id").alias("rid")).distinct()
-        cand = cand.join(F.broadcast(deleted), "rid", "left_anti")
     desc = METRIC_IS_DESCENDING[metric]
     order = [F.col("score").desc() if desc else F.col("score").asc(), F.col("rid").asc()]
     w = Window.partitionBy("qid").orderBy(*order)

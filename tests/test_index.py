@@ -193,3 +193,63 @@ def test_insert_delete_compact_lifecycle(spark, tmp_path):
     # drop
     eng.drop_index("t_idx")
     assert not eng.catalog.exists("t_idx")
+
+
+def test_indexed_join_respects_delete(spark, tmp_path):
+    """Deleted ids must be filtered BEFORE the per-partition top-k cut in the
+    indexed join: full-probe indexed join after deleting each probe's nearest
+    neighbor (itself) must equal the exact join over live rows — k full rows,
+    no deleted id, no missing true neighbor."""
+    from duckdb_vss_spark import knn_join_flat
+
+    eng = VSSEngine(spark, index_root=str(tmp_path))
+    emb = emb_df(spark)
+    eng.register_table("tj", emb)
+    eng.create_index("tj_idx", "tj", "embedding", "vec_id")
+    deleted_ids = [0, 1, 2]
+    eng.delete("tj_idx", deleted_ids)
+    probes = emb.filter(F.col("vec_id") < 3)
+    eng.set_ef_search(10**6)
+    try:
+        got = eng.knn_join(probes, "tj", "embedding", "embedding", 4, left_id="vec_id", right_id="vec_id").collect()
+    finally:
+        eng.set_ef_search(None)
+    live = emb.filter(~F.col("vec_id").isin(deleted_ids))
+    want = knn_join_flat(probes, live, "embedding", "embedding", 4, "l2sq", left_id="vec_id", right_id="vec_id").collect()
+    key = lambda rows: sorted((r["qid"], r["rnk"], r["rid"]) for r in rows)
+    assert len(got) == 12  # 3 probes x k=4, live rows fill every slot
+    assert key(got) == key(want)
+
+
+def test_file_uri_lifecycle(spark, tmp_path):
+    """The whole artifact lifecycle must work with a scheme-qualified URI
+    root (here file://, the local stand-in for s3a:///abfss://): control
+    plane goes through the Hadoop FileSystem API, not os.*."""
+    eng = VSSEngine(spark, index_root="file://" + str(tmp_path / "idx"))
+    emb = emb_df(spark).filter(F.col("vec_id") < 120)
+    eng.register_table("tu", emb)
+    eng.create_index("tu_idx", "tu", "embedding", "vec_id")
+    idx = eng.catalog.get("tu_idx")
+    got = [r["id"] for r in idx.search(spark, Q, 5, ef_search=10**6).collect()]
+    exact = [r["vec_id"] for r in topk(emb, "embedding", Q, 5, "l2sq", tiebreak="vec_id").collect()]
+    assert got == exact
+    eng.insert("tu_idx", emb_df(spark).filter(F.col("vec_id") == 200), "embedding", "vec_id")
+    eng.delete("tu_idx", [0])
+    idx2 = eng.compact_index("tu_idx")
+    c = idx2.counts(spark)
+    assert (c["base"], c["tail"], c["deleted"]) == (120, 0, 0)
+    eng.drop_index("tu_idx")
+    assert not eng.catalog.exists("tu_idx")
+
+
+def test_compact_keeps_index_routable(spark, tmp_path):
+    """Compact rebuilds into a new version but must keep the catalog identity
+    (table/column/metric) in the manifest — otherwise the planner silently
+    stops routing queries to the index after every compact."""
+    eng = VSSEngine(spark, index_root=str(tmp_path))
+    eng.register_table("tc", emb_df(spark))
+    eng.create_index("tc_idx", "tc", "embedding", "vec_id")
+    eng.insert("tc_idx", emb_df(spark).limit(0), "embedding", "vec_id")
+    eng.compact_index("tc_idx")
+    plan = eng.explain_topk("tc", "embedding", Q, 5)
+    assert "HNSW_INDEX_SCAN" in plan and "tc_idx" in plan
