@@ -116,8 +116,33 @@ def build_ivf(
     (object-store PUT / posix rename semantics), so a crash mid-build never
     leaves a half-index as the live version. NULL vectors are excluded,
     mirroring the reference's IS NOT NULL build filter
-    (reference: src/hnsw/hnsw_index_plan.cpp:118-133)."""
+    (reference: src/hnsw/hnsw_index_plan.cpp:118-133).
+
+    HNSW options map onto IVF build knobs (documented contract — the options
+    are honored, not silently ignored; reference accepts them at DDL time,
+    src/hnsw/hnsw_index_plan.cpp:49-76, defaults usearch/index.hpp:1282-1298):
+
+    - ``ef_construction`` (default 128) scales build effort exactly as it
+      does for HNSW graph construction: k-means Lloyd iterations
+      ``round(12 * efc / 128)`` (clamped to [2, 40]) and training-sample cap
+      ``65536 * efc / 128`` (clamped to [4096, 1M]). More construction effort
+      => better-shaped lists => better recall at a fixed nprobe.
+    - ``M``/``M0`` (graph connectivity, defaults 16/32, M0 = 2*M) scale the
+      default list count: ``nlist = clamp(sqrt(n) * 32 / M0, 1, 4096)``.
+      Higher connectivity in HNSW means each hop reaches more of the graph;
+      here it means coarser cells, so a fixed probed-fraction covers more
+      candidates — same recall-vs-work trade, same direction. An explicit
+      ``nlist`` argument overrides the heuristic.
+
+    The derived values are recorded in the manifest so ``index_info()`` and
+    tests can observe the options' effect.
+    """
     metric = canonical_metric(metric)
+    opts = dict(options or {})
+    efc = opts.get("ef_construction", 128)
+    m0 = opts.get("M0") or 2 * opts.get("M", 16)
+    kmeans_iters = max(2, min(40, round(KMEANS_ITERS * efc / 128)))
+    kmeans_sample = max(4096, min(1 << 20, int(KMEANS_SAMPLE * efc / 128)))
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).filter(F.col(vec_col).isNotNull())
     # one job for count + dimension check (instead of count() + distinct())
@@ -133,13 +158,13 @@ def build_ivf(
         )
     dim = stats["dmin"]
     if nlist is None:
-        nlist = max(1, min(4096, int(math.sqrt(n))))
+        nlist = max(1, min(4096, int(math.sqrt(n) * 32.0 / m0)))
     sample = src.select("vec")
-    frac = min(1.0, KMEANS_SAMPLE / n)
+    frac = min(1.0, kmeans_sample / n)
     if frac < 1.0:
         sample = sample.sample(fraction=frac, seed=seed)
     smat = np.vstack(sample.toPandas()["vec"].to_numpy()).astype(np.float64)
-    centroids = kmeans(smat, nlist, seed=seed)
+    centroids = kmeans(smat, nlist, iters=kmeans_iters, seed=seed)
     nlist = centroids.shape[0]
 
     bc = spark.sparkContext.broadcast(centroids)
@@ -173,7 +198,10 @@ def build_ivf(
         "count": int(n),
         "id_type": id_t,
         "seed": seed,
-        "options": options or {},
+        "options": opts,
+        # observable effect of the honored HNSW options (see docstring)
+        "kmeans_iters": kmeans_iters,
+        "kmeans_sample": kmeans_sample,
     }
     manifest.update(extra_manifest or {})
     fs.write_json(spark, fs.join(path, "manifest.json"), manifest)  # commit point

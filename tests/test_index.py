@@ -253,3 +253,32 @@ def test_compact_keeps_index_routable(spark, tmp_path):
     eng.compact_index("tc_idx")
     plan = eng.explain_topk("tc", "embedding", Q, 5)
     assert "HNSW_INDEX_SCAN" in plan and "tc_idx" in plan
+
+
+def test_index_options_are_honored(spark, tmp_path):
+    """ef_construction / M / M0 must change build behavior through the
+    documented IVF mapping (not be validated-then-ignored): M0 scales the
+    default nlist, ef_construction scales the k-means effort and therefore
+    the centroids themselves."""
+    eng = VSSEngine(spark, index_root=str(tmp_path))
+    emb = emb_df(spark)
+    eng.register_table("to", emb)
+    # default M0=32 -> nlist = sqrt(500) ~ 22; M=8 (M0=16) -> twice as many
+    i_default = eng.create_index("o_def", "to", "embedding", "vec_id")
+    i_m8 = eng.create_index("o_m8", "to", "embedding", "vec_id", options={"M": 8})
+    assert i_m8.nlist == min(4096, 2 * i_default.nlist)
+    # ef_construction scales Lloyd iterations (recorded + different centroids)
+    i_fast = eng.create_index("o_efc", "to", "embedding", "vec_id", options={"ef_construction": 24})
+    assert i_fast.manifest["kmeans_iters"] < i_default.manifest["kmeans_iters"]
+    assert i_fast.manifest["kmeans_iters"] == max(2, round(12 * 24 / 128))
+    import numpy as np
+
+    assert i_fast.centroids.shape == i_default.centroids.shape
+    assert not np.allclose(i_fast.centroids, i_default.centroids)
+    # per-index ef_search option drives nprobe when no session override is set
+    eng2 = VSSEngine(spark, index_root=str(tmp_path / "ef"))
+    eng2.register_table("to2", emb)
+    eng2.create_index("o_ef", "to2", "embedding", "vec_id", options={"ef_search": 128})
+    plan = eng2.explain_topk("to2", "embedding", Q, 5)
+    assert "ef_search=128" in plan  # full probe: nprobe == nlist
+    assert f"nprobe={eng2.catalog.get('o_ef').nlist}/" in plan
