@@ -37,6 +37,11 @@ class VSSEngine:
         # SET hnsw_ef_search session override; > 0 wins over the per-index
         # value (reference: src/hnsw/hnsw_index.cpp:318-329)
         self.ef_search_override: Optional[int] = None
+        # pragma disable_optimizer analog: when False every query takes the
+        # exact plan even if a matching index exists — the reference's
+        # strongest equivalence-test lever (reference:
+        # test/sql/hnsw/hnsw_rewrite.test:19-34)
+        self.optimizer_enabled: bool = True
 
     # -- tables -----------------------------------------------------------
     def register_table(self, name: str, df: DataFrame) -> None:
@@ -56,6 +61,12 @@ class VSSEngine:
     # -- settings ---------------------------------------------------------
     def set_ef_search(self, n: Optional[int]) -> None:
         self.ef_search_override = n
+
+    def set_optimizer_enabled(self, enabled: bool) -> None:
+        """``pragma enable_optimizer`` / ``pragma disable_optimizer``:
+        toggles index routing so identical queries can be differentially
+        tested with and without the rewrites."""
+        self.optimizer_enabled = bool(enabled)
 
     # -- index DDL --------------------------------------------------------
     def create_index(
@@ -108,6 +119,8 @@ class VSSEngine:
         return None
 
     def _decide(self, spec, idx) -> Decision:
+        if not self.optimizer_enabled:
+            return Decision("EXACT", reason="optimizer disabled")
         return decide(spec, idx.manifest if idx is not None else None, self.ef_search_override)
 
     # -- Q1: top-k by distance -------------------------------------------

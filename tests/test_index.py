@@ -282,3 +282,42 @@ def test_index_options_are_honored(spark, tmp_path):
     plan = eng2.explain_topk("to2", "embedding", Q, 5)
     assert "ef_search=128" in plan  # full probe: nprobe == nlist
     assert f"nprobe={eng2.catalog.get('o_ef').nlist}/" in plan
+
+
+@pytest.mark.parametrize("shape", ["topk", "min_by", "knn_join"])
+def test_optimizer_on_off_differential(spark, tmp_path_factory, shape):
+    """The reference's strongest equivalence technique (reference:
+    test/sql/hnsw/hnsw_rewrite.test:19-34): run the identical query with the
+    optimizer enabled (index routing, full probe => exact) and disabled
+    (pure DataFrame plan); results must be identical."""
+    root = str(tmp_path_factory.mktemp("diff_idx"))
+    eng = VSSEngine(spark, index_root=root)
+    emb = emb_df(spark)
+    eng.register_table("td", emb)
+    eng.create_index("td_idx", "td", "embedding", "vec_id")
+    eng.set_ef_search(10**6)  # full probe: the index path is exact
+
+    def run():
+        if shape == "topk":
+            df = eng.topk("td", "embedding", Q, 7, tiebreak="vec_id").select("vec_id", "score")
+            return [(r["vec_id"], round(r["score"], 9)) for r in df.collect()]
+        if shape == "min_by":
+            df = eng.min_by_k("td", "vec_id", "embedding", Q, 7)
+            return [tuple(r["values"]) for r in df.collect()]
+        df = eng.knn_join(
+            emb.filter(F.col("vec_id") < 5), "td", "embedding", "embedding", 3,
+            left_id="vec_id", right_id="vec_id",
+        )
+        return sorted((r["qid"], r["rnk"], r["rid"], round(r["score"], 9)) for r in df.collect())
+
+    try:
+        on = run()
+        assert "EXACT" not in (eng.explain_topk("td", "embedding", Q, 7) if shape == "topk" else "")
+        eng.set_optimizer_enabled(False)
+        off = run()
+        plan = eng.explain_topk("td", "embedding", Q, 7)
+        assert "HNSW_INDEX_SCAN" not in plan and "optimizer disabled" in plan
+    finally:
+        eng.set_optimizer_enabled(True)
+        eng.set_ef_search(None)
+    assert on == off
