@@ -525,6 +525,53 @@ def _q_index_compact(spark, sf_dir):
     )
 
 
+def _q_minby_filter(spark, sf_dir):
+    """Q2 with the aggregate FILTER clause carried through (reference:
+    src/hnsw/hnsw_optimize_topk.cpp:191-193): min_by over label=1 rows only."""
+    emb = _emb(spark, sf_dir)
+    agg = min_by_k(
+        emb, "vec_id", array_distance("embedding", Q64), 5,
+        tiebreak="vec_id", filter=F.col("label") == 1,
+    )
+    return agg.select(F.posexplode("values").alias("pos", "vec_id")).select(
+        F.col("pos").cast("long").alias("pos"), "vec_id"
+    )
+
+
+def _q_sql_alias_topk(spark, sf_dir):
+    """The reference's `<->` operator alias spelling, end-to-end through the
+    SQL frontend (reference: src/hnsw/hnsw_index.cpp:663-669)."""
+    import tempfile
+
+    from duckdb_vss_spark import SQLFrontend, VSSEngine
+
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_alias_"))
+    eng.register_table("embeddings_alias", _emb(spark, sf_dir))
+    fe = SQLFrontend(eng, register_udfs=False)
+    q = "[" + ",".join(str(x) for x in Q64) + "]"
+    out = fe.sql(f"SELECT vec_id, score FROM embeddings_alias ORDER BY embedding <-> {q} LIMIT 10")
+    return out.select("vec_id", F.col("score").cast("float").alias("score")).orderBy("score", "vec_id")
+
+
+def _q_sql_lateral(spark, sf_dir):
+    """The lateral SQL spelling of the k-NN join (reference:
+    src/hnsw/hnsw_optimize_join.cpp:352-363) through the SQL frontend."""
+    import tempfile
+
+    from duckdb_vss_spark import SQLFrontend, VSSEngine
+
+    emb = _emb(spark, sf_dir)
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_lat_"))
+    eng.register_table("embeddings_lat", emb)
+    eng.register_table("queries_lat", emb.filter(F.col("vec_id") < 10))
+    fe = SQLFrontend(eng, register_udfs=False)
+    out = fe.sql(
+        "SELECT q.vec_id AS qid, i.vec_id AS rid, score FROM queries_lat q, LATERAL ("
+        "SELECT * FROM embeddings_lat ORDER BY array_distance(embeddings_lat.embedding, q.embedding) LIMIT 3) i"
+    )
+    return out.select("qid", "rid", F.col("score").cast("float").alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -560,6 +607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_index_insert_tail": _q_index_insert_tail,
         "q32_index_delete": _q_index_delete,
         "q33_index_compact": _q_index_compact,
+        "q34_minby_filter": _q_minby_filter,
+        "q35_sql_alias_topk": _q_sql_alias_topk,
+        "q36_sql_lateral": _q_sql_lateral,
     }
 
 
@@ -799,4 +849,23 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id, {dist}::FLOAT AS score FROM embeddings "
             f"WHERE vec_id >= 10 ORDER BY score, vec_id LIMIT 10"
         ),
+        "q34_minby_filter": (
+            f"WITH l AS (SELECT (list(vec_id ORDER BY {dist}, vec_id) FILTER (WHERE label = 1))[1:5] AS ids "
+            "FROM embeddings) "
+            "SELECT r.pos AS pos, l.ids[r.pos + 1] AS vec_id FROM l, range(0, 5) r(pos)"
+        ),
+        "q35_sql_alias_topk": f"SELECT vec_id, {dist}::FLOAT AS score FROM embeddings ORDER BY score, vec_id LIMIT 10",
+        "q36_sql_lateral": """
+            WITH j AS (
+              SELECT q.vec_id AS qid, i.vec_id AS rid,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_distance(q.embedding::DOUBLE[], i.embedding::DOUBLE[]), i.vec_id
+                     ) AS rnk,
+                     list_distance(q.embedding::DOUBLE[], i.embedding::DOUBLE[])::FLOAT AS score
+              FROM embeddings q, embeddings i
+              WHERE q.vec_id < 10
+            )
+            SELECT qid, rid, score FROM j WHERE rnk <= 3
+        """,
     }

@@ -16,6 +16,7 @@ from typing import Optional, Union
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions import distance as D
 from .functions.distance import METRIC_IS_DESCENDING, canonical_metric, distance_expr
 from .index.catalog import IndexCatalog
 from .operators.knn import knn_join_flat, knn_join_flat_indexed, knn_match
@@ -171,7 +172,30 @@ class VSSEngine:
             out = exact_topk(src, vec_col, list(query), k, m, score_col=score_col, tiebreak=tiebreak)
         return out, explain_text(spec, decision, extra)
 
-    # -- Q2: min_by top-k aggregate --------------------------------------
+    # -- Q2: min_by / max_by top-k aggregates ----------------------------
+    # DuckDB's 3-arg min_by returns the k SMALLEST score values no matter
+    # which function produced the score, and max_by the k largest. The index
+    # can serve the aggregate only when that ordering coincides with the
+    # index's nearest-first ordering (reference matcher:
+    # src/hnsw/hnsw_optimize_topk.cpp:83-94 + hnsw_index.cpp:659-689):
+    #   min_by + array_distance / array_cosine_distance /
+    #            array_negative_inner_product  -> nearest-first, routable
+    #   max_by + array_cosine_similarity / array_inner_product -> routable
+    # Every other combination is a farthest-first query: exact path only.
+    _SCORE_FNS = {
+        "array_distance": (D.array_distance, "l2sq"),
+        "array_cosine_distance": (D.array_cosine_distance, "cosine"),
+        "array_cosine_similarity": (D.array_cosine_similarity, "cosine"),
+        "array_inner_product": (D.array_inner_product, "ip"),
+        "array_negative_inner_product": (D.array_negative_inner_product, "ip"),
+    }
+    _MINBY_ROUTABLE = {"array_distance", "array_cosine_distance", "array_negative_inner_product"}
+    _MAXBY_ROUTABLE = {"array_cosine_similarity", "array_inner_product"}
+    # legacy metric spellings: the metric's distance form, so "the k nearest"
+    # stays the result while the polarity follows true min_by semantics
+    _LEGACY_FN = {"l2sq": "array_distance", "l2": "array_distance", "cosine": "array_cosine_distance",
+                  "cos": "array_cosine_distance", "ip": "array_negative_inner_product"}
+
     def min_by_k(
         self,
         table: Union[str, DataFrame],
@@ -180,31 +204,49 @@ class VSSEngine:
         query: list,
         k: int,
         metric: str = "l2sq",
+        filter: str | None = None,
     ) -> DataFrame:
-        df, _ = self._plan_min_by_k(table, value_col, vec_col, query, k, metric)
+        df, _ = self._plan_by_k(table, value_col, vec_col, query, k, metric, filter, descending=False)
         return df
 
-    def explain_min_by_k(self, table, value_col, vec_col, query, k, metric="l2sq") -> str:
-        _, plan = self._plan_min_by_k(table, value_col, vec_col, query, k, metric)
+    def max_by_k(
+        self,
+        table: Union[str, DataFrame],
+        value_col: str,
+        vec_col: str,
+        query: list,
+        k: int,
+        metric: str = "array_cosine_similarity",
+        filter: str | None = None,
+    ) -> DataFrame:
+        df, _ = self._plan_by_k(table, value_col, vec_col, query, k, metric, filter, descending=True)
+        return df
+
+    def explain_min_by_k(self, table, value_col, vec_col, query, k, metric="l2sq", filter=None) -> str:
+        _, plan = self._plan_by_k(table, value_col, vec_col, query, k, metric, filter, descending=False)
         return plan
 
-    def _plan_min_by_k(self, table, value_col, vec_col, query, k, metric):
-        m = canonical_metric(metric)
+    def _plan_by_k(self, table, value_col, vec_col, query, k, metric, where, descending):
+        fn_name = self._LEGACY_FN.get(metric.lower(), metric.lower())
+        if fn_name not in self._SCORE_FNS:
+            raise ValueError("Unknown metric")
+        score_fn, idx_metric = self._SCORE_FNS[fn_name]
+        routable = fn_name in (self._MAXBY_ROUTABLE if descending else self._MINBY_ROUTABLE)
         df = self.table(table)
-        spec = TopKAggSpec(self._table_name(table) or "<df>", value_col, vec_col, list(query), k, m)
-        idx = self._find_index(self._table_name(table), vec_col, m)
+        spec = TopKAggSpec(self._table_name(table) or "<df>", value_col, vec_col, list(query), k, idx_metric)
+        idx = self._find_index(self._table_name(table), vec_col, idx_metric) if routable else None
         decision = self._decide(spec, idx)
+        score = score_fn(vec_col, list(query))
         if decision.strategy == "HNSW_INDEX_SCAN":
             hits = idx.search(self.spark, list(query), k, decision.ef_search)
             id_col = idx.manifest.get("id_column", "id")
             fetched = df.join(F.broadcast(hits.select(F.col("id").alias(id_col))), id_col)
-            scored = fetched.withColumn("__s", distance_expr(vec_col, list(query), m))
-            desc = METRIC_IS_DESCENDING[m]
-            out = _by_k(scored, value_col, F.col("__s"), k, descending=desc, tiebreak=None)
+            # agg FILTER applies to the k scanned candidates (may yield < k
+            # values — reference carries the clause through the rewrite,
+            # src/hnsw/hnsw_optimize_topk.cpp:191-193)
+            out = _by_k(fetched, value_col, score, k, descending=descending, tiebreak=None, filter=where)
         else:
-            desc = METRIC_IS_DESCENDING[m]
-            score = distance_expr(vec_col, list(query), m)
-            out = _by_k(df, value_col, score, k, descending=desc, tiebreak=None)
+            out = _by_k(df, value_col, score, k, descending=descending, tiebreak=None, filter=where)
         return out, explain_text(spec, decision)
 
     # -- Q3/Q4/Q5: knn join ----------------------------------------------

@@ -64,8 +64,14 @@ def topk(
     return scored.orderBy(*order).limit(k)
 
 
-def _by_k(df, value_col, score: Column, k: int, descending: bool, tiebreak) -> DataFrame:
-    """Shared engine of min_by_k/max_by_k: exact top-k then ordered list agg."""
+def _by_k(df, value_col, score: Column, k: int, descending: bool, tiebreak, filter=None) -> DataFrame:
+    """Shared engine of min_by_k/max_by_k: exact top-k then ordered list agg.
+
+    ``filter`` is the aggregate FILTER clause: only rows satisfying it feed
+    the aggregate (reference carries it through the index rewrite,
+    src/hnsw/hnsw_optimize_topk.cpp:191-193)."""
+    if filter is not None:
+        df = df.filter(filter)
     value_col = F.col(value_col) if isinstance(value_col, str) else value_col
     scored = df.select(value_col.alias("__v"), score.alias("__s"))
     scored = scored.filter(F.col("__s").isNotNull())  # min_by skips NULL order values
@@ -88,12 +94,13 @@ def _by_k(df, value_col, score: Column, k: int, descending: bool, tiebreak) -> D
     return head.agg(F.transform(arr, lambda e: e["v"]).alias("values"))
 
 
-def min_by_k(df, value_col, score: Column, k: int, tiebreak=None) -> DataFrame:
-    """DuckDB ``min_by(value, score, k)``: single-row DataFrame with column
-    ``values`` = the k values with the smallest scores, ascending."""
-    return _by_k(df, value_col, score, k, descending=False, tiebreak=tiebreak)
+def min_by_k(df, value_col, score: Column, k: int, tiebreak=None, filter=None) -> DataFrame:
+    """DuckDB ``min_by(value, score, k) [FILTER (WHERE ...)]``: single-row
+    DataFrame with column ``values`` = the k values with the smallest scores,
+    ascending; ``filter`` restricts the aggregate's input rows."""
+    return _by_k(df, value_col, score, k, descending=False, tiebreak=tiebreak, filter=filter)
 
 
-def max_by_k(df, value_col, score: Column, k: int, tiebreak=None) -> DataFrame:
-    """DuckDB ``max_by(value, score, k)`` (descending)."""
-    return _by_k(df, value_col, score, k, descending=True, tiebreak=tiebreak)
+def max_by_k(df, value_col, score: Column, k: int, tiebreak=None, filter=None) -> DataFrame:
+    """DuckDB ``max_by(value, score, k) [FILTER (WHERE ...)]`` (descending)."""
+    return _by_k(df, value_col, score, k, descending=True, tiebreak=tiebreak, filter=filter)

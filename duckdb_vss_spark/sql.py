@@ -35,6 +35,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .engine import VSSEngine
 
@@ -43,6 +44,7 @@ __all__ = ["SQLFrontend", "register_distance_udfs"]
 _NUM = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
 # [1, 2.5, 3] with optional ::FLOAT[3] / ::FLOAT[] / ::DOUBLE[] cast suffix
 _ARRAY = rf"\[\s*(?P<elems>{_NUM}(?:\s*,\s*{_NUM})*)\s*\](?:::\s*(?:FLOAT|DOUBLE|REAL)\s*\[\s*\d*\s*\])?"
+_ARRAY_NG = _ARRAY.replace("(?P<elems>", "(?:")  # unnamed twin for rewrites
 
 _DIST_FNS = {
     "array_distance": "l2sq",
@@ -51,6 +53,24 @@ _DIST_FNS = {
     "array_inner_product": "ip",
     "array_negative_inner_product": "ip",
 }
+
+# ascending order on the function's value == nearest-first (index-routable
+# as ORDER BY ... ASC LIMIT k); the similarity/dot functions are nearest-
+# first only under DESC
+_ASC_NEAREST = {"array_distance", "array_cosine_distance", "array_negative_inner_product"}
+_DESC_NEAREST = {"array_cosine_similarity", "array_inner_product"}
+
+# distance operator aliases (reference: src/hnsw/hnsw_index.cpp:663-669)
+_OP_FNS = {"<->": "array_distance", "<=>": "array_cosine_distance", "<#>": "array_negative_inner_product"}
+
+
+def _rewrite_operator_aliases(s: str) -> str:
+    """``vec <-> [..]`` / ``<=>`` / ``<#>`` -> the equivalent function call,
+    so every downstream pattern (and the spark.sql fallback via registered
+    UDFs) sees one spelling."""
+    for op, fn in _OP_FNS.items():
+        s = re.sub(rf"(\w+(?:\.\w+)?)\s*{re.escape(op)}\s*({_ARRAY_NG})", rf"{fn}(\1, \2)", s)
+    return s
 
 
 def _parse_vec(elems: str) -> list[float]:
@@ -93,15 +113,17 @@ class SQLFrontend:
 
     # -- public ----------------------------------------------------------
     def sql(self, text: str):
-        s = text.strip().rstrip(";").strip()
+        s = _rewrite_operator_aliases(text.strip().rstrip(";").strip())
         for handler in (
             self._try_create_index,
             self._try_drop_index,
             self._try_pragma_compact,
             self._try_pragma_info,
+            self._try_pragma_optimizer,
             self._try_set_ef_search,
+            self._try_lateral_topk,
             self._try_topk,
-            self._try_min_by,
+            self._try_min_max_by,
             self._try_vss_join,
             self._try_vss_match,
         ):
@@ -158,14 +180,24 @@ class SQLFrontend:
         self.engine.set_ef_search(int(m.group("n")))
         return True, None
 
+    def _try_pragma_optimizer(self, s):
+        """pragma enable_optimizer / disable_optimizer — the reference's
+        differential-test switch (reference: test/sql/hnsw/hnsw_rewrite.test:19-34)."""
+        m = re.match(r"PRAGMA\s+(?P<which>enable|disable)_optimizer$", s, re.IGNORECASE)
+        if not m:
+            return False, None
+        self.engine.set_optimizer_enabled(m.group("which").lower() == "enable")
+        return True, None
+
     # -- Q1: top-k by distance -------------------------------------------
-    # SELECT <cols|*> FROM t [WHERE <pred>] ORDER BY <distfn>(col, [..]) [ASC] LIMIT k
+    # SELECT <cols|*> FROM t [WHERE <pred>]
+    # ORDER BY [1 -] <distfn>(col, [..]) [ASC|DESC] LIMIT k
     def _try_topk(self, s):
         m = re.match(
             rf"SELECT\s+(?P<proj>.+?)\s+FROM\s+(?P<table>\w+)"
             rf"(?:\s+WHERE\s+(?P<where>.+?))?"
-            rf"\s+ORDER\s+BY\s+(?P<expr>(?:1\s*-\s*)?(?P<fn>{'|'.join(_DIST_FNS)}))\s*"
-            rf"\(\s*(?P<col>\w+)\s*,\s*(?P<vec>{_ARRAY})\s*\)\s*(?:ASC\s*)?"
+            rf"\s+ORDER\s+BY\s+(?P<expr>(?:1(?:\.0)?\s*-\s*)?(?P<fn>{'|'.join(_DIST_FNS)}))\s*"
+            rf"\(\s*(?P<col>\w+)\s*,\s*(?P<vec>{_ARRAY})\s*\)\s*(?:(?P<dir>ASC|DESC)\s*)?"
             rf"LIMIT\s+(?P<k>\d+)$",
             s,
             re.IGNORECASE | re.DOTALL,
@@ -173,12 +205,23 @@ class SQLFrontend:
         if not m:
             return False, None
         fn = m.group("fn").lower()
-        one_minus = m.group("expr").replace(" ", "").lower().startswith("1-")
-        # canonicalization: 1 - array_cosine_similarity -> cosine distance
-        # ascending == cosine metric; bare similarity ASC would be farthest-
-        # first, which the reference never accelerates — reject to fallback
-        if fn == "array_cosine_similarity" and not one_minus:
-            return False, None
+        one_minus = m.group("expr").replace(" ", "").lower().startswith("1")
+        direction = (m.group("dir") or "ASC").upper()
+        # nearest-first check: the engine only accelerates nearest-k; any
+        # farthest-first spelling must fall through to the exact spark.sql
+        # path rather than be silently rewritten to the wrong rows.
+        if one_minus:
+            # canonicalization 1 - array_cosine_similarity -> cosine distance
+            # (reference: src/hnsw/hnsw_optimize_expr.cpp:17-70); the 1- form
+            # of any other function is not a distance — fall through
+            if fn != "array_cosine_similarity" or direction != "ASC":
+                return False, None
+        elif fn in _ASC_NEAREST:
+            if direction != "ASC":
+                return False, None
+        else:  # similarity/dot: nearest-first only under explicit DESC
+            if direction != "DESC":
+                return False, None
         metric = _DIST_FNS[fn]
         vec = _parse_vec(re.match(_ARRAY, m.group("vec")).group("elems"))
         out = self.engine.topk(
@@ -190,12 +233,58 @@ class SQLFrontend:
             out = out.selectExpr(*[c.strip() for c in proj.split(",")])
         return True, out
 
-    # -- Q2: min_by top-k aggregate --------------------------------------
-    # SELECT min_by(col, distfn(vcol, [..]), k) FROM t
-    def _try_min_by(self, s):
+    # -- Q3: lateral per-probe top-k (the decorrelated-join SQL spelling,
+    #    reference: src/hnsw/hnsw_optimize_join.cpp:352-363) ---------------
+    # SELECT <proj> FROM <outer> [o], LATERAL (
+    #   SELECT ... FROM <inner> [i]
+    #   ORDER BY <distfn>(<a>.<col>, <b>.<col>) [ASC] LIMIT k) [AS l]
+    def _try_lateral_topk(self, s):
         m = re.match(
-            rf"SELECT\s+min_by\s*\(\s*(?P<val>\w+)\s*,\s*(?P<fn>{'|'.join(_DIST_FNS)})\s*"
+            rf"SELECT\s+(?P<proj>.+?)\s+FROM\s+(?P<outer>\w+)(?:\s+(?:AS\s+)?(?P<oalias>(?!LATERAL\b)\w+))?\s*,\s*"
+            rf"LATERAL\s*\(\s*SELECT\s+.+?\s+FROM\s+(?P<inner>\w+)(?:\s+(?:AS\s+)?(?P<ialias>(?!ORDER\b)\w+))?\s+"
+            rf"ORDER\s+BY\s+(?P<fn>{'|'.join(_ASC_NEAREST)})\s*"
+            rf"\(\s*(?P<a1>\w+)\.(?P<c1>\w+)\s*,\s*(?P<a2>\w+)\.(?P<c2>\w+)\s*\)\s*(?:ASC\s*)?"
+            rf"LIMIT\s+(?P<k>\d+)\s*\)\s*(?:(?:AS\s+)?(?P<lalias>\w+))?$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            return False, None
+        outer, inner = m.group("outer"), m.group("inner")
+        oalias = m.group("oalias") or outer
+        ialias = m.group("ialias") or inner
+        sides = {m.group("a1").lower(): m.group("c1"), m.group("a2").lower(): m.group("c2")}
+        if {oalias.lower(), ialias.lower()} != set(sides):
+            return False, None  # distance args must reference both tables
+        ocol, icol = sides[oalias.lower()], sides[ialias.lower()]
+        odf, idf = self.engine.table(outer), self.engine.table(inner)
+        oid, iid = _guess_id_column(odf), _guess_id_column(idf)
+        # index routing happens inside engine.knn_join (HNSW_INDEX_JOIN when
+        # an index matches the inner column + metric)
+        flat = self.engine.knn_join(
+            outer, inner, ocol, icol, int(m.group("k")), _DIST_FNS[m.group("fn").lower()],
+            left_id=oid, right_id=iid,
+        )
+        la = m.group("lalias") or ialias
+        joined = (
+            flat.join(odf.alias(oalias), F.col("qid") == F.col(f"{oalias}.{oid}"))
+            .join(idf.alias(la), F.col("rid") == F.col(f"{la}.{iid}"))
+        )
+        proj = m.group("proj").strip()
+        if proj != "*":
+            joined = joined.selectExpr(*[c.strip() for c in proj.split(",")])
+        return True, joined
+
+    # -- Q2: min_by / max_by top-k aggregate ------------------------------
+    # SELECT min_by(col, distfn(vcol, [..]), k) [FILTER (WHERE p)] FROM t
+    # True DuckDB polarity: min_by = k smallest score values, max_by = k
+    # largest, whatever function produced the score; the engine routes to
+    # the index only when that coincides with nearest-first.
+    def _try_min_max_by(self, s):
+        m = re.match(
+            rf"SELECT\s+(?P<agg>min_by|max_by)\s*\(\s*(?P<val>\w+)\s*,\s*(?P<fn>{'|'.join(_DIST_FNS)})\s*"
             rf"\(\s*(?P<col>\w+)\s*,\s*(?P<vec>{_ARRAY})\s*\)\s*,\s*(?P<k>\d+)\s*\)\s*"
+            rf"(?:FILTER\s*\(\s*WHERE\s+(?P<filter>.+?)\s*\)\s*)?"
             rf"FROM\s+(?P<table>\w+)$",
             s,
             re.IGNORECASE | re.DOTALL,
@@ -203,8 +292,11 @@ class SQLFrontend:
         if not m:
             return False, None
         vec = _parse_vec(re.match(_ARRAY, m.group("vec")).group("elems"))
-        out = self.engine.min_by_k(
-            m.group("table"), m.group("val"), m.group("col"), vec, int(m.group("k")), _DIST_FNS[m.group("fn").lower()]
+        fn = m.group("fn").lower()
+        call = self.engine.max_by_k if m.group("agg").lower() == "max_by" else self.engine.min_by_k
+        out = call(
+            m.group("table"), m.group("val"), m.group("col"), vec, int(m.group("k")),
+            metric=fn, filter=m.group("filter"),
         )
         return True, out
 

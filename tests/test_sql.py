@@ -108,3 +108,124 @@ def test_drop_index_sql(fe):
     fe.sql("DROP INDEX sql_idx")
     info = fe.sql("SELECT * FROM pragma_hnsw_index_info()")
     assert "sql_idx" not in {r["index_name"] for r in info.collect()}
+
+
+# -- operator aliases (reference: src/hnsw/hnsw_index.cpp:663-669) ----------
+
+def test_operator_alias_l2(fe):
+    """`vec <-> [..]` must parse exactly like array_distance."""
+    a = fe.sql(f"SELECT vec_id FROM embeddings ORDER BY embedding <-> {Q_SQL} LIMIT 5").collect()
+    b = fe.sql(f"SELECT vec_id FROM embeddings ORDER BY array_distance(embedding, {Q_SQL}) LIMIT 5").collect()
+    assert [r["vec_id"] for r in a] == [r["vec_id"] for r in b]
+
+
+def test_operator_alias_cosine_and_ip(fe, ddb):
+    got_cos = {r["vec_id"] for r in fe.sql(
+        f"SELECT vec_id FROM embeddings ORDER BY embedding <=> {Q_SQL} LIMIT 5").collect()}
+    q64 = Q_SQL + "::DOUBLE[]"
+    exp_cos = {r[0] for r in ddb.execute(
+        f"SELECT vec_id FROM embeddings ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {q64}), vec_id LIMIT 5"
+    ).fetchall()}
+    assert got_cos == exp_cos
+    got_ip = {r["vec_id"] for r in fe.sql(
+        f"SELECT vec_id FROM embeddings ORDER BY embedding <#> {Q_SQL} LIMIT 5").collect()}
+    exp_ip = {r[0] for r in ddb.execute(
+        f"SELECT vec_id FROM embeddings ORDER BY -list_inner_product(embedding::DOUBLE[], {q64}), vec_id LIMIT 5"
+    ).fetchall()}
+    assert got_ip == exp_ip
+
+
+# -- ORDER BY polarity (farthest-first must NOT be silently rewritten) ------
+
+def test_similarity_desc_is_accelerated(fe, ddb):
+    got = {r["vec_id"] for r in fe.sql(
+        f"SELECT vec_id FROM embeddings ORDER BY array_cosine_similarity(embedding, {Q_SQL}) DESC LIMIT 5"
+    ).collect()}
+    q64 = Q_SQL + "::DOUBLE[]"
+    exp = {r[0] for r in ddb.execute(
+        f"SELECT vec_id FROM embeddings ORDER BY list_cosine_similarity(embedding::DOUBLE[], {q64}) DESC, vec_id LIMIT 5"
+    ).fetchall()}
+    assert got == exp
+
+
+def test_farthest_first_falls_through(fe):
+    """ORDER BY array_inner_product(...) ASC is smallest-dot-first; the
+    pattern path must NOT rewrite it to nearest-first. It falls through to
+    spark.sql, where the duckdb array literal is a parse error — an error
+    beats silently wrong rows."""
+    import py4j.protocol
+    from pyspark.errors.exceptions.captured import CapturedException
+
+    with pytest.raises((CapturedException, py4j.protocol.Py4JJavaError, Exception)):
+        fe.sql(
+            f"SELECT vec_id FROM embeddings ORDER BY array_inner_product(embedding, {Q_SQL}) ASC LIMIT 5"
+        ).collect()
+
+
+def test_one_minus_non_cosine_falls_through(fe):
+    """'1 - array_distance(...)' is farthest-first, not a canonicalizable
+    cosine distance — it must not be accepted by the top-k pattern."""
+    with pytest.raises(Exception):
+        fe.sql(
+            f"SELECT vec_id FROM embeddings ORDER BY 1 - array_distance(embedding, {Q_SQL}) LIMIT 5"
+        ).collect()
+
+
+# -- min_by/max_by true polarity + FILTER -----------------------------------
+
+def test_min_by_similarity_is_true_min(fe, ddb):
+    """min_by(col, similarity, k) = the k LEAST similar (DuckDB semantics),
+    never silently the most similar."""
+    got = fe.sql(
+        f"SELECT min_by(vec_id, array_cosine_similarity(embedding, {Q_SQL}), 3) FROM embeddings"
+    ).collect()[0]["values"]
+    q64 = Q_SQL + "::DOUBLE[]"
+    exp = ddb.execute(
+        f"SELECT (list(vec_id ORDER BY list_cosine_similarity(embedding::DOUBLE[], {q64}), vec_id))[1:3] FROM embeddings"
+    ).fetchall()[0][0]
+    assert list(got) == list(exp)
+
+
+def test_max_by_sql(fe, ddb):
+    got = fe.sql(
+        f"SELECT max_by(vec_id, array_inner_product(embedding, {Q_SQL}), 3) FROM embeddings"
+    ).collect()[0]["values"]
+    q64 = Q_SQL + "::DOUBLE[]"
+    exp = ddb.execute(
+        f"SELECT (list(vec_id ORDER BY list_inner_product(embedding::DOUBLE[], {q64}) DESC, vec_id))[1:3] FROM embeddings"
+    ).fetchall()[0][0]
+    assert list(got) == list(exp)
+
+
+def test_min_by_filter_sql(fe, ddb):
+    fe.sql("PRAGMA disable_optimizer")  # exact path: FILTER applies to all rows
+    try:
+        got = fe.sql(
+            f"SELECT min_by(vec_id, array_distance(embedding, {Q_SQL}), 3) FILTER (WHERE label = 1) FROM embeddings"
+        ).collect()[0]["values"]
+    finally:
+        fe.sql("PRAGMA enable_optimizer")
+    q64 = Q_SQL + "::DOUBLE[]"
+    exp = ddb.execute(
+        f"SELECT (list(vec_id ORDER BY list_distance(embedding::DOUBLE[], {q64}), vec_id) FILTER (WHERE label = 1))[1:3] FROM embeddings"
+    ).fetchall()[0][0]
+    assert list(got) == list(exp)
+
+
+# -- lateral SQL shape (reference: src/hnsw/hnsw_optimize_join.cpp:352-363) --
+
+def test_lateral_topk_sql(fe, ddb):
+    df = fe.sql(
+        "SELECT q.vec_id, i.vec_id, score FROM queries q, LATERAL ("
+        f"SELECT * FROM embeddings ORDER BY array_distance(embeddings.embedding, q.embedding) LIMIT 2) i"
+    )
+    got = sorted((r[0], r[1], round(r[2], 6)) for r in df.collect())
+    exp = sorted(
+        (a, b, round(d, 6))
+        for a, b, d in ddb.execute(
+            "SELECT q.vec_id, i.vec_id, i.d FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, "
+            "LATERAL (SELECT vec_id, list_distance(embedding::DOUBLE[], q.embedding::DOUBLE[]) AS d "
+            "FROM embeddings ORDER BY d, vec_id LIMIT 2) i"
+        ).fetchall()
+    )
+    assert got == exp
