@@ -214,12 +214,23 @@ def simhash_pairs(
     banded = sh.select(F.col(id_col), F.col("sh"), F.posexplode(chunk_arr).alias("b", "bucket"))
     a = banded.select("b", "bucket", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b2 = banded.select("b", "bucket", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+
+    # A pair agreeing on multiple chunks would surface once per agreeing
+    # band; keep only the FIRST agreeing band per pair, decided in codegen
+    # from the two signatures riding through the join — no global distinct(),
+    # one less Exchange (the dedup happens for free inside the join filter).
+    def _chunk(col, b):
+        return F.shiftright(col, b * width).bitwiseAND(F.lit((1 << width) - 1))
+
+    first_agree = F.when(_chunk(F.col("sh_a"), 0) == _chunk(F.col("sh_b"), 0), F.lit(0))
+    for bb in range(1, bands):
+        first_agree = first_agree.when(_chunk(F.col("sh_a"), bb) == _chunk(F.col("sh_b"), bb), F.lit(bb))
     return (
         a.join(b2, ["b", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("b") == first_agree)
         .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

@@ -144,3 +144,16 @@ def test_embedding_neardup_has_no_cartesian(emb):
     plan = _physical(embedding_neardup_pairs(emb, "embedding", "vec_id", 0.4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_has_no_distinct_exchange(spark):
+    """Pair dedup happens inside the band join (first-agreeing-band filter),
+    so the plan must contain no aggregate-for-distinct after the join: the
+    only exchanges are the signature groupBy and the band-bucket join sides."""
+    from duckdb_vss_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(simhash_pairs(docs, "text", "doc_id", 3, 4))
+    post_join = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan.split("Join")[0]
+    # a distinct() would plan HashAggregate(keys=[id_a, id_b, hamming...])
+    assert "keys=[id_a" not in plan
