@@ -572,6 +572,43 @@ def _q_sql_lateral(spark, sf_dir):
     return out.select("qid", "rid", F.col("score").cast("float").alias("score"))
 
 
+def _q_index_info(spark, sf_dir):
+    """S5 pragma_hnsw_index_info contract across the maintenance lifecycle
+    AND a restart (reference: test/sql/hnsw/hnsw_insert.test): build over a
+    subset, insert the rest, delete 10 — then read the info surface from a
+    FRESH catalog instance (restart = reload from artifacts only). count
+    must equal base + tail - deleted."""
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="vss_info_")
+    eng = VSSEngine(spark, index_root=root)
+    eng.register_table("emb_info", emb.filter(F.col("vec_id") >= 100))
+    eng.create_index("qi_idx", "emb_info", "embedding", "vec_id", replace=True)
+    eng.insert("qi_idx", emb.filter(F.col("vec_id") < 100), "embedding", "vec_id")
+    eng.delete("qi_idx", list(range(10)))
+    eng2 = VSSEngine(spark, index_root=root)  # restart durability (S4)
+    return eng2.index_info().select("index_name", "metric", "dimensions", "count")
+
+
+def _q_index_drop(spark, sf_dir):
+    """M4 drop contract: of two indexes, the dropped one must vanish from
+    the info surface while the other survives."""
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+
+    emb = _emb(spark, sf_dir)
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_drop_"))
+    eng.register_table("emb_drop", emb)
+    eng.create_index("qd_keep", "emb_drop", "embedding", "vec_id", replace=True)
+    eng.create_index("qd_gone", "emb_drop", "embedding", "vec_id", replace=True)
+    eng.drop_index("qd_gone")
+    return eng.index_info().select("index_name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -610,6 +647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_minby_filter": _q_minby_filter,
         "q35_sql_alias_topk": _q_sql_alias_topk,
         "q36_sql_lateral": _q_sql_lateral,
+        "q37_index_info": _q_index_info,
+        "q38_index_drop": _q_index_drop,
     }
 
 
@@ -868,4 +907,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, rid, score FROM j WHERE rnk <= 3
         """,
+        "q37_index_info": (
+            "SELECT 'qi_idx' AS index_name, 'l2sq' AS metric, "
+            "max(len(embedding))::BIGINT AS dimensions, (count(*) - 10)::BIGINT AS count FROM embeddings"
+        ),
+        "q38_index_drop": "SELECT 'qd_keep' AS index_name",
     }
