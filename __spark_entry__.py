@@ -572,6 +572,16 @@ def _q_sql_lateral(spark, sf_dir):
     return out.select("qid", "rid", F.col("score").cast("float").alias("score"))
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Document fingerprinting by rolling-hash winnowing (MOSS algorithm):
+    one row per (doc, fingerprint) — the join key for long-verbatim-overlap
+    detection across a corpus. Streaming-window operator form (each gram
+    hashed once)."""
+    from duckdb_vss_spark.operators.dedup import winnow_fingerprint_rows
+
+    return winnow_fingerprint_rows(_docs(spark, sf_dir), "text", "doc_id", 5, 8)
+
+
 def _q_index_info(spark, sf_dir):
     """S5 pragma_hnsw_index_info contract across the maintenance lifecycle
     AND a restart (reference: test/sql/hnsw/hnsw_insert.test): build over a
@@ -649,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_sql_lateral": _q_sql_lateral,
         "q37_index_info": _q_index_info,
         "q38_index_drop": _q_index_drop,
+        "q39_winnow_fingerprints": _q_winnow_fingerprints,
     }
 
 
@@ -912,4 +923,9 @@ def oracle_sql() -> dict[str, str]:
             "max(len(embedding))::BIGINT AS dimensions, (count(*) - 10)::BIGINT AS count FROM embeddings"
         ),
         "q38_index_drop": "SELECT 'qd_keep' AS index_name",
+        "q39_winnow_fingerprints": f"""
+            WITH g AS (SELECT doc_id, {O.sql_winnow_grams('text', 5)} AS gh FROM documents),
+            f AS (SELECT doc_id, {O.sql_winnow_from_grams('gh', 8)} AS fps FROM g)
+            SELECT doc_id, unnest(fps) AS fp FROM f
+        """,
     }

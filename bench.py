@@ -80,8 +80,10 @@ def main() -> None:
     timings["minhash_lsh_dedup"] = run(lambda: minhash_lsh_pairs(docs, "text", "doc_id", 3, 16, 4, 0.5).count())
     timings["ngram_jaccard_dedup"] = run(lambda: ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.5).count())
 
-    from duckdb_vss_spark.operators.dedup import simhash_pairs
+    from duckdb_vss_spark.operators.dedup import simhash_pairs, winnow_fingerprint_rows
     from duckdb_vss_spark.functions import text as T
+
+    timings["winnow_fingerprints"] = run(lambda: winnow_fingerprint_rows(docs, "text", "doc_id", 5, 8).count())
 
     timings["simhash_dedup"] = run(lambda: simhash_pairs(docs, "text", "doc_id", 3, 4).count())
     timings["text_stats"] = run(

@@ -31,6 +31,8 @@ __all__ = [
     "quality_score",
     "normalize_text",
     "fingerprint_md5",
+    "winnow_fingerprints",
+    "char_gram_hashes",
     "LANGS",
     "STOPWORDS",
     "TOKEN_REGEX",
@@ -244,3 +246,48 @@ def normalize_text(col) -> Column:
 def fingerprint_md5(col) -> Column:
     """Exact-duplicate document fingerprint: md5 of the normalized text."""
     return F.md5(normalize_text(col))
+
+
+def winnow_fingerprints(col, k: int = 5, w: int = 8) -> Column:
+    """Rolling-hash document fingerprints by winnowing (Schleimer,
+    Wilkerson, Aiken — SIGMOD'03, the MOSS algorithm): hash every k-char
+    gram of the normalized text, slide a w-gram window, keep each window's
+    minimum hash, dedupe. Guarantee: any shared substring of length
+    >= w + k - 1 between two documents yields a shared fingerprint, so a
+    fingerprint-overlap join finds all long verbatim overlaps at 1/~(w/2)
+    the cost of indexing every gram.
+
+    Pure JVM expression. NOTE: the w shifted copies of the gram-hash array
+    re-evaluate the md5 pipeline w times — convenient for ad-hoc use, but
+    for corpus-scale runs prefer
+    :func:`duckdb_vss_spark.operators.dedup.winnow_fingerprint_rows`, which
+    hashes each gram once and computes window minima with a streaming
+    window aggregate (same result as exploding this array).
+    Returns array<long>.
+    """
+    gh = char_gram_hashes(col, k)
+    mins = gh
+    for i in range(1, w):
+        shifted = F.slice(gh, i + 1, F.greatest(F.lit(0), F.size(gh) - i))
+        # least() skips the null padding; full windows only, sliced below
+        mins = F.zip_with(mins, shifted, lambda x, y: F.least(x, y))
+    wins = F.slice(mins, 1, F.greatest(F.lit(1), F.size(gh) - (w - 1)))
+    return F.array_distinct(wins)
+
+
+def char_gram_hashes(col, k: int = 5) -> Column:
+    """int64 hashes of every k-char gram of the normalized text, in order.
+    Built from ``zip_with`` over shifted char-array copies (constant
+    re-evaluations of the normalize/split pipeline) rather than
+    ``transform(sequence, i -> substr(...))`` subtree references
+    (per-element re-evaluation — see word_ngrams note). Returns array<long>
+    of length max(1, len - k + 1)."""
+    chars = F.split(normalize_text(col), "")
+    grams = chars
+    for i in range(1, k):
+        shifted = F.slice(chars, i + 1, F.greatest(F.lit(0), F.size(chars) - i))
+        # concat_ws skips the null padding zip_with adds on the short side;
+        # partial tail grams are cut by the slice below
+        grams = F.zip_with(grams, shifted, lambda x, y: F.concat_ws("", x, y))
+    full = F.slice(grams, 1, F.greatest(F.lit(1), F.size(chars) - (k - 1)))
+    return F.transform(full, lambda g: hash64(g))

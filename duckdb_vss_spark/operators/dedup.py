@@ -32,7 +32,35 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
+    "winnow_fingerprint_rows",
 ]
+
+
+def winnow_fingerprint_rows(df: DataFrame, text_col: str, id_col: str, k: int = 5, w: int = 8) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS algorithm), one row per
+    (id, fp) — the corpus-scale form of
+    :func:`~duckdb_vss_spark.functions.text.winnow_fingerprints`.
+
+    Each k-gram is hashed exactly once (the array form re-evaluates the md5
+    pipeline once per window shift); window minima run as a streaming
+    ROWS-BETWEEN window aggregate partitioned by document — one hash
+    shuffle on the doc id, linear work per document, no state beyond the
+    w-row frame. Output: (id_col, fp BIGINT) distinct.
+    """
+    from ..functions.text import char_gram_hashes
+
+    grams = df.select(F.col(id_col), F.posexplode(char_gram_hashes(text_col, k)).alias("pos", "gh"))
+    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    mins = grams.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.min("gh").over(frame).alias("fp"),
+        F.count(F.lit(1)).over(frame).alias("cnt"),
+    )
+    # full windows only; a doc with fewer than w grams keeps its single
+    # all-grams window at pos 0 (mirrors max(1, n-w+1) in the array form)
+    wins = mins.filter((F.col("cnt") == w) | (F.col("pos") == 0))
+    return wins.select(F.col(id_col), "fp").distinct()
 
 
 def _shared(df: DataFrame) -> DataFrame:

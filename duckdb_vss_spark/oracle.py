@@ -101,6 +101,26 @@ def sql_quality_score(col: str) -> str:
     )
 
 
+def sql_winnow_grams(col: str, k: int) -> str:
+    """int64 hashes of the k-char grams of normalized text (winnowing
+    input; twin of the gram stage of functions.text.winnow_fingerprints).
+    Use in a CTE so the window stage references it by name."""
+    s = sql_normalize(col)
+    return (
+        f"list_transform(range(1, greatest(1, length({s}) - {k - 1}) + 1), "
+        f"i -> {sql_hash64(f'substr({s}, i, {k})')})"
+    )
+
+
+def sql_winnow_from_grams(gh_col: str, w: int) -> str:
+    """Winnowed fingerprint set from a gram-hash list column: min per
+    w-window, deduped (twin of the window stage of winnow_fingerprints)."""
+    return (
+        f"list_distinct(list_transform(range(1, greatest(1, len({gh_col}) - {w - 1}) + 1), "
+        f"j -> list_min({gh_col}[j:j+{w - 1}])))"
+    )
+
+
 def sql_feature_hashes(col: str, n: int = 1) -> str:
     """int64 hash list of the distinct word-ngram features (simhash input).
     Use in a CTE so the per-bit sums below reference it by name."""
