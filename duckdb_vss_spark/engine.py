@@ -43,6 +43,13 @@ class VSSEngine:
         # strongest equivalence-test lever (reference:
         # test/sql/hnsw/hnsw_rewrite.test:19-34)
         self.optimizer_enabled: bool = True
+        # hnsw_enable_experimental_persistence analog (reference:
+        # src/hnsw/hnsw_index_plan.cpp:21-30). The reference defaults OFF
+        # because its persistence is an experimental in-RAM-blob
+        # serialization; ours is plain partitioned parquet + manifest, so
+        # the default is ON. Setting it to false restores the reference's
+        # DDL-time guard (byte-identical error) for drop-in test parity.
+        self.enable_experimental_persistence: bool = True
 
     # -- tables -----------------------------------------------------------
     def register_table(self, name: str, df: DataFrame) -> None:
@@ -69,6 +76,11 @@ class VSSEngine:
         tested with and without the rewrites."""
         self.optimizer_enabled = bool(enabled)
 
+    def set_enable_experimental_persistence(self, enabled: bool) -> None:
+        """``SET hnsw_enable_experimental_persistence = <bool>``; see the
+        constructor note for why our default inverts the reference's."""
+        self.enable_experimental_persistence = bool(enabled)
+
     # -- index DDL --------------------------------------------------------
     def create_index(
         self,
@@ -80,6 +92,15 @@ class VSSEngine:
         nlist: int | None = None,
         replace: bool = False,
     ):
+        if not self.enable_experimental_persistence:
+            from .index.catalog import BinderException
+
+            # byte-identical DDL guard (reference:
+            # test/sql/hnsw/hnsw_experimental_persistence.test:18-21)
+            raise BinderException(
+                "HNSW indexes can only be created in in-memory databases, or when the configuration "
+                "option 'hnsw_enable_experimental_persistence' is set to true."
+            )
         return self.catalog.create_index(
             name,
             self.table(table),

@@ -121,6 +121,7 @@ class SQLFrontend:
             self._try_pragma_info,
             self._try_pragma_optimizer,
             self._try_set_ef_search,
+            self._try_set_persistence,
             self._try_lateral_topk,
             self._try_topk,
             self._try_min_max_by,
@@ -178,6 +179,15 @@ class SQLFrontend:
         if not m:
             return False, None
         self.engine.set_ef_search(int(m.group("n")))
+        return True, None
+
+    def _try_set_persistence(self, s):
+        m = re.match(
+            r"SET\s+hnsw_enable_experimental_persistence\s*=\s*(?P<v>true|false)$", s, re.IGNORECASE
+        )
+        if not m:
+            return False, None
+        self.engine.set_enable_experimental_persistence(m.group("v").lower() == "true")
         return True, None
 
     def _try_pragma_optimizer(self, s):

@@ -86,3 +86,42 @@ def test_knn_join_cosine_polarity(spark, emb):
         lst.sort()
         assert lst[0][1] >= lst[1][1]  # similarity descending
         assert abs(lst[0][1] - 1.0) < 1e-9  # self-similarity
+
+
+def test_knn_join_string_ids(spark, emb):
+    """A string-typed right id column must flow through the GEMM kernel
+    (object-dtype rid buffer) instead of crashing on the int64 sentinel."""
+    from duckdb_vss_spark import knn_join_flat
+    from pyspark.sql import functions as F
+
+    items = emb.select(F.concat(F.lit("doc-"), F.col("vec_id")).alias("sid"), "embedding")
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = knn_join_flat(
+        probes, items, "embedding", "embedding", 2, "l2sq", left_id="vec_id", right_id="sid"
+    ).collect()
+    assert len(out) == 6
+    best = {r["qid"]: r["rid"] for r in out if r["rnk"] == 1}
+    assert best == {0: "doc-0", 1: "doc-1", 2: "doc-2"}  # self-match at distance 0
+
+
+def test_indexed_join_probe_limit_fallback(spark, emb, tmp_path):
+    """A probe side above the broadcast limit must take the distributed
+    exact plan over live index rows (no unbounded driver collect) and still
+    return correct results."""
+    from duckdb_vss_spark import VSSEngine, knn_join_flat
+    from duckdb_vss_spark.operators.knn import knn_join_flat_indexed
+    from pyspark.sql import functions as F
+
+    eng = VSSEngine(spark, index_root=str(tmp_path))
+    eng.register_table("fb", emb)
+    eng.create_index("fb_idx", "fb", "embedding", "vec_id")
+    idx = eng.catalog.get("fb_idx")
+    probes = emb.filter(F.col("vec_id") < 20)
+    got = knn_join_flat_indexed(
+        probes, idx, "embedding", 3, "vec_id", ef_search=10**6, broadcast_probe_limit=5
+    ).collect()
+    want = knn_join_flat(
+        probes, emb, "embedding", "embedding", 3, "l2sq", left_id="vec_id", right_id="vec_id"
+    ).collect()
+    key = lambda rows: sorted((r["qid"], r["rnk"], r["rid"]) for r in rows)
+    assert key(got) == key(want)

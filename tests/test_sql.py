@@ -229,3 +229,23 @@ def test_lateral_topk_sql(fe, ddb):
         ).fetchall()
     )
     assert got == exp
+
+
+def test_experimental_persistence_guard(fe):
+    """SET hnsw_enable_experimental_persistence = false restores the
+    reference's DDL guard with its exact error string (reference:
+    test/sql/hnsw/hnsw_experimental_persistence.test:18-21)."""
+    from duckdb_vss_spark.index.catalog import BinderException
+
+    fe.sql("SET hnsw_enable_experimental_persistence = false")
+    try:
+        with pytest.raises(BinderException) as ei:
+            fe.sql("CREATE INDEX never_idx ON embeddings USING HNSW (embedding)")
+        assert str(ei.value) == (
+            "HNSW indexes can only be created in in-memory databases, or when the configuration "
+            "option 'hnsw_enable_experimental_persistence' is set to true."
+        )
+    finally:
+        fe.sql("SET hnsw_enable_experimental_persistence = true")
+    fe.sql("CREATE INDEX ok_idx ON embeddings USING HNSW (embedding)")
+    fe.sql("DROP INDEX ok_idx")
