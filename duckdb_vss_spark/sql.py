@@ -318,7 +318,8 @@ class SQLFrontend:
 
     def _try_vss_join(self, s):
         m = re.match(
-            rf"SELECT\s+(?P<proj>.+?)\s+FROM\s+vss_join\s*{self._MACRO_ARGS}$",
+            rf"SELECT\s+(?P<proj>.+?)\s+FROM\s+vss_join\s*{self._MACRO_ARGS}"
+            rf"(?:\s+WHERE\s+(?P<where>.+?))?$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
@@ -330,17 +331,15 @@ class SQLFrontend:
             left_id=_guess_id_column(self.engine.table(m.group("a1"))),
             right_id=_guess_id_column(self.engine.table(m.group("a2"))),
         )
-        proj = m.group("proj").strip()
-        if proj != "*":
-            out = out.selectExpr(*[c.strip() for c in proj.split(",")])
-        return True, out
+        return True, self._project(out, m)
 
     def _try_vss_match(self, s):
         # FROM <outer>, vss_match(<inner>, <outer_col>, <inner_col>, k [, metric:='m'])
         m = re.match(
             rf"SELECT\s+(?P<proj>.+?)\s+FROM\s+(?P<outer>\w+)\s*,\s*vss_match\s*"
             rf"\(\s*(?P<inner>\w+)\s*,\s*(?P<ocol>\w+)\s*,\s*(?P<icol>\w+)\s*,\s*(?P<k>\d+)\s*"
-            rf"(?:,\s*metric\s*:=\s*'(?P<metric>\w+)'\s*)?\)$",
+            rf"(?:,\s*metric\s*:=\s*'(?P<metric>\w+)'\s*)?\)"
+            rf"(?:\s+WHERE\s+(?P<where>.+?))?$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
@@ -352,10 +351,19 @@ class SQLFrontend:
             left_id=_guess_id_column(self.engine.table(m.group("outer"))),
             right_id=_guess_id_column(self.engine.table(m.group("inner"))),
         )
+        return True, self._project(out, m)
+
+    @staticmethod
+    def _project(out: DataFrame, m) -> DataFrame:
+        """Shared WHERE + projection tail of the macro handlers (both apply
+        to the macro's output relation, like SQL over a table function)."""
+        where = m.groupdict().get("where")
+        if where:
+            out = out.filter(where)
         proj = m.group("proj").strip()
         if proj != "*":
             out = out.selectExpr(*[c.strip() for c in proj.split(",")])
-        return True, out
+        return out
 
 
 def _guess_id_column(df: DataFrame) -> str:

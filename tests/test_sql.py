@@ -249,3 +249,26 @@ def test_experimental_persistence_guard(fe):
         fe.sql("SET hnsw_enable_experimental_persistence = true")
     fe.sql("CREATE INDEX ok_idx ON embeddings USING HNSW (embedding)")
     fe.sql("DROP INDEX ok_idx")
+
+
+def test_vss_join_where_and_projection(fe):
+    """WHERE + expression projection over the macro output (reference macro
+    output relation: score, left_tbl, right_tbl structs)."""
+    df = fe.sql(
+        "SELECT left_tbl.vec_id AS qid, right_tbl.vec_id AS rid, score "
+        "FROM vss_join(queries, embeddings, embedding, embedding, 2) "
+        "WHERE score > 0"
+    )
+    rows = df.collect()
+    assert len(rows) == 5  # self-match (score 0) filtered per probe
+    assert all(r["score"] > 0 and r["qid"] != r["rid"] for r in rows)
+
+
+def test_vss_match_where(fe):
+    df = fe.sql(
+        "SELECT vec_id, matches FROM queries, vss_match(embeddings, embedding, embedding, 3) "
+        "WHERE vec_id < 2"
+    )
+    rows = df.collect()
+    assert {r["vec_id"] for r in rows} == {0, 1}
+    assert all(len(r["matches"]) == 3 for r in rows)
