@@ -582,6 +582,40 @@ def _q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprint_rows(_docs(spark, sf_dir), "text", "doc_id", 5, 8)
 
 
+def _q_stream_ann(spark, sf_dir):
+    """Streaming ANN: query vectors arriving on a file stream are joined
+    per micro-batch against the IVF index (HNSW_INDEX_JOIN path) with a
+    distributed parquet append sink. availableNow + full probe => must
+    equal the exact batch lateral join (same oracle as q16)."""
+    import shutil
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+    from duckdb_vss_spark.streaming import stream_knn_join
+
+    from duckdb_vss_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    emb = _emb(spark, sf_dir)
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_sann_"))
+    eng.register_table("emb_sann", emb)
+    idx = eng.create_index("qsann_idx", "emb_sann", "embedding", "vec_id", replace=True)
+    staged = tempfile.mkdtemp(prefix="vss_sann_in_")
+    shutil.copy(os.path.join(sf_dir, "embeddings.parquet"), os.path.join(staged, "part-000.parquet"))
+    probes = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        .parquet(staged)
+        .filter(F.col("vec_id") < 10)
+    )
+    out = stream_knn_join(
+        probes, idx, "embedding", "vec_id", 3,
+        tempfile.mkdtemp(prefix="vss_sann_out_") + "/out", ef_search=10**6,
+    )
+    return out.select(
+        "qid", "rid", F.col("rnk").cast("long").alias("rnk"), F.col("score").cast("float").alias("score")
+    )
+
+
 def _q_index_info(spark, sf_dir):
     """S5 pragma_hnsw_index_info contract across the maintenance lifecycle
     AND a restart (reference: test/sql/hnsw/hnsw_insert.test): build over a
@@ -660,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_index_info": _q_index_info,
         "q38_index_drop": _q_index_drop,
         "q39_winnow_fingerprints": _q_winnow_fingerprints,
+        "q40_stream_ann": _q_stream_ann,
     }
 
 
@@ -928,4 +963,9 @@ def oracle_sql() -> dict[str, str]:
             f AS (SELECT doc_id, {O.sql_winnow_from_grams('gh', 8)} AS fps FROM g)
             SELECT doc_id, unnest(fps) AS fp FROM f
         """,
+        "q40_stream_ann": knn_flat.format(
+            dirn="ASC",
+            nprobe=10,
+            score_expr="list_distance(q.embedding::DOUBLE[], i.embedding::DOUBLE[])",
+        ),
     }

@@ -23,5 +23,6 @@ from .ops import (  # noqa: F401
     sessionize,
     running_totals_stateful,
     score_vector_stream,
+    stream_knn_join,
     run_to_memory,
 )

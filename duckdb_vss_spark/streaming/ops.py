@@ -32,6 +32,7 @@ __all__ = [
     "sessionize",
     "running_totals_stateful",
     "score_vector_stream",
+    "stream_knn_join",
     "run_to_memory",
 ]
 
@@ -176,6 +177,53 @@ def score_vector_stream(
         cond = F.col("score") >= threshold if METRIC_IS_DESCENDING[m] else F.col("score") <= threshold
         out = out.filter(cond)
     return out
+
+
+def stream_knn_join(
+    probes: DataFrame,
+    index,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    out_path: str,
+    ef_search: int | None = None,
+    timeout_sec: float = 120.0,
+) -> DataFrame:
+    """Streaming ANN: each micro-batch of arriving query vectors is joined
+    against an :class:`~duckdb_vss_spark.index.ivf.IVFIndex` (the
+    HNSW_INDEX_JOIN path — partition-pruned lists, probe-mask GEMM) and the
+    (qid, rid, rnk, score) matches append to a parquet sink. State-free:
+    the index artifact is the lookup side, each batch is independent, and
+    both the join and the sink write run distributed — nothing accumulates
+    on the driver, so the stream runs at any probe rate the cluster's
+    batch-join throughput covers.
+
+    Runs with ``availableNow`` over the currently-staged input and returns
+    the result DataFrame read back from the sink (the harness contract:
+    one pass over all data must equal the batch twin).
+    """
+    from ..operators.knn import knn_join_flat_indexed
+
+    spark = probes.sparkSession
+
+    def _batch(bdf: DataFrame, _bid: int) -> None:
+        out = knn_join_flat_indexed(bdf, index, vec_col, k, id_col, ef_search)
+        out.write.mode("append").parquet(out_path)
+
+    q = (
+        probes.writeStream.foreachBatch(_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_path + ".ckpt")
+        .start()
+    )
+    deadline = time.monotonic() + timeout_sec
+    while q.isActive and time.monotonic() < deadline:
+        time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream_knn_join did not finish in {timeout_sec}s")
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
 
 
 def run_to_memory(

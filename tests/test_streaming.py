@@ -130,3 +130,34 @@ def test_score_vector_stream(spark, tmp_path, emb):
     exp = {r["vec_id"]: r["s"] for r in emb.select("vec_id", array_distance("embedding", q).alias("s")).collect()}
     g = {r["vec_id"]: r["score"] for r in got.collect()}
     assert g == pytest.approx(exp)
+
+
+def test_stream_knn_join_equals_batch(spark, emb, tmp_path):
+    """Streaming ANN (availableNow, full probe) must equal the exact batch
+    k-NN join over the same probes."""
+    import shutil
+
+    from duckdb_vss_spark import VSSEngine, knn_join_flat
+    from duckdb_vss_spark.streaming import stream_knn_join
+    from pyspark.sql import functions as F
+
+    eng = VSSEngine(spark, index_root=str(tmp_path / "idx"))
+    eng.register_table("emb_sk", emb)
+    idx = eng.create_index("sk_idx", "emb_sk", "embedding", "vec_id")
+    staged = tmp_path / "in"
+    staged.mkdir()
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", staged / "part-000.parquet")
+    probes = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        .parquet(str(staged))
+        .filter(F.col("vec_id") < 5)
+    )
+    got = stream_knn_join(
+        probes, idx, "embedding", "vec_id", 3, str(tmp_path / "out"), ef_search=10**6
+    ).collect()
+    want = knn_join_flat(
+        emb.filter(F.col("vec_id") < 5), emb, "embedding", "embedding", 3, "l2sq",
+        left_id="vec_id", right_id="vec_id",
+    ).collect()
+    key = lambda rows: sorted((r["qid"], r["rnk"], r["rid"]) for r in rows)
+    assert key(got) == key(want)
