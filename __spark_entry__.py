@@ -582,6 +582,24 @@ def _q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprint_rows(_docs(spark, sf_dir), "text", "doc_id", 5, 8)
 
 
+def _q_salted_agg(spark, sf_dir):
+    """Skew-mitigated two-phase aggregation over the (skewed) events table:
+    must equal the plain GROUP BY exactly — salting changes the exchange
+    topology, never the algebra."""
+    from duckdb_vss_spark.operators.skew import salted_agg
+
+    ev = _events(spark, sf_dir)
+    out = salted_agg(
+        ev.withColumn("value", F.col("value")),
+        ["event_type"],
+        {"n": ("count", "event_id"), "sum_value": ("sum", "value"), "max_value": ("max", "value")},
+    )
+    return out.select(
+        "event_type", "n", F.col("sum_value").cast("float").alias("sum_value"),
+        F.col("max_value").cast("float").alias("max_value"),
+    )
+
+
 def _q_stream_ann(spark, sf_dir):
     """Streaming ANN: query vectors arriving on a file stream are joined
     per micro-batch against the IVF index (HNSW_INDEX_JOIN path) with a
@@ -695,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_index_drop": _q_index_drop,
         "q39_winnow_fingerprints": _q_winnow_fingerprints,
         "q40_stream_ann": _q_stream_ann,
+        "q41_salted_agg": _q_salted_agg,
     }
 
 
@@ -968,4 +987,9 @@ def oracle_sql() -> dict[str, str]:
             nprobe=10,
             score_expr="list_distance(q.embedding::DOUBLE[], i.embedding::DOUBLE[])",
         ),
+        "q41_salted_agg": """
+            SELECT event_type, count(*) AS n, sum(value)::FLOAT AS sum_value,
+                   max(value)::FLOAT AS max_value
+            FROM events GROUP BY event_type
+        """,
     }
