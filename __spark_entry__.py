@@ -393,6 +393,18 @@ def _q_multimodal_meta(spark, sf_dir):
     )
 
 
+def _q_multimodal_audio(spark, sf_dir):
+    """Multimodal audio: synthesized PCM containers round-tripped through
+    the header decode — sample_rate and byte-count are the typed metadata
+    an audio pipeline partitions on."""
+    from duckdb_vss_spark.operators import multimodal as M
+
+    audio = M.synthesize_media(_docs(spark, sf_dir), "doc_id", "text", kind="audio")
+    return M.decode_media_meta(audio, "doc_id").select(
+        "doc_id", "media_type", "sample_rate", F.col("n_bytes").cast("long").alias("n_bytes")
+    )
+
+
 def _q_multimodal_frames(spark, sf_dir):
     """Multimodal: video frame sampling (every 2nd frame of 1 + id % 8)."""
     from duckdb_vss_spark.operators import multimodal as M
@@ -714,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_winnow_fingerprints": _q_winnow_fingerprints,
         "q40_stream_ann": _q_stream_ann,
         "q41_salted_agg": _q_salted_agg,
+        "q42_multimodal_audio": _q_multimodal_audio,
     }
 
 
@@ -991,5 +1004,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n, sum(value)::FLOAT AS sum_value,
                    max(value)::FLOAT AS max_value
             FROM events GROUP BY event_type
+        """,
+        "q42_multimodal_audio": """
+            SELECT doc_id, 'audio' AS media_type, 8000::BIGINT AS sample_rate,
+                   16 + octet_length(encode(text)) AS n_bytes
+            FROM documents
         """,
     }

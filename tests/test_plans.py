@@ -157,3 +157,14 @@ def test_simhash_has_no_distinct_exchange(spark):
     post_join = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan.split("Join")[0]
     # a distinct() would plan HashAggregate(keys=[id_a, id_b, hamming...])
     assert "keys=[id_a" not in plan
+
+
+def test_winnow_single_shuffle(spark):
+    """Winnowing = one hash Exchange on the doc id: the window min runs on
+    that partitioning and the (id, fp) distinct reuses it (partitioning on a
+    prefix of the grouping keys satisfies the clustered distribution)."""
+    from duckdb_vss_spark.operators.dedup import winnow_fingerprint_rows
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(winnow_fingerprint_rows(docs, "text", "doc_id"))
+    assert plan.count("Exchange hashpartitioning") == 1
