@@ -36,6 +36,18 @@ __all__ = [
 ]
 
 
+def _admissible_cell_pairs(cents, rmax, r):
+    """Ordered cell pairs (i, j) that can possibly hold a point pair within
+    radius ``r``: triangle inequality ``|c_i - c_j| <= rmax_i + rmax_j + r``.
+    Candidates are complete for any point assignment consistent with
+    ``rmax`` (per-cell max residual)."""
+    import numpy as np
+
+    cc = (cents * cents).sum(1)
+    cdist = np.sqrt(np.maximum(cc[:, None] + cc[None, :] - 2.0 * (cents @ cents.T), 0.0))
+    return np.nonzero(cdist <= rmax[:, None] + rmax[None, :] + r)
+
+
 def winnow_fingerprint_rows(df: DataFrame, text_col: str, id_col: str, k: int = 5, w: int = 8) -> DataFrame:
     """Rolling-hash winnowing fingerprints (MOSS algorithm), one row per
     (id, fp) — the corpus-scale form of
@@ -398,9 +410,24 @@ def embedding_neardup_pairs(
         rmax[row["list_id"]] = row["rmax"]
     # 1e-9 slack absorbs f32->f64 rounding at the radius boundary
     r = math.sqrt(max(0.0, 2.0 * (1.0 - threshold))) + 1e-9
-    cc = (cents * cents).sum(1)
-    cdist = np.sqrt(np.maximum(cc[:, None] + cc[None, :] - 2.0 * (cents @ cents.T), 0.0))
-    la, lb = np.nonzero(cdist <= rmax[:, None] + rmax[None, :] + r)
+    la, lb = _admissible_cell_pairs(cents, rmax, r)
+    frac = len(la) / float(nlist * nlist)
+    if nlist > 1 and frac > 0.8:
+        import warnings
+
+        # honesty over silence: exact pruning is geometric — on data with no
+        # cluster structure (uniform high-dim vectors: every residual ~ the
+        # data diameter) the bound admits every cell pair and the join does
+        # all-pairs work, just without a CartesianProduct node. Real near-dup
+        # corpora cluster; if this fires, prefer knn_join + score filter or a
+        # higher threshold.
+        warnings.warn(
+            f"embedding_neardup_pairs: {frac:.0%} of cell pairs admissible "
+            f"(threshold={threshold}, mean cell residual={rmax.mean():.3f}) — "
+            "epsilon-join pruning is ineffective on this data; consider "
+            "knn_join with an IVF index + score post-filter",
+            stacklevel=2,
+        )
     pairs = spark.createDataFrame([(int(x), int(y)) for x, y in zip(la, lb)], "la int, lb int")
     a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("list_id").alias("la"))
     b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("list_id").alias("lb"))

@@ -123,3 +123,47 @@ def test_simhash_banding_is_exact(docs, spark):
 def test_minhash_lsh_verifies_jaccard(docs):
     pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", 3, 16, 4, 0.5).collect()
     assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_epsilon_join_prunes_on_clustered_data(spark):
+    """The cell-pair bound must actually prune when the data has cluster
+    structure (the regime near-dup corpora live in): 20 tight clusters on
+    the unit sphere => only near-identical cluster pairs stay admissible,
+    and the operator still finds exactly the within-cluster pairs."""
+    import math
+
+    import numpy as np
+
+    from duckdb_vss_spark.operators.dedup import _admissible_cell_pairs, embedding_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(20, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts, ids = [], []
+    for ci, c in enumerate(centers):
+        for j in range(25):
+            p = c + 0.02 * rng.normal(size=32)
+            pts.append((p / np.linalg.norm(p)).astype(np.float32))
+            ids.append(ci * 100 + j)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in p]) for i, p in zip(ids, pts)], "vec_id bigint, v array<float>"
+    )
+    # direct bound check: tight clusters => rmax ~ 0.02, r(0.9) ~ 0.45 --
+    # admissible pairs collapse to near-diagonal
+    from duckdb_vss_spark.index.ivf import kmeans
+
+    mat = np.vstack(pts).astype(np.float64)
+    cents = kmeans(mat, 20, seed=1)
+    d2 = (mat * mat).sum(1)[:, None] + (cents * cents).sum(1)[None, :] - 2.0 * (mat @ cents.T)
+    li = d2.argmin(1)
+    resid = np.sqrt(np.maximum(d2[np.arange(len(li)), li], 0))
+    rmax = np.zeros(20)
+    for l, rr in zip(li, resid):
+        rmax[l] = max(rmax[l], rr)
+    r = math.sqrt(2 * (1 - 0.9))
+    la, _lb = _admissible_cell_pairs(cents, rmax, r)
+    assert len(la) < 0.5 * 20 * 20  # pruning is real on clustered data
+    # and the operator output is exactly the within-cluster pairs
+    out = embedding_neardup_pairs(df, "v", "vec_id", 0.9, nlist=20).collect()
+    assert len(out) > 0
+    assert all(r_["id_a"] // 100 == r_["id_b"] // 100 for r_ in out)
