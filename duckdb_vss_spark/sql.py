@@ -248,13 +248,16 @@ class SQLFrontend:
     # SELECT <proj> FROM <outer> [o], LATERAL (
     #   SELECT ... FROM <inner> [i]
     #   ORDER BY <distfn>(<a>.<col>, <b>.<col>) [ASC] LIMIT k) [AS l]
+    # [GROUP BY <cols>]  (grouped variant of the reference's
+    #  test/sql/hnsw/hnsw_lateral_join_group.test, standard aggregates only)
     def _try_lateral_topk(self, s):
         m = re.match(
             rf"SELECT\s+(?P<proj>.+?)\s+FROM\s+(?P<outer>\w+)(?:\s+(?:AS\s+)?(?P<oalias>(?!LATERAL\b)\w+))?\s*,\s*"
             rf"LATERAL\s*\(\s*SELECT\s+.+?\s+FROM\s+(?P<inner>\w+)(?:\s+(?:AS\s+)?(?P<ialias>(?!ORDER\b)\w+))?\s+"
             rf"ORDER\s+BY\s+(?P<fn>{'|'.join(_ASC_NEAREST)})\s*"
             rf"\(\s*(?P<a1>\w+)\.(?P<c1>\w+)\s*,\s*(?P<a2>\w+)\.(?P<c2>\w+)\s*\)\s*(?:ASC\s*)?"
-            rf"LIMIT\s+(?P<k>\d+)\s*\)\s*(?:(?:AS\s+)?(?P<lalias>\w+))?$",
+            rf"LIMIT\s+(?P<k>\d+)\s*\)\s*(?:(?:AS\s+)?(?P<lalias>(?!GROUP\b)\w+))?"
+            rf"(?:\s+GROUP\s+BY\s+(?P<group>[\w.,\s]+?))?$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
@@ -281,6 +284,20 @@ class SQLFrontend:
             .join(idf.alias(la), F.col("rid") == F.col(f"{la}.{iid}"))
         )
         proj = m.group("proj").strip()
+        group = m.group("group")
+        if group:
+            keys = [F.expr(c.strip()) for c in group.split(",")]
+            # projection = group keys + standard SQL aggregates (count/min/
+            # max/sum/avg — Spark-parseable via expr); duckdb-only aggregates
+            # (list, bool_and) are not translated -> caller uses the API form
+            aggs = [
+                F.expr(c.strip())
+                for c in proj.split(",")
+                if re.match(r"(count|min|max|sum|avg)\s*\(", c.strip(), re.IGNORECASE)
+            ]
+            if not aggs:
+                return False, None
+            return True, joined.groupBy(*keys).agg(*aggs)
         if proj != "*":
             joined = joined.selectExpr(*[c.strip() for c in proj.split(",")])
         return True, joined

@@ -272,3 +272,23 @@ def test_vss_match_where(fe):
     rows = df.collect()
     assert {r["vec_id"] for r in rows} == {0, 1}
     assert all(len(r["matches"]) == 3 for r in rows)
+
+
+def test_grouped_lateral_sql(fe, ddb):
+    """The grouped lateral shape (reference:
+    test/sql/hnsw/hnsw_lateral_join_group.test) with standard aggregates."""
+    df = fe.sql(
+        "SELECT q.vec_id, count(*) AS n, min(score) AS best FROM queries q, LATERAL ("
+        "SELECT * FROM embeddings ORDER BY array_distance(embeddings.embedding, q.embedding) LIMIT 3) i "
+        "GROUP BY q.vec_id"
+    )
+    got = sorted((r["vec_id"], r["n"], round(r["best"], 6)) for r in df.collect())
+    exp = sorted(
+        (a, b, round(c, 6))
+        for a, b, c in ddb.execute(
+            "SELECT q.vec_id, count(*), min(i.d) FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, "
+            "LATERAL (SELECT vec_id, list_distance(embedding::DOUBLE[], q.embedding::DOUBLE[]) AS d "
+            "FROM embeddings ORDER BY d, vec_id LIMIT 3) i GROUP BY q.vec_id"
+        ).fetchall()
+    )
+    assert got == exp
