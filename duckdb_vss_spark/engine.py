@@ -317,8 +317,10 @@ class VSSEngine:
         return self.knn_join(left, right, left_col, right_col, k, metric, left_id, right_id, flat=False)
 
     def vss_match(self, left, right, left_col, right_col, k, metric="l2sq", left_id=None, right_id=None) -> DataFrame:
-        """vss_match macro parity (matches list output). Uses the exact path
-        via operators.knn (index routing applies only to the flat join)."""
-        return knn_match(
-            self.table(left), self.table(right), left_col, right_col, k, metric, left_id, right_id
-        )
+        """vss_match macro parity (matches list output). The flat k-NN core
+        routes through the index (HNSW_INDEX_JOIN) when one matches; the
+        list-of-struct assembly is shared with the exact path."""
+        from .operators.knn import match_from_flat
+
+        flat, _ = self._plan_knn_join(left, right, left_col, right_col, k, metric, left_id, right_id, True)
+        return match_from_flat(flat, self.table(left), self.table(right), left_id, right_id)

@@ -351,6 +351,12 @@ def knn_match(
     List is best-first, like min_by/max_by output order."""
     m = canonical_metric(metric)
     flat = knn_join_flat(left, right, left_on, right_on, k, m, left_id, right_id, method)
+    return match_from_flat(flat, left, right, left_id, right_id)
+
+
+def match_from_flat(flat: DataFrame, left: DataFrame, right: DataFrame, left_id: str, right_id: str) -> DataFrame:
+    """Assemble the vss_match output shape from any flat (qid, rid, rnk,
+    score) k-NN result — shared by the exact and indexed paths."""
     rstruct = right.select(F.col(right_id).alias("__rid"), F.struct(*right.columns).alias("row"))
     matched = flat.join(rstruct, flat["rid"] == rstruct["__rid"]).select(
         "qid", "rnk", F.struct(F.col("score").cast("float").alias("score"), F.col("row").alias("row")).alias("m")

@@ -321,3 +321,26 @@ def test_optimizer_on_off_differential(spark, tmp_path_factory, shape):
         eng.set_optimizer_enabled(True)
         eng.set_ef_search(None)
     assert on == off
+
+
+def test_vss_match_routes_through_index(engine, spark):
+    """vss_match's flat core must take the HNSW_INDEX_JOIN path when an
+    index matches, and at full probe equal the exact macro output."""
+    from duckdb_vss_spark.operators.knn import knn_match
+
+    probes = emb_df(spark).filter(F.col("vec_id") < 4)
+    engine.set_ef_search(10**6)
+    try:
+        got = engine.vss_match(probes, "emb", "embedding", "embedding", 3,
+                               left_id="vec_id", right_id="vec_id").collect()
+    finally:
+        engine.set_ef_search(None)
+    want = knn_match(probes, emb_df(spark), "embedding", "embedding", 3, "l2sq",
+                     left_id="vec_id", right_id="vec_id").collect()
+    canon = lambda rows: sorted(
+        (r["vec_id"], tuple(m["row"]["vec_id"] for m in r["matches"])) for r in rows
+    )
+    assert canon(got) == canon(want)
+    plan = engine.explain_knn_join(probes, "emb", "embedding", "embedding", 3,
+                                   left_id="vec_id", right_id="vec_id")
+    assert "HNSW_INDEX_JOIN" in plan
