@@ -1,0 +1,84 @@
+"""Edge-case battery: NULL vectors, degenerate k, dimension mismatches,
+empty inputs — the failure modes a reference user hits first."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark import VSSEngine, knn_join_flat, min_by_k, topk
+from duckdb_vss_spark.functions.distance import array_distance
+
+Q3 = [1.0, 2.0, 3.0]
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    rows = [(0, [1.0, 2.0, 3.0]), (1, [2.0, 2.0, 2.0]), (2, None), (3, [9.0, 9.0, 9.0])]
+    return spark.createDataFrame(rows, "id bigint, vec array<float>")
+
+
+def test_topk_skips_null_vectors(small):
+    out = topk(small, "vec", Q3, 10, "l2sq", tiebreak="id").collect()
+    assert [r["id"] for r in out] == [0, 1, 3]  # null row excluded, not an error
+
+
+def test_topk_k_zero_and_k_over_count(small):
+    assert topk(small, "vec", Q3, 0, "l2sq").count() == 0
+    assert topk(small, "vec", Q3, 100, "l2sq").count() == 3  # k > n: all non-null rows
+
+
+def test_topk_bad_metric(small):
+    with pytest.raises(ValueError, match="Unknown metric"):
+        topk(small, "vec", Q3, 2, "manhattan")
+
+
+def test_min_by_k_k_over_count(small):
+    vals = min_by_k(small, "id", array_distance("vec", Q3), 100, tiebreak="id").collect()[0]["values"]
+    assert list(vals) == [0, 1, 3]
+
+
+def test_knn_join_null_probe_and_k_over_count(small):
+    out = knn_join_flat(small, small, "vec", "vec", 10, "l2sq", left_id="id", right_id="id").collect()
+    qids = {r["qid"] for r in out}
+    assert qids == {0, 1, 3}  # null probe row skipped
+    assert all(len([r for r in out if r["qid"] == q]) == 3 for q in qids)  # k>n -> n matches
+
+
+def test_knn_join_empty_probe_side(spark, small):
+    empty = small.filter(F.lit(False))
+    out = knn_join_flat(empty, small, "vec", "vec", 3, "l2sq", left_id="id", right_id="id")
+    assert out.count() == 0
+
+
+def test_knn_join_missing_ids_raises(small):
+    with pytest.raises(ValueError, match="left_id/right_id"):
+        knn_join_flat(small, small, "vec", "vec", 3, "l2sq")
+
+
+def test_index_query_dimension_mismatch(spark, small, tmp_path):
+    eng = VSSEngine(spark, index_root=str(tmp_path))
+    eng.register_table("edge_t", small)
+    idx = eng.create_index("edge_idx", "edge_t", "vec", "id")
+    with pytest.raises(ValueError, match="query dimension"):
+        idx.search(spark, [1.0, 2.0], 2).collect()
+
+
+def test_index_build_empty_and_ragged(spark, tmp_path):
+    from duckdb_vss_spark.index.ivf import build_ivf
+
+    empty = spark.createDataFrame([], "id bigint, vec array<float>")
+    with pytest.raises(ValueError, match="empty vector column"):
+        build_ivf(empty, "vec", "id", str(tmp_path / "e"))
+    ragged = spark.createDataFrame([(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])], "id bigint, vec array<float>")
+    with pytest.raises(ValueError, match="fixed-size"):
+        build_ivf(ragged, "vec", "id", str(tmp_path / "r"))
+
+
+def test_index_build_skips_null_vectors(spark, small, tmp_path):
+    from duckdb_vss_spark.index.ivf import build_ivf
+
+    idx = build_ivf(small, "vec", "id", str(tmp_path / "n"))
+    assert idx.manifest["count"] == 3
+    hits = idx.search(small.sparkSession, Q3, 10, ef_search=10**6).collect()
+    assert sorted(h["id"] for h in hits) == [0, 1, 3]
