@@ -251,6 +251,27 @@ def _q_ann_ivf_default(spark, sf_dir):
     )
 
 
+def _q_ann_pq_topk(spark, sf_dir):
+    """IVF-PQ top-k at full probe: ADC over 8-byte codes (the vec column is
+    pruned from the hot scan) + exact re-rank — scores in the output are
+    exact. Approximate membership => rows-only check like q17
+    (beyond-reference scale extension, duckdb_vss_spark/index/pq.py)."""
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_pq_"))
+    eng.register_table("embeddings_pq", _emb(spark, sf_dir))
+    eng.create_index(
+        "qa_pq_idx", "embeddings_pq", "embedding", "vec_id",
+        options={"pq_m": 8}, replace=True,
+    )
+    eng.set_ef_search(128)
+    return eng.topk("embeddings_pq", "embedding", Q64, 10, tiebreak="vec_id").select(
+        "vec_id", F.col("score").cast("float").alias("score")
+    )
+
+
 def _tbl(spark, sf_dir, name):
     from duckdb_vss_spark.deploy import ensure_shipped
 
@@ -727,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_stream_ann": _q_stream_ann,
         "q41_salted_agg": _q_salted_agg,
         "q42_multimodal_audio": _q_multimodal_audio,
+        "q43_ann_pq_topk": _q_ann_pq_topk,
     }
 
 
@@ -868,6 +890,8 @@ def oracle_sql() -> dict[str, str]:
             score_expr="list_distance(q.embedding::DOUBLE[], i.embedding::DOUBLE[])",
         ),
         # q17_ann_ivf_default: intentionally no oracle (approximate path)
+        # q43_ann_pq_topk: intentionally no oracle (PQ shortlist membership
+        # is approximate even at full probe; scores are exact via re-rank)
         "q18_tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity)::FLOAT AS sum_qty,

@@ -111,6 +111,17 @@ def main() -> None:
         lambda: eng.knn_join(probes, "emb_bench", "embedding", "embedding", 10, left_id="vec_id", right_id="vec_id").collect()
     )
 
+    # IVF-PQ: 8-byte codes in the hot scan instead of 256-byte vectors
+    # (own engine root so the planner can't route to the flat index above)
+    peng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="bench_pq_"))
+    peng.register_table("emb_bench", emb)
+    t0 = time.perf_counter()
+    peng.create_index("bench_pq", "emb_bench", "embedding", "vec_id", options={"pq_m": 8}, replace=True)
+    timings["ivf_pq_index_build"] = time.perf_counter() - t0
+    timings["ivf_pq_topk_k10"] = run(
+        lambda: peng.topk("emb_bench", "embedding", Q, 10, tiebreak="vec_id").collect()
+    )
+
     sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
     print(
         json.dumps(

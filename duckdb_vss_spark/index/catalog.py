@@ -62,6 +62,11 @@ def validate_options(options: dict) -> dict:
             if v < lo:
                 raise BinderException(f"HNSW index '{name}' must be at least {lo}")
             out[name] = v
+        elif k in ("pq_m", "pq_rerank"):
+            # IVF-PQ extension options (beyond the reference surface; :mod:`.pq`)
+            if isinstance(v, bool) or not isinstance(v, int) or v < 1:
+                raise BinderException(f"IVF-PQ option '{k}' must be a positive integer")
+            out[k] = v
         else:
             raise BinderException(f"Unknown option for HNSW index: '{key}'")
     if out["M0"] is None:
@@ -220,7 +225,10 @@ class IndexCatalog:
             c = idx.counts(self.spark)
             live = c["live"]
             cap = 1 << max(0, math.ceil(math.log2(max(1, live))))
-            vec_bytes = live * idx.dim * 4
+            # PQ artifacts keep m code bytes + a f32 norm per row in the hot
+            # scan; flat artifacts read the full f32 vector
+            pq_m = idx.manifest.get("pq_m")
+            vec_bytes = live * (pq_m + 4) if pq_m else live * idx.dim * 4
             cent_bytes = idx.nlist * idx.dim * 8
             rows.append(
                 (

@@ -60,6 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import fs
+from . import pq as pqmod
 from ..functions.distance import METRIC_IS_DESCENDING, canonical_metric, distance_expr
 
 __all__ = ["IVFIndex", "build_ivf", "kmeans"]
@@ -136,6 +137,11 @@ def build_ivf(
 
     The derived values are recorded in the manifest so ``index_info()`` and
     tests can observe the options' effect.
+
+    Extension option ``pq_m`` (see :mod:`.pq`) additionally trains per-subspace
+    codebooks and stores an ``m``-byte PQ code + the vector norm next to each
+    row; the scan path then reads codes instead of vectors and re-ranks a
+    shortlist exactly (``pq_rerank`` * k candidates, default 4x).
     """
     metric = canonical_metric(metric)
     opts = dict(options or {})
@@ -167,19 +173,35 @@ def build_ivf(
     centroids = kmeans(smat, nlist, iters=kmeans_iters, seed=seed)
     nlist = centroids.shape[0]
 
+    pq_m = opts.get("pq_m")
+    if pq_m and dim % pq_m != 0:
+        raise ValueError(f"IVF-PQ option 'pq_m' ({pq_m}) must divide the vector dimension ({dim})")
+    books = pqmod.train_codebooks(smat, pq_m, seed=seed) if pq_m else None
+
     bc = spark.sparkContext.broadcast(centroids)
+    bc_books = spark.sparkContext.broadcast(books) if books is not None else None
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cents = bc.value
+        cbooks = bc_books.value if bc_books is not None else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
             pdf = pdf.assign(list_id=_nearest_centroid(mat, cents).astype(np.int32))
+            if cbooks is not None:
+                codes = pqmod.encode(mat, cbooks)
+                pdf = pdf.assign(
+                    codes=[c.tobytes() for c in codes],
+                    vnorm=np.linalg.norm(mat, axis=1).astype(np.float32),
+                )
             yield pdf
 
     id_t = dict(df.dtypes)[id_col]
-    assigned = src.mapInPandas(assign, schema=f"id {id_t}, vec array<float>, list_id int")
+    schema = f"id {id_t}, vec array<float>, list_id int"
+    if books is not None:
+        schema += ", codes binary, vnorm float"
+    assigned = src.mapInPandas(assign, schema=schema)
     vdir = fs.join(path, version)
     # one file per inverted list; lists are the unit of search-time pruning
     (
@@ -189,6 +211,8 @@ def build_ivf(
         .parquet(fs.join(vdir, "data"))
     )
     fs.write_npy(spark, fs.join(vdir, "centroids.npy"), centroids)
+    if books is not None:
+        fs.write_npy(spark, fs.join(vdir, "pq_codebooks.npy"), books)
     manifest = {
         "format": "ivf-flat-parquet/v2",
         "version": version,
@@ -203,6 +227,9 @@ def build_ivf(
         "kmeans_iters": kmeans_iters,
         "kmeans_sample": kmeans_sample,
     }
+    if pq_m:
+        manifest["pq_m"] = int(pq_m)
+        manifest["pq_rerank"] = int(opts.get("pq_rerank", 4))
     manifest.update(extra_manifest or {})
     fs.write_json(spark, fs.join(path, "manifest.json"), manifest)  # commit point
     return IVFIndex(path, spark)
@@ -220,6 +247,11 @@ class IVFIndex:
         self.version = self.manifest.get("version", "")
         self.vpath = fs.join(path, self.version) if self.version else path
         self.centroids = fs.read_npy(self.spark, fs.join(self.vpath, "centroids.npy"))
+        self.pq_books = (
+            fs.read_npy(self.spark, fs.join(self.vpath, "pq_codebooks.npy"))
+            if self.manifest.get("pq_m")
+            else None
+        )
 
     # -- properties -------------------------------------------------------
     @property
@@ -319,11 +351,60 @@ class IVFIndex:
 
     def search(self, spark: SparkSession, query: list[float], k: int, ef_search: int | None = None) -> DataFrame:
         """Top-k (id, score) for one query vector; score polarity follows the
-        metric. Exact within the probed lists."""
+        metric. Exact within the probed lists (PQ artifacts re-rank a code-
+        selected shortlist with the exact expression, so reported scores stay
+        exact there too — only membership is approximate)."""
+        if self.pq_books is not None:
+            return self._pq_search(spark, query, k, ef_search)
         cand = self.candidates(spark, query, ef_search)
         desc = METRIC_IS_DESCENDING[self.metric]
         scored = cand.select("id", distance_expr("vec", query, self.metric).alias("score"))
         order = [F.col("score").desc() if desc else F.col("score").asc(), F.col("id").asc()]
+        return scored.orderBy(*order).limit(k)
+
+    def _pq_search(self, spark: SparkSession, query: list[float], k: int, ef_search: int | None) -> DataFrame:
+        """IVF-PQ scan: ADC over the probed lists reading ONLY (id, codes,
+        vnorm) — parquet column pruning keeps the heavy ``vec`` column out of
+        the hot scan — then an exact re-rank of the top ``k * pq_rerank``
+        candidates (vectors fetched by broadcast id-join from the same pruned
+        partitions). Tail rows are unioned brute-force-exact; deleted ids are
+        dropped before every top-k cut (same tombstone contract as
+        :meth:`candidates`)."""
+        if len(query) != self.dim:
+            raise ValueError(f"query dimension {len(query)} != index dimension {self.dim}")
+        metric = self.metric
+        desc = METRIC_IS_DESCENDING[metric]
+        lists = self.probe_lists(query, self.nprobe_for(ef_search))
+        data = spark.read.parquet(self.data_path()).filter(F.col("list_id").isin(lists))
+        lut = pqmod.adc_lut(np.asarray(query, dtype=np.float64), self.pq_books, metric)
+        bc_lut = spark.sparkContext.broadcast(lut)
+        qnorm = float(np.linalg.norm(np.asarray(query, dtype=np.float64)))
+        id_t = self.manifest.get("id_type", "bigint")
+
+        def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            table = bc_lut.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                s = pqmod.adc_scores(pdf["codes"].tolist(), table)
+                if metric == "cosine":
+                    s = s / np.maximum(qnorm * pdf["vnorm"].to_numpy(np.float64), 1e-30)
+                yield pd.DataFrame({"id": pdf["id"], "score": s})
+
+        approx = data.select("id", "codes", "vnorm").mapInPandas(adc, schema=f"id {id_t}, score double")
+        deleted = self.deleted_df(spark)
+        if deleted is not None:
+            approx = approx.join(F.broadcast(deleted), "id", "left_anti")
+        order = [F.col("score").desc() if desc else F.col("score").asc(), F.col("id").asc()]
+        rerank = max(k, k * int(self.manifest.get("pq_rerank", 4)))
+        shortlist = approx.orderBy(*order).limit(rerank).select("id")
+        fetched = data.select("id", "vec").join(F.broadcast(shortlist), "id")
+        tail = self.tail_df(spark)
+        if tail is not None:
+            if deleted is not None:
+                tail = tail.join(F.broadcast(deleted), "id", "left_anti")
+            fetched = fetched.unionByName(tail)
+        scored = fetched.select("id", distance_expr("vec", query, metric).alias("score"))
         return scored.orderBy(*order).limit(k)
 
     # -- maintenance ------------------------------------------------------

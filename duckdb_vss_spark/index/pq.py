@@ -1,0 +1,96 @@
+"""Product quantization for the IVF artifact (IVF-PQ, 8-bit codes).
+
+A beyond-reference scale extension (the reference's HNSW keeps full f32
+vectors in RAM, reference: src/hnsw/hnsw_index.cpp:700-724 — fine for one
+node, not for 100 TB): each vector is split into ``m`` subspaces and every
+subspace is quantized to 1 byte against a 256-codeword codebook trained on
+the build sample, so the search-time scan reads ``m`` bytes per row instead
+of ``4*dim``. The codes live in their OWN parquet column next to the full
+vector, which makes the compression a *column-pruning* story Spark already
+knows how to execute:
+
+- the approximate (ADC) scan selects only ``(id, codes, vnorm)`` — parquet
+  never materializes the heavy ``vec`` column (asserted in
+  tests/test_plans.py);
+- the exact re-rank fetches ``vec`` for just the top ``k * pq_rerank``
+  candidates via a broadcast id semi-join over the same pruned partitions.
+
+Scores returned to the user are always exact (the re-rank recomputes them
+with the normal distance expression), preserving the engine's contract that
+only *membership* is approximate — same contract as the flat index and the
+reference (src/hnsw/hnsw_optimize_scan.cpp:164).
+
+Asymmetric distance (ADC) lookup tables per metric:
+
+- ``l2sq``:  lut[j, c] = ||q_j - cb[j, c]||^2, score = sum_j lut[j, code_j]
+- ``ip``:    lut[j, c] = <q_j, cb[j, c]>,      score = sum_j lut[j, code_j]
+- ``cosine``: ip-style numerator over the codes divided by
+  ``|q| * vnorm`` — the true vector norm is stored per row at encode time,
+  so only the numerator is quantized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["train_codebooks", "encode", "adc_lut", "adc_scores", "PQ_KS"]
+
+PQ_KS = 256  # 8-bit codes: one byte per subspace
+_TRAIN_CAP = 32768  # points used to train each subspace codebook
+_TRAIN_ITERS = 10
+
+
+def train_codebooks(sample: np.ndarray, m: int, seed: int = 42) -> np.ndarray:
+    """Train per-subspace codebooks on the (n, dim) build sample.
+    Returns (m, 256, dim//m) float64. ``dim`` must be divisible by ``m``."""
+    from .ivf import kmeans  # late import: ivf imports this module
+
+    n, dim = sample.shape
+    if dim % m != 0:
+        raise ValueError(f"pq_m={m} must divide the vector dimension {dim}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    x = sample[rng.permutation(n)[:_TRAIN_CAP]] if n > _TRAIN_CAP else sample
+    books = np.empty((m, PQ_KS, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = np.ascontiguousarray(x[:, j * dsub : (j + 1) * dsub])
+        cb = kmeans(sub, PQ_KS, iters=_TRAIN_ITERS, seed=seed + j)
+        if cb.shape[0] < PQ_KS:  # fewer distinct points than codewords
+            pad = cb[np.zeros(PQ_KS - cb.shape[0], dtype=np.int64)]
+            cb = np.vstack([cb, pad])
+        books[j] = cb
+    return books
+
+
+def encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Encode (n, dim) vectors to (n, m) uint8 codes (nearest codeword per
+    subspace, blocked GEMM per subspace)."""
+    n, dim = mat.shape
+    m, ks, dsub = books.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        cb = books[j]
+        d2 = (sub * sub).sum(1)[:, None] + (cb * cb).sum(1)[None, :] - 2.0 * (sub @ cb.T)
+        codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def adc_lut(query: np.ndarray, books: np.ndarray, metric: str) -> np.ndarray:
+    """(m, 256) lookup table for one query; see module docstring for the
+    per-metric formula. For ``cosine`` the table holds the inner-product
+    numerator — divide by ``|q| * vnorm`` at scan time."""
+    m, ks, dsub = books.shape
+    q = np.asarray(query, dtype=np.float64).reshape(m, dsub)
+    if metric == "l2sq":
+        return ((books - q[:, None, :]) ** 2).sum(axis=2)
+    # ip numerator serves both 'ip' and 'cosine'
+    return (books * q[:, None, :]).sum(axis=2)
+
+
+def adc_scores(code_bytes, lut: np.ndarray) -> np.ndarray:
+    """Vectorized ADC: ``code_bytes`` is a sequence of length-m byte strings,
+    ``lut`` (m, 256). Returns (n,) float64 approximate scores."""
+    m = lut.shape[0]
+    codes = np.frombuffer(b"".join(code_bytes), dtype=np.uint8).reshape(-1, m)
+    return lut[np.arange(m)[None, :], codes].sum(axis=1)
