@@ -139,6 +139,30 @@ def test_pq_adc_scan_prunes_vec_column(spark, pq_engine):
     assert all("vec:" not in ln for ln in adc), adc
 
 
+def test_pq_cosine_full_probe_matches_exact(spark, tmp_path):
+    """Cosine PQ: the ADC numerator is quantized but the denominator uses the
+    stored true vector norm — full probe + re-rank recovers the exact top-k
+    neighbours on the seeded corpus."""
+    eng = VSSEngine(spark, index_root=str(tmp_path))
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    eng.register_table("embc", emb)
+    eng.create_index("embc_pq", "embc", "embedding", "vec_id", options={"metric": "cosine", "pq_m": 8})
+    exact_ids = [r["vec_id"] for r in topk(emb, "embedding", Q, 10, "cosine", tiebreak="vec_id").collect()]
+    idx = eng.catalog.get("embc_pq")
+    got_ids = [r["id"] for r in idx.search(spark, Q, 10, ef_search=128).collect()]
+    recall = len(set(exact_ids) & set(got_ids)) / 10.0
+    assert recall >= 0.9, (exact_ids, got_ids)
+
+
+def test_pq_adc_scan_partition_prunes(spark, pq_engine):
+    """Below full probe the ADC scan must read only the probed list_id
+    partitions (Catalyst partition pruning), same contract as the flat scan."""
+    idx = pq_engine.catalog.get("emb_pq")
+    plan = idx.search(spark, Q, 10, ef_search=32)._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "list_id" in ln]
+    assert scans, plan
+
+
 def test_pq_lifecycle_insert_delete_compact(spark, pq_engine):
     eng = pq_engine
     new = spark.createDataFrame([(100001, Q), (100002, Q)], "vec_id bigint, embedding array<float>")
