@@ -633,6 +633,42 @@ def _q_salted_agg(spark, sf_dir):
     )
 
 
+def _q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by md5 id-hash — pure
+    projection, no shuffle, subset-invariant (a row's split never depends on
+    which other rows are present). Training-pipeline surface."""
+    from duckdb_vss_spark import hash_split
+
+    return (
+        hash_split(_docs(spark, sf_dir), "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Exact-count stratified sample (ceil(frac*n) per language, hash-rank
+    cut) — deterministic mixture weights, unlike Bernoulli sampleBy."""
+    from duckdb_vss_spark import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), "lang", 0.2, "doc_id").select("doc_id", "lang")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing per language shard at a 512-token
+    budget: per-pack document count and token totals."""
+    from duckdb_vss_spark import pack_sequences
+    from duckdb_vss_spark.functions import text as T
+
+    packed = pack_sequences(
+        _docs(spark, sf_dir).withColumn("nt", T.token_count("text")),
+        "nt", 512, "doc_id", shard_col="lang",
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("sum_tokens")
+    )
+
+
 def _q_stream_ann(spark, sf_dir):
     """Streaming ANN: query vectors arriving on a file stream are joined
     per micro-batch against the IVF index (HNSW_INDEX_JOIN path) with a
@@ -749,6 +785,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_salted_agg": _q_salted_agg,
         "q42_multimodal_audio": _q_multimodal_audio,
         "q43_ann_pq_topk": _q_ann_pq_topk,
+        "q44_hash_split": _q_hash_split,
+        "q45_stratified_sample": _q_stratified_sample,
+        "q46_pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1033,5 +1072,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'audio' AS media_type, 8000::BIGINT AS sample_rate,
                    16 + octet_length(encode(text)) AS n_bytes
             FROM documents
+        """,
+        "q44_hash_split": f"""
+            SELECT CASE WHEN {O.sql_id_hash('doc_id', 'split')} % 1000000 < 800000 THEN 'train'
+                        WHEN {O.sql_id_hash('doc_id', 'split')} % 1000000 < 900000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n
+            FROM documents GROUP BY split
+        """,
+        "q45_stratified_sample": f"""
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY {O.sql_id_hash('doc_id', 'strata')}, doc_id) AS rnk,
+                       count(*) OVER (PARTITION BY lang) AS cnt
+                FROM documents)
+            WHERE rnk <= ceil(0.2 * cnt)
+        """,
+        "q46_pack_sequences": f"""
+            SELECT lang, pack_id, count(*) AS n_docs, sum(nt)::BIGINT AS sum_tokens
+            FROM (
+                SELECT lang, nt,
+                       (sum(nt) OVER (PARTITION BY lang ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) - nt) // 512 AS pack_id
+                FROM (SELECT lang, doc_id, {O.sql_id_hash('doc_id', 'pack')} AS h,
+                             {O.sql_token_count('text')} AS nt
+                      FROM documents))
+            GROUP BY lang, pack_id
         """,
     }

@@ -1,0 +1,149 @@
+"""Deterministic data-mixing operators for training-data pipelines:
+hash-based splits, stratified sampling, and sequence packing.
+
+Beyond the reference's surface (it is a vector-search extension), but core
+to what an analytics engine feeding an LLM training pipeline must do: decide
+— reproducibly, on any cluster size, with no RNG state — which documents go
+to train/val/test, how much of each stratum (language, source, quality
+bucket) enters the mix, and how documents concatenate into fixed token-budget
+sequences.
+
+Everything is keyed off :func:`~duckdb_vss_spark.functions.text.hash64`
+(md5-derived 60-bit int shared bit-for-bit with the duckdb oracle), so every
+operator here is exactly reproducible across engines and across runs — no
+``rand()``, no partition-order sensitivity.
+
+Scale notes (100 TB posture):
+
+- ``hash_split`` is a pure projection — no shuffle at all.
+- ``stratified_sample`` is one window shuffle keyed by the stratum column;
+  skewed strata are bounded by the stratum's own size, and the hash-rank
+  cut is exact per stratum (ceil(fraction * n)), unlike ``df.sampleBy``
+  which is only expected-fraction.
+- ``pack_sequences`` windows within a shard (e.g. language): a global
+  ORDER BY would serialize the world; per-shard packing is what a real
+  pipeline does anyway (one tokenizer/stream per shard), and each shard's
+  cumulative sum parallelizes across Spark's range-partitioned window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+__all__ = ["hash_split", "stratified_sample", "pack_sequences", "SPLIT_MOD"]
+
+SPLIT_MOD = 1_000_000  # bucket space for split thresholds (ppm resolution)
+
+
+def _hash_of(id_col: str, seed: str) -> Column:
+    # cast through string so int and string ids hash identically in both engines
+    return T.hash64(F.col(id_col).cast("string"), seed=seed)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: tuple = (0.8, 0.1, 0.1),
+    labels: tuple = ("train", "val", "test"),
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hashing its id — deterministic,
+    shuffle-free, stable under re-runs, appends, and repartitioning (a row's
+    split never depends on which other rows are present).
+
+    ``bucket = hash64(seed || id) % 1e6`` compared against cumulative-weight
+    thresholds; weights are normalized so (8, 1, 1) == (0.8, 0.1, 0.1).
+    """
+    if len(weights) != len(labels):
+        raise ValueError(f"weights ({len(weights)}) and labels ({len(labels)}) must align")
+    total = float(sum(weights))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    bucket = _hash_of(id_col, seed) % SPLIT_MOD
+    cum = 0.0
+    expr = None
+    for w, lab in zip(weights[:-1], labels[:-1]):
+        cum += w / total
+        t = int(round(SPLIT_MOD * cum))
+        expr = (F.when if expr is None else expr.when)(bucket < t, lab)
+    expr = expr.otherwise(labels[-1]) if expr is not None else F.lit(labels[-1])
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction,
+    id_col: str,
+    seed: str = "strata",
+) -> DataFrame:
+    """Exact-count stratified sample: within each stratum keep the first
+    ``ceil(fraction * n_stratum)`` rows in hash-of-id order.
+
+    ``fraction`` is a float (same rate everywhere) or a dict
+    ``{stratum_value: rate}`` (strata absent from the dict are dropped) —
+    the mixture-weights use case. Unlike ``DataFrame.sampleBy`` (Bernoulli,
+    expected fraction only), the cut here is exact and deterministic.
+    One shuffle, keyed by the stratum column.
+    """
+    if isinstance(fraction, dict):
+        frac = None
+        for val, r in fraction.items():
+            if not (0.0 <= r <= 1.0):
+                raise ValueError(f"fraction for {val!r} must be in [0, 1]")
+            frac = (F.when if frac is None else frac.when)(F.col(strata_col) == val, F.lit(float(r)))
+        frac = F.lit(0.0) if frac is None else frac.otherwise(F.lit(0.0))
+    else:
+        if not (0.0 <= fraction <= 1.0):
+            raise ValueError("fraction must be in [0, 1]")
+        frac = F.lit(float(fraction))
+    h = _hash_of(id_col, seed)
+    w = Window.partitionBy(strata_col)
+    rnk = F.row_number().over(w.orderBy(h.asc(), F.col(id_col).asc()))
+    n = F.count(F.lit(1)).over(w)
+    return (
+        df.withColumn("__rnk", rnk)
+        .withColumn("__keep", F.ceil(frac * n))
+        .filter(F.col("__rnk") <= F.col("__keep"))
+        .drop("__rnk", "__keep")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str,
+    shard_col: str | None = None,
+    seed: str = "pack",
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: order documents deterministically
+    (hash of id) within each shard, accumulate token counts, and assign
+    ``pack_id = floor(tokens_before_this_doc / budget)`` — the standard
+    streaming packing an LLM data loader performs, precomputed engine-side.
+
+    A document longer than ``budget`` still gets a pack (it will span
+    chunks downstream); packs other than a shard's last hold at least
+    ``budget`` tokens once their boundary document arrives, and token
+    overflow per pack is bounded by one document.
+
+    ``shard_col=None`` packs the whole frame as one shard — fine for tests,
+    serializes the window at scale; pass a real shard column (language,
+    source bucket) for cluster runs.
+    """
+    if budget < 1:
+        raise ValueError("budget must be at least 1")
+    shard = F.col(shard_col) if shard_col else F.lit(0)
+    h = _hash_of(id_col, seed)
+    w = (
+        Window.partitionBy(shard)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    return df.withColumn(out_col, F.floor(before / F.lit(int(budget))).cast("long"))

@@ -37,6 +37,12 @@ def sql_hash64(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def sql_id_hash(id_col: str, seed: str) -> str:
+    """Twin of operators.sampling._hash_of: ``hash64(seed || CAST(id AS
+    VARCHAR))`` — the ordering/bucketing key of every sampling operator."""
+    return sql_hash64(f"'{seed}' || CAST({id_col} AS VARCHAR)")
+
+
 def sql_word_ngrams(col: str, n: int) -> str:
     t = sql_tokens(col)
     if n == 1:

@@ -1,0 +1,173 @@
+"""Deterministic data-mixing operators (operators/sampling.py): hash splits,
+exact stratified sampling, sequence packing — each cross-checked against the
+duckdb oracle twin and against pure-pandas recomputation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark import hash_split, pack_sequences, stratified_sample
+from duckdb_vss_spark.functions import text as T
+from duckdb_vss_spark.oracle import sql_id_hash, sql_token_count
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+# -- hash_split ------------------------------------------------------------
+
+def test_hash_split_matches_oracle(docs, ddb):
+    got = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    h = sql_id_hash("doc_id", "split")
+    want = dict(
+        ddb.execute(
+            f"""SELECT doc_id, CASE WHEN {h} % 1000000 < 800000 THEN 'train'
+                                    WHEN {h} % 1000000 < 900000 THEN 'val'
+                                    ELSE 'test' END FROM documents"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_hash_split_proportions_and_stability(docs):
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in hash_split(docs, "doc_id").groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / n - 0.8) < 0.06
+    # subset invariance: a row's split never depends on which rows are present
+    sub = hash_split(docs.filter(F.col("doc_id") % 7 == 0), "doc_id")
+    full = hash_split(docs, "doc_id").filter(F.col("doc_id") % 7 == 0)
+    assert {(r["doc_id"], r["split"]) for r in sub.select("doc_id", "split").collect()} == {
+        (r["doc_id"], r["split"]) for r in full.select("doc_id", "split").collect()
+    }
+
+
+def test_hash_split_validation(docs):
+    with pytest.raises(ValueError, match="must align"):
+        hash_split(docs, "doc_id", weights=(1, 1), labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="positive"):
+        hash_split(docs, "doc_id", weights=(0, 0), labels=("a", "b"))
+    # integer weights normalize
+    labs = {r["split"] for r in hash_split(docs, "doc_id", weights=(8, 1, 1)).select("split").distinct().collect()}
+    assert labs == {"train", "val", "test"}
+
+
+# -- stratified_sample -----------------------------------------------------
+
+def test_stratified_sample_exact_counts(docs):
+    frac = 0.1
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(docs, "lang", frac, "doc_id").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {lang: math.ceil(frac * n) for lang, n in base.items()}
+
+
+def test_stratified_sample_dict_fractions(docs):
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    keep, drop = langs[0], langs[1:]
+    out = stratified_sample(docs, "lang", {keep: 0.5}, "doc_id")
+    got_langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert got_langs == {keep}  # strata absent from the dict are dropped
+    n_keep = docs.filter(F.col("lang") == keep).count()
+    assert out.count() == math.ceil(0.5 * n_keep)
+
+
+def test_stratified_sample_matches_oracle(docs, ddb):
+    got = sorted(r["doc_id"] for r in stratified_sample(docs, "lang", 0.2, "doc_id").select("doc_id").collect())
+    h = sql_id_hash("doc_id", "strata")
+    want = sorted(
+        r[0]
+        for r in ddb.execute(
+            f"""SELECT doc_id FROM (
+                    SELECT doc_id,
+                           row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rnk,
+                           count(*) OVER (PARTITION BY lang) AS cnt
+                    FROM documents)
+                WHERE rnk <= ceil(0.2 * cnt)"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_stratified_sample_validation(docs):
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(docs, "lang", 1.5, "doc_id")
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(docs, "lang", {"en": -0.1}, "doc_id")
+
+
+# -- pack_sequences --------------------------------------------------------
+
+def test_pack_sequences_matches_pandas(docs):
+    budget = 512
+    out = (
+        pack_sequences(
+            docs.withColumn("nt", T.token_count("text")), "nt", budget, "doc_id", shard_col="lang"
+        )
+        .select("lang", "doc_id", "nt", "pack_id")
+        .toPandas()
+    )
+    for lang, grp in out.groupby("lang"):
+        g = grp.sort_values(["doc_id"]).copy()
+        # recompute in pandas over the same deterministic order
+        order = sorted(
+            g.itertuples(),
+            key=lambda t: (_py_hash64("pack" + str(t.doc_id)), t.doc_id),
+        )
+        cum = 0
+        for t in order:
+            expect = cum // budget
+            assert t.pack_id == expect, (lang, t.doc_id, t.pack_id, expect)
+            cum += t.nt
+        # invariant: cumulative tokens before any non-first pack >= pack_id * budget
+        assert g["pack_id"].min() == 0
+
+
+def test_pack_sequences_matches_oracle(docs, ddb):
+    budget = 512
+    got = sorted(
+        (r["lang"], r["pack_id"], r["n_docs"], r["sum_tokens"])
+        for r in pack_sequences(
+            docs.withColumn("nt", T.token_count("text")), "nt", budget, "doc_id", shard_col="lang"
+        )
+        .groupBy("lang", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("sum_tokens"))
+        .collect()
+    )
+    h = sql_id_hash("doc_id", "pack")
+    nt = sql_token_count("text")
+    want = sorted(
+        tuple(r)
+        for r in ddb.execute(
+            f"""SELECT lang, pack_id, count(*) AS n_docs, sum(nt)::BIGINT AS sum_tokens
+                FROM (
+                    SELECT lang, nt,
+                           (sum(nt) OVER (PARTITION BY lang ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) - nt) // {budget} AS pack_id
+                    FROM (SELECT lang, doc_id, {h} AS h, {nt} AS nt FROM documents))
+                GROUP BY lang, pack_id"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_pack_sequences_validation(docs):
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(docs, "n_chars", 0, "doc_id")
+
+
+def _py_hash64(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
