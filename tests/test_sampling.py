@@ -171,3 +171,25 @@ def _py_hash64(s: str) -> int:
     import hashlib
 
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# -- plan shape: the scale contract ---------------------------------------
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sampling_plan_shapes(docs):
+    """hash_split is a pure projection (zero shuffles); stratified_sample and
+    pack_sequences each cost exactly one Exchange (their window key); nothing
+    here drops to Python — all md5/conv/window expressions stay JVM-side."""
+    split_plan = _physical(hash_split(docs, "doc_id"))
+    assert "Exchange" not in split_plan
+    strat_plan = _physical(stratified_sample(docs, "lang", 0.2, "doc_id"))
+    assert strat_plan.count("Exchange") == 1
+    pack_plan = _physical(
+        pack_sequences(docs.withColumn("nt", T.token_count("text")), "nt", 512, "doc_id", shard_col="lang")
+    )
+    assert pack_plan.count("Exchange") == 1
+    for plan in (split_plan, strat_plan, pack_plan):
+        assert "Python" not in plan and "BatchEval" not in plan
