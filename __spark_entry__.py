@@ -669,6 +669,15 @@ def _q_pack_sequences(spark, sf_dir):
     )
 
 
+def _q_corpus_stats(spark, sf_dir):
+    """Per-language corpus profile: doc counts, exact token-count quantiles
+    (R-7 interpolation, bit-stable vs duckdb's quantile_cont), exact vocab.
+    What a pipeline reads before choosing mixture weights."""
+    from duckdb_vss_spark import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir), "text", "lang")
+
+
 def _q_stream_ann(spark, sf_dir):
     """Streaming ANN: query vectors arriving on a file stream are joined
     per micro-batch against the IVF index (HNSW_INDEX_JOIN path) with a
@@ -788,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_hash_split": _q_hash_split,
         "q45_stratified_sample": _q_stratified_sample,
         "q46_pack_sequences": _q_pack_sequences,
+        "q47_corpus_stats": _q_corpus_stats,
     }
 
 
@@ -1099,5 +1109,21 @@ def oracle_sql() -> dict[str, str]:
                              {O.sql_token_count('text')} AS nt
                       FROM documents))
             GROUP BY lang, pack_id
+        """,
+        "q47_corpus_stats": f"""
+            WITH s AS (
+                SELECT lang AS stratum, count(*) AS n_docs,
+                       sum({O.sql_token_count('text')})::BIGINT AS total_tokens,
+                       (sum({O.sql_token_count('text')})::DOUBLE / count(*))::FLOAT AS mean_tokens,
+                       quantile_cont({O.sql_token_count('text')}, 0.5)::FLOAT AS p50_tokens,
+                       quantile_cont({O.sql_token_count('text')}, 0.9)::FLOAT AS p90_tokens,
+                       quantile_cont({O.sql_token_count('text')}, 0.99)::FLOAT AS p99_tokens
+                FROM documents GROUP BY lang
+            ), v AS (
+                SELECT stratum, count(DISTINCT tok) AS vocab FROM (
+                    SELECT lang AS stratum, unnest({O.sql_tokens('text')}) AS tok
+                    FROM documents) GROUP BY stratum
+            )
+            SELECT s.*, v.vocab FROM s JOIN v USING (stratum)
         """,
     }
