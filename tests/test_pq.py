@@ -163,6 +163,11 @@ def test_pq_adc_scan_partition_prunes(spark, pq_engine):
     assert scans, plan
 
 
+def test_pq_explain_marker(pq_engine):
+    txt = pq_engine.explain_topk("emb", "embedding", Q, 10)
+    assert "HNSW_INDEX_SCAN" in txt and "pq_m=8 (ADC+rerank)" in txt
+
+
 def test_pq_lifecycle_insert_delete_compact(spark, pq_engine):
     eng = pq_engine
     new = spark.createDataFrame([(100001, Q), (100002, Q)], "vec_id bigint, embedding array<float>")
