@@ -121,6 +121,9 @@ def main() -> None:
     timings["ivf_pq_topk_k10"] = run(
         lambda: peng.topk("emb_bench", "embedding", Q, 10, tiebreak="vec_id").collect()
     )
+    timings["ivf_pq_knn_join_100xN_k10"] = run(
+        lambda: peng.knn_join(probes, "emb_bench", "embedding", "embedding", 10, left_id="vec_id", right_id="vec_id").collect()
+    )
 
     sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
     print(

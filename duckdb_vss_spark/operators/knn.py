@@ -166,6 +166,105 @@ def _candidates_broadcast(
     )
 
 
+def _candidates_broadcast_pq(
+    left: DataFrame,
+    data: DataFrame,
+    left_on: str,
+    left_id: str,
+    k_sel: int,
+    metric: str,
+    index,
+    probe_mask,
+    excluded_ids,
+    probes_pdf,
+) -> DataFrame:
+    """ADC candidate generation over a PQ artifact (:mod:`..index.pq`):
+    per-partition top-``k_sel`` per probe computed from ``(rid, codes,
+    vnorm, list_id)`` only — no vectors enter the kernel, so fold memory is
+    O(k_sel * nq) scalars instead of the flat kernel's O(k * nq * dim)
+    vector carry, and the scan reads ``pq_m`` bytes per row. Returns
+    (qid, rid) pairs; the caller recomputes exact scores.
+
+    The per-query lookup tables are built INSIDE the kernel from the
+    broadcast codebooks + probe matrix (nq*m*256 doubles would be a heavy
+    driver broadcast; recomputing them per partition is ~33 MFLOPs)."""
+    import numpy as np
+
+    spark = left.sparkSession
+    qids = probes_pdf["qid"].to_numpy()
+    qmat = as_matrix(probes_pdf["v"]) if len(probes_pdf) else None
+    excl = np.asarray(list(excluded_ids)) if excluded_ids is not None and len(excluded_ids) else None
+    bc = spark.sparkContext.broadcast((qids, qmat, probe_mask, excl, index.pq_books))
+    desc = METRIC_IS_DESCENDING[metric]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        qids_l, qmat_l, mask_l, excl_l, books_l = bc.value
+        if qmat_l is None:
+            return
+        nq = len(qids_l)
+        m, ks, dsub = books_l.shape
+        qsub = qmat_l.reshape(nq, m, dsub)
+        lut = np.empty((nq, m, ks))
+        for j in range(m):
+            if metric == "l2sq":
+                diff = qsub[:, j, None, :] - books_l[j][None, :, :]  # (nq, ks, dsub)
+                lut[:, j, :] = (diff * diff).sum(axis=2)
+            else:  # ip numerator serves both 'ip' and 'cosine'
+                lut[:, j, :] = qsub[:, j, :] @ books_l[j].T
+        qnorms = np.linalg.norm(qmat_l, axis=1) if metric == "cosine" else None
+        best_scores = best_rids = None
+        for pdf in batches:
+            if excl_l is not None and len(pdf):
+                pdf = pdf[~pdf["rid"].isin(excl_l)]
+            if len(pdf) == 0:
+                continue
+            rids = pdf["rid"].to_numpy()
+            codes = np.frombuffer(b"".join(pdf["codes"].tolist()), dtype=np.uint8).reshape(-1, m)
+            n = codes.shape[0]
+            if best_scores is None:
+                best_scores = np.full((k_sel, nq), -np.inf if desc else np.inf)
+                rid_numeric = np.issubdtype(rids.dtype, np.number)
+                best_rids = (
+                    np.full((k_sel, nq), -1, dtype=np.int64)
+                    if rid_numeric
+                    else np.full((k_sel, nq), None, dtype=object)
+                )
+            lists = pdf["__lst"].to_numpy() if mask_l is not None else None
+            vn = pdf["vnorm"].to_numpy(np.float64) if metric == "cosine" else None
+            for q0 in range(0, nq, _PROBE_CHUNK):
+                q1 = min(q0 + _PROBE_CHUNK, nq)
+                scores = np.zeros((n, q1 - q0))
+                for j in range(m):
+                    scores += lut[q0:q1, j, :][:, codes[:, j]].T  # (n, chunk)
+                if metric == "cosine":
+                    scores = scores / np.maximum(vn[:, None] * qnorms[q0:q1][None, :], 1e-30)
+                if mask_l is not None:
+                    allowed = mask_l[lists][:, q0:q1]
+                    scores = np.where(allowed, scores, -np.inf if desc else np.inf)
+                idx = local_topk(scores, k_sel, desc)
+                cols = np.arange(q1 - q0)[None, :]
+                merged_s = np.vstack([best_scores[:, q0:q1], scores[idx, cols]])
+                merged_r = np.vstack([best_rids[:, q0:q1], rids[idx]])
+                keep = local_topk(merged_s, k_sel, desc)
+                best_scores[: keep.shape[0], q0:q1] = merged_s[keep, cols]
+                best_rids[: keep.shape[0], q0:q1] = merged_r[keep, cols]
+        if best_scores is None:
+            return
+        valid = np.isfinite(best_scores.ravel(order="F"))
+        out_q = np.repeat(qids_l, k_sel)[valid]
+        out_r = best_rids.ravel(order="F")[valid]
+        yield pd.DataFrame({"qid": out_q, "rid": out_r})
+
+    items = data.select(
+        F.col("id").alias("rid"), "codes", "vnorm", F.col("list_id").alias("__lst")
+    )
+    qid_t = dict(left.dtypes)[left_id]
+    rid_t = index.manifest.get("id_type", "bigint")
+    return items.mapInPandas(gen, schema=f"qid {qid_t}, rid {rid_t}")
+
+
 def _candidates_crossjoin(
     left: DataFrame, right: DataFrame, left_on: str, right_on: str, left_id: str, right_id: str, metric: str
 ) -> DataFrame:
@@ -311,10 +410,30 @@ def knn_join_flat_indexed(
     # reference's in-RAM free list (reference: usearch/index_dense.hpp:1228-1248)
     excl = [r["id"] for r in deleted.collect()] if deleted is not None else None
     data = spark.read.parquet(index.data_path()).filter(F.col("list_id").isin(needed))
-    cand = _candidates_broadcast(
-        left, data, left_on, "vec", left_id, "id", k, metric,
-        probe_mask=mask, right_list_col="list_id", excluded_ids=excl, probes_pdf=probes_pdf,
-    )
+    # shortlist broadcast bound: <= |probed lists| * nq * k_sel (qid, rid)
+    # pairs; beyond ~8M pairs the flat vector kernel is the safer plan
+    pq_pairs_est = len(needed) * len(probes_pdf) * max(k, k * int(index.manifest.get("pq_rerank", 4)))
+    if getattr(index, "pq_books", None) is not None and pq_pairs_est <= 8_000_000:
+        # ADC kernel over codes only; exact scores recomputed on a vec fetch
+        # driven by a broadcast of the (qid, rid) shortlist — the expensive
+        # codes scan runs once (inside the broadcast job), and the vec scan
+        # streams against it with no shuffle of the data side.
+        k_sel = max(k, k * int(index.manifest.get("pq_rerank", 4)))
+        cand_ids = _candidates_broadcast_pq(
+            left, data, left_on, left_id, k_sel, metric, index, mask, excl, probes_pdf
+        )
+        rvec = data.select(F.col("id").alias("rid"), F.col("vec").alias("__rv")).join(
+            F.broadcast(cand_ids), "rid"
+        )
+        probes_small = left.select(F.col(left_id).alias("qid"), F.col(left_on).alias("__qv"))
+        cand = rvec.join(F.broadcast(probes_small), "qid").select(
+            "qid", "rid", distance_expr("__qv", "__rv", metric).alias("score")
+        )
+    else:
+        cand = _candidates_broadcast(
+            left, data, left_on, "vec", left_id, "id", k, metric,
+            probe_mask=mask, right_list_col="list_id", excluded_ids=excl, probes_pdf=probes_pdf,
+        )
     # tail rows compete for every probe (brute force); the already-collected
     # probe table is reused, so the tail union costs no extra driver job
     tail = index.tail_df(spark)

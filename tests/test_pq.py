@@ -163,6 +163,82 @@ def test_pq_adc_scan_partition_prunes(spark, pq_engine):
     assert scans, plan
 
 
+@pytest.fixture(scope="module")
+def pq_join_engine(spark, tmp_path_factory):
+    """Separate artifact from pq_engine: the lifecycle test mutates that one."""
+    root = str(tmp_path_factory.mktemp("pq_join_idx"))
+    eng = VSSEngine(spark, index_root=root)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    eng.register_table("embj", emb)
+    eng.create_index("embj_pq", "embj", "embedding", "vec_id", options={"metric": "l2sq", "pq_m": 8})
+    return eng
+
+
+def test_pq_indexed_knn_join_recall_and_scores(spark, pq_join_engine):
+    """Full-probe PQ join: >=0.9 mean recall vs the exact flat join, and the
+    scores it reports are exact (re-ranked), not quantized."""
+    from duckdb_vss_spark import knn_join_flat
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 30)
+    exact = {}
+    for r in knn_join_flat(
+        probes, emb, "embedding", "embedding", 10, "l2sq", left_id="vec_id", right_id="vec_id"
+    ).collect():
+        exact.setdefault(r["qid"], {})[r["rid"]] = r["score"]
+    pq_join_engine.set_ef_search(128)
+    try:
+        got = {}
+        for r in pq_join_engine.knn_join(
+            probes, "embj", "embedding", "embedding", 10, left_id="vec_id", right_id="vec_id"
+        ).collect():
+            got.setdefault(r["qid"], {})[r["rid"]] = r["score"]
+    finally:
+        pq_join_engine.set_ef_search(None)
+    recalls = []
+    for q, want in exact.items():
+        have = got.get(q, {})
+        recalls.append(len(set(want) & set(have)) / 10.0)
+        for rid in set(want) & set(have):
+            assert abs(want[rid] - have[rid]) < 1e-4, (q, rid)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_pq_indexed_join_plan_shape(spark, pq_join_engine):
+    """The ADC kernel scan reads codes (vec pruned); exactly one shuffle
+    Exchange (the final per-qid window) — broadcasts don't shuffle."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    plan = (
+        pq_join_engine.knn_join(probes, "embj", "embedding", "embedding", 3, left_id="vec_id", right_id="vec_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "codes" in ln]
+    assert schemas and all("vec:" not in ln for ln in schemas), plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pq_indexed_join_respects_delete(spark, pq_join_engine):
+    """Deleted ids are filtered inside the ADC kernel BEFORE the shortlist
+    cut — the tombstone contract the flat join kernel honors."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probe = emb.filter(F.col("vec_id") == 0)
+    pq_join_engine.set_ef_search(128)
+    try:
+        first = pq_join_engine.knn_join(
+            probe, "embj", "embedding", "embedding", 5, left_id="vec_id", right_id="vec_id"
+        ).collect()
+        victim = first[0]["rid"]
+        pq_join_engine.delete("embj_pq", [victim])
+        after = pq_join_engine.knn_join(
+            probe, "embj", "embedding", "embedding", 5, left_id="vec_id", right_id="vec_id"
+        ).collect()
+        assert victim not in {r["rid"] for r in after}
+        assert len(after) == 5  # live rows keep all k slots
+    finally:
+        pq_join_engine.set_ef_search(None)
+
+
 def test_pq_explain_marker(pq_engine):
     txt = pq_engine.explain_topk("emb", "embedding", Q, 10)
     assert "HNSW_INDEX_SCAN" in txt and "pq_m=8 (ADC+rerank)" in txt
