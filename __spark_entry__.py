@@ -749,6 +749,30 @@ def _q_index_drop(spark, sf_dir):
     return eng.index_info().select("index_name")
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style per-doc repetition signals (dup token/line fractions,
+    top/dup n-gram character coverage) in one union-explode pass — exactly
+    two Exchanges, keys doc-local, no Python (plan asserted in
+    tests/test_quality.py)."""
+    from duckdb_vss_spark import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C style): flag training
+    docs sharing any word 3-gram with the held-out 'benchmark' slice
+    (doc_id % 97 == 0). Benchmark gram set is deduped then broadcast."""
+    from duckdb_vss_spark import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, "text", "doc_id", bench, "text", 3).select(
+        "doc_id", "n_hit_grams", "contaminated"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -798,6 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_stratified_sample": _q_stratified_sample,
         "q46_pack_sequences": _q_pack_sequences,
         "q47_corpus_stats": _q_corpus_stats,
+        "q48_repetition_stats": _q_repetition_stats,
+        "q49_decontaminate": _q_decontaminate,
     }
 
 
@@ -1125,5 +1151,68 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents) GROUP BY stratum
             )
             SELECT s.*, v.vocab FROM s JOIN v USING (stratum)
+        """,
+        "q48_repetition_stats": f"""
+            WITH base AS (
+              SELECT doc_id, length(text) AS n_chars, {O.sql_tokens('text')} AS toks,
+                     string_split(text, chr(10)) AS lines,
+                     {O.sql_word_ngrams_all('text', 2)} AS ga2,
+                     {O.sql_word_ngrams_all('text', 3)} AS ga3
+              FROM documents
+            ),
+            items AS (
+              SELECT doc_id, n_chars, 't' AS kind, unnest(toks) AS item FROM base
+              UNION ALL SELECT doc_id, n_chars, 'l', unnest(lines) FROM base
+              UNION ALL SELECT doc_id, n_chars, 'g2', unnest(ga2) FROM base
+              UNION ALL SELECT doc_id, n_chars, 'g3', unnest(ga3) FROM base
+            ),
+            cnts AS (
+              SELECT doc_id, n_chars, kind, item, count(*)::BIGINT AS cnt,
+                     length(item)::BIGINT AS ln
+              FROM items GROUP BY doc_id, n_chars, kind, item
+            )
+            SELECT doc_id, n_chars::BIGINT AS n_chars,
+              (sum(cnt) FILTER (kind='t'))::BIGINT AS total_tokens,
+              CASE WHEN sum(cnt) FILTER (kind='t') > 0 THEN
+                ((sum(cnt) FILTER (kind='t')) - (count(*) FILTER (kind='t')))::DOUBLE
+                  / (sum(cnt) FILTER (kind='t'))::DOUBLE
+              ELSE 0.0 END::FLOAT AS dup_token_frac,
+              (sum(cnt) FILTER (kind='l'))::BIGINT AS total_lines,
+              CASE WHEN sum(cnt) FILTER (kind='l') > 0 THEN
+                coalesce(sum(cnt) FILTER (kind='l' AND cnt>1), 0)::DOUBLE
+                  / (sum(cnt) FILTER (kind='l'))::DOUBLE
+              ELSE 0.0 END::FLOAT AS dup_line_frac,
+              CASE WHEN sum(cnt*ln) FILTER (kind='l') > 0 THEN
+                coalesce(sum(cnt*ln) FILTER (kind='l' AND cnt>1), 0)::DOUBLE
+                  / (sum(cnt*ln) FILTER (kind='l'))::DOUBLE
+              ELSE 0.0 END::FLOAT AS dup_line_char_frac,
+              CASE WHEN n_chars > 0 THEN
+                coalesce(max(cnt*ln) FILTER (kind='g2'), 0)::DOUBLE / n_chars::DOUBLE
+              ELSE 0.0 END::FLOAT AS top2gram_char_frac,
+              CASE WHEN n_chars > 0 THEN
+                coalesce(max(cnt*ln) FILTER (kind='g3'), 0)::DOUBLE / n_chars::DOUBLE
+              ELSE 0.0 END::FLOAT AS top3gram_char_frac,
+              CASE WHEN n_chars > 0 THEN
+                coalesce(sum(cnt*ln) FILTER (kind='g3' AND cnt>1), 0)::DOUBLE / n_chars::DOUBLE
+              ELSE 0.0 END::FLOAT AS dup3gram_char_frac
+            FROM cnts GROUP BY doc_id, n_chars
+        """,
+        "q49_decontaminate": f"""
+            WITH bench AS (
+              SELECT DISTINCT unnest({O.sql_word_ngrams('text', 3)}) AS gram
+              FROM documents WHERE doc_id % 97 = 0
+            ),
+            d AS (
+              SELECT doc_id, unnest({O.sql_word_ngrams('text', 3)}) AS gram
+              FROM documents WHERE doc_id % 97 <> 0
+            ),
+            hits AS (
+              SELECT doc_id, count(*)::BIGINT AS n
+              FROM d JOIN bench USING (gram) GROUP BY doc_id
+            )
+            SELECT t.doc_id, coalesce(h.n, 0)::BIGINT AS n_hit_grams,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM documents t LEFT JOIN hits h USING (doc_id)
+            WHERE t.doc_id % 97 <> 0
         """,
     }

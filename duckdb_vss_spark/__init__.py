@@ -30,5 +30,6 @@ from .operators.dedup import (  # noqa: F401
 from .operators.skew import salted_agg, salted_join  # noqa: F401
 from .operators.sampling import hash_split, pack_sequences, stratified_sample  # noqa: F401
 from .operators.profile import corpus_stats  # noqa: F401
+from .operators.quality import decontaminate, repetition_stats  # noqa: F401
 
 __version__ = "0.1.0"

@@ -120,6 +120,20 @@ def word_ngrams(col, n: int = 3) -> Column:
     return F.array_sort(F.array_distinct(full))
 
 
+def word_ngrams_all(col, n: int = 3) -> Column:
+    """ALL word n-gram occurrences in document order (with multiplicity) —
+    the repetition-analysis counterpart of :func:`word_ngrams`, which
+    dedups/sorts for shingle sets. Same shifted-``zip_with`` construction
+    (constant tokenizer re-evals); a doc shorter than ``n`` tokens yields
+    its single partial gram, mirroring the shingle builder's degradation."""
+    t = tokens(col)
+    grams = t
+    for i in range(1, n):
+        shifted = F.slice(t, i + 1, F.greatest(F.lit(0), F.size(t) - i))
+        grams = F.zip_with(grams, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    return F.slice(grams, 1, F.greatest(F.lit(1), F.size(t) - (n - 1)))
+
+
 def hash64(col, seed: str = "") -> Column:
     """Deterministic 60-bit positive int64 hash shared with the duckdb oracle:
     ``CAST(CONV(SUBSTR(MD5(seed || s), 1, 15), 16, 10) AS BIGINT)``."""

@@ -53,6 +53,17 @@ def sql_word_ngrams(col: str, n: int) -> str:
     )
 
 
+def sql_word_ngrams_all(col: str, n: int) -> str:
+    """Twin of functions.text.word_ngrams_all — every occurrence, in order."""
+    t = sql_tokens(col)
+    if n == 1:
+        return t
+    return (
+        f"list_transform(range(1, greatest(1, len({t}) - {n - 1}) + 1), "
+        f"i -> array_to_string({t}[i:i+{n - 1}], ' '))"
+    )
+
+
 MINHASH_MOD = 1 << 40
 
 
