@@ -95,6 +95,17 @@ def main() -> None:
         ).count()
     )
 
+    from duckdb_vss_spark import decontaminate, repetition_stats
+
+    timings["repetition_stats"] = run(
+        lambda: repetition_stats(docs, "text", "doc_id").count()
+    )
+    bench_slice = docs.filter(F.col("doc_id") % 97 == 0)
+    train_slice = docs.filter(F.col("doc_id") % 97 != 0)
+    timings["decontaminate"] = run(
+        lambda: decontaminate(train_slice, "text", "doc_id", bench_slice, "text", 3).count()
+    )
+
     import tempfile
 
     from duckdb_vss_spark import VSSEngine
