@@ -328,15 +328,14 @@ def _q_window_topn(spark, sf_dir):
 
 
 def _events(spark, sf_dir):
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; read nanos as long and floor-convert to microseconds (duckdb
-    applies the same ns->us truncation)."""
+    """Load the events fixture; the ts column's physical unit has varied
+    across fixture generations (TIMESTAMP NANOS vs MICROS), so the loader
+    sniffs the footer and normalizes to a session TIMESTAMP either way."""
     from duckdb_vss_spark.deploy import ensure_shipped
+    from duckdb_vss_spark.sources import load_table
 
     ensure_shipped(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return load_table(spark, sf_dir, "events")
 
 
 def _q_events_hourly(spark, sf_dir):
@@ -1128,9 +1127,11 @@ def oracle_sql() -> dict[str, str]:
         "q46_pack_sequences": f"""
             SELECT lang, pack_id, count(*) AS n_docs, sum(nt)::BIGINT AS sum_tokens
             FROM (
+                -- the window sum is HUGEINT in duckdb; cast the derived
+                -- pack_id back to BIGINT so a pandas fetch keeps it integral
                 SELECT lang, nt,
-                       (sum(nt) OVER (PARTITION BY lang ORDER BY h, doc_id
-                           ROWS UNBOUNDED PRECEDING) - nt) // 512 AS pack_id
+                       ((sum(nt) OVER (PARTITION BY lang ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) - nt) // 512)::BIGINT AS pack_id
                 FROM (SELECT lang, doc_id, {O.sql_id_hash('doc_id', 'pack')} AS h,
                              {O.sql_token_count('text')} AS nt
                       FROM documents))

@@ -29,16 +29,39 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def events_ts_unit(path: str) -> str:
+    """Physical unit of the ``ts`` column in an events parquet file.
+
+    Fixture generations have stored either TIMESTAMP(NANOS) — which Spark's
+    reader only accepts via ``nanosAsLong`` — or plain TIMESTAMP(MICROS).
+    Peeking at the footer (driver-side, one small read) lets both loaders
+    pick the right read path instead of hard-coding one generation's layout.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        t = str(pq.read_schema(path).field("ts").type)
+    except Exception:
+        return "us"
+    return "ns" if t.startswith("timestamp[ns") or t == "int64" else "us"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # the fixture stores parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects; read nanos as long and floor to micros (duckdb applies the
-        # same ns->us truncation)
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        path = os.path.join(sf_dir, "events.parquet")
+        if events_ts_unit(path) == "ns":
+            # TIMESTAMP(NANOS) fixture: read nanos as long and floor to
+            # micros (duckdb applies the same ns->us truncation)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            ev = spark.read.parquet(path)
+            return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # TIMESTAMP(MICROS) fixture: arrives as TIMESTAMP_NTZ; cast to the
+        # session timestamp type (wall clock preserved) so downstream
+        # window/watermark code sees one consistent type either way
+        ev = spark.read.parquet(path)
+        return ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -37,12 +37,13 @@ __all__ = [
 ]
 
 
-def events_schema() -> str:
-    """Explicit schema for the events file stream. ``ts`` arrives as int64
-    nanoseconds (the fixture stores parquet TIMESTAMP(NANOS), which Spark
-    reads via ``nanosAsLong``); :func:`read_events_stream` converts to a
-    proper timestamp with the same ns->us floor duckdb applies."""
-    return "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+def events_schema(ts_unit: str = "us") -> str:
+    """Explicit schema for the events file stream. Fixture generations store
+    ``ts`` as either TIMESTAMP(NANOS) (``ts_unit='ns'``: read as int64 via
+    ``nanosAsLong``, then floor-converted to micros like duckdb does) or
+    TIMESTAMP(MICROS) (``ts_unit='us'``: read as TIMESTAMP_NTZ directly)."""
+    ts_type = "bigint" if ts_unit == "ns" else "timestamp_ntz"
+    return f"event_id bigint, ts {ts_type}, user_id bigint, event_type string, value double, props string"
 
 
 def read_events_stream(
@@ -54,14 +55,25 @@ def read_events_stream(
 
     Streaming reads require an explicit schema (no inference at run time —
     schema drift is an error, matching the fixed-schema model of the
-    reference engine, SURVEY §1.1).
+    reference engine, SURVEY §1.1). The ``ts`` physical unit is sniffed from
+    the first staged file's footer so the declared schema matches the data.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(events_schema())
+    import glob
+    import os
+
+    from ..sources import events_ts_unit
+
+    files = sorted(glob.glob(os.path.join(directory, "*.parquet")))
+    unit = events_ts_unit(files[0]) if files else "us"
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(events_schema(unit))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     ev = reader.parquet(directory)
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if unit == "ns":
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(

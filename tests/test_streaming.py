@@ -44,9 +44,9 @@ def events_dir_dup(tmp_path_factory):
 
 @pytest.fixture()
 def events_batch(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from duckdb_vss_spark.sources import load_table
+
+    return load_table(spark, SF_DIR, "events")
 
 
 def _name() -> str:
