@@ -772,6 +772,105 @@ def _q_decontaminate(spark, sf_dir):
     )
 
 
+def _q_sessionize(spark, sf_dir):
+    """Batch sessionization (native session_window, same operator as the
+    streaming twin): per-user visits split at 30-minute inactivity gaps.
+    Oracle is the classic gaps-and-islands window SQL."""
+    from duckdb_vss_spark import sessionize_batch
+
+    ev = _events(spark, sf_dir)
+    out = sessionize_batch(ev, "user_id", "ts", "30 minutes", agg={"sum_value": F.sum("value")})
+    return out.select(
+        "user_id", "session_start", "n_events", F.col("sum_value").cast("float").alias("sum_value")
+    )
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join (union-tag + window last-carry, ONE shuffle, no
+    inequality join): each purchase attributed to the user's latest click at
+    or before it; purchases with no prior click keep NULLs (left-outer,
+    duckdb ASOF LEFT JOIN semantics)."""
+    from duckdb_vss_spark import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = asof_join(purchases, clicks, "user_id", right_cols=["click_id", "ts"])
+    # no-match NULLs -> sentinels: the driver's row sorter cannot order
+    # None against ints/timestamps
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("ts_r"), F.lit("1970-01-01").cast("timestamp")).alias("click_ts"),
+    )
+
+
+def _q_range_join(spark, sf_dir):
+    """Banded range join: clicks in the 4 hours strictly before each error
+    of the same user, counted per error. Bucketing by floor(ts/width) turns
+    the inequality join into an equi-join (no cartesian — plan asserted in
+    tests/test_temporal.py)."""
+    from duckdb_vss_spark import range_join_banded
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    j = range_join_banded(errors, clicks, "user_id", left_ts="ts", right_ts="cts", width_sec=4 * 3600.0)
+    return j.groupBy(F.col("l_event_id").alias("event_id")).agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+def _q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids, long form (label, pos, c): posexplode
+    + partial-combine aggregate, one Exchange (plan asserted in
+    tests/test_vector.py)."""
+    from duckdb_vss_spark import group_centroids
+
+    out = group_centroids(_emb(spark, sf_dir), "embedding", "label")
+    return out.select(
+        F.col("group").alias("label"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("c").cast("float").alias("c"),
+    )
+
+
+def _q_nearest_centroid(spark, sf_dir):
+    """k-means E-step as a pure codegen projection (no join, no shuffle):
+    assign every embedding to its nearest label centroid, then profile the
+    assignment. Centroids are the collected q53 output (driver-side small)."""
+    from duckdb_vss_spark import group_centroids, nearest_centroid
+
+    emb = _emb(spark, sf_dir)
+    byid: dict[int, dict[int, float]] = {}
+    for r in group_centroids(emb, "embedding", "label").collect():
+        byid.setdefault(r["group"], {})[r["pos"]] = r["c"]
+    cents = [(lab, [comps[p] for p in sorted(comps)]) for lab, comps in sorted(byid.items())]
+    out = nearest_centroid(emb, "embedding", cents, metric="l2sq")
+    return out.groupBy(F.col("centroid_id").cast("int").alias("centroid_id")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("centroid_dist").cast("float").alias("sum_dist")
+    )
+
+
+def _q_rollup_events(spark, sf_dir):
+    """Hierarchical aggregate (GROUP BY ROLLUP): per (event_type, day),
+    per event_type, and grand total in one pass. NULL subtotal markers are
+    coalesced to sentinels so the hash canonicalizer sees scalar columns."""
+    ev = _events(spark, sf_dir)
+    agg = ev.rollup(F.col("event_type"), F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").cast("float").alias("sum_value")
+    )
+    return agg.select(
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        F.coalesce(F.col("day"), F.lit("1970-01-01").cast("timestamp")).alias("day"),
+        "n",
+        "sum_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -823,6 +922,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_corpus_stats": _q_corpus_stats,
         "q48_repetition_stats": _q_repetition_stats,
         "q49_decontaminate": _q_decontaminate,
+        "q50_sessionize": _q_sessionize,
+        "q51_asof_join": _q_asof_join,
+        "q52_range_join": _q_range_join,
+        "q53_label_centroids": _q_label_centroids,
+        "q54_nearest_centroid": _q_nearest_centroid,
+        "q55_rollup_events": _q_rollup_events,
     }
 
 
@@ -1197,6 +1302,72 @@ def oracle_sql() -> dict[str, str]:
                 coalesce(sum(cnt*ln) FILTER (kind='g3' AND cnt>1), 0)::DOUBLE / n_chars::DOUBLE
               ELSE 0.0 END::FLOAT AS dup3gram_char_frac
             FROM cnts GROUP BY doc_id, n_chars
+        """,
+        "q50_sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+              FROM o
+            )
+            -- sess is only a grouping key (HUGEINT in duckdb is fine there)
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+                   sum(value)::FLOAT AS sum_value
+            FROM s GROUP BY user_id, sess
+        """,
+        "q51_asof_join": """
+            SELECT p.event_id, p.user_id,
+                   coalesce(c.event_id, -1) AS click_id,
+                   coalesce(c.ts, TIMESTAMP '1970-01-01') AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "q52_range_join": """
+            SELECT e.event_id, count(*) AS n_clicks
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id
+             AND c.ts >= e.ts - INTERVAL 4 HOUR AND c.ts < e.ts
+            GROUP BY e.event_id
+        """,
+        "q53_label_centroids": """
+            SELECT label, r.i AS pos, avg(embedding[r.i + 1]::DOUBLE)::FLOAT AS c
+            FROM embeddings, range(0, 64) r(i)
+            GROUP BY label, r.i
+        """,
+        "q54_nearest_centroid": """
+            WITH c AS (
+              SELECT label, r.i AS pos, avg(embedding[r.i + 1]::DOUBLE) AS v
+              FROM embeddings, range(0, 64) r(i) GROUP BY label, r.i
+            ), cent AS (
+              SELECT label, list(v ORDER BY pos) AS cv FROM c GROUP BY label
+            ), d AS (
+              SELECT e.vec_id, c.label,
+                     list_distance(e.embedding::DOUBLE[], c.cv) AS dist
+              FROM embeddings e CROSS JOIN cent c
+            ), a AS (
+              SELECT vec_id, label, dist,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist, label) AS rn
+              FROM d
+            )
+            SELECT label AS centroid_id, count(*) AS n, sum(dist)::FLOAT AS sum_dist
+            FROM a WHERE rn = 1 GROUP BY label
+        """,
+        "q55_rollup_events": """
+            SELECT coalesce(event_type, '<all>') AS event_type,
+                   coalesce(day, TIMESTAMP '1970-01-01') AS day, n, sum_value
+            FROM (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     count(*) AS n, sum(value)::FLOAT AS sum_value
+              FROM events GROUP BY ROLLUP(event_type, day)
+            )
         """,
         "q49_decontaminate": f"""
             WITH bench AS (

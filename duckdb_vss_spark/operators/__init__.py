@@ -1,2 +1,4 @@
 from .knn import knn_join, knn_join_flat, knn_match  # noqa: F401
+from .temporal import asof_join, range_join_banded, sessionize_batch  # noqa: F401
 from .topk import max_by_k, min_by_k, topk  # noqa: F401
+from .vector import group_centroids, nearest_centroid, normalize_vectors  # noqa: F401

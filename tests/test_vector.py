@@ -1,0 +1,97 @@
+"""Vector-column analytics: normalization, group centroids, nearest-centroid
+assignment. Numeric truth from numpy on the collected fixture; plan shape
+pinned: assignment is a pure projection (no shuffle, no Python)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.operators.vector import group_centroids, nearest_centroid, normalize_vectors
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    labels = np.array([r["label"] for r in rows])
+    return ids, mat, labels
+
+
+def test_normalize_unit_norm(spark, emb):
+    out = normalize_vectors(emb, "embedding", out_col="unit")
+    norms = out.select(
+        F.sqrt(F.aggregate("unit", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))).alias("n")
+    ).collect()
+    assert all(abs(r["n"] - 1.0) < 1e-5 for r in norms)
+
+
+def test_normalize_zero_vector_passthrough(spark):
+    df = spark.createDataFrame([([0.0, 0.0],), ([3.0, 4.0],)], "v array<float>")
+    got = sorted(r["v"] for r in normalize_vectors(df, "v").collect())
+    assert got[0] == [0.0, 0.0]
+    assert got[1] == pytest.approx([0.6, 0.8], abs=1e-6)
+
+
+def test_group_centroids_match_numpy(emb, emb_np):
+    ids, mat, labels = emb_np
+    got = {}
+    for r in group_centroids(emb, "embedding", "label").collect():
+        got.setdefault(r["group"], {})[r["pos"]] = r["c"]
+    for lab in np.unique(labels):
+        want = mat[labels == lab].mean(axis=0)
+        have = np.array([got[int(lab)][p] for p in range(mat.shape[1])])
+        assert np.allclose(have, want, atol=1e-9)
+
+
+def test_nearest_centroid_matches_numpy(emb, emb_np):
+    ids, mat, labels = emb_np
+    cents = [(int(lab), mat[labels == lab].mean(axis=0)) for lab in np.unique(labels)]
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["centroid_dist"])
+        for r in nearest_centroid(emb, "embedding", cents, metric="l2sq").collect()
+    }
+    cmat = np.array([c for _, c in cents])
+    cid = np.array([i for i, _ in cents])
+    d = np.sqrt(((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2))
+    best = d.argmin(axis=1)
+    for row, vid in enumerate(ids):
+        got_id, got_d = out[int(vid)]
+        assert got_id == cid[best[row]]
+        assert got_d == pytest.approx(d[row, best[row]], rel=1e-9)
+
+
+def test_nearest_centroid_tie_breaks_to_smaller_id(spark):
+    df = spark.createDataFrame([([1.0, 0.0],)], "v array<float>")
+    # two equidistant centroids -> deterministic: smaller id wins
+    cents = [(7, [0.0, 1.0]), (3, [0.0, -1.0])]
+    r = nearest_centroid(df, "v", cents).collect()[0]
+    assert r["centroid_id"] == 3
+
+
+def test_nearest_centroid_cosine_polarity(spark):
+    df = spark.createDataFrame([([1.0, 0.1],)], "v array<float>")
+    cents = [(0, [1.0, 0.0]), (1, [-1.0, 0.0])]
+    r = nearest_centroid(df, "v", cents, metric="cosine", score_col="sim").collect()[0]
+    assert r["centroid_id"] == 0
+    assert r["sim"] == pytest.approx(1.0 / np.sqrt(1.01), rel=1e-6)
+
+
+def test_nearest_centroid_is_pure_projection(emb):
+    cents = [(i, [float(i)] * 64) for i in range(8)]
+    plan = (
+        nearest_centroid(emb, "embedding", cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_group_centroids_single_exchange(emb):
+    plan = group_centroids(emb, "embedding", "label")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "partial_avg" in plan or "partial" in plan.lower()  # map-side combine
