@@ -871,6 +871,68 @@ def _q_rollup_events(spark, sf_dir):
     )
 
 
+def _q_kmeans_step(spark, sf_dir):
+    """Distributed Lloyd k-means, one deterministic iteration (init = the
+    vectors with vec_id < 10): assignment is a codegen projection, the
+    re-average one combine-side Exchange. Output: the new centroids, long
+    form (cid, pos, c) — exactly reproducible in SQL, so the iterative
+    operator's step contract is oracle-checked."""
+    from duckdb_vss_spark import group_centroids, nearest_centroid
+
+    emb = _emb(spark, sf_dir)
+    init = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 10).orderBy("vec_id").collect()
+    ]
+    assigned = nearest_centroid(emb, "embedding", init, metric="l2sq", score_col=None)
+    out = group_centroids(assigned, "embedding", "centroid_id")
+    return out.select(
+        F.col("group").cast("long").alias("cid"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("c").cast("float").alias("c"),
+    )
+
+
+def _q_stream_sessions(spark, sf_dir):
+    """Structured Streaming sessionization (session_window keyed state),
+    availableNow over all data => must equal the batch gaps-and-islands
+    oracle — the same equivalence discipline as q23/q24. Oracle-covers the
+    streaming sessionize operator (previously pytest-only)."""
+    import uuid
+
+    from duckdb_vss_spark.deploy import ensure_shipped
+    from duckdb_vss_spark.streaming import read_events_stream, run_to_memory, sessionize
+
+    ensure_shipped(spark)
+    stream = sessionize(read_events_stream(spark, _stage_events_dir(sf_dir)), gap="30 minutes")
+    out = run_to_memory(stream, "q57m" + uuid.uuid4().hex[:8], output_mode="complete")
+    return out.select(
+        "user_id", "session_start", "n_events", F.col("sum_value").cast("float").alias("sum_value")
+    )
+
+
+def _q_stream_stateful_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-type totals; after one availableNow pass the final state must equal
+    the batch GROUP BY. Oracle-covers the arbitrary-state surface."""
+    import uuid
+
+    from duckdb_vss_spark.deploy import ensure_shipped
+    from duckdb_vss_spark.streaming import read_events_stream, run_to_memory, running_totals_stateful
+
+    ensure_shipped(spark)
+    stream = running_totals_stateful(read_events_stream(spark, _stage_events_dir(sf_dir)))
+    out = run_to_memory(stream, "q58m" + uuid.uuid4().hex[:8], output_mode="update")
+    # update-mode sink appends one row per key per micro-batch; the final
+    # (largest-n) row per key is the ending state
+    final = (
+        out.groupBy("event_type")
+        .agg(F.max(F.struct("n", "sum_value")).alias("s"))
+        .select("event_type", F.col("s.n").alias("n"), F.col("s.sum_value").alias("sum_value"))
+    )
+    return final.select("event_type", "n", F.col("sum_value").cast("float").alias("sum_value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -928,6 +990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_label_centroids": _q_label_centroids,
         "q54_nearest_centroid": _q_nearest_centroid,
         "q55_rollup_events": _q_rollup_events,
+        "q56_kmeans_step": _q_kmeans_step,
+        "q57_stream_sessions": _q_stream_sessions,
+        "q58_stream_stateful": _q_stream_stateful_totals,
     }
 
 
@@ -1368,6 +1433,43 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n, sum(value)::FLOAT AS sum_value
               FROM events GROUP BY ROLLUP(event_type, day)
             )
+        """,
+        "q57_stream_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+              FROM o
+            )
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+                   sum(value)::FLOAT AS sum_value
+            FROM s GROUP BY user_id, sess
+        """,
+        "q58_stream_stateful": """
+            SELECT event_type, count(*) AS n, sum(value)::FLOAT AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "q56_kmeans_step": """
+            WITH init AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id < 10
+            ), d AS (
+              SELECT e.vec_id, i.cid, e.embedding,
+                     list_distance(e.embedding::DOUBLE[], i.cv) AS dist
+              FROM embeddings e CROSS JOIN init i
+            ), a AS (
+              SELECT vec_id, embedding, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d
+            )
+            SELECT cid, r.i AS pos, avg(embedding[r.i + 1]::DOUBLE)::FLOAT AS c
+            FROM a, range(0, 64) r(i) WHERE rn = 1 GROUP BY cid, r.i
         """,
         "q49_decontaminate": f"""
             WITH bench AS (

@@ -32,6 +32,12 @@ from .operators.sampling import hash_split, pack_sequences, stratified_sample  #
 from .operators.profile import corpus_stats  # noqa: F401
 from .operators.quality import decontaminate, repetition_stats  # noqa: F401
 from .operators.temporal import asof_join, range_join_banded, sessionize_batch  # noqa: F401
-from .operators.vector import group_centroids, nearest_centroid, normalize_vectors  # noqa: F401
+from .operators.vector import (  # noqa: F401
+    group_centroids,
+    kmeans_fit,
+    kmeans_step,
+    nearest_centroid,
+    normalize_vectors,
+)
 
 __version__ = "0.1.0"

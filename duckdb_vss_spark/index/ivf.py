@@ -252,6 +252,13 @@ class IVFIndex:
             if self.manifest.get("pq_m")
             else None
         )
+        # lazily-resolved existence of the mutable side dirs, so steady-state
+        # searches don't pay two control-plane round trips (an object-store
+        # LIST each) per query; maintenance through THIS handle updates the
+        # flags, cross-session mutations need a fresh handle (same contract
+        # as the catalog's handle cache)
+        self._tail_exists: Optional[bool] = None
+        self._deleted_exists: Optional[bool] = None
 
     # -- properties -------------------------------------------------------
     @property
@@ -276,12 +283,16 @@ class IVFIndex:
         return fs.join(self.vpath, "deleted")
 
     def tail_df(self, spark: SparkSession) -> Optional[DataFrame]:
-        if fs.exists(spark, self._tail_path()):
+        if self._tail_exists is None:
+            self._tail_exists = fs.exists(spark, self._tail_path())
+        if self._tail_exists:
             return spark.read.parquet(self._tail_path()).select("id", "vec")
         return None
 
     def deleted_df(self, spark: SparkSession) -> Optional[DataFrame]:
-        if fs.exists(spark, self._deleted_path()):
+        if self._deleted_exists is None:
+            self._deleted_exists = fs.exists(spark, self._deleted_path())
+        if self._deleted_exists:
             return spark.read.parquet(self._deleted_path()).select("id").distinct()
         return None
 
@@ -418,11 +429,13 @@ class IVFIndex:
             .write.mode("append")
             .parquet(self._tail_path())
         )
+        self._tail_exists = True
 
     def delete(self, spark: SparkSession, ids: list) -> None:
         """Record deleted ids; they disappear from search results immediately."""
         id_t = self.manifest.get("id_type", "bigint")
         spark.createDataFrame([(i,) for i in ids], f"id {id_t}").write.mode("append").parquet(self._deleted_path())
+        self._deleted_exists = True
 
     def compact(self, spark: SparkSession) -> "IVFIndex":
         """Full rebuild folding in the tail and dropping deleted ids —

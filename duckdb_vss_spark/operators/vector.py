@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.distance import METRIC_IS_DESCENDING, canonical_metric, distance_expr
 
-__all__ = ["normalize_vectors", "group_centroids", "nearest_centroid"]
+__all__ = ["normalize_vectors", "group_centroids", "nearest_centroid", "kmeans_step", "kmeans_fit"]
 
 
 def normalize_vectors(df: DataFrame, vec_col: str, out_col: str | None = None) -> DataFrame:
@@ -92,3 +92,49 @@ def nearest_centroid(
         d = best["d"]
         out = out.withColumn(score_col, -d if desc else d)
     return out
+
+
+def kmeans_step(df: DataFrame, vec_col: str, centroids: list[tuple], metric: str = "l2sq") -> list[tuple]:
+    """One Lloyd iteration, distributed: assign (codegen projection, no
+    shuffle) then re-average (one combine-side Exchange), returning the new
+    driver-side ``[(id, vector), ...]`` list. Empty clusters keep their old
+    centroid (the standard Lloyd convention). Exactly one Spark job per
+    iteration; only ``k * dim`` numbers ever reach the driver — this is the
+    textbook scalable k-means loop.
+    """
+    assigned = nearest_centroid(df, vec_col, centroids, metric=metric, score_col=None)
+    byid: dict = {}
+    for r in group_centroids(assigned, vec_col, "centroid_id").collect():
+        byid.setdefault(r["group"], {})[r["pos"]] = r["c"]
+    out = []
+    for cid, old in centroids:
+        comps = byid.get(cid)
+        out.append((cid, [comps[p] for p in sorted(comps)] if comps else list(old)))
+    return out
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    iters: int = 10,
+    id_col: str | None = None,
+    metric: str = "l2sq",
+) -> list[tuple]:
+    """Distributed Lloyd k-means over a vector column. Deterministic init:
+    the first ``k`` rows ordered by ``id_col`` (or the frame's natural first
+    ``k`` rows) — no RNG, so runs are reproducible across cluster sizes.
+    ``iters`` bounds the job count; each iteration is one job (see
+    :func:`kmeans_step`)."""
+    if k < 1:
+        raise ValueError("k must be at least 1")
+    base = df.select(vec_col).filter(F.col(vec_col).isNotNull())
+    if id_col is not None:
+        base = df.filter(F.col(vec_col).isNotNull()).orderBy(id_col).select(vec_col)
+    init_rows = base.limit(k).collect()
+    if not init_rows:
+        raise ValueError("Cannot fit k-means on an empty vector column")
+    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init_rows)]
+    for _ in range(iters):
+        cents = kmeans_step(df, vec_col, cents, metric=metric)
+    return cents

@@ -91,6 +91,36 @@ def test_nearest_centroid_is_pure_projection(emb):
     assert "Python" not in plan
 
 
+def test_kmeans_fit_reduces_inertia(spark, emb, emb_np):
+    from duckdb_vss_spark.operators.vector import kmeans_fit, kmeans_step
+
+    ids, mat, labels = emb_np
+    cents0 = [(i, [float(x) for x in mat[i]]) for i in range(8)]
+
+    def inertia(cents):
+        cmat = np.array([c for _, c in cents])
+        d = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    one = kmeans_step(emb, "embedding", cents0)
+    two = kmeans_step(emb, "embedding", one)
+    # Lloyd monotonicity: inertia never increases
+    assert inertia(one) <= inertia(cents0) + 1e-9
+    assert inertia(two) <= inertia(one) + 1e-9
+    fit = kmeans_fit(emb, "embedding", 8, iters=3, id_col="vec_id")
+    assert len(fit) == 8 and all(len(v) == mat.shape[1] for _, v in fit)
+    assert inertia(fit) <= inertia(two) + 1e-9
+
+
+def test_kmeans_step_keeps_empty_cluster_centroid(spark):
+    from duckdb_vss_spark.operators.vector import kmeans_step
+
+    df = spark.createDataFrame([([0.0, 0.0],), ([1.0, 1.0],)], "v array<float>")
+    far = [99.0, 99.0]
+    out = dict(kmeans_step(df, "v", [(0, [0.5, 0.5]), (1, far)]))
+    assert out[1] == far  # no members -> centroid unchanged
+
+
 def test_group_centroids_single_exchange(emb):
     plan = group_centroids(emb, "embedding", "label")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
