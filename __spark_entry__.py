@@ -22,6 +22,7 @@ from duckdb_vss_spark import (
     array_cosine_similarity,
     array_distance,
     array_inner_product,
+    knn_join,
     knn_join_flat,
     min_by_k,
     topk,
@@ -933,6 +934,56 @@ def _q_stream_stateful_totals(spark, sf_dir):
     return final.select("event_type", "n", F.col("sum_value").cast("float").alias("sum_value"))
 
 
+def _q_ann_index_cosine(spark, sf_dir):
+    """HNSW_INDEX_SCAN with a cosine-metric index (centroid probing orders
+    by normalized-centroid similarity), full probe => exact: metric routing
+    through the index path, not just l2 (q15's metric)."""
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_cosidx_"))
+    eng.register_table("emb_cos", _emb(spark, sf_dir))
+    eng.create_index("qcos_idx", "emb_cos", "embedding", "vec_id", options={"metric": "cosine"}, replace=True)
+    eng.set_ef_search(10**6)
+    return eng.topk("emb_cos", "embedding", Q64, 10, metric="cosine", tiebreak="vec_id").select(
+        "vec_id", F.col("score").cast("float").alias("score")
+    )
+
+
+def _q_ann_index_ip(spark, sf_dir):
+    """HNSW_INDEX_SCAN with an inner-product index, full probe => exact
+    (max-polarity ordering through the index path)."""
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_ipidx_"))
+    eng.register_table("emb_ip", _emb(spark, sf_dir))
+    eng.create_index("qip_idx", "emb_ip", "embedding", "vec_id", options={"metric": "ip"}, replace=True)
+    eng.set_ef_search(10**6)
+    return eng.topk("emb_ip", "embedding", Q64, 10, metric="ip", tiebreak="vec_id").select(
+        "vec_id", F.col("score").cast("float").alias("score")
+    )
+
+
+def _q_vss_join_struct(spark, sf_dir):
+    """Q4's actual output shape: (score, left_tbl STRUCT, right_tbl STRUCT)
+    via struct_pack('*') (reference: src/hnsw/hnsw_index_macros.cpp:18).
+    Struct fields are projected to scalars for the hash — the packing
+    itself is what's under test (C9, previously pytest-only)."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    out = knn_join(probes, emb, "embedding", "embedding", 3, "l2sq", left_id="vec_id", right_id="vec_id")
+    return out.select(
+        "score",
+        F.col("left_tbl.vec_id").alias("qid"),
+        F.col("left_tbl.label").alias("q_label"),
+        F.col("right_tbl.vec_id").alias("rid"),
+        F.col("right_tbl.label").alias("r_label"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -993,6 +1044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_kmeans_step": _q_kmeans_step,
         "q57_stream_sessions": _q_stream_sessions,
         "q58_stream_stateful": _q_stream_stateful_totals,
+        "q59_ann_index_cosine": _q_ann_index_cosine,
+        "q60_ann_index_ip": _q_ann_index_ip,
+        "q61_vss_join_struct": _q_vss_join_struct,
     }
 
 
@@ -1434,6 +1488,22 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY ROLLUP(event_type, day)
             )
         """,
+        "q61_vss_join_struct": """
+            WITH j AS (
+              SELECT q.vec_id AS qid, q.label AS q_label,
+                     i.vec_id AS rid, i.label AS r_label,
+                     list_distance(q.embedding::DOUBLE[], i.embedding::DOUBLE[])::FLOAT AS score,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_distance(q.embedding::DOUBLE[], i.embedding::DOUBLE[]), i.vec_id
+                     ) AS rnk
+              FROM embeddings q, embeddings i
+              WHERE q.vec_id < 10
+            )
+            SELECT score, qid, q_label, rid, r_label FROM j WHERE rnk <= 3
+        """,
+        "q59_ann_index_cosine": f"SELECT vec_id, {cos}::FLOAT AS score FROM embeddings ORDER BY score DESC, vec_id LIMIT 10",
+        "q60_ann_index_ip": f"SELECT vec_id, {ip}::FLOAT AS score FROM embeddings ORDER BY score DESC, vec_id LIMIT 10",
         "q57_stream_sessions": """
             WITH o AS (
               SELECT user_id, ts, event_id, value,

@@ -76,6 +76,7 @@ def asof_join(
     suffix: str = "_r",
     direction: str = "backward",
     strict: bool = False,
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
     """As-of join: for every left row, attach the most recent right row at or
     before its timestamp (``direction='backward'``; ``'forward'`` takes the
@@ -83,6 +84,9 @@ def asof_join(
     semantics, like duckdb's ``ASOF LEFT JOIN`` and pandas ``merge_asof``).
 
     ``strict=True`` requires right.ts strictly before (after) left.ts.
+    ``tolerance_sec`` voids matches farther than that many seconds away
+    (pandas ``merge_asof(tolerance=...)`` parity) — the attribution-window
+    use case ("credit the click only if within 7 days").
 
     Implementation: union-tag + windowed last-carry — one shuffle on ``on``,
     no inequality join, both inputs may be arbitrarily large. Right-side
@@ -125,6 +129,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+    if tolerance_sec is not None:
+        gap = F.abs(
+            F.unix_micros(F.col("__ts").cast("timestamp"))
+            - F.unix_micros(F.col(f"__m.{right_ts}").cast("timestamp"))
+        ) / F.lit(1e6)
+        carried = carried.withColumn(
+            "__m", F.when(gap <= F.lit(float(tolerance_sec)), F.col("__m"))
+        )
     out = carried.filter(F.col("__side") == 1).select(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns],
         *[

@@ -132,6 +132,31 @@ def test_asof_equals_naive_on_events(spark, events):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
 
 
+def test_asof_tolerance_voids_stale_matches(spark):
+    left = spark.createDataFrame([(1, _ts(30), "a"), (1, _ts(31), "b")], "k long, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, _ts(0), 100), (1, _ts(29), 200)], "k long, ts timestamp, rv int")
+    got = {
+        r["tag"]: r["rv"]
+        for r in asof_join(left, right, "k", right_cols=["rv", "ts"], tolerance_sec=150.0).collect()
+    }
+    # the ts=29 match is 60s/120s away: inside tolerance for both left rows
+    assert got["a"] == 200 and got["b"] == 200
+    got2 = {
+        r["tag"]: r["rv"]
+        for r in asof_join(left, right.filter(F.col("rv") == 100), "k",
+                           right_cols=["rv", "ts"], tolerance_sec=150.0).collect()
+    }
+    assert got2 == {"a": None, "b": None}  # 30min-old match voided
+
+
+def test_sessionize_single_exchange(events):
+    plan = (
+        sessionize_batch(events, "user_id", "ts", "30 minutes")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+
+
 def test_asof_plan_has_no_join(events):
     purchases = events.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = events.filter(F.col("event_type") == "click").select(
