@@ -984,6 +984,33 @@ def _q_vss_join_struct(spark, sf_dir):
     )
 
 
+def _q_stream_interval_join(spark, sf_dir):
+    """Stream-stream inner join with a time-range condition (both sides
+    stateful, watermark-bounded): clicks in the 4 hours before each error,
+    per user. availableNow => must equal the batch range join (q52's
+    oracle family, pair-level)."""
+    import uuid
+
+    from duckdb_vss_spark.deploy import ensure_shipped
+    from duckdb_vss_spark.streaming import read_events_stream, run_to_memory, stream_interval_join
+
+    ensure_shipped(spark)
+    d = _stage_events_dir(sf_dir)
+    errors = read_events_stream(spark, d).filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = read_events_stream(spark, d).filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = stream_interval_join(errors, clicks, "user_id", width="4 hours")
+    out = run_to_memory(
+        j.select(F.col("l_event_id").alias("event_id"), F.col("r_event_id").alias("click_id")),
+        "q62m" + uuid.uuid4().hex[:8],
+        output_mode="append",
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -1047,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_ann_index_cosine": _q_ann_index_cosine,
         "q60_ann_index_ip": _q_ann_index_ip,
         "q61_vss_join_struct": _q_vss_join_struct,
+        "q62_stream_interval_join": _q_stream_interval_join,
     }
 
 
@@ -1487,6 +1515,13 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n, sum(value)::FLOAT AS sum_value
               FROM events GROUP BY ROLLUP(event_type, day)
             )
+        """,
+        "q62_stream_interval_join": """
+            SELECT e.event_id, c.event_id AS click_id
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id
+             AND c.ts >= e.ts - INTERVAL 4 HOUR AND c.ts < e.ts
         """,
         "q61_vss_join_struct": """
             WITH j AS (

@@ -23,6 +23,7 @@ from .ops import (  # noqa: F401
     sessionize,
     running_totals_stateful,
     score_vector_stream,
+    stream_interval_join,
     stream_knn_join,
     run_to_memory,
 )

@@ -32,6 +32,7 @@ __all__ = [
     "sessionize",
     "running_totals_stateful",
     "score_vector_stream",
+    "stream_interval_join",
     "stream_knn_join",
     "run_to_memory",
 ]
@@ -131,6 +132,42 @@ def sessionize(
             "sum_value",
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    width: str = "4 hours",
+    watermark: str = "24 hours",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` with a time-range condition:
+    right rows in the ``width`` window strictly before each left row.
+
+    This is Spark's double-sided stateful join: BOTH inputs buffer state,
+    watermarks + the range condition bound how long each side is retained
+    (without them state grows forever — the #1 stream-join footgun). The
+    batch twin is :func:`~duckdb_vss_spark.operators.temporal.
+    range_join_banded`; with availableNow both must agree (oracle-checked).
+
+    Columns are prefixed (default ``l_`` / ``r_``) since both sides share a
+    schema in the events use case.
+    """
+    lcols = [F.col(c).alias(left_prefix + c) for c in left.columns]
+    rcols = [F.col(c).alias(right_prefix + c) for c in right.columns]
+    lw = left.select(*lcols).withWatermark(left_prefix + left_ts, watermark)
+    rw = right.select(*rcols).withWatermark(right_prefix + right_ts, watermark)
+    lt, rt = left_prefix + left_ts, right_prefix + right_ts
+    cond = (
+        (F.col(left_prefix + key) == F.col(right_prefix + key))
+        & (F.col(rt) >= F.col(lt) - F.expr(f"INTERVAL {width}"))
+        & (F.col(rt) < F.col(lt))
+    )
+    return lw.join(rw, cond)
 
 
 _RUNNING_SCHEMA = "event_type string, n bigint, sum_value double"

@@ -132,6 +132,35 @@ def test_score_vector_stream(spark, tmp_path, emb):
     assert g == pytest.approx(exp)
 
 
+def test_stream_interval_join_equals_batch_range_join(spark, events_dir, events_batch):
+    """Stream-stream time-range join (availableNow) == the batch banded
+    range join: same pairs, both watermark-stateful sides drained."""
+    from duckdb_vss_spark.operators.temporal import range_join_banded
+    from duckdb_vss_spark.streaming import stream_interval_join
+
+    errors_s = read_events_stream(spark, events_dir).filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks_s = read_events_stream(spark, events_dir).filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    got = run_to_memory(
+        stream_interval_join(errors_s, clicks_s, "user_id", width="4 hours").select(
+            "l_event_id", "r_event_id"
+        ),
+        _name(),
+        output_mode="append",
+    )
+    errors_b = events_batch.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks_b = events_batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    want = range_join_banded(
+        errors_b, clicks_b, "user_id", left_ts="ts", right_ts="cts", width_sec=4 * 3600.0
+    ).select("l_event_id", "r_click_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_stream_knn_join_equals_batch(spark, emb, tmp_path):
     """Streaming ANN (availableNow, full probe) must equal the exact batch
     k-NN join over the same probes."""
