@@ -123,9 +123,12 @@ def asof_join(
     right_first = not strict
     side_order = F.col("__side").asc() if right_first else F.col("__side").desc()
     ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    # the payload struct is the final sort key so right-side ties on
+    # (key, ts) resolve deterministically (largest payload wins) instead of
+    # depending on partition row order
     w = (
         Window.partitionBy(*keys)
-        .orderBy(ts_order, side_order)
+        .orderBy(ts_order, side_order, F.col("__payload").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))

@@ -170,6 +170,51 @@ def test_asof_plan_has_no_join(events):
     assert plan.count("Exchange") == 1  # exactly the window shuffle
 
 
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    """Randomized differential vs pandas merge_asof (the de-facto as-of
+    reference implementation): backward/forward x with/without tolerance,
+    unique (key, ts) pairs (pandas resolves exact ties by row position,
+    which no value-based distributed operator can reproduce)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n_l, n_r = 40, 60
+        base = dt.datetime(2024, 1, 1)
+        lts = rng.choice(np.arange(100_000), size=n_l, replace=False)
+        rts = rng.choice(np.arange(100_000), size=n_r, replace=False)
+        lpdf = pd.DataFrame({
+            "k": rng.integers(0, 4, n_l),
+            "ts": [base + dt.timedelta(seconds=int(s)) for s in lts],
+            "lid": np.arange(n_l),
+        }).sort_values("ts").reset_index(drop=True)
+        rpdf = pd.DataFrame({
+            "k": rng.integers(0, 4, n_r),
+            "ts": [base + dt.timedelta(seconds=int(s)) for s in rts],
+            "rv": np.arange(n_r) * 10,
+        }).sort_values("ts").reset_index(drop=True)
+        ldf = spark.createDataFrame(lpdf)
+        rdf = spark.createDataFrame(rpdf)
+        for direction, tol in (("backward", None), ("forward", None), ("backward", 5000.0)):
+            got = {
+                r["lid"]: r["rv"]
+                for r in asof_join(
+                    ldf, rdf, "k", right_cols=["rv"], direction=direction,
+                    tolerance_sec=tol,
+                ).collect()
+            }
+            want_pdf = pd.merge_asof(
+                lpdf, rpdf, on="ts", by="k", direction=direction,
+                tolerance=(pd.Timedelta(seconds=tol) if tol else None),
+            )
+            want = {
+                int(r.lid): (None if pd.isna(r.rv) else int(r.rv))
+                for r in want_pdf.itertuples()
+            }
+            assert got == want, (trial, direction, tol)
+
+
 # -- range join -------------------------------------------------------------
 
 
