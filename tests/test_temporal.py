@@ -253,6 +253,33 @@ def test_range_join_equals_naive_on_events(spark, events):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
 
 
+def test_asof_empty_right_is_all_null(spark):
+    left = spark.createDataFrame([(1, _ts(10), "a")], "k long, ts timestamp, tag string")
+    right = spark.createDataFrame([], "k long, ts timestamp, rv int")
+    got = asof_join(left, right, "k", right_cols=["rv"]).collect()
+    assert len(got) == 1 and got[0]["rv"] is None
+
+
+def test_asof_bad_direction_raises(spark):
+    left = spark.createDataFrame([(1, _ts(10))], "k long, ts timestamp")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, left, "k", direction="sideways")
+
+
+def test_range_join_empty_sides(spark):
+    some = spark.createDataFrame([(1, _ts(10), 7)], "k long, ts timestamp, v int")
+    empty = spark.createDataFrame([], "k long, ts timestamp, v int")
+    assert range_join_banded(some, empty, "k").count() == 0
+    assert range_join_banded(empty, some, "k").count() == 0
+
+
+def test_sessionize_null_key_groups_together(spark):
+    rows = [(None, _ts(0)), (None, _ts(5)), (1, _ts(0))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["user_id"]: r["n_events"] for r in sessionize_batch(df, "user_id", "ts", "30 minutes").collect()}
+    assert got == {None: 2, 1: 1}
+
+
 def test_range_join_plan_is_not_cartesian(events):
     errors = events.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
     clicks = events.filter(F.col("event_type") == "click").select(
