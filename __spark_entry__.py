@@ -1011,6 +1011,21 @@ def _q_stream_interval_join(spark, sf_dir):
     return out
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Pairs -> clusters: MinHash near-dup pairs (q11's parameters) closed
+    into connected components (min-label propagation, localCheckpoint-
+    truncated lineage); every doc gets its cluster id and the
+    exactly-one-survivor canonical flag. Oracle: recursive-CTE closure over
+    the identical pair SQL."""
+    from duckdb_vss_spark import dedup_clusters
+    from duckdb_vss_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", 3, 16, 4, 0.5).select("id_a", "id_b")
+    out = dedup_clusters(docs.select("doc_id"), "doc_id", pairs)
+    return out.select("doc_id", "cluster_id", "is_canonical")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -1075,7 +1090,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_ann_index_ip": _q_ann_index_ip,
         "q61_vss_join_struct": _q_vss_join_struct,
         "q62_stream_interval_join": _q_stream_interval_join,
+        "q63_dedup_clusters": _q_dedup_clusters,
     }
+
+
+def _MINHASH_PAIRS_SQL(O) -> str:
+    """duckdb spelling of the q11 MinHash(16)+LSH(4 bands) near-dup pairs
+    (id_a, id_b, jaccard >= 0.5) — shared by q11 and q63's cluster closure."""
+    return f"""
+            WITH halves AS MATERIALIZED (
+              SELECT doc_id,
+                     {O.sql_shingle_hash_halves('text', 3)[0]} AS h1s,
+                     {O.sql_shingle_hash_halves('text', 3)[1]} AS h2s,
+                     {O.sql_word_ngrams('text', 3)} AS sh
+              FROM documents
+            ),
+            sig AS MATERIALIZED (
+              SELECT doc_id,
+                     {O.sql_minhash_from_halves('h1s', 'h2s', 16)} AS sig,
+                     sh
+              FROM halves
+            ),
+            banded AS (
+              SELECT doc_id, b,
+                     {O.sql_hash64("array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')")} AS bucket
+              FROM sig, range(0, 4) r(b)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM banded a JOIN banded b2 USING (b, bucket)
+              WHERE a.doc_id < b2.doc_id
+            )
+            SELECT id_a, id_b,
+                   (len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)::FLOAT AS jaccard
+            FROM cand
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+            WHERE (len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE) >= 0.5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1146,38 +1200,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY {O.sql_fingerprint('text')}) AS group_size
             FROM documents
         """,
-        "q11_minhash_lsh": f"""
-            WITH halves AS MATERIALIZED (
-              SELECT doc_id,
-                     {O.sql_shingle_hash_halves('text', 3)[0]} AS h1s,
-                     {O.sql_shingle_hash_halves('text', 3)[1]} AS h2s,
-                     {O.sql_word_ngrams('text', 3)} AS sh
-              FROM documents
-            ),
-            sig AS MATERIALIZED (
-              SELECT doc_id,
-                     {O.sql_minhash_from_halves('h1s', 'h2s', 16)} AS sig,
-                     sh
-              FROM halves
-            ),
-            banded AS (
-              SELECT doc_id, b,
-                     {O.sql_hash64("array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')")} AS bucket
-              FROM sig, range(0, 4) r(b)
-            ),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-              FROM banded a JOIN banded b2 USING (b, bucket)
-              WHERE a.doc_id < b2.doc_id
+        "q11_minhash_lsh": _MINHASH_PAIRS_SQL(O),
+        "q63_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+              {_MINHASH_PAIRS_SQL(O)}
+            ), und AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), walk(node, lab) AS (
+              SELECT a, a FROM und
+              UNION
+              SELECT u.a, w.lab FROM und u JOIN walk w ON u.b = w.node
+            ), comp AS (
+              SELECT node, min(lab) AS cluster_id FROM walk GROUP BY node
             )
-            SELECT id_a, id_b,
-                   (len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)::FLOAT AS jaccard
-            FROM cand
-            JOIN sig sa ON sa.doc_id = id_a
-            JOIN sig sb ON sb.doc_id = id_b
-            WHERE (len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE) >= 0.5
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         """,
         "q12_simhash": f"""
             WITH h AS (

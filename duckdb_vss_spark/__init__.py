@@ -31,6 +31,7 @@ from .operators.skew import salted_agg, salted_join  # noqa: F401
 from .operators.sampling import hash_split, pack_sequences, stratified_sample  # noqa: F401
 from .operators.profile import corpus_stats  # noqa: F401
 from .operators.quality import decontaminate, repetition_stats  # noqa: F401
+from .operators.graph import connected_components, dedup_clusters  # noqa: F401
 from .operators.temporal import asof_join, range_join_banded, sessionize_batch  # noqa: F401
 from .operators.vector import (  # noqa: F401
     group_centroids,

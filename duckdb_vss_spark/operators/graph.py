@@ -1,0 +1,92 @@
+"""Graph operators for dedup-cluster resolution: connected components over
+a pair list, and the end-to-end near-duplicate clustering that turns
+pairwise matches into keep/drop decisions.
+
+The dedup operators (:mod:`.dedup`) emit *pairs*; a pipeline needs
+*clusters* — if A~B and B~C, all three are one duplicate group even though
+(A, C) was never emitted, and exactly one representative should survive.
+That closure is a connected-components problem.
+
+Spark-first design:
+
+- **Min-label propagation** over DataFrames: each node's label becomes the
+  min of its own and its neighbors' labels, iterated to fixpoint. Every
+  iteration is one join + one partial-aggregated groupBy — the textbook
+  scalable formulation (GraphX/GraphFrames use the same shape). Iteration
+  count is bounded by the component *diameter*, and near-dup components are
+  dense (banded candidates within a bucket form cliques), so diameters are
+  small; ``max_iter`` guards pathological chains.
+- **``localCheckpoint`` between iterations** truncates the lineage — an
+  iterative DataFrame loop otherwise re-plans an exponentially growing tree
+  (the classic Spark iterative-algorithm trap).
+- The final component id is the component's minimum node id — deterministic
+  on any cluster size, so the canonical-doc choice is reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected graph given as an edge list.
+    Returns (node, comp) with ``comp`` = min node id in the component; only
+    nodes appearing in an edge are returned (callers left-join and coalesce
+    to cover singletons).
+
+    Min-label propagation to fixpoint: O(diameter) rounds, each one
+    hash-join + min-aggregate (both shuffle on node id and combine
+    map-side). Converged when no label shrinks.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    adj = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    comp = adj.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    comp = comp.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            adj.join(comp, adj["b"] == comp["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        stepped = comp.join(nbr, "node", "left").select(
+            "node",
+            F.col("comp").alias("old"),
+            F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"),
+        )
+        stepped = stepped.localCheckpoint(eager=True)  # truncate iterative lineage
+        changed = stepped.filter(F.col("comp") < F.col("old")).limit(1).count()
+        comp = stepped.select("node", "comp")
+        if changed == 0:
+            break
+    return comp
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve pairwise near-duplicate matches into clusters: every row of
+    ``df`` gains ``cluster_id`` (min id of its duplicate group; its own id
+    if unmatched) and ``is_canonical`` (the survivor flag — exactly one per
+    cluster). ``pairs`` is any dedup operator's output (MinHash/SimHash/
+    n-gram/embedding pairs all share the (id_a, id_b) shape)."""
+    comp = connected_components(pairs, src, dst, max_iter)
+    out = (
+        df.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("comp"), F.col(id_col)))
+        .drop("comp")
+        .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
+    )
+    return out
