@@ -151,6 +151,37 @@ def test_engine_knn_join_index_path(engine, spark):
 
 # -- info / lifecycle ------------------------------------------------------
 
+@pytest.mark.parametrize(
+    "cols",
+    [
+        ["vec_id", "embedding", "label"],
+        ["label", "vec_id", "embedding"],
+        ["embedding", "label", "vec_id"],
+        ["vec_id", "label"],
+        ["label", "embedding", "vec_id"],
+    ],
+)
+def test_topk_projection_permutations(engine, spark, cols):
+    """Every projection ordering around the index scan returns the same
+    rows (reference: test/sql/hnsw/hnsw_projection.test:20-37). Projections
+    that drop the vector column still work — the scan, not the caller's
+    projection, feeds the distance."""
+    engine.set_ef_search(10**6)
+    try:
+        out = engine.topk("emb", "embedding", Q, 5, tiebreak="vec_id").select(*cols, "score")
+        rows = out.collect()
+    finally:
+        engine.set_ef_search(None)
+    assert [r["vec_id"] for r in rows] == [
+        r["vec_id"]
+        for r in topk(
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+            "embedding", Q, 5, "l2sq", tiebreak="vec_id",
+        ).collect()
+    ]
+    assert out.columns == [*cols, "score"]
+
+
 def test_index_info_schema(engine):
     info = engine.index_info()
     assert [f.name for f in info.schema.fields] == [
