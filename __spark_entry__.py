@@ -1026,6 +1026,21 @@ def _q_dedup_clusters(spark, sf_dir):
     return out.select("doc_id", "cluster_id", "is_canonical")
 
 
+def _q_salted_join(spark, sf_dir):
+    """Skew-resistant join: the hot-key events side is salted, the customer
+    dim replicated per salt — algebraically identical to the plain join
+    (the salt changes the exchange topology only). Aggregated per market
+    segment so the oracle is a plain duckdb join + GROUP BY."""
+    from duckdb_vss_spark.operators.skew import salted_join
+
+    ev = _events(spark, sf_dir).withColumnRenamed("user_id", "c_custkey")
+    cust = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(ev, cust, "c_custkey", salt=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").cast("float").alias("sum_value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -1091,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_vss_join_struct": _q_vss_join_struct,
         "q62_stream_interval_join": _q_stream_interval_join,
         "q63_dedup_clusters": _q_dedup_clusters,
+        "q64_salted_join": _q_salted_join,
     }
 
 
@@ -1556,6 +1572,11 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n, sum(value)::FLOAT AS sum_value
               FROM events GROUP BY ROLLUP(event_type, day)
             )
+        """,
+        "q64_salted_join": """
+            SELECT c.c_mktsegment, count(*) AS n, sum(e.value)::FLOAT AS sum_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
         "q62_stream_interval_join": """
             SELECT e.event_id, c.event_id AS click_id
