@@ -1041,6 +1041,40 @@ def _q_salted_join(spark, sf_dir):
     )
 
 
+def _q_csv_roundtrip(spark, sf_dir):
+    """Source/sink surface: write a projection to CSV (partitioned sink),
+    read it back with an explicit schema (no inference — schema drift must
+    error, not guess), aggregate. The oracle reads the original parquet, so
+    any write/read corruption breaks the hash."""
+    import tempfile
+
+    from duckdb_vss_spark.sources import read_any, write_partitioned
+
+    d = tempfile.mkdtemp(prefix="vss_csv_") + "/docs"
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    write_partitioned(docs, d, fmt="csv")
+    back = read_any(spark, d, fmt="csv", schema="doc_id bigint, lang string, n_chars bigint")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+def _q_byte_histogram(spark, sf_dir):
+    """Multimodal codec-free features: L1-normalized byte histogram of each
+    media payload (the embedding the vector operators consume), exploded to
+    (doc_id, byte, freq) rows. The payload is the doc's UTF-8 bytes, so the
+    duckdb oracle recomputes per-character frequencies from the text."""
+    from duckdb_vss_spark.operators import multimodal as M
+
+    media = M.synthesize_media(_docs(spark, sf_dir), "doc_id", "text", kind="image")
+    feats = M.byte_histogram_features(media, "doc_id")
+    return (
+        feats.select("doc_id", F.posexplode("features").alias("byte", "freq"))
+        .filter(F.col("freq") > 0)
+        .select("doc_id", F.col("byte").cast("long").alias("byte"), F.col("freq").cast("float").alias("freq"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -1107,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_stream_interval_join": _q_stream_interval_join,
         "q63_dedup_clusters": _q_dedup_clusters,
         "q64_salted_join": _q_salted_join,
+        "q65_csv_roundtrip": _q_csv_roundtrip,
+        "q66_byte_histogram": _q_byte_histogram,
     }
 
 
@@ -1572,6 +1608,20 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n, sum(value)::FLOAT AS sum_value
               FROM events GROUP BY ROLLUP(event_type, day)
             )
+        """,
+        "q66_byte_histogram": """
+            WITH chars AS (
+              SELECT doc_id, ascii(unnest(string_split_regex(text, ''))) AS byte,
+                     length(text) AS len
+              FROM documents
+            )
+            SELECT doc_id, byte::BIGINT AS byte,
+                   (count(*)::DOUBLE / any_value(len)::DOUBLE)::FLOAT AS freq
+            FROM chars GROUP BY doc_id, byte
+        """,
+        "q65_csv_roundtrip": """
+            SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
+            FROM documents GROUP BY lang
         """,
         "q64_salted_join": """
             SELECT c.c_mktsegment, count(*) AS n, sum(e.value)::FLOAT AS sum_value
