@@ -1075,6 +1075,24 @@ def _q_byte_histogram(spark, sf_dir):
     )
 
 
+def _norm_q64() -> list[float]:
+    s = sum(x * x for x in Q64) ** 0.5
+    return [x / s for x in Q64]
+
+
+def _q_normalized_topk(spark, sf_dir):
+    """normalize_vectors contract: after unit-norm projection, l2 top-k
+    equals cosine ordering (one index artifact serves both metrics). The
+    oracle reproduces the f32 rounding the projection applies, so scores
+    hash-match exactly."""
+    from duckdb_vss_spark import normalize_vectors
+
+    emb = normalize_vectors(_emb(spark, sf_dir), "embedding")
+    return topk(emb, "embedding", _norm_q64(), 10, "l2sq", tiebreak="vec_id").select(
+        "vec_id", F.col("score").cast("float").alias("score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -1143,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_salted_join": _q_salted_join,
         "q65_csv_roundtrip": _q_csv_roundtrip,
         "q66_byte_histogram": _q_byte_histogram,
+        "q67_normalized_topk": _q_normalized_topk,
     }
 
 
@@ -1608,6 +1627,18 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n, sum(value)::FLOAT AS sum_value
               FROM events GROUP BY ROLLUP(event_type, day)
             )
+        """,
+        "q67_normalized_topk": f"""
+            WITH n AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       v -> (v / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y))))::REAL
+                     )::DOUBLE[] AS ne
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   list_distance(ne, [{",".join(str(x) for x in _norm_q64())}]::DOUBLE[])::FLOAT AS score
+            FROM n ORDER BY score, vec_id LIMIT 10
         """,
         "q66_byte_histogram": """
             WITH chars AS (

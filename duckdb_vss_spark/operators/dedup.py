@@ -53,26 +53,54 @@ def winnow_fingerprint_rows(df: DataFrame, text_col: str, id_col: str, k: int = 
     (id, fp) — the corpus-scale form of
     :func:`~duckdb_vss_spark.functions.text.winnow_fingerprints`.
 
-    Each k-gram is hashed exactly once (the array form re-evaluates the md5
-    pipeline once per window shift); window minima run as a streaming
-    ROWS-BETWEEN window aggregate partitioned by document — one hash
-    shuffle on the doc id, linear work per document, no state beyond the
-    w-row frame. Output: (id_col, fp BIGINT) distinct.
+    Each k-gram is hashed exactly once (JVM md5 pipeline, materialized at
+    the Arrow boundary); the sliding w-window minima + per-doc dedupe then
+    run as a vectorized numpy kernel (``sliding_window_view(...).min``) —
+    so the whole operator is map-only: zero shuffles, zero sorts, and only
+    fingerprints leave the task. Two rejected forms, both measured at
+    sf0.1: the exploded-gram window aggregate pays an Exchange + sort over
+    n_docs x n_grams rows (~5.5 s), and a pure-HOF
+    ``transform(sequence, i -> array_min(slice(gh, ...)))`` looks
+    shuffle-free but CollapseProject inlines the md5 array into the lambda,
+    re-evaluating the whole hash pipeline once per window (O(n^2), ~5.6 s);
+    the Arrow form does the same work in ~1.5 s and ships nothing.
+
+    A narrow input (single file) is fanned out to cluster width first —
+    doc-level rows, orders of magnitude cheaper than the old exploded-gram
+    shuffle. Output: (id_col, fp BIGINT) distinct.
     """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
     from ..functions.text import char_gram_hashes
 
-    grams = df.select(F.col(id_col), F.posexplode(char_gram_hashes(text_col, k)).alias("pos", "gh"))
-    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.currentRow, w - 1)
-    mins = grams.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.min("gh").over(frame).alias("fp"),
-        F.count(F.lit(1)).over(frame).alias("cnt"),
-    )
-    # full windows only; a doc with fewer than w grams keeps its single
-    # all-grams window at pos 0 (mirrors max(1, n-w+1) in the array form)
-    wins = mins.filter((F.col("cnt") == w) | (F.col("pos") == 0))
-    return wins.select(F.col(id_col), "fp").distinct()
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    base = df.select(F.col(id_col).alias("id"), char_gram_hashes(text_col, k).alias("gh"))
+    id_t = dict(base.dtypes)["id"]
+
+    def win_min(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids, fps = [], []
+            for i, gh in zip(pdf["id"], pdf["gh"]):
+                arr = np.asarray(gh, dtype=np.int64)
+                if arr.size == 0:
+                    continue
+                # full windows only; a doc with fewer than w grams keeps its
+                # single all-grams window (mirrors max(1, n-w+1))
+                mins = sliding_window_view(arr, min(w, arr.size)).min(axis=1)
+                u = np.unique(mins)
+                ids.append(np.full(u.size, i))
+                fps.append(u)
+            if ids:
+                yield pd.DataFrame({"id": np.concatenate(ids), "fp": np.concatenate(fps)})
+
+    out = base.mapInPandas(win_min, schema=f"id {id_t}, fp bigint")
+    return out.withColumnRenamed("id", id_col)
 
 
 def _shared(df: DataFrame) -> DataFrame:

@@ -159,12 +159,15 @@ def test_simhash_has_no_distinct_exchange(spark):
     assert "keys=[id_a" not in plan
 
 
-def test_winnow_single_shuffle(spark):
-    """Winnowing = one hash Exchange on the doc id: the window min runs on
-    that partitioning and the (id, fp) distinct reuses it (partitioning on a
-    prefix of the grouping keys satisfies the clustered distribution)."""
+def test_winnow_is_map_only(spark):
+    """Winnowing is map-only: gram hashes materialize once at the Arrow
+    boundary and the sliding minima + per-doc dedupe run in the numpy
+    kernel — no Window operator, and no Exchange beyond the narrow-input
+    fan-out (none at all when the input is already at cluster width)."""
     from duckdb_vss_spark.operators.dedup import winnow_fingerprint_rows
 
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(par)
     plan = _physical(winnow_fingerprint_rows(docs, "text", "doc_id"))
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange") == 1  # only the test's own repartition
+    assert "Window" not in plan
