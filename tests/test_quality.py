@@ -62,10 +62,15 @@ def test_repetition_stats_hand_computed(docs):
     assert d4["dup3gram_char_frac"] == 0.0
 
 
-def test_repetition_stats_plan_two_exchanges_no_python(docs):
-    plan = _physical(repetition_stats(docs, "text", "doc_id"))
-    assert plan.count("Exchange") == 2, plan
-    assert "EvalPython" not in plan and "mapInPandas" not in plan
+def test_repetition_stats_plan_is_map_only(spark, docs):
+    """Every signal is document-local, so the operator is map-only: the
+    item arrays feed one Arrow-batched kernel, and no Exchange appears
+    beyond the narrow-input fan-out (none when the input is already at
+    cluster width)."""
+    par = spark.sparkContext.defaultParallelism
+    plan = _physical(repetition_stats(docs.repartition(par), "text", "doc_id"))
+    assert plan.count("Exchange") == 1, plan  # only the test's repartition
+    assert "HashAggregate" not in plan
 
 
 def test_decontaminate_marks_shared_ngrams(spark):
