@@ -29,9 +29,26 @@ from duckdb_vss_spark import (
 )
 from duckdb_vss_spark.operators.knn import knn_match
 
-# Deterministic 64-dim query vector with exactly-representable components, so
-# the literal means the same thing in Spark and in duckdb SQL.
-Q64 = [((i * 7) % 16) / 16.0 for i in range(64)]
+def _emb_dim(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    """Embedding dimension, read from the fixture itself — the fixtures are
+    regenerated between rounds and physical details have drifted before
+    (events.ts changed parquet type in round 3), so nothing hardcodes the
+    dimension."""
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+        return len(batch.column(0)[0].as_py())
+    except Exception:
+        return 64
+
+
+DIM = _emb_dim()
+
+# Deterministic query vector with exactly-representable components, so the
+# literal means the same thing in Spark and in duckdb SQL.
+Q64 = [((i * 7) % 16) / 16.0 for i in range(DIM)]
 Q64_SQL = "[" + ",".join(str(x) for x in Q64) + "]::DOUBLE[]"
 
 
@@ -1596,15 +1613,15 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts >= e.ts - INTERVAL 4 HOUR AND c.ts < e.ts
             GROUP BY e.event_id
         """,
-        "q53_label_centroids": """
+        "q53_label_centroids": f"""
             SELECT label, r.i AS pos, avg(embedding[r.i + 1]::DOUBLE)::FLOAT AS c
-            FROM embeddings, range(0, 64) r(i)
+            FROM embeddings, range(0, {DIM}) r(i)
             GROUP BY label, r.i
         """,
-        "q54_nearest_centroid": """
+        "q54_nearest_centroid": f"""
             WITH c AS (
               SELECT label, r.i AS pos, avg(embedding[r.i + 1]::DOUBLE) AS v
-              FROM embeddings, range(0, 64) r(i) GROUP BY label, r.i
+              FROM embeddings, range(0, {DIM}) r(i) GROUP BY label, r.i
             ), cent AS (
               SELECT label, list(v ORDER BY pos) AS cv FROM c GROUP BY label
             ), d AS (
@@ -1703,7 +1720,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n, sum(value)::FLOAT AS sum_value
             FROM events GROUP BY event_type
         """,
-        "q56_kmeans_step": """
+        "q56_kmeans_step": f"""
             WITH init AS (
               SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
               FROM embeddings WHERE vec_id < 10
@@ -1717,7 +1734,7 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT cid, r.i AS pos, avg(embedding[r.i + 1]::DOUBLE)::FLOAT AS c
-            FROM a, range(0, 64) r(i) WHERE rn = 1 GROUP BY cid, r.i
+            FROM a, range(0, {DIM}) r(i) WHERE rn = 1 GROUP BY cid, r.i
         """,
         "q49_decontaminate": f"""
             WITH bench AS (
