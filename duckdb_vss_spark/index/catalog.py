@@ -67,6 +67,12 @@ def validate_options(options: dict) -> dict:
             if isinstance(v, bool) or not isinstance(v, int) or v < 1:
                 raise BinderException(f"IVF-PQ option '{k}' must be a positive integer")
             out[k] = v
+        elif k == "distributed_kmeans":
+            # full-dataset Lloyd refinement (beyond the reference surface;
+            # ivf.kmeans_distributed) for corpora a driver sample can't capture
+            if not isinstance(v, bool):
+                raise BinderException("IVF option 'distributed_kmeans' must be a boolean")
+            out[k] = v
         else:
             raise BinderException(f"Unknown option for HNSW index: '{key}'")
     if out["M0"] is None:

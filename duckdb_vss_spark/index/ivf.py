@@ -63,7 +63,7 @@ from . import fs
 from . import pq as pqmod
 from ..functions.distance import METRIC_IS_DESCENDING, canonical_metric, distance_expr
 
-__all__ = ["IVFIndex", "build_ivf", "kmeans"]
+__all__ = ["IVFIndex", "build_ivf", "kmeans", "kmeans_distributed"]
 
 DEFAULT_EF_SEARCH = 64  # usearch default (reference: usearch/index.hpp:1282-1298)
 KMEANS_SAMPLE = 65536
@@ -98,6 +98,69 @@ def kmeans(x: np.ndarray, nlist: int, iters: int = KMEANS_ITERS, seed: int = 42)
 def _nearest_centroid(x: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     d2 = (x * x).sum(1)[:, None] + (centroids * centroids).sum(1)[None, :] - 2.0 * (x @ centroids.T)
     return d2.argmin(axis=1)
+
+
+def kmeans_distributed(
+    src: DataFrame,
+    init: np.ndarray,
+    iters: int,
+) -> np.ndarray:
+    """Distributed Lloyd iterations over the FULL vector set (``src`` must
+    have an array column named ``vec``): each round broadcasts the current
+    centroids, computes per-partition (sum, count) partials with one GEMM
+    per Arrow batch, reduces them with a single tiny shuffle (nlist rows x
+    partition count, element-wise array fold in the JVM), and updates on
+    the driver — only ``nlist x dim`` numbers ever leave the cluster.
+
+    This is the build path for corpora whose character exceeds any driver
+    sample: the default build trains on a bounded sample (fast, one pass),
+    ``options={"distributed_kmeans": True}`` trades ``iters`` extra jobs
+    for centroids fitted on every row. Empty clusters keep their previous
+    centroid."""
+    spark = src.sparkSession
+    cents = np.ascontiguousarray(init, dtype=np.float64)
+    k, d = cents.shape
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            sums = np.zeros((k, d))
+            cnt = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+                a = _nearest_centroid(mat, c)
+                np.add.at(sums, a, mat)
+                cnt += np.bincount(a, minlength=k)
+            nz = np.nonzero(cnt)[0]
+            if nz.size:
+                yield pd.DataFrame(
+                    {"cid": nz, "cnt": cnt[nz], "s": [sums[i] for i in nz]}
+                )
+
+        reduced = (
+            src.select("vec")
+            .mapInPandas(partials, schema="cid int, cnt long, s array<double>")
+            .groupBy("cid")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.aggregate(
+                    F.collect_list("s"),
+                    F.array_repeat(F.lit(0.0), d),
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias("s"),
+            )
+            .collect()
+        )
+        bc.unpersist()
+        new = cents.copy()
+        for r in reduced:
+            if r["cnt"] > 0:
+                new[r["cid"]] = np.asarray(r["s"]) / r["cnt"]
+        cents = new
+    return cents
 
 
 def build_ivf(
@@ -172,6 +235,11 @@ def build_ivf(
     smat = np.vstack(sample.toPandas()["vec"].to_numpy()).astype(np.float64)
     centroids = kmeans(smat, nlist, iters=kmeans_iters, seed=seed)
     nlist = centroids.shape[0]
+    if opts.get("distributed_kmeans"):
+        # refine the sample-seeded centroids over the FULL dataset — the
+        # build path for corpora whose character a bounded driver sample
+        # cannot capture (see kmeans_distributed)
+        centroids = kmeans_distributed(src, centroids, kmeans_iters)
 
     pq_m = opts.get("pq_m")
     if pq_m and dim % pq_m != 0:

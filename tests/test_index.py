@@ -182,6 +182,36 @@ def test_topk_projection_permutations(engine, spark, cols):
     assert out.columns == [*cols, "score"]
 
 
+def test_distributed_kmeans_build_full_probe_exact(spark, tmp_path, emb):
+    """The distributed-Lloyd build path (centroids refined over the full
+    dataset, only nlist x dim numbers reaching the driver) must stay
+    search-correct: full probe == brute force, and the refinement must not
+    increase inertia vs the sample-only seed."""
+    import numpy as np
+
+    eng = VSSEngine(spark, index_root=str(tmp_path / "dk"))
+    eng.register_table("emb_dk", emb)
+    idx = eng.create_index(
+        "dk_idx", "emb_dk", "embedding", "vec_id",
+        options={"distributed_kmeans": True}, replace=True,
+    )
+    eng.set_ef_search(10**6)
+    got = [r["vec_id"] for r in eng.topk("emb_dk", "embedding", Q, 10, tiebreak="vec_id").collect()]
+    want = [r["vec_id"] for r in topk(emb, "embedding", Q, 10, "l2sq", tiebreak="vec_id").collect()]
+    assert got == want
+    # refined centroids fit the data at least as well as the seed
+    from duckdb_vss_spark.index.ivf import kmeans
+
+    mat = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    seed_cents = kmeans(mat, idx.nlist, iters=12, seed=42)
+
+    def inertia(c):
+        d2 = (mat * mat).sum(1)[:, None] + (c * c).sum(1)[None, :] - 2.0 * (mat @ c.T)
+        return d2.min(axis=1).sum()
+
+    assert inertia(idx.centroids) <= inertia(seed_cents) * 1.001
+
+
 def test_index_info_schema(engine):
     info = engine.index_info()
     assert [f.name for f in info.schema.fields] == [
