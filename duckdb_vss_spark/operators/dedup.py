@@ -103,6 +103,19 @@ def winnow_fingerprint_rows(df: DataFrame, text_col: str, id_col: str, k: int = 
     return out.withColumnRenamed("id", id_col)
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to cluster width BEFORE the heavy per-doc
+    hashing projections. A single-file source arrives as one partition; a
+    projection inherits that, serializing the md5/shingle work onto one
+    task while the rest of the cluster idles. Doc-level rows are orders of
+    magnitude cheaper to shuffle than anything derived from them. Inputs
+    already at cluster width pass through untouched."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _shared(df: DataFrame) -> DataFrame:
     """Persist a per-document intermediate that downstream bucket self-joins
     reference 3-4 times (both join sides + signature lookups). Spark performs
@@ -173,7 +186,7 @@ def minhash_lsh_pairs(
     # (measured 160 ms/row; this form is ~1 ms/row). The shuffle is the same
     # one LSH needs for band-bucketing anyway, so at 100 TB this costs one
     # extra narrow stage, not an extra shuffle.
-    shingled = df.select(F.col(id_col), F.explode(word_ngrams(text_col, shingle_n)).alias("s"))
+    shingled = _fan_out(df).select(F.col(id_col), F.explode(word_ngrams(text_col, shingle_n)).alias("s"))
     hashed = shingled.select(
         F.col(id_col),
         F.col("s"),
@@ -255,7 +268,7 @@ def simhash_pairs(
     # hash aggregate with map-side combine, shuffling 61 longs per doc-partial
     # instead of the whole hash array + a 60-pass HOF fold per doc (4.5x
     # faster at sf0.1, and the shuffle volume no longer grows with doc length)
-    feats = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("f"))
+    feats = _fan_out(df).select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("f"))
     hashed = feats.select(F.col(id_col), hash64("f").alias("h"))
     nbits = SIMHASH_BITS - 4  # top 4 bits of the 60-bit md5-derived hash are 0
     votes = hashed.groupBy(id_col).agg(
@@ -318,7 +331,7 @@ def ngram_jaccard_pairs(
     complete candidate set for any threshold > 0.
     Output: (id_a, id_b, jaccard DOUBLE).
     """
-    sh = _shared(df.select(F.col(id_col), word_ngrams(text_col, shingle_n).alias("shingles")))
+    sh = _shared(_fan_out(df).select(F.col(id_col), word_ngrams(text_col, shingle_n).alias("shingles")))
     inv = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
     # Rarest-first prefix filtering (AllPairs/PPJoin candidate generation):
     # order every document's shingles by ascending document frequency (global
@@ -402,7 +415,7 @@ def embedding_neardup_pairs(
     from ..index.ivf import KMEANS_SAMPLE, kmeans
 
     spark = df.sparkSession
-    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).filter(F.col(vec_col).isNotNull())
+    src = _fan_out(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).filter(F.col(vec_col).isNotNull())
     n = src.count()
     if n == 0:
         return spark.createDataFrame([], f"id_a {dict(df.dtypes)[id_col]}, id_b {dict(df.dtypes)[id_col]}, cos_sim double")
