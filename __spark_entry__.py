@@ -1110,6 +1110,33 @@ def _q_normalized_topk(spark, sf_dir):
     )
 
 
+def _q_index_k_ceiling(spark, sf_dir):
+    """The k < 2048 index-path ceiling (reference:
+    src/hnsw/hnsw_optimize_topk.cpp:172): with an index present and
+    k = 2500 the planner must silently fall back to the exact path and
+    return every row ordered — same contract as the reference's guard."""
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_kceil_"))
+    eng.register_table("emb_kc", _emb(spark, sf_dir))
+    eng.create_index("qkc_idx", "emb_kc", "embedding", "vec_id", replace=True)
+    return eng.topk("emb_kc", "embedding", Q64, 2500, tiebreak="vec_id").select(
+        "vec_id", F.col("score").cast("float").alias("score")
+    )
+
+
+def _q_stratified_dict(spark, sf_dir):
+    """stratified_sample's mixture-weights form: per-stratum rates from a
+    dict (absent strata dropped) — the deterministic mixture a training
+    pipeline applies per language."""
+    from duckdb_vss_spark import stratified_sample
+
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.1}
+    return stratified_sample(_docs(spark, sf_dir), "lang", rates, "doc_id").select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -1179,6 +1206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_csv_roundtrip": _q_csv_roundtrip,
         "q66_byte_histogram": _q_byte_histogram,
         "q67_normalized_topk": _q_normalized_topk,
+        "q68_index_k_ceiling": _q_index_k_ceiling,
+        "q69_stratified_dict": _q_stratified_dict,
     }
 
 
@@ -1644,6 +1673,20 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n, sum(value)::FLOAT AS sum_value
               FROM events GROUP BY ROLLUP(event_type, day)
             )
+        """,
+        "q68_index_k_ceiling": (
+            f"SELECT vec_id, {dist}::FLOAT AS score FROM embeddings ORDER BY score, vec_id LIMIT 2500"
+        ),
+        "q69_stratified_dict": f"""
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY {O.sql_id_hash('doc_id', 'strata')}, doc_id) AS rnk,
+                       count(*) OVER (PARTITION BY lang) AS cnt
+                FROM documents)
+            WHERE (lang = 'en' AND rnk <= ceil(0.5 * cnt))
+               OR (lang = 'de' AND rnk <= ceil(0.25 * cnt))
+               OR (lang = 'fr' AND rnk <= ceil(0.1 * cnt))
         """,
         "q67_normalized_topk": f"""
             WITH n AS (
