@@ -349,9 +349,26 @@ def ngram_jaccard_pairs(
     n = F.size("ordered")
     plen = n - F.ceil(n * F.lit(float(threshold))).cast("int") + 1
     prefix = ranked.select(
-        F.col(id_col), F.explode(F.slice(F.col("ordered"), F.lit(1), plen)).alias("e")
-    ).select(F.col(id_col), F.col("e.s").alias("s"))
-    cand = _pairs_from_groups(prefix, ["s"], id_col)
+        F.col(id_col), n.alias("nsz"), F.explode(F.slice(F.col("ordered"), F.lit(1), plen)).alias("e")
+    ).select(F.col(id_col), "nsz", F.col("e.s").alias("s"))
+    # PPJoin length filter: jaccard = I/U with I <= min(|A|,|B|) and
+    # U >= max(|A|,|B|), so any qualifying pair has min >= t * max — prune
+    # size-incompatible pairs BEFORE the distinct, where the prefix-bucket
+    # stream is at its widest (1e-12 slack covers the double boundary)
+    pa = prefix.select(F.col("s"), F.col(id_col).alias("id_a"), F.col("nsz").alias("n_a"))
+    pb = prefix.select(F.col("s"), F.col(id_col).alias("id_b"), F.col("nsz").alias("n_b"))
+    cand = (
+        pa.join(pb, "s")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("n_a", "n_b").cast("double")
+                >= F.greatest("n_a", "n_b").cast("double") * F.lit(float(threshold)) - F.lit(1e-12)
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
     # exact verification on the full (distinct, sorted) shingle sets
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
