@@ -265,25 +265,45 @@ def simhash_pairs(
 
     # materialize per-feature hashes as rows (codegen md5), then compute the
     # per-bit majority votes directly in the groupBy as 60 codegen sums: one
-    # hash aggregate with map-side combine, shuffling 61 longs per doc-partial
-    # instead of the whole hash array + a 60-pass HOF fold per doc (4.5x
-    # faster at sf0.1, and the shuffle volume no longer grows with doc length)
-    feats = _fan_out(df).select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("f"))
-    hashed = feats.select(F.col(id_col), hash64("f").alias("h"))
+    # Per-token hashes stay in the JVM md5 pipeline — hash64 applied inside
+    # transform is LINEAR (one evaluation per element; the collapse trap only
+    # bites when a whole-array subtree is referenced per element) — and the
+    # bit-majority vote runs as a numpy kernel at the Arrow boundary:
+    # (n_tokens x 56) bit matrix, one column-sum, one pack. The signature is
+    # doc-local, so this stage is map-only — the previous 61-sum hash
+    # aggregate paid an explode + a grouping Exchange to compute votes the
+    # document's own task already had in hand.
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     nbits = SIMHASH_BITS - 4  # top 4 bits of the 60-bit md5-derived hash are 0
-    votes = hashed.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("nf"),
-        *[
-            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
-            for j in range(nbits)
-        ],
+    base = _fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.array_distinct(tokens(text_col)), lambda t: hash64(t)).alias("hs"),
     )
-    sh_expr = F.lit(0).cast("long")
-    for j in range(nbits):
-        sh_expr = sh_expr + F.when(
-            F.col(f"b{j}") * 2 > F.col("nf"), F.lit(2**j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    sh = _shared(votes.select(F.col(id_col), sh_expr.alias("sh")))
+    id_t = dict(base.dtypes)["id"]
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(nbits, dtype=np.int64)
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, hs in zip(pdf["id"], pdf["hs"]):
+                arr = np.asarray(hs, dtype=np.int64)
+                if arr.size == 0:
+                    ids.append(i)
+                    sigs.append(0)
+                    continue
+                bits = ((arr[:, None] >> shifts[None, :]) & 1).sum(axis=0)
+                ids.append(i)
+                sigs.append(int(((bits * 2 > arr.size).astype(np.int64) << shifts).sum()))
+            if ids:
+                yield pd.DataFrame({"id": ids, "sh": sigs})
+
+    sh = _shared(
+        base.mapInPandas(sig, schema=f"id {id_t}, sh long").withColumnRenamed("id", id_col)
+    )
     # band chunks: any pair with hamming < bands shares >= 1 chunk; one
     # self-join on (band index, chunk value) finds all of them. The signature
     # is a single long, so it rides along through the band explode and hamming
