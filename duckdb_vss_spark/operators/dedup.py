@@ -263,8 +263,6 @@ def simhash_pairs(
     width = 60 // bands
     from ..functions.text import SIMHASH_BITS, tokens
 
-    # materialize per-feature hashes as rows (codegen md5), then compute the
-    # per-bit majority votes directly in the groupBy as 60 codegen sums: one
     # Per-token hashes stay in the JVM md5 pipeline — hash64 applied inside
     # transform is LINEAR (one evaluation per element; the collapse trap only
     # bites when a whole-array subtree is referenced per element) — and the

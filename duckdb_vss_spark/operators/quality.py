@@ -15,12 +15,11 @@ training-data surface):
 
 Scale notes (the part that matters at 100 TB):
 
-- ``repetition_stats`` computes ALL signals in ONE pass: every per-document
-  multiset (tokens, lines, each n-gram size) is tagged and exploded into a
-  single ``(id, kind, item)`` stream, counted with one hash aggregate, and
-  folded with a second — exactly 2 Exchanges total, keys are document-local
-  so there is no global skew, and map-side partial aggregation collapses the
-  stream before the shuffle. No Python in the plan.
+- ``repetition_stats`` computes ALL signals in ONE map-only pass: every
+  signal is a function of one document, so the token/line/n-gram arrays are
+  built by JVM expressions, materialized once at the Arrow boundary, and
+  counted per document in a vectorized kernel — zero Exchanges beyond the
+  narrow-input fan-out, nothing but final rows leaves the task.
 - ``decontaminate`` broadcasts the (small, deduped) benchmark gram set and
   probes it with a broadcast hash join — the training side is never
   shuffled except for the final per-document count. Benchmarks are ~10⁴-10⁶
