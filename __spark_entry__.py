@@ -1137,6 +1137,22 @@ def _q_stratified_dict(spark, sf_dir):
     return stratified_sample(_docs(spark, sf_dir), "lang", rates, "doc_id").select("doc_id", "lang")
 
 
+def _q_cube_events(spark, sf_dir):
+    """GROUP BY CUBE: all four grouping sets of (event_type, user bucket)
+    in one pass (Expand + one Exchange). NULL subtotal markers coalesced to
+    sentinels for the hash canonicalizer, as in q55."""
+    ev = _events(spark, sf_dir)
+    agg = ev.cube(F.col("event_type"), (F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").cast("float").alias("sum_value")
+    )
+    return agg.select(
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        F.coalesce(F.col("user_bucket"), F.lit(-1)).alias("user_bucket"),
+        "n",
+        "sum_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -1208,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_normalized_topk": _q_normalized_topk,
         "q68_index_k_ceiling": _q_index_k_ceiling,
         "q69_stratified_dict": _q_stratified_dict,
+        "q70_cube_events": _q_cube_events,
     }
 
 
@@ -1672,6 +1689,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type, date_trunc('day', ts) AS day,
                      count(*) AS n, sum(value)::FLOAT AS sum_value
               FROM events GROUP BY ROLLUP(event_type, day)
+            )
+        """,
+        "q70_cube_events": """
+            SELECT coalesce(event_type, '<all>') AS event_type,
+                   coalesce(user_bucket, -1) AS user_bucket, n, sum_value
+            FROM (
+              SELECT event_type, user_id % 10 AS user_bucket,
+                     count(*) AS n, sum(value)::FLOAT AS sum_value
+              FROM events GROUP BY CUBE(event_type, user_bucket)
             )
         """,
         "q68_index_k_ceiling": (
