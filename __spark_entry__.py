@@ -1153,6 +1153,22 @@ def _q_cube_events(spark, sf_dir):
     )
 
 
+def _q_json_roundtrip(spark, sf_dir):
+    """JSON sink/source round trip with an explicit schema (q65's CSV twin
+    — JSON additionally exercises string escaping on the text column)."""
+    import tempfile
+
+    from duckdb_vss_spark.sources import read_any, write_partitioned
+
+    d = tempfile.mkdtemp(prefix="vss_json_") + "/docs"
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    write_partitioned(docs, d, fmt="json")
+    back = read_any(spark, d, fmt="json", schema="doc_id bigint, lang string, text string")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("total_chars")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -1225,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_index_k_ceiling": _q_index_k_ceiling,
         "q69_stratified_dict": _q_stratified_dict,
         "q70_cube_events": _q_cube_events,
+        "q71_json_roundtrip": _q_json_roundtrip,
     }
 
 
@@ -1690,6 +1707,10 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n, sum(value)::FLOAT AS sum_value
               FROM events GROUP BY ROLLUP(event_type, day)
             )
+        """,
+        "q71_json_roundtrip": """
+            SELECT lang, count(*) AS n, sum(length(text))::BIGINT AS total_chars
+            FROM documents GROUP BY lang
         """,
         "q70_cube_events": """
             SELECT coalesce(event_type, '<all>') AS event_type,
