@@ -1169,6 +1169,21 @@ def _q_json_roundtrip(spark, sf_dir):
     )
 
 
+def _q_covariance(spark, sf_dir):
+    """Distributed covariance of the embedding column: one (n, colsum,
+    X^T X) GEMM partial per partition, one JVM array-fold reduction — only
+    d^2 + d + 1 numbers per partition move. The duckdb oracle recomputes
+    every (i, j) entry from per-component averages."""
+    from duckdb_vss_spark import covariance_matrix
+
+    mean, cov, n = covariance_matrix(_emb(spark, sf_dir), "embedding")
+    d = cov.shape[0]
+    rows = [(i, j, float(cov[i, j])) for i in range(d) for j in range(d)]
+    return spark.createDataFrame(rows, "i long, j long, cov double").select(
+        "i", "j", F.col("cov").cast("float").alias("cov")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_l2": _q_topk_l2,
@@ -1242,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_stratified_dict": _q_stratified_dict,
         "q70_cube_events": _q_cube_events,
         "q71_json_roundtrip": _q_json_roundtrip,
+        "q72_covariance": _q_covariance,
     }
 
 
@@ -1707,6 +1723,13 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n, sum(value)::FLOAT AS sum_value
               FROM events GROUP BY ROLLUP(event_type, day)
             )
+        """,
+        "q72_covariance": f"""
+            SELECT r1.i AS i, r2.j AS j,
+                   (avg(embedding[r1.i + 1]::DOUBLE * embedding[r2.j + 1]::DOUBLE)
+                    - avg(embedding[r1.i + 1]::DOUBLE) * avg(embedding[r2.j + 1]::DOUBLE))::FLOAT AS cov
+            FROM embeddings, range(0, {DIM}) r1(i), range(0, {DIM}) r2(j)
+            GROUP BY r1.i, r2.j
         """,
         "q71_json_roundtrip": """
             SELECT lang, count(*) AS n, sum(length(text))::BIGINT AS total_chars

@@ -34,11 +34,14 @@ from .operators.quality import decontaminate, repetition_stats  # noqa: F401
 from .operators.graph import connected_components, dedup_clusters  # noqa: F401
 from .operators.temporal import asof_join, range_join_banded, sessionize_batch  # noqa: F401
 from .operators.vector import (  # noqa: F401
+    covariance_matrix,
     group_centroids,
     kmeans_fit,
     kmeans_step,
     nearest_centroid,
     normalize_vectors,
+    pca_fit,
+    pca_project,
 )
 
 __version__ = "0.1.0"

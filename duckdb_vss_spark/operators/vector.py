@@ -29,7 +29,16 @@ from pyspark.sql import functions as F
 
 from ..functions.distance import METRIC_IS_DESCENDING, canonical_metric, distance_expr
 
-__all__ = ["normalize_vectors", "group_centroids", "nearest_centroid", "kmeans_step", "kmeans_fit"]
+__all__ = [
+    "normalize_vectors",
+    "group_centroids",
+    "nearest_centroid",
+    "kmeans_step",
+    "kmeans_fit",
+    "covariance_matrix",
+    "pca_fit",
+    "pca_project",
+]
 
 
 def normalize_vectors(df: DataFrame, vec_col: str, out_col: str | None = None) -> DataFrame:
@@ -111,6 +120,115 @@ def kmeans_step(df: DataFrame, vec_col: str, centroids: list[tuple], metric: str
         comps = byid.get(cid)
         out.append((cid, [comps[p] for p in sorted(comps)] if comps else list(old)))
     return out
+
+
+def covariance_matrix(df: DataFrame, vec_col: str) -> "tuple":
+    """Population covariance of a vector column, distributed: each partition
+    emits ONE (n, colsum, flattened X^T X) partial via a single GEMM per
+    Arrow batch; one global fold (JVM ``zip_with`` array addition over the
+    partition rows) reduces them, and the driver finishes
+    ``cov = E[xxT] - mean meanT``. Only ``d^2 + d + 1`` numbers per
+    partition ever move — the scalable form of what a naive approach would
+    posexplode into n x d^2 rows.
+
+    Returns ``(mean (d,), cov (d, d), n)`` as numpy arrays.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    src = df.select(F.col(vec_col).alias("vec")).filter(F.col(vec_col).isNotNull())
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xtx = None
+        csum = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            if xtx is None:
+                d = mat.shape[1]
+                xtx = np.zeros((d, d))
+                csum = np.zeros(d)
+            xtx += mat.T @ mat
+            csum += mat.sum(axis=0)
+            n += mat.shape[0]
+        if n:
+            yield pd.DataFrame({"n": [n], "csum": [csum], "xtx": [xtx.ravel()]})
+
+    reduced = (
+        src.mapInPandas(partials, schema="n long, csum array<double>, xtx array<double>")
+        .agg(
+            F.sum("n").alias("n"),
+            F.aggregate(
+                F.collect_list("csum"),
+                F.expr("cast(array() as array<double>)"),
+                lambda acc, x: F.when(F.size(acc) == 0, x).otherwise(
+                    F.zip_with(acc, x, lambda a, b: a + b)
+                ),
+            ).alias("csum"),
+            F.aggregate(
+                F.collect_list("xtx"),
+                F.expr("cast(array() as array<double>)"),
+                lambda acc, x: F.when(F.size(acc) == 0, x).otherwise(
+                    F.zip_with(acc, x, lambda a, b: a + b)
+                ),
+            ).alias("xtx"),
+        )
+        .collect()[0]
+    )
+    n = reduced["n"]
+    if not n:
+        raise ValueError("covariance_matrix over an empty vector column")
+    mean = np.asarray(reduced["csum"]) / n
+    d = mean.shape[0]
+    exx = np.asarray(reduced["xtx"]).reshape(d, d) / n
+    cov = exx - np.outer(mean, mean)
+    return mean, cov, int(n)
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int) -> dict:
+    """Principal components of a vector column: distributed covariance (see
+    :func:`covariance_matrix`) + driver-side eigendecomposition of the tiny
+    d x d matrix. Returns ``{"mean", "components" (k, d), "explained" (k,)}``
+    with components orthonormal, ordered by descending eigenvalue, and
+    sign-canonicalized (largest-|coord| entry positive) so runs are
+    deterministic."""
+    import numpy as np
+
+    mean, cov, _ = covariance_matrix(df, vec_col)
+    if not (1 <= k <= mean.shape[0]):
+        raise ValueError(f"k must be in [1, {mean.shape[0]}]")
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    for i in range(comps.shape[0]):  # canonical sign
+        j = np.argmax(np.abs(comps[i]))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {"mean": mean, "components": comps, "explained": vals[order]}
+
+
+def pca_project(df: DataFrame, vec_col: str, model: dict, out_col: str = "pca") -> DataFrame:
+    """Project vectors onto fitted components — a pure JVM projection (one
+    centered dot product per component, no Python, no shuffle): the model
+    is small by construction (k x d), so it bakes into the expression."""
+    comps = model["components"]
+    mean = model["mean"]
+    x = F.col(vec_col)
+    outs = []
+    for ci in range(comps.shape[0]):
+        w = [float(v) for v in comps[ci]]
+        wm = float(comps[ci] @ mean)
+        # sum_i x_i * w_i - w.mean  (centering folded into a constant)
+        dot = F.aggregate(
+            F.zip_with(x, F.array(*[F.lit(v) for v in w]), lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        outs.append(dot - F.lit(wm))
+    return df.withColumn(out_col, F.array(*outs))
 
 
 def kmeans_fit(

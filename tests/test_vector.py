@@ -121,6 +121,45 @@ def test_kmeans_step_keeps_empty_cluster_centroid(spark):
     assert out[1] == far  # no members -> centroid unchanged
 
 
+def test_covariance_matches_numpy(emb, emb_np):
+    from duckdb_vss_spark.operators.vector import covariance_matrix
+
+    ids, mat, labels = emb_np
+    mean, cov, n = covariance_matrix(emb, "embedding")
+    assert n == mat.shape[0]
+    assert np.allclose(mean, mat.mean(axis=0), atol=1e-9)
+    assert np.allclose(cov, np.cov(mat, rowvar=False, bias=True), atol=1e-9)
+
+
+def test_pca_fit_project(emb, emb_np):
+    from duckdb_vss_spark.operators.vector import pca_fit, pca_project
+
+    ids, mat, labels = emb_np
+    k = 8
+    model = pca_fit(emb, "embedding", k)
+    comps = model["components"]
+    # orthonormal, descending explained variance
+    assert np.allclose(comps @ comps.T, np.eye(k), atol=1e-8)
+    assert all(model["explained"][i] >= model["explained"][i + 1] - 1e-12 for i in range(k - 1))
+    got = {
+        r["vec_id"]: np.array(r["pca"]) for r in pca_project(emb, "embedding", model).collect()
+    }
+    want = (mat - mat.mean(axis=0)) @ comps.T
+    for row, vid in enumerate(ids):
+        assert np.allclose(got[int(vid)], want[row], atol=1e-6)
+    # per-component projected variance equals the eigenvalue
+    proj = np.array([got[int(v)] for v in ids])
+    assert np.allclose(proj.var(axis=0), model["explained"], rtol=1e-6)
+
+
+def test_pca_project_is_pure_projection(emb):
+    from duckdb_vss_spark.operators.vector import pca_fit, pca_project
+
+    model = pca_fit(emb, "embedding", 4)
+    plan = pca_project(emb, "embedding", model)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
 def test_group_centroids_single_exchange(emb):
     plan = group_centroids(emb, "embedding", "label")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
