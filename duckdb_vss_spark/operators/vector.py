@@ -103,14 +103,33 @@ def nearest_centroid(
     return out
 
 
+_KMEANS_EXPR_MAX_K = 64  # above this, the per-centroid literal expression
+# tree gets unwieldy (k * dim literal nodes); switch to the broadcast-GEMM
+# kernel, which carries centroids as one broadcast numpy array instead
+
+
 def kmeans_step(df: DataFrame, vec_col: str, centroids: list[tuple], metric: str = "l2sq") -> list[tuple]:
-    """One Lloyd iteration, distributed: assign (codegen projection, no
-    shuffle) then re-average (one combine-side Exchange), returning the new
-    driver-side ``[(id, vector), ...]`` list. Empty clusters keep their old
-    centroid (the standard Lloyd convention). Exactly one Spark job per
-    iteration; only ``k * dim`` numbers ever reach the driver — this is the
-    textbook scalable k-means loop.
+    """One Lloyd iteration, distributed: assign then re-average, returning
+    the new driver-side ``[(id, vector), ...]`` list. Empty clusters keep
+    their old centroid (the standard Lloyd convention). Exactly one Spark
+    job per iteration; only ``k * dim`` numbers ever reach the driver —
+    this is the textbook scalable k-means loop.
+
+    Small ``k`` uses the codegen projection + combine-side aggregate;
+    large ``k`` (or non-l2 metrics at scale) routes through the
+    broadcast-GEMM kernel in :func:`~duckdb_vss_spark.index.ivf.
+    kmeans_distributed`, whose expression size is independent of ``k``.
     """
+    if len(centroids) > _KMEANS_EXPR_MAX_K and metric == "l2sq":
+        import numpy as np
+
+        from ..index.ivf import kmeans_distributed
+
+        ids = [cid for cid, _ in centroids]
+        init = np.asarray([v for _, v in centroids], dtype=np.float64)
+        src = df.select(F.col(vec_col).alias("vec")).filter(F.col(vec_col).isNotNull())
+        new = kmeans_distributed(src, init, iters=1)
+        return [(cid, [float(x) for x in new[i]]) for i, cid in enumerate(ids)]
     assigned = nearest_centroid(df, vec_col, centroids, metric=metric, score_col=None)
     byid: dict = {}
     for r in group_centroids(assigned, vec_col, "centroid_id").collect():

@@ -112,6 +112,24 @@ def test_kmeans_fit_reduces_inertia(spark, emb, emb_np):
     assert inertia(fit) <= inertia(two) + 1e-9
 
 
+def test_kmeans_large_k_uses_gemm_path_and_matches(emb, emb_np):
+    """k above the expression ceiling routes through the broadcast-GEMM
+    kernel; one step must equal the numpy Lloyd update exactly."""
+    from duckdb_vss_spark.operators.vector import kmeans_step
+
+    ids, mat, labels = emb_np
+    k = 100  # > _KMEANS_EXPR_MAX_K
+    cents0 = [(i, [float(x) for x in mat[i]]) for i in range(k)]
+    got = dict(kmeans_step(emb, "embedding", cents0))
+    cmat = np.array([v for _, v in cents0])
+    d2 = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)
+    for i in range(k):
+        members = mat[a == i]
+        want = members.mean(axis=0) if len(members) else cmat[i]
+        assert np.allclose(got[i], want, atol=1e-9), i
+
+
 def test_kmeans_step_keeps_empty_cluster_centroid(spark):
     from duckdb_vss_spark.operators.vector import kmeans_step
 
