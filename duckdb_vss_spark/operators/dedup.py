@@ -290,8 +290,10 @@ def simhash_pairs(
             for i, hs in zip(pdf["id"], pdf["hs"]):
                 arr = np.asarray(hs, dtype=np.int64)
                 if arr.size == 0:
-                    ids.append(i)
-                    sigs.append(0)
+                    # token-less docs carry no signal; emitting sh=0 would
+                    # pair them with each other and with near-zero
+                    # signatures, so drop them (matches the SQL oracle,
+                    # whose explode of an empty token array yields no rows)
                     continue
                 bits = ((arr[:, None] >> shifts[None, :]) & 1).sum(axis=0)
                 ids.append(i)

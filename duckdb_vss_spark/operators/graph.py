@@ -42,14 +42,19 @@ def connected_components(
     nodes appearing in an edge are returned (callers left-join and coalesce
     to cover singletons).
 
-    Min-label propagation to fixpoint: O(diameter) rounds, each one
-    hash-join + min-aggregate (both shuffle on node id and combine
-    map-side). Converged when no label shrinks.
+    Min-label propagation with pointer jumping: each round takes the min
+    over neighbor labels (one hash-join + min-aggregate, both shuffling
+    on node id with map-side combine), then replaces every label with its
+    label's label — the path-halving step that turns O(diameter) rounds
+    into O(log diameter). Converged when no label shrinks; if ``max_iter``
+    is exhausted before convergence a warning is emitted, since unmerged
+    labels would silently split one true component into several.
     """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     adj = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     comp = adj.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     comp = comp.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         nbr = (
             adj.join(comp, adj["b"] == comp["node"])
@@ -61,11 +66,34 @@ def connected_components(
             F.col("comp").alias("old"),
             F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"),
         )
-        stepped = stepped.localCheckpoint(eager=True)  # truncate iterative lineage
-        changed = stepped.filter(F.col("comp") < F.col("old")).limit(1).count()
-        comp = stepped.select("node", "comp")
+        # pointer jump: comp <- label(comp). Every label is itself a node
+        # id, so the self-join always resolves; labels only shrink.
+        lbl = stepped.select(F.col("node").alias("lnode"), F.col("comp").alias("lcomp"))
+        jumped = (
+            stepped.join(lbl, stepped["comp"] == lbl["lnode"], "left")
+            .select(
+                "node",
+                "old",
+                F.coalesce(F.col("lcomp"), F.col("comp")).alias("comp"),
+            )
+        )
+        jumped = jumped.localCheckpoint(eager=True)  # truncate iterative lineage
+        changed = jumped.filter(F.col("comp") < F.col("old")).limit(1).count()
+        comp = jumped.select("node", "comp")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: max_iter={max_iter} exhausted before "
+            "convergence; labels may split one true component into several. "
+            "Raise max_iter (rounds needed ~ log2(diameter) with pointer "
+            "jumping).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return comp
 
 

@@ -160,8 +160,9 @@ def range_join_banded(
     before: bool = True,
 ) -> DataFrame:
     """Range join: pairs (l, r) sharing ``on`` with ``r.ts`` inside a
-    ``width_sec`` window of ``l.ts`` — ``(l.ts - width, l.ts]`` when
-    ``before`` else ``[l.ts, l.ts + width)``.
+    ``width_sec`` window of ``l.ts`` — ``[l.ts - width, l.ts)`` when
+    ``before`` (strictly-before rows, the window-start boundary included)
+    else ``[l.ts, l.ts + width)``.
 
     Both sides are bucketed by ``floor(epoch / width)`` and joined only on
     (keys, bucket) for the two buckets any in-range partner can occupy —

@@ -44,11 +44,19 @@ __all__ = [
 def normalize_vectors(df: DataFrame, vec_col: str, out_col: str | None = None) -> DataFrame:
     """Scale every vector to unit L2 norm (zero vectors pass through
     unchanged). After normalization, l2sq ordering == cosine-distance
-    ordering, so one index artifact serves both metrics."""
+    ordering, so one index artifact serves both metrics.
+
+    The O(d) norm is bound ONCE per row as a lambda variable (transform
+    over a single-element array) — referencing it directly inside the
+    per-element lambda would let CollapseProject inline and re-evaluate
+    it per element, turning the projection O(d^2).
+    """
     v = F.col(vec_col)
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
-    unit = F.transform(v, lambda x: (x.cast("double") / norm).cast("float"))
-    out = F.when(norm > 0.0, unit).otherwise(v)
+    out = F.transform(
+        F.array(norm),
+        lambda n: F.when(n > 0.0, F.transform(v, lambda x: (x.cast("double") / n).cast("float"))).otherwise(v),
+    )[0]
     return df.withColumn(out_col or vec_col, out)
 
 
@@ -116,11 +124,13 @@ def kmeans_step(df: DataFrame, vec_col: str, centroids: list[tuple], metric: str
     this is the textbook scalable k-means loop.
 
     Small ``k`` uses the codegen projection + combine-side aggregate;
-    large ``k`` (or non-l2 metrics at scale) routes through the
-    broadcast-GEMM kernel in :func:`~duckdb_vss_spark.index.ivf.
-    kmeans_distributed`, whose expression size is independent of ``k``.
+    large ``k`` with the l2/l2sq metric routes through the broadcast-GEMM
+    kernel in :func:`~duckdb_vss_spark.index.ivf.kmeans_distributed`,
+    whose expression size is independent of ``k``. Non-l2 metrics
+    (cosine/ip) always take the expression path — the GEMM kernel is
+    l2-only.
     """
-    if len(centroids) > _KMEANS_EXPR_MAX_K and metric == "l2sq":
+    if len(centroids) > _KMEANS_EXPR_MAX_K and canonical_metric(metric) == "l2sq":
         import numpy as np
 
         from ..index.ivf import kmeans_distributed
@@ -259,15 +269,24 @@ def kmeans_fit(
     metric: str = "l2sq",
 ) -> list[tuple]:
     """Distributed Lloyd k-means over a vector column. Deterministic init:
-    the first ``k`` rows ordered by ``id_col`` (or the frame's natural first
-    ``k`` rows) — no RNG, so runs are reproducible across cluster sizes.
-    ``iters`` bounds the job count; each iteration is one job (see
+    the first ``k`` rows ordered by ``id_col`` when given, else by a
+    64-bit content hash of the vector (ties broken by the vector itself)
+    — no RNG and no dependence on partition order, so runs are
+    reproducible across cluster sizes and repartitionings. ``iters``
+    bounds the job count; each iteration is one job (see
     :func:`kmeans_step`)."""
     if k < 1:
         raise ValueError("k must be at least 1")
-    base = df.select(vec_col).filter(F.col(vec_col).isNotNull())
     if id_col is not None:
         base = df.filter(F.col(vec_col).isNotNull()).orderBy(id_col).select(vec_col)
+    else:
+        # first-k under Spark's natural order is NOT stable across
+        # partitionings; a content-hash order is
+        base = (
+            df.filter(F.col(vec_col).isNotNull())
+            .orderBy(F.xxhash64(F.col(vec_col)), F.col(vec_col))
+            .select(vec_col)
+        )
     init_rows = base.limit(k).collect()
     if not init_rows:
         raise ValueError("Cannot fit k-means on an empty vector column")

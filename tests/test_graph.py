@@ -78,3 +78,23 @@ def test_dedup_clusters_contract(spark):
     # exactly one canonical per cluster
     n_clusters = len({c for c, _ in by_id.values()})
     assert sum(1 for _, canon in by_id.values() if canon) == n_clusters
+
+
+def test_cc_pointer_jumping_converges_long_chain(spark):
+    # a 40-node path has diameter 39; pointer jumping needs ~log2 rounds,
+    # so the default max_iter=25 converges where plain propagation would not
+    edges = [(i, i + 1) for i in range(39)]
+    with np.errstate():  # no warning expected
+        got = _cc(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 40
+
+
+def test_cc_warns_when_max_iter_exhausted(spark):
+    import warnings
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(16)], "id_a long, id_b long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(df, max_iter=1)
+        assert any("max_iter" in str(x.message) for x in w)

@@ -182,3 +182,46 @@ def test_group_centroids_single_exchange(emb):
     plan = group_centroids(emb, "embedding", "label")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "partial_avg" in plan or "partial" in plan.lower()  # map-side combine
+
+
+def test_kmeans_fit_init_deterministic_across_partitioning(spark):
+    """Without id_col the init must not depend on partition order: content-
+    hash ordering gives identical centroids on any layout (VERDICT r3 #4)."""
+    from duckdb_vss_spark.operators.vector import kmeans_fit
+
+    rng = np.random.default_rng(5)
+    rows = [([float(x) for x in rng.normal(size=8)],) for _ in range(200)]
+    df = spark.createDataFrame(rows, "v array<float>")
+    a = kmeans_fit(df.repartition(7), "v", 4, iters=2)
+    b = kmeans_fit(df.coalesce(1), "v", 4, iters=2)
+    for (ida, va), (idb, vb) in zip(a, b):
+        assert ida == idb
+        assert np.allclose(va, vb, atol=1e-12)
+
+
+def test_kmeans_large_k_l2_alias_uses_gemm_and_matches(emb, emb_np):
+    """metric='l2' (canonical l2sq) above the expression ceiling must route
+    through the GEMM kernel and still equal the numpy Lloyd update."""
+    from duckdb_vss_spark.operators.vector import kmeans_step
+
+    ids, mat, labels = emb_np
+    k = 80  # > _KMEANS_EXPR_MAX_K
+    cents0 = [(i, [float(x) for x in mat[i]]) for i in range(k)]
+    got = dict(kmeans_step(emb, "embedding", cents0, metric="l2"))
+    cmat = np.array([v for _, v in cents0])
+    d2 = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)
+    for i in range(k):
+        members = mat[a == i]
+        want = members.mean(axis=0) if len(members) else cmat[i]
+        assert np.allclose(got[i], want, atol=1e-9), i
+
+
+def test_normalize_norm_hoisted_out_of_element_lambda(emb):
+    """The O(d) norm must be bound once per row (outer single-element array
+    transform), not inlined per element by CollapseProject — the plan's
+    output expression starts transform(array(sqrt(aggregate(...)."""
+    out = normalize_vectors(emb, "embedding", out_col="unit")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    squeezed = "".join(plan.split()).lower()
+    assert "transform(array(sqrt(aggregate(" in squeezed
