@@ -1,0 +1,414 @@
+"""Graph ANN index backend (``index_type='hnsw'``): per-partition
+neighbor-graph sub-indexes with beam search, as parquet.
+
+Role parity with the reference's usearch-backed HNSW graph (reference:
+src/hnsw/hnsw_index.cpp:700-724, build: hnsw_index_physical_create.cpp:
+138-217), re-designed for Spark's execution model (SURVEY §7.1 sketch):
+
+- The reference builds ONE shared concurrent in-RAM graph. A 100 TB corpus
+  can't live in one graph, so we shard rows into bounded sub-indexes
+  (``graph_part_rows`` rows each, default 16384) by id hash, build an
+  independent neighbor graph per shard inside one ``applyInPandas`` pass
+  (embarrassingly parallel, no shared mutable state), and store each shard
+  as rows of a parquet dataset partitioned by ``part_id`` — the graph IS
+  columns: ``(id, vec, li, nbrs)`` where ``nbrs`` holds the fixed-degree
+  adjacency as local row indices.
+- **Build** computes each shard's EXACT ``M0``-nearest-neighbor graph with
+  chunked BLAS (numpy GEMM) rather than usearch's sequential insert loop:
+  per-shard cost is bounded by the shard size, total work is linear in
+  corpus size, and the kernel is vectorized end-to-end — the Spark-first
+  substitute for lock-striped concurrent inserts (reference:
+  hnsw_index_physical_create.cpp:235-246). ``ef_construction`` is honored
+  in the strongest sense: the exact graph is what an infinite
+  ``ef_construction`` converges to (each node's candidate pool is the whole
+  shard). Navigability across the shard comes from ``max(4, M0/4)``
+  deterministic long-range edges per node (NSW-style), replacing the
+  hierarchy's express lanes.
+- **Search** fans out to every shard (one ``applyInPandas`` group each —
+  shard parallelism replaces the reference's single-graph traversal), runs
+  best-first beam search with the usearch ``ef_search`` contract (beam
+  width = max(ef_search, k); reference: src/hnsw/hnsw_index.cpp:318-329),
+  and merges shard-local top-k globally. ``ef_search >= shard rows``
+  degrades to an exact shard scan, so full-probe searches are exact —
+  the same "recall is tunable, exactness at the limit" contract as the IVF
+  backend and the reference.
+- **Maintenance** reuses the IVF artifact's tail / deletion-bitmap /
+  versioned-compact machinery unchanged (:class:`~.ivf.IVFIndex`): those
+  layers never looked inside the indexed payload.
+
+Artifact layout::
+
+    <root>/<name>/
+      manifest.json              # format hnsw-graph-parquet/v1, VERSION
+      <version>/
+        data/part_id=*/...      # parquet (id, vec, li, nbrs) shards
+        tail/*.parquet           # unindexed appended rows (optional)
+        deleted/*.parquet        # deleted id bitmap (optional)
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fs
+from .ivf import FIRST_VERSION, IVFIndex
+from ..functions.distance import METRIC_IS_DESCENDING, canonical_metric, distance_expr
+
+__all__ = ["GraphIndex", "build_graph", "GRAPH_FORMAT"]
+
+GRAPH_FORMAT = "hnsw-graph-parquet/v1"
+DEFAULT_PART_ROWS = 16384
+_EXACT_GRAPH_CHUNK = 1024  # GEMM chunk rows for the exact-graph build
+
+
+def _nav_scores(qmat: np.ndarray, mat: np.ndarray, metric: str) -> np.ndarray:
+    """(nq, n) minimization scores for graph navigation: squared L2,
+    cosine distance, or negative inner product — all smaller-is-better."""
+    if metric == "cosine":
+        qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        return 1.0 - qn @ mn.T
+    if metric == "ip":
+        return -(qmat @ mat.T)
+    return (
+        (qmat * qmat).sum(1)[:, None]
+        + (mat * mat).sum(1)[None, :]
+        - 2.0 * (qmat @ mat.T)
+    )
+
+
+def _emit_score(nav: np.ndarray, metric: str) -> np.ndarray:
+    """Navigation score -> the engine's reported score polarity
+    (:func:`~duckdb_vss_spark.functions.distance.distance_expr`)."""
+    if metric == "l2sq":
+        return np.sqrt(np.maximum(nav, 0.0))
+    if metric == "cosine":
+        return 1.0 - nav
+    return -nav  # ip: nav = -dot
+
+
+def _build_shard_graph(mat: np.ndarray, m0: int, part_seed: int) -> np.ndarray:
+    """Exact M0-NN adjacency (+ deterministic long-range edges) for one
+    shard: (n, deg) int32 of local row indices, self-padded (a node's own
+    index marks an empty slot — the search kernel's visited set skips it)."""
+    n = mat.shape[0]
+    m0 = min(m0, max(1, n - 1))
+    n_long = max(4, m0 // 4) if n > m0 + 1 else 0
+    deg = m0 + n_long
+    nbrs = np.empty((n, deg), dtype=np.int32)
+    sq = (mat * mat).sum(1)
+    for lo in range(0, n, _EXACT_GRAPH_CHUNK):
+        hi = min(n, lo + _EXACT_GRAPH_CHUNK)
+        d2 = sq[lo:hi, None] + sq[None, :] - 2.0 * (mat[lo:hi] @ mat.T)
+        rows = np.arange(lo, hi)
+        d2[np.arange(hi - lo), rows] = np.inf  # no self edge
+        take = min(m0, n - 1)
+        part = np.argpartition(d2, take - 1, axis=1)[:, :take]
+        nbrs[lo:hi, :take] = part
+        nbrs[lo:hi, take:m0] = rows[:, None]  # pad when n-1 < m0
+    if n_long:
+        # deterministic long-range edges (seeded by shard) restore cross-
+        # cluster navigability that the hierarchy provides in true HNSW
+        rng = np.random.default_rng(part_seed)
+        nbrs[:, m0:] = rng.integers(0, n, size=(n, n_long), dtype=np.int32)
+    return nbrs
+
+
+def _beam_search(
+    mat: np.ndarray, nbrs: np.ndarray, qv: np.ndarray, k: int, ef: int, metric: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Best-first beam search over one shard graph (usearch search_ loop
+    shape, reference: usearch/index.hpp): returns (local indices, nav
+    scores) of the top-k, ascending nav score. ``ef >= n`` short-circuits
+    to the exact scan, so full-probe searches are exact."""
+    n = mat.shape[0]
+    ef = max(ef, k)
+    if ef >= n:
+        nav = _nav_scores(qv[None, :], mat, metric)[0]
+        order = np.argsort(nav, kind="stable")[:k]
+        return order, nav[order]
+    # deterministic spread entry points (hierarchy substitute)
+    entries = np.unique(np.linspace(0, n - 1, num=min(8, n), dtype=np.int64))
+    nav_e = _nav_scores(qv[None, :], mat[entries], metric)[0]
+    visited = np.zeros(n, dtype=bool)
+    visited[entries] = True
+    cand: list = [(float(d), int(i)) for d, i in zip(nav_e, entries)]
+    heapq.heapify(cand)
+    result: list = [(-float(d), int(i)) for d, i in zip(nav_e, entries)]
+    heapq.heapify(result)
+    while len(result) > ef:
+        heapq.heappop(result)
+    while cand:
+        d, i = heapq.heappop(cand)
+        if len(result) >= ef and d > -result[0][0]:
+            break
+        nb = nbrs[i]
+        nb = nb[~visited[nb]]
+        if nb.size == 0:
+            continue
+        visited[nb] = True
+        dn = _nav_scores(qv[None, :], mat[nb], metric)[0]
+        bound = -result[0][0]
+        for dd, jj in zip(dn, nb):
+            dd = float(dd)
+            if len(result) < ef or dd < bound:
+                heapq.heappush(cand, (dd, int(jj)))
+                heapq.heappush(result, (-dd, int(jj)))
+                if len(result) > ef:
+                    heapq.heappop(result)
+                    bound = -result[0][0]
+    top = sorted((-d, i) for d, i in result)[:k]
+    idx = np.asarray([i for _, i in top], dtype=np.int64)
+    nav = np.asarray([d for d, _ in top], dtype=np.float64)
+    return idx, nav
+
+
+def build_graph(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    metric: str = "l2sq",
+    options: dict | None = None,
+    seed: int = 42,
+    version: str = FIRST_VERSION,
+    extra_manifest: dict | None = None,
+) -> "GraphIndex":
+    """Build one graph-index version under ``path``; the manifest write is
+    the atomic commit point (same discipline as :func:`~.ivf.build_ivf`).
+    NULL vectors are excluded (reference: src/hnsw/hnsw_index_plan.cpp:
+    118-133)."""
+    metric = canonical_metric(metric)
+    opts = dict(options or {})
+    m0 = opts.get("M0") or 2 * opts.get("M", 16)
+    part_rows = int(opts.get("graph_part_rows", DEFAULT_PART_ROWS))
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).filter(
+        F.col(vec_col).isNotNull()
+    )
+    stats = src.agg(
+        F.count(F.lit(1)).alias("n"), F.min(F.size("vec")).alias("dmin"), F.max(F.size("vec")).alias("dmax")
+    ).collect()[0]
+    n = stats["n"]
+    if n == 0:
+        raise ValueError("Cannot build an index over an empty vector column")
+    if stats["dmin"] != stats["dmax"]:
+        raise ValueError(
+            f"HNSW index keys must be fixed-size arrays; found lengths {sorted((stats['dmin'], stats['dmax']))}"
+        )
+    dim = stats["dmin"]
+    nparts = max(1, math.ceil(n / part_rows))
+    id_t = dict(df.dtypes)[id_col]
+    sharded = src.withColumn("part_id", F.pmod(F.xxhash64("id"), F.lit(nparts)).cast("int"))
+
+    def build_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"id": [], "vec": [], "li": [], "nbrs": [], "part_id": []})
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        pid = int(pdf["part_id"].iloc[0])
+        nbrs = _build_shard_graph(mat, m0, part_seed=seed * 100003 + pid)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "vec": pdf["vec"],
+                "li": np.arange(len(pdf), dtype=np.int32),
+                "nbrs": [row for row in nbrs],
+                "part_id": pdf["part_id"],
+            }
+        )
+
+    out_schema = f"id {id_t}, vec array<float>, li int, nbrs array<int>, part_id int"
+    built = sharded.groupBy("part_id").applyInPandas(build_part, schema=out_schema)
+    vdir = fs.join(path, version)
+    built.write.mode("overwrite").partitionBy("part_id").parquet(fs.join(vdir, "data"))
+    manifest = {
+        "format": GRAPH_FORMAT,
+        "version": version,
+        "metric": metric,
+        "dim": int(dim),
+        "nlist": int(nparts),  # shard count plays nlist's role in info/explain
+        "nparts": int(nparts),
+        "count": int(n),
+        "id_type": id_t,
+        "seed": seed,
+        "options": opts,
+        "M0": int(m0),
+        "graph_part_rows": part_rows,
+    }
+    manifest.update(extra_manifest or {})
+    fs.write_json(spark, fs.join(path, "manifest.json"), manifest)  # commit point
+    return GraphIndex(path, spark)
+
+
+class GraphIndex(IVFIndex):
+    """Handle to an on-disk graph artifact. Tail/deletion/versioning
+    behavior is inherited from :class:`~.ivf.IVFIndex` (those layers are
+    payload-agnostic); build and search are graph-native."""
+
+    is_graph = True
+
+    def __init__(self, path: str, spark: Optional[SparkSession] = None):
+        self.path = path
+        self.spark = spark or SparkSession.getActiveSession()
+        self.manifest = fs.read_json(self.spark, fs.join(path, "manifest.json"))
+        self.version = self.manifest.get("version", "")
+        self.vpath = fs.join(path, self.version) if self.version else path
+        self.centroids = None
+        self.pq_books = None
+        self._tail_exists: Optional[bool] = None
+        self._deleted_exists: Optional[bool] = None
+
+    @property
+    def nparts(self) -> int:
+        return self.manifest["nparts"]
+
+    def nprobe_for(self, ef_search: int | None) -> int:
+        # every shard is searched; ef_search tunes beam width, not shard count
+        return self.nparts
+
+    def probe_lists(self, query, nprobe):  # pragma: no cover - IVF-only API
+        raise NotImplementedError("graph indexes search all shards; no probe lists")
+
+    def probe_lists_batch(self, qmat, nprobe):  # pragma: no cover - IVF-only API
+        raise NotImplementedError("graph indexes search all shards; no probe lists")
+
+    def candidates(self, spark, query, ef_search=None):  # pragma: no cover
+        raise NotImplementedError("graph search emits scored rows directly")
+
+    # -- search -----------------------------------------------------------
+    def _ef(self, ef_search: int | None, k: int) -> int:
+        from .ivf import DEFAULT_EF_SEARCH
+
+        ef = DEFAULT_EF_SEARCH if ef_search is None else int(ef_search)
+        return max(ef, k)
+
+    def search(self, spark: SparkSession, query: list[float], k: int, ef_search: int | None = None) -> DataFrame:
+        """Top-k (id, score) for one query: per-shard beam search fanned out
+        as one applyInPandas group per shard, merged globally. Scores follow
+        the metric's polarity and are exact (full vectors are in hand)."""
+        if len(query) != self.dim:
+            raise ValueError(f"query dimension {len(query)} != index dimension {self.dim}")
+        metric = self.metric
+        ef = self._ef(ef_search, k)
+        qv = np.asarray(query, dtype=np.float64)
+        bc = spark.sparkContext.broadcast(qv)
+        id_t = self.manifest.get("id_type", "bigint")
+
+        def shard_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"id": [], "score": []})
+            pdf = pdf.sort_values("li").reset_index(drop=True)
+            mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            nbrs = np.vstack(pdf["nbrs"].to_numpy()).astype(np.int32)
+            idx, nav = _beam_search(mat, nbrs, bc.value, k, ef, metric)
+            return pd.DataFrame({"id": pdf["id"].iloc[idx].to_numpy(), "score": _emit_score(nav, metric)})
+
+        data = spark.read.parquet(self.data_path())
+        local = data.groupBy("part_id").applyInPandas(shard_topk, schema=f"id {id_t}, score double")
+        deleted = self.deleted_df(spark)
+        if deleted is not None:
+            local = local.join(F.broadcast(deleted), "id", "left_anti")
+        tail = self.tail_df(spark)
+        if tail is not None:
+            tail_scored = tail.select("id", distance_expr("vec", list(query), metric).alias("score"))
+            if deleted is not None:
+                tail_scored = tail_scored.join(F.broadcast(deleted), "id", "left_anti")
+            local = local.unionByName(tail_scored)
+        desc = METRIC_IS_DESCENDING[metric]
+        order = [F.col("score").desc() if desc else F.col("score").asc(), F.col("id").asc()]
+        return local.orderBy(*order).limit(k)
+
+    def search_join(
+        self,
+        spark: SparkSession,
+        probes_pdf: pd.DataFrame,
+        k: int,
+        ef_search: int | None = None,
+    ) -> DataFrame:
+        """Batched per-probe search (HNSW_INDEX_JOIN payload): probes ride a
+        broadcast into every shard's kernel; per probe per shard the beam
+        search emits k candidates, merged by a global per-probe rank window.
+        Caller filters deletions/rnk like the IVF join path."""
+        metric = self.metric
+        ef = self._ef(ef_search, k)
+        qmat = np.vstack(probes_pdf["v"].to_numpy()).astype(np.float64)
+        qids = probes_pdf["qid"].to_numpy()
+        bc = spark.sparkContext.broadcast((qids, qmat))
+        id_t = self.manifest.get("id_type", "bigint")
+        qid_t = "bigint" if np.issubdtype(qids.dtype, np.integer) else "string"
+
+        def shard_join(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"qid": [], "id": [], "score": []})
+            ids_q, qm = bc.value
+            pdf = pdf.sort_values("li").reset_index(drop=True)
+            mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            nbrs = np.vstack(pdf["nbrs"].to_numpy()).astype(np.int32)
+            out_q, out_i, out_s = [], [], []
+            if ef >= mat.shape[0]:
+                # exact shard scan for the whole probe batch in one GEMM
+                nav = _nav_scores(qm, mat, metric)
+                take = min(k, mat.shape[0])
+                part = np.argpartition(nav, take - 1, axis=1)[:, :take] if take < mat.shape[0] else (
+                    np.argsort(nav, axis=1)
+                )
+                for qi in range(qm.shape[0]):
+                    sel = part[qi][:take]
+                    out_q.extend([ids_q[qi]] * len(sel))
+                    out_i.extend(pdf["id"].iloc[sel].tolist())
+                    out_s.extend(_emit_score(nav[qi, sel], metric).tolist())
+            else:
+                for qi in range(qm.shape[0]):
+                    idx, nav = _beam_search(mat, nbrs, qm[qi], k, ef, metric)
+                    out_q.extend([ids_q[qi]] * len(idx))
+                    out_i.extend(pdf["id"].iloc[idx].tolist())
+                    out_s.extend(_emit_score(nav, metric).tolist())
+            return pd.DataFrame({"qid": out_q, "id": out_i, "score": out_s})
+
+        data = spark.read.parquet(self.data_path())
+        return data.groupBy("part_id").applyInPandas(
+            shard_join, schema=f"qid {qid_t}, id {id_t}, score double"
+        )
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, spark: SparkSession) -> "GraphIndex":
+        """Versioned rebuild folding in the tail and dropping deleted ids
+        (same crash-safe commit discipline as the IVF artifact)."""
+        data = spark.read.parquet(self.data_path()).select("id", "vec")
+        tail = self.tail_df(spark)
+        if tail is not None:
+            data = data.unionByName(tail)
+        deleted = self.deleted_df(spark)
+        if deleted is not None:
+            data = data.join(F.broadcast(deleted), "id", "left_anti")
+        cur = int(self.version[1:]) if self.version else 0
+        new_version = f"v{cur + 1:06d}"
+        keep = {
+            k: v
+            for k, v in self.manifest.items()
+            if k in ("index_name", "table_name", "column", "id_column")
+        }
+        data = data.cache()
+        try:
+            build_graph(
+                data, "vec", "id", self.path,
+                metric=self.metric,
+                options=self.manifest.get("options"),
+                seed=self.manifest.get("seed", 42),
+                version=new_version,
+                extra_manifest=keep,
+            )
+            if self.version:
+                fs.delete(spark, fs.join(self.path, self.version))
+        finally:
+            data.unpersist()
+        return GraphIndex(self.path, spark)

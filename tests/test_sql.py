@@ -292,3 +292,47 @@ def test_grouped_lateral_sql(fe, ddb):
         ).fetchall()
     )
     assert got == exp
+
+
+def test_topk_sql_where_residual_post_filter_on_index_path(fe, ddb):
+    """WHERE-bearing topk over an indexed table: the predicate is residual —
+    applied AFTER the k candidates (reference contract:
+    test/sql/hnsw/where_clause_segfault.test:24-41), so it equals duckdb's
+    filter-over-top-k, not top-k-over-filter."""
+    fe.sql("CREATE INDEX sql_where_idx ON embeddings USING HNSW (embedding) WITH (metric = 'l2sq')")
+    fe.sql("SET hnsw_ef_search = 1000000")
+    df = fe.sql(
+        f"SELECT vec_id, score FROM embeddings WHERE label = 1 "
+        f"ORDER BY array_distance(embedding, {Q_SQL}) LIMIT 5"
+    )
+    got = sorted((r["vec_id"], round(r["score"], 4)) for r in df.collect())
+    q64 = "[" + ",".join(str(x) for x in Q) + "]::DOUBLE[]"
+    want = sorted(
+        (i, round(s, 4))
+        for i, s in ddb.execute(
+            f"SELECT vec_id, score FROM (SELECT vec_id, label, "
+            f"list_distance(embedding::DOUBLE[], {q64}) AS score FROM embeddings "
+            f"ORDER BY score, vec_id LIMIT 5) WHERE label = 1"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_topk_sql_where_prefilter_on_exact_path(fe, ddb):
+    """WHERE-bearing topk with NO matching index: the exact path filters
+    BEFORE the cut, so k rows still come back (q29 semantics in SQL)."""
+    fe.engine.register_table("embeddings_nw", fe.engine.table("embeddings"))
+    df = fe.sql(
+        f"SELECT vec_id, score FROM embeddings_nw WHERE label = 1 "
+        f"ORDER BY array_distance(embedding, {Q_SQL}) LIMIT 5"
+    )
+    got = sorted((r["vec_id"], round(r["score"], 4)) for r in df.collect())
+    q64 = "[" + ",".join(str(x) for x in Q) + "]::DOUBLE[]"
+    want = sorted(
+        (i, round(s, 4))
+        for i, s in ddb.execute(
+            f"SELECT vec_id, list_distance(embedding::DOUBLE[], {q64}) AS score "
+            f"FROM embeddings WHERE label = 1 ORDER BY score, vec_id LIMIT 5"
+        ).fetchall()
+    )
+    assert got == want
