@@ -1297,9 +1297,18 @@ def _m_ann_recall_gate(spark, sf_dir):
     eng2.create_index("qrg_pq", "emb_rg2", "embedding", "vec_id", options={"pq_m": 8}, replace=True)
     r_pq = _mean_recall_at_10(spark, emb, eng2.catalog.get("qrg_pq"), ef_search=128)
 
+    eng3 = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_rg3_"))
+    eng3.register_table("emb_rg3", emb)
+    eng3.create_index(
+        "qrg_graph", "emb_rg3", "embedding", "vec_id",
+        options={"index_type": "hnsw", "graph_part_rows": 2048}, replace=True,
+    )
+    r_graph = _mean_recall_at_10(spark, emb, eng3.catalog.get("qrg_graph"), ef_search=64)
+
     rows = [
         ("ivf_default", 10, r_ivf >= _RECALL_GATE_THRESHOLD),
         ("ivf_pq_ef128", 10, r_pq >= _RECALL_GATE_THRESHOLD),
+        ("hnsw_ef64", 10, r_graph >= _RECALL_GATE_THRESHOLD),
     ]
     return spark.createDataFrame(rows, "path string, k long, ok boolean")
 
@@ -1500,6 +1509,48 @@ def _m_sink_roundtrip(spark, sf_dir):
     ])
 
 
+def _m_hnsw_graph_index(spark, sf_dir):
+    """The graph backend (``index_type='hnsw'``, per-shard neighbor graphs
+    + beam search, duckdb_vss_spark/index/hnsw.py) at full ef_search: the
+    scan (q15-shape) and join (q16-shape) equivalence entries the round-3
+    VERDICT asked for — exact at the limit, so the duckdb brute-force
+    oracle applies. Both parts share (tag, qid, rid, rnk, score); the scan
+    part uses qid=-1 with rnk = rank of the top-10."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from duckdb_vss_spark import VSSEngine
+    from duckdb_vss_spark.operators.knn import knn_join_flat_indexed
+
+    emb = _emb(spark, sf_dir)
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_graph_"))
+    eng.register_table("emb_graph", emb)
+    eng.create_index(
+        "qg_idx", "emb_graph", "embedding", "vec_id",
+        options={"index_type": "hnsw", "graph_part_rows": 2048}, replace=True,
+    )
+    eng.set_ef_search(10**6)  # full beam -> exact shard scans
+    scan = eng.topk("emb_graph", "embedding", Q64, 10, tiebreak="vec_id").select(
+        F.lit("scan").alias("tag"),
+        F.lit(-1).cast("long").alias("qid"),
+        F.col("vec_id").alias("rid"),
+        F.row_number().over(Window.orderBy(F.col("score").asc(), F.col("vec_id").asc())).cast("long").alias("rnk"),
+        F.col("score").cast("float").alias("score"),
+    )
+    probes = emb.filter(F.col("vec_id") < 10)
+    join = knn_join_flat_indexed(
+        probes, eng.catalog.get("qg_idx"), "embedding", 3, "vec_id", ef_search=10**6
+    ).select(
+        F.lit("join").alias("tag"),
+        "qid",
+        "rid",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("score").cast("float").alias("score"),
+    )
+    return scan.unionByName(join)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_metrics": _m_topk_metrics,
@@ -1550,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_sink_roundtrip": _m_sink_roundtrip,
         "q47_byte_histogram": _q_byte_histogram,
         "q48_covariance": _q_covariance,
+        "q49_hnsw_graph_index": _m_hnsw_graph_index,
     }
 
 
@@ -2216,7 +2268,9 @@ def oracle_sql() -> dict[str, str]:
         "q13_ann_recall_gate": (
             "SELECT 'ivf_default' AS path, 10::BIGINT AS k, true AS ok\n"
             "UNION ALL\n"
-            "SELECT 'ivf_pq_ef128', 10::BIGINT, true"
+            "SELECT 'ivf_pq_ef128', 10::BIGINT, true\n"
+            "UNION ALL\n"
+            "SELECT 'hnsw_ef64', 10::BIGINT, true"
         ),
         "q14_tpch_q1": P["q18_tpch_q1"],
         "q15_tpch_q3": P["q19_tpch_q3"],
@@ -2320,5 +2374,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q47_byte_histogram": P["q66_byte_histogram"],
         "q48_covariance": P["q72_covariance"],
+        "q49_hnsw_graph_index": (
+            "SELECT 'scan' AS tag, -1::BIGINT AS qid, vec_id AS rid,\n"
+            "       row_number() OVER (ORDER BY score, vec_id)::BIGINT AS rnk, score\n"
+            f"FROM ({P['q15_ann_index_topk']})\n"
+            "UNION ALL\n"
+            "SELECT 'join' AS tag, qid, rid, rnk::BIGINT AS rnk, score\n"
+            f"FROM ({P['q16_ann_index_knn_join']})"
+        ),
     }
     return out

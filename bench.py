@@ -136,18 +136,113 @@ def main() -> None:
         lambda: peng.knn_join(probes, "emb_bench", "embedding", "embedding", 10, left_id="vec_id", right_id="vec_id").collect()
     )
 
-    sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": {k: round(v, 4) for k, v in timings.items()},
-                "sf": sf,
-            }
-        )
+    # graph backend (index_type='hnsw'): per-shard neighbor graphs + beam search
+    geng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="bench_graph_"))
+    geng.register_table("emb_bench", emb)
+    t0 = time.perf_counter()
+    geng.create_index(
+        "bench_graph", "emb_bench", "embedding", "vec_id",
+        options={"index_type": "hnsw"}, replace=True,
     )
+    timings["hnsw_index_build"] = time.perf_counter() - t0
+    timings["hnsw_topk_k10"] = run(
+        lambda: geng.topk("emb_bench", "embedding", Q, 10, tiebreak="vec_id").collect()
+    )
+    timings["hnsw_knn_join_100xN_k10"] = run(
+        lambda: geng.knn_join(probes, "emb_bench", "embedding", "embedding", 10, left_id="vec_id", right_id="vec_id").collect()
+    )
+
+    sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
+    out = {
+        "metric": "headline_query_wall_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": sf,
+    }
+
+    # -- second scale point: the 4 sub-second-in-duckdb queries are pure
+    # scheduling-floor measurements at sf0.1 (embeddings is only ~2k rows
+    # there); replicate the data (both engines read the SAME staged
+    # parquet) until per-row throughput dominates the floor. Disable with
+    # SPARK_GRAFT_SCALE2_MULT=1.
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE2_MULT", "500"))
+    li_mult = max(1, mult // 25)  # lineitem is already ~600k rows at sf0.1
+    if mult > 1:
+        import duckdb
+
+        stage = tempfile.mkdtemp(prefix="bench_scale2_")
+        n_emb = emb.count()
+        emb_big = (
+            emb.crossJoin(spark.range(mult).withColumnRenamed("id", "__rep"))
+            .withColumn("vec_id", (F.col("vec_id") + F.col("__rep") * F.lit(n_emb)).cast("long"))
+            .drop("__rep")
+        )
+        emb_big.repartition(32).write.mode("overwrite").parquet(f"{stage}/embeddings")
+        li_big = lineitem.crossJoin(spark.range(li_mult).withColumnRenamed("id", "__rep")).drop("__rep")
+        li_big.repartition(32).write.mode("overwrite").parquet(f"{stage}/lineitem")
+        emb_b = spark.read.parquet(f"{stage}/embeddings").cache()
+        emb_b.count()
+        li_b = spark.read.parquet(f"{stage}/lineitem")
+
+        s2_spark = {}
+        s2_spark["topk_l2_k10"] = run(
+            lambda: topk(emb_b, "embedding", Q, 10, "l2sq", tiebreak="vec_id").collect()
+        )
+        s2_spark["topk_cosine_k10"] = run(
+            lambda: topk(emb_b, "embedding", Q, 10, "cosine", tiebreak="vec_id").collect()
+        )
+        s2_spark["minby_topk_k5"] = run(
+            lambda: min_by_k(emb_b, "vec_id", array_distance("embedding", Q), 5, tiebreak="vec_id").collect()
+        )
+        s2_spark["tpch_q1ish_agg"] = run(
+            lambda: li_b.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.avg("l_discount").alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+            .collect()
+        )
+
+        con = duckdb.connect()  # all cores, same as the BASELINE.md runs
+        con.execute(f"CREATE VIEW emb_b AS SELECT * FROM '{stage}/embeddings/*.parquet'")
+        con.execute(f"CREATE VIEW li_b AS SELECT * FROM '{stage}/lineitem/*.parquet'")
+        qsql = "[" + ",".join(str(x) for x in Q) + "]::DOUBLE[]"
+        s2_duck = {}
+        s2_duck["topk_l2_k10"] = run(
+            lambda: con.execute(
+                f"SELECT vec_id, list_distance(embedding::DOUBLE[], {qsql}) AS s "
+                "FROM emb_b ORDER BY s, vec_id LIMIT 10"
+            ).fetchall()
+        )
+        s2_duck["topk_cosine_k10"] = run(
+            lambda: con.execute(
+                f"SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], {qsql}) AS s "
+                "FROM emb_b ORDER BY s DESC, vec_id LIMIT 10"
+            ).fetchall()
+        )
+        s2_duck["minby_topk_k5"] = run(
+            lambda: con.execute(
+                f"SELECT (list(vec_id ORDER BY list_distance(embedding::DOUBLE[], {qsql}), vec_id))[1:5] FROM emb_b"
+            ).fetchall()
+        )
+        s2_duck["tpch_q1ish_agg"] = run(
+            lambda: con.execute(
+                "SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice), "
+                "avg(l_discount), count(*) FROM li_b GROUP BY 1, 2"
+            ).fetchall()
+        )
+        out["scale2"] = {
+            "mult": mult,
+            "li_mult": li_mult,
+            "rows_embeddings": n_emb * mult,
+            "spark": {k: round(v, 4) for k, v in s2_spark.items()},
+            "duckdb": {k: round(v, 4) for k, v in s2_duck.items()},
+        }
+
+    print(json.dumps(out))
     spark.stop()
 
 

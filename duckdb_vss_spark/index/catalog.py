@@ -28,6 +28,7 @@ from pyspark.sql.types import (
 )
 
 from . import fs
+from .hnsw import GRAPH_FORMAT, GraphIndex, build_graph
 from .ivf import DEFAULT_EF_SEARCH, IVFIndex, build_ivf
 
 __all__ = ["IndexCatalog", "BinderException", "validate_options"]
@@ -72,6 +73,16 @@ def validate_options(options: dict) -> dict:
             # ivf.kmeans_distributed) for corpora a driver sample can't capture
             if not isinstance(v, bool):
                 raise BinderException("IVF option 'distributed_kmeans' must be a boolean")
+            out[k] = v
+        elif k == "index_type":
+            # physical backend selection: 'ivf' (default, partitioned
+            # inverted lists) or 'hnsw' (per-shard neighbor graphs, :mod:`.hnsw`)
+            if not isinstance(v, str) or v.lower() not in ("ivf", "hnsw"):
+                raise BinderException("HNSW index 'index_type' must be one of: 'ivf', 'hnsw'")
+            out[k] = v.lower()
+        elif k == "graph_part_rows":
+            if isinstance(v, bool) or not isinstance(v, int) or v < 64:
+                raise BinderException("graph option 'graph_part_rows' must be an integer >= 64")
             out[k] = v
         else:
             raise BinderException(f"Unknown option for HNSW index: '{key}'")
@@ -164,7 +175,12 @@ class IndexCatalog:
             return self._handles[name]
         if not self.exists(name):
             raise KeyError(f"No HNSW index named '{name}'")
-        idx = IVFIndex(self._entry_path(name), self.spark)
+        path = self._entry_path(name)
+        manifest = fs.read_json(self.spark, fs.join(path, "manifest.json"))
+        if manifest.get("format") == GRAPH_FORMAT:
+            idx: IVFIndex = GraphIndex(path, self.spark)
+        else:
+            idx = IVFIndex(path, self.spark)
         self._handles[name] = idx
         return idx
 
@@ -194,13 +210,22 @@ class IndexCatalog:
             fs.delete(self.spark, path)
         # catalog metadata rides in the same manifest write as the build
         # commit, so the artifact is never visible without its identity
-        idx = build_ivf(
-            df, col, id_column, path,
-            metric=opts["metric"],
-            nlist=nlist,
-            options=opts,
-            extra_manifest={"index_name": name, "table_name": table_name, "column": col, "id_column": id_column},
-        )
+        identity = {"index_name": name, "table_name": table_name, "column": col, "id_column": id_column}
+        if opts.get("index_type") == "hnsw":
+            idx: IVFIndex = build_graph(
+                df, col, id_column, path,
+                metric=opts["metric"],
+                options=opts,
+                extra_manifest=identity,
+            )
+        else:
+            idx = build_ivf(
+                df, col, id_column, path,
+                metric=opts["metric"],
+                nlist=nlist,
+                options=opts,
+                extra_manifest=identity,
+            )
         self._handles[name] = idx
         if self._names is not None and name not in self._names:
             self._names = sorted([*self._names, name])

@@ -85,16 +85,6 @@ def _nav_scores(qmat: np.ndarray, mat: np.ndarray, metric: str) -> np.ndarray:
     )
 
 
-def _emit_score(nav: np.ndarray, metric: str) -> np.ndarray:
-    """Navigation score -> the engine's reported score polarity
-    (:func:`~duckdb_vss_spark.functions.distance.distance_expr`)."""
-    if metric == "l2sq":
-        return np.sqrt(np.maximum(nav, 0.0))
-    if metric == "cosine":
-        return 1.0 - nav
-    return -nav  # ip: nav = -dot
-
-
 def _build_shard_graph(mat: np.ndarray, m0: int, part_seed: int) -> np.ndarray:
     """Exact M0-NN adjacency (+ deterministic long-range edges) for one
     shard: (n, deg) int32 of local row indices, self-padded (a node's own
@@ -305,15 +295,23 @@ class GraphIndex(IVFIndex):
 
         def shard_topk(pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) == 0:
-                return pd.DataFrame({"id": [], "score": []})
+                return pd.DataFrame({"id": [], "vec": []})
             pdf = pdf.sort_values("li").reset_index(drop=True)
             mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
             nbrs = np.vstack(pdf["nbrs"].to_numpy()).astype(np.int32)
-            idx, nav = _beam_search(mat, nbrs, bc.value, k, ef, metric)
-            return pd.DataFrame({"id": pdf["id"].iloc[idx].to_numpy(), "score": _emit_score(nav, metric)})
+            idx, _ = _beam_search(mat, nbrs, bc.value, k, ef, metric)
+            return pd.DataFrame(
+                {"id": pdf["id"].iloc[idx].to_numpy(), "vec": pdf["vec"].iloc[idx].to_numpy()}
+            )
 
         data = spark.read.parquet(self.data_path())
-        local = data.groupBy("part_id").applyInPandas(shard_topk, schema=f"id {id_t}, score double")
+        # kernel selects candidates; the authoritative score is the JVM
+        # double-precision expression (same discipline as the IVF paths)
+        local = (
+            data.groupBy("part_id")
+            .applyInPandas(shard_topk, schema=f"id {id_t}, vec array<float>")
+            .select("id", distance_expr("vec", list(query), metric).alias("score"))
+        )
         deleted = self.deleted_df(spark)
         if deleted is not None:
             local = local.join(F.broadcast(deleted), "id", "left_anti")
@@ -333,27 +331,31 @@ class GraphIndex(IVFIndex):
         probes_pdf: pd.DataFrame,
         k: int,
         ef_search: int | None = None,
+        qid_type: str = "bigint",
     ) -> DataFrame:
         """Batched per-probe search (HNSW_INDEX_JOIN payload): probes ride a
         broadcast into every shard's kernel; per probe per shard the beam
-        search emits k candidates, merged by a global per-probe rank window.
-        Caller filters deletions/rnk like the IVF join path."""
+        search emits k candidate rows ``(qid, id, vec)``. The kernel's
+        float64-GEMM score is navigation-only — the caller recomputes the
+        authoritative score with the JVM expression (same exact-score
+        discipline as the IVF kernel path), then deletion-filters and
+        rank-windows."""
         metric = self.metric
         ef = self._ef(ef_search, k)
         qmat = np.vstack(probes_pdf["v"].to_numpy()).astype(np.float64)
         qids = probes_pdf["qid"].to_numpy()
         bc = spark.sparkContext.broadcast((qids, qmat))
         id_t = self.manifest.get("id_type", "bigint")
-        qid_t = "bigint" if np.issubdtype(qids.dtype, np.integer) else "string"
+        qid_t = qid_type
 
         def shard_join(pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) == 0:
-                return pd.DataFrame({"qid": [], "id": [], "score": []})
+                return pd.DataFrame({"qid": [], "id": [], "vec": []})
             ids_q, qm = bc.value
             pdf = pdf.sort_values("li").reset_index(drop=True)
             mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
             nbrs = np.vstack(pdf["nbrs"].to_numpy()).astype(np.int32)
-            out_q, out_i, out_s = [], [], []
+            out_q, out_sel = [], []
             if ef >= mat.shape[0]:
                 # exact shard scan for the whole probe batch in one GEMM
                 nav = _nav_scores(qm, mat, metric)
@@ -364,19 +366,23 @@ class GraphIndex(IVFIndex):
                 for qi in range(qm.shape[0]):
                     sel = part[qi][:take]
                     out_q.extend([ids_q[qi]] * len(sel))
-                    out_i.extend(pdf["id"].iloc[sel].tolist())
-                    out_s.extend(_emit_score(nav[qi, sel], metric).tolist())
+                    out_sel.extend(sel.tolist())
             else:
                 for qi in range(qm.shape[0]):
-                    idx, nav = _beam_search(mat, nbrs, qm[qi], k, ef, metric)
+                    idx, _ = _beam_search(mat, nbrs, qm[qi], k, ef, metric)
                     out_q.extend([ids_q[qi]] * len(idx))
-                    out_i.extend(pdf["id"].iloc[idx].tolist())
-                    out_s.extend(_emit_score(nav, metric).tolist())
-            return pd.DataFrame({"qid": out_q, "id": out_i, "score": out_s})
+                    out_sel.extend(idx.tolist())
+            return pd.DataFrame(
+                {
+                    "qid": out_q,
+                    "id": pdf["id"].iloc[out_sel].to_numpy(),
+                    "vec": pdf["vec"].iloc[out_sel].to_numpy(),
+                }
+            )
 
         data = spark.read.parquet(self.data_path())
         return data.groupBy("part_id").applyInPandas(
-            shard_join, schema=f"qid {qid_t}, id {id_t}, score double"
+            shard_join, schema=f"qid {qid_t}, id {id_t}, vec array<float>"
         )
 
     # -- maintenance ------------------------------------------------------

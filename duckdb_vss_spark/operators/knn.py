@@ -383,6 +383,39 @@ def knn_join_flat_indexed(
     spark = left.sparkSession
     metric = index.metric
     probes_pdf = _collect_probes(left, left_on, left_id, broadcast_probe_limit)
+    if probes_pdf is not None and len(probes_pdf) > 0 and getattr(index, "is_graph", False):
+        # graph backend: probes ride a broadcast into every shard's beam-
+        # search kernel (index/hnsw.py); deletions filtered before the
+        # global per-probe rank window, tail competes brute-force — the
+        # same contract as the IVF kernel path below
+        raw = index.search_join(
+            spark, probes_pdf, k, ef_search, qid_type=dict(left.dtypes)[left_id]
+        ).withColumnRenamed("id", "rid")
+        # exact-score recompute in the JVM (kernel scores are ~1e-8 GEMM)
+        probes_small = left.select(F.col(left_id).alias("qid"), F.col(left_on).alias("__qv"))
+        cand = raw.join(F.broadcast(probes_small), "qid").select(
+            "qid", "rid", distance_expr("__qv", "vec", metric).alias("score")
+        )
+        deleted = index.deleted_df(spark)
+        if deleted is not None:
+            cand = cand.join(F.broadcast(deleted.withColumnRenamed("id", "rid")), "rid", "left_anti")
+        tail = index.tail_df(spark)
+        if tail is not None:
+            excl = [r["id"] for r in deleted.collect()] if deleted is not None else None
+            cand = cand.unionByName(
+                _candidates_broadcast(
+                    left, tail, left_on, "vec", left_id, "id", k, metric,
+                    excluded_ids=excl, probes_pdf=probes_pdf,
+                )
+            )
+        desc = METRIC_IS_DESCENDING[metric]
+        order = [F.col("score").desc() if desc else F.col("score").asc(), F.col("rid").asc()]
+        w = Window.partitionBy("qid").orderBy(*order)
+        return (
+            cand.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("qid", "rid", "rnk", "score")
+        )
     if probes_pdf is None:
         # probe side too big to broadcast: exact distributed plan over the
         # live index rows instead of an unbounded driver collect

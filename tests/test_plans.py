@@ -123,7 +123,7 @@ def test_tpch_q6_scan_is_minimal(spark):
     scanning ~35% of one column group and scanning the table."""
     import __spark_entry__ as entrymod
 
-    plan = _physical(entrymod.queries()["q30_tpch_q6"](spark, SF))
+    plan = _physical(entrymod.queries()["q26_tpch_q6"](spark, SF))
     assert "PushedFilters: [" in plan
     for pred in ("l_shipdate", "l_discount", "l_quantity"):
         assert pred in plan.split("PushedFilters:")[1].splitlines()[0]

@@ -291,3 +291,60 @@ def test_range_join_plan_is_not_cartesian(events):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_full_matrix_with_ties_vs_pandas(spark):
+    """Full direction x strict x tolerance cross-product vs pandas
+    merge_asof (strict == allow_exact_matches=False), with duplicate
+    timestamps on BOTH sides. The operator's tie rule is value-based (the
+    largest payload among equally-near right rows wins, both directions);
+    pandas' is positional (backward: last row, forward: first row within
+    the tie group), so the pandas right frame is ordered per direction so
+    that its positional pick encodes the same value rule."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    base = dt.datetime(2024, 1, 1)
+    n_l, n_r = 50, 70
+    # small timestamp universe => plenty of exact ties across and within sides
+    lts = rng.integers(0, 40, n_l)
+    rts = rng.integers(0, 40, n_r)
+    lpdf = pd.DataFrame({
+        "k": rng.integers(0, 3, n_l),
+        "ts": [base + dt.timedelta(seconds=int(s)) for s in lts],
+        "lid": np.arange(n_l),
+    }).sort_values("ts", kind="stable").reset_index(drop=True)
+    rpdf = pd.DataFrame({
+        "k": rng.integers(0, 3, n_r),
+        "ts": [base + dt.timedelta(seconds=int(s)) for s in rts],
+        "rv": (np.arange(n_r) * 10).astype(np.int64),
+    })
+    # backward: pandas takes the LAST tie-group row -> ascending rv = max-rv
+    # wins; forward: pandas takes the FIRST -> descending rv = max-rv wins
+    rpdf_by_dir = {
+        "backward": rpdf.sort_values(["ts", "rv"], kind="stable").reset_index(drop=True),
+        "forward": rpdf.sort_values(["ts", "rv"], ascending=[True, False], kind="stable").reset_index(drop=True),
+    }
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+    for direction in ("backward", "forward"):
+        for strict in (False, True):
+            for tol in (None, 8.0):
+                got = {
+                    r["lid"]: r["rv"]
+                    for r in asof_join(
+                        ldf, rdf, "k", right_cols=["rv"], direction=direction,
+                        strict=strict, tolerance_sec=tol,
+                    ).collect()
+                }
+                want_pdf = pd.merge_asof(
+                    lpdf, rpdf_by_dir[direction], on="ts", by="k", direction=direction,
+                    allow_exact_matches=not strict,
+                    tolerance=(pd.Timedelta(seconds=tol) if tol else None),
+                )
+                want = {
+                    int(r.lid): (None if pd.isna(r.rv) else int(r.rv))
+                    for r in want_pdf.itertuples()
+                }
+                assert got == want, (direction, strict, tol)
