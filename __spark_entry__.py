@@ -1551,6 +1551,19 @@ def _m_hnsw_graph_index(spark, sf_dir):
     return scan.unionByName(join)
 
 
+_BM25_TERMS = ["vector", "hash", "join"]
+
+
+def _q_bm25(spark, sf_dir):
+    """Okapi BM25 lexical ranking (north-star retrieval surface,
+    operators/ranking.py): one tiny stats aggregate, map-only scoring,
+    TakeOrderedAndProject top-50. Scores double-computed, cast float."""
+    from duckdb_vss_spark.operators.ranking import bm25_rank
+
+    out = bm25_rank(_docs(spark, sf_dir), "text", "doc_id", _BM25_TERMS, limit=50)
+    return out.select("doc_id", F.col("score").cast("float").alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_metrics": _m_topk_metrics,
@@ -1602,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_byte_histogram": _q_byte_histogram,
         "q48_covariance": _q_covariance,
         "q49_hnsw_graph_index": _m_hnsw_graph_index,
+        "q50_bm25_rank": _q_bm25,
     }
 
 
@@ -2217,11 +2231,42 @@ def _oracle_parts() -> dict[str, str]:
     }
 
 
+def _BM25_ORACLE_SQL(O) -> str:
+    """duckdb twin of entry q50 (same tokenizer, same Lucene '+1' idf, same
+    constant spellings so the doubles agree before the f32 cast)."""
+    k1, b, terms = 1.2, 0.75, _BM25_TERMS
+    tf_cols = ",\n                   ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(f"sum((tf{i} > 0)::BIGINT) AS df{i}" for i in range(len(terms)))
+    score = " + ".join(
+        f"ln(1 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5)) * (tf{i}::DOUBLE * {k1 + 1.0}) "
+        f"/ (tf{i}::DOUBLE + {k1} * ({1.0 - b} + {b} * dl::DOUBLE / s.avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {O.sql_tokens('text')} AS toks FROM documents
+        ), base AS (
+          SELECT doc_id, len(toks) AS dl,
+                   {tf_cols}
+          FROM d
+        ), s AS (
+          SELECT count(*) AS n, avg(dl) AS avgdl, {df_cols} FROM base
+        )
+        SELECT doc_id, (0.0 + {score})::FLOAT AS score
+        FROM base, s
+        ORDER BY score DESC, doc_id LIMIT 50
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     """Consolidated oracles, one per queries() entry. Merged entries UNION
     ALL the round-3 per-operator fragments with the same tag literals the
     Spark side emits, so every variant's values stay independently
     hash-checked under the driver's <=50-row gate."""
+    from duckdb_vss_spark import oracle as O
+
     P = _oracle_parts()
 
     def tag(name: str, t: str, sql: str, cols: str) -> str:
@@ -2374,6 +2419,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q47_byte_histogram": P["q66_byte_histogram"],
         "q48_covariance": P["q72_covariance"],
+        "q50_bm25_rank": _BM25_ORACLE_SQL(O),
         "q49_hnsw_graph_index": (
             "SELECT 'scan' AS tag, -1::BIGINT AS qid, vec_id AS rid,\n"
             "       row_number() OVER (ORDER BY score, vec_id)::BIGINT AS rnk, score\n"

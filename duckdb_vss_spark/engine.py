@@ -173,7 +173,8 @@ class VSSEngine:
         extra = {}
         if decision.strategy == "HNSW_INDEX_SCAN":
             extra = {"nprobe": idx.nprobe_for(decision.ef_search), "nlist": idx.nlist,
-                     "pq_m": idx.manifest.get("pq_m")}
+                     "pq_m": idx.manifest.get("pq_m"),
+                     "backend": "graph" if getattr(idx, "is_graph", False) else "ivf"}
             # candidate ids from the index; exact score; fetch full rows by id
             # (rowid-fetch becomes a broadcast semi-join, SURVEY §1.1)
             hits = idx.search(self.spark, list(query), k, decision.ef_search)

@@ -102,7 +102,7 @@ def _const_vec(v):
 
 def _sq_diff_sum(a, b) -> Column:
     cv = _const_vec(b)
-    if cv is None:
+    if cv is None and _const_vec(a) is not None:
         cv, a = _const_vec(a), b  # symmetric
     if cv is not None and not isinstance(a, (list, tuple)):
         col = _as_col(a)
@@ -131,7 +131,7 @@ def array_distance_sq(a, b) -> Column:
 
 def array_inner_product(a, b) -> Column:
     cv = _const_vec(b)
-    if cv is None:
+    if cv is None and _const_vec(a) is not None:
         cv, a = _const_vec(a), b  # symmetric
     if cv is not None and not isinstance(a, (list, tuple)):
         col = _as_col(a)
@@ -152,7 +152,7 @@ def array_negative_inner_product(a, b) -> Column:
 
 def array_cosine_similarity(a, b) -> Column:
     cv = _const_vec(b)
-    if cv is None:
+    if cv is None and _const_vec(a) is not None:
         cv, a = _const_vec(a), b  # symmetric
     if cv is not None and not isinstance(a, (list, tuple)):
         col = _as_col(a)

@@ -1,0 +1,87 @@
+"""Lexical relevance ranking: Okapi BM25 over a document table.
+
+A training-data pipeline needs lexical retrieval next to the vector paths —
+for targeted corpus slicing ("pull the docs about X"), hybrid
+lexical+vector rerank, and seed-set expansion. The reference engine has no
+lexical surface (north-star extension, like :mod:`.quality`); the duckdb
+oracle twin lives in ``__spark_entry__`` (entry q50).
+
+Spark-first shape (100 TB posture):
+
+- The query side is a SMALL bag of terms — so nothing explodes. Per-doc
+  term frequencies are per-row array expressions (``size(filter(tokens,
+  x = t))`` for each query term), a pure map-side projection.
+- Corpus statistics (N, avgdl, per-term document frequencies) reduce in
+  ONE tiny aggregate job (k_q + 2 numbers total), then fold into the
+  scoring expression as literals — the classic broadcast-scalars pattern.
+- Scoring is again a map-only projection; the only exchange in the whole
+  operator is the final top-N cut (``TakeOrderedAndProject``).
+
+BM25 variant: the Lucene/ATIRE "+1" idf — ``ln(1 + (N - df + 0.5) /
+(df + 0.5))`` — which keeps idf positive for terms in over half the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = ["bm25_rank"]
+
+
+def bm25_rank(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Rank documents by Okapi BM25 against ``query_terms``.
+
+    Returns ``(id_col, score_col)`` ordered best-first (ties broken by id);
+    ``limit`` caps the output (plans as a partial top-N per partition).
+    Documents matching no term score 0.0 and still appear (rank-stable
+    under corpus growth), so callers slicing a corpus should pass
+    ``limit`` or filter ``score > 0``.
+    """
+    if not query_terms:
+        raise ValueError("bm25_rank requires at least one query term")
+    terms = list(dict.fromkeys(query_terms))  # dedup, keep order
+    toks = tokens(text_col)
+
+    def _match(term: str):
+        # NOTE: a (x, t=t) default-arg lambda would read as the two-arg
+        # (element, index) HOF form to PySpark's arity inspection
+        return lambda x: x == F.lit(term)
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("__dl"),
+        *[F.size(F.filter(toks, _match(t))).alias(f"__tf_{i}") for i, t in enumerate(terms)],
+    )
+    # ONE tiny reduce: N, avgdl, and each term's document frequency
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__dl").alias("avgdl"),
+        *[F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"df_{i}") for i in range(len(terms))],
+    ).collect()[0]
+    n, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
+    if n == 0:
+        raise ValueError("bm25_rank over an empty document table")
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = math.log(1.0 + (n - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5))
+        tf = F.col(f"__tf_{i}").cast("double")
+        denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / F.lit(avgdl))
+        score = score + F.lit(idf) * (tf * F.lit(k1 + 1.0)) / denom
+    out = base.select(F.col(id_col), score.alias(score_col)).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return out.limit(limit) if limit else out

@@ -116,9 +116,10 @@ def explain_text(spec, decision: Decision, extra: dict | None = None) -> str:
                 lines.append(f"FILTER [{spec.residual_filter}]  (post-filter: may return < k rows)")
             lines.append(f"PROJECTION [score := {spec.metric}(vec, <const>)] (exact recompute)")
             pq = f", pq_m={ex['pq_m']} (ADC+rerank)" if ex.get("pq_m") else ""
+            backend = f", backend={ex['backend']}" if ex.get("backend") else ""
             lines.append(
                 f"HNSW_INDEX_SCAN (index={decision.index_name}, k={spec.k}, "
-                f"ef_search={decision.ef_search}, nprobe={ex.get('nprobe', '?')}/{ex.get('nlist', '?')}{pq})"
+                f"ef_search={decision.ef_search}, nprobe={ex.get('nprobe', '?')}/{ex.get('nlist', '?')}{pq}{backend})"
             )
         else:
             lines.append(f"TOP_N (k={spec.k}, metric={spec.metric})  [TakeOrderedAndProject]")

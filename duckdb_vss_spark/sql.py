@@ -20,7 +20,12 @@ strings a home in the Spark engine:
    ``... FROM s, vss_match(t, outer_col, inner_col, k [, metric:='m'])``.
    ``1 - array_cosine_similarity`` canonicalizes to cosine distance first
    (reference: src/hnsw/hnsw_optimize_expr.cpp:17-70).
-3. **Everything else** falls back to ``spark.sql`` over the registered temp
+3. **WITH clauses** (non-recursive) are evaluated CTE-by-CTE through this
+   same frontend and registered as statement-scoped tables, so the main
+   query's vss shapes still reach the accelerated handlers over derived
+   inputs. ``WITH RECURSIVE`` falls through to ``spark.sql`` (Spark 4
+   executes recursive CTEs natively).
+4. **Everything else** falls back to ``spark.sql`` over the registered temp
    views, with the five distance scalar functions registered as Arrow-batched
    pandas UDFs under their duckdb names — so arbitrary SQL referencing
    ``array_distance`` etc. still runs (slow path: Python batch transfer;
@@ -67,9 +72,15 @@ _OP_FNS = {"<->": "array_distance", "<=>": "array_cosine_distance", "<#>": "arra
 def _rewrite_operator_aliases(s: str) -> str:
     """``vec <-> [..]`` / ``<=>`` / ``<#>`` -> the equivalent function call,
     so every downstream pattern (and the spark.sql fallback via registered
-    UDFs) sees one spelling."""
+    UDFs) sees one spelling. Also canonicalizes the literal
+    ``-array_inner_product(...)`` spelling to
+    ``array_negative_inner_product(...)`` — the reference documents this
+    rewrite but leaves it unimplemented (reference:
+    src/hnsw/hnsw_optimize_expr.cpp:13-15); the identity is unconditional,
+    so doing it here lets the spelling reach the ip index path."""
     for op, fn in _OP_FNS.items():
         s = re.sub(rf"(\w+(?:\.\w+)?)\s*{re.escape(op)}\s*({_ARRAY_NG})", rf"{fn}(\1, \2)", s)
+    s = re.sub(r"-\s*array_inner_product\s*\(", "array_negative_inner_product(", s)
     return s
 
 
@@ -114,6 +125,9 @@ class SQLFrontend:
     # -- public ----------------------------------------------------------
     def sql(self, text: str):
         s = _rewrite_operator_aliases(text.strip().rstrip(";").strip())
+        handled, result = self._try_with_clause(s)
+        if handled:
+            return result
         for handler in (
             self._try_create_index,
             self._try_drop_index,
@@ -132,6 +146,65 @@ class SQLFrontend:
             if handled:
                 return result
         return self.spark.sql(s)
+
+    # -- WITH clause: evaluate CTEs through this same frontend and expose
+    #    them as registered tables, so the main query's vss shapes (top-k,
+    #    lateral, macros) still reach the accelerated handlers. A CTE body
+    #    may itself be any frontend-recognized query (including one over an
+    #    earlier CTE). Names shadow existing registrations only for the
+    #    duration of the statement.
+    def _try_with_clause(self, s):
+        m = re.match(r"WITH\s+(?!RECURSIVE\b)", s, re.IGNORECASE)
+        if not m:
+            return False, None
+        pos = m.end()
+        ctes: list[tuple[str, str]] = []
+        while True:
+            nm = re.match(r"\s*(?P<name>\w+)\s+AS\s*\(", s[pos:], re.IGNORECASE)
+            if not nm:
+                return False, None  # malformed -> let spark.sql report it
+            name = nm.group("name")
+            body_start = pos + nm.end()
+            depth, i = 1, body_start
+            in_str = False
+            while i < len(s) and depth:
+                c = s[i]
+                if in_str:
+                    in_str = c != "'"
+                elif c == "'":
+                    in_str = True
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                return False, None  # unbalanced -> fall through
+            ctes.append((name, s[body_start : i - 1].strip()))
+            nxt = re.match(r"\s*,", s[i:])
+            if nxt:
+                pos = i + nxt.end()
+                continue
+            main = s[i:].strip()
+            break
+        saved: dict[str, object] = {}
+        added: list[str] = []
+        try:
+            for name, body in ctes:
+                df = self.sql(body)
+                if df is None:
+                    raise ValueError(f"CTE '{name}' is not a query")
+                if name in self.engine.tables:
+                    saved[name] = self.engine.tables[name]
+                else:
+                    added.append(name)
+                self.engine.register_table(name, df)
+            return True, self.sql(main)
+        finally:
+            for name, df in saved.items():
+                self.engine.register_table(name, df)
+            for name in added:
+                self.engine.tables.pop(name, None)
 
     # -- DDL / pragmas / settings ----------------------------------------
     def _try_create_index(self, s):

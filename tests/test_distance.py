@@ -62,3 +62,24 @@ def test_metric_aliases():
     assert vf.canonical_metric("l2") == "l2sq"
     assert vf.canonical_metric("cos") == "cosine"
     assert vf.canonical_metric("ip") == "ip"
+
+
+def test_column_vs_column_distance_not_broken_by_const_fast_path(spark):
+    """Regression: the constant-vector unroll fast path must not fire when
+    BOTH sides are columns (a symmetric-swap bug once made dist(a,b)
+    compute dist(b,b) = 0)."""
+    from duckdb_vss_spark.functions.distance import (
+        array_cosine_similarity,
+        array_distance,
+        array_inner_product,
+    )
+
+    df = spark.createDataFrame([([3.0, 4.0], [0.0, 0.0])], "a array<float>, b array<float>")
+    r = df.select(
+        array_distance("a", "b").alias("d"),
+        array_inner_product("a", F.col("b")).alias("ip"),
+        array_cosine_similarity(F.col("a"), "a").alias("cs"),
+    ).collect()[0]
+    assert r["d"] == 5.0
+    assert r["ip"] == 0.0
+    assert abs(r["cs"] - 1.0) < 1e-12

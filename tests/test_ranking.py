@@ -1,0 +1,82 @@
+"""BM25 ranking: numeric truth vs a pure-Python reference implementation,
+plan shape (stats agg + map-only scoring, top-N cut), and edge cases."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.operators.ranking import bm25_rank
+
+
+def _py_bm25(docs: dict[int, str], terms: list[str], k1=1.2, b=0.75) -> dict[int, float]:
+    toks = {i: t.split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            df = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tf = tk.count(t)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        out[i] = s
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    docs = {
+        0: "spark joins hash tables fast",
+        1: "hash hash hash collisions",
+        2: "vector search with graphs",
+        3: "the quick brown fox",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_rank(df, "text", "doc_id", ["hash", "vector"]).collect()}
+    want = _py_bm25(docs, ["hash", "vector"])
+    for i in docs:
+        assert got[i] == pytest.approx(want[i], rel=1e-12), i
+    # doc 1 is the hash-heaviest, doc 2 the only vector doc; 3 scores 0
+    assert got[1] > got[0] > 0
+    assert got[2] > 0
+    assert got[3] == 0.0
+
+
+def test_bm25_limit_and_order(spark):
+    df = spark.createDataFrame(
+        [(i, "data " * (i + 1)) for i in range(10)], "doc_id long, text string"
+    )
+    rows = bm25_rank(df, "text", "doc_id", ["data"], limit=3).collect()
+    assert len(rows) == 3
+    assert [r["score"] for r in rows] == sorted((r["score"] for r in rows), reverse=True)
+
+
+def test_bm25_duplicate_terms_deduped(spark):
+    df = spark.createDataFrame([(0, "a b c"), (1, "b b b")], "doc_id long, text string")
+    once = {r["doc_id"]: r["score"] for r in bm25_rank(df, "text", "doc_id", ["b"]).collect()}
+    twice = {r["doc_id"]: r["score"] for r in bm25_rank(df, "text", "doc_id", ["b", "b"]).collect()}
+    assert once == twice
+
+
+def test_bm25_empty_cases(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_rank(df, "text", "doc_id", [])
+    with pytest.raises(ValueError):
+        bm25_rank(df.filter(F.col("doc_id") < 0), "text", "doc_id", ["x"])
+
+
+def test_bm25_scoring_is_mostly_map_side(spark):
+    """The scoring query's only exchange is the top-N cut: scoring itself is
+    a projection (TakeOrderedAndProject plans with no shuffle)."""
+    df = spark.createDataFrame([(i, "a b") for i in range(20)], "doc_id long, text string")
+    plan = (
+        bm25_rank(df, "text", "doc_id", ["a"], limit=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

@@ -336,3 +336,80 @@ def test_topk_sql_where_prefilter_on_exact_path(fe, ddb):
         ).fetchall()
     )
     assert got == want
+
+
+def test_with_clause_ctes_reach_accelerated_topk(fe, ddb):
+    """WITH ... AS (...) queries route the main query through the frontend's
+    vss handlers over the materialized CTEs (VERDICT r3 missing #4 slice)."""
+    df = fe.sql(
+        f"WITH sub AS (SELECT * FROM embeddings WHERE label = 1) "
+        f"SELECT vec_id, score FROM sub ORDER BY array_distance(embedding, {Q_SQL}) LIMIT 5"
+    )
+    got = sorted((r["vec_id"], round(r["score"], 4)) for r in df.collect())
+    q64 = "[" + ",".join(str(x) for x in Q) + "]::DOUBLE[]"
+    want = sorted(
+        (i, round(s, 4))
+        for i, s in ddb.execute(
+            f"SELECT vec_id, list_distance(embedding::DOUBLE[], {q64}) AS score "
+            f"FROM embeddings WHERE label = 1 ORDER BY score, vec_id LIMIT 5"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_with_clause_chained_ctes_and_lateral(fe):
+    """A CTE may reference an earlier CTE; the lateral handler still fires
+    over both (index-eligible when the inner table has one)."""
+    out = fe.sql(
+        "WITH probes AS (SELECT * FROM embeddings WHERE vec_id < 3), "
+        "items AS (SELECT * FROM embeddings WHERE vec_id >= 3) "
+        "SELECT q.vec_id AS qid, i.vec_id AS rid, score FROM probes q, LATERAL ("
+        "SELECT * FROM items ORDER BY array_distance(items.embedding, q.embedding) LIMIT 2) i"
+    )
+    rows = out.collect()
+    assert len(rows) == 6  # 3 probes x k=2
+    assert all(r["rid"] >= 3 for r in rows)
+
+
+def test_with_clause_does_not_leak_or_clobber_registrations(fe):
+    before = set(fe.engine.tables)
+    fe.sql(
+        f"WITH tmp_cte_xyz AS (SELECT * FROM embeddings WHERE vec_id < 3) "
+        f"SELECT vec_id, score FROM tmp_cte_xyz ORDER BY array_distance(embedding, {Q_SQL}) LIMIT 2"
+    )
+    assert set(fe.engine.tables) == before
+    # shadowing an existing name restores the original afterwards
+    orig = fe.engine.table("queries")
+    fe.sql(
+        f"WITH queries AS (SELECT * FROM embeddings WHERE vec_id >= 490) "
+        f"SELECT vec_id, score FROM queries ORDER BY array_distance(embedding, {Q_SQL}) LIMIT 2"
+    )
+    assert fe.engine.table("queries") is orig
+
+
+def test_with_recursive_falls_through_to_spark(fe):
+    # RECURSIVE is not a frontend CTE shape; it must fall through untouched
+    # to spark.sql (Spark 4 executes recursive CTEs natively)
+    rows = fe.sql(
+        "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 3) SELECT * FROM r"
+    ).collect()
+    assert sorted(x["n"] for x in rows) == [1, 2, 3]
+
+
+def test_negative_inner_product_canonicalization(fe, ddb):
+    """`ORDER BY -array_inner_product(v, C) ASC LIMIT k` canonicalizes to
+    array_negative_inner_product and takes the nearest-first path — the
+    rewrite the reference documents but leaves unimplemented
+    (hnsw_optimize_expr.cpp:13-15)."""
+    df = fe.sql(
+        f"SELECT vec_id, score FROM embeddings ORDER BY -array_inner_product(embedding, {Q_SQL}) LIMIT 5"
+    )
+    got = sorted(r["vec_id"] for r in df.collect())
+    q64 = "[" + ",".join(str(x) for x in Q) + "]::DOUBLE[]"
+    want = sorted(
+        i for (i,) in ddb.execute(
+            f"SELECT vec_id FROM embeddings "
+            f"ORDER BY list_inner_product(embedding::DOUBLE[], {q64}) DESC, vec_id LIMIT 5"
+        ).fetchall()
+    )
+    assert got == want
