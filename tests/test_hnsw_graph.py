@@ -167,3 +167,9 @@ def test_graph_index_info_row(geng, spark):
     assert "g_idx" in info
     assert info["g_idx"]["count"] == emb.count()
     assert info["g_idx"]["dimensions"] == 64
+
+
+def test_graph_explain_names_backend(geng):
+    eng, _ = geng
+    plan = eng.explain_topk("embeddings", "embedding", Q, 10)
+    assert "backend=graph" in plan
