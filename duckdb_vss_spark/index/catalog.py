@@ -177,7 +177,7 @@ class IndexCatalog:
             raise KeyError(f"No HNSW index named '{name}'")
         path = self._entry_path(name)
         manifest = fs.read_json(self.spark, fs.join(path, "manifest.json"))
-        if manifest.get("format") == GRAPH_FORMAT:
+        if manifest.get("format", "").startswith("hnsw-graph-parquet"):
             idx: IVFIndex = GraphIndex(path, self.spark)
         else:
             idx = IVFIndex(path, self.spark)

@@ -6,13 +6,20 @@ src/hnsw/hnsw_index.cpp:700-724, build: hnsw_index_physical_create.cpp:
 138-217), re-designed for Spark's execution model (SURVEY §7.1 sketch):
 
 - The reference builds ONE shared concurrent in-RAM graph. A 100 TB corpus
-  can't live in one graph, so we shard rows into bounded sub-indexes
-  (``graph_part_rows`` rows each, default 16384) by id hash, build an
-  independent neighbor graph per shard inside one ``applyInPandas`` pass
-  (embarrassingly parallel, no shared mutable state), and store each shard
-  as rows of a parquet dataset partitioned by ``part_id`` — the graph IS
-  columns: ``(id, vec, li, nbrs)`` where ``nbrs`` holds the fixed-degree
-  adjacency as local row indices.
+  can't live in one graph, so rows shard into bounded sub-indexes. Rows
+  are first assigned a K-MEANS CELL with the IVF backend's own ``nlist``
+  heuristic and sampled k-means — so search prunes cells at exactly IVF's
+  granularity instead of fanning out to every shard — and cells are then
+  greedy-packed into shards of ~``graph_part_rows`` rows (oversized cells
+  split into hash sub-shards). Pruning granularity (many small cells) is
+  deliberately decoupled from graph size (bounded shards): the per-shard
+  build cost is quadratic, so boundedness is load-bearing. Each shard's
+  independent neighbor graph builds inside one ``applyInPandas`` pass
+  (embarrassingly parallel, no shared mutable state) and is stored as rows
+  of a parquet dataset partitioned by ``part_id`` (the shard index; the
+  manifest maps cell -> shard run) — the graph IS columns:
+  ``(id, vec, li, nbrs)`` where ``nbrs`` holds the fixed-degree adjacency
+  as local row indices.
 - **Build** computes each shard's EXACT ``M0``-nearest-neighbor graph with
   chunked BLAS (numpy GEMM) rather than usearch's sequential insert loop:
   per-shard cost is bounded by the shard size, total work is linear in
@@ -24,14 +31,17 @@ src/hnsw/hnsw_index.cpp:700-724, build: hnsw_index_physical_create.cpp:
   shard). Navigability across the shard comes from ``max(4, M0/4)``
   deterministic long-range edges per node (NSW-style), replacing the
   hierarchy's express lanes.
-- **Search** fans out to every shard (one ``applyInPandas`` group each —
-  shard parallelism replaces the reference's single-graph traversal), runs
-  best-first beam search with the usearch ``ef_search`` contract (beam
-  width = max(ef_search, k); reference: src/hnsw/hnsw_index.cpp:318-329),
-  and merges shard-local top-k globally. ``ef_search >= shard rows``
-  degrades to an exact shard scan, so full-probe searches are exact —
-  the same "recall is tunable, exactness at the limit" contract as the IVF
-  backend and the reference.
+- **Search** probes the ``nprobe`` nearest cells (the inherited IVF
+  ``ef_search -> nprobe`` mapping; Catalyst partition pruning keeps
+  unprobed shards off disk), then runs best-first beam search per probed
+  shard (one ``applyInPandas`` group each — shard parallelism replaces the
+  reference's single-graph traversal) with the usearch ``ef_search``
+  contract (beam width = max(ef_search, k); reference:
+  src/hnsw/hnsw_index.cpp:318-329), and merges shard-local top-k globally.
+  Full ``ef_search`` probes every cell AND ``ef >= shard rows`` degrades
+  each shard to an exact scan, so full-probe searches are exact — the same
+  "recall is tunable, exactness at the limit" contract as the IVF backend
+  and the reference.
 - **Maintenance** reuses the IVF artifact's tail / deletion-bitmap /
   versioned-compact machinery unchanged (:class:`~.ivf.IVFIndex`): those
   layers never looked inside the indexed payload.
@@ -64,7 +74,7 @@ from ..functions.distance import METRIC_IS_DESCENDING, canonical_metric, distanc
 
 __all__ = ["GraphIndex", "build_graph", "GRAPH_FORMAT"]
 
-GRAPH_FORMAT = "hnsw-graph-parquet/v1"
+GRAPH_FORMAT = "hnsw-graph-parquet/v2"
 DEFAULT_PART_ROWS = 16384
 _EXACT_GRAPH_CHUNK = 1024  # GEMM chunk rows for the exact-graph build
 
@@ -195,9 +205,68 @@ def build_graph(
             f"HNSW index keys must be fixed-size arrays; found lengths {sorted((stats['dmin'], stats['dmax']))}"
         )
     dim = stats["dmin"]
-    nparts = max(1, math.ceil(n / part_rows))
     id_t = dict(df.dtypes)[id_col]
-    sharded = src.withColumn("part_id", F.pmod(F.xxhash64("id"), F.lit(nparts)).cast("int"))
+
+    # -- cell centroids: the IVF backend's nlist heuristic and sampled
+    # k-means, so the search side gets the SAME pruning granularity as IVF;
+    # shards are then PACKS of cells (or hash splits of oversized cells),
+    # decoupling pruning granularity from the bounded graph size
+    from .ivf import KMEANS_ITERS, KMEANS_SAMPLE, _nearest_centroid, kmeans
+
+    ncells = max(1, min(4096, int(math.sqrt(n) * 32.0 / m0)))
+    sample = src.select("vec")
+    frac = min(1.0, KMEANS_SAMPLE / n)
+    if frac < 1.0:
+        sample = sample.sample(fraction=frac, seed=seed)
+    smat = np.vstack(sample.toPandas()["vec"].to_numpy()).astype(np.float64)
+    centroids = kmeans(smat, ncells, iters=KMEANS_ITERS, seed=seed)
+    ncells = centroids.shape[0]
+    bc_cent = spark.sparkContext.broadcast(centroids)
+
+    def assign_cell(batches):
+        c = bc_cent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            yield pdf.assign(cell=_nearest_centroid(mat, c).astype(np.int32))
+
+    assigned = src.mapInPandas(assign_cell, schema=f"id {id_t}, vec array<float>, cell int")
+    # cell -> shard plan: greedy-pack consecutive cells up to part_rows per
+    # shard; an oversized cell gets its own run of hash sub-shards. The
+    # per-shard graph build is quadratic, so boundedness is load-bearing.
+    counts = {r["cell"]: r["n"] for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    starts, nsubs = [], []
+    next_pid, acc_rows, cur_pid = 0, 0, -1
+    for c in range(ncells):
+        cn = counts.get(c, 0)
+        if cn > part_rows:
+            k_ = math.ceil(cn / part_rows)
+            starts.append(next_pid)
+            nsubs.append(k_)
+            next_pid += k_
+            acc_rows = 0
+            cur_pid = -1
+        else:
+            if cur_pid < 0 or acc_rows + cn > part_rows:
+                cur_pid = next_pid
+                next_pid += 1
+                acc_rows = 0
+            starts.append(cur_pid)
+            nsubs.append(1)
+            acc_rows += cn
+    nparts = next_pid
+    # per-cell (start, nsubs) as literal-array lookups (pure JVM expression;
+    # at extreme cell counts this would become a broadcast join instead)
+    start_arr = F.array(*[F.lit(int(s)) for s in starts])
+    nsub_arr = F.array(*[F.lit(int(s)) for s in nsubs])
+    sharded = assigned.withColumn(
+        "part_id",
+        (
+            F.element_at(start_arr, F.col("cell") + 1).cast("long")
+            + F.pmod(F.xxhash64("id"), F.element_at(nsub_arr, F.col("cell") + 1).cast("long"))
+        ),
+    )
 
     def build_part(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -216,16 +285,20 @@ def build_graph(
             }
         )
 
-    out_schema = f"id {id_t}, vec array<float>, li int, nbrs array<int>, part_id int"
-    built = sharded.groupBy("part_id").applyInPandas(build_part, schema=out_schema)
+    out_schema = f"id {id_t}, vec array<float>, li int, nbrs array<int>, part_id long"
+    built = sharded.drop("cell").groupBy("part_id").applyInPandas(build_part, schema=out_schema)
     vdir = fs.join(path, version)
     built.write.mode("overwrite").partitionBy("part_id").parquet(fs.join(vdir, "data"))
+    fs.write_npy(spark, fs.join(vdir, "centroids.npy"), centroids)
     manifest = {
         "format": GRAPH_FORMAT,
         "version": version,
         "metric": metric,
         "dim": int(dim),
-        "nlist": int(nparts),  # shard count plays nlist's role in info/explain
+        "nlist": int(ncells),  # cell count plays nlist's role: probed like IVF lists
+        "ncells": int(ncells),
+        "part_starts": [int(s) for s in starts],
+        "part_nsubs": [int(s) for s in nsubs],
         "nparts": int(nparts),
         "count": int(n),
         "id_type": id_t,
@@ -252,7 +325,9 @@ class GraphIndex(IVFIndex):
         self.manifest = fs.read_json(self.spark, fs.join(path, "manifest.json"))
         self.version = self.manifest.get("version", "")
         self.vpath = fs.join(path, self.version) if self.version else path
-        self.centroids = None
+        # cell centroids: probed exactly like IVF lists (the inherited
+        # probe_lists/probe_lists_batch read self.centroids + self.metric)
+        self.centroids = fs.read_npy(self.spark, fs.join(self.vpath, "centroids.npy"))
         self.pq_books = None
         self._tail_exists: Optional[bool] = None
         self._deleted_exists: Optional[bool] = None
@@ -261,18 +336,18 @@ class GraphIndex(IVFIndex):
     def nparts(self) -> int:
         return self.manifest["nparts"]
 
-    def nprobe_for(self, ef_search: int | None) -> int:
-        # every shard is searched; ef_search tunes beam width, not shard count
-        return self.nparts
+    @property
+    def ncells(self) -> int:
+        return self.manifest["ncells"]
 
-    def probe_lists(self, query, nprobe):  # pragma: no cover - IVF-only API
-        raise NotImplementedError("graph indexes search all shards; no probe lists")
-
-    def probe_lists_batch(self, qmat, nprobe):  # pragma: no cover - IVF-only API
-        raise NotImplementedError("graph indexes search all shards; no probe lists")
-
-    def candidates(self, spark, query, ef_search=None):  # pragma: no cover
-        raise NotImplementedError("graph search emits scored rows directly")
+    def _cell_parts(self, cells) -> list[int]:
+        """Expand probed cell ids to parquet part_id values: a packed cell
+        maps to its shared shard, a split cell to its run of hash
+        sub-shards. (A shared shard may also hold unprobed cells — a
+        candidate superset, which only helps recall.)"""
+        starts = self.manifest["part_starts"]
+        nsubs = self.manifest["part_nsubs"]
+        return sorted({starts[int(c)] + s for c in cells for s in range(nsubs[int(c)])})
 
     # -- search -----------------------------------------------------------
     def _ef(self, ef_search: int | None, k: int) -> int:
@@ -282,13 +357,19 @@ class GraphIndex(IVFIndex):
         return max(ef, k)
 
     def search(self, spark: SparkSession, query: list[float], k: int, ef_search: int | None = None) -> DataFrame:
-        """Top-k (id, score) for one query: per-shard beam search fanned out
-        as one applyInPandas group per shard, merged globally. Scores follow
-        the metric's polarity and are exact (full vectors are in hand)."""
+        """Top-k (id, score) for one query: cell pruning exactly like the
+        IVF backend (only the ``nprobe`` nearest cells' shards are read —
+        Catalyst partition pruning on ``part_id``), then per-shard beam
+        search fanned out as one applyInPandas group per shard, merged
+        globally. Scores follow the metric's polarity and are exact (full
+        vectors are in hand); full ef probes every cell AND scans each
+        shard exactly."""
         if len(query) != self.dim:
             raise ValueError(f"query dimension {len(query)} != index dimension {self.dim}")
         metric = self.metric
         ef = self._ef(ef_search, k)
+        cells = self.probe_lists(query, self.nprobe_for(ef_search))
+        parts = self._cell_parts(cells)
         qv = np.asarray(query, dtype=np.float64)
         bc = spark.sparkContext.broadcast(qv)
         id_t = self.manifest.get("id_type", "bigint")
@@ -304,7 +385,7 @@ class GraphIndex(IVFIndex):
                 {"id": pdf["id"].iloc[idx].to_numpy(), "vec": pdf["vec"].iloc[idx].to_numpy()}
             )
 
-        data = spark.read.parquet(self.data_path())
+        data = spark.read.parquet(self.data_path()).filter(F.col("part_id").isin(parts))
         # kernel selects candidates; the authoritative score is the JVM
         # double-precision expression (same discipline as the IVF paths)
         local = (
@@ -333,42 +414,53 @@ class GraphIndex(IVFIndex):
         ef_search: int | None = None,
         qid_type: str = "bigint",
     ) -> DataFrame:
-        """Batched per-probe search (HNSW_INDEX_JOIN payload): probes ride a
-        broadcast into every shard's kernel; per probe per shard the beam
-        search emits k candidate rows ``(qid, id, vec)``. The kernel's
+        """Batched per-probe search (HNSW_INDEX_JOIN payload): per-probe
+        cell sets come from the inherited IVF probing; only shards of cells
+        probed by AT LEAST one probe are read, and inside each shard's
+        kernel only the probes that probed that shard's cell run (mask
+        broadcast, same shape as the IVF join's probe mask). Emits k
+        candidate rows ``(qid, id, vec)`` per (probe, shard); the kernel's
         float64-GEMM score is navigation-only — the caller recomputes the
-        authoritative score with the JVM expression (same exact-score
-        discipline as the IVF kernel path), then deletion-filters and
-        rank-windows."""
+        authoritative score with the JVM expression, then deletion-filters
+        and rank-windows."""
         metric = self.metric
         ef = self._ef(ef_search, k)
         qmat = np.vstack(probes_pdf["v"].to_numpy()).astype(np.float64)
         qids = probes_pdf["qid"].to_numpy()
-        bc = spark.sparkContext.broadcast((qids, qmat))
+        probe_sets = self.probe_lists_batch(qmat, self.nprobe_for(ef_search))
+        mask = np.zeros((self.nparts, len(qids)), dtype=bool)
+        for qi, cells in enumerate(probe_sets):
+            mask[self._cell_parts(cells), qi] = True
+        needed_cells = sorted({int(c) for cells in probe_sets for c in cells})
+        parts = self._cell_parts(needed_cells)
+        bc = spark.sparkContext.broadcast((qids, qmat, mask))
         id_t = self.manifest.get("id_type", "bigint")
         qid_t = qid_type
 
         def shard_join(pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) == 0:
                 return pd.DataFrame({"qid": [], "id": [], "vec": []})
-            ids_q, qm = bc.value
+            ids_q, qm, mask_l = bc.value
+            sel_q = np.nonzero(mask_l[int(pdf["part_id"].iloc[0])])[0]
+            if sel_q.size == 0:
+                return pd.DataFrame({"qid": [], "id": [], "vec": []})
             pdf = pdf.sort_values("li").reset_index(drop=True)
             mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
             nbrs = np.vstack(pdf["nbrs"].to_numpy()).astype(np.int32)
             out_q, out_sel = [], []
             if ef >= mat.shape[0]:
-                # exact shard scan for the whole probe batch in one GEMM
-                nav = _nav_scores(qm, mat, metric)
+                # exact shard scan for this shard's probe subset in one GEMM
+                nav = _nav_scores(qm[sel_q], mat, metric)
                 take = min(k, mat.shape[0])
                 part = np.argpartition(nav, take - 1, axis=1)[:, :take] if take < mat.shape[0] else (
                     np.argsort(nav, axis=1)
                 )
-                for qi in range(qm.shape[0]):
-                    sel = part[qi][:take]
+                for row, qi in enumerate(sel_q):
+                    sel = part[row][:take]
                     out_q.extend([ids_q[qi]] * len(sel))
                     out_sel.extend(sel.tolist())
             else:
-                for qi in range(qm.shape[0]):
+                for qi in sel_q:
                     idx, _ = _beam_search(mat, nbrs, qm[qi], k, ef, metric)
                     out_q.extend([ids_q[qi]] * len(idx))
                     out_sel.extend(idx.tolist())
@@ -380,7 +472,7 @@ class GraphIndex(IVFIndex):
                 }
             )
 
-        data = spark.read.parquet(self.data_path())
+        data = spark.read.parquet(self.data_path()).filter(F.col("part_id").isin(parts))
         return data.groupBy("part_id").applyInPandas(
             shard_join, schema=f"qid {qid_t}, id {id_t}, vec array<float>"
         )

@@ -36,7 +36,7 @@ def test_graph_index_class_and_manifest(geng):
     eng, emb = geng
     idx = eng.catalog.get("g_idx")
     assert isinstance(idx, GraphIndex)
-    assert idx.manifest["format"] == "hnsw-graph-parquet/v1"
+    assert idx.manifest["format"] == "hnsw-graph-parquet/v2"
     assert idx.manifest["nparts"] >= 2  # 500 rows / 128 -> 4 shards
     assert idx.manifest["count"] == emb.count()
 
