@@ -1411,12 +1411,47 @@ def _m_topk_filtered_ceiling(spark, sf_dir):
     ])
 
 
+def _q_stream_index_insert(spark, sf_dir):
+    """M1 as a stream: vectors arriving on a file stream append to the
+    index tail per micro-batch (streaming/ops.py::stream_index_insert);
+    after one availableNow pass the full-probe search equals brute force
+    over the whole table — the same oracle as the batch insert stage."""
+    import shutil
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+    from duckdb_vss_spark.streaming import stream_index_insert
+
+    emb = _emb(spark, sf_dir)
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_sins_"))
+    eng.register_table("emb_sins", emb.filter(F.col("vec_id") >= 100))
+    eng.create_index("qsins_idx", "emb_sins", "embedding", "vec_id", replace=True)
+    eng.register_table("emb_sins", emb)
+    staged = tempfile.mkdtemp(prefix="vss_sins_in_")
+    emb.filter(F.col("vec_id") < 100).write.mode("overwrite").parquet(staged)
+    arrivals = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(staged)
+        .select("vec_id", "embedding")
+    )
+    stream_index_insert(
+        arrivals, eng.catalog.get("qsins_idx"), "embedding", "vec_id",
+        checkpoint=tempfile.mkdtemp(prefix="vss_sins_ck_"),
+    )
+    eng.set_ef_search(10**6)
+    return eng.topk("emb_sins", "embedding", Q64, 10, tiebreak="vec_id").select(
+        "vec_id", F.col("score").cast("float").alias("score")
+    )
+
+
 def _m_index_lifecycle(spark, sf_dir):
     """The full index maintenance lifecycle (M1-M4 + S5) in one entry:
-    insert-tail search, delete-bitmap search, compacted search, the
-    pragma_hnsw_index_info surface after a restart, and the drop contract.
-    Search stages carry (vec_id, score); catalog stages carry their scalars
-    concatenated into `info` with -1 sentinels elsewhere."""
+    insert-tail search (batch AND streaming micro-batch inserts),
+    delete-bitmap search, compacted search, the pragma_hnsw_index_info
+    surface after a restart, and the drop contract. Search stages carry
+    (vec_id, score); catalog stages carry their scalars concatenated into
+    `info` with -1 sentinels elsewhere."""
     def _search(tag, df):
         return df.select(F.lit(tag).alias("stage"), "vec_id", "score", F.lit("").alias("info"))
 
@@ -1436,6 +1471,7 @@ def _m_index_lifecycle(spark, sf_dir):
     )
     return _union_tagged([
         _search("insert", _q_index_insert_tail(spark, sf_dir)),
+        _search("stream_insert", _q_stream_index_insert(spark, sf_dir)),
         _search("delete", _q_index_delete(spark, sf_dir)),
         _search("compact", _q_index_compact(spark, sf_dir)),
         info,
@@ -2361,6 +2397,7 @@ def oracle_sql() -> dict[str, str]:
         "q26_tpch_q6": P["q30_tpch_q6"],
         "q27_index_lifecycle": union(
             tag("stage", "insert", P["q31_index_insert_tail"], "vec_id, score, '' AS info"),
+            tag("stage", "stream_insert", P["q31_index_insert_tail"], "vec_id, score, '' AS info"),
             tag("stage", "delete", P["q32_index_delete"], "vec_id, score, '' AS info"),
             tag("stage", "compact", P["q33_index_compact"], "vec_id, score, '' AS info"),
             (

@@ -24,6 +24,7 @@ from .ops import (  # noqa: F401
     running_totals_stateful,
     score_vector_stream,
     stream_interval_join,
+    stream_index_insert,
     stream_knn_join,
     run_to_memory,
 )

@@ -34,6 +34,7 @@ __all__ = [
     "score_vector_stream",
     "stream_interval_join",
     "stream_knn_join",
+    "stream_index_insert",
     "run_to_memory",
 ]
 
@@ -301,3 +302,44 @@ def run_to_memory(
         raise TimeoutError(f"streaming query {name} did not finish in {timeout_sec}s")
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_index_insert(
+    vectors: DataFrame,
+    index,
+    vec_col: str,
+    id_col: str,
+    checkpoint: str,
+    timeout_sec: float = 120.0,
+) -> None:
+    """Streaming index maintenance (M1 as a stream): each micro-batch of
+    arriving vectors appends to the index's unindexed tail, exactly as a
+    batch INSERT would (reference contract: src/hnsw/hnsw_index.cpp:514-530
+    — new rows searchable immediately; fold in at the next compact).
+
+    Delivery: the checkpoint makes each micro-batch's insert happen once
+    per committed batch; a retry of an uncommitted batch re-appends (tail
+    appends are not transactional), which matches at-least-once file-sink
+    semantics — dedup-sensitive callers compact (which drops duplicate ids
+    via the rebuild's id-keyed fold) or keep ids unique upstream.
+
+    Runs with ``availableNow`` over the currently-staged input and blocks
+    until the stream drains (the harness contract: one pass over all data
+    must equal the batch INSERT twin).
+    """
+
+    def _batch(bdf: DataFrame, _bid: int) -> None:
+        index.insert(bdf, vec_col, id_col)
+
+    q = (
+        vectors.writeStream.foreachBatch(_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    deadline = time.monotonic() + timeout_sec
+    while q.isActive and time.monotonic() < deadline:
+        time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("stream_index_insert did not drain before timeout")

@@ -190,3 +190,54 @@ def test_stream_knn_join_equals_batch(spark, emb, tmp_path):
     ).collect()
     key = lambda rows: sorted((r["qid"], r["rnk"], r["rid"]) for r in rows)
     assert key(got) == key(want)
+
+
+def test_stream_index_insert_equals_batch_insert(spark, tmp_path):
+    """M1 as a stream: vectors arriving on a file stream append to the
+    index tail per micro-batch; after one availableNow pass a full-probe
+    search equals brute force over the WHOLE table (same contract as the
+    batch insert entry), and compact folds the streamed tail in."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark import VSSEngine, topk
+    from duckdb_vss_spark.streaming import stream_index_insert
+
+    SF = "/root/testdata/sf0.001"
+    Q = [((i * 7) % 16) / 16.0 for i in range(64)]
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    eng = VSSEngine(spark, index_root=str(tmp_path / "idx"))
+    eng.register_table("emb_si", emb.filter(F.col("vec_id") >= 100))
+    eng.create_index("si_idx", "emb_si", "embedding", "vec_id", replace=True)
+    eng.register_table("emb_si", emb)
+
+    staged = str(tmp_path / "arrivals")
+    os.makedirs(staged)
+    emb.filter(F.col("vec_id") < 100).write.mode("overwrite").parquet(staged)
+    arrivals = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 2)  # several micro-batches
+        .parquet(staged)
+        .select("vec_id", "embedding")
+    )
+    stream_index_insert(
+        arrivals, eng.catalog.get("si_idx"), "embedding", "vec_id",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    eng.set_ef_search(10**6)
+    want = [
+        r["vec_id"]
+        for r in topk(emb, "embedding", Q, 10, "l2sq", tiebreak="vec_id").select("vec_id").collect()
+    ]
+    got = [r["vec_id"] for r in eng.topk("emb_si", "embedding", Q, 10, tiebreak="vec_id").collect()]
+    assert got == want
+    # the streamed rows live in the tail until compact folds them in
+    idx = eng.catalog.get("si_idx")
+    assert idx.counts(spark)["tail"] == 100
+    eng.compact_index("si_idx")
+    idx = eng.catalog.get("si_idx")
+    assert idx.counts(spark)["tail"] == 0
+    got2 = [r["vec_id"] for r in eng.topk("emb_si", "embedding", Q, 10, tiebreak="vec_id").collect()]
+    assert got2 == want
