@@ -173,3 +173,18 @@ def test_graph_explain_names_backend(geng):
     eng, _ = geng
     plan = eng.explain_topk("embeddings", "embedding", Q, 10)
     assert "backend=graph" in plan
+
+
+def test_graph_search_prunes_partitions(geng, spark):
+    """At default ef only the probed cells' shards are read: the parquet
+    scan must carry a part_id partition filter (Catalyst partition pruning
+    — the IO posture that holds at 100 TB)."""
+    eng, _ = geng
+    idx = eng.catalog.get("g_idx")
+    df = idx.search(spark, Q, 10, ef_search=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "part_id" in plan and ("PartitionFilters: [" in plan or "part_id IN" in plan)
+    # and the probed-part list is a strict subset at ef below full
+    probed = idx._cell_parts(idx.probe_lists(Q, idx.nprobe_for(64)))
+    all_parts = idx._cell_parts(range(idx.ncells))
+    assert len(probed) < len(all_parts)
