@@ -94,7 +94,16 @@ def _const_vec(v):
     higher-order functions are interpreted per element — NOT whole-stage
     codegen — so against a known constant we unroll to getItem arithmetic,
     which codegens: measured 5.6x faster on a 1M-row x 64-dim top-k scan
-    (0.39s HOF -> 0.07s unrolled, matching duckdb's vectorized scan)."""
+    (0.39s HOF -> 0.07s unrolled, matching duckdb's vectorized scan).
+
+    JVM caveat: at 64+ dims the generated consume() method exceeds
+    HotSpot's 8 KB ``HugeMethodLimit`` and runs INTERPRETED unless the JVM
+    was launched with ``-XX:-DontCompileHugeMethods`` (set by
+    :func:`duckdb_vss_spark.get_spark`; measured 2.3x on cosine, 4.7x on
+    bare dot at 1M rows). Terms are summed left-to-right so the float
+    accumulation order matches the HOF fold and duckdb's sequential scan —
+    a balanced add tree would be ~3x faster still (ILP) but would change
+    low-order bits and break bit-exact oracle comparisons."""
     if isinstance(v, (list, tuple)) and 0 < len(v) <= _UNROLL_MAX_DIM:
         return [float(x) for x in v]
     return None

