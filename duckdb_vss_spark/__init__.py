@@ -21,6 +21,8 @@ from .index.catalog import BinderException, IndexCatalog  # noqa: F401
 from .index.ivf import IVFIndex, build_ivf  # noqa: F401
 from .sql import SQLFrontend  # noqa: F401
 from .operators.dedup import (  # noqa: F401
+    duplicated_span_profile,
+    duplicated_spans,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -30,7 +32,14 @@ from .operators.dedup import (  # noqa: F401
 from .operators.skew import salted_agg, salted_join  # noqa: F401
 from .operators.sampling import hash_split, pack_sequences, stratified_sample  # noqa: F401
 from .operators.profile import corpus_stats  # noqa: F401
-from .operators.quality import decontaminate, repetition_stats  # noqa: F401
+from .operators.ranking import bm25_rank, tfidf_top_terms  # noqa: F401
+from .operators.quality import (  # noqa: F401
+    decontaminate,
+    ngram_lm_score,
+    pii_stats,
+    redact_pii,
+    repetition_stats,
+)
 from .operators.graph import connected_components, dedup_clusters  # noqa: F401
 from .operators.temporal import asof_join, range_join_banded, sessionize_batch  # noqa: F401
 from .operators.vector import (  # noqa: F401

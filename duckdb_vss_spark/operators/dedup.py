@@ -24,6 +24,7 @@ from ..functions.text import (
     fingerprint_md5,
     hash64,
     word_ngrams,
+    word_ngrams_all,
 )
 
 __all__ = [
@@ -33,6 +34,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
     "winnow_fingerprint_rows",
+    "duplicated_spans",
+    "duplicated_span_profile",
 ]
 
 
@@ -515,4 +518,88 @@ def embedding_neardup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", array_cosine_similarity("v_a", "v_b").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated k-token substring detection — the fixed-window,
+    shuffle-friendly form of suffix-array training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better": any
+    duplicated substring of >= k tokens contains a duplicated k-token
+    window, so fixed-k windows find exactly the >= k-token duplications a
+    suffix array finds, trading their byte-precise boundaries for
+    MapReduce-shaped data flow).
+
+    Output: ``(id_col, pos, gram_hash, n_docs)`` — one row per k-token
+    window (0-based token position) whose exact text occurs in at least
+    ``min_docs`` DISTINCT documents, with the total distinct-doc count.
+
+    Matching is by the shared 60-bit md5 hash (collision odds ~n²/2⁶¹ —
+    negligible against corpus-scale n; join gram strings instead of hashes
+    if byte-certainty is required).
+
+    Scale shape: map-only window hashing (shifted-zip_with n-grams, one md5
+    per window) → ONE aggregation shuffle on gram_hash → a back-join that
+    reuses the same hash partitioning. Gram rows are (id, pos, int64) —
+    ~24 bytes per corpus token, the minimum any exact-substring method
+    moves; nothing wider ever enters an Exchange.
+    """
+    grams = (
+        _fan_out(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(word_ngrams_all(text_col, k)).alias("pos", "__gram"),
+        )
+        .select("__id", "pos", hash64(F.col("__gram")).alias("gram_hash"))
+    )
+    g = _shared(grams)
+    hot = (
+        g.groupBy("gram_hash")
+        .agg(F.countDistinct("__id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return g.join(hot, "gram_hash").select(
+        F.col("__id").alias(id_col), "pos", "gram_hash", "n_docs"
+    )
+
+
+def duplicated_span_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplication profile over :func:`duplicated_spans`:
+    ``(id_col, n_windows, n_dup_windows, dup_window_frac)`` where
+    ``dup_window_frac`` is the fraction of the document's k-token windows
+    that also occur in >= ``min_docs`` documents (including its own) —
+    the per-doc removal signal of the Lee et al. pipeline. Documents with
+    fewer than one full window count one partial window (mirroring the
+    n-gram builder's short-document degradation).
+    """
+    spans = duplicated_spans(df, text_col, id_col, k=k, min_docs=min_docs)
+    per_doc = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    base = df.select(
+        F.col(id_col),
+        F.size(word_ngrams_all(text_col, k)).cast("long").alias("n_windows"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .withColumn("n_dup_windows", F.coalesce("n_dup_windows", F.lit(0)).cast("long"))
+        .withColumn(
+            "dup_window_frac",
+            F.when(
+                F.col("n_windows") > 0,
+                F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("float"),
+        )
     )

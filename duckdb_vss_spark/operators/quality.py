@@ -34,7 +34,62 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 
-__all__ = ["repetition_stats", "decontaminate"]
+__all__ = [
+    "repetition_stats",
+    "decontaminate",
+    "pii_stats",
+    "redact_pii",
+    "PII_PATTERNS",
+    "ngram_lm_score",
+]
+
+# PII surface patterns, deliberately written in the common subset of Java
+# regex (Spark) and RE2 (duckdb oracle): no backreferences, no lookaround.
+# Order matters for redaction: the SSN/phone/cc shapes all contain digit
+# runs, so more-specific grouping goes first. Conservative by design —
+# a pretraining-scrub pass prefers false positives on these shapes.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("card", r"\b\d{13,16}\b", "[CARD]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def pii_stats(df: DataFrame, text_col: str, patterns=PII_PATTERNS) -> DataFrame:
+    """Per-row PII hit counts: one ``n_<kind>`` LONG column per pattern plus
+    ``has_pii``. Pure JVM ``regexp_extract_all`` projections — map-only,
+    zero shuffles, trivially correct at 100 TB (each row is independent).
+
+    Counts are computed per pattern independently (a string can count as
+    both a phone and an SSN candidate); redaction order in
+    :func:`redact_pii` resolves the overlap instead.
+    """
+    out = df
+    hit_cols = []
+    for kind, pat, _ in patterns:
+        c = f"n_{kind}"
+        out = out.withColumn(
+            c, F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast("long")
+        )
+        hit_cols.append(c)
+    total = None
+    for c in hit_cols:
+        total = F.col(c) if total is None else total + F.col(c)
+    return out.withColumn("has_pii", total > 0)
+
+
+def redact_pii(df: DataFrame, text_col: str, out_col: str | None = None, patterns=PII_PATTERNS) -> DataFrame:
+    """Replace every PII match with its kind tag (``[EMAIL]``, ``[SSN]``,
+    ...), applying patterns in declaration order so overlapping digit shapes
+    resolve deterministically (SSN before phone before card). Map-only
+    chained ``regexp_replace`` — the redacted corpus never leaves the JVM.
+    """
+    expr = F.col(text_col)
+    for _, pat, tag in patterns:
+        expr = F.regexp_replace(expr, F.lit(pat), F.lit(tag))
+    return df.withColumn(out_col or text_col, expr)
 
 
 def _frac(num: Column, den: Column) -> Column:
@@ -196,3 +251,71 @@ def decontaminate(
     if mark_only:
         return out
     return out.filter(~F.col("contaminated")).drop("n_hit_grams", "contaminated")
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 1,
+    counts_df: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-self-trained n-gram LM quality score (the CCNet / Wenzek et
+    al. 2020 filter shape, with the corpus itself as the LM when no
+    external ``counts_df`` is given): each document is scored by the average
+    log-probability of its word n-grams under an add-one-smoothed unigram
+    model over n-gram types.
+
+    Output: ``(id_col, n_grams, n_oov, avg_logprob, ppl)`` where ``n_oov``
+    counts grams unseen in the count table (only possible with an external
+    ``counts_df``; self-trained scoring has no OOV) and
+    ``ppl = exp(-avg_logprob)``.
+
+    Determinism contract (the driver hashes values): the per-document sum
+    folds the gram log-probs IN TOKEN ORDER via an ``aggregate`` HOF over a
+    position-sorted array — a plain ``groupBy().sum()`` of doubles would
+    sum in shuffle arrival order and flap low-order bits between runs.
+
+    Scale shape: one count-table aggregation (map-side combinable), a
+    broadcast-or-shuffle join of gram rows against it (vocabulary is tiny
+    next to the corpus; Spark picks broadcast under AQE when it fits), and
+    one per-document aggregation. The N/V scalars are a single 2-number
+    driver aggregate, not a collect of data rows.
+    """
+    from .dedup import _fan_out
+
+    gram_col = T.tokens(text_col) if n == 1 else T.word_ngrams_all(text_col, n)
+    grams = _fan_out(df).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(gram_col).alias("__pos", "__gram"),
+    )
+    if counts_df is None:
+        counts = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__c"))
+    else:
+        counts = counts_df.select(F.col("gram").alias("__gram"), F.col("c").cast("long").alias("__c"))
+    tot = counts.agg(
+        F.sum("__c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    N, V = int(tot["n"] or 0), int(tot["v"] or 0)
+    denom = float(N + V)
+    scored = grams.join(counts, "__gram", "left").select(
+        "__id",
+        "__pos",
+        F.col("__c").isNull().cast("int").alias("__oov"),
+        F.log((F.coalesce(F.col("__c"), F.lit(0)).cast("double") + 1.0) / F.lit(denom)).alias("__lp"),
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("__oov").cast("long").alias("n_oov"),
+        F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("__lp")))).alias("__arr"),
+    )
+    avg = F.aggregate(F.col("__arr"), F.lit(0.0), lambda a, e: a + e["__lp"]) / F.col("n_grams").cast(
+        "double"
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        "n_oov",
+        avg.alias("avg_logprob"),
+        F.exp(-avg).alias("ppl"),
+    )

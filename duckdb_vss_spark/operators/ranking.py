@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["bm25_rank"]
+__all__ = ["bm25_rank", "tfidf_top_terms"]
 
 
 def bm25_rank(
@@ -85,3 +85,51 @@ def bm25_rank(
         F.col(score_col).desc(), F.col(id_col)
     )
     return out.limit(limit) if limit else out
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``top_k`` terms of each document
+    by tf·idf, with ``idf = ln(N / df)`` (N = corpus docs, df = docs
+    containing the term) and tf the raw in-document count.
+
+    Output: ``(id_col, term, rank, tf, df, tfidf)`` — ``rank`` 1-based by
+    descending tf·idf, ties broken by term ascending so results are
+    deterministic and hash-comparable. ``min_df`` drops hapax noise when
+    raised above 1.
+
+    Scale shape: explode → one (id, term) count aggregation → one term-level
+    document-frequency aggregation (both map-side combinable, same `term`
+    key so the second reuses the first's shuffle output) → join term stats
+    back (vocabulary ≪ corpus; AQE broadcasts when it fits) → per-document
+    window top-k (one hash shuffle on id). N is a single-number driver
+    aggregate. No step is quadratic; nothing wider than (id, term, counts)
+    enters an Exchange.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _fan_out
+
+    n_docs = df.count()
+    tf = (
+        _fan_out(df)
+        .select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= min_df)
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.col("tf").cast("double") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col("__id").alias(id_col), "term", "rank", "tf", "df", "tfidf")
+    )

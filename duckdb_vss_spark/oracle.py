@@ -153,3 +153,122 @@ def sql_simhash_from_hashes(hcol: str) -> str:
         votes = f"list_sum(list_transform({hcol}, h -> ((h >> {j}) & 1)::INT))"
         terms.append(f"(CASE WHEN {votes} * 2 > len({hcol}) THEN {2**j}::BIGINT ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def sql_pii_counts(col: str) -> list[tuple[str, str]]:
+    """(colname, SQL) pairs mirroring operators.quality.pii_stats: duckdb's
+    regexp_extract_all over the same RE2-compatible patterns."""
+    from .operators.quality import PII_PATTERNS
+
+    out = []
+    for kind, pat, _ in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        out.append((f"n_{kind}", f"len(regexp_extract_all({col}, '{sql_pat}'))::BIGINT"))
+    return out
+
+
+def sql_redact_pii(col: str) -> str:
+    """Chained regexp_replace mirroring operators.quality.redact_pii
+    (duckdb needs the explicit 'g' flag; Spark replaces all by default)."""
+    from .operators.quality import PII_PATTERNS
+
+    expr = col
+    for _, pat, tag in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{tag}', 'g')"
+    return expr
+
+
+def sql_duplicated_spans(table: str, text_col: str, id_col: str, k: int, min_docs: int) -> str:
+    """Twin of operators.dedup.duplicated_spans: k-token window hashes with
+    0-based positions, restricted to hashes in >= min_docs distinct docs."""
+    grams = sql_word_ngrams_all(text_col, k)
+    return f"""
+        WITH g AS MATERIALIZED (
+          SELECT {id_col} AS id,
+                 unnest(range(0, len({grams}))) AS pos,
+                 unnest(list_transform({grams}, s -> {sql_hash64('s')})) AS gram_hash
+          FROM {table}
+        ),
+        hot AS (
+          SELECT gram_hash, count(DISTINCT id) AS n_docs
+          FROM g GROUP BY gram_hash HAVING count(DISTINCT id) >= {min_docs}
+        )
+        SELECT g.id AS {id_col}, g.pos::INT AS pos, g.gram_hash, hot.n_docs
+        FROM g JOIN hot USING (gram_hash)
+    """
+
+
+def sql_duplicated_span_profile(table: str, text_col: str, id_col: str, k: int, min_docs: int) -> str:
+    """Twin of operators.dedup.duplicated_span_profile."""
+    grams = sql_word_ngrams_all(text_col, k)
+    spans = sql_duplicated_spans(table, text_col, id_col, k, min_docs)
+    return f"""
+        WITH spans AS MATERIALIZED ({spans}),
+        per_doc AS (
+          SELECT {id_col}, count(*) AS n_dup_windows FROM spans GROUP BY {id_col}
+        )
+        SELECT t.{id_col},
+               len({grams})::BIGINT AS n_windows,
+               coalesce(per_doc.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+               (CASE WHEN len({grams}) > 0
+                     THEN coalesce(per_doc.n_dup_windows, 0)::DOUBLE / len({grams})::DOUBLE
+                     ELSE 0.0 END)::FLOAT AS dup_window_frac
+        FROM {table} t LEFT JOIN per_doc USING ({id_col})
+    """
+
+
+def sql_ngram_lm_score(table: str, text_col: str, id_col: str, n: int = 1) -> str:
+    """Twin of operators.quality.ngram_lm_score (self-trained, no OOV):
+    add-one-smoothed unigram LM over n-gram types, per-doc log-probs
+    summed in token order (list(... ORDER BY pos) -> list_sum) to match
+    the Spark side's position-sorted fold exactly."""
+    grams = sql_tokens(text_col) if n == 1 else sql_word_ngrams_all(text_col, n)
+    return f"""
+        WITH g AS MATERIALIZED (
+          SELECT {id_col} AS id,
+                 unnest(range(0, len({grams}))) AS pos,
+                 unnest({grams}) AS gram
+          FROM {table}
+        ),
+        counts AS MATERIALIZED (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+        tot AS (SELECT sum(c) AS nn, count(*) AS vv FROM counts),
+        lp AS (
+          SELECT id, pos, ln((counts.c + 1)::DOUBLE / (tot.nn + tot.vv)::DOUBLE) AS lp
+          FROM g JOIN counts USING (gram), tot
+        ),
+        arr AS (
+          SELECT id, count(*) AS n_grams, list(lp ORDER BY pos) AS lps
+          FROM lp GROUP BY id
+        )
+        SELECT id AS {id_col}, n_grams, 0::BIGINT AS n_oov,
+               list_sum(lps) / n_grams::DOUBLE AS avg_logprob,
+               exp(-(list_sum(lps) / n_grams::DOUBLE)) AS ppl
+        FROM arr
+    """
+
+
+def sql_tfidf_top_terms(table: str, text_col: str, id_col: str, top_k: int, min_df: int = 1) -> str:
+    """Twin of operators.ranking.tfidf_top_terms (idf = ln(N/df), raw tf,
+    rank ties broken by term ascending)."""
+    toks = sql_tokens(text_col)
+    return f"""
+        WITH tf AS MATERIALIZED (
+          SELECT {id_col} AS id, unnest({toks}) AS term
+          FROM {table}
+        ),
+        tfc AS MATERIALIZED (
+          SELECT id, term, count(*) AS tf FROM tf GROUP BY id, term
+        ),
+        dfreq AS (
+          SELECT term, count(*) AS df FROM tfc GROUP BY term HAVING count(*) >= {min_df}
+        ),
+        scored AS (
+          SELECT tfc.id, tfc.term, tfc.tf, dfreq.df,
+                 tfc.tf::DOUBLE * ln((SELECT count(*) FROM {table})::DOUBLE / dfreq.df::DOUBLE) AS tfidf,
+                 row_number() OVER (PARTITION BY tfc.id ORDER BY tfc.tf::DOUBLE * ln((SELECT count(*) FROM {table})::DOUBLE / dfreq.df::DOUBLE) DESC, tfc.term ASC) AS rank
+          FROM tfc JOIN dfreq USING (term)
+        )
+        SELECT id AS {id_col}, term, rank::INT AS rank, tf, df, tfidf
+        FROM scored WHERE rank <= {top_k}
+    """

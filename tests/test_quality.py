@@ -140,3 +140,123 @@ def test_repetition_stats_matches_duckdb(spark, ddb):
         ).fetchall()
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------- PII
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "contact me at john.doe+spam@example.co.uk or 555-123-4567"),
+        (2, "ssn 123-45-6789 card 4111111111111111 ip 192.168.0.1"),
+        (3, "no pii here, just 12 numbers 345"),
+        (4, "email@x.io 10.0.0.255 999-99-9999 987.654.3210"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_pii_stats_counts(pii_docs):
+    from duckdb_vss_spark import pii_stats
+
+    out = {r["doc_id"]: r for r in pii_stats(pii_docs, "text").collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"]) == (1, 1) and out[1]["has_pii"]
+    assert (out[2]["n_ssn"], out[2]["n_card"], out[2]["n_ipv4"]) == (1, 1, 1)
+    assert not out[3]["has_pii"] and not out[5]["has_pii"]
+    # dotted phone + dotted quad disambiguation
+    assert (out[4]["n_ipv4"], out[4]["n_phone"], out[4]["n_ssn"]) == (1, 1, 1)
+
+
+def test_pii_stats_matches_duckdb(pii_docs, ddb):
+    from duckdb_vss_spark import pii_stats
+    from duckdb_vss_spark.oracle import sql_pii_counts
+
+    got = sorted(
+        tuple(r)
+        for r in pii_stats(pii_docs, "text")
+        .select("doc_id", "n_email", "n_ssn", "n_phone", "n_card", "n_ipv4")
+        .collect()
+    )
+    rows = [tuple(r) for r in pii_docs.select("doc_id", "text").collect()]
+    ddb.execute("CREATE OR REPLACE TABLE __pii(doc_id BIGINT, text VARCHAR)")
+    ddb.executemany("INSERT INTO __pii VALUES (?, ?)", rows)
+    cols = ", ".join(f"{sql} AS {name}" for name, sql in sql_pii_counts("text"))
+    want = sorted(tuple(r) for r in ddb.execute(f"SELECT doc_id, {cols} FROM __pii").fetchall())
+    assert got == want
+
+
+def test_redact_pii_matches_duckdb(pii_docs, ddb):
+    from duckdb_vss_spark import redact_pii
+    from duckdb_vss_spark.oracle import sql_redact_pii
+
+    got = sorted(tuple(r) for r in redact_pii(pii_docs, "text", out_col="red").select("doc_id", "red").collect())
+    rows = [tuple(r) for r in pii_docs.select("doc_id", "text").collect()]
+    ddb.execute("CREATE OR REPLACE TABLE __pii2(doc_id BIGINT, text VARCHAR)")
+    ddb.executemany("INSERT INTO __pii2 VALUES (?, ?)", rows)
+    want = sorted(tuple(r) for r in ddb.execute(f"SELECT doc_id, {sql_redact_pii('text')} FROM __pii2").fetchall())
+    assert got == want
+    red = dict(got)
+    assert red[1] == "contact me at [EMAIL] or [PHONE]"
+    assert red[2] == "ssn [SSN] card [CARD] ip [IP]"
+
+
+def test_pii_is_map_only(pii_docs):
+    from duckdb_vss_spark import pii_stats
+
+    plan = _physical(pii_stats(pii_docs, "text"))
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- LM score
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    """3 docs over a 2-token vocab: P(a)=(3+1)/(4+2), P(b)=(1+1)/(4+2)."""
+    import math
+
+    from duckdb_vss_spark import ngram_lm_score
+
+    df = spark.createDataFrame([(1, "a a b"), (2, "a"), (3, "")], "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in ngram_lm_score(df, "text", "doc_id").collect()}
+    # tokens(): empty text yields [''] -> '' is a vocab type with count 1
+    # corpus grams: a,a,b,a,'' -> N=5, V=3; P(a)=4/8, P(b)=2/8, P('')=2/8
+    lpa, lpb = math.log(4 / 8), math.log(2 / 8)
+    assert out[1]["n_grams"] == 3 and out[1]["n_oov"] == 0
+    assert out[1]["avg_logprob"] == pytest.approx((2 * lpa + lpb) / 3, rel=1e-12)
+    assert out[2]["avg_logprob"] == pytest.approx(lpa, rel=1e-12)
+    assert out[1]["ppl"] == pytest.approx(math.exp(-(2 * lpa + lpb) / 3), rel=1e-12)
+
+
+def test_ngram_lm_score_matches_duckdb_sf001(spark, ddb):
+    from duckdb_vss_spark import ngram_lm_score
+    from duckdb_vss_spark.oracle import sql_ngram_lm_score
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_oov"], f32(r["avg_logprob"]))
+        for r in ngram_lm_score(df, "text", "doc_id").collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], f32(r[3]))
+        for r in ddb.execute(sql_ngram_lm_score("documents", "text", "doc_id")).fetchall()
+    }
+    # integer fields are exact; ln()/exp() differ by 1 ulp between the JVM
+    # and libm on some arguments, so doubles are compared (and exposed in
+    # the driver entry) after a float32 round-trip.
+    assert got == want
+
+
+def test_ngram_lm_score_external_counts_oov(spark):
+    from duckdb_vss_spark import ngram_lm_score
+
+    df = spark.createDataFrame([(1, "a b zzz")], "doc_id: long, text: string")
+    counts = spark.createDataFrame([("a", 3), ("b", 1)], "gram: string, c: long")
+    out = ngram_lm_score(df, "text", "doc_id", counts_df=counts).collect()[0]
+    assert out["n_oov"] == 1  # zzz unseen
+    assert out["n_grams"] == 3

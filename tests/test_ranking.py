@@ -80,3 +80,52 @@ def test_bm25_scoring_is_mostly_map_side(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- tf-idf
+
+
+def test_tfidf_hand_computed(spark):
+    import math
+
+    from duckdb_vss_spark import tfidf_top_terms
+
+    rows = [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date date")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {(r["doc_id"], r["term"]): r for r in tfidf_top_terms(df, "text", "doc_id", top_k=2).collect()}
+    # apple: tf=2 df=1 -> 2*ln(3); banana df=2 -> ln(1.5)
+    assert out[(1, "apple")]["rank"] == 1
+    assert out[(1, "apple")]["tfidf"] == pytest.approx(2 * math.log(3.0), rel=1e-12)
+    assert out[(1, "banana")]["rank"] == 2
+    assert out[(1, "banana")]["tfidf"] == pytest.approx(math.log(1.5), rel=1e-12)
+    # doc 3: date tf=2 df=1 beats cherry df=2
+    assert out[(3, "date")]["rank"] == 1 and out[(3, "cherry")]["rank"] == 2
+
+
+def test_tfidf_tie_breaks_by_term(spark):
+    from duckdb_vss_spark import tfidf_top_terms
+
+    df = spark.createDataFrame([(1, "zebra apple"), (2, "other words")], "doc_id: long, text: string")
+    out = [r["term"] for r in tfidf_top_terms(df, "text", "doc_id", top_k=2).filter("doc_id = 1").orderBy("rank").collect()]
+    assert out == ["apple", "zebra"]  # equal scores -> lexicographic
+
+
+def test_tfidf_matches_duckdb(spark, ddb):
+    import struct
+
+    from duckdb_vss_spark import tfidf_top_terms
+    from duckdb_vss_spark.oracle import sql_tfidf_top_terms
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["term"], r["rank"], r["tf"], r["df"], f32(r["tfidf"]))
+        for r in tfidf_top_terms(df, "text", "doc_id", top_k=3).collect()
+    )
+    want = sorted(
+        (r[0], r[1], r[2], r[3], r[4], f32(r[5]))
+        for r in ddb.execute(sql_tfidf_top_terms("documents", "text", "doc_id", 3)).fetchall()
+    )
+    assert got == want

@@ -167,3 +167,66 @@ def test_epsilon_join_prunes_on_clustered_data(spark):
     out = embedding_neardup_pairs(df, "v", "vec_id", 0.9, nlist=20).collect()
     assert len(out) > 0
     assert all(r_["id_a"] // 100 == r_["id_b"] // 100 for r_ in out)
+
+
+# ---------------------------------------------------------- duplicated spans
+
+
+def test_duplicated_spans_hand_computed(spark):
+    from duckdb_vss_spark import duplicated_span_profile, duplicated_spans
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "prefix words then the quick brown fox jumps over the lazy dog inside"),
+        (3, "nothing shared here at all friends"),
+        (5, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    spans = duplicated_spans(df, "text", "doc_id", k=5, min_docs=2)
+    got = {(r["doc_id"], r["pos"]): r["n_docs"] for r in spans.collect()}
+    # docs 1 and 5 are identical: every window duplicated (12 tokens -> 8 windows)
+    for pos in range(8):
+        assert got[(1, pos)] >= 2 and got[(5, pos)] >= 2
+    # doc 2 embeds the 9-token sentence starting at token 3 -> windows 3..7
+    # match doc 1's windows 0..4 ("the quick brown fox jumps" ... "jumps over the lazy dog")
+    assert {p for (d, p) in got if d == 2} == {3, 4, 5, 6, 7}
+    assert not any(d == 3 for (d, _) in got)
+
+    prof = {r["doc_id"]: r for r in duplicated_span_profile(df, "text", "doc_id", k=5, min_docs=2).collect()}
+    assert prof[1]["dup_window_frac"] == 1.0 and prof[5]["dup_window_frac"] == 1.0
+    assert prof[3]["n_dup_windows"] == 0 and prof[3]["dup_window_frac"] == 0.0
+    assert prof[2]["n_dup_windows"] == 5
+
+
+def test_duplicated_spans_matches_duckdb(spark, ddb):
+    from duckdb_vss_spark import duplicated_span_profile, duplicated_spans
+    from duckdb_vss_spark.oracle import sql_duplicated_span_profile, sql_duplicated_spans
+
+    got = sorted(tuple(r) for r in duplicated_spans(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "text", "doc_id", k=8, min_docs=2
+    ).collect())
+    want = sorted(tuple(r) for r in ddb.execute(
+        sql_duplicated_spans("documents", "text", "doc_id", 8, 2)
+    ).fetchall())
+    assert got == want
+
+    gprof = sorted(tuple(r) for r in duplicated_span_profile(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "text", "doc_id", k=8, min_docs=2
+    ).collect())
+    wprof = sorted(tuple(r) for r in ddb.execute(
+        sql_duplicated_span_profile("documents", "text", "doc_id", 8, 2)
+    ).fetchall())
+    assert gprof == wprof
+
+
+def test_duplicated_spans_single_agg_shuffle(spark):
+    """The gram table is aggregated and back-joined on the SAME key: the
+    plan must not contain more than the aggregation exchanges plus the
+    persisted gram scan — no re-tokenization of the corpus per branch."""
+    from duckdb_vss_spark import duplicated_spans
+
+    rows = [(i, f"tok{i} shared common words here tok{i+1} more filler text") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    plan = duplicated_spans(df, "text", "doc_id", k=3)._jdf.queryExecution().executedPlan().toString()
+    # the persisted intermediate feeds both branches
+    assert "InMemoryTableScan" in plan
