@@ -1236,10 +1236,38 @@ def _m_knn_join(spark, sf_dir):
 
 
 def _m_doc_stats(spark, sf_dir):
-    """Per-doc text analysis joined with Gopher repetition signals: one wide
-    quality row per document (token counts, lang id, quality score, dup
-    token/line/n-gram fractions)."""
-    return _q_text_stats(spark, sf_dir).join(_q_repetition_stats(spark, sf_dir), "doc_id")
+    """Per-doc quality surface in one wide row: text analysis (tokens, lang
+    id, quality), Gopher repetition signals, PII hit counts plus a
+    byte-exact redaction hash (the shared 60-bit md5 both engines compute),
+    the Lee et al. duplicated-span profile, and the CCNet-shape unigram-LM
+    score. LM doubles are exposed at float32 so the JVM-vs-libm 1-ulp
+    ln/exp drift cannot flap the driver's value hash."""
+    from duckdb_vss_spark.functions.text import hash64
+    from duckdb_vss_spark.operators.dedup import duplicated_span_profile
+    from duckdb_vss_spark.operators.quality import ngram_lm_score, pii_stats, redact_pii
+
+    docs = _docs(spark, sf_dir)
+    pii = pii_stats(docs.select("doc_id", "text"), "text").drop("text")
+    red = redact_pii(docs.select("doc_id", "text"), "text", out_col="red").select(
+        "doc_id", hash64(F.col("red")).alias("redact_hash")
+    )
+    span = duplicated_span_profile(docs, "text", "doc_id", k=20, min_docs=2).select(
+        "doc_id", "n_windows", "n_dup_windows", "dup_window_frac"
+    )
+    lm = ngram_lm_score(docs, "text", "doc_id").select(
+        "doc_id",
+        "n_grams",
+        F.col("avg_logprob").cast("float").alias("avg_logprob"),
+        F.col("ppl").cast("float").alias("ppl"),
+    )
+    return (
+        _q_text_stats(spark, sf_dir)
+        .join(_q_repetition_stats(spark, sf_dir), "doc_id")
+        .join(pii, "doc_id")
+        .join(red, "doc_id")
+        .join(span, "doc_id")
+        .join(lm, "doc_id")
+    )
 
 
 def _m_ann_index_topk(spark, sf_dir):
@@ -1600,6 +1628,34 @@ def _q_bm25(spark, sf_dir):
     return out.select("doc_id", F.col("score").cast("float").alias("score"))
 
 
+def _m_ranking(spark, sf_dir):
+    """Lexical ranking surfaces in one entry: corpus-level Okapi BM25 top-50
+    and per-doc tf-idf keyword extraction (top-3 terms, rank ties broken by
+    term so the row set is deterministic) — tagged so both value sets are
+    independently hash-checked under the driver gate."""
+    from duckdb_vss_spark.operators.ranking import tfidf_top_terms
+
+    bm = _q_bm25(spark, sf_dir).select(
+        F.lit("bm25").alias("tag"),
+        "doc_id",
+        F.lit("").alias("term"),
+        F.lit(-1).cast("long").alias("rank"),
+        F.lit(-1).cast("long").alias("tf"),
+        F.lit(-1).cast("long").alias("df"),
+        "score",
+    )
+    tf = tfidf_top_terms(_docs(spark, sf_dir), "text", "doc_id", top_k=3).select(
+        F.lit("tfidf").alias("tag"),
+        "doc_id",
+        "term",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("tfidf").cast("float").alias("score"),
+    )
+    return _union_tagged([bm, tf])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_metrics": _m_topk_metrics,
@@ -1651,7 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_byte_histogram": _q_byte_histogram,
         "q48_covariance": _q_covariance,
         "q49_hnsw_graph_index": _m_hnsw_graph_index,
-        "q50_bm25_rank": _q_bm25,
+        "q50_ranking": _m_ranking,
     }
 
 
@@ -2267,6 +2323,41 @@ def _oracle_parts() -> dict[str, str]:
     }
 
 
+def _doc_stats_oracle_sql(O, P) -> str:
+    """duckdb twin of the widened q05 row: text stats + repetition signals
+    + PII counts/redaction hash + duplicated-span profile + unigram-LM
+    score, all joined on doc_id with the same float32 exposures."""
+    pii_cols = O.sql_pii_counts("text")
+    pii_sel = ",\n                 ".join(f"{sql} AS {name}" for name, sql in pii_cols)
+    has = " + ".join(name for name, _ in pii_cols)
+    pii_sql = (
+        f"SELECT doc_id, {pii_sel},\n"
+        f"                 ({has}) > 0 AS has_pii,\n"
+        f"                 {O.sql_hash64(O.sql_redact_pii('text'))} AS redact_hash\n"
+        f"          FROM documents"
+    )
+    span_sql = O.sql_duplicated_span_profile("documents", "text", "doc_id", 20, 2)
+    lm_sql = (
+        "SELECT doc_id, n_grams, avg_logprob::FLOAT AS avg_logprob, ppl::FLOAT AS ppl "
+        f"FROM ({O.sql_ngram_lm_score('documents', 'text', 'doc_id')})"
+    )
+    return (
+        f"SELECT a.doc_id, a.n_tokens, a.n_tokens_bpe, a.lang_guess, a.quality,\n"
+        f"       b.n_chars, b.total_tokens, b.dup_token_frac, b.total_lines,\n"
+        f"       b.dup_line_frac, b.dup_line_char_frac, b.top2gram_char_frac,\n"
+        f"       b.top3gram_char_frac, b.dup3gram_char_frac,\n"
+        f"       p.n_email, p.n_ssn, p.n_phone, p.n_card, p.n_ipv4, p.has_pii,\n"
+        f"       p.redact_hash,\n"
+        f"       s.n_windows, s.n_dup_windows, s.dup_window_frac,\n"
+        f"       l.n_grams, l.avg_logprob, l.ppl\n"
+        f"FROM ({P['q09_text_stats']}) a\n"
+        f"JOIN ({P['q48_repetition_stats']}) b USING (doc_id)\n"
+        f"JOIN ({pii_sql}) p USING (doc_id)\n"
+        f"JOIN ({span_sql}) s USING (doc_id)\n"
+        f"JOIN ({lm_sql}) l USING (doc_id)"
+    )
+
+
 def _BM25_ORACLE_SQL(O) -> str:
     """duckdb twin of entry q50 (same tokenizer, same Lucene '+1' idf, same
     constant spellings so the doubles agree before the f32 cast)."""
@@ -2328,13 +2419,7 @@ def oracle_sql() -> dict[str, str]:
             tag("tag", "ip", P["q07_knn_join_ip"], "qid, rid, rnk, score"),
         ),
         "q04_knn_match": P["q08_knn_match"],
-        "q05_doc_stats": (
-            f"SELECT a.doc_id, a.n_tokens, a.n_tokens_bpe, a.lang_guess, a.quality,\n"
-            f"       b.n_chars, b.total_tokens, b.dup_token_frac, b.total_lines,\n"
-            f"       b.dup_line_frac, b.dup_line_char_frac, b.top2gram_char_frac,\n"
-            f"       b.top3gram_char_frac, b.dup3gram_char_frac\n"
-            f"FROM ({P['q09_text_stats']}) a JOIN ({P['q48_repetition_stats']}) b USING (doc_id)"
-        ),
+        "q05_doc_stats": _doc_stats_oracle_sql(O, P),
         "q06_exact_dedup": P["q10_exact_dedup"],
         "q07_minhash_lsh": P["q11_minhash_lsh"],
         "q08_simhash": P["q12_simhash"],
@@ -2456,7 +2541,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q47_byte_histogram": P["q66_byte_histogram"],
         "q48_covariance": P["q72_covariance"],
-        "q50_bm25_rank": _BM25_ORACLE_SQL(O),
+        "q50_ranking": union(
+            (
+                "SELECT 'bm25' AS tag, doc_id, '' AS term, -1::BIGINT AS rank,\n"
+                "       -1::BIGINT AS tf, -1::BIGINT AS df, score\n"
+                f"FROM ({_BM25_ORACLE_SQL(O)})"
+            ),
+            (
+                "SELECT 'tfidf' AS tag, doc_id, term, rank::BIGINT AS rank,\n"
+                "       tf::BIGINT AS tf, df::BIGINT AS df, tfidf::FLOAT AS score\n"
+                f"FROM ({O.sql_tfidf_top_terms('documents', 'text', 'doc_id', 3)})"
+            ),
+        ),
         "q49_hnsw_graph_index": (
             "SELECT 'scan' AS tag, -1::BIGINT AS qid, vec_id AS rid,\n"
             "       row_number() OVER (ORDER BY score, vec_id)::BIGINT AS rnk, score\n"
