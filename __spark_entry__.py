@@ -1076,6 +1076,23 @@ def _q_csv_roundtrip(spark, sf_dir):
     )
 
 
+def _q_orc_roundtrip(spark, sf_dir):
+    """Source/sink surface: same round trip through an ORC partitioned sink
+    (Spark-native columnar format beside parquet; schema travels in the
+    file, so no explicit read schema is needed)."""
+    import tempfile
+
+    from duckdb_vss_spark.sources import read_any, write_partitioned
+
+    d = tempfile.mkdtemp(prefix="vss_orc_") + "/docs"
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    write_partitioned(docs, d, fmt="orc")
+    back = read_any(spark, d, fmt="orc")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars")
+    )
+
+
 def _q_byte_histogram(spark, sf_dir):
     """Multimodal codec-free features: L1-normalized byte histogram of each
     media payload (the embedding the vector operators consume), exploded to
@@ -1570,6 +1587,7 @@ def _m_sink_roundtrip(spark, sf_dir):
     return _union_tagged([
         _q_csv_roundtrip(spark, sf_dir).select(F.lit("csv").alias("fmt"), "lang", "n", "total_chars"),
         _q_json_roundtrip(spark, sf_dir).select(F.lit("json").alias("fmt"), "lang", "n", "total_chars"),
+        _q_orc_roundtrip(spark, sf_dir).select(F.lit("orc").alias("fmt"), "lang", "n", "total_chars"),
     ])
 
 
@@ -2538,6 +2556,7 @@ def oracle_sql() -> dict[str, str]:
         "q46_sink_roundtrip": union(
             tag("fmt", "csv", P["q65_csv_roundtrip"], "lang, n, total_chars"),
             tag("fmt", "json", P["q71_json_roundtrip"], "lang, n, total_chars"),
+            tag("fmt", "orc", P["q65_csv_roundtrip"], "lang, n, total_chars"),
         ),
         "q47_byte_histogram": P["q66_byte_histogram"],
         "q48_covariance": P["q72_covariance"],
