@@ -545,10 +545,15 @@ def duplicated_spans(
     if byte-certainty is required).
 
     Scale shape: map-only window hashing (shifted-zip_with n-grams, one md5
-    per window) → ONE aggregation shuffle on gram_hash → a back-join that
-    reuses the same hash partitioning. Gram rows are (id, pos, int64) —
-    ~24 bytes per corpus token, the minimum any exact-substring method
-    moves; nothing wider ever enters an Exchange.
+    per window) → a two-stage distinct-count aggregation (map-side partials
+    on (gram_hash, id), then gram_hash) → a back-join against the hot set
+    (broadcast when it fits under AQE, else a gram_hash shuffle of the
+    persisted gram frame). The grams are deliberately NOT pre-partitioned
+    by gram_hash: a boilerplate window duplicated across millions of
+    documents would land every copy in one partition, and the map-side
+    distinct partials are the skew-safe form. Gram rows are (id, pos,
+    int64) — ~24 bytes per corpus token, the minimum any exact-substring
+    method moves; nothing wider ever enters an Exchange.
     """
     grams = (
         _fan_out(df)

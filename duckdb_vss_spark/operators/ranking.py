@@ -103,17 +103,21 @@ def tfidf_top_terms(
     deterministic and hash-comparable. ``min_df`` drops hapax noise when
     raised above 1.
 
-    Scale shape: explode → one (id, term) count aggregation → one term-level
-    document-frequency aggregation (both map-side combinable, same `term`
-    key so the second reuses the first's shuffle output) → join term stats
-    back (vocabulary ≪ corpus; AQE broadcasts when it fits) → per-document
+    Scale shape: explode → one (id, term) count aggregation (map-side
+    combinable, skew-safe: raw token rows shuffle on the well-spread
+    (id, term) pair, never on term alone) → the tf frame is PERSISTED and
+    feeds both the term-level document-frequency aggregation and the join
+    back (Spark has no common-subplan dedup, so without the persist the
+    whole tokenize/explode/count pipeline runs twice — measured as a
+    duplicated subtree in the executed plan) → join term stats back
+    (vocabulary ≪ corpus; AQE broadcasts when it fits) → per-document
     window top-k (one hash shuffle on id). N is a single-number driver
     aggregate. No step is quadratic; nothing wider than (id, term, counts)
     enters an Exchange.
     """
     from pyspark.sql import Window
 
-    from .dedup import _fan_out
+    from .dedup import _fan_out, _shared
 
     n_docs = df.count()
     tf = (
@@ -122,6 +126,7 @@ def tfidf_top_terms(
         .groupBy("__id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    tf = _shared(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= min_df)
     scored = tf.join(dfreq, "term").withColumn(
         "tfidf",

@@ -129,3 +129,18 @@ def test_tfidf_matches_duckdb(spark, ddb):
         for r in ddb.execute(sql_tfidf_top_terms("documents", "text", "doc_id", 3)).fetchall()
     )
     assert got == want
+
+
+def test_tfidf_tf_frame_computed_once(spark):
+    """The tf frame feeds both the document-frequency aggregation and the
+    join back; without the persist the whole tokenize/explode/count subtree
+    executes twice (Spark performs no common-subplan dedup). Pin the cache
+    hit on both consumers."""
+    from duckdb_vss_spark import tfidf_top_terms
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        tfidf_top_terms(df, "text", "doc_id", top_k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("InMemoryTableScan") == 2, plan
