@@ -26,10 +26,14 @@ strings a home in the Spark engine:
    inputs. ``WITH RECURSIVE`` falls through to ``spark.sql`` (Spark 4
    executes recursive CTEs natively).
 4. **Everything else** falls back to ``spark.sql`` over the registered temp
-   views, with the five distance scalar functions registered as Arrow-batched
-   pandas UDFs under their duckdb names — so arbitrary SQL referencing
-   ``array_distance`` etc. still runs (slow path: Python batch transfer;
-   the pattern paths above stay JVM-side).
+   views, with the five distance scalar functions registered under their
+   duckdb names as Spark 4 SQL-defined functions whose bodies INLINE into
+   the plan — so arbitrary SQL referencing ``array_distance`` etc.
+   (multi-table joins, CTEs, expressions the recognizers don't match)
+   still evaluates in whole-stage codegen, bit-identical to the engine's
+   column-expression path. Only on a Spark without SQL UDFs does this
+   degrade to Arrow-batched pandas UDFs. The fallback is never
+   index-routed — that remains the pattern paths' job.
 """
 
 from __future__ import annotations
@@ -88,9 +92,51 @@ def _parse_vec(elems: str) -> list[float]:
     return [float(x) for x in elems.split(",")]
 
 
+_SQLUDF_IP = (
+    "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_SQLUDF_NORMSQ = (
+    "sqrt(aggregate(transform({v}, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+_SQLUDF_COS = (
+    f"{_SQLUDF_IP} / ({_SQLUDF_NORMSQ.format(v='a')} * {_SQLUDF_NORMSQ.format(v='b')})"
+)
+_SQLUDF_BODIES = {
+    "array_distance": (
+        "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    ),
+    "array_inner_product": _SQLUDF_IP,
+    "array_negative_inner_product": f"-({_SQLUDF_IP})",
+    "array_cosine_similarity": _SQLUDF_COS,
+    "array_cosine_distance": f"CAST(1.0 AS DOUBLE) - ({_SQLUDF_COS})",
+}
+
+
 def register_distance_udfs(spark) -> None:
-    """Register the duckdb distance scalar names as Arrow-batched pandas
-    UDFs for the raw-SQL fallback path. Formulas per SURVEY §1.3."""
+    """Register the duckdb distance scalar names for the raw-SQL fallback
+    path (formulas per SURVEY §1.3) as Spark 4 SQL-defined functions:
+    ``CREATE TEMPORARY FUNCTION ... RETURN <expr>`` inlines the body into
+    the plan at resolution time, so even arbitrary fallback SQL (multi-table
+    joins, CTEs, expressions the recognizers don't match) evaluates
+    distances in whole-stage codegen — no Python in the plan.
+
+    Parameters are typed ``ARRAY<DOUBLE>``: FLOAT vector columns upcast
+    exactly and SQL literal vectors are already double, so the arithmetic
+    (and its left-to-right fold order) is bit-identical to both the
+    engine's column-expression path and the duckdb oracle's
+    ``list_*(x::DOUBLE[], ...)`` spellings. On a Spark without SQL UDFs
+    the registration falls back to Arrow-batched pandas UDFs."""
+    try:
+        for name, body in _SQLUDF_BODIES.items():
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
+                f"(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN {body}"
+            )
+        return
+    except Exception:
+        pass
+
     from pyspark.sql.functions import pandas_udf
 
     def _mk(fn):

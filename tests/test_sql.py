@@ -91,17 +91,41 @@ def test_fallback_plain_sql(fe):
 
 
 def test_fallback_sql_with_registered_udf(fe, ddb):
-    """Arbitrary SQL using the duckdb distance names runs via pandas UDFs."""
-    got = fe.sql(
+    """Arbitrary SQL using the duckdb distance names runs via inlined SQL
+    UDFs: bit-identical to duckdb's list_* over DOUBLE[] and no Python in
+    the executed plan."""
+    df = fe.sql(
         "SELECT vec_id, array_inner_product(embedding, embedding) AS ip FROM embeddings ORDER BY vec_id LIMIT 5"
-    ).collect()
+    )
+    got = df.collect()
     exp = dict(
         ddb.execute(
             "SELECT vec_id, list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) FROM embeddings ORDER BY vec_id LIMIT 5"
         ).fetchall()
     )
     for r in got:
-        assert r["ip"] == pytest.approx(exp[r["vec_id"]], rel=1e-6)
+        assert r["ip"] == exp[r["vec_id"]]
+    assert "Python" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fallback_multitable_join_sql(fe, ddb):
+    """A multi-table self-join with a distance predicate — a shape none of
+    the recognizers match — still evaluates JVM-side via the inlined SQL
+    UDFs and matches duckdb exactly."""
+    q = (
+        "SELECT a.vec_id AS ia, b.vec_id AS ib, array_distance(a.embedding, b.embedding) AS d "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id "
+        "WHERE a.vec_id < 20 ORDER BY ia"
+    )
+    df = fe.sql(q)
+    got = [(r["ia"], r["ib"], r["d"]) for r in df.collect()]
+    want = ddb.execute(
+        "SELECT a.vec_id AS ia, b.vec_id AS ib, list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS d "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id "
+        "WHERE a.vec_id < 20 ORDER BY ia"
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+    assert "Python" not in df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_drop_index_sql(fe):
