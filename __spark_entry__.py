@@ -469,6 +469,25 @@ def _q_sql_frontend_topk(spark, sf_dir):
     return out.select("vec_id", F.col("score").cast("float").alias("score")).orderBy("score", "vec_id")
 
 
+def _q_sql_fallback_join(spark, sf_dir):
+    """Arbitrary-SQL fallback: a two-table join with a distance projection
+    that none of the frontend's recognizers match, so it runs through
+    ``spark.sql`` with the inlined SQL-defined distance functions — the
+    unaccelerated-but-JVM path a reference user hits when pasting SQL
+    outside the vss shapes."""
+    from duckdb_vss_spark import SQLFrontend, VSSEngine
+
+    eng = VSSEngine(spark)
+    eng.register_table("emb_fb", _emb(spark, sf_dir))
+    fe = SQLFrontend(eng)
+    out = fe.sql(
+        "SELECT a.vec_id AS vec_id, array_distance(a.embedding, b.embedding) AS score "
+        "FROM emb_fb a JOIN emb_fb b ON b.vec_id = a.vec_id + 1 "
+        "WHERE a.vec_id < 10"
+    )
+    return out.select("vec_id", F.col("score").cast("float").alias("score"))
+
+
 def _q_knn_join_grouped(spark, sf_dir):
     """Grouped lateral k-NN join (reference:
     test/sql/hnsw/hnsw_lateral_join_group.test): per probe, aggregate over
@@ -1437,12 +1456,16 @@ def _q_sql_where_topk(spark, sf_dir):
 def _m_sql_frontend(spark, sf_dir):
     """The SQL frontend's recognized vss shapes in one entry: CREATE INDEX +
     SET ef_search + ORDER BY distance LIMIT k ('topk'), the reference's
-    `<->` operator alias spelling ('alias'), and the WHERE-bearing shape
-    with residual-filter semantics ('where')."""
+    `<->` operator alias spelling ('alias'), the WHERE-bearing shape with
+    residual-filter semantics ('where'), and a multi-table join no
+    recognizer matches ('fallback') — the spark.sql path with the distance
+    names inlined as SQL-defined functions (whole-stage codegen, no
+    Python; sql.py::register_distance_udfs)."""
     return _union_tagged([
         _q_sql_frontend_topk(spark, sf_dir).select(F.lit("topk").alias("tag"), "vec_id", "score"),
         _q_sql_alias_topk(spark, sf_dir).select(F.lit("alias").alias("tag"), "vec_id", "score"),
         _q_sql_where_topk(spark, sf_dir).select(F.lit("where").alias("tag"), "vec_id", "score"),
+        _q_sql_fallback_join(spark, sf_dir).select(F.lit("fallback").alias("tag"), "vec_id", "score"),
     ])
 
 
@@ -2491,6 +2514,15 @@ def oracle_sql() -> dict[str, str]:
             tag("tag", "topk", P["q27_sql_topk"], "vec_id, score"),
             tag("tag", "alias", P["q35_sql_alias_topk"], "vec_id, score"),
             tag("tag", "where", P["q29_topk_filtered"], "vec_id, score"),
+            tag(
+                "tag",
+                "fallback",
+                "SELECT a.vec_id, "
+                "list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[])::FLOAT AS score "
+                "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 "
+                "WHERE a.vec_id < 10",
+                "vec_id, score",
+            ),
         ),
         "q24_knn_join_grouped": P["q28_knn_join_grouped"],
         "q25_topk_filtered_ceiling": union(
