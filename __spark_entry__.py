@@ -705,6 +705,43 @@ def _q_pack_sequences(spark, sf_dir):
     )
 
 
+def _m_pack_chunk(spark, sf_dir):
+    """Sequence shaping in one entry: concat-and-chunk packing per language
+    shard at a 512-token budget ('pack'), and fixed-window document
+    chunking with overlap ('chunk'), rolled up per doc as (chunk count,
+    total chunk tokens, bit_xor of the 60-bit chunk-text hashes) — a
+    byte-exact whole-output check without shipping megabytes of chunk text
+    into the driver row."""
+    from duckdb_vss_spark import chunk_documents
+    from duckdb_vss_spark.functions.text import hash64
+
+    pack = _q_pack_sequences(spark, sf_dir).select(
+        F.lit("pack").alias("part"),
+        F.col("lang").alias("key"),
+        F.col("pack_id").alias("seq"),
+        F.col("n_docs").alias("n"),
+        F.col("sum_tokens").cast("long").alias("m"),
+    )
+    ch = (
+        chunk_documents(_docs(spark, sf_dir), "text", "doc_id", chunk_tokens=64, overlap=16)
+        .select("doc_id", "n_tokens", hash64(F.col("chunk_text")).alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("seq"),
+            F.sum("n_tokens").alias("n"),
+            F.expr("bit_xor(h)").alias("m"),
+        )
+        .select(
+            F.lit("chunk").alias("part"),
+            F.col("doc_id").cast("string").alias("key"),
+            "seq",
+            "n",
+            "m",
+        )
+    )
+    return _union_tagged([pack, ch])
+
+
 def _q_corpus_stats(spark, sf_dir):
     """Per-language corpus profile: doc counts, exact token-count quantiles
     (R-7 interpolation, bit-stable vs duckdb's quantile_cont), exact vocab.
@@ -1731,7 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_stream_ann": _q_stream_ann,
         "q31_skew_salted": _m_skew_salted,
         "q32_data_mixing": _m_data_mixing,
-        "q33_pack_sequences": _q_pack_sequences,
+        "q33_pack_chunk": _m_pack_chunk,
         "q34_corpus_stats": _q_corpus_stats,
         "q35_decontaminate": _q_decontaminate,
         "q36_sessionize": _q_sessionize,
@@ -2563,7 +2600,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 'frac' AS mode, lang AS k, doc_id::BIGINT AS v FROM ({P['q45_stratified_sample']})",
             f"SELECT 'dict' AS mode, lang AS k, doc_id::BIGINT AS v FROM ({P['q69_stratified_dict']})",
         ),
-        "q33_pack_sequences": P["q46_pack_sequences"],
+        "q33_pack_chunk": union(
+            tag(
+                "part", "pack", P["q46_pack_sequences"],
+                "lang AS key, pack_id AS seq, n_docs AS n, sum_tokens AS m",
+            ),
+            tag(
+                "part", "chunk",
+                (
+                    f"SELECT doc_id::VARCHAR AS key, count(*) AS seq, "
+                    f"sum(n_tokens)::BIGINT AS n, bit_xor({O.sql_hash64('chunk_text')}) AS m "
+                    f"FROM ({O.sql_chunk_documents('documents', 'text', 'doc_id', 64, 16)}) "
+                    f"GROUP BY doc_id"
+                ),
+                "key, seq, n, m",
+            ),
+        ),
         "q34_corpus_stats": P["q47_corpus_stats"],
         "q35_decontaminate": P["q49_decontaminate"],
         "q36_sessionize": P["q50_sessionize"],

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 
-__all__ = ["hash_split", "stratified_sample", "pack_sequences", "SPLIT_MOD"]
+__all__ = ["hash_split", "stratified_sample", "pack_sequences", "chunk_documents", "SPLIT_MOD"]
 
 SPLIT_MOD = 1_000_000  # bucket space for split thresholds (ppm resolution)
 
@@ -147,3 +147,56 @@ def pack_sequences(
     )
     before = F.sum(F.col(token_col)).over(w) - F.col(token_col)
     return df.withColumn(out_col, F.floor(before / F.lit(int(budget))).cast("long"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Fixed-token-window chunking with overlap — the context-window
+    ingest step an LLM pipeline applies to documents longer than the
+    training (or embedding) sequence length.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the chunk count is
+    ``max(1, ceil((n_tokens - overlap) / stride))``, so every token is
+    covered, consecutive chunks share ``overlap`` tokens, and a document
+    shorter than one window still yields its single (short) chunk.
+
+    Output: ``(id_col, chunk_id, n_tokens, chunk_text)`` with ``chunk_id``
+    0-based.
+
+    Scale shape: map-only — tokenize, build the per-document chunk structs
+    with ``sequence``/``transform``/``slice`` (all codegen-friendly JVM
+    expressions), explode. Zero shuffles; each document is independent, so
+    the operator scales with input splits like any projection.
+    """
+    if chunk_tokens < 2 or not (0 <= overlap < chunk_tokens):
+        raise ValueError("need chunk_tokens >= 2 and 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = T.tokens(text_col)
+    n = F.size(toks)
+    # integer ceil((n - overlap) / stride), floored at 1
+    n_chunks = F.greatest(
+        F.lit(1),
+        ((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast("long"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.slice(toks, i * stride + 1, chunk_tokens).alias("ctoks"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.ctoks").cast("long").alias("n_tokens"),
+            F.array_join("c.ctoks", " ").alias("chunk_text"),
+        )
+    )

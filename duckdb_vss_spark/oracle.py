@@ -272,3 +272,26 @@ def sql_tfidf_top_terms(table: str, text_col: str, id_col: str, top_k: int, min_
         SELECT id AS {id_col}, term, rank::INT AS rank, tf, df, tfidf
         FROM scored WHERE rank <= {top_k}
     """
+
+
+def sql_chunk_documents(table: str, text_col: str, id_col: str, chunk_tokens: int, overlap: int) -> str:
+    """Twin of operators.sampling.chunk_documents: fixed-token windows with
+    overlap, chunk i = tokens [i*stride+1 : i*stride+chunk] (1-based
+    inclusive list slice), count = greatest(1, ceil((n-overlap)/stride))."""
+    stride = chunk_tokens - overlap
+    return f"""
+        WITH d AS MATERIALIZED (
+          SELECT id, toks, len(toks) AS n
+          FROM (SELECT {id_col} AS id, {sql_tokens(text_col)} AS toks FROM {table})
+        ),
+        c AS (
+          SELECT id,
+                 unnest(range(0, greatest(1, (n - {overlap} + {stride - 1}) // {stride}))) AS chunk_id,
+                 toks
+          FROM d
+        )
+        SELECT id AS {id_col}, chunk_id,
+               len(toks[chunk_id*{stride}+1 : chunk_id*{stride}+{chunk_tokens}])::BIGINT AS n_tokens,
+               array_to_string(toks[chunk_id*{stride}+1 : chunk_id*{stride}+{chunk_tokens}], ' ') AS chunk_text
+        FROM c
+    """

@@ -193,3 +193,67 @@ def test_sampling_plan_shapes(docs):
     assert pack_plan.count("Exchange") == 1
     for plan in (split_plan, strat_plan, pack_plan):
         assert "Python" not in plan and "BatchEval" not in plan
+
+
+# -- chunk_documents -------------------------------------------------------
+
+def test_chunk_documents_hand_computed(spark):
+    from duckdb_vss_spark import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y")], "doc_id: long, text: string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=1).collect()
+    }
+    # stride 3; doc 1 has 7 tokens -> ceil((7-1)/3) = 2 chunks: [0:4), [3:7)
+    assert got == {
+        (1, 0): (4, "a b c d"),
+        (1, 1): (4, "d e f g"),
+        (2, 0): (2, "x y"),  # shorter than one window -> single short chunk
+    }
+
+
+def test_chunk_documents_exact_multiple_boundary(spark):
+    from duckdb_vss_spark import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id: long, text: string")
+    rows = chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=2).collect()
+    # stride 2, n=6: ceil((6-2)/2) = 2 chunks, [0:4) and [2:6) — no empty tail
+    assert sorted(r["chunk_text"] for r in rows) == ["a b c d", "c d e f"]
+
+
+def test_chunk_documents_matches_duckdb(docs, ddb):
+    from duckdb_vss_spark import chunk_documents
+    from duckdb_vss_spark.oracle import sql_chunk_documents
+
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=16).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ddb.execute(sql_chunk_documents("documents", "text", "doc_id", 64, 16)).fetchall()
+    )
+    assert got == want
+
+
+def test_chunk_documents_map_only(docs):
+    from duckdb_vss_spark import chunk_documents
+
+    plan = (
+        chunk_documents(docs, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 0 and "Python" not in plan
+
+
+def test_chunk_documents_validation(spark):
+    from duckdb_vss_spark import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id: long, text: string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=1)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=8, overlap=8)
