@@ -86,6 +86,12 @@ def main() -> None:
     timings["winnow_fingerprints"] = run(lambda: winnow_fingerprint_rows(docs, "text", "doc_id", 5, 8).count())
 
     timings["simhash_dedup"] = run(lambda: simhash_pairs(docs, "text", "doc_id", 3, 4).count())
+
+    from duckdb_vss_spark.operators.dedup import duplicated_spans
+
+    timings["dup_span_detect"] = run(
+        lambda: duplicated_spans(docs, "text", "doc_id", 20, 2).count()
+    )
     timings["text_stats"] = run(
         lambda: docs.select(
             "doc_id",
