@@ -257,3 +257,14 @@ def test_chunk_documents_validation(spark):
         chunk_documents(df, "text", "doc_id", chunk_tokens=1)
     with pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", chunk_tokens=8, overlap=8)
+
+
+def test_chunk_documents_empty_docs_match_duckdb(spark, ddb):
+    """Empty/whitespace docs: the shared tokenizer yields [''] for both
+    engines, so each such doc gets exactly one 1-token empty chunk —
+    pinned here because the parquet fixtures contain no empty docs."""
+    from duckdb_vss_spark import chunk_documents
+
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "a")], "doc_id: long, text: string")
+    got = sorted(tuple(r) for r in chunk_documents(df, "text", "doc_id", 4, 1).collect())
+    assert got == [(1, 0, 1, ""), (2, 0, 1, ""), (3, 0, 1, "a")]
