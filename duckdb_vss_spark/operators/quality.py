@@ -290,7 +290,15 @@ def ngram_lm_score(
         F.posexplode(gram_col).alias("__pos", "__gram"),
     )
     if counts_df is None:
-        counts = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__c"))
+        # The count table is referenced three times (the N/V collect below,
+        # and the scored join); persist it — it is vocab-scale, tiny next
+        # to the corpus. The GRAM frame is deliberately NOT persisted: it
+        # is corpus-token-scale, and re-running the map-only tokenize+
+        # explode once more (counts build + probe side) is cheaper at scale
+        # than spilling a materialized token table to executor disk.
+        from .dedup import _shared
+
+        counts = _shared(grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__c")))
     else:
         counts = counts_df.select(F.col("gram").alias("__gram"), F.col("c").cast("long").alias("__c"))
     tot = counts.agg(

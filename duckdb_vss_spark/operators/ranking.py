@@ -105,11 +105,14 @@ def tfidf_top_terms(
 
     Scale shape: explode → one (id, term) count aggregation (map-side
     combinable, skew-safe: raw token rows shuffle on the well-spread
-    (id, term) pair, never on term alone) → the tf frame is PERSISTED and
-    feeds both the term-level document-frequency aggregation and the join
-    back (Spark has no common-subplan dedup, so without the persist the
-    whole tokenize/explode/count pipeline runs twice — measured as a
-    duplicated subtree in the executed plan) → join term stats back
+    (id, term) pair, never on term alone) → the tf frame is materialized
+    ONCE via ``localCheckpoint`` and feeds both the term-level
+    document-frequency aggregation and the join back (Spark has no
+    common-subplan dedup, so without it the whole tokenize/explode/count
+    pipeline runs twice — measured as a duplicated subtree in the executed
+    plan; a checkpoint is used instead of ``persist`` so the blocks are
+    reclaimed by the ContextCleaner when the result is dropped, rather
+    than pinned in the cache manager for the session) → join term stats back
     (vocabulary ≪ corpus; AQE broadcasts when it fits) → per-document
     window top-k (one hash shuffle on id). N is a single-number driver
     aggregate. No step is quadratic; nothing wider than (id, term, counts)
@@ -117,7 +120,7 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    from .dedup import _fan_out, _shared
+    from .dedup import _fan_out
 
     n_docs = df.count()
     tf = (
@@ -126,7 +129,7 @@ def tfidf_top_terms(
         .groupBy("__id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    tf = _shared(tf)
+    tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= min_df)
     scored = tf.join(dfreq, "term").withColumn(
         "tfidf",

@@ -134,8 +134,27 @@ def register_distance_udfs(spark) -> None:
                 f"(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN {body}"
             )
         return
-    except Exception:
-        pass
+    except Exception as e:
+        # All-or-nothing: drop anything registered before the failure so
+        # the pandas registrations below own every name, and WARN — the
+        # pandas kernels use numpy pairwise summation, which is not
+        # bit-identical to the SQL UDFs' left-to-right fold, so
+        # hash-exact oracle comparisons of fallback-SQL results may
+        # diverge in the last float32 bit on this code path.
+        import warnings
+
+        for name in _SQLUDF_BODIES:
+            try:
+                spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+            except Exception:
+                pass
+        warnings.warn(
+            f"SQL-defined distance functions unavailable ({e!r}); falling back to "
+            "pandas UDFs — raw-SQL fallback distances enter Python and are not "
+            "bit-identical to the duckdb oracle",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     from pyspark.sql.functions import pandas_udf
 

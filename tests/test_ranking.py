@@ -133,9 +133,10 @@ def test_tfidf_matches_duckdb(spark, ddb):
 
 def test_tfidf_tf_frame_computed_once(spark):
     """The tf frame feeds both the document-frequency aggregation and the
-    join back; without the persist the whole tokenize/explode/count subtree
-    executes twice (Spark performs no common-subplan dedup). Pin the cache
-    hit on both consumers."""
+    join back; without a materialization point the whole tokenize/explode/
+    count subtree executes twice (Spark performs no common-subplan dedup).
+    Pin the localCheckpoint: both consumers scan the checkpointed RDD and
+    the explode subtree is gone from the final plan."""
     from duckdb_vss_spark import tfidf_top_terms
 
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -143,4 +144,5 @@ def test_tfidf_tf_frame_computed_once(spark):
         tfidf_top_terms(df, "text", "doc_id", top_k=3)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("InMemoryTableScan") == 2, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "Generate" not in plan, plan

@@ -262,9 +262,21 @@ def test_chunk_documents_validation(spark):
 def test_chunk_documents_empty_docs_match_duckdb(spark, ddb):
     """Empty/whitespace docs: the shared tokenizer yields [''] for both
     engines, so each such doc gets exactly one 1-token empty chunk —
-    pinned here because the parquet fixtures contain no empty docs."""
+    pinned against BOTH engines because the parquet fixtures contain no
+    empty docs (the sf0.001 differential can't catch drift here)."""
+    import pandas as pd
+
     from duckdb_vss_spark import chunk_documents
+    from duckdb_vss_spark.oracle import sql_chunk_documents
 
     df = spark.createDataFrame([(1, ""), (2, "   "), (3, "a")], "doc_id: long, text: string")
     got = sorted(tuple(r) for r in chunk_documents(df, "text", "doc_id", 4, 1).collect())
     assert got == [(1, 0, 1, ""), (2, 0, 1, ""), (3, 0, 1, "a")]
+
+    ddb.register("chunk_edge_docs", pd.DataFrame({"doc_id": [1, 2, 3], "text": ["", "   ", "a"]}))
+    want = sorted(
+        tuple(r)
+        for r in ddb.execute(sql_chunk_documents("chunk_edge_docs", "text", "doc_id", 4, 1)).fetchall()
+    )
+    ddb.unregister("chunk_edge_docs")
+    assert got == want
