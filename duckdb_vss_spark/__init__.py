@@ -23,6 +23,7 @@ from .sql import SQLFrontend  # noqa: F401
 from .operators.dedup import (  # noqa: F401
     duplicated_span_profile,
     duplicated_spans,
+    line_dedup,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -34,6 +35,7 @@ from .operators.sampling import chunk_documents, hash_split, pack_sequences, str
 from .operators.profile import corpus_stats  # noqa: F401
 from .operators.ranking import bm25_rank, tfidf_top_terms  # noqa: F401
 from .operators.quality import (  # noqa: F401
+    clean_lines,
     decontaminate,
     ngram_lm_score,
     pii_stats,

@@ -41,6 +41,9 @@ __all__ = [
     "redact_pii",
     "PII_PATTERNS",
     "ngram_lm_score",
+    "clean_lines",
+    "TERMINAL_PUNCT",
+    "LINE_BLOCKLIST",
 ]
 
 # PII surface patterns, deliberately written in the common subset of Java
@@ -90,6 +93,70 @@ def redact_pii(df: DataFrame, text_col: str, out_col: str | None = None, pattern
     for _, pat, tag in patterns:
         expr = F.regexp_replace(expr, F.lit(pat), F.lit(tag))
     return df.withColumn(out_col or text_col, expr)
+
+
+# C4's line-level cleaning constants (Raffel et al. 2020, §2.2): a kept
+# line must end in terminal punctuation; lines mentioning javascript or
+# placeholder text are boilerplate. Both sets are parameters — these are
+# the paper's defaults.
+TERMINAL_PUNCT: tuple[str, ...] = (".", "!", "?", '"', "'")
+LINE_BLOCKLIST: tuple[str, ...] = ("lorem ipsum", "javascript", "cookie policy")
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    blocklist: tuple[str, ...] = LINE_BLOCKLIST,
+    drop_brace_lines: bool = True,
+    line_sep: str = "\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2; the same
+    stage opens the RefinedWeb and Gopher pipelines): split each document
+    into lines and keep only lines that
+
+    - contain at least ``min_words`` whitespace words (after trim),
+    - end in terminal punctuation (``TERMINAL_PUNCT``) when
+      ``require_terminal_punct``,
+    - contain no ``blocklist`` phrase (case-insensitive, matched on the
+      trimmed line),
+    - contain no ``{`` when ``drop_brace_lines`` (C4's code heuristic).
+
+    Appends ``out_col`` (kept lines re-joined with ``line_sep``; defaults
+    to overwriting ``text_col``), ``n_lines`` and ``n_kept_lines``.
+
+    Execution: a ``filter`` higher-order function over the split array —
+    a pure JVM map-only projection, zero shuffles at any corpus size (each
+    document is independent). CollapseProject inlines the kept-array
+    subtree into both consumers (size + join), so the predicate runs twice
+    per line — a constant factor on per-line string work, not the
+    per-element-×-O(d) HOF collapse trap :func:`.vector.normalize_vectors`
+    designs around.
+
+    ``line_sep`` is used both as the split regex and the re-join literal,
+    so pass a literal separator (the ``"\\n"`` default round-trips).
+    """
+
+    def _keep(x: Column) -> Column:
+        t = F.trim(x)
+        cond = F.size(F.split(t, r"\s+")) >= min_words
+        if require_terminal_punct:
+            cond = cond & F.substring(t, -1, 1).isin(*TERMINAL_PUNCT)
+        for ph in blocklist:
+            cond = cond & ~F.lower(t).contains(ph.lower())
+        if drop_brace_lines:
+            cond = cond & ~x.contains("{")
+        return cond
+
+    lines = F.split(F.col(text_col), line_sep)
+    kept = F.filter(lines, _keep)
+    return (
+        df.withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("n_kept_lines", F.size(kept).cast("long"))
+        .withColumn(out_col or text_col, F.array_join(kept, line_sep))
+    )
 
 
 def _frac(num: Column, den: Column) -> Column:

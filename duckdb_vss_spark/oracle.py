@@ -218,6 +218,71 @@ def sql_duplicated_span_profile(table: str, text_col: str, id_col: str, k: int, 
     """
 
 
+def _sql_quote_char(c: str) -> str:
+    return "chr(39)" if c == "'" else f"'{c}'"
+
+
+def sql_clean_lines(
+    col: str,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    blocklist: tuple[str, ...] | None = None,
+    drop_brace_lines: bool = True,
+) -> str:
+    """Twin of operators.quality.clean_lines: the kept-lines LIST
+    expression (callers wrap with array_to_string(..., chr(10)) / len)."""
+    from .operators.quality import LINE_BLOCKLIST, TERMINAL_PUNCT
+
+    preds = [f"len(string_split_regex(trim(x), '\\s+')) >= {min_words}"]
+    if require_terminal_punct:
+        punct = ", ".join(_sql_quote_char(c) for c in TERMINAL_PUNCT)
+        preds.append(f"right(trim(x), 1) IN ({punct})")
+    for ph in LINE_BLOCKLIST if blocklist is None else blocklist:
+        preds.append(f"NOT contains(lower(trim(x)), '{ph.lower()}')")
+    if drop_brace_lines:
+        preds.append("NOT contains(x, chr(123))")
+    return f"list_filter(string_split({col}, chr(10)), x -> {' AND '.join(preds)})"
+
+
+def sql_line_dedup(table: str, text_col: str, id_col: str, min_count: int = 2, keep_first: bool = True) -> str:
+    """Twin of operators.dedup.line_dedup: (id_col, n_lines,
+    n_removed_lines, text_dedup) per input row."""
+    first = "AND rn > 1" if keep_first else ""
+    return f"""
+        WITH lx AS MATERIALIZED (
+          SELECT {id_col} AS id, string_split({text_col}, chr(10)) AS ls FROM {table}
+        ),
+        occ AS MATERIALIZED (
+          SELECT id, unnest(range(0, len(ls))) AS pos, unnest(ls) AS line FROM lx
+        ),
+        ranked AS (
+          SELECT id, pos,
+                 count(*) OVER (PARTITION BY {sql_hash64("trim(line)")}) AS c,
+                 row_number() OVER (
+                   PARTITION BY {sql_hash64("trim(line)")} ORDER BY id, pos) AS rn
+          FROM occ WHERE len(trim(line)) > 0
+        ),
+        rem AS (
+          SELECT id, pos FROM ranked WHERE c >= {min_count} {first}
+        ),
+        kept AS (
+          SELECT occ.id, occ.pos, occ.line
+          FROM occ LEFT JOIN rem ON occ.id = rem.id AND occ.pos = rem.pos
+          WHERE rem.id IS NULL
+        ),
+        agg AS (
+          SELECT id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+          FROM kept GROUP BY id
+        ),
+        remc AS (SELECT id, count(*) AS n_removed FROM rem GROUP BY id)
+        SELECT lx.id AS {id_col},
+               len(lx.ls)::BIGINT AS n_lines,
+               coalesce(remc.n_removed, 0)::BIGINT AS n_removed_lines,
+               coalesce(agg.text_dedup, '') AS text_dedup
+        FROM lx LEFT JOIN agg ON lx.id = agg.id LEFT JOIN remc ON lx.id = remc.id
+    """
+
+
 def sql_ngram_lm_score(table: str, text_col: str, id_col: str, n: int = 1) -> str:
     """Twin of operators.quality.ngram_lm_score (self-trained, no OOV):
     add-one-smoothed unigram LM over n-gram types, per-doc log-probs

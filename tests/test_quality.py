@@ -260,3 +260,81 @@ def test_ngram_lm_score_external_counts_oov(spark):
     out = ngram_lm_score(df, "text", "doc_id", counts_df=counts).collect()[0]
     assert out["n_oov"] == 1  # zzz unseen
     assert out["n_grams"] == 3
+
+
+# -- C4-style line cleaning -------------------------------------------------
+
+
+def test_clean_lines_semantics(spark):
+    from duckdb_vss_spark import clean_lines
+
+    rows = [
+        (0, "Hello world today.\nshort\nHas javascript inside it ok.\nA fine long sentence!\n  \nx { y } code."),
+        (1, 'Ends with quote "\nlorem ipsum dolor sit.\nTiny.'),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept_lines"], r["clean"])
+        for r in clean_lines(df, "text", out_col="clean").collect()
+    }
+    # doc 0: "short" (<3 words), javascript line, blank line, brace line dropped
+    assert out[0] == (6, 2, "Hello world today.\nA fine long sentence!")
+    # doc 1: terminal-quote line kept, lorem ipsum + <3-word lines dropped
+    assert out[1] == (3, 1, 'Ends with quote "')
+    # empty doc: one empty line, nothing kept, empty output
+    assert out[2] == (1, 0, "")
+
+
+def test_clean_lines_options(spark):
+    from duckdb_vss_spark import clean_lines
+
+    df = spark.createDataFrame([(0, "no punct here at all\nx { y } ok fine")], "doc_id long, text string")
+    out = clean_lines(
+        df, "text", require_terminal_punct=False, drop_brace_lines=False, blocklist=()
+    ).collect()[0]
+    assert out["n_kept_lines"] == 2 and out["text"] == "no punct here at all\nx { y } ok fine"
+
+
+def test_clean_lines_matches_duckdb(spark):
+    import duckdb
+
+    from duckdb_vss_spark import clean_lines
+    from duckdb_vss_spark.oracle import sql_clean_lines
+
+    rows = [
+        (0, "Hello world today.\nshort\nHas javascript inside it ok.\nA fine long sentence!\n  \nx { y } code."),
+        (1, 'Ends with quote "\nlorem ipsum dolor sit.\nTiny.'),
+        (2, ""),
+        (3, "Solid closing line indeed?\nCOOKIE Policy mention here.\nAnother good line stays!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ",".join(
+            "(%d, %s)" % (i, "'" + t.replace("'", "''").replace("\n", "' || chr(10) || '") + "'")
+            for i, t in rows
+        )
+        + ") v(doc_id, text)"
+    )
+    kl = sql_clean_lines("text")
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT doc_id, len({kl})::BIGINT, coalesce(array_to_string({kl}, chr(10)), '') FROM d"
+        ).fetchall()
+    }
+    got = {
+        r["doc_id"]: (r["n_kept_lines"], r["clean"])
+        for r in clean_lines(df, "text", out_col="clean").collect()
+    }
+    assert got == want
+
+
+def test_clean_lines_plan_map_only(spark):
+    from duckdb_vss_spark import clean_lines
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _physical(clean_lines(df, "text").select("doc_id", "n_kept_lines"))
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan and "ArrowEval" not in plan

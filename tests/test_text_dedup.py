@@ -230,3 +230,89 @@ def test_duplicated_spans_single_agg_shuffle(spark):
     plan = duplicated_spans(df, "text", "doc_id", k=3)._jdf.queryExecution().executedPlan().toString()
     # the persisted intermediate feeds both branches
     assert "InMemoryTableScan" in plan
+
+
+# -- corpus-level exact line dedup ------------------------------------------
+
+
+def _line_rows():
+    return [
+        (0, "Hello world today.\nshort stuff\nA fine long sentence!\n  \nboiler plate line"),
+        (1, "A fine long sentence!\nboiler plate line\nunique one here"),
+        (2, "boiler plate line\nA fine long sentence!\nanother unique line"),
+        (3, ""),
+    ]
+
+
+def test_line_dedup_keep_first(spark):
+    from duckdb_vss_spark import line_dedup
+
+    df = spark.createDataFrame(_line_rows(), "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_removed_lines"], r["dd"])
+        for r in line_dedup(df, "text", "doc_id", out_col="dd").collect()
+    }
+    # "A fine long sentence!" occurs at (0,2),(1,0),(2,1) — keeper (0,2);
+    # "boiler plate line" at (0,4),(1,1),(2,0) — keeper (0,4)
+    assert out[0] == (5, 0, _line_rows()[0][1])  # doc 0 holds both keepers
+    assert out[1] == (3, 2, "unique one here")
+    assert out[2] == (3, 2, "another unique line")
+    assert out[3] == (1, 0, "")  # empty doc untouched
+
+
+def test_line_dedup_remove_all(spark):
+    from duckdb_vss_spark import line_dedup
+
+    df = spark.createDataFrame(_line_rows(), "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup(df, "text", "doc_id", keep_first=False).collect()
+    }
+    assert "A fine long sentence!" not in out[0] and "boiler plate line" not in out[0]
+    # whitespace-only line survives (structure, never a dedup candidate)
+    assert out[0] == "Hello world today.\nshort stuff\n  "
+
+
+def test_line_dedup_matches_duckdb(spark):
+    import duckdb
+
+    from duckdb_vss_spark import line_dedup
+    from duckdb_vss_spark.oracle import sql_line_dedup
+
+    rows = _line_rows()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ",".join(
+            "(%d, %s)" % (i, "'" + t.replace("'", "''").replace("\n", "' || chr(10) || '") + "'")
+            for i, t in rows
+        )
+        + ") v(doc_id, text)"
+    )
+    for kf in (True, False):
+        got = {
+            r["doc_id"]: (r["n_lines"], r["n_removed_lines"], r["dd"])
+            for r in line_dedup(df, "text", "doc_id", keep_first=kf, out_col="dd").collect()
+        }
+        want = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.execute(
+                f"SELECT doc_id, n_lines, n_removed_lines, text_dedup FROM "
+                f"({sql_line_dedup('d', 'text', 'doc_id', keep_first=kf)})"
+            ).fetchall()
+        }
+        assert got == want, f"keep_first={kf}"
+
+
+def test_line_dedup_text_never_shuffles(spark):
+    """The heavy string column must stay out of every Exchange: only the
+    (id, pos, hash) occurrence tuples and the per-doc removal sets shuffle."""
+    from duckdb_vss_spark import line_dedup
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = line_dedup(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
