@@ -1312,14 +1312,43 @@ def _m_doc_stats(spark, sf_dir):
     """Per-doc quality surface in one wide row: text analysis (tokens, lang
     id, quality), Gopher repetition signals, PII hit counts plus a
     byte-exact redaction hash (the shared 60-bit md5 both engines compute),
-    the Lee et al. duplicated-span profile, and the CCNet-shape unigram-LM
-    score. LM doubles are exposed at float32 so the JVM-vs-libm 1-ulp
-    ln/exp drift cannot flap the driver's value hash."""
+    the Lee et al. duplicated-span profile, the CCNet-shape unigram-LM
+    score, and the two C4/RefinedWeb line-level stages — line cleaning and
+    corpus-level exact line dedup — run over a derived multi-line corpus
+    (the fixture docs are single-line: lines are derived by breaking on
+    ' the ', and cross-doc duplicate lines induced by appending each odd
+    doc's text to its even predecessor, so every odd doc's line occurs
+    twice and keep-first semantics are exercised for real). LM doubles are
+    exposed at float32 so the JVM-vs-libm 1-ulp ln/exp drift cannot flap
+    the driver's value hash; the cleaned/deduped texts are exposed as
+    hash64 so full byte equality is pinned in one BIGINT."""
     from duckdb_vss_spark.functions.text import hash64
-    from duckdb_vss_spark.operators.dedup import duplicated_span_profile
-    from duckdb_vss_spark.operators.quality import ngram_lm_score, pii_stats, redact_pii
+    from duckdb_vss_spark.operators.dedup import duplicated_span_profile, line_dedup
+    from duckdb_vss_spark.operators.quality import clean_lines, ngram_lm_score, pii_stats, redact_pii
 
     docs = _docs(spark, sf_dir)
+    t2 = docs.select("doc_id", F.regexp_replace("text", " the ", "\n").alias("text"))
+    cl = clean_lines(t2, "text", require_terminal_punct=False, out_col="clean").select(
+        "doc_id",
+        F.col("n_lines").alias("cl_n_lines"),
+        F.col("n_kept_lines").alias("cl_n_kept"),
+        hash64(F.col("clean")).alias("clean_hash"),
+    )
+    b = t2.select((F.col("doc_id") - 1).alias("__bid"), F.col("text").alias("__btext"))
+    d3 = t2.join(
+        b, (F.col("doc_id") == F.col("__bid")) & (F.col("doc_id") % 2 == 0), "left"
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("__btext").isNotNull(), F.concat_ws("\n", F.col("text"), F.col("__btext"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    ld = line_dedup(d3, "text", "doc_id", out_col="dd").select(
+        "doc_id",
+        F.col("n_lines").alias("ld_n_lines"),
+        F.col("n_removed_lines").alias("ld_n_removed"),
+        hash64(F.col("dd")).alias("linededup_hash"),
+    )
     pii = pii_stats(docs.select("doc_id", "text"), "text").drop("text")
     red = redact_pii(docs.select("doc_id", "text"), "text", out_col="red").select(
         "doc_id", hash64(F.col("red")).alias("redact_hash")
@@ -1340,6 +1369,8 @@ def _m_doc_stats(spark, sf_dir):
         .join(red, "doc_id")
         .join(span, "doc_id")
         .join(lm, "doc_id")
+        .join(cl, "doc_id")
+        .join(ld, "doc_id")
     )
 
 
@@ -2419,6 +2450,27 @@ def _doc_stats_oracle_sql(O, P) -> str:
         "SELECT doc_id, n_grams, avg_logprob::FLOAT AS avg_logprob, ppl::FLOAT AS ppl "
         f"FROM ({O.sql_ngram_lm_score('documents', 'text', 'doc_id')})"
     )
+    # Derived multi-line corpus shared by the two line-stage legs (see the
+    # Spark twin's docstring): lines from breaking on ' the ', cross-doc
+    # duplicates from appending each odd doc to its even predecessor.
+    t2_sql = "SELECT doc_id, regexp_replace(text, ' the ', chr(10), 'g') AS text FROM documents"
+    kl = O.sql_clean_lines("text", require_terminal_punct=False)
+    cl_sql = (
+        f"SELECT doc_id, len(string_split(text, chr(10)))::BIGINT AS cl_n_lines,\n"
+        f"                 len({kl})::BIGINT AS cl_n_kept,\n"
+        f"                 {O.sql_hash64(f'''coalesce(array_to_string({kl}, chr(10)), '')''')} AS clean_hash\n"
+        f"          FROM ({t2_sql})"
+    )
+    d3_sql = (
+        f"SELECT a.doc_id,\n"
+        f"       CASE WHEN b.text IS NOT NULL THEN a.text || chr(10) || b.text ELSE a.text END AS text\n"
+        f"FROM ({t2_sql}) a LEFT JOIN ({t2_sql}) b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0"
+    )
+    ld_sql = (
+        f"SELECT doc_id, n_lines AS ld_n_lines, n_removed_lines AS ld_n_removed,\n"
+        f"                 {O.sql_hash64('text_dedup')} AS linededup_hash\n"
+        f"          FROM ({O.sql_line_dedup(f'({d3_sql}) d3', 'text', 'doc_id')})"
+    )
     return (
         f"SELECT a.doc_id, a.n_tokens, a.n_tokens_bpe, a.lang_guess, a.quality,\n"
         f"       b.n_chars, b.total_tokens, b.dup_token_frac, b.total_lines,\n"
@@ -2427,12 +2479,16 @@ def _doc_stats_oracle_sql(O, P) -> str:
         f"       p.n_email, p.n_ssn, p.n_phone, p.n_card, p.n_ipv4, p.has_pii,\n"
         f"       p.redact_hash,\n"
         f"       s.n_windows, s.n_dup_windows, s.dup_window_frac,\n"
-        f"       l.n_grams, l.avg_logprob, l.ppl\n"
+        f"       l.n_grams, l.avg_logprob, l.ppl,\n"
+        f"       c.cl_n_lines, c.cl_n_kept, c.clean_hash,\n"
+        f"       d.ld_n_lines, d.ld_n_removed, d.linededup_hash\n"
         f"FROM ({P['q09_text_stats']}) a\n"
         f"JOIN ({P['q48_repetition_stats']}) b USING (doc_id)\n"
         f"JOIN ({pii_sql}) p USING (doc_id)\n"
         f"JOIN ({span_sql}) s USING (doc_id)\n"
-        f"JOIN ({lm_sql}) l USING (doc_id)"
+        f"JOIN ({lm_sql}) l USING (doc_id)\n"
+        f"JOIN ({cl_sql}) c USING (doc_id)\n"
+        f"JOIN ({ld_sql}) d USING (doc_id)"
     )
 
 
