@@ -83,3 +83,40 @@ def test_column_vs_column_distance_not_broken_by_const_fast_path(spark):
     assert r["d"] == 5.0
     assert r["ip"] == 0.0
     assert abs(r["cs"] - 1.0) < 1e-12
+
+
+def test_unroll_operand_shapes(spark):
+    """The single-expr()-string unroll fires only for plain (optionally
+    qualified) column operands; everything else keeps the HOF fallback —
+    and both forms agree bit-for-bit."""
+    from duckdb_vss_spark.functions.distance import _sql_operand, _unroll_operand
+
+    assert _sql_operand("embedding") == "`embedding`"
+    assert _sql_operand(F.col("t.vec")) == "`t`.`vec`"
+    assert _sql_operand("order") == "`order`"  # reserved words stay safe
+    assert _sql_operand(F.col("vec").cast("array<double>")) is None
+    name, cv = _unroll_operand(F.col("v"), [1.0, 2.0])
+    assert name == "`v`" and cv == [1.0, 2.0]
+    assert _unroll_operand([1.0], [2.0]) == (None, None)
+
+
+def test_unrolled_matches_hof_bitwise(spark):
+    """Same doubles from the unrolled expr() string and the HOF fold —
+    the oracle hash depends on this."""
+    import duckdb_vss_spark.functions.distance as D
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [0.1 * i - 3.0 for i in range(64)]
+    cols = lambda: [
+        D.array_distance("embedding", q).alias("d"),
+        D.array_cosine_similarity("embedding", q).alias("c"),
+        D.array_inner_product("embedding", q).alias("ip"),
+    ]
+    fast = df.select("vec_id", *cols()).collect()
+    old = D._UNROLL_MAX_DIM
+    D._UNROLL_MAX_DIM = 0
+    try:
+        slow = df.select("vec_id", *cols()).collect()
+    finally:
+        D._UNROLL_MAX_DIM = old
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
