@@ -1639,7 +1639,10 @@ def _m_skew_salted(spark, sf_dir):
 def _m_data_mixing(spark, sf_dir):
     """Data-mixing surfaces in one entry: deterministic hash train/val/test
     split counts, exact-count stratified sampling at a uniform fraction,
-    and per-stratum dict rates — normalized to (mode, k, v)."""
+    per-stratum dict rates, and temperature (alpha=0.5) mixture sampling —
+    normalized to (mode, k, v)."""
+    from duckdb_vss_spark import temperature_sample
+
     split = _q_hash_split(spark, sf_dir).select(
         F.lit("split").alias("mode"), F.col("split").alias("k"), F.col("n").cast("long").alias("v")
     )
@@ -1649,7 +1652,10 @@ def _m_data_mixing(spark, sf_dir):
     rates = _q_stratified_dict(spark, sf_dir).select(
         F.lit("dict").alias("mode"), F.col("lang").alias("k"), F.col("doc_id").cast("long").alias("v")
     )
-    return _union_tagged([split, frac, rates])
+    temp = temperature_sample(_docs(spark, sf_dir), "lang", "doc_id", alpha=0.5).select(
+        F.lit("temp").alias("mode"), F.col("lang").alias("k"), F.col("doc_id").cast("long").alias("v")
+    )
+    return _union_tagged([split, frac, rates, temp])
 
 
 def _m_vector_centroids(spark, sf_dir):
@@ -2655,6 +2661,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 'split' AS mode, split AS k, n::BIGINT AS v FROM ({P['q44_hash_split']})",
             f"SELECT 'frac' AS mode, lang AS k, doc_id::BIGINT AS v FROM ({P['q45_stratified_sample']})",
             f"SELECT 'dict' AS mode, lang AS k, doc_id::BIGINT AS v FROM ({P['q69_stratified_dict']})",
+            f"SELECT 'temp' AS mode, lang AS k, doc_id::BIGINT AS v FROM "
+            f"({O.sql_temperature_sample('documents', 'lang', 'doc_id', alpha=0.5)})",
         ),
         "q33_pack_chunk": union(
             tag(

@@ -31,7 +31,14 @@ from .operators.dedup import (  # noqa: F401
     simhash_pairs,
 )
 from .operators.skew import salted_agg, salted_join  # noqa: F401
-from .operators.sampling import chunk_documents, hash_split, pack_sequences, stratified_sample  # noqa: F401
+from .operators.sampling import (  # noqa: F401
+    chunk_documents,
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+    temperature_rates,
+    temperature_sample,
+)
 from .operators.profile import corpus_stats  # noqa: F401
 from .operators.ranking import bm25_rank, tfidf_top_terms  # noqa: F401
 from .operators.quality import (  # noqa: F401

@@ -28,12 +28,22 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
 
-__all__ = ["hash_split", "stratified_sample", "pack_sequences", "chunk_documents", "SPLIT_MOD"]
+__all__ = [
+    "hash_split",
+    "stratified_sample",
+    "temperature_rates",
+    "temperature_sample",
+    "pack_sequences",
+    "chunk_documents",
+    "SPLIT_MOD",
+]
 
 SPLIT_MOD = 1_000_000  # bucket space for split thresholds (ppm resolution)
 
@@ -111,6 +121,67 @@ def stratified_sample(
         .filter(F.col("__rnk") <= F.col("__keep"))
         .drop("__rnk", "__keep")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    weight_col: str | None = None,
+    target_total: float | None = None,
+) -> dict:
+    """Per-stratum sampling rates under temperature mixing (Arivazhagan et
+    al. 2019; the mT5/XLM-R language-balancing policy): stratum ``s`` gets
+    mixture probability ``p_s ∝ n_s^alpha`` and rate
+    ``min(1, T * p_s / Z / n_s)`` where ``T`` is the target corpus size
+    (default: the current total, so ``alpha=1`` keeps everything and
+    ``alpha=0`` equalizes strata).
+
+    ``n_s`` counts rows, or sums ``weight_col`` (e.g. token counts) when
+    given. The returned dict feeds :func:`stratified_sample` directly.
+
+    Determinism contract (the driver hashes sampled outputs): ``Z`` folds
+    the ``n^alpha`` terms in stratum-value ASCENDING order — an unordered
+    sum would flap low-order bits between engines and could flip a
+    ``ceil`` boundary. ``alpha=0.5`` uses ``sqrt`` (IEEE correctly
+    rounded, bit-identical across engines); other alphas use ``pow``,
+    identical on a shared libm but not guaranteed by IEEE.
+
+    One map-side-combinable aggregation; the collect is one row per
+    stratum (strata are vocabulary-scale next to the corpus).
+    """
+    agg = (F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)).cast("double")
+    rows = df.groupBy(strata_col).agg(agg.alias("n")).collect()
+    n = {r[0]: float(r["n"]) for r in rows}
+    keys = sorted(n)
+    p = {s: (math.sqrt(n[s]) if alpha == 0.5 else math.pow(n[s], alpha)) for s in keys}
+    z = 0.0
+    for s in keys:
+        z += p[s]
+    if target_total is None:
+        t = 0.0
+        for s in keys:
+            t += n[s]
+    else:
+        t = float(target_total)
+    return {s: min(1.0, t * p[s] / z / n[s]) for s in keys}
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    weight_col: str | None = None,
+    target_total: float | None = None,
+    seed: str = "strata",
+) -> DataFrame:
+    """Temperature-based mixture sampling: :func:`temperature_rates`
+    composed with the exact-count :func:`stratified_sample` cut — the
+    deterministic form of the upsample/downsample stage every multilingual
+    or multi-source pretraining mix runs."""
+    rates = temperature_rates(df, strata_col, alpha, weight_col, target_total)
+    return stratified_sample(df, strata_col, rates, id_col, seed=seed)
 
 
 def pack_sequences(

@@ -283,6 +283,40 @@ def sql_line_dedup(table: str, text_col: str, id_col: str, min_count: int = 2, k
     """
 
 
+def sql_temperature_sample(
+    table: str, strata_col: str, id_col: str, alpha: float = 0.5, seed: str = "strata"
+) -> str:
+    """Twin of operators.sampling.temperature_sample: (id_col, strata_col)
+    of the kept rows. Z folds n^alpha in stratum ASCENDING order via
+    list_sum(list(... ORDER BY s)) — the same deterministic fold the Spark
+    side does in Python, so the rate doubles agree bit-for-bit (alpha=0.5
+    stays on IEEE sqrt)."""
+    pw = "sqrt(n)" if alpha == 0.5 else f"pow(n, {alpha!r})"
+    return f"""
+        WITH cnt AS (
+          SELECT {strata_col} AS s, count(*)::DOUBLE AS n FROM {table} GROUP BY {strata_col}
+        ),
+        tot AS (
+          SELECT list_sum(list({pw} ORDER BY s)) AS z,
+                 list_sum(list(n ORDER BY s)) AS t
+          FROM cnt
+        ),
+        rate AS (
+          SELECT s, least(1.0, tot.t * {pw} / tot.z / n) AS r FROM cnt, tot
+        ),
+        ranked AS (
+          SELECT {id_col}, {strata_col},
+                 row_number() OVER (PARTITION BY {strata_col}
+                     ORDER BY {sql_id_hash(id_col, seed)}, {id_col}) AS rnk,
+                 count(*) OVER (PARTITION BY {strata_col}) AS cnt_s
+          FROM {table}
+        )
+        SELECT ranked.{id_col}, ranked.{strata_col}
+        FROM ranked JOIN rate ON ranked.{strata_col} = rate.s
+        WHERE rnk <= ceil(rate.r * cnt_s)
+    """
+
+
 def sql_ngram_lm_score(table: str, text_col: str, id_col: str, n: int = 1) -> str:
     """Twin of operators.quality.ngram_lm_score (self-trained, no OOV):
     add-one-smoothed unigram LM over n-gram types, per-doc log-probs

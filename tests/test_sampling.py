@@ -280,3 +280,53 @@ def test_chunk_documents_empty_docs_match_duckdb(spark, ddb):
     )
     ddb.unregister("chunk_edge_docs")
     assert got == want
+
+
+# -- temperature mixture sampling -------------------------------------------
+
+
+def test_temperature_rates_policy(spark):
+    """alpha=1 keeps everything; alpha=0 equalizes per-stratum targets;
+    alpha=0.5 upweights low-resource strata relative to their share."""
+    from duckdb_vss_spark import temperature_rates
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    r1 = temperature_rates(df, "src", alpha=1.0)
+    assert r1 == {"big": 1.0, "small": 1.0}
+    r0 = temperature_rates(df, "src", alpha=0.0)
+    # T=100 over 2 strata -> 50 each: big capped at 50/90, small at 1.0
+    assert r0["small"] == 1.0 and abs(r0["big"] - 50.0 / 90.0) < 1e-12
+    rh = temperature_rates(df, "src", alpha=0.5)
+    assert rh["small"] == 1.0 and rh["small"] > rh["big"] > r0["big"]
+
+
+def test_temperature_rates_weighted_and_target(spark):
+    from duckdb_vss_spark import temperature_rates
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10), (3, "b", 80)], "id long, src string, toks long"
+    )
+    # weight by tokens, halve the corpus: T=50, p_a ∝ sqrt(20), p_b ∝ sqrt(80)
+    r = temperature_rates(df, "src", alpha=0.5, weight_col="toks", target_total=50)
+    import math
+
+    z = math.sqrt(20.0) + math.sqrt(80.0)
+    assert abs(r["a"] - min(1.0, 50 * math.sqrt(20.0) / z / 20.0)) < 1e-15
+    assert abs(r["b"] - min(1.0, 50 * math.sqrt(80.0) / z / 80.0)) < 1e-15
+
+
+def test_temperature_sample_matches_duckdb(spark, ddb):
+    from duckdb_vss_spark import temperature_sample
+    from duckdb_vss_spark.oracle import sql_temperature_sample
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for alpha in (0.5, 0.0):
+        got = {
+            (r["doc_id"], r["lang"])
+            for r in temperature_sample(df, "lang", "doc_id", alpha=alpha).select("doc_id", "lang").collect()
+        }
+        want = set(
+            map(tuple, ddb.execute(sql_temperature_sample("documents", "lang", "doc_id", alpha=alpha)).fetchall())
+        )
+        assert got == want, f"alpha={alpha}"
