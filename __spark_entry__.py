@@ -51,6 +51,16 @@ DIM = _emb_dim()
 Q64 = [((i * 7) % 16) / 16.0 for i in range(DIM)]
 Q64_SQL = "[" + ",".join(str(x) for x in Q64) + "]::DOUBLE[]"
 
+# Four deterministic, exactly-representable centroids for the SemDeDup leg
+# of q10 — literal on both sides so cluster assignment is engine-agnostic.
+SEM_K = 4
+SEM_CENTS = [
+    (j, [(((i * 7 + j * 5 + 3) % 16) / 16.0) for i in range(DIM)]) for j in range(SEM_K)
+]
+SEM_CENTS_SQL = [
+    "[" + ",".join(str(x) for x in vec) + "]::DOUBLE[]" for _, vec in SEM_CENTS
+]
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_vss_spark.deploy import ensure_shipped
@@ -219,6 +229,34 @@ def _q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_emb(spark, sf_dir), "embedding", "vec_id", 0.4).select(
         "id_a", "id_b", F.col("cos_sim").cast("float").alias("cos_sim")
     )
+
+
+def _m_embedding_neardup(spark, sf_dir):
+    """Embedding near-dup surface: the exact epsilon-join pair list plus the
+    SemDeDup keep/remove verdicts (Abbas et al. 2023) over fixed literal
+    centroids, so cluster assignment is engine-agnostic. Sentinel constants
+    (not NULLs) pad the wide union schema on both sides."""
+    from duckdb_vss_spark.operators.dedup import semdedup
+
+    pairs = _q_embedding_neardup(spark, sf_dir).select(
+        F.lit("pairs").alias("tag"),
+        "id_a",
+        "id_b",
+        "cos_sim",
+        F.lit(-1).cast("long").alias("cluster_id"),
+        F.lit(True).alias("keep"),
+    )
+    sem = semdedup(
+        _emb(spark, sf_dir), "embedding", "vec_id", centroids=SEM_CENTS, eps=0.4
+    ).select(
+        F.lit("semdedup").alias("tag"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.lit(-2.0).cast("float").alias("cos_sim"),
+        "cluster_id",
+        "keep",
+    )
+    return _union_tagged([pairs, sem])
 
 
 def _q_ann_index_topk(spark, sf_dir):
@@ -1782,7 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_minhash_lsh": _q_minhash_lsh,
         "q08_simhash": _q_simhash,
         "q09_ngram_jaccard": _q_ngram_jaccard,
-        "q10_embedding_neardup": _q_embedding_neardup,
+        "q10_embedding_neardup": _m_embedding_neardup,
         "q11_ann_index_topk": _m_ann_index_topk,
         "q12_ann_index_knn_join": _q_ann_index_knn_join,
         "q13_ann_recall_gate": _m_ann_recall_gate,
@@ -1984,6 +2022,36 @@ def _oracle_parts() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        # SemDeDup twin: same literal centroids, l2 distances (order-equal to
+        # the engine's l2sq), farthest-from-centroid-wins keep rule
+        "q14b_semdedup": f"""
+            WITH cents(cid, c) AS (VALUES
+              (0, {SEM_CENTS_SQL[0]}), (1, {SEM_CENTS_SQL[1]}),
+              (2, {SEM_CENTS_SQL[2]}), (3, {SEM_CENTS_SQL[3]})),
+            assign AS (
+              SELECT vec_id, cid AS cluster_id, d AS cdist FROM (
+                SELECT e.vec_id, t.cid,
+                       list_distance(e.embedding::DOUBLE[], t.c) AS d,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.embedding::DOUBLE[], t.c), t.cid
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cents t
+              ) WHERE rn = 1
+            ),
+            rm AS (
+              SELECT DISTINCT x.vec_id
+              FROM assign x
+              JOIN assign y ON x.cluster_id = y.cluster_id AND x.vec_id <> y.vec_id
+              JOIN embeddings ex ON ex.vec_id = x.vec_id
+              JOIN embeddings ey ON ey.vec_id = y.vec_id
+              WHERE list_cosine_similarity(ex.embedding::DOUBLE[], ey.embedding::DOUBLE[]) >= 0.4
+                AND (y.cdist > x.cdist OR (y.cdist = x.cdist AND y.vec_id < x.vec_id))
+            )
+            SELECT a.vec_id AS id_a, a.cluster_id::BIGINT AS cluster_id,
+                   (rm.vec_id IS NULL) AS keep
+            FROM assign a LEFT JOIN rm ON a.vec_id = rm.vec_id
         """,
         "q15_ann_index_topk": f"SELECT vec_id, {dist}::FLOAT AS score FROM embeddings ORDER BY score, vec_id LIMIT 10",
         "q16_ann_index_knn_join": knn_flat.format(
@@ -2564,7 +2632,16 @@ def oracle_sql() -> dict[str, str]:
         "q07_minhash_lsh": P["q11_minhash_lsh"],
         "q08_simhash": P["q12_simhash"],
         "q09_ngram_jaccard": P["q13_ngram_jaccard"],
-        "q10_embedding_neardup": P["q14_embedding_neardup"],
+        "q10_embedding_neardup": union(
+            (
+                "SELECT 'pairs' AS tag, id_a, id_b, cos_sim, -1::BIGINT AS cluster_id, "
+                f"true AS keep FROM ({P['q14_embedding_neardup']})"
+            ),
+            (
+                "SELECT 'semdedup' AS tag, id_a, -1::BIGINT AS id_b, -2.0::FLOAT AS cos_sim, "
+                f"cluster_id, keep FROM ({P['q14b_semdedup']})"
+            ),
+        ),
         "q11_ann_index_topk": union(
             tag("tag", "l2", P["q15_ann_index_topk"], "vec_id, score"),
             tag("tag", "cos", P["q59_ann_index_cosine"], "vec_id, score"),

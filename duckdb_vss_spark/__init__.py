@@ -28,6 +28,7 @@ from .operators.dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    semdedup,
     simhash_pairs,
 )
 from .operators.skew import salted_agg, salted_join  # noqa: F401

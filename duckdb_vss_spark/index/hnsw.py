@@ -318,6 +318,7 @@ class GraphIndex(IVFIndex):
     payload-agnostic); build and search are graph-native."""
 
     is_graph = True
+    _PART_COL = "part_id"
 
     def __init__(self, path: str, spark: Optional[SparkSession] = None):
         self.path = path
@@ -331,6 +332,8 @@ class GraphIndex(IVFIndex):
         self.pq_books = None
         self._tail_exists: Optional[bool] = None
         self._deleted_exists: Optional[bool] = None
+        self._data_df = None
+        self._list_ids_on_disk: Optional[set] = None
 
     @property
     def nparts(self) -> int:
@@ -385,7 +388,7 @@ class GraphIndex(IVFIndex):
                 {"id": pdf["id"].iloc[idx].to_numpy(), "vec": pdf["vec"].iloc[idx].to_numpy()}
             )
 
-        data = spark.read.parquet(self.data_path()).filter(F.col("part_id").isin(parts))
+        data = self.data_df(spark, parts)
         # kernel selects candidates; the authoritative score is the JVM
         # double-precision expression (same discipline as the IVF paths)
         local = (
@@ -472,7 +475,7 @@ class GraphIndex(IVFIndex):
                 }
             )
 
-        data = spark.read.parquet(self.data_path()).filter(F.col("part_id").isin(parts))
+        data = self.data_df(spark, parts)
         return data.groupBy("part_id").applyInPandas(
             shard_join, schema=f"qid {qid_t}, id {id_t}, vec array<float>"
         )

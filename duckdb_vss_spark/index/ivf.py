@@ -327,6 +327,13 @@ class IVFIndex:
         # as the catalog's handle cache)
         self._tail_exists: Optional[bool] = None
         self._deleted_exists: Optional[bool] = None
+        # data-relation caches: Spark's InMemoryFileIndex re-lists every
+        # partition directory on each spark.read.parquet(root) — at
+        # nlist=4096 that is thousands of LIST calls (a distributed listing
+        # job, even) per query. One handle-lifetime listing + a cached
+        # relation removes that fixed cost from the steady-state search path.
+        self._data_df = None
+        self._list_ids_on_disk: Optional[set] = None
 
     # -- properties -------------------------------------------------------
     @property
@@ -343,6 +350,52 @@ class IVFIndex:
 
     def data_path(self) -> str:
         return fs.join(self.vpath, "data")
+
+    # fraction of partition dirs below which a probe reads explicit
+    # subdirectories instead of filtering the full partitioned relation:
+    # listing cost then scales with nprobe, not nlist (the object-store-
+    # friendly shape)
+    _SUBDIR_READ_FRACTION = 0.25
+    _PART_COL = "list_id"  # GraphIndex overrides with "part_id"
+
+    def _existing_list_ids(self) -> set:
+        if self._list_ids_on_disk is None:
+            prefix = self._PART_COL + "="
+            names = fs.listdir(self.spark, self.data_path())
+            self._list_ids_on_disk = {
+                int(n.split("=", 1)[1]) for n in names if n.startswith(prefix)
+            }
+        return self._list_ids_on_disk
+
+    def data_df(self, spark: SparkSession, lists: Optional[list[int]] = None) -> DataFrame:
+        """The base data relation, restricted to partitions ``lists`` when
+        given.
+
+        Small probe sets (< ``_SUBDIR_READ_FRACTION`` of the on-disk
+        partition dirs) load the probed ``list_id=N`` directories as
+        explicit paths — file listing touches only nprobe prefixes, O(nprobe)
+        control-plane calls at any nlist. Larger probe sets filter one
+        cached full relation, so the all-partitions listing happens once per
+        handle, not once per query (Spark's InMemoryFileIndex otherwise
+        re-lists every partition dir per ``spark.read.parquet``, a
+        per-query distributed listing job at nlist>32). K-means-empty lists
+        have no directory and are skipped; the partition column is
+        recovered via ``basePath``.
+        """
+        if lists is not None:
+            on_disk = self._existing_list_ids()
+            sel = sorted({int(l) for l in lists} & on_disk)
+            if len(sel) < self._SUBDIR_READ_FRACTION * max(len(on_disk), 1):
+                if not sel:
+                    return self.data_df(spark).filter(F.lit(False))
+                paths = [fs.join(self.data_path(), f"{self._PART_COL}={l}") for l in sel]
+                return spark.read.option("basePath", self.data_path()).parquet(*paths)
+        if self._data_df is None:
+            self._data_df = spark.read.parquet(self.data_path())
+        out = self._data_df
+        if lists is not None:
+            out = out.filter(F.col(self._PART_COL).isin([int(l) for l in lists]))
+        return out
 
     def _tail_path(self) -> str:
         return fs.join(self.vpath, "tail")
@@ -416,8 +469,7 @@ class IVFIndex:
         if len(query) != self.dim:
             raise ValueError(f"query dimension {len(query)} != index dimension {self.dim}")
         lists = self.probe_lists(query, self.nprobe_for(ef_search))
-        data = spark.read.parquet(self.data_path())
-        cand = data.filter(F.col("list_id").isin(lists)).select("id", "vec")
+        cand = self.data_df(spark, lists).select("id", "vec")
         tail = self.tail_df(spark)
         if tail is not None:
             cand = cand.unionByName(tail)
@@ -454,7 +506,7 @@ class IVFIndex:
         metric = self.metric
         desc = METRIC_IS_DESCENDING[metric]
         lists = self.probe_lists(query, self.nprobe_for(ef_search))
-        data = spark.read.parquet(self.data_path()).filter(F.col("list_id").isin(lists))
+        data = self.data_df(spark, lists)
         lut = pqmod.adc_lut(np.asarray(query, dtype=np.float64), self.pq_books, metric)
         bc_lut = spark.sparkContext.broadcast(lut)
         qnorm = float(np.linalg.norm(np.asarray(query, dtype=np.float64)))

@@ -33,6 +33,7 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
+    "semdedup",
     "winnow_fingerprint_rows",
     "duplicated_spans",
     "duplicated_span_profile",
@@ -596,6 +597,90 @@ def embedding_neardup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", array_cosine_similarity("v_a", "v_b").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[tuple] | None = None,
+    k: int | None = None,
+    eps: float = 0.95,
+    metric: str = "l2sq",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering followed by within-cluster cosine
+    pruning. Output: ``(id, cluster_id BIGINT, keep BOOLEAN)`` — one row
+    per input row with a non-null vector.
+
+    Deterministic, order-free variant of the paper's greedy rule: a row
+    ``x`` is removed iff some same-cluster row ``y`` has
+    ``cos(x, y) >= eps`` and ``y`` outranks ``x`` under the paper's
+    best-performing keep policy — **farthest from the cluster centroid
+    wins** (ties by smaller id). Unlike the greedy sequential sweep this
+    needs no global ordering pass and gives the same answer on any
+    partitioning.
+
+    ``centroids`` is a driver-side ``[(cid, vector), ...]`` list (e.g.
+    from :func:`~duckdb_vss_spark.operators.vector.kmeans_fit`); pass
+    ``k`` instead to fit deterministically in here. Cluster assignment
+    uses ``metric`` (default l2sq); the duplicate check itself is always
+    cosine, per the paper.
+
+    Scale shape: assignment is a single codegen projection (no shuffle,
+    no join); the within-cluster pair check is a *left-semi* equi-join on
+    ``cluster_id`` with the cosine + rank predicate as a residual filter
+    — never a cartesian, never a materialized pair list, no global
+    distinct. The quadratic work is confined to individual clusters,
+    which is exactly the knob the paper turns: at 100 TB pick ``k``
+    proportional to corpus size so expected cluster size stays bounded
+    (the paper uses ~50k docs/cluster at 233M docs). Unlike
+    :func:`embedding_neardup_pairs` (exact epsilon-join), cross-cluster
+    near-dups are *intentionally* not considered — that is SemDeDup's
+    published approximation, not a shortcut.
+    """
+    from .vector import kmeans_fit, nearest_centroid
+
+    if centroids is None:
+        if k is None:
+            raise ValueError("pass either centroids or k")
+        centroids = kmeans_fit(df, vec_col, k, id_col=id_col)
+    src = _fan_out(df).select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    a = nearest_centroid(
+        src, vec_col, centroids, metric=metric, out_col="cluster_id", score_col="__cdist"
+    )
+    x = a.select(
+        F.col(id_col).alias("__xid"),
+        F.col(vec_col).alias("__xv"),
+        F.col("cluster_id").alias("__xc"),
+        F.col("__cdist").alias("__xd"),
+    )
+    y = a.select(
+        F.col(id_col).alias("__yid"),
+        F.col(vec_col).alias("__yv"),
+        F.col("cluster_id").alias("__yc"),
+        F.col("__cdist").alias("__yd"),
+    )
+    outranked = (F.col("__yd") > F.col("__xd")) | (
+        (F.col("__yd") == F.col("__xd")) & (F.col("__yid") < F.col("__xid"))
+    )
+    removed = (
+        x.join(
+            y,
+            (F.col("__xc") == F.col("__yc"))
+            & (F.col("__xid") != F.col("__yid"))
+            & (array_cosine_similarity("__xv", "__yv") >= eps)
+            & outranked,
+            "leftsemi",
+        )
+        .select(F.col("__xid").alias(id_col))
+        .withColumn("__rm", F.lit(True))
+    )
+    return (
+        a.select(id_col, F.col("cluster_id").cast("long").alias("cluster_id"))
+        .join(removed, id_col, "left")
+        .select(id_col, "cluster_id", F.col("__rm").isNull().alias("keep"))
     )
 
 

@@ -101,9 +101,20 @@ def test_ivf_candidate_scan_prunes_partitions(spark, tmp_path):
     eng.create_index("prune_idx", "emb_prune", "embedding", "vec_id")
     idx = eng.catalog.get("prune_idx")
     cand = idx.candidates(spark, [0.1] * 64, ef_search=16)
-    plan = _physical(cand)
-    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
-    assert "list_id" in pf and " IN " in pf
+    # pruning now happens at path-selection time for small probe sets (the
+    # scan is built from the probed list_id= dirs only) and via Catalyst
+    # PartitionFilters for large ones — assert the property itself: the
+    # scan's input files live ONLY under probed list dirs, and not all dirs
+    import re
+
+    got = {int(re.search(r"list_id=(\d+)", f).group(1)) for f in cand.inputFiles()}
+    probed = set(idx.probe_lists([0.1] * 64, idx.nprobe_for(16)))
+    assert got and got <= probed
+    assert len(got) < len(idx._existing_list_ids())
+    # the large-probe path must still prune via Catalyst partition filters
+    big = idx.data_df(spark, idx.probe_lists([0.1] * 64, idx.nlist - 1))
+    pf = _physical(big).split("PartitionFilters:")[1].splitlines()[0]
+    assert "list_id" in pf
 
 
 def test_aggregate_is_partial_then_final(spark):

@@ -316,3 +316,94 @@ def test_line_dedup_text_never_shuffles(spark):
 
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "text" not in m.group(0), m.group(0)
+
+
+# ---------------------------------------------------------------- semdedup
+
+
+def _semdedup_expected(ids, mat, cents, eps):
+    """Brute-force twin of the semdedup keep rule (farthest-from-centroid
+    wins, ties to smaller id)."""
+    import numpy as np
+
+    d2 = (mat * mat).sum(1)[:, None] + (cents * cents).sum(1)[None, :] - 2.0 * (mat @ cents.T)
+    cl = d2.argmin(1)
+    cd = d2[np.arange(len(cl)), cl]
+    nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = nrm @ nrm.T
+    keep = {}
+    for i, xid in enumerate(ids):
+        removed = False
+        for j, yid in enumerate(ids):
+            if i == j or cl[i] != cl[j] or cos[i, j] < eps:
+                continue
+            if cd[j] > cd[i] or (cd[j] == cd[i] and yid < xid):
+                removed = True
+                break
+        keep[xid] = (int(cl[i]), not removed)
+    return keep
+
+
+def test_semdedup_matches_bruteforce(spark):
+    import numpy as np
+
+    from duckdb_vss_spark import semdedup
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts, ids = [], []
+    for ci, c in enumerate(centers):
+        for j in range(12):
+            p = c + 0.05 * rng.normal(size=16)
+            pts.append(p / np.linalg.norm(p))
+            ids.append(ci * 100 + j)
+    mat = np.vstack(pts)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in p]) for i, p in zip(ids, pts)],
+        "vec_id bigint, v array<float>",
+    )
+    cents = [(k, [float(x) for x in centers[k]]) for k in range(4)]
+    # float32 storage: mirror the engine's input precision in the twin
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semdedup(df, "v", "vec_id", centroids=cents, eps=0.97).collect()
+    }
+    exp = _semdedup_expected(ids, mat.astype(np.float32).astype(np.float64), centers, 0.97)
+    assert got == exp
+    # tight clusters + high eps: some rows must actually be removed
+    assert any(not k for _, k in got.values())
+    assert any(k for _, k in got.values())
+
+
+def test_semdedup_fitted_k_is_partitioning_invariant(spark):
+    import numpy as np
+
+    from duckdb_vss_spark import semdedup
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), [float(x) for x in v])
+        for i, v in enumerate(rng.normal(size=(60, 8)))
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<float>")
+    a = sorted(semdedup(df.repartition(7), "v", "vec_id", k=5, eps=0.2).collect())
+    b = sorted(semdedup(df.coalesce(1), "v", "vec_id", k=5, eps=0.2).collect())
+    assert a == b
+
+
+def test_semdedup_plan_no_cartesian(spark):
+    import numpy as np
+
+    from duckdb_vss_spark import semdedup
+
+    rng = np.random.default_rng(5)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(rng.normal(size=(20, 8)))]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<float>")
+    cents = [(0, [0.0] * 8), (1, [1.0] * 8)]
+    plan = (
+        semdedup(df, "v", "vec_id", centroids=cents, eps=0.9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
