@@ -1693,7 +1693,24 @@ def _m_data_mixing(spark, sf_dir):
     temp = temperature_sample(_docs(spark, sf_dir), "lang", "doc_id", alpha=0.5).select(
         F.lit("temp").alias("mode"), F.col("lang").alias("k"), F.col("doc_id").cast("long").alias("v")
     )
-    return _union_tagged([split, frac, rates, temp])
+    # DSIR (Xie et al. 2023): target = every 7th doc, k=50 Gumbel-top-k.
+    # 'dsir' rows pin the selected ids (exercises the full weight ordering);
+    # 'dsirn' rows pin per-doc hashed-feature counts (integer-deterministic)
+    from duckdb_vss_spark import dsir_resample
+
+    docs = _docs(spark, sf_dir)
+    ds = dsir_resample(docs, "text", "doc_id", docs.filter("doc_id % 7 = 0"), k=50)
+    dsel = ds.filter("keep").select(
+        F.lit("dsir").alias("mode"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("doc_id").cast("long").alias("v"),
+    )
+    dn = ds.select(
+        F.lit("dsirn").alias("mode"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_feats").cast("long").alias("v"),
+    )
+    return _union_tagged([split, frac, rates, temp, dsel, dn])
 
 
 def _m_vector_centroids(spark, sf_dir):
@@ -2740,6 +2757,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 'dict' AS mode, lang AS k, doc_id::BIGINT AS v FROM ({P['q69_stratified_dict']})",
             f"SELECT 'temp' AS mode, lang AS k, doc_id::BIGINT AS v FROM "
             f"({O.sql_temperature_sample('documents', 'lang', 'doc_id', alpha=0.5)})",
+            f"SELECT 'dsir' AS mode, doc_id::VARCHAR AS k, doc_id::BIGINT AS v FROM "
+            f"({O.sql_dsir('documents', 'text', 'doc_id', 'doc_id % 7 = 0', 50)}) WHERE keep",
+            f"SELECT 'dsirn' AS mode, doc_id::VARCHAR AS k, n_feats::BIGINT AS v FROM "
+            f"({O.sql_dsir('documents', 'text', 'doc_id', 'doc_id % 7 = 0', 50)})",
         ),
         "q33_pack_chunk": union(
             tag(

@@ -34,6 +34,8 @@ from .operators.dedup import (  # noqa: F401
 from .operators.skew import salted_agg, salted_join  # noqa: F401
 from .operators.sampling import (  # noqa: F401
     chunk_documents,
+    dsir_resample,
+    dsir_weights,
     hash_split,
     pack_sequences,
     stratified_sample,

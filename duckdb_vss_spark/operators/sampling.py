@@ -42,7 +42,10 @@ __all__ = [
     "temperature_sample",
     "pack_sequences",
     "chunk_documents",
+    "dsir_weights",
+    "dsir_resample",
     "SPLIT_MOD",
+    "DSIR_BUCKETS",
 ]
 
 SPLIT_MOD = 1_000_000  # bucket space for split thresholds (ppm resolution)
@@ -270,4 +273,130 @@ def chunk_documents(
             F.size("c.ctoks").cast("long").alias("n_tokens"),
             F.array_join("c.ctoks", " ").alias("chunk_text"),
         )
+    )
+
+
+DSIR_BUCKETS = 10_000  # paper default hashed-feature dimension (Xie et al. §3)
+
+
+def _hashed_features(text_col: str, buckets: int) -> Column:
+    """Hashed unigram+bigram bag features (DSIR's representation): tokens
+    then word bigrams, each hashed into ``buckets`` with the engine-shared
+    md5-derived :func:`~duckdb_vss_spark.functions.text.hash64` (always
+    positive, so ``%`` agrees across engines). Concatenation order
+    (unigrams first) is part of the determinism contract — per-doc sums
+    fold in this position order."""
+    toks = T.tokens(text_col)
+    bis = T.word_ngrams_all(text_col, 2)
+    return F.transform(F.concat(toks, bis), lambda g: T.hash64(g) % buckets)
+
+
+def _bucket_counts(src: DataFrame, text_col: str, buckets: int) -> DataFrame:
+    return (
+        src.select(F.explode(_hashed_features(text_col, buckets)).alias("__b"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_df: DataFrame,
+    target_text_col: str | None = None,
+    buckets: int = DSIR_BUCKETS,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    each raw document by how target-like it is under two bag-of-hashed-ngram
+    unigram models. ``log_w(x) = sum_f c_f(x) * (ln p_target[f] -
+    ln p_raw[f])`` with add-``smoothing`` bucket models fit on
+    ``target_df`` and on ``df`` itself. Output: ``(id_col, n_feats,
+    log_w)`` — one row per doc with at least one token (mirrors
+    :func:`~.quality.ngram_lm_score`'s convention).
+
+    Determinism: features hash through the engine-shared ``hash64``; the
+    per-doc sum folds IN FEATURE-POSITION ORDER via an ``aggregate`` HOF
+    over a position-sorted array (a plain ``sum()`` would add doubles in
+    shuffle arrival order).
+
+    Scale shape: two bucket-count aggregations (map-side combinable,
+    output bounded by ``buckets`` rows), the per-bucket log-ratio table
+    is broadcast-joined against the exploded feature stream, then one
+    per-doc aggregation — the corpus text never shuffles, only (id, pos,
+    bucket) tuples do."""
+    from .dedup import _fan_out, _shared
+
+    if buckets < 1:
+        raise ValueError("buckets must be positive")
+    s, B = float(smoothing), buckets
+    tcol = target_text_col or text_col
+    tgt = _shared(_bucket_counts(target_df, tcol, buckets))
+    raw = _shared(_bucket_counts(df, text_col, buckets))
+    nt = int(tgt.agg(F.sum("__c")).collect()[0][0] or 0)
+    nr = int(raw.agg(F.sum("__c")).collect()[0][0] or 0)
+    dt, dr = float(nt + s * B), float(nr + s * B)
+    ratio = (
+        tgt.withColumnRenamed("__c", "__ct")
+        .join(raw.withColumnRenamed("__c", "__cr"), "__b", "full")
+        .select(
+            "__b",
+            (
+                F.log((F.coalesce("__ct", F.lit(0)).cast("double") + s) / F.lit(dt))
+                - F.log((F.coalesce("__cr", F.lit(0)).cast("double") + s) / F.lit(dr))
+            ).alias("__lr"),
+        )
+    )
+    fallback = math.log(s / dt) - math.log(s / dr)
+    g = _fan_out(df).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_hashed_features(text_col, buckets)).alias("__pos", "__b"),
+    )
+    sc = g.join(F.broadcast(ratio), "__b", "left").select(
+        "__id", "__pos", F.coalesce("__lr", F.lit(fallback)).alias("__lr")
+    )
+    per_doc = sc.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("__lr")))).alias("__arr"),
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_feats",
+        F.aggregate(F.col("__arr"), F.lit(0.0), lambda a, e: a + e["__lr"]).alias("log_w"),
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_df: DataFrame,
+    k: int,
+    target_text_col: str | None = None,
+    buckets: int = DSIR_BUCKETS,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR Gumbel-top-k resampling (the paper's §3 selection step, made
+    deterministic): select the ``k`` docs maximizing ``log_w + g`` where
+    the Gumbel noise ``g = -ln(-ln(u))`` draws ``u`` from the doc id's own
+    hash (``(hash64('dsir'||id) % 2^20 + 0.5) / 2^20``) instead of an RNG
+    — reproducible on any cluster size, no seed state. Output:
+    ``(id_col, n_feats, log_w, key, keep)`` for every scored doc.
+
+    Scale shape: the selection is ``ORDER BY key LIMIT k`` —
+    ``TakeOrderedAndProject``, a per-partition partial top-k — and the
+    keep flag comes from broadcasting those k ids back. No global sort,
+    no single-partition window."""
+    M = 1 << 20
+    w = dsir_weights(df, text_col, id_col, target_df, target_text_col, buckets, smoothing)
+    u = ((_hash_of(id_col, "dsir") % M).cast("double") + 0.5) / float(M)
+    keyed = w.withColumn("key", F.col("log_w") - F.log(-F.log(u)))
+    sel = (
+        keyed.orderBy(F.col("key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col), F.lit(True).alias("__keep"))
+    )
+    return keyed.join(F.broadcast(sel), id_col, "left").select(
+        id_col, "n_feats", "log_w", "key", F.coalesce("__keep", F.lit(False)).alias("keep")
     )

@@ -394,3 +394,62 @@ def sql_chunk_documents(table: str, text_col: str, id_col: str, chunk_tokens: in
                array_to_string(toks[chunk_id*{stride}+1 : chunk_id*{stride}+{chunk_tokens}], ' ') AS chunk_text
         FROM c
     """
+
+
+def sql_dsir(
+    table: str,
+    text_col: str,
+    id_col: str,
+    target_where: str,
+    k: int,
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> str:
+    """Twin of operators.sampling.dsir_resample with ``target_df = <table>
+    WHERE target_where``: hashed unigram+bigram bucket features, two
+    add-smoothed bucket models, per-doc log-ratio sums folded in feature
+    position order (list(... ORDER BY pos) -> list_sum), deterministic
+    hash-Gumbel top-k selection."""
+    s, B, M = float(smoothing), buckets, 1 << 20
+    feats = f"list_concat({sql_tokens(text_col)}, {sql_word_ngrams_all(text_col, 2)})"
+    bucket = sql_hash64("gram") + f" % {B}"
+    return f"""
+        WITH f AS MATERIALIZED (
+          SELECT {id_col} AS id, pos, {bucket} AS b FROM (
+            SELECT {id_col},
+                   unnest(range(0, len({feats}))) AS pos,
+                   unnest({feats}) AS gram
+            FROM {table}
+          )
+        ),
+        tgt AS MATERIALIZED (
+          SELECT b, count(*) AS ct FROM f
+          WHERE id IN (SELECT {id_col} FROM {table} WHERE {target_where})
+          GROUP BY b
+        ),
+        raw AS MATERIALIZED (SELECT b, count(*) AS cr FROM f GROUP BY b),
+        tot AS (
+          SELECT (SELECT coalesce(sum(ct), 0) FROM tgt) AS nt,
+                 (SELECT coalesce(sum(cr), 0) FROM raw) AS nr
+        ),
+        ratio AS MATERIALIZED (
+          SELECT raw.b,
+                 ln((coalesce(tgt.ct, 0)::DOUBLE + {s}) / (tot.nt::DOUBLE + {s * B}))
+                 - ln((raw.cr::DOUBLE + {s}) / (tot.nr::DOUBLE + {s * B})) AS lr
+          FROM raw LEFT JOIN tgt USING (b), tot
+        ),
+        per_doc AS MATERIALIZED (
+          SELECT f.id, count(*) AS n_feats,
+                 list_sum(list(ratio.lr ORDER BY f.pos)) AS log_w
+          FROM f JOIN ratio ON f.b = ratio.b
+          GROUP BY f.id
+        ),
+        keyed AS MATERIALIZED (
+          SELECT id, n_feats, log_w,
+                 log_w - ln(-ln((({sql_id_hash('id', 'dsir')} % {M})::DOUBLE + 0.5) / {float(M)})) AS key
+          FROM per_doc
+        )
+        SELECT id AS {id_col}, n_feats, log_w, key,
+               (id IN (SELECT id FROM keyed ORDER BY key DESC, id LIMIT {k})) AS keep
+        FROM keyed
+    """

@@ -330,3 +330,64 @@ def test_temperature_sample_matches_duckdb(spark, ddb):
             map(tuple, ddb.execute(sql_temperature_sample("documents", "lang", "doc_id", alpha=alpha)).fetchall())
         )
         assert got == want, f"alpha={alpha}"
+
+
+# -- DSIR importance resampling -------------------------------------------
+
+
+def test_dsir_matches_oracle(docs, ddb):
+    from duckdb_vss_spark import dsir_resample
+    from duckdb_vss_spark.oracle import sql_dsir
+
+    tgt = docs.filter("doc_id % 7 = 0")
+    out = dsir_resample(docs, "text", "doc_id", tgt, k=50)
+    ours = {
+        r["doc_id"]: (r["n_feats"], round(r["log_w"], 6), round(r["key"], 6), r["keep"])
+        for r in out.collect()
+    }
+    theirs = {
+        r[0]: (r[1], round(r[2], 6), round(r[3], 6), r[4])
+        for r in ddb.execute(
+            sql_dsir("documents", "text", "doc_id", "doc_id % 7 = 0", 50)
+        ).fetchall()
+    }
+    assert ours == theirs
+    assert sum(1 for v in ours.values() if v[3]) == 50
+
+
+def test_dsir_target_docs_score_higher(docs, spark):
+    """Docs in (or like) the target slice must receive higher weights on
+    average than the rest — the operator's entire point."""
+    from duckdb_vss_spark import dsir_weights
+
+    tgt = docs.filter("doc_id % 7 = 0")
+    w = dsir_weights(docs, "text", "doc_id", tgt)
+    rows = w.withColumn("is_tgt", (F.col("doc_id") % 7 == 0).cast("int")).groupBy(
+        "is_tgt"
+    ).agg(F.avg(F.col("log_w") / F.col("n_feats")).alias("m")).collect()
+    m = {r["is_tgt"]: r["m"] for r in rows}
+    assert m[1] > m[0]
+
+
+def test_dsir_partitioning_invariant(docs, spark):
+    from duckdb_vss_spark import dsir_resample
+
+    tgt = docs.filter("doc_id % 7 = 0")
+    a = sorted(
+        (r["doc_id"], r["keep"])
+        for r in dsir_resample(docs.repartition(13), "text", "doc_id", tgt, k=20).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["keep"])
+        for r in dsir_resample(docs.coalesce(1), "text", "doc_id", tgt, k=20).collect()
+    )
+    assert a == b
+
+
+def test_dsir_k_exceeds_corpus(docs, spark):
+    from duckdb_vss_spark import dsir_resample
+
+    tgt = docs.filter("doc_id % 7 = 0")
+    out = dsir_resample(docs.limit(10), "text", "doc_id", tgt, k=999)
+    rows = out.collect()
+    assert len(rows) == 10 and all(r["keep"] for r in rows)
