@@ -1359,7 +1359,9 @@ def _m_doc_stats(spark, sf_dir):
     twice and keep-first semantics are exercised for real). LM doubles are
     exposed at float32 so the JVM-vs-libm 1-ulp ln/exp drift cannot flap
     the driver's value hash; the cleaned/deduped texts are exposed as
-    hash64 so full byte equality is pinned in one BIGINT."""
+    hash64 so full byte equality is pinned in one BIGINT. The fastText-
+    shape hashed linear classifier score (deterministic pseudo-weights,
+    float32-exposed) rides along as clf_score."""
     from duckdb_vss_spark.functions.text import hash64
     from duckdb_vss_spark.operators.dedup import duplicated_span_profile, line_dedup
     from duckdb_vss_spark.operators.quality import clean_lines, ngram_lm_score, pii_stats, redact_pii
@@ -1400,6 +1402,11 @@ def _m_doc_stats(spark, sf_dir):
         F.col("avg_logprob").cast("float").alias("avg_logprob"),
         F.col("ppl").cast("float").alias("ppl"),
     )
+    from duckdb_vss_spark.operators.quality import classifier_score
+
+    clf = classifier_score(docs.select("doc_id", "text"), "text").select(
+        "doc_id", F.col("clf_score").cast("float").alias("clf_score")
+    )
     return (
         _q_text_stats(spark, sf_dir)
         .join(_q_repetition_stats(spark, sf_dir), "doc_id")
@@ -1409,6 +1416,7 @@ def _m_doc_stats(spark, sf_dir):
         .join(lm, "doc_id")
         .join(cl, "doc_id")
         .join(ld, "doc_id")
+        .join(clf, "doc_id")
     )
 
 
@@ -2572,8 +2580,10 @@ def _doc_stats_oracle_sql(O, P) -> str:
         f"       s.n_windows, s.n_dup_windows, s.dup_window_frac,\n"
         f"       l.n_grams, l.avg_logprob, l.ppl,\n"
         f"       c.cl_n_lines, c.cl_n_kept, c.clean_hash,\n"
-        f"       d.ld_n_lines, d.ld_n_removed, d.linededup_hash\n"
-        f"FROM ({P['q09_text_stats']}) a\n"
+        f"       d.ld_n_lines, d.ld_n_removed, d.linededup_hash,\n"
+        f"       {O.sql_classifier_score('a0.text')}::FLOAT AS clf_score\n"
+        f"FROM (SELECT doc_id AS doc_id0, text FROM documents) a0\n"
+        f"JOIN ({P['q09_text_stats']}) a ON a.doc_id = a0.doc_id0\n"
         f"JOIN ({P['q48_repetition_stats']}) b USING (doc_id)\n"
         f"JOIN ({pii_sql}) p USING (doc_id)\n"
         f"JOIN ({span_sql}) s USING (doc_id)\n"

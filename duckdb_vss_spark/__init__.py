@@ -45,6 +45,7 @@ from .operators.sampling import (  # noqa: F401
 from .operators.profile import corpus_stats  # noqa: F401
 from .operators.ranking import bm25_rank, tfidf_top_terms  # noqa: F401
 from .operators.quality import (  # noqa: F401
+    classifier_score,
     clean_lines,
     decontaminate,
     ngram_lm_score,

@@ -29,6 +29,8 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -42,6 +44,7 @@ __all__ = [
     "PII_PATTERNS",
     "ngram_lm_score",
     "clean_lines",
+    "classifier_score",
     "TERMINAL_PUNCT",
     "LINE_BLOCKLIST",
 ]
@@ -393,4 +396,80 @@ def ngram_lm_score(
         "n_oov",
         avg.alias("avg_logprob"),
         F.exp(-avg).alias("ppl"),
+    )
+
+
+CLF_BUCKETS = 1 << 18  # fastText's default hashing-trick bucket space
+
+
+def _hash_weight(b: Column) -> Column:
+    """Deterministic pseudo-weight in [-1, 1] for bucket ``b`` — the
+    documented stand-in for trained classifier weights (the container has
+    no trained fastText model; the multimodal codec stub sets the
+    precedent). Shared bit-for-bit with the duckdb twin via hash64."""
+    return ((T.hash64(b.cast("string"), seed="w:") % 2001) - 1000).cast("double") / 1000.0
+
+
+def classifier_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str | None = None,
+    weights_df: DataFrame | None = None,
+    buckets: int = CLF_BUCKETS,
+    bias: float = 0.0,
+    out_col: str = "clf_score",
+) -> DataFrame:
+    """FastText-shape linear quality classifier (Joulin et al. 2016,
+    arXiv:1607.01759 — the architecture behind the GPT-3/LLaMA-pipeline
+    quality filters): hashed unigram+bigram bag features mean-pooled into
+    a logit, ``score = sigmoid(bias + mean_f w[f])``. Docs with no tokens
+    score ``sigmoid(bias)``.
+
+    ``weights_df`` is an optional trained model as ``(bucket, w)`` rows
+    (absent buckets weigh 0). Without it, deterministic hash-derived
+    pseudo-weights stand in — the Spark-side plumbing (feature hashing,
+    pooling, calibration) is real and tested; only the weights are fake,
+    and they are fake *identically* in the duckdb oracle.
+
+    Scale shape: the default path is a single map-only projection — the
+    feature array never explodes, nothing shuffles, whole rows stream
+    through codegen. The ``weights_df`` path broadcast-joins the (tiny)
+    model against exploded features and folds back in position order
+    (same determinism contract as :func:`ngram_lm_score`).
+    """
+    from .sampling import _hashed_features
+
+    feats = _hashed_features(text_col, buckets)
+    if weights_df is None:
+        n = F.size(feats)
+        s = F.aggregate(feats, F.lit(0.0), lambda a, b: a + _hash_weight(b))
+        logit = F.lit(bias) + F.when(n > 0, s / n.cast("double")).otherwise(F.lit(0.0))
+        return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)))
+    if id_col is None:
+        raise ValueError("weights_df scoring needs id_col to fold per document")
+    from .dedup import _fan_out
+
+    w = weights_df.select(F.col("bucket").alias("__b"), F.col("w").cast("double").alias("__w"))
+    g = _fan_out(df).select(
+        F.col(id_col).alias("__id"), F.posexplode(feats).alias("__pos", "__b")
+    )
+    sc = g.join(F.broadcast(w), "__b", "left").select(
+        "__id", "__pos", F.coalesce("__w", F.lit(0.0)).alias("__w")
+    )
+    per_doc = sc.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("__w")))).alias("__arr"),
+    )
+    logit = F.lit(bias) + F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda a, e: a + e["__w"]
+    ) / F.col("__n").cast("double")
+    scored = per_doc.select(
+        F.col("__id").alias(id_col),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias(out_col),
+    )
+    # docs with zero features never reach the explode: give them sigmoid(bias)
+    base = df.select(id_col).join(scored, id_col, "left")
+    empty_score = 1.0 / (1.0 + math.exp(-bias))
+    return base.select(
+        id_col, F.coalesce(out_col, F.lit(empty_score)).alias(out_col)
     )

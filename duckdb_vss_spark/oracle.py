@@ -453,3 +453,21 @@ def sql_dsir(
                (id IN (SELECT id FROM keyed ORDER BY key DESC, id LIMIT {k})) AS keep
         FROM keyed
     """
+
+
+def sql_classifier_score(text_col: str, buckets: int = 1 << 18, bias: float = 0.0) -> str:
+    """Twin of operators.quality.classifier_score (default hash-weight
+    path): hashed unigram+bigram buckets, mean-pooled pseudo-weights,
+    sigmoid. list_transform preserves order and list_sum folds the
+    resulting DOUBLE list in that order, matching Spark's aggregate HOF."""
+    feats = (
+        f"list_transform(list_concat({sql_tokens(text_col)}, "
+        f"{sql_word_ngrams_all(text_col, 2)}), g -> {sql_hash64('g')} % {buckets})"
+    )
+    wsum = (
+        f"list_sum(list_transform({feats}, "
+        f"f -> (({sql_hash64(chr(39) + 'w:' + chr(39) + ' || f::VARCHAR')} % 2001) - 1000)::DOUBLE / 1000.0))"
+    )
+    n = f"len({feats})"
+    logit = f"({bias} + CASE WHEN {n} > 0 THEN coalesce({wsum}, 0.0) / {n}::DOUBLE ELSE 0.0 END)"
+    return f"(1.0 / (1.0 + exp(-({logit}))))"

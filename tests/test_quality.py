@@ -338,3 +338,51 @@ def test_clean_lines_plan_map_only(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _physical(clean_lines(df, "text").select("doc_id", "n_kept_lines"))
     assert "Exchange" not in plan and "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+# -- classifier_score ------------------------------------------------------
+
+
+def test_classifier_score_matches_oracle(spark, ddb):
+    from duckdb_vss_spark import classifier_score
+    from duckdb_vss_spark.oracle import sql_classifier_score
+
+    pdocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ours = {
+        r["doc_id"]: round(r["clf_score"], 9)
+        for r in classifier_score(pdocs, "text").select("doc_id", "clf_score").collect()
+    }
+    theirs = {
+        r[0]: round(r[1], 9)
+        for r in ddb.execute(
+            f"SELECT doc_id, {sql_classifier_score('text')} FROM documents"
+        ).fetchall()
+    }
+    assert ours == theirs
+    assert all(0.0 < v < 1.0 for v in ours.values())
+
+
+def test_classifier_score_external_weights(spark):
+    """Zero-weight model must yield sigmoid(bias) for every doc, including
+    one whose features all miss the table."""
+    import math
+
+    from duckdb_vss_spark import classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")], "doc_id long, text string"
+    )
+    w = spark.createDataFrame([(12345, 0.0)], "bucket long, w double")
+    rows = classifier_score(df, "text", id_col="doc_id", weights_df=w, bias=0.5).collect()
+    assert len(rows) == 2
+    assert all(abs(r["clf_score"] - 1 / (1 + math.exp(-0.5))) < 1e-12 for r in rows)
+
+
+def test_classifier_score_is_map_only(docs):
+    from duckdb_vss_spark import classifier_score
+
+    plan = (
+        classifier_score(docs, "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
