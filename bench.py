@@ -106,6 +106,21 @@ def main() -> None:
     timings["repetition_stats"] = run(
         lambda: repetition_stats(docs, "text", "doc_id").count()
     )
+    from duckdb_vss_spark import classifier_score, dsir_resample, semdedup
+
+    timings["semdedup"] = run(
+        lambda: semdedup(
+            emb, "embedding", "vec_id", centroids=entrymod.SEM_CENTS, eps=0.4
+        ).count()
+    )
+    timings["dsir_select"] = run(
+        lambda: dsir_resample(
+            docs, "text", "doc_id", docs.filter("doc_id % 7 = 0"), k=500
+        ).count()
+    )
+    timings["classifier_score"] = run(
+        lambda: classifier_score(docs, "text").select("doc_id", "clf_score").count()
+    )
     bench_slice = docs.filter(F.col("doc_id") % 97 == 0)
     train_slice = docs.filter(F.col("doc_id") % 97 != 0)
     timings["decontaminate"] = run(

@@ -401,9 +401,47 @@ def test_semdedup_plan_no_cartesian(spark):
     rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(rng.normal(size=(20, 8)))]
     df = spark.createDataFrame(rows, "vec_id bigint, v array<float>")
     cents = [(0, [0.0] * 8), (1, [1.0] * 8)]
+    # relational variant: left-semi equi-join, never a cartesian
     plan = (
-        semdedup(df, "v", "vec_id", centroids=cents, eps=0.9)
+        semdedup(df, "v", "vec_id", centroids=cents, eps=0.9, method="join")
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+    # default kernel variant: one grouped Arrow kernel, still no cartesian
+    plan2 = (
+        semdedup(df, "v", "vec_id", centroids=cents, eps=0.9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan2
+    assert "FlatMapGroupsInPandas" in plan2
+
+
+def test_semdedup_kernel_equals_join_path(spark):
+    """The GEMM kernel with its JVM band recheck must return byte-identical
+    verdicts to the pure-relational plan — including at a threshold chosen
+    to sit ON a pair's cosine so the band logic actually fires."""
+    import numpy as np
+
+    from duckdb_vss_spark import semdedup
+
+    rng = np.random.default_rng(19)
+    centers = rng.normal(size=(3, 12))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts, ids = [], []
+    for ci, c in enumerate(centers):
+        for j in range(15):
+            p = c + 0.08 * rng.normal(size=12)
+            pts.append(p / np.linalg.norm(p))
+            ids.append(ci * 100 + j)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in p]) for i, p in zip(ids, pts)],
+        "vec_id bigint, v array<float>",
+    )
+    cents = [(k, [float(x) for x in centers[k]]) for k in range(3)]
+    for eps in (0.97, 0.9607997):  # second value lands inside real pair sims
+        a = sorted(semdedup(df, "v", "vec_id", centroids=cents, eps=eps).collect())
+        b = sorted(
+            semdedup(df, "v", "vec_id", centroids=cents, eps=eps, method="join").collect()
+        )
+        assert a == b, eps
