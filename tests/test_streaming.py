@@ -241,3 +241,32 @@ def test_stream_index_insert_equals_batch_insert(spark, tmp_path):
     assert idx.counts(spark)["tail"] == 0
     got2 = [r["vec_id"] for r in eng.topk("emb_si", "embedding", Q, 10, tiebreak="vec_id").collect()]
     assert got2 == want
+
+
+def test_quality_projections_run_on_streams(spark, tmp_path):
+    """classifier_score, pii_stats, clean_lines and hash_split are pure
+    projections (no shuffle), so they must compose with readStream
+    unchanged and equal their batch twins under availableNow."""
+    import shutil as _sh
+
+    from duckdb_vss_spark import classifier_score, hash_split, pii_stats
+    from duckdb_vss_spark.operators.quality import clean_lines
+    from duckdb_vss_spark.streaming import run_to_memory
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    _sh.copy(f"{SF_DIR}/documents.parquet", d / "part-000.parquet")
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    schema = batch.schema.simpleString()[7:-1].replace(":", " ")
+
+    def pipe(df):
+        out = classifier_score(df, "text")
+        out = pii_stats(out, "text")
+        out = clean_lines(out, "text", require_terminal_punct=False, out_col="clean")
+        out = hash_split(out, "doc_id")
+        return out.select("doc_id", "clf_score", "has_pii", "n_kept_lines", "split")
+
+    stream = pipe(spark.readStream.schema(schema).parquet(str(d)))
+    got = sorted(map(tuple, run_to_memory(stream, _name(), output_mode="append").collect()))
+    want = sorted(map(tuple, pipe(batch).collect()))
+    assert got == want
