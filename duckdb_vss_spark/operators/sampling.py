@@ -277,6 +277,9 @@ def chunk_documents(
 
 
 DSIR_BUCKETS = 10_000  # paper default hashed-feature dimension (Xie et al. §3)
+DSIR_DENSE_MAX = 4_000_000  # dense ratio array (8B/bucket, 32 MB here) is
+# collected + broadcast below this; larger feature spaces take the
+# relational broadcast-join path instead
 
 
 def _hashed_features(text_col: str, buckets: int) -> Column:
@@ -317,15 +320,21 @@ def dsir_weights(
     :func:`~.quality.ngram_lm_score`'s convention).
 
     Determinism: features hash through the engine-shared ``hash64``; the
-    per-doc sum folds IN FEATURE-POSITION ORDER via an ``aggregate`` HOF
-    over a position-sorted array (a plain ``sum()`` would add doubles in
-    shuffle arrival order).
+    per-doc sum folds IN FEATURE-POSITION ORDER — ``np.cumsum`` in the
+    dense kernel is the same sequential left fold of IEEE doubles as the
+    relational path's ``aggregate`` HOF and duckdb's ``list_sum``, so all
+    three agree bitwise (a plain ``sum()`` would add doubles in shuffle
+    arrival order).
 
     Scale shape: two bucket-count aggregations (map-side combinable,
-    output bounded by ``buckets`` rows), the per-bucket log-ratio table
-    is broadcast-joined against the exploded feature stream, then one
-    per-doc aggregation — the corpus text never shuffles, only (id, pos,
-    bucket) tuples do."""
+    output bounded by ``buckets`` rows). For feature spaces up to
+    ``DSIR_DENSE_MAX`` buckets (the paper's 10k default is 400×
+    below it) the log-ratio table collapses to one dense broadcast array
+    and scoring is a single ``mapInPandas`` pass — the corpus NEVER
+    shuffles, not even as (id, bucket) tuples. Gigantic feature spaces
+    fall back to the relational plan: broadcast-join of the ratio table
+    against the exploded feature stream + one per-doc aggregation (only
+    (id, pos, bucket) tuples shuffle, never text)."""
     from .dedup import _fan_out, _shared
 
     if buckets < 1:
@@ -349,6 +358,40 @@ def dsir_weights(
         )
     )
     fallback = math.log(s / dt) - math.log(s / dr)
+    if buckets <= DSIR_DENSE_MAX:
+        import numpy as np
+
+        dense = np.full(buckets, fallback, dtype=np.float64)
+        for r in ratio.collect():  # bounded by `buckets` rows
+            dense[r["__b"]] = r["__lr"]
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(dense)
+        id_t = dict(df.dtypes)[id_col]
+        src = _fan_out(df).select(
+            F.col(id_col).alias("__id"), _hashed_features(text_col, buckets).alias("__f")
+        )
+
+        def score(batches):
+            import numpy as np
+            import pandas as pd
+
+            table = bc.value
+            for pdf in batches:
+                ids, ns, ws = [], [], []
+                for i, f in zip(pdf["__id"], pdf["__f"]):
+                    n = len(f)
+                    if n == 0:  # mirror the relational path: tokenless docs drop
+                        continue
+                    vals = table[np.asarray(f, dtype=np.int64)]
+                    ids.append(i)
+                    ns.append(n)
+                    ws.append(np.cumsum(vals)[-1])
+                if ids:
+                    yield pd.DataFrame({"id": ids, "n_feats": ns, "log_w": ws})
+
+        return src.mapInPandas(
+            score, schema=f"id {id_t}, n_feats long, log_w double"
+        ).withColumnRenamed("id", id_col)
     g = _fan_out(df).select(
         F.col(id_col).alias("__id"),
         F.posexplode(_hashed_features(text_col, buckets)).alias("__pos", "__b"),
@@ -388,10 +431,15 @@ def dsir_resample(
     ``TakeOrderedAndProject``, a per-partition partial top-k — and the
     keep flag comes from broadcasting those k ids back. No global sort,
     no single-partition window."""
+    from .dedup import _shared
+
     M = 1 << 20
     w = dsir_weights(df, text_col, id_col, target_df, target_text_col, buckets, smoothing)
     u = ((_hash_of(id_col, "dsir") % M).cast("double") + 0.5) / float(M)
-    keyed = w.withColumn("key", F.col("log_w") - F.log(-F.log(u)))
+    # persisted: the frame is narrow (id + three numbers) and both the
+    # top-k cut and the keep-flag join consume it — without this the whole
+    # scoring pass runs twice
+    keyed = _shared(w.withColumn("key", F.col("log_w") - F.log(-F.log(u))))
     sel = (
         keyed.orderBy(F.col("key").desc(), F.col(id_col).asc())
         .limit(k)

@@ -391,3 +391,16 @@ def test_dsir_k_exceeds_corpus(docs, spark):
     out = dsir_resample(docs.limit(10), "text", "doc_id", tgt, k=999)
     rows = out.collect()
     assert len(rows) == 10 and all(r["keep"] for r in rows)
+
+
+def test_dsir_dense_kernel_equals_relational(docs, spark, monkeypatch):
+    """Forcing the relational fold (as if buckets exceeded DSIR_DENSE_MAX)
+    must give bitwise-identical weights to the dense broadcast kernel."""
+    from duckdb_vss_spark import dsir_weights
+    from duckdb_vss_spark.operators import sampling as S
+
+    tgt = docs.filter("doc_id % 7 = 0")
+    dense = sorted(map(tuple, dsir_weights(docs, "text", "doc_id", tgt).collect()))
+    monkeypatch.setattr(S, "DSIR_DENSE_MAX", 0)
+    rel = sorted(map(tuple, dsir_weights(docs, "text", "doc_id", tgt).collect()))
+    assert dense == rel
