@@ -386,3 +386,38 @@ def test_classifier_score_is_map_only(docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_classifier_score_adversarial_inputs_match_oracle(spark, ddb):
+    """Unicode, emoji, mixed whitespace, escapes, numerics and long docs:
+    the hashed-feature pipeline (UTF-8 md5 -> bucket -> weight fold) must
+    agree across engines on inputs far outside the fixture distribution."""
+    from duckdb_vss_spark import classifier_score
+    from duckdb_vss_spark.oracle import sql_classifier_score
+
+    rows = [
+        (1, "héllo wörld ünïcode"),
+        (2, "日本語 テスト text mixed 中文"),
+        (3, "emoji 😀 🎉 test"),
+        (4, "tabs\tand\nnewlines mixed   spaces"),
+        (5, "a'b \"c\" d\\e $pecial %chars &stuff"),
+        (6, "x " * 2000),
+        (7, "single"),
+        (8, "MiXeD CaSe TOKENS lower UPPER"),
+        (9, "123 456.789 1e10 0xff"),
+        (10, "trailing spaces   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ours = {
+        r["doc_id"]: round(r["clf_score"], 9)
+        for r in classifier_score(df, "text").select("doc_id", "clf_score").collect()
+    }
+    ddb.execute("CREATE OR REPLACE TABLE adv_t(doc_id BIGINT, text VARCHAR)")
+    ddb.executemany("INSERT INTO adv_t VALUES (?, ?)", rows)
+    theirs = {
+        r[0]: round(r[1], 9)
+        for r in ddb.execute(
+            f"SELECT doc_id, {sql_classifier_score('text')} FROM adv_t"
+        ).fetchall()
+    }
+    assert ours == theirs
