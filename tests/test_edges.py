@@ -82,3 +82,63 @@ def test_index_build_skips_null_vectors(spark, small, tmp_path):
     assert idx.manifest["count"] == 3
     hits = idx.search(small.sparkSession, Q3, 10, ef_search=10**6).collect()
     assert sorted(h["id"] for h in hits) == [0, 1, 3]
+
+
+# -- round-4 operator edges -------------------------------------------------
+
+
+def test_semdedup_null_vectors_dropped(spark):
+    from duckdb_vss_spark import semdedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.9, 0.1])],
+        "vec_id bigint, v array<float>",
+    )
+    out = semdedup(df, "v", "vec_id", centroids=[(0, [1.0, 0.0])], eps=0.99)
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 3]
+
+
+def test_semdedup_requires_centroids_or_k(spark):
+    import pytest as _pt
+
+    from duckdb_vss_spark import semdedup
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id bigint, v array<float>")
+    with _pt.raises(ValueError):
+        semdedup(df, "v", "vec_id")
+
+
+def test_dsir_empty_target_is_uniformly_smoothed(spark):
+    """An empty target corpus degenerates to the pure smoothing model:
+    weights still compute (no NaN/crash) and selection stays total."""
+    from duckdb_vss_spark import dsir_resample
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha gamma")],
+        "doc_id long, text string",
+    )
+    out = dsir_resample(docs, "text", "doc_id", docs.filter("doc_id < 0"), k=2).collect()
+    assert len(out) == 3
+    assert sum(1 for r in out if r["keep"]) == 2
+    assert all(r["log_w"] == r["log_w"] for r in out)  # no NaN
+
+
+def test_classifier_requires_id_for_external_weights(spark):
+    import pytest as _pt
+
+    from duckdb_vss_spark import classifier_score
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    w = spark.createDataFrame([(0, 0.1)], "bucket long, w double")
+    with _pt.raises(ValueError):
+        classifier_score(df, "text", weights_df=w)
+
+
+def test_dsir_invalid_buckets(spark):
+    import pytest as _pt
+
+    from duckdb_vss_spark import dsir_weights
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        dsir_weights(df, "text", "doc_id", df, buckets=0)
