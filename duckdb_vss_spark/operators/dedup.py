@@ -604,6 +604,21 @@ SEMDEDUP_GEMM_MARGIN = 1e-6  # |float64-GEMM cosine - exact| is ~1e-12; pairs
 # within this band of eps are re-decided by the authoritative JVM expression
 
 
+def _safe_cosine(a, b) -> Column:
+    """Cosine similarity with zero vectors defined as 0 (no match at any
+    positive threshold) instead of the ANSI divide-by-zero error the plain
+    ``dot/(na*nb)`` spelling raises — semdedup's documented zero-vector
+    semantics, matching the GEMM kernel's clamped normalization. For
+    nonzero vectors this is bitwise ``array_cosine_similarity`` (same
+    folds, the ``greatest`` clamp is a no-op)."""
+    from ..functions.distance import _as_col, _dsum, array_inner_product
+
+    a, b = _as_col(a), _as_col(b)
+    na = F.sqrt(_dsum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
+    nb = F.sqrt(_dsum(F.transform(b, lambda x: x.cast("double") * x.cast("double"))))
+    return array_inner_product(a, b) / F.greatest(na * nb, F.lit(1e-300))
+
+
 def semdedup(
     df: DataFrame,
     vec_col: str,
@@ -630,8 +645,10 @@ def semdedup(
     ``centroids`` is a driver-side ``[(cid, vector), ...]`` list (e.g.
     from :func:`~duckdb_vss_spark.operators.vector.kmeans_fit`); pass
     ``k`` instead to fit deterministically in here. Cluster assignment
-    uses ``metric`` (default l2sq); the duplicate check itself is always
-    cosine, per the paper.
+    uses ``metric`` (default l2sq; similarity metrics are rank-normalized
+    so farthest-wins still holds); the duplicate check itself is always
+    cosine, per the paper, with zero vectors defined to match nothing
+    (cosine 0) on both execution paths.
 
     Scale shape: assignment is a single codegen projection (no shuffle,
     no join). The within-cluster pair check (``method="auto"``) is one
@@ -652,8 +669,11 @@ def semdedup(
     near-dups are *intentionally* not considered — that is SemDeDup's
     published approximation, not a shortcut.
     """
+    from ..functions.distance import METRIC_IS_DESCENDING, canonical_metric
     from .vector import kmeans_fit, nearest_centroid
 
+    if method not in ("auto", "join"):
+        raise ValueError(f"method must be 'auto' or 'join', got {method!r}")
     if centroids is None:
         if k is None:
             raise ValueError("pass either centroids or k")
@@ -662,6 +682,11 @@ def semdedup(
     a = nearest_centroid(
         src, vec_col, centroids, metric=metric, out_col="cluster_id", score_col="__cdist"
     )
+    if METRIC_IS_DESCENDING[canonical_metric(metric)]:
+        # similarity metrics return higher-is-closer: negate so __cdist is
+        # always a "marginality" key where LARGER means farther from the
+        # centroid — the farthest-wins keep rule reads it uniformly
+        a = a.withColumn("__cdist", -F.col("__cdist"))
     if method == "join":
         x = a.select(
             F.col(id_col).alias("__xid"),
@@ -683,7 +708,7 @@ def semdedup(
                 y,
                 (F.col("__xc") == F.col("__yc"))
                 & (F.col("__xid") != F.col("__yid"))
-                & (array_cosine_similarity("__xv", "__yv") >= eps)
+                & (_safe_cosine("__xv", "__yv") >= eps)
                 & outranked,
                 "leftsemi",
             )
@@ -716,6 +741,9 @@ def semdedup(
         cd = pdf["__d"].to_numpy()
         vecs = pdf["__v"].to_numpy()
         mat = np.vstack(vecs).astype(np.float64)
+        # clamped normalization: zero vectors get cos = 0 against everything
+        # (the operator's documented zero-vector semantics; _safe_cosine is
+        # the join path's identical spelling)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         frames = []
         chunk = max(1, min(1024, (1 << 22) // max(n, 1)))
@@ -746,18 +774,20 @@ def semdedup(
         F.col("cluster_id").cast("long").alias("__c"),
         F.col("__cdist").alias("__d"),
     )
+    vec_t = dict(df.dtypes)[vec_col]  # keep the input element type so the
+    # JVM band recheck sees the exact vectors, not a float32 downcast
     raw = keyed.groupBy("__c").applyInPandas(
         kernel,
         schema=(
             f"xid {id_t}, cluster_id long, rm boolean, "
-            "pairs array<struct<xv: array<float>, yv: array<float>>>"
+            f"pairs array<struct<xv: {vec_t}, yv: {vec_t}>>"
         ),
     )
     # map-only resolution, no second Exchange: GEMM-sure verdicts pass
     # through; the (virtually always empty) threshold band re-decides via
     # the authoritative JVM cosine on the embedded pair vectors
     band_rm = F.exists(
-        "pairs", lambda p: array_cosine_similarity(p["xv"], p["yv"]) >= eps
+        "pairs", lambda p: _safe_cosine(p["xv"], p["yv"]) >= eps
     )
     return raw.select(
         F.col("xid").alias(id_col),

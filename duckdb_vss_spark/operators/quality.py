@@ -467,9 +467,10 @@ def classifier_score(
         F.col("__id").alias(id_col),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias(out_col),
     )
-    # docs with zero features never reach the explode: give them sigmoid(bias)
-    base = df.select(id_col).join(scored, id_col, "left")
+    # same shape contract as the default path: every input column survives,
+    # out_col is appended; docs with zero features get sigmoid(bias)
     empty_score = 1.0 / (1.0 + math.exp(-bias))
-    return base.select(
-        id_col, F.coalesce(out_col, F.lit(empty_score)).alias(out_col)
+    return (
+        df.join(scored, id_col, "left")
+        .withColumn(out_col, F.coalesce(out_col, F.lit(empty_score)))
     )

@@ -361,13 +361,13 @@ def dsir_weights(
     if buckets <= DSIR_DENSE_MAX:
         import numpy as np
 
+        rp = ratio.toPandas()  # bounded by `buckets` rows, Arrow transfer
         dense = np.full(buckets, fallback, dtype=np.float64)
-        for r in ratio.collect():  # bounded by `buckets` rows
-            dense[r["__b"]] = r["__lr"]
+        dense[rp["__b"].to_numpy()] = rp["__lr"].to_numpy()
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast(dense)
         id_t = dict(df.dtypes)[id_col]
-        src = _fan_out(df).select(
+        src = _fan_out(df.filter(F.col(text_col).isNotNull())).select(
             F.col(id_col).alias("__id"), _hashed_features(text_col, buckets).alias("__f")
         )
 
@@ -379,12 +379,13 @@ def dsir_weights(
             for pdf in batches:
                 ids, ns, ws = [], [], []
                 for i, f in zip(pdf["__id"], pdf["__f"]):
-                    n = len(f)
-                    if n == 0:  # mirror the relational path: tokenless docs drop
+                    # mirror the relational path: NULL-text and tokenless
+                    # docs produce no rows
+                    if f is None or len(f) == 0:
                         continue
                     vals = table[np.asarray(f, dtype=np.int64)]
                     ids.append(i)
-                    ns.append(n)
+                    ns.append(len(f))
                     ws.append(np.cumsum(vals)[-1])
                 if ids:
                     yield pd.DataFrame({"id": ids, "n_feats": ns, "log_w": ws})
@@ -392,7 +393,7 @@ def dsir_weights(
         return src.mapInPandas(
             score, schema=f"id {id_t}, n_feats long, log_w double"
         ).withColumnRenamed("id", id_col)
-    g = _fan_out(df).select(
+    g = _fan_out(df.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col).alias("__id"),
         F.posexplode(_hashed_features(text_col, buckets)).alias("__pos", "__b"),
     )

@@ -142,3 +142,86 @@ def test_dsir_invalid_buckets(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pt.raises(ValueError):
         dsir_weights(df, "text", "doc_id", df, buckets=0)
+
+
+def test_semdedup_zero_vector_matches_join_path(spark):
+    """cos with a zero vector is NaN, which both engines order above every
+    double — kernel and relational paths must agree on the removals."""
+    from duckdb_vss_spark import semdedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.9, 0.1])],
+        "vec_id bigint, v array<float>",
+    )
+    cents = [(0, [1.0, 0.0])]
+    a = sorted(map(tuple, semdedup(df, "v", "vec_id", centroids=cents, eps=0.99).collect()))
+    b = sorted(
+        map(tuple, semdedup(df, "v", "vec_id", centroids=cents, eps=0.99, method="join").collect())
+    )
+    assert a == b
+
+
+def test_semdedup_cosine_metric_farthest_wins(spark):
+    """With a similarity assignment metric the marginality key must still
+    mean farther-is-kept: of two near-dup docs, the one LESS similar to
+    the centroid survives."""
+    from duckdb_vss_spark import semdedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.8, 0.6])], "vec_id bigint, v array<float>"
+    )
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semdedup(
+            df, "v", "vec_id", centroids=[(0, [1.0, 0.0])], eps=0.75, metric="cosine"
+        ).collect()
+    }
+    # cos(1,2)=0.8 >= eps; doc 2 is farther from the centroid -> doc 2 kept
+    assert out == {1: False, 2: True}
+
+
+def test_semdedup_double_vectors_match_join_path(spark):
+    from duckdb_vss_spark import semdedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.96, 0.28]), (3, [0.0, 1.0])],
+        "vec_id bigint, v array<double>",
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    a = sorted(map(tuple, semdedup(df, "v", "vec_id", centroids=cents, eps=0.9).collect()))
+    b = sorted(
+        map(tuple, semdedup(df, "v", "vec_id", centroids=cents, eps=0.9, method="join").collect())
+    )
+    assert a == b
+
+
+def test_semdedup_bad_method_rejected(spark):
+    import pytest as _pt
+
+    from duckdb_vss_spark import semdedup
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id bigint, v array<float>")
+    with _pt.raises(ValueError):
+        semdedup(df, "v", "vec_id", centroids=[(0, [1.0])], method="relational")
+
+
+def test_dsir_null_text_dropped_not_crashed(spark):
+    from duckdb_vss_spark import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "gamma delta")], "doc_id long, text string"
+    )
+    out = dsir_weights(df, "text", "doc_id", df.filter("doc_id = 1"))
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_classifier_weights_path_preserves_columns(spark):
+    from duckdb_vss_spark import classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "c d", "fr")], "doc_id long, text string, lang string"
+    )
+    w = spark.createDataFrame([(7, 0.5)], "bucket long, w double")
+    out = classifier_score(df, "text", id_col="doc_id", weights_df=w)
+    assert set(out.columns) == {"doc_id", "text", "lang", "clf_score"}
+    assert out.count() == 2
