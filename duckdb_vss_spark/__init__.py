@@ -54,6 +54,12 @@ from .operators.quality import (  # noqa: F401
     repetition_stats,
 )
 from .operators.graph import connected_components, dedup_clusters  # noqa: F401
+from .pipelines import (  # noqa: F401
+    c4_clean,
+    ccnet_curate,
+    refinedweb_curate,
+    semantic_curate,
+)
 from .operators.temporal import asof_join, range_join_banded, sessionize_batch  # noqa: F401
 from .operators.vector import (  # noqa: F401
     covariance_matrix,

@@ -1,0 +1,169 @@
+"""End-to-end corpus-curation recipes: the published pipeline shapes,
+composed from this engine's operators into single lazy Spark plans.
+
+These are recipes, not new operators — each function wires the package's
+tested pieces the way the cited paper does, so a user gets the paper's
+pipeline in one call and Catalyst sees ONE plan to optimize (filters
+pushed into scans, map-only stages fused into the same whole-stage
+codegen, shuffles only where an operator genuinely needs one).
+
+- :func:`ccnet_curate` — CCNet (Wenzek et al. 2020, arXiv:1911.00359):
+  line dedup → language ID → per-language LM-perplexity terciles
+  (head/middle/tail).
+- :func:`c4_clean` — C4 §2.2 (Raffel et al. 2020, arXiv:1910.10683):
+  line-level cleaning (terminal punctuation, min words, blocklist,
+  braces) → language filter → corpus-level duplicate-span flags.
+- :func:`refinedweb_curate` — RefinedWeb (Penedo et al. 2023,
+  arXiv:2306.01116): line-wise corrections → corpus-level exact line
+  dedup → fuzzy MinHash document dedup → exact substring (span) flags.
+- :func:`semantic_curate` — SemDeDup (Abbas et al. 2023) + DSIR (Xie et
+  al. 2023) + a quality-classifier gate over an embedded corpus.
+
+Every recipe returns the input rows with added flag/score columns and
+NEVER drops rows itself (callers filter on the flags) — the DataComp /
+Dolma convention: materialized signals, deferred decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .functions import text as T
+
+__all__ = ["ccnet_curate", "c4_clean", "refinedweb_curate", "semantic_curate"]
+
+
+def ccnet_curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_edges: tuple = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet: dedup lines against the whole corpus, identify language,
+    score with a corpus-trained LM, bucket per-language perplexity into
+    head/middle/tail terciles. Adds ``lang``, ``ppl``, ``ppl_bucket``,
+    ``n_removed_lines``, ``dedup_text``.
+
+    Scale shape: line_dedup shuffles only (id, pos, hash) tuples; lang-id
+    and LM scoring are a broadcast-probe plus one token-level aggregation;
+    the tercile split is one ``percent_rank`` window per language — the
+    stratum key CCNet itself partitions by."""
+    from .operators.dedup import line_dedup
+    from .operators.quality import ngram_lm_score
+
+    ld = line_dedup(docs, text_col, id_col, out_col="dedup_text").select(
+        id_col, "dedup_text", "n_removed_lines"
+    )
+    base = docs.join(ld, id_col).withColumn("lang", T.lang_id(F.col(text_col)))
+    lm = ngram_lm_score(base, "dedup_text", id_col).select(id_col, "ppl")
+    scored = base.join(lm, id_col)
+    pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("ppl", id_col))
+    lo, hi = bucket_edges
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(pr <= lo, "head").when(pr <= hi, "middle").otherwise("tail"),
+    )
+
+
+def c4_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+) -> DataFrame:
+    """C4 §2.2: per-line cleaning (terminal punctuation, ≥ min words,
+    blocklist, brace heuristic), English-ratio language gate, and the
+    corpus-level duplicated-span removal signal. Adds ``clean_text``,
+    ``n_kept_lines``, ``lang``, ``lang_ok``, ``dup_window_frac``,
+    ``c4_keep``."""
+    from .operators.dedup import duplicated_span_profile
+    from .operators.quality import clean_lines
+
+    cl = clean_lines(docs, text_col, out_col="clean_text").select(
+        id_col, "clean_text", "n_kept_lines"
+    )
+    base = docs.join(cl, id_col).withColumn("lang", T.lang_id(F.col(text_col)))
+    prof = duplicated_span_profile(
+        base.filter(F.col("n_kept_lines") > 0), "clean_text", id_col, k=span_tokens
+    ).select(id_col, "dup_window_frac")
+    out = (
+        base.join(prof, id_col, "left")
+        .withColumn("dup_window_frac", F.coalesce("dup_window_frac", F.lit(0.0)))
+        .withColumn("lang_ok", F.col("lang") == "en")
+    )
+    return out.withColumn(
+        "c4_keep",
+        F.col("lang_ok") & (F.col("n_kept_lines") > 0) & (F.col("dup_window_frac") < 0.5),
+    )
+
+
+def refinedweb_curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard: float = 0.8,
+    span_tokens: int = 20,
+) -> DataFrame:
+    """RefinedWeb: line-wise corrections → corpus-level exact line dedup →
+    fuzzy MinHash+LSH document dedup (keep one doc per duplicate cluster)
+    → exact duplicated-span signal. Adds ``dedup_text``, ``fuzzy_keep``
+    (exactly one survivor per near-dup cluster), ``dup_window_frac``.
+
+    Scale shape: every stage is the operator's own bounded plan — the
+    only additions here are the flag joins, all on the id column."""
+    from .operators.dedup import duplicated_span_profile, line_dedup, minhash_lsh_pairs
+    from .operators.graph import dedup_clusters
+
+    ld = line_dedup(docs, text_col, id_col, out_col="dedup_text").select(
+        id_col, "dedup_text", "n_removed_lines"
+    )
+    base = docs.join(ld, id_col)
+    pairs = minhash_lsh_pairs(base, "dedup_text", id_col, threshold=jaccard)
+    clustered = dedup_clusters(base, id_col, pairs).withColumnRenamed(
+        "is_canonical", "fuzzy_keep"
+    )
+    prof = duplicated_span_profile(base, "dedup_text", id_col, k=span_tokens).select(
+        id_col, "dup_window_frac"
+    )
+    return clustered.join(prof, id_col, "left").withColumn(
+        "dup_window_frac", F.coalesce("dup_window_frac", F.lit(0.0))
+    )
+
+
+def semantic_curate(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    k_clusters: int = 64,
+    sem_eps: float = 0.95,
+    select_k: int = 1000,
+) -> DataFrame:
+    """The embedding-era stack: SemDeDup over the embedding table, DSIR
+    target-matching selection over the text, and the hashed quality
+    classifier — one flag/score frame joined back onto the docs. Adds
+    ``sem_keep``, ``sem_cluster``, ``dsir_keep``, ``log_w``,
+    ``clf_score``."""
+    from .operators.dedup import semdedup
+    from .operators.quality import classifier_score
+    from .operators.sampling import dsir_resample
+
+    sem = semdedup(embeddings, vec_col, vec_id_col, k=k_clusters, eps=sem_eps).select(
+        F.col(vec_id_col).alias(id_col),
+        F.col("cluster_id").alias("sem_cluster"),
+        F.col("keep").alias("sem_keep"),
+    )
+    ds = dsir_resample(docs, text_col, id_col, target, k=select_k).select(
+        id_col, "log_w", F.col("keep").alias("dsir_keep")
+    )
+    out = classifier_score(docs, text_col)
+    return (
+        out.join(sem, id_col, "left")
+        .join(ds, id_col, "left")
+        .withColumn("sem_keep", F.coalesce("sem_keep", F.lit(True)))
+        .withColumn("dsir_keep", F.coalesce("dsir_keep", F.lit(False)))
+    )
