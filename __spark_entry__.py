@@ -90,6 +90,20 @@ def _q_topk_l2(spark, sf_dir):
     )
 
 
+def _q_topk_text(spark, sf_dir):
+    """Q1 over text: the feature-hashing embedder (Weinberger et al. 2009)
+    bridges documents into the vector stack with no external model — the
+    same top-k plan runs on hashed_embedding(text) as on stored vectors."""
+    from duckdb_vss_spark.functions.text import hashed_embedding
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), hashed_embedding("text", dim=DIM).alias("embedding")
+    )
+    return topk(docs, "embedding", Q64, 10, "l2sq", tiebreak="vec_id").select(
+        "vec_id", F.col("score").cast("float").alias("score")
+    )
+
+
 def _q_topk_cosine(spark, sf_dir):
     """Q1 with cosine metric: max-similarity top-k (SURVEY §1.3)."""
     return topk(_emb(spark, sf_dir), "embedding", Q64, 10, "cosine", tiebreak="vec_id").select(
@@ -1325,6 +1339,7 @@ def _m_topk_metrics(spark, sf_dir):
             F.lit("canon").alias("tag"), "vec_id", F.col("cos_dist").alias("score")
         ),
         _q_normalized_topk(spark, sf_dir).select(F.lit("unit").alias("tag"), "vec_id", "score"),
+        _q_topk_text(spark, sf_dir).select(F.lit("txt").alias("tag"), "vec_id", "score"),
     ])
 
 
@@ -1951,6 +1966,12 @@ def _oracle_parts() -> dict[str, str]:
     """
     return {
         "q01_topk_l2": f"SELECT vec_id, {dist}::FLOAT AS score FROM embeddings ORDER BY score, vec_id LIMIT 10",
+        "q01b_topk_text": f"""
+            SELECT vec_id, sd::FLOAT AS score FROM (
+              SELECT doc_id AS vec_id, list_distance(v::DOUBLE[], {Q64_SQL}) AS sd
+              FROM ({{he}})
+            ) ORDER BY sd, vec_id LIMIT 10
+        """.format(he=O.sql_hashed_embedding("documents", "text", "doc_id", DIM)),
         "q02_topk_cosine": f"SELECT vec_id, {cos}::FLOAT AS score FROM embeddings ORDER BY score DESC, vec_id LIMIT 10",
         "q03_topk_ip": f"SELECT vec_id, {ip}::FLOAT AS score FROM embeddings ORDER BY score DESC, vec_id LIMIT 10",
         "q04_cosine_canonical": (
@@ -2644,6 +2665,7 @@ def oracle_sql() -> dict[str, str]:
             tag("tag", "ip", P["q03_topk_ip"], "vec_id, score"),
             tag("tag", "canon", P["q04_cosine_canonical"], "vec_id, cos_dist AS score"),
             tag("tag", "unit", P["q67_normalized_topk"], "vec_id, score"),
+            tag("tag", "txt", P["q01b_topk_text"], "vec_id, score"),
         ),
         "q02_minby_topk": union(
             tag("variant", "plain", P["q05_minby_topk"], "pos, vec_id"),

@@ -305,3 +305,40 @@ def char_gram_hashes(col, k: int = 5) -> Column:
         grams = F.zip_with(grams, shifted, lambda x, y: F.concat_ws("", x, y))
     full = F.slice(grams, 1, F.greatest(F.lit(1), F.size(chars) - (k - 1)))
     return F.transform(full, lambda g: hash64(g))
+
+
+def hashed_embedding(col, dim: int = 64) -> Column:
+    """Feature-hashing text embedding (the hashing trick, Weinberger et
+    al. 2009, arXiv:0902.2206): each token adds ±1 to the bucket
+    ``hash64(token) % dim`` (sign from an independent seeded hash), then
+    the vector L2-normalizes. A deterministic, model-free embedder that
+    bridges the text stack into the vector/ANN stack (top-k, knn_join,
+    semdedup, IVF indexes) with no external encoder.
+
+    Bit-exact across engines by construction: every addend is ±1.0 and
+    the norm is a sum of small integer squares — all exactly
+    representable, so ANY summation order gives the same double, and the
+    final sqrt/divide are IEEE-identical. Map-only; O(dim × tokens)
+    arithmetic inside whole-stage codegen."""
+    toks = tokens(col)
+    zero = F.array_repeat(F.lit(0.0), dim)
+    # hash each token ONCE into a (bucket, sign) struct BEFORE the fold:
+    # referencing hash64(t) inside the inner per-element lambda would
+    # inline (and so re-evaluate) the md5 per dimension — the HOF
+    # collapse trap; a lambda variable is a bound value, evaluated once
+    tokh = F.transform(
+        toks,
+        lambda t: F.struct(
+            (hash64(t) % dim).cast("int").alias("b"),
+            F.when(hash64(t, seed="sign:") % 2 == 0, F.lit(1.0))
+            .otherwise(F.lit(-1.0))
+            .alias("s"),
+        ),
+    )
+    emb = F.aggregate(
+        tokh,
+        zero,
+        lambda acc, p: F.transform(acc, lambda x, i: F.when(i == p["b"], x + p["s"]).otherwise(x)),
+    )
+    nrm = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(emb, lambda x: F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0)))

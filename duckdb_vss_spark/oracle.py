@@ -471,3 +471,36 @@ def sql_classifier_score(text_col: str, buckets: int = 1 << 18, bias: float = 0.
     n = f"len({feats})"
     logit = f"({bias} + CASE WHEN {n} > 0 THEN coalesce({wsum}, 0.0) / {n}::DOUBLE ELSE 0.0 END)"
     return f"(1.0 / (1.0 + exp(-({logit}))))"
+
+
+def sql_hashed_embedding(table: str, text_col: str, id_col: str, dim: int = 64) -> str:
+    """Twin of functions.text.hashed_embedding: per-doc ``(id, v)`` with
+    the same ±1 bucket votes and L2 normalization (exact arithmetic, so
+    fold order is immaterial)."""
+    toks = sql_tokens(text_col)
+    # hash each token once into (bucket, sign) structs, THEN vote per dim
+    # — the naive per-dim spelling recomputes both md5s dim times
+    tokh = (
+        f"list_transform({toks}, t -> struct_pack("
+        f"b := {sql_hash64('t')} % {dim}, "
+        f"s := CASE WHEN {sql_hash64(chr(39) + 'sign:' + chr(39) + ' || t')} % 2 = 0 "
+        f"THEN 1.0 ELSE -1.0 END))"
+    )
+    votes = (
+        f"list_transform(range(0, {dim}), j -> coalesce(list_sum(list_transform(th, "
+        f"p -> CASE WHEN p.b = j THEN p.s ELSE 0.0 END)), 0.0))"
+    )
+    return f"""
+        WITH th0 AS MATERIALIZED (
+          SELECT {id_col} AS id, {tokh} AS th FROM {table}
+        ),
+        e AS MATERIALIZED (
+          SELECT id, {votes} AS raw FROM th0
+        ),
+        nr AS (
+          SELECT id, raw, sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM e
+        )
+        SELECT id AS {id_col},
+               list_transform(raw, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END) AS v
+        FROM nr
+    """

@@ -445,3 +445,39 @@ def test_semdedup_kernel_equals_join_path(spark):
             semdedup(df, "v", "vec_id", centroids=cents, eps=eps, method="join").collect()
         )
         assert a == b, eps
+
+
+# ---------------------------------------------------- hashed embedding
+
+
+def test_hashed_embedding_matches_oracle_bitwise(spark, ddb):
+    """±1 votes and integer-square norms are exactly representable, so the
+    two engines must agree on every component BITWISE (no rounding slack)."""
+    from duckdb_vss_spark.functions.text import hashed_embedding
+    from duckdb_vss_spark.oracle import sql_hashed_embedding
+
+    pdocs = spark.read.parquet(f"{SF}/documents.parquet")
+    ours = {
+        r["doc_id"]: tuple(r["v"])
+        for r in pdocs.select("doc_id", hashed_embedding("text").alias("v")).collect()
+    }
+    theirs = {
+        r[0]: tuple(r[1])
+        for r in ddb.execute(sql_hashed_embedding("documents", "text", "doc_id")).fetchall()
+    }
+    assert ours == theirs
+
+
+def test_hashed_embedding_unit_norm(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.functions.text import hashed_embedding
+
+    df = spark.createDataFrame(
+        [(1, "some words here repeated words"), (2, ""), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["v"] for r in df.select("doc_id", hashed_embedding("text", dim=16).alias("v")).collect()}
+    for d in (1, 3):
+        assert abs(sum(x * x for x in rows[d]) - 1.0) < 1e-12
+    assert len(rows[1]) == 16
