@@ -113,7 +113,17 @@ _NC_CHUNK = 4096  # rows per assignment chunk: bounds the (chunk × nlist)
 # memory in the build's mapInPandas assign stage)
 
 
-def _nearest_centroid(x: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+def _nearest_centroid(x: np.ndarray, centroids: np.ndarray, dtype=None) -> np.ndarray:
+    """Index of the nearest centroid per row. ``dtype=np.float32`` halves
+    GEMM time and memory — used by the BUILD's assignment stage only,
+    where list membership is a partitioning heuristic (search reads whole
+    probed lists and rescores in float64 exactly, so a boundary row
+    landing in its second-nearest list costs a little recall at partial
+    probe and nothing at full probe). Driver k-means and all scoring
+    paths stay float64."""
+    if dtype is not None:
+        x = x.astype(dtype, copy=False)
+        centroids = centroids.astype(dtype, copy=False)
     n = x.shape[0]
     csq = (centroids * centroids).sum(1)
     if n <= _NC_CHUNK:
@@ -284,7 +294,9 @@ def build_ivf(
             if len(pdf) == 0:
                 continue
             mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
-            pdf = pdf.assign(list_id=_nearest_centroid(mat, cents).astype(np.int32))
+            pdf = pdf.assign(
+                list_id=_nearest_centroid(mat, cents, dtype=np.float32).astype(np.int32)
+            )
             if cbooks is not None:
                 codes = pqmod.encode(mat, cbooks)
                 pdf = pdf.assign(
