@@ -255,6 +255,24 @@ def main() -> None:
                 "avg(l_discount), count(*) FROM li_b GROUP BY 1, 2"
             ).fetchall()
         )
+        # index-vs-brute crossover at 1M rows, in the per-round record:
+        # the ANN path is the engine's answer to the brute-scan latency gap
+        s2eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="bench_s2idx_"))
+        s2eng.register_table("emb_b", emb_b)
+        t0 = time.perf_counter()
+        s2eng.create_index("s2_idx", "emb_b", "embedding", "vec_id", replace=True)
+        s2_spark["ivf_build"] = time.perf_counter() - t0
+        s2eng.set_ef_search(8)
+        s2_spark["ivf_topk_ef8"] = run(
+            lambda: s2eng.topk("emb_b", "embedding", Q, 10, tiebreak="vec_id").collect()
+        )
+        s2eng.set_ef_search(None)
+        # apples-to-apples twin: the index path reads parquet, so compare
+        # against a parquet-reading brute scan too (emb_b above is cached)
+        emb_b_cold = spark.read.parquet(f"{stage}/embeddings")
+        s2_spark["topk_l2_parquet"] = run(
+            lambda: topk(emb_b_cold, "embedding", Q, 10, "l2sq", tiebreak="vec_id").collect()
+        )
         out["scale2"] = {
             "mult": mult,
             "li_mult": li_mult,
