@@ -604,6 +604,63 @@ SEMDEDUP_GEMM_MARGIN = 1e-6  # |float64-GEMM cosine - exact| is ~1e-12; pairs
 # within this band of eps are re-decided by the authoritative JVM expression
 
 
+_SEMDEDUP_EXPR_MAX_K = 64  # same ceiling as kmeans_step's expression path
+
+
+def _assign_kernel(src, vec_col, id_col, centroids, metric):
+    """Broadcast-GEMM cluster assignment for semdedup at large k: returns
+    ``src`` plus (cluster_id, __cdist) where __cdist is the marginality
+    key (always larger = farther from the assigned centroid, for every
+    metric). float64 throughout — ordinally identical to the expression
+    path up to GEMM rounding, which only the keep-rank comparison sees."""
+    import numpy as np
+
+    spark = src.sparkSession
+    ids = np.asarray([cid for cid, _ in centroids], dtype=np.int64)
+    cmat = np.asarray([v for _, v in centroids], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids, cmat, metric))
+    id_t = dict(src.dtypes)[id_col]
+    vec_t = dict(src.dtypes)[vec_col]
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids, c, m = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if m == "cosine":
+                cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+                mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+                s = -(mn @ cn.T)  # minimize negative similarity
+            elif m == "ip":
+                s = -(mat @ c.T)
+            else:
+                s = (
+                    (mat * mat).sum(1)[:, None]
+                    + (c * c).sum(1)[None, :]
+                    - 2.0 * (mat @ c.T)
+                )
+            best = s.argmin(axis=1)  # first index on ties = smallest cid slot
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cluster_id": cids[best],
+                    # the minimization score IS the marginality key for
+                    # every metric: similarity metrics are negated above,
+                    # so larger always means farther from the centroid
+                    "__cdist": s[np.arange(len(best)), best],
+                }
+            )
+
+    return src.mapInPandas(
+        assign, schema=f"{id_col} {id_t}, {vec_col} {vec_t}, cluster_id int, __cdist double"
+    )
+
+
 def _safe_cosine(a, b) -> Column:
     """Cosine similarity with zero vectors defined as 0 (no match at any
     positive threshold) instead of the ANSI divide-by-zero error the plain
@@ -679,14 +736,24 @@ def semdedup(
             raise ValueError("pass either centroids or k")
         centroids = kmeans_fit(df, vec_col, k, id_col=id_col)
     src = _fan_out(df).select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
-    a = nearest_centroid(
-        src, vec_col, centroids, metric=metric, out_col="cluster_id", score_col="__cdist"
-    )
-    if METRIC_IS_DESCENDING[canonical_metric(metric)]:
-        # similarity metrics return higher-is-closer: negate so __cdist is
-        # always a "marginality" key where LARGER means farther from the
-        # centroid — the farthest-wins keep rule reads it uniformly
-        a = a.withColumn("__cdist", -F.col("__cdist"))
+    desc = METRIC_IS_DESCENDING[canonical_metric(metric)]
+    if len(centroids) > _SEMDEDUP_EXPR_MAX_K and method != "join":
+        # large k: the literal-centroid expression tree is k*dim nodes and
+        # falls out of codegen (at the paper's k this would interpret
+        # k*dim ops per row) — assign via a broadcast-GEMM Arrow pass
+        # whose cost is independent of expression size. Same lexicographic
+        # (distance, cid) tie-break as nearest_centroid's array_min.
+        a = _assign_kernel(src, vec_col, id_col, centroids, canonical_metric(metric))
+    else:
+        a = nearest_centroid(
+            src, vec_col, centroids, metric=metric, out_col="cluster_id", score_col="__cdist"
+        )
+        if desc:
+            # similarity metrics return higher-is-closer: negate so
+            # __cdist is always a "marginality" key where LARGER means
+            # farther from the centroid — the farthest-wins keep rule
+            # reads it uniformly
+            a = a.withColumn("__cdist", -F.col("__cdist"))
     if method == "join":
         x = a.select(
             F.col(id_col).alias("__xid"),

@@ -481,3 +481,21 @@ def test_hashed_embedding_unit_norm(spark):
     for d in (1, 3):
         assert abs(sum(x * x for x in rows[d]) - 1.0) < 1e-12
     assert len(rows[1]) == 16
+
+
+def test_semdedup_large_k_kernel_assignment_matches_expression(spark, monkeypatch):
+    """k above the expression ceiling routes assignment through the
+    broadcast-GEMM kernel; verdicts must match the expression path."""
+    import numpy as np
+
+    from duckdb_vss_spark import semdedup
+    from duckdb_vss_spark.operators import dedup as DD
+
+    rng = np.random.default_rng(23)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(rng.normal(size=(300, 8)))]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<float>")
+    cents = [(k, [float(x) for x in v]) for k, v in enumerate(rng.normal(size=(100, 8)))]
+    a = sorted(map(tuple, semdedup(df, "v", "vec_id", centroids=cents, eps=0.6).collect()))
+    monkeypatch.setattr(DD, "_SEMDEDUP_EXPR_MAX_K", 10_000)
+    b = sorted(map(tuple, semdedup(df, "v", "vec_id", centroids=cents, eps=0.6).collect()))
+    assert a == b
