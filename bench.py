@@ -213,6 +213,15 @@ def main() -> None:
         s2_spark["topk_cosine_k10"] = run(
             lambda: topk(emb_b, "embedding", Q, 10, "cosine", tiebreak="vec_id").collect()
         )
+        # method comparison on the same data: the two-phase f32-tree candidate
+        # plan and the Arrow GEMM kernel vs the default exact JVM plan (all
+        # three bit-identical; see operators/topk.py method docstring)
+        s2_spark["topk_l2_fast"] = run(
+            lambda: topk(emb_b, "embedding", Q, 10, "l2sq", tiebreak="vec_id", method="fast").collect()
+        )
+        s2_spark["topk_l2_kernel"] = run(
+            lambda: topk(emb_b, "embedding", Q, 10, "l2sq", tiebreak="vec_id", method="kernel").collect()
+        )
         s2_spark["minby_topk_k5"] = run(
             lambda: min_by_k(emb_b, "vec_id", array_distance("embedding", Q), 5, tiebreak="vec_id").collect()
         )
@@ -279,6 +288,52 @@ def main() -> None:
             "rows_embeddings": n_emb * mult,
             "spark": {k: round(v, 4) for k, v in s2_spark.items()},
             "duckdb": {k: round(v, 4) for k, v in s2_duck.items()},
+        }
+
+    # -- third scale point: 10M rows — where the local job floor amortizes
+    # and brute-scan THROUGHPUT (the 100 TB question) is what's measured.
+    # Disable with SPARK_GRAFT_SCALE3_MULT=1.
+    mult3 = int(os.environ.get("SPARK_GRAFT_SCALE3_MULT", "5000"))
+    if mult3 > 1:
+        import duckdb
+
+        stage3 = tempfile.mkdtemp(prefix="bench_scale3_")
+        n_emb = emb.count()
+        emb3 = (
+            emb.crossJoin(spark.range(mult3).withColumnRenamed("id", "__rep"))
+            .withColumn("vec_id", (F.col("vec_id") + F.col("__rep") * F.lit(n_emb)).cast("long"))
+            .drop("__rep")
+        )
+        emb3.repartition(32).write.mode("overwrite").parquet(f"{stage3}/embeddings")
+        emb_3 = spark.read.parquet(f"{stage3}/embeddings").cache()
+        emb_3.count()
+        s3_spark = {
+            "topk_l2_k10": run(lambda: topk(emb_3, "embedding", Q, 10, "l2sq", tiebreak="vec_id").collect()),
+            "topk_cosine_k10": run(lambda: topk(emb_3, "embedding", Q, 10, "cosine", tiebreak="vec_id").collect()),
+        }
+        con3 = duckdb.connect()
+        con3.execute(f"CREATE VIEW emb3 AS SELECT * FROM '{stage3}/embeddings/*.parquet'")
+        qsql = "[" + ",".join(str(x) for x in Q) + "]::DOUBLE[]"
+        s3_duck = {
+            "topk_l2_k10": run(
+                lambda: con3.execute(
+                    f"SELECT vec_id, list_distance(embedding::DOUBLE[], {qsql}) AS s "
+                    "FROM emb3 ORDER BY s, vec_id LIMIT 10"
+                ).fetchall()
+            ),
+            "topk_cosine_k10": run(
+                lambda: con3.execute(
+                    f"SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], {qsql}) AS s "
+                    "FROM emb3 ORDER BY s DESC, vec_id LIMIT 10"
+                ).fetchall()
+            ),
+        }
+        emb_3.unpersist()
+        out["scale3"] = {
+            "mult": mult3,
+            "rows_embeddings": n_emb * mult3,
+            "spark": {k: round(v, 4) for k, v in s3_spark.items()},
+            "duckdb": {k: round(v, 4) for k, v in s3_duck.items()},
         }
 
     print(json.dumps(out))

@@ -39,6 +39,38 @@ def test_topk_cosine_polarity(spark, grid):
     assert abs(rows[0]["score"] - 1.0) < 1e-9
 
 
+def test_topk_methods_bit_identical(spark, emb):
+    """The fast (f32 balanced-tree candidate phase) and kernel (Arrow GEMM)
+    methods must return byte-for-byte what the exact JVM plan returns — the
+    candidate phases only preselect; the authoritative score/order is the
+    same JVM expression in all three."""
+    for metric in ("l2sq", "cosine", "ip"):
+        ref = topk(emb, "embedding", Q, 10, metric, tiebreak="vec_id", method="jvm").collect()
+        for method in ("fast", "kernel", "auto"):
+            got = topk(emb, "embedding", Q, 10, metric, tiebreak="vec_id", method=method).collect()
+            assert got == ref, (metric, method)
+
+
+def test_topk_methods_nulls_and_ties(spark):
+    """Null vectors are excluded on every method; exact-duplicate vectors
+    (score ties) resolve by the tiebreak identically — the shape that broke
+    a naive overfetch (500-way replicated vectors at the cut boundary)."""
+    base = [([float(i % 5), float((i * 3) % 7)], i) for i in range(50)]
+    rows = base + [(None, 1000 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec: array<float>, id: long")
+    for method in ("jvm", "fast", "kernel"):
+        got = topk(df, "vec", [1.0, 3.0], 12, "l2sq", tiebreak="id", method=method).collect()
+        if method == "jvm":
+            ref = got
+        assert got == ref, method
+        assert all(r["score"] is not None for r in got)
+
+
+def test_topk_kernel_all_null_partition(spark):
+    df = spark.createDataFrame([(None, 1), (None, 2)], "vec: array<float>, id: long")
+    assert topk(df, "vec", [1.0, 2.0], 3, "l2sq", method="kernel").collect() == []
+
+
 def test_topk_plan_is_take_ordered(spark, emb):
     plan = topk(emb, "embedding", Q, 10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
