@@ -70,6 +70,7 @@ from pyspark.sql import functions as F
 
 from . import fs
 from .ivf import FIRST_VERSION, IVFIndex
+from ..broadcasts import tracked_broadcast
 from ..functions.distance import METRIC_IS_DESCENDING, canonical_metric, distance_expr
 
 __all__ = ["GraphIndex", "build_graph", "GRAPH_FORMAT"]
@@ -221,7 +222,7 @@ def build_graph(
     smat = np.vstack(sample.toPandas()["vec"].to_numpy()).astype(np.float64)
     centroids = kmeans(smat, ncells, iters=KMEANS_ITERS, seed=seed)
     ncells = centroids.shape[0]
-    bc_cent = spark.sparkContext.broadcast(centroids)
+    bc_cent = tracked_broadcast(spark.sparkContext, centroids)
 
     def assign_cell(batches):
         c = bc_cent.value
@@ -374,7 +375,7 @@ class GraphIndex(IVFIndex):
         cells = self.probe_lists(query, self.nprobe_for(ef_search))
         parts = self._cell_parts(cells)
         qv = np.asarray(query, dtype=np.float64)
-        bc = spark.sparkContext.broadcast(qv)
+        bc = tracked_broadcast(spark.sparkContext, qv)
         id_t = self.manifest.get("id_type", "bigint")
 
         def shard_topk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -436,7 +437,7 @@ class GraphIndex(IVFIndex):
             mask[self._cell_parts(cells), qi] = True
         needed_cells = sorted({int(c) for cells in probe_sets for c in cells})
         parts = self._cell_parts(needed_cells)
-        bc = spark.sparkContext.broadcast((qids, qmat, mask))
+        bc = tracked_broadcast(spark.sparkContext, (qids, qmat, mask))
         id_t = self.manifest.get("id_type", "bigint")
         qid_t = qid_type
 

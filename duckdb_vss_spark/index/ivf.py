@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 
 from . import fs
 from . import pq as pqmod
+from ..broadcasts import tracked_broadcast
 from ..functions.distance import METRIC_IS_DESCENDING, canonical_metric, distance_expr
 
 __all__ = ["IVFIndex", "build_ivf", "kmeans", "kmeans_distributed"]
@@ -159,7 +160,7 @@ def kmeans_distributed(
     cents = np.ascontiguousarray(init, dtype=np.float64)
     k, d = cents.shape
     for _ in range(iters):
-        bc = spark.sparkContext.broadcast(cents)
+        bc = tracked_broadcast(spark.sparkContext, cents)
 
         def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             c = bc.value
@@ -284,8 +285,8 @@ def build_ivf(
         raise ValueError(f"IVF-PQ option 'pq_m' ({pq_m}) must divide the vector dimension ({dim})")
     books = pqmod.train_codebooks(smat, pq_m, seed=seed) if pq_m else None
 
-    bc = spark.sparkContext.broadcast(centroids)
-    bc_books = spark.sparkContext.broadcast(books) if books is not None else None
+    bc = tracked_broadcast(spark.sparkContext, centroids)
+    bc_books = tracked_broadcast(spark.sparkContext, books) if books is not None else None
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cents = bc.value
@@ -548,7 +549,7 @@ class IVFIndex:
         lists = self.probe_lists(query, self.nprobe_for(ef_search))
         data = self.data_df(spark, lists)
         lut = pqmod.adc_lut(np.asarray(query, dtype=np.float64), self.pq_books, metric)
-        bc_lut = spark.sparkContext.broadcast(lut)
+        bc_lut = tracked_broadcast(spark.sparkContext, lut)
         qnorm = float(np.linalg.norm(np.asarray(query, dtype=np.float64)))
         id_t = self.manifest.get("id_type", "bigint")
 

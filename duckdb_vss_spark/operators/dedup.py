@@ -18,6 +18,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..broadcasts import tracked_broadcast
 from ..functions.distance import array_cosine_similarity
 from ..functions.text import (
     DEFAULT_NUM_PERM,
@@ -546,7 +547,7 @@ def embedding_neardup_pairs(
     smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-30)
     cents = kmeans(smat, nlist, seed=seed)
     nlist = cents.shape[0]
-    bc = spark.sparkContext.broadcast(cents)
+    bc = tracked_broadcast(spark.sparkContext, cents)
 
     def assign(batches):
         import numpy as np
@@ -618,7 +619,7 @@ def _assign_kernel(src, vec_col, id_col, centroids, metric):
     spark = src.sparkSession
     ids = np.asarray([cid for cid, _ in centroids], dtype=np.int64)
     cmat = np.asarray([v for _, v in centroids], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((ids, cmat, metric))
+    bc = tracked_broadcast(spark.sparkContext, (ids, cmat, metric))
     id_t = dict(src.dtypes)[id_col]
     vec_t = dict(src.dtypes)[vec_col]
 

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from ..functions.distance import METRIC_IS_DESCENDING, canonical_metric, distance_expr
 from ..functions.kernels import as_matrix, local_topk, pairwise_scores
+from ..broadcasts import tracked_broadcast
 
 __all__ = ["knn_join_flat", "knn_join", "knn_match"]
 
@@ -91,7 +92,7 @@ def _candidates_broadcast(
     qids = probes_pdf["qid"].to_numpy()
     qmat = as_matrix(probes_pdf["v"]) if len(probes_pdf) else None
     excl = np.asarray(list(excluded_ids)) if excluded_ids is not None and len(excluded_ids) else None
-    bc = spark.sparkContext.broadcast((qids, qmat, probe_mask, excl))
+    bc = tracked_broadcast(spark.sparkContext, (qids, qmat, probe_mask, excl))
     desc = METRIC_IS_DESCENDING[metric]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -194,7 +195,7 @@ def _candidates_broadcast_pq(
     qids = probes_pdf["qid"].to_numpy()
     qmat = as_matrix(probes_pdf["v"]) if len(probes_pdf) else None
     excl = np.asarray(list(excluded_ids)) if excluded_ids is not None and len(excluded_ids) else None
-    bc = spark.sparkContext.broadcast((qids, qmat, probe_mask, excl, index.pq_books))
+    bc = tracked_broadcast(spark.sparkContext, (qids, qmat, probe_mask, excl, index.pq_books))
     desc = METRIC_IS_DESCENDING[metric]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from duckdb_vss_spark import VSSEngine, topk
+from duckdb_vss_spark import VSSEngine, knn_join_flat, topk
 from duckdb_vss_spark.index.catalog import BinderException, validate_options
 
 Q = [((i * 7) % 16) / 16.0 for i in range(64)]
@@ -405,3 +405,25 @@ def test_vss_match_routes_through_index(engine, spark):
     plan = engine.explain_knn_join(probes, "emb", "embedding", "embedding", 3,
                                    left_id="vec_id", right_id="vec_id")
     assert "HNSW_INDEX_JOIN" in plan
+
+
+def test_broadcast_lifetime_bounded(engine, spark):
+    """Round-4 verdict "What's wrong" #1: per-query search broadcasts must
+    not accumulate unboundedly in a long-lived session. 100+ searches keep
+    the tracked-live ring at MAX_LIVE_BROADCASTS, evicted entries are
+    unpersisted, and results stay correct afterwards (unpersist != destroy:
+    re-execution re-fetches from the driver copy)."""
+    from duckdb_vss_spark.broadcasts import MAX_LIVE_BROADCASTS, live_broadcast_count
+
+    idx = engine.catalog.get("emb_idx")
+    ref = [r["id"] for r in idx.search(spark, Q, 5, ef_search=256).collect()]
+    probes = spark.createDataFrame([(0, Q)], "pid long, v array<float>")
+    for i in range(110):
+        if i % 2:
+            idx.search(spark, Q, 5).collect()
+        else:
+            knn_join_flat(probes, emb_df(spark), "v", "embedding", 3,
+                          left_id="pid", right_id="vec_id").collect()
+    assert live_broadcast_count(spark.sparkContext) <= MAX_LIVE_BROADCASTS
+    got = [r["id"] for r in idx.search(spark, Q, 5, ef_search=256).collect()]
+    assert got == ref
