@@ -367,22 +367,43 @@ def simhash_pairs(
     id_t = dict(base.dtypes)["id"]
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Fully vectorized across the batch (the round-4 kernel looped per
+        # doc, building a (tokens x 56) matrix each iteration — the hottest
+        # remaining Python). Bit votes come from one np.unpackbits over the
+        # concatenated hash bytes; per-doc vote sums from one
+        # np.add.reduceat (integer adds — order-free, so reduceat's pairwise
+        # reduction is exact). Token-less docs are dropped BEFORE reduceat:
+        # they carry no signal (matches the SQL oracle, whose explode of an
+        # empty token array yields no rows) — and an empty reduceat segment
+        # would return the neighbor's row instead of zero.
         shifts = np.arange(nbits, dtype=np.int64)
+        CHUNK_TOKENS = 1 << 18  # bounds the unpacked bit matrix to ~60 MB
         for pdf in batches:
-            ids, sigs = [], []
-            for i, hs in zip(pdf["id"], pdf["hs"]):
-                arr = np.asarray(hs, dtype=np.int64)
-                if arr.size == 0:
-                    # token-less docs carry no signal; emitting sh=0 would
-                    # pair them with each other and with near-zero
-                    # signatures, so drop them (matches the SQL oracle,
-                    # whose explode of an empty token array yields no rows)
-                    continue
-                bits = ((arr[:, None] >> shifts[None, :]) & 1).sum(axis=0)
-                ids.append(i)
-                sigs.append(int(((bits * 2 > arr.size).astype(np.int64) << shifts).sum()))
-            if ids:
-                yield pd.DataFrame({"id": ids, "sh": sigs})
+            hs_arr = pdf["hs"].to_numpy()
+            lens = np.fromiter((len(h) for h in hs_arr), dtype=np.int64, count=len(hs_arr))
+            keep = lens > 0
+            if not keep.any():
+                continue
+            ids_all = pdf["id"].to_numpy()[keep]
+            hs_kept = hs_arr[keep]
+            lens_k = lens[keep]
+            out_sigs = np.empty(len(ids_all), dtype=np.int64)
+            pos = 0
+            while pos < len(ids_all):
+                end = pos
+                tok = 0
+                while end < len(ids_all) and (tok == 0 or tok + lens_k[end] <= CHUNK_TOKENS):
+                    tok += lens_k[end]
+                    end += 1
+                flat = np.concatenate(list(hs_kept[pos:end])).astype("<i8", copy=False)
+                bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+                seg = lens_k[pos:end]
+                starts = np.concatenate([[0], np.cumsum(seg)[:-1]])
+                votes = np.add.reduceat(bits[:, :nbits].astype(np.int32), starts, axis=0)
+                maj = (votes.astype(np.int64) * 2 > seg[:, None]).astype(np.int64)
+                out_sigs[pos:end] = (maj << shifts[None, :]).sum(axis=1)
+                pos = end
+            yield pd.DataFrame({"id": ids_all, "sh": out_sigs})
 
     sh = _shared(
         base.mapInPandas(sig, schema=f"id {id_t}, sh long").withColumnRenamed("id", id_col)

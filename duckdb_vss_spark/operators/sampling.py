@@ -33,6 +33,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..broadcasts import tracked_broadcast
 from ..functions import text as T
 
 __all__ = [
@@ -365,30 +366,59 @@ def dsir_weights(
         dense = np.full(buckets, fallback, dtype=np.float64)
         dense[rp["__b"].to_numpy()] = rp["__lr"].to_numpy()
         spark = df.sparkSession
-        bc = spark.sparkContext.broadcast(dense)
+        bc = tracked_broadcast(spark.sparkContext, dense)
         id_t = dict(df.dtypes)[id_col]
         src = _fan_out(df.filter(F.col(text_col).isNotNull())).select(
             F.col(id_col).alias("__id"), _hashed_features(text_col, buckets).alias("__f")
         )
 
         def score(batches):
+            # Vectorized across the batch (the round-4 kernel ran two numpy
+            # calls per doc — the hottest remaining Python after simhash).
+            # One gather over the concatenated feature stream, then per-doc
+            # sums via zero-padded rows + cumsum(axis=1): row-wise cumsum IS
+            # the sequential left fold (each prefix = previous + next), and
+            # trailing +0.0 terms leave an IEEE double unchanged, so the
+            # result stays bitwise-equal to the per-doc np.cumsum — which is
+            # the contract with the JVM aggregate HOF and duckdb list_sum
+            # (np.add.reduceat would NOT be: its segment reduce is pairwise,
+            # measured bit-different on ~95% of 1k-term segments). -0.0 is
+            # unreachable (log-ratio terms are never -0.0), so padding can't
+            # flip a zero's sign. Docs are binned into pow-4 width classes
+            # to bound the padded matrix at <= 4x the real token count.
             import numpy as np
             import pandas as pd
 
             table = bc.value
             for pdf in batches:
-                ids, ns, ws = [], [], []
-                for i, f in zip(pdf["__id"], pdf["__f"]):
-                    # mirror the relational path: NULL-text and tokenless
-                    # docs produce no rows
-                    if f is None or len(f) == 0:
-                        continue
-                    vals = table[np.asarray(f, dtype=np.int64)]
-                    ids.append(i)
-                    ns.append(len(f))
-                    ws.append(np.cumsum(vals)[-1])
-                if ids:
-                    yield pd.DataFrame({"id": ids, "n_feats": ns, "log_w": ws})
+                f_arr = pdf["__f"].to_numpy()
+                lens = np.fromiter(
+                    (0 if f is None else len(f) for f in f_arr), dtype=np.int64, count=len(f_arr)
+                )
+                keep = lens > 0  # NULL-text / tokenless docs produce no rows
+                if not keep.any():
+                    continue
+                ids = pdf["__id"].to_numpy()[keep]
+                lens_k = lens[keep]
+                flat = np.concatenate(list(f_arr[keep])).astype(np.int64, copy=False)
+                vals = table[flat]
+                starts = np.concatenate([[0], np.cumsum(lens_k)[:-1]])
+                sums = np.empty(len(ids), dtype=np.float64)
+                width = 8
+                binned = np.zeros(len(ids), dtype=bool)
+                while not binned.all():
+                    sel = (~binned) & (lens_k <= width)
+                    if width >= lens_k.max():
+                        sel = ~binned
+                    if sel.any():
+                        n, w = int(sel.sum()), int(min(width, lens_k.max()))
+                        idx = starts[sel, None] + np.arange(w)[None, :]
+                        mask = np.arange(w)[None, :] < lens_k[sel, None]
+                        rows = np.where(mask, vals[np.minimum(idx, len(vals) - 1)], 0.0)
+                        sums[sel] = np.cumsum(rows, axis=1)[:, -1]
+                        binned |= sel
+                    width *= 4
+                yield pd.DataFrame({"id": ids, "n_feats": lens_k, "log_w": sums})
 
         return src.mapInPandas(
             score, schema=f"id {id_t}, n_feats long, log_w double"
