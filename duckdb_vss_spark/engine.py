@@ -50,6 +50,10 @@ class VSSEngine:
         # the default is ON. Setting it to false restores the reference's
         # DDL-time guard (byte-identical error) for drop-in test parity.
         self.enable_experimental_persistence: bool = True
+        # explain text of the most recent planner decision (topk / by_k /
+        # knn_join) — the assertion surface for callers that reach the
+        # planner indirectly (the SQL frontend's embedded-fragment pass)
+        self.last_plan: Optional[str] = None
 
     # -- tables -----------------------------------------------------------
     def register_table(self, name: str, df: DataFrame) -> None:
@@ -193,7 +197,9 @@ class VSSEngine:
         else:
             src = df.filter(where) if where else df
             out = exact_topk(src, vec_col, list(query), k, m, score_col=score_col, tiebreak=tiebreak)
-        return out, explain_text(spec, decision, extra)
+        plan = explain_text(spec, decision, extra)
+        self.last_plan = plan
+        return out, plan
 
     # -- Q2: min_by / max_by top-k aggregates ----------------------------
     # DuckDB's 3-arg min_by returns the k SMALLEST score values no matter
@@ -270,7 +276,9 @@ class VSSEngine:
             out = _by_k(fetched, value_col, score, k, descending=descending, tiebreak=None, filter=where)
         else:
             out = _by_k(df, value_col, score, k, descending=descending, tiebreak=None, filter=where)
-        return out, explain_text(spec, decision)
+        plan = explain_text(spec, decision)
+        self.last_plan = plan
+        return out, plan
 
     # -- Q3/Q4/Q5: knn join ----------------------------------------------
     def knn_join(
@@ -312,7 +320,9 @@ class VSSEngine:
                 .join(lstruct, out["qid"] == lstruct["__qid"])
                 .select(F.col("score").cast("float").alias("score"), "left_tbl", "right_tbl")
             )
-        return out, explain_text(spec, decision)
+        plan = explain_text(spec, decision)
+        self.last_plan = plan
+        return out, plan
 
     def vss_join(self, left, right, left_col, right_col, k, metric="l2sq", left_id=None, right_id=None) -> DataFrame:
         """vss_join macro parity (struct output)."""

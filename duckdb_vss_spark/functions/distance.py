@@ -84,10 +84,15 @@ def _dsum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
-# Above this the unrolled expression tree gets unwieldy; the HOF form's size
-# is dimension-independent. 512 doubles ≈ 2k expression nodes — comfortably
-# inside Catalyst/codegen limits (generated methods are split automatically).
-_UNROLL_MAX_DIM = 512
+# Above this the unrolled expression falls back to the HOF form (whose size
+# is dimension-independent). Measured limits (round 5): the sequential sum
+# chain is one Add node deep PER DIM, so Catalyst's recursive genCode
+# overflows the default JVM thread stack near 512 dims (hard
+# StackOverflowError — get_spark now sets -Xss16m as defense), and past
+# ~384 dims Janino fails to compile the generated method (falls back to
+# interpreted, losing the unroll's entire point). 256 is the largest dim
+# that both plans AND compiles cleanly.
+_UNROLL_MAX_DIM = 256
 
 
 def _const_vec(v):

@@ -84,6 +84,20 @@ def validate_options(options: dict) -> dict:
             if isinstance(v, bool) or not isinstance(v, int) or v < 64:
                 raise BinderException("graph option 'graph_part_rows' must be an integer >= 64")
             out[k] = v
+        elif k == "tail_max_rows":
+            # bound on the brute-searched unindexed tail: insert() (and the
+            # streaming sink, which rides through it) checks the tail row
+            # count after each append and, past the bound, warns toward —
+            # or with tail_policy='compact' performs — a compact. Without a
+            # bound, streaming ingest grows the tail (and every search's
+            # brute-force share) without limit between manual compacts.
+            if isinstance(v, bool) or not isinstance(v, int) or v < 1:
+                raise BinderException("index option 'tail_max_rows' must be a positive integer")
+            out[k] = v
+        elif k == "tail_policy":
+            if not isinstance(v, str) or v.lower() not in ("warn", "compact"):
+                raise BinderException("index option 'tail_policy' must be one of: 'warn', 'compact'")
+            out[k] = v.lower()
         else:
             raise BinderException(f"Unknown option for HNSW index: '{key}'")
     if out["M0"] is None:

@@ -583,7 +583,15 @@ class IVFIndex:
     def insert(self, df: DataFrame, vec_col: str, id_col: str) -> None:
         """Append rows to the unindexed tail (searched brute-force until the
         next compact — matches the reference's 'create index after load'
-        guidance, reference README.md:66-68)."""
+        guidance, reference README.md:66-68).
+
+        If the index was created with ``tail_max_rows``, the tail row count
+        (a parquet-footer metadata read) is checked after the append: past
+        the bound, ``tail_policy='compact'`` folds the tail in place (this
+        handle and any catalog handle stay valid — the rebuilt state is
+        adopted in-place), the default ``'warn'`` policy emits a warning so
+        the unbounded-tail drift at streaming ingest rates is at least
+        visible (round-4 verdict item 8)."""
         (
             df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
             .filter(F.col(vec_col).isNotNull())
@@ -591,6 +599,27 @@ class IVFIndex:
             .parquet(self._tail_path())
         )
         self._tail_exists = True
+        opts = self.manifest.get("options") or {}
+        limit = opts.get("tail_max_rows")
+        if limit:
+            spark = df.sparkSession
+            tail_rows = spark.read.parquet(self._tail_path()).count()
+            if tail_rows > int(limit):
+                if opts.get("tail_policy", "warn") == "compact":
+                    rebuilt = self.compact(spark)
+                    # adopt the new version in place so every live handle
+                    # (catalog, engine, streaming sink closure) stays valid
+                    self.__dict__.update(rebuilt.__dict__)
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        f"index tail has {tail_rows} rows (> tail_max_rows={limit}); "
+                        "searches brute-force the whole tail — run compact(), or create "
+                        "the index with tail_policy='compact' to fold automatically",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
 
     def delete(self, spark: SparkSession, ids: list) -> None:
         """Record deleted ids; they disappear from search results immediately."""

@@ -37,11 +37,16 @@ def get_spark(app_name: str = "duckdb-vss-spark", shuffle_partitions: int | None
         SparkSession.builder.appName(app_name)
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+            # -Xss16m: Catalyst's genCode recurses once per expression node,
+            # and a D-dim unrolled distance is a D-deep Add chain — the
+            # default thread stack overflows (hard crash) near D=512. 16 MB
+            # gives ~8x headroom; the unroll itself also caps at
+            # _UNROLL_MAX_DIM=256 where codegen still compiles cleanly.
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m -Xss16m",
         )
         .config(
             "spark.executor.extraJavaOptions",
-            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m -Xss16m",
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -120,3 +120,19 @@ def test_unrolled_matches_hof_bitwise(spark):
     finally:
         D._UNROLL_MAX_DIM = old
     assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+
+def test_high_dim_no_codegen_crash(spark):
+    """512-dim constant-vector queries must not crash Catalyst: beyond
+    _UNROLL_MAX_DIM (=256, the largest dim whose unrolled sequential chain
+    both plans and Janino-compiles cleanly) the builders fall back to the
+    HOF form. Round-5 regression: at 512 dims the unroll's one-Add-per-dim
+    chain overflowed genCode's recursion (hard StackOverflowError)."""
+    from duckdb_vss_spark import topk
+
+    dim = 512
+    rows = [(i, [float((i * j) % 7 + 1) for j in range(dim)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    q = [float(j % 5 + 1) for j in range(dim)]
+    for metric in ("l2sq", "cosine", "ip"):
+        assert len(topk(df, "v", q, 3, metric, tiebreak="id").collect()) == 3

@@ -427,3 +427,41 @@ def test_broadcast_lifetime_bounded(engine, spark):
     assert live_broadcast_count(spark.sparkContext) <= MAX_LIVE_BROADCASTS
     got = [r["id"] for r in idx.search(spark, Q, 5, ef_search=256).collect()]
     assert got == ref
+
+
+def test_tail_max_rows_warn_and_autocompact(spark, tmp_path):
+    """tail_max_rows bound (round-4 verdict item 8): policy 'warn' fires a
+    RuntimeWarning past the bound; policy 'compact' folds the tail in place
+    and existing handles stay live and exact."""
+    import warnings
+
+    emb = emb_df(spark).limit(60)
+    head, tail1, tail2 = emb.filter("vec_id < 40"), emb.filter(
+        "vec_id >= 40 and vec_id < 50"
+    ), emb.filter("vec_id >= 50")
+
+    eng = VSSEngine(spark, index_root=str(tmp_path / "warn"))
+    eng.register_table("t", head)
+    eng.create_index("w_idx", "t", "embedding", "vec_id", options={"tail_max_rows": 12})
+    idx = eng.catalog.get("w_idx")
+    idx.insert(tail1, "embedding", "vec_id")  # 10 rows: under the bound
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        idx.insert(tail2, "embedding", "vec_id")  # 20 total: over
+    assert any("tail_max_rows" in str(w.message) for w in rec)
+
+    eng2 = VSSEngine(spark, index_root=str(tmp_path / "auto"))
+    eng2.register_table("t2", head)
+    eng2.create_index(
+        "a_idx", "t2", "embedding", "vec_id",
+        options={"tail_max_rows": 12, "tail_policy": "compact"},
+    )
+    idx2 = eng2.catalog.get("a_idx")
+    idx2.insert(tail1, "embedding", "vec_id")
+    idx2.insert(tail2, "embedding", "vec_id")  # crosses the bound -> auto-fold
+    assert idx2.tail_df(spark) is None  # folded
+    assert idx2.counts(spark)["live"] == 60
+    # the same (in-place rebuilt) handle searches exactly at full probe
+    got = [r["id"] for r in idx2.search(spark, Q, 5, ef_search=256).collect()]
+    exact = topk(emb, "embedding", Q, 5, "l2sq", tiebreak="vec_id").collect()
+    assert got == [r["vec_id"] for r in exact]
