@@ -54,6 +54,22 @@ Artifact layout::
         data/part_id=*/...      # parquet (id, vec, li, nbrs) shards
         tail/*.parquet           # unindexed appended rows (optional)
         deleted/*.parquet        # deleted id bitmap (optional)
+
+**When to choose this backend: for reference-contract parity, not for
+speed.** Measured twice against the IVF default on the same staged data
+(BASELINE.md): at 10M x 64-d it builds 6.7x slower and searches 2x
+slower; at 500k x 512-d (the hypothesized high-dim win regime) it builds
+4.3x slower and its best point (ef=128, recall 0.96, 1.63 s) is still
+behind IVF's cheapest (ef=8, recall 1.0, 1.01 s). Structurally: in a
+shard-at-a-time engine a probed shard's vectors are loaded either way, so
+beam search only saves per-row scoring — which the IVF kernel already
+does as a memory-bandwidth GEMM; raising dimensionality scales both
+costs together. A graph wins with RAM-resident per-vector random access
+across queries (the reference's single-process usearch) — an
+architecture a distributed shard-scan engine intentionally does not
+have. Keep IVF (optionally +PQ) for performance; use this backend when
+usearch-contract behavior (beam semantics, ef tunability, exact-at-full-
+ef) is the requirement.
 """
 
 from __future__ import annotations
