@@ -119,8 +119,8 @@ class VSSEngine:
     def drop_index(self, name: str) -> None:
         self.catalog.drop_index(name)
 
-    def compact_index(self, name: str):
-        return self.catalog.compact_index(name)
+    def compact_index(self, name: str, incremental: bool = False):
+        return self.catalog.compact_index(name, incremental=incremental)
 
     def index_info(self) -> DataFrame:
         return self.catalog.index_info()

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["pairwise_scores", "as_matrix", "local_topk"]
+__all__ = ["pairwise_scores", "as_matrix", "local_topk", "nearest_cells"]
 
 
 def as_matrix(series) -> np.ndarray:
@@ -36,6 +36,25 @@ def pairwise_scores(items: np.ndarray, probes: np.ndarray, metric: str) -> np.nd
     if metric == "ip":
         return items @ probes.T
     raise ValueError("Unknown metric")
+
+
+def nearest_cells(qmat: np.ndarray, centroids: np.ndarray, metric: str, nprobe: int) -> np.ndarray:
+    """(nq, nprobe) ids of each query's ``nprobe`` nearest k-means cells —
+    the IVF probe-set rule, shared by the driver-side handle
+    (``IVFIndex.probe_lists_batch``) and the distributed join's map-side
+    assignment so both paths probe identical cells."""
+    if metric == "cosine":
+        cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+        qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+        s = -(qn @ cn.T)
+    elif metric == "ip":
+        s = -(qmat @ centroids.T)
+    else:
+        s = (qmat * qmat).sum(1)[:, None] + (centroids * centroids).sum(1)[None, :] - 2.0 * (qmat @ centroids.T)
+    nprobe = min(nprobe, centroids.shape[0])
+    if nprobe >= centroids.shape[0]:
+        return np.argsort(s, axis=1)
+    return np.argpartition(s, nprobe - 1, axis=1)[:, :nprobe]
 
 
 def local_topk(scores: np.ndarray, k: int, descending: bool) -> np.ndarray:

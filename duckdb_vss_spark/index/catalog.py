@@ -251,10 +251,14 @@ class IndexCatalog:
         if self._names is not None:
             self._names = [n for n in self._names if n != name]
 
-    def compact_index(self, name: str) -> IVFIndex:
+    def compact_index(self, name: str, incremental: bool = False) -> IVFIndex:
         """PRAGMA hnsw_compact_index('name')
-        (reference: src/hnsw/hnsw_index_pragmas.cpp:179-220)."""
-        idx = self.get(name).compact(self.spark)
+        (reference: src/hnsw/hnsw_index_pragmas.cpp:179-220).
+        ``incremental=True`` folds only the tail as a committed delta
+        (O(tail); IVF backends) instead of the full rebuild — the form for
+        indexes too large to rebuild on every fold."""
+        h = self.get(name)
+        idx = h.compact_incremental(self.spark) if incremental else h.compact(self.spark)
         self._handles[name] = idx
         return idx
 

@@ -352,6 +352,22 @@ class GraphIndex(IVFIndex):
         self._data_df = None
         self._list_ids_on_disk: Optional[set] = None
 
+    def compact_incremental(self, spark: SparkSession) -> "GraphIndex":
+        """The graph backend cannot fold a tail in O(|tail|): new rows must
+        enter a shard's neighbor graph, which is a per-shard rebuild.
+        Falls back to the full versioned rebuild with a warning (and the
+        module docs route performance-sensitive deployments to IVF, where
+        incremental compact is real)."""
+        import warnings
+
+        warnings.warn(
+            "index_type='hnsw' has no O(tail) incremental compact (tail rows must enter "
+            "per-shard neighbor graphs); performing a full compact instead",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return self.compact(spark)
+
     @property
     def nparts(self) -> int:
         return self.manifest["nparts"]

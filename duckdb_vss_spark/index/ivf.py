@@ -374,7 +374,16 @@ class IVFIndex:
         # job, even) per query. One handle-lifetime listing + a cached
         # relation removes that fixed cost from the steady-state search path.
         self._data_df = None
-        self._list_ids_on_disk: Optional[set] = None
+        self._list_ids_on_disk: Optional[dict] = None
+        # incremental-compact crash repair: a manifest committed with
+        # pending_tail_delete means the tail's rows are already live in the
+        # newest delta — delete the stale tail (double-count otherwise) and
+        # clear the flag (see compact_incremental)
+        if self.manifest.get("pending_tail_delete"):
+            if fs.exists(self.spark, fs.join(self.vpath, "tail")):
+                fs.delete(self.spark, fs.join(self.vpath, "tail"))
+            self.manifest.pop("pending_tail_delete", None)
+            fs.write_json(self.spark, fs.join(path, "manifest.json"), self.manifest)
 
     # -- properties -------------------------------------------------------
     @property
@@ -399,14 +408,26 @@ class IVFIndex:
     _SUBDIR_READ_FRACTION = 0.25
     _PART_COL = "list_id"  # GraphIndex overrides with "part_id"
 
-    def _existing_list_ids(self) -> set:
+    def _delta_dirs(self) -> list[str]:
+        """Committed incremental-compact delta directories (oldest first),
+        each partitioned by ``_PART_COL`` exactly like the base data dir."""
+        return [fs.join(self.vpath, d) for d in self.manifest.get("deltas", [])]
+
+    def _existing_ids_per_dir(self) -> dict:
         if self._list_ids_on_disk is None:
             prefix = self._PART_COL + "="
-            names = fs.listdir(self.spark, self.data_path())
-            self._list_ids_on_disk = {
-                int(n.split("=", 1)[1]) for n in names if n.startswith(prefix)
-            }
+            per = {}
+            for d in [self.data_path()] + self._delta_dirs():
+                names = fs.listdir(self.spark, d)
+                per[d] = {int(n.split("=", 1)[1]) for n in names if n.startswith(prefix)}
+            self._list_ids_on_disk = per
         return self._list_ids_on_disk
+
+    def _existing_list_ids(self) -> set:
+        out: set = set()
+        for s in self._existing_ids_per_dir().values():
+            out |= s
+        return out
 
     def data_df(self, spark: SparkSession, lists: Optional[list[int]] = None) -> DataFrame:
         """The base data relation, restricted to partitions ``lists`` when
@@ -424,15 +445,28 @@ class IVFIndex:
         recovered via ``basePath``.
         """
         if lists is not None:
-            on_disk = self._existing_list_ids()
-            sel = sorted({int(l) for l in lists} & on_disk)
-            if len(sel) < self._SUBDIR_READ_FRACTION * max(len(on_disk), 1):
-                if not sel:
+            per_dir = self._existing_ids_per_dir()
+            want = {int(l) for l in lists}
+            n_dirs = sum(len(s) for s in per_dir.values())
+            n_sel = sum(len(want & s) for s in per_dir.values())
+            if n_sel < self._SUBDIR_READ_FRACTION * max(n_dirs, 1):
+                parts = []
+                for d, ids in per_dir.items():  # base dir first, then deltas
+                    sel = sorted(want & ids)
+                    if sel:
+                        paths = [fs.join(d, f"{self._PART_COL}={l}") for l in sel]
+                        parts.append(spark.read.option("basePath", d).parquet(*paths))
+                if not parts:
                     return self.data_df(spark).filter(F.lit(False))
-                paths = [fs.join(self.data_path(), f"{self._PART_COL}={l}") for l in sel]
-                return spark.read.option("basePath", self.data_path()).parquet(*paths)
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                return out
         if self._data_df is None:
-            self._data_df = spark.read.parquet(self.data_path())
+            base = spark.read.parquet(self.data_path())
+            for d in self._delta_dirs():
+                base = base.unionByName(spark.read.parquet(d))
+            self._data_df = base
         out = self._data_df
         if lists is not None:
             out = out.filter(F.col(self._PART_COL).isin([int(l) for l in lists]))
@@ -486,22 +520,12 @@ class IVFIndex:
 
     def probe_lists_batch(self, qmat: np.ndarray, nprobe: int) -> list[np.ndarray]:
         """Vectorized probe_lists for a (nq, d) query matrix: per query the
-        ids of the ``nprobe`` nearest inverted lists."""
-        c = self.centroids
-        if self.metric == "cosine":
-            cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
-            qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
-            s = -(qn @ cn.T)
-        elif self.metric == "ip":
-            s = -(qmat @ c.T)
-        else:
-            s = ((qmat * qmat).sum(1)[:, None] + (c * c).sum(1)[None, :] - 2.0 * (qmat @ c.T))
-        nprobe = min(nprobe, self.nlist)
-        if nprobe >= self.nlist:
-            idx = np.argsort(s, axis=1)
-        else:
-            idx = np.argpartition(s, nprobe - 1, axis=1)
-        return [row[:nprobe] for row in idx]
+        ids of the ``nprobe`` nearest inverted lists (shared rule:
+        :func:`~duckdb_vss_spark.functions.kernels.nearest_cells`)."""
+        from ..functions.kernels import nearest_cells
+
+        idx = nearest_cells(qmat, self.centroids, self.metric, nprobe)
+        return [row for row in idx]
 
     def candidates(self, spark: SparkSession, query: list[float], ef_search: int | None = None) -> DataFrame:
         """Rows (id, vec) from the probed inverted lists + the whole tail,
@@ -606,9 +630,12 @@ class IVFIndex:
             tail_rows = spark.read.parquet(self._tail_path()).count()
             if tail_rows > int(limit):
                 if opts.get("tail_policy", "warn") == "compact":
-                    rebuilt = self.compact(spark)
-                    # adopt the new version in place so every live handle
-                    # (catalog, engine, streaming sink closure) stays valid
+                    # incremental: the auto-fold fires at ingest cadence, so
+                    # it must be O(tail), not O(index) (graph backends fall
+                    # back to the full rebuild); any rebuilt handle state is
+                    # adopted in place so every live handle (catalog,
+                    # engine, streaming sink closure) stays valid
+                    rebuilt = self.compact_incremental(spark)
                     self.__dict__.update(rebuilt.__dict__)
                 else:
                     import warnings
@@ -627,14 +654,92 @@ class IVFIndex:
         spark.createDataFrame([(i,) for i in ids], f"id {id_t}").write.mode("append").parquet(self._deleted_path())
         self._deleted_exists = True
 
+    def compact_incremental(self, spark: SparkSession) -> "IVFIndex":
+        """Fold the tail into the live version as a committed DELTA —
+        O(|tail|) work instead of the full rebuild's O(|index|), the form
+        that matters when the index is 100 TB and the tail is 0.1% of it.
+
+        Tail rows are assigned to the EXISTING centroids with the same
+        float32 assignment rule as the build (``_nearest_centroid``; PQ
+        artifacts also encode codes against the existing codebooks), and
+        written to ``<version>/delta-NNNNNN/`` partitioned by list id —
+        search-time partition pruning treats base and deltas identically
+        (``data_df``). Centroids are NOT refit: like growing an IVF index
+        by insertion anywhere, assignment quality degrades only as far as
+        the data drifts from the centroids' fit; a full :meth:`compact`
+        refits. Deleted-id tombstones likewise remain until a full compact.
+
+        Crash-safety: the delta only becomes visible with the manifest
+        commit (which also sets ``pending_tail_delete``); the tail is
+        deleted after the commit and the flag then cleared. A crash before
+        the commit leaves an orphan delta dir (invisible, overwritten by
+        the next attempt); a crash between commit and tail delete is
+        repaired at the next handle open (``__init__`` deletes the
+        already-folded tail). Single-writer, like every maintenance op
+        here."""
+        tail = self.tail_df(spark)
+        if tail is None:
+            return self
+        seq = len(self.manifest.get("deltas", [])) + 1
+        dname = f"delta-{seq:06d}"
+        ddir = fs.join(self.vpath, dname)
+        if fs.exists(spark, ddir):  # orphan from a crashed attempt
+            fs.delete(spark, ddir)
+        cents = self.centroids
+        books = self.pq_books
+        bc = tracked_broadcast(spark.sparkContext, (cents, books))
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cents_l, books_l = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+                pdf = pdf.assign(
+                    list_id=_nearest_centroid(mat, cents_l, dtype=np.float32).astype(np.int32)
+                )
+                if books_l is not None:
+                    codes = pqmod.encode(mat, books_l)
+                    pdf = pdf.assign(
+                        codes=[c.tobytes() for c in codes],
+                        vnorm=np.linalg.norm(mat, axis=1).astype(np.float32),
+                    )
+                yield pdf
+
+        id_t = self.manifest.get("id_type", "bigint")
+        schema = f"id {id_t}, vec array<float>, list_id int"
+        if books is not None:
+            schema += ", codes binary, vnorm float"
+        n_tail = tail.count()
+        (
+            tail.mapInPandas(assign, schema=schema)
+            .repartition(F.col("list_id"))
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(ddir)
+        )
+        # commit: delta becomes visible + tail marked folded, atomically
+        self.manifest["deltas"] = [*self.manifest.get("deltas", []), dname]
+        self.manifest["count"] = int(self.manifest["count"]) + int(n_tail)
+        self.manifest["pending_tail_delete"] = True
+        fs.write_json(spark, fs.join(self.path, "manifest.json"), self.manifest)
+        fs.delete(spark, self._tail_path())
+        self.manifest.pop("pending_tail_delete", None)
+        fs.write_json(spark, fs.join(self.path, "manifest.json"), self.manifest)
+        self._tail_exists = False
+        self._data_df = None
+        self._list_ids_on_disk = None
+        return self
+
     def compact(self, spark: SparkSession) -> "IVFIndex":
         """Full rebuild folding in the tail and dropping deleted ids —
         semantics of PRAGMA hnsw_compact_index
         (reference: src/hnsw/hnsw_index.cpp:481-494). Crash-safe: the rebuild
         lands in a NEW version directory and only becomes live when the
         manifest is overwritten (single atomic commit); the old version is
-        removed after the commit."""
-        data = spark.read.parquet(self.data_path()).select("id", "vec")
+        removed after the commit. Committed incremental deltas fold in with
+        the base."""
+        data = self.data_df(spark).select("id", "vec")
         tail = self.tail_df(spark)
         if tail is not None:
             data = data.unionByName(tail)

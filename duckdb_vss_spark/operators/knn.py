@@ -52,6 +52,14 @@ __all__ = ["knn_join_flat", "knn_join", "knn_match"]
 # cross-join plan (a 1M x 64-dim f64 probe matrix is ~512 MB of broadcast).
 DEFAULT_BROADCAST_PROBE_LIMIT = 1_000_000
 _PROBE_CHUNK = 1024  # bounds the (batch x probe-chunk) GEMM output size
+# Indexed joins with at least this many probes take the distributed
+# cell-cogroup path even though the probe side would still broadcast: the
+# broadcast masked kernel's compute is O(N x nq) (full GEMM, then mask)
+# while the cell path is O(N x nq x nprobe/nlist) — measured at 10M rows x
+# 2k probes x ef=8: 14.5 s distributed vs 147 s for the coverage-rerouted
+# flat join. Below it, the broadcast kernel's single-pass zero-shuffle shape
+# wins on fixed costs (100 probes: ~0.8 s).
+DISTRIBUTED_MIN_PROBES = 1024
 
 
 def _candidates_broadcast(
@@ -417,9 +425,23 @@ def knn_join_flat_indexed(
             .filter(F.col("rnk") <= k)
             .select("qid", "rid", "rnk", "score")
         )
+    if (
+        probes_pdf is not None
+        and len(probes_pdf) >= DISTRIBUTED_MIN_PROBES
+        and not getattr(index, "is_graph", False)
+    ):
+        # probe side large enough that the cell-cogroup path's
+        # O(N x nq x nprobe/nlist) compute beats the broadcast kernel's
+        # O(N x nq) (see DISTRIBUTED_MIN_PROBES)
+        return knn_join_flat_indexed_distributed(left, index, left_on, k, left_id, ef_search)
     if probes_pdf is None:
-        # probe side too big to broadcast: exact distributed plan over the
-        # live index rows instead of an unbounded driver collect
+        # probe side too big to broadcast. IVF backends take the fully
+        # distributed cell-cogroup join (same probe sets, no driver
+        # collect); the graph backend has no cell-local
+        # exact kernel, so it keeps the exact cross-join fallback over live
+        # rows (and its module docs route performance users to IVF anyway).
+        if not getattr(index, "is_graph", False):
+            return knn_join_flat_indexed_distributed(left, index, left_on, k, left_id, ef_search)
         full = index.data_df(spark).select("id", "vec")
         tail = index.tail_df(spark)
         if tail is not None:
@@ -497,6 +519,182 @@ def knn_join_flat_indexed(
     w = Window.partitionBy("qid").orderBy(*order)
     return (
         cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rid", "rnk", "score")
+    )
+
+
+def knn_join_flat_indexed_distributed(
+    left: DataFrame,
+    index,
+    left_on: str,
+    k: int,
+    left_id: str,
+    ef_search: int | None = None,
+) -> DataFrame:
+    """HNSW_INDEX_JOIN for probe sides too large to broadcast — the fully
+    distributed shape (no driver collect anywhere):
+
+    1. map-side cell assignment: probes carry their vector into
+       ``nearest_cells`` against the broadcast centroid matrix and explode
+       to one ``(qid, qv, list_id)`` row per probed cell — the same probe
+       sets as the broadcast path (shared rule in ``kernels.nearest_cells``);
+    2. one Exchange of each side keyed by ``list_id``, then a
+       ``cogroup().applyInPandas`` per cell: one GEMM per (cell probes x
+       cell rows) emitting ``k`` candidate ``(qid, rid, kernel_score)``
+       rows per probe per cell — vectors never leave the cell task;
+    3. the bounded tail (``tail_max_rows``) broadcasts INTO a probe-side
+       pass (the probe side is the big one here, so the usual
+       probes-broadcast kernel is inverted) and its candidates union in;
+    4. per-probe global rank on the kernel score cut to ``k + band``, then
+       the survivors join back to their vectors for the authoritative JVM
+       exact score and the final ``k``-cut — identical to the broadcast
+       path's output (same eps-band discipline as ``topk(method="kernel")``)
+       except under >k-way EXACT score ties at the boundary, where every
+       kernel path (this one, the broadcast fold, the single-probe search)
+       returns an arbitrary valid subset of the tied group — the reference
+       has the same property and its tests sidestep ties with seeded data
+       (reference: test/sql/hnsw/hnsw_lateral_join_group.test:8).
+
+    Replaces the previous behavior for this regime — an exact cross join,
+    which is O(|probes| x |index|) and a scale cliff at 1M+ probes. Pair
+    volume here is ``nq x nprobe x k`` candidate rows plus one
+    ``nq x nprobe`` probe fan-out Exchange: linear in the probe count at
+    fixed probe budget, executor-parallel end to end.
+    """
+    import numpy as np
+
+    from ..broadcasts import tracked_broadcast
+    from ..functions.kernels import nearest_cells
+
+    spark = left.sparkSession
+    metric = index.metric
+    desc = METRIC_IS_DESCENDING[metric]
+    nprobe = min(index.nprobe_for(ef_search), index.nlist)
+    qid_t = dict(left.dtypes)[left_id]
+    rid_t = index.manifest.get("id_type", "bigint")
+    probes = left.select(F.col(left_id).alias("qid"), F.col(left_on).alias("qv")).filter(
+        F.col(left_on).isNotNull()
+    )
+    bc_assign = tracked_broadcast(spark.sparkContext, (index.centroids, metric, nprobe))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cents_l, metric_l, np_l = bc_assign.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.ascontiguousarray(np.vstack(pdf["qv"].to_numpy()), dtype=np.float64)
+            cells = nearest_cells(qm, cents_l, metric_l, np_l)
+            n, w = cells.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(pdf["qid"].to_numpy(), w),
+                    "qv": np.repeat(pdf["qv"].to_numpy(), w),
+                    "list_id": cells.astype(np.int64).ravel(),
+                }
+            )
+
+    probe_cells = probes.mapInPandas(assign, schema=f"qid {qid_t}, qv array<float>, list_id long")
+
+    deleted = index.deleted_df(spark)
+    excl = [r["id"] for r in deleted.collect()] if deleted is not None else None
+    bc_excl = tracked_broadcast(spark.sparkContext, np.asarray(excl) if excl else None)
+
+    def cell_topk(probes_pdf: pd.DataFrame, items_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        excl_l = bc_excl.value
+        if excl_l is not None and len(items_pdf):
+            items_pdf = items_pdf[~items_pdf["id"].isin(excl_l)]
+        if len(probes_pdf) == 0 or len(items_pdf) == 0:
+            return pd.DataFrame({"qid": [], "rid": [], "ks": []}).astype(
+                {"ks": "float64"}
+            )
+        imat = np.ascontiguousarray(np.vstack(items_pdf["vec"].to_numpy()), dtype=np.float64)
+        rids = items_pdf["id"].to_numpy()
+        out_q, out_r, out_s = [], [], []
+        for q0 in range(0, len(probes_pdf), _PROBE_CHUNK):
+            chunk = probes_pdf.iloc[q0 : q0 + _PROBE_CHUNK]
+            qmat = np.ascontiguousarray(np.vstack(chunk["qv"].to_numpy()), dtype=np.float64)
+            scores = pairwise_scores(imat, qmat, metric)  # (n_items, chunk)
+            idx = local_topk(scores, k, desc)  # (k', chunk)
+            cols = np.arange(scores.shape[1])[None, :]
+            kk = idx.shape[0]
+            out_q.append(np.repeat(chunk["qid"].to_numpy(), kk))
+            out_r.append(rids[idx].ravel(order="F"))
+            out_s.append(scores[idx, cols].ravel(order="F"))
+        return pd.DataFrame(
+            {"qid": np.concatenate(out_q), "rid": np.concatenate(out_r), "ks": np.concatenate(out_s)}
+        )
+
+    data = index.data_df(spark).select("id", "vec", F.col("list_id").cast("long").alias("list_id"))
+    cand = (
+        probe_cells.groupBy("list_id")
+        .cogroup(data.groupBy("list_id"))
+        .applyInPandas(cell_topk, schema=f"qid {qid_t}, rid {rid_t}, ks double")
+    )
+
+    tail = index.tail_df(spark)
+    if tail is not None:
+        tail_pdf = tail.toPandas()  # bounded by the compact cadence / tail_max_rows
+        if excl:
+            tail_pdf = tail_pdf[~tail_pdf["id"].isin(excl)]
+        if len(tail_pdf):
+            bc_tail = tracked_broadcast(
+                spark.sparkContext,
+                (
+                    tail_pdf["id"].to_numpy(),
+                    np.ascontiguousarray(np.vstack(tail_pdf["vec"].to_numpy()), dtype=np.float64),
+                ),
+            )
+
+            def tail_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                import numpy as np
+
+                t_rids, t_mat = bc_tail.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    qmat = np.ascontiguousarray(np.vstack(pdf["qv"].to_numpy()), dtype=np.float64)
+                    scores = pairwise_scores(t_mat, qmat, metric)
+                    idx = local_topk(scores, k, desc)
+                    cols = np.arange(scores.shape[1])[None, :]
+                    kk = idx.shape[0]
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.repeat(pdf["qid"].to_numpy(), kk),
+                            "rid": t_rids[idx].ravel(order="F"),
+                            "ks": scores[idx, cols].ravel(order="F"),
+                        }
+                    )
+
+            cand = cand.unionByName(
+                probes.mapInPandas(tail_topk, schema=f"qid {qid_t}, rid {rid_t}, ks double")
+            )
+
+    # per-probe kernel-score cut with an eps band (GEMM is ~1e-13 relative
+    # of the sequential fold; band 8 >> any plausible near-tie pileup), then
+    # the authoritative JVM score on the surviving k+8 rows per probe
+    order_ks = [F.col("ks").desc() if desc else F.col("ks").asc(), F.col("rid").asc()]
+    w_ks = Window.partitionBy("qid").orderBy(*order_ks)
+    short = cand.withColumn("__r", F.row_number().over(w_ks)).filter(F.col("__r") <= k + 8).drop("__r")
+
+    vec_src = index.data_df(spark).select(F.col("id").alias("rid"), F.col("vec").alias("__rv"))
+    if tail is not None:
+        vec_src = vec_src.unionByName(
+            tail.select(F.col("id").alias("rid"), F.col("vec").alias("__rv"))
+        )
+    rescored = (
+        short.join(vec_src, "rid")
+        .join(probes.withColumnRenamed("qv", "__qv"), "qid")
+        .select("qid", "rid", distance_expr("__qv", "__rv", metric).alias("score"))
+    )
+    order = [F.col("score").desc() if desc else F.col("score").asc(), F.col("rid").asc()]
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "rid", "rnk", "score")
     )

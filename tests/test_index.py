@@ -465,3 +465,90 @@ def test_tail_max_rows_warn_and_autocompact(spark, tmp_path):
     got = [r["id"] for r in idx2.search(spark, Q, 5, ef_search=256).collect()]
     exact = topk(emb, "embedding", Q, 5, "l2sq", tiebreak="vec_id").collect()
     assert got == [r["vec_id"] for r in exact]
+
+
+def test_compact_incremental(spark, tmp_path):
+    """Incremental compact (round 5): the tail folds into a committed delta
+    in O(tail) — searches then read base+delta with identical results to a
+    full-probe brute scan; a second fold stacks a second delta; a full
+    compact absorbs everything back into one version."""
+    emb = emb_df(spark)
+    eng = VSSEngine(spark, index_root=str(tmp_path / "inc"))
+    eng.register_table("t", emb.filter("vec_id >= 100"))
+    eng.create_index("inc_idx", "t", "embedding", "vec_id", replace=True)
+    idx = eng.catalog.get("inc_idx")
+    idx.insert(emb.filter("vec_id < 50"), "embedding", "vec_id")
+    idx = eng.compact_index("inc_idx", incremental=True)
+    assert idx.tail_df(spark) is None
+    assert idx.manifest["deltas"] == ["delta-000001"]
+    assert idx.counts(spark)["live"] == 450
+
+    def full_probe_ids(k):
+        return [r["id"] for r in idx.search(spark, Q, k, ef_search=10**6).collect()]
+
+    exact = topk(emb.filter("vec_id >= 100 or vec_id < 50"), "embedding", Q, 8, "l2sq", tiebreak="vec_id")
+    assert full_probe_ids(8) == [r["vec_id"] for r in exact.collect()]
+
+    # second fold stacks delta-000002; partial probe exercises the
+    # explicit-subdir multi-dir read
+    idx.insert(emb.filter("vec_id >= 50 and vec_id < 100"), "embedding", "vec_id")
+    idx = eng.compact_index("inc_idx", incremental=True)
+    assert idx.manifest["deltas"] == ["delta-000001", "delta-000002"]
+    assert idx.counts(spark)["live"] == 500
+    assert len([r["id"] for r in idx.search(spark, Q, 5).collect()]) == 5
+    exact_all = topk(emb, "embedding", Q, 8, "l2sq", tiebreak="vec_id")
+    assert full_probe_ids(8) == [r["vec_id"] for r in exact_all.collect()]
+
+    # full compact absorbs base + deltas + tombstones into a new version
+    idx.delete(spark, [7])
+    idx = eng.compact_index("inc_idx")
+    assert not idx.manifest.get("deltas")
+    assert idx.counts(spark)["live"] == 499
+    got = full_probe_ids(8)
+    assert 7 not in got
+
+
+def test_compact_incremental_pq(spark, tmp_path):
+    """PQ artifacts fold incrementally too: delta rows carry codes encoded
+    against the EXISTING codebooks, so the ADC scan covers them."""
+    emb = emb_df(spark)
+    eng = VSSEngine(spark, index_root=str(tmp_path / "incpq"))
+    eng.register_table("t", emb.filter("vec_id >= 100"))
+    eng.create_index("pq_idx", "t", "embedding", "vec_id", options={"pq_m": 8}, replace=True)
+    idx = eng.catalog.get("pq_idx")
+    idx.insert(emb.filter("vec_id < 100"), "embedding", "vec_id")
+    idx = eng.compact_index("pq_idx", incremental=True)
+    assert idx.tail_df(spark) is None
+    got = [r["id"] for r in idx.search(spark, Q, 8, ef_search=10**6).collect()]
+    exact = topk(emb, "embedding", Q, 8, "l2sq", tiebreak="vec_id").collect()
+    assert got == [r["vec_id"] for r in exact]
+
+
+def test_compact_incremental_crash_recovery(spark, tmp_path):
+    """The commit-then-delete-tail window repairs at handle open: a manifest
+    with pending_tail_delete plus a still-present tail means the tail's rows
+    are already live in the delta — the fresh handle deletes the tail and
+    clears the flag, and results carry no duplicates."""
+    from duckdb_vss_spark.index import fs
+    from duckdb_vss_spark.index.ivf import IVFIndex
+
+    emb = emb_df(spark)
+    eng = VSSEngine(spark, index_root=str(tmp_path / "crash"))
+    eng.register_table("t", emb.filter("vec_id >= 100"))
+    eng.create_index("cr_idx", "t", "embedding", "vec_id", replace=True)
+    idx = eng.catalog.get("cr_idx")
+    idx.insert(emb.filter("vec_id < 50"), "embedding", "vec_id")
+    tail_path = idx._tail_path()
+    tail_backup = spark.read.parquet(tail_path).collect()
+    idx = eng.compact_index("cr_idx", incremental=True)
+    # simulate the crash window: folded tail reappears + flag restored
+    spark.createDataFrame(tail_backup).write.mode("overwrite").parquet(tail_path)
+    m = dict(idx.manifest)
+    m["pending_tail_delete"] = True
+    fs.write_json(spark, fs.join(idx.path, "manifest.json"), m)
+
+    reopened = IVFIndex(idx.path, spark)
+    assert not reopened.manifest.get("pending_tail_delete")
+    assert reopened.tail_df(spark) is None
+    ids = [r["id"] for r in reopened.search(spark, Q, 8, ef_search=10**6).collect()]
+    assert len(ids) == len(set(ids)) == 8

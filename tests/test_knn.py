@@ -125,3 +125,31 @@ def test_indexed_join_probe_limit_fallback(spark, emb, tmp_path):
     ).collect()
     key = lambda rows: sorted((r["qid"], r["rnk"], r["rid"]) for r in rows)
     assert key(got) == key(want)
+
+
+def test_indexed_join_distributed_matches_broadcast(spark, tmp_path):
+    """The fully distributed cell-cogroup indexed join (probe side too big
+    to broadcast) must return byte-for-byte what the broadcast-kernel path
+    returns at the same ef — same probe sets (shared nearest_cells rule),
+    same exact JVM rescore, same rid tiebreak. Exercised with a tail insert
+    and a deletion so every side channel is covered."""
+    from duckdb_vss_spark import VSSEngine
+    from duckdb_vss_spark.operators.knn import knn_join_flat_indexed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    eng = VSSEngine(spark, index_root=str(tmp_path / "dj"))
+    eng.register_table("emb_dj", emb.filter("vec_id >= 30"))
+    eng.create_index("dj_idx", "emb_dj", "embedding", "vec_id", replace=True)
+    idx = eng.catalog.get("dj_idx")
+    idx.insert(emb.filter("vec_id < 30"), "embedding", "vec_id")  # tail
+    idx.delete(spark, [35, 40, 3])  # base + tail deletions
+
+    probes = emb.filter("vec_id < 5")
+    for ef in (8, 256):
+        a = knn_join_flat_indexed(probes, idx, "embedding", 4, "vec_id", ef_search=ef).collect()
+        b = knn_join_flat_indexed(
+            probes, idx, "embedding", 4, "vec_id", ef_search=ef, broadcast_probe_limit=2
+        ).collect()
+        key = lambda r: (r["qid"], r["rnk"])
+        assert sorted(a, key=key) == sorted(b, key=key), ef
+        assert not {35, 40, 3} & {r["rid"] for r in b}
