@@ -672,6 +672,32 @@ def _q_index_compact(spark, sf_dir):
     )
 
 
+def _q_index_compact_incremental(spark, sf_dir):
+    """M3 variant (round 5): compact_incremental folds the tail into a
+    committed delta dir in O(tail) against the EXISTING centroids — search
+    then reads base+delta with identical full-probe results to a brute scan
+    of the whole table (same oracle as the insert stage: the live row set
+    is unchanged by the fold, only its physical home moves). Deletions made
+    before the fold stay tombstoned and invisible."""
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+
+    emb = _emb(spark, sf_dir)
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_idx_"))
+    eng.register_table("emb_m3i", emb.filter(F.col("vec_id") >= 100))
+    eng.create_index("qm3i_idx", "emb_m3i", "embedding", "vec_id", replace=True)
+    eng.register_table("emb_m3i", emb)
+    eng.insert("qm3i_idx", emb.filter(F.col("vec_id") < 100), "embedding", "vec_id")
+    eng.delete("qm3i_idx", list(range(10)))
+    idx = eng.compact_index("qm3i_idx", incremental=True)
+    assert idx.manifest.get("deltas"), "incremental compact must commit a delta"
+    eng.set_ef_search(10**6)
+    return eng.topk("emb_m3i", "embedding", Q64, 10, tiebreak="vec_id").select(
+        "vec_id", F.col("score").cast("float").alias("score")
+    )
+
+
 def _q_minby_filter(spark, sf_dir):
     """Q2 with the aggregate FILTER clause carried through (reference:
     src/hnsw/hnsw_optimize_topk.cpp:191-193): min_by over label=1 rows only."""
@@ -1706,6 +1732,7 @@ def _m_index_lifecycle(spark, sf_dir):
         _search("stream_insert", _q_stream_index_insert(spark, sf_dir)),
         _search("delete", _q_index_delete(spark, sf_dir)),
         _search("compact", _q_index_compact(spark, sf_dir)),
+        _search("inc_compact", _q_index_compact_incremental(spark, sf_dir)),
         info,
         drop,
     ])
@@ -2808,6 +2835,7 @@ def oracle_sql() -> dict[str, str]:
             tag("stage", "stream_insert", P["q31_index_insert_tail"], "vec_id, score, '' AS info"),
             tag("stage", "delete", P["q32_index_delete"], "vec_id, score, '' AS info"),
             tag("stage", "compact", P["q33_index_compact"], "vec_id, score, '' AS info"),
+            tag("stage", "inc_compact", P["q33_index_compact"], "vec_id, score, '' AS info"),
             (
                 "SELECT 'info' AS stage, -1::BIGINT AS vec_id, (-1.0)::FLOAT AS score,\n"
                 "       index_name || '|' || metric || '|' || dimensions::VARCHAR || '|' || count::VARCHAR AS info\n"
