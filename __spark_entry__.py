@@ -937,17 +937,42 @@ def _q_repetition_stats(spark, sf_dir):
 
 
 def _q_decontaminate(spark, sf_dir):
-    """Benchmark decontamination (GPT-3 appendix C style): flag training
-    docs sharing any word 3-gram with the held-out 'benchmark' slice
-    (doc_id % 97 == 0). Benchmark gram set is deduped then broadcast."""
+    """Benchmark decontamination, both modalities real pipelines run:
+    'ngram' — GPT-3 appendix-C shared word 3-grams vs the held-out slice
+    (doc_id % 97 == 0), bench gram set deduped then broadcast; 'semantic'
+    (round 5) — embedding-space contamination (paraphrased/translated
+    leakage has no shared grams): max cosine similarity of each training
+    embedding vs the broadcast bench matrix, map-only GEMM + exact JVM
+    rescore of the eps-band argmax pairs (quality.semantic_decontaminate).
+    Sentinel columns (-1) where a modality has no value."""
     from duckdb_vss_spark import decontaminate
+    from duckdb_vss_spark.operators.quality import semantic_decontaminate
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
-    return decontaminate(train, "text", "doc_id", bench, "text", 3).select(
-        "doc_id", "n_hit_grams", "contaminated"
+    lex = decontaminate(train, "text", "doc_id", bench, "text", 3).select(
+        F.lit("ngram").alias("tag"),
+        "doc_id",
+        "n_hit_grams",
+        F.lit(-1.0).cast("float").alias("best_score"),
+        "contaminated",
     )
+    emb = _emb(spark, sf_dir)
+    sem = semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 11 != 0),
+        "embedding",
+        "vec_id",
+        emb.filter(F.col("vec_id") % 11 == 0),
+        threshold=0.35,
+    ).select(
+        F.lit("semantic").alias("tag"),
+        F.col("vec_id").alias("doc_id"),
+        F.lit(-1).cast("long").alias("n_hit_grams"),
+        F.col("best_score").cast("float").alias("best_score"),
+        "contaminated",
+    )
+    return _union_tagged([lex, sem])
 
 
 def _q_sessionize(spark, sf_dir):
@@ -2887,7 +2912,25 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "q34_corpus_stats": P["q47_corpus_stats"],
-        "q35_decontaminate": P["q49_decontaminate"],
+        "q35_decontaminate": union(
+            tag(
+                "tag",
+                "ngram",
+                P["q49_decontaminate"],
+                "doc_id, n_hit_grams, (-1.0)::FLOAT AS best_score, contaminated",
+            ),
+            tag(
+                "tag",
+                "semantic",
+                "SELECT t.vec_id AS doc_id, "
+                "max(list_cosine_similarity(t.embedding::DOUBLE[], b.embedding::DOUBLE[])) AS s, "
+                "max(list_cosine_similarity(t.embedding::DOUBLE[], b.embedding::DOUBLE[])) >= 0.35 AS contaminated "
+                "FROM (SELECT * FROM embeddings WHERE vec_id % 11 <> 0 AND embedding IS NOT NULL) t, "
+                "(SELECT * FROM embeddings WHERE vec_id % 11 = 0 AND embedding IS NOT NULL) b "
+                "GROUP BY t.vec_id",
+                "doc_id, (-1)::BIGINT AS n_hit_grams, s::FLOAT AS best_score, contaminated",
+            ),
+        ),
         "q36_sessionize": P["q50_sessionize"],
         "q37_asof_join": P["q51_asof_join"],
         "q38_range_join": P["q52_range_join"],

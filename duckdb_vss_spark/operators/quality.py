@@ -39,6 +39,7 @@ from ..functions import text as T
 __all__ = [
     "repetition_stats",
     "decontaminate",
+    "semantic_decontaminate",
     "pii_stats",
     "redact_pii",
     "PII_PATTERNS",
@@ -473,4 +474,92 @@ def classifier_score(
     return (
         df.join(scored, id_col, "left")
         .withColumn(out_col, F.coalesce(out_col, F.lit(empty_score)))
+    )
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    bench_df: DataFrame,
+    bench_vec_col: str | None = None,
+    threshold: float = 0.95,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag training docs whose
+    embedding is too similar to ANY benchmark doc — the semantic
+    complement of :func:`decontaminate`'s n-gram overlap (paraphrased or
+    translated eval leakage has no shared grams; modern eval-contamination
+    checks run both). Output: ``(id_col, best_score, contaminated)`` —
+    ``best_score`` is the max similarity (cosine/ip) or min distance
+    (l2sq) against the benchmark; docs with NULL vectors produce no row
+    (mirrors the relational twin's NULL-scoring semantics).
+
+    Scale shape: the benchmark is eval-sized by definition, so it
+    broadcasts as one numpy matrix; the corpus streams through a map-only
+    ``mapInPandas`` GEMM that emits, per doc, the best bench vector plus
+    any within the kernel's eps band — the authoritative score is then the
+    JVM double expression over the carried pair (bit-identical to the
+    duckdb oracle after the f32 round-trip; same two-phase discipline as
+    every kernel path here), and the final per-doc max/min is one
+    map-side-combinable aggregation of (id, double) rows. The corpus never
+    shuffles its text or vectors.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..broadcasts import tracked_broadcast
+    from ..functions.distance import METRIC_IS_DESCENDING, canonical_metric, distance_expr
+    from ..functions.kernels import as_matrix, pairwise_scores
+
+    m = canonical_metric(metric)
+    desc = METRIC_IS_DESCENDING[m]
+    bcol = bench_vec_col or vec_col
+    bench_pdf = (
+        bench_df.select(F.col(bcol).alias("v")).filter(F.col(bcol).isNotNull()).toPandas()
+    )
+    spark = df.sparkSession
+    id_t = dict(df.dtypes)[id_col]
+    if len(bench_pdf) == 0:
+        return spark.createDataFrame([], f"{id_col} {id_t}, best_score double, contaminated boolean")
+    import numpy as np
+
+    bmat32 = np.vstack(bench_pdf["v"].to_numpy()).astype(np.float32)
+    bc = tracked_broadcast(spark.sparkContext, bmat32)
+    src = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__tv")).filter(
+        F.col(vec_col).isNotNull()
+    )
+
+    def best(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        b32 = bc.value
+        bmat = b32.astype(np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tmat = np.ascontiguousarray(np.vstack(pdf["__tv"].to_numpy()), dtype=np.float64)
+            scores = pairwise_scores(bmat, tmat, m)  # (n_bench, n_docs)
+            o = -scores if desc else scores
+            best_v = o.min(axis=0)
+            tol = 1e-9 * np.maximum(1.0, np.abs(best_v))
+            ids, tvs, bvs = [], [], []
+            # eps band: every bench vector within kernel error of the best
+            # survives to the exact JVM re-score (ties/near-ties included)
+            for j in range(o.shape[1]):
+                cand = np.flatnonzero(o[:, j] <= best_v[j] + tol[j])
+                ids.extend([pdf["__id"].iloc[j]] * len(cand))
+                tvs.extend([pdf["__tv"].iloc[j]] * len(cand))
+                bvs.extend(b32[cand])
+            yield pd.DataFrame({"__id": ids, "__tv": tvs, "__bv": list(bvs)})
+
+    cand = src.mapInPandas(best, schema=f"__id {id_t}, __tv array<float>, __bv array<float>")
+    exact = cand.select("__id", distance_expr("__tv", "__bv", m).alias("__s"))
+    agg = F.max("__s") if desc else F.min("__s")
+    flag = (F.col("best_score") >= threshold) if desc else (F.col("best_score") <= threshold)
+    return (
+        exact.groupBy("__id")
+        .agg(agg.alias("best_score"))
+        .select(F.col("__id").alias(id_col), "best_score", flag.alias("contaminated"))
     )

@@ -182,3 +182,25 @@ def test_winnow_is_map_only(spark):
     plan = _physical(winnow_fingerprint_rows(docs, "text", "doc_id"))
     assert plan.count("Exchange") == 1  # only the test's own repartition
     assert "Window" not in plan
+
+
+def test_indexed_join_large_probe_side_never_cartesian(spark, tmp_path_factory):
+    """Probe sides past the broadcast limit take the distributed cell-cogroup
+    plan: cogrouped Arrow stages, no CartesianProduct / BroadcastNestedLoop
+    anywhere (the pre-round-5 fallback was an O(|probes| x |index|) cross
+    join — the plan shape this test permanently forbids)."""
+    from duckdb_vss_spark import VSSEngine
+    from duckdb_vss_spark.operators.knn import knn_join_flat_indexed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    eng = VSSEngine(spark, index_root=str(tmp_path_factory.mktemp("djplan")))
+    eng.register_table("e", emb)
+    eng.create_index("djp_idx", "e", "embedding", "vec_id", replace=True)
+    idx = eng.catalog.get("djp_idx")
+    plan = _physical(
+        knn_join_flat_indexed(
+            emb, idx, "embedding", 5, "vec_id", ef_search=8, broadcast_probe_limit=10
+        )
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan

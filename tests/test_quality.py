@@ -421,3 +421,38 @@ def test_classifier_score_adversarial_inputs_match_oracle(spark, ddb):
         ).fetchall()
     }
     assert ours == theirs
+
+
+def test_semantic_decontaminate(spark, ddb):
+    """Embedding-space decontamination: bitwise vs the duckdb max-similarity
+    twin on both polarities; empty bench and NULL vectors covered."""
+    from duckdb_vss_spark.operators.quality import semantic_decontaminate
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.filter("vec_id % 7 = 0")
+    train = emb.filter("vec_id % 7 <> 0")
+    got = sorted(
+        (r["vec_id"], r["best_score"], r["contaminated"])
+        for r in semantic_decontaminate(train, "embedding", "vec_id", bench, threshold=0.35).collect()
+    )
+    exp = sorted(
+        ddb.execute(
+            "SELECT t.vec_id, max(list_cosine_similarity(t.embedding::DOUBLE[], b.embedding::DOUBLE[])) AS s, "
+            "max(list_cosine_similarity(t.embedding::DOUBLE[], b.embedding::DOUBLE[])) >= 0.35 "
+            "FROM (SELECT * FROM embeddings WHERE vec_id % 7 <> 0) t, "
+            "(SELECT * FROM embeddings WHERE vec_id % 7 = 0) b GROUP BY t.vec_id"
+        ).fetchall()
+    )
+    assert got == exp
+
+    # l2sq polarity: min distance, <= threshold
+    got2 = semantic_decontaminate(train.limit(50), "embedding", "vec_id", bench, threshold=1.0, metric="l2sq").collect()
+    assert all((r["best_score"] <= 1.0) == r["contaminated"] for r in got2)
+
+    # empty bench -> empty result; NULL vectors produce no row
+    empty = bench.filter("vec_id < 0")
+    assert semantic_decontaminate(train, "embedding", "vec_id", empty).count() == 0
+    withnull = spark.createDataFrame([(1, [1.0, 0.0]), (2, None)], "vec_id long, embedding array<float>")
+    b2 = spark.createDataFrame([(9, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    rows = semantic_decontaminate(withnull, "embedding", "vec_id", b2, threshold=0.5).collect()
+    assert [r["vec_id"] for r in rows] == [1] and rows[0]["contaminated"]
