@@ -1499,6 +1499,38 @@ def _m_doc_stats(spark, sf_dir):
     clf = classifier_score(docs.select("doc_id", "text"), "text").select(
         "doc_id", F.col("clf_score").cast("float").alias("clf_score")
     )
+    # URL-curation leg: the fixture has no URL column, so both engines derive
+    # the same deliberately-messy URL (mixed case, www, default/odd port,
+    # trailing slash, tracking params, fragment, co.uk SLD) and each runs its
+    # OWN normalize/registered-domain implementation — byte parity is the
+    # test. Exposed as hash64(normalized) + domain string.
+    from duckdb_vss_spark.operators.web import (
+        normalize_url_expr,
+        parse_url_parts,
+        registered_domain_expr,
+    )
+
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("CO.UK"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("COM"))
+        .otherwise(F.lit("ORG"))
+    )
+    port = F.when(F.col("doc_id") % 2 == 0, F.lit("443")).otherwise(F.lit("8443"))
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.upper(F.col("source")), F.lit(".Example."), tld,
+        F.lit(":"), port, F.lit("/"), F.col("lang"), F.lit("/doc/"),
+        F.col("doc_id").cast("string"), F.lit("/?utm_source=t&p="),
+        (F.col("doc_id") % 7).cast("string"), F.lit("&fbclid=z#sec"),
+    )
+    uw = docs.select("doc_id", url.alias("url")).withColumn(
+        "nurl", normalize_url_expr("url")
+    )
+    uw = parse_url_parts(uw, "nurl", prefix="nu_")
+    web = uw.select(
+        "doc_id",
+        hash64(F.col("nurl")).alias("url_norm_hash"),
+        registered_domain_expr(F.col("nu_host")).alias("url_domain"),
+    )
     return (
         _q_text_stats(spark, sf_dir)
         .join(_q_repetition_stats(spark, sf_dir), "doc_id")
@@ -1509,6 +1541,7 @@ def _m_doc_stats(spark, sf_dir):
         .join(cl, "doc_id")
         .join(ld, "doc_id")
         .join(clf, "doc_id")
+        .join(web, "doc_id")
     )
 
 
@@ -1820,7 +1853,19 @@ def _m_data_mixing(spark, sf_dir):
         F.col("doc_id").cast("string").alias("k"),
         F.col("n_feats").cast("long").alias("v"),
     )
-    return _union_tagged([split, frac, rates, temp, dsel, dn])
+    # per-domain cap (RefinedWeb-style site bound): domains derived from
+    # source (20 domains x 25 docs), cap=3 kept per domain via the
+    # deterministic hash64 order — exercises grouped_topk's partial+window
+    # dataflow under the driver's value hash
+    from duckdb_vss_spark.operators.web import per_domain_cap
+
+    dd = docs.select("doc_id", F.concat(F.col("source"), F.lit(".example.com")).alias("domain"))
+    dc = per_domain_cap(dd, "domain", "doc_id", cap=3).select(
+        F.lit("domcap").alias("mode"),
+        F.col("domain").alias("k"),
+        F.col("doc_id").cast("long").alias("v"),
+    )
+    return _union_tagged([split, frac, rates, temp, dsel, dn, dc])
 
 
 def _m_vector_centroids(spark, sf_dir):
@@ -2689,7 +2734,8 @@ def _doc_stats_oracle_sql(O, P) -> str:
         f"       l.n_grams, l.avg_logprob, l.ppl,\n"
         f"       c.cl_n_lines, c.cl_n_kept, c.clean_hash,\n"
         f"       d.ld_n_lines, d.ld_n_removed, d.linededup_hash,\n"
-        f"       {O.sql_classifier_score('a0.text')}::FLOAT AS clf_score\n"
+        f"       {O.sql_classifier_score('a0.text')}::FLOAT AS clf_score,\n"
+        f"       w.url_norm_hash, w.url_domain\n"
         f"FROM (SELECT doc_id AS doc_id0, text FROM documents) a0\n"
         f"JOIN ({P['q09_text_stats']}) a ON a.doc_id = a0.doc_id0\n"
         f"JOIN ({P['q48_repetition_stats']}) b USING (doc_id)\n"
@@ -2697,7 +2743,27 @@ def _doc_stats_oracle_sql(O, P) -> str:
         f"JOIN ({span_sql}) s USING (doc_id)\n"
         f"JOIN ({lm_sql}) l USING (doc_id)\n"
         f"JOIN ({cl_sql}) c USING (doc_id)\n"
-        f"JOIN ({ld_sql}) d USING (doc_id)"
+        f"JOIN ({ld_sql}) d USING (doc_id)\n"
+        f"JOIN ({_web_url_oracle_sql(O)}) w USING (doc_id)"
+    )
+
+
+def _web_url_oracle_sql(O) -> str:
+    """duckdb twin of the q05 URL leg: identical messy-URL derivation, then
+    duckdb's own spelling of normalize_url + registered_domain."""
+    url_sql = (
+        "'HTTPS://WWW.' || upper(source) || '.Example.' || "
+        "CASE doc_id % 3 WHEN 0 THEN 'CO.UK' WHEN 1 THEN 'COM' ELSE 'ORG' END || "
+        "':' || CASE WHEN doc_id % 2 = 0 THEN '443' ELSE '8443' END || "
+        "'/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) || "
+        "'/?utm_source=t&p=' || CAST(doc_id % 7 AS VARCHAR) || '&fbclid=z#sec'"
+    )
+    host = O._sql_url_parts("nurl")["host"]
+    return (
+        f"SELECT doc_id, {O.sql_hash64('nurl')} AS url_norm_hash,\n"
+        f"       {O.sql_registered_domain(host)} AS url_domain\n"
+        f"FROM (SELECT doc_id, {O.sql_normalize_url('url')} AS nurl\n"
+        f"      FROM (SELECT doc_id, {url_sql} AS url FROM documents))"
     )
 
 
@@ -2894,6 +2960,11 @@ def oracle_sql() -> dict[str, str]:
             f"({O.sql_dsir('documents', 'text', 'doc_id', 'doc_id % 7 = 0', 50)}) WHERE keep",
             f"SELECT 'dsirn' AS mode, doc_id::VARCHAR AS k, n_feats::BIGINT AS v FROM "
             f"({O.sql_dsir('documents', 'text', 'doc_id', 'doc_id % 7 = 0', 50)})",
+            f"SELECT 'domcap' AS mode, domain AS k, doc_id::BIGINT AS v FROM "
+            f"(SELECT doc_id, domain, row_number() OVER (PARTITION BY domain "
+            f"ORDER BY {O.sql_id_hash('doc_id', 'pdc:')}, doc_id) AS rn "
+            f"FROM (SELECT doc_id, source || '.example.com' AS domain FROM documents)) "
+            f"WHERE rn <= 3",
         ),
         "q33_pack_chunk": union(
             tag(

@@ -31,7 +31,7 @@ from ..functions.distance import (
     fast_score_sql,
 )
 
-__all__ = ["topk", "min_by_k", "max_by_k"]
+__all__ = ["topk", "min_by_k", "max_by_k", "grouped_topk"]
 
 # Candidate overfetch for method="fast": the fast score's f32+reassociation
 # error is ~1e-6 relative, so a true top-k row can only be displaced past the
@@ -286,6 +286,75 @@ def _by_k(df, value_col, score: Column, k: int, descending: bool, tiebreak, filt
     )
     arr = F.array_sort(F.collect_list(F.struct(sort_key.alias("k"), F.col("__v").alias("v"))))
     return head.agg(F.transform(arr, lambda e: e["v"]).alias("values"))
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    k: int,
+    buffer_rows: int = 262_144,
+) -> DataFrame:
+    """Exact top-k rows PER GROUP, ordered ascending by ``order_cols`` —
+    the grouped generalization of ``TakeOrderedAndProject``'s partial-top-k
+    dataflow, which Spark's own planner only applies to the global case.
+
+    The naive plan (``row_number()`` window, filter ``<= k``) shuffles every
+    row of every group to one task and sorts it there — a hot group holding
+    10% of a 100 TB corpus sorts 10 TB in a single task. This operator
+    bounds that: phase 1 is a map-side per-partition per-group partial
+    top-k (``mapInPandas``: stable sort + ``groupby().head(k)`` with a
+    bounded row buffer), so the window in phase 2 sees at most
+    ``k * n_partitions`` rows per group — same exactness, shuffle input
+    proportional to the OUTPUT, not the input.
+
+    ``group_cols`` are column names; ``order_cols`` may be names or Column
+    expressions (aliased helper columns are projected for the partial
+    phase and dropped on return). Ordering is ascending; include a unique
+    tiebreak as the last order column for deterministic results. Rows pass
+    through an Arrow boundary in phase 1 — keep wide binary/vector columns
+    out of ``df`` when they aren't needed downstream.
+    """
+    proj = df
+    names: list[str] = []
+    for i, oc in enumerate(order_cols):
+        nm = f"__gtk_o{i}"
+        proj = proj.withColumn(nm, F.col(oc) if isinstance(oc, str) else oc)
+        names.append(nm)
+    gcols = list(group_cols)
+    schema = proj.schema
+
+    def gen(batches):
+        import pandas as pd
+
+        buf: list = []
+        nbuf = 0
+
+        def prune(frames):
+            d = pd.concat(frames, ignore_index=True)
+            # mergesort = stable, so equal keys keep input order; callers
+            # wanting full determinism supply a unique tiebreak column
+            return d.sort_values(names, kind="mergesort").groupby(
+                gcols, sort=False, dropna=False
+            ).head(k)
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            buf.append(b)
+            nbuf += len(b)
+            if nbuf > buffer_rows:
+                d = prune(buf)
+                buf, nbuf = [d], len(d)
+        if buf:
+            yield prune(buf)
+
+    part = proj.mapInPandas(gen, schema=schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gcols).orderBy(*[F.col(n).asc() for n in names])
+    out = part.withColumn("__gtk_rn", F.row_number().over(w)).filter(F.col("__gtk_rn") <= k)
+    return out.drop("__gtk_rn", *names)
 
 
 def min_by_k(df, value_col, score: Column, k: int, tiebreak=None, filter=None) -> DataFrame:

@@ -1,0 +1,242 @@
+"""URL / web-provenance curation operators.
+
+The web-scale curation pipelines the engine targets (CCNet, C4, RefinedWeb)
+all begin with a URL stage before any text is read: URL normalization so the
+same page crawled twice dedups exactly, registered-domain extraction so
+quality decisions and caps apply per site, domain blocklist filtering, and a
+per-domain document cap so no single site dominates the training mix
+(RefinedWeb §3.1 keeps per-domain counts bounded; C4 filters by source
+blocklists). The reference engine has no web surface at all — this module is
+part of the pipeline layer built on top of the parity core.
+
+Design rules shared with :mod:`.quality`:
+
+- Every per-row transform is a pure JVM expression (``regexp_extract`` /
+  higher-order array functions) — map-only, zero shuffles, trivially
+  correct at 100 TB.
+- Patterns live in the common subset of Java regex (Spark) and RE2 (duckdb
+  oracle): no backreferences, no lookaround — so the oracle twins in
+  :mod:`..oracle` reproduce results byte-for-byte.
+- The only shuffling operator here, :func:`per_domain_cap`, uses the
+  grouped partial-top-k dataflow (map-side per-partition cap, then an exact
+  window over the bounded survivors) so a hot domain with 100M rows never
+  sorts 100M rows in one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "TRACKING_PARAM_RE",
+    "SECOND_LEVEL_TLDS",
+    "parse_url_parts",
+    "normalize_url",
+    "registered_domain",
+    "filter_domain_blocklist",
+    "per_domain_cap",
+    "domain_stats",
+]
+
+# Query parameters that identify a click, not a page: their presence makes
+# byte-identical pages look distinct to an exact-URL dedup. The list is the
+# widely published tracking set (UTM family + the big ad-platform click ids).
+# One alternation, anchored at the key position of a `key=value` token.
+TRACKING_PARAM_RE = (
+    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|dclid|igshid|mc_cid|mc_eid|"
+    "ref|ref_src|spm|yclid)="
+)
+
+# Country-code second-level registries where the registrable domain is three
+# labels, not two (the stable core of the public-suffix list; the full PSL is
+# a data file — callers with one can pass their own set).
+SECOND_LEVEL_TLDS: tuple[str, ...] = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in", "gen.in",
+    "co.kr", "or.kr", "ne.kr",
+    "com.mx", "org.mx", "com.tr", "com.ar", "com.co", "co.za", "co.nz",
+    "com.sg", "com.my", "com.hk", "com.tw", "co.th", "co.id", "com.ph",
+    "com.vn", "com.eg", "com.sa", "co.il", "com.pk", "com.ng",
+)
+
+# URL part regexes — each anchored so exactly one match exists (duckdb's
+# regexp_replace is first-match-only by default; anchoring makes the Spark
+# replace-all and duckdb replace-first semantics coincide).
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AFTER_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+_USERINFO_RE = r"^[^@/]*@"
+_PORT_RE = r":([0-9]+)$"
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def parse_url_parts(df: DataFrame, url_col: str, prefix: str = "") -> DataFrame:
+    """Split ``url_col`` into ``scheme host port path query fragment``
+    columns (RFC-3986 component grammar, absolute http(s)-style URLs).
+
+    Pure anchored-``regexp_extract`` projections — Spark's builtin
+    ``parse_url`` is deliberately NOT used: its Hive semantics differ from
+    RE2-expressible rules in edge cases (userinfo, missing authority), and
+    the oracle twin must reproduce every byte. Missing parts come back as
+    empty string (not NULL) so downstream concatenation needs no NULL
+    handling on either engine.
+    """
+    u = _c(url_col)
+    rest = F.regexp_replace(u, _AFTER_SCHEME_RE, "")
+    authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    host_port = F.regexp_replace(authority, _USERINFO_RE, "")
+    p = prefix
+    return (
+        df.withColumn(p + "scheme", F.regexp_extract(u, _SCHEME_RE, 1))
+        .withColumn(p + "host", F.regexp_replace(host_port, _PORT_RE, ""))
+        .withColumn(p + "port", F.regexp_extract(host_port, _PORT_RE, 1))
+        .withColumn(p + "path", F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1))
+        .withColumn(p + "query", F.regexp_extract(u, r"\?([^#]*)", 1))
+        .withColumn(p + "fragment", F.regexp_extract(u, r"#(.*)$", 1))
+    )
+
+
+def normalize_url_expr(url) -> Column:
+    """Expression form of :func:`normalize_url` (one Column, composable)."""
+    u = _c(url)
+    rest = F.regexp_replace(u, _AFTER_SCHEME_RE, "")
+    authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    host_port = F.regexp_replace(authority, _USERINFO_RE, "")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_replace(host_port, _PORT_RE, "")), r"^www\.", ""
+    )
+    port = F.regexp_extract(host_port, _PORT_RE, 1)
+    path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when((port == "") | default_port, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    # path: empty -> "/", trailing slash dropped except for the bare root
+    path_n = F.when(path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(path) > 1) & path.endswith("/"),
+            path.substr(F.lit(1), F.length(path) - 1),
+        ).otherwise(path)
+    )
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda t: (F.length(t) > 0) & ~t.rlike(TRACKING_PARAM_RE),
+    )
+    query_n = F.array_join(kept, "&")
+    query_part = F.when(query_n == "", F.lit("")).otherwise(F.concat(F.lit("?"), query_n))
+    return F.concat(scheme, F.lit("://"), host, port_part, path_n, query_part)
+
+
+def normalize_url(df: DataFrame, url_col: str, out_col: str | None = None) -> DataFrame:
+    """Canonical form of a URL so exact-URL dedup catches recrawls:
+
+    - scheme and host lowercased; leading ``www.`` stripped
+    - default ports dropped (``http:80``, ``https:443``); others kept
+    - empty path becomes ``/``; a trailing slash is dropped otherwise
+    - tracking query parameters removed (:data:`TRACKING_PARAM_RE`);
+      remaining parameters keep their original order (sorting them changes
+      meaning for sites with positional handling — documented choice)
+    - fragment dropped (never sent to the server)
+
+    Map-only single-expression projection; oracle twin
+    :func:`duckdb_vss_spark.oracle.sql_normalize_url`.
+    """
+    return df.withColumn(out_col or url_col, normalize_url_expr(url_col))
+
+
+def registered_domain_expr(host, sld_tlds: tuple[str, ...] = SECOND_LEVEL_TLDS) -> Column:
+    """Registrable domain of a (already-lowercased) hostname: the last two
+    labels, or the last three when the last two form a second-level registry
+    suffix (``example.co.uk`` -> ``example.co.uk``, not ``co.uk``)."""
+    h = _c(host)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    last2 = F.array_join(F.slice(parts, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(parts, n - 2, 3), ".")
+    return F.when(n <= 2, h).otherwise(
+        F.when(last2.isin(*sld_tlds), last3).otherwise(last2)
+    )
+
+
+def registered_domain(
+    df: DataFrame, host_col: str, out_col: str = "domain",
+    sld_tlds: tuple[str, ...] = SECOND_LEVEL_TLDS,
+) -> DataFrame:
+    """Add ``out_col`` = registrable domain of ``host_col`` (map-only)."""
+    return df.withColumn(out_col, registered_domain_expr(host_col, sld_tlds))
+
+
+def filter_domain_blocklist(
+    df: DataFrame, domain_col: str, blocklist, keep_listed: bool = False
+) -> DataFrame:
+    """Drop (or keep, with ``keep_listed=True``) rows whose domain is in
+    ``blocklist``. A list/tuple becomes an ``isin`` literal filter (pushed
+    into the scan); a DataFrame blocklist becomes a broadcast (anti-)join so
+    a million-domain list never shuffles the corpus."""
+    if isinstance(blocklist, DataFrame):
+        bl = F.broadcast(blocklist.select(F.col(blocklist.columns[0]).alias(domain_col)).distinct())
+        how = "left_semi" if keep_listed else "left_anti"
+        return df.join(bl, on=domain_col, how=how)
+    cond = _c(domain_col).isin(*list(blocklist))
+    return df.filter(cond if keep_listed else ~cond)
+
+
+def domain_stats(df: DataFrame, domain_col: str, token_col: str | None = None) -> DataFrame:
+    """Per-domain corpus profile: document count (+ token sum when given).
+    One map-side-combinable aggregation — the standard pre-read for choosing
+    a per-domain cap."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).alias("n_tokens"))
+    return df.groupBy(domain_col).agg(*aggs)
+
+
+def per_domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    cap: int,
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain, chosen deterministically
+    (the ``cap`` smallest ``hash64('pdc:' || id)`` values, ties broken by
+    id — a seedless uniform sample reproducible at any cluster size,
+    independent of row order, and computable by the duckdb oracle since
+    ``hash64`` is the engine's shared md5-based 60-bit hash).
+
+    ``keep_col=None`` returns only the kept rows; a column name instead
+    flags every row (the pipeline-recipes' flag-don't-drop discipline).
+
+    Scale shape: delegates to :func:`~duckdb_vss_spark.operators.topk
+    .grouped_topk` — a map-side per-partition partial cap bounds any single
+    domain's shuffle-side input to ``cap * n_partitions`` rows, so a
+    pathological domain holding 10% of a 100 TB crawl never sorts its full
+    row set in one task (the same partial-top-k idea as
+    TakeOrderedAndProject, per group).
+    """
+    from ..functions.text import hash64
+    from .topk import grouped_topk
+
+    order = hash64(F.concat(F.lit("pdc:"), _c(id_col).cast("string")))
+    if keep_col is None:
+        return grouped_topk(df, [domain_col], [order, _c(id_col)], cap)
+    kept = grouped_topk(df, [domain_col], [order, _c(id_col)], cap).select(
+        _c(id_col).alias("__kid")
+    )
+    return df.join(
+        F.broadcast(kept) if cap < 1024 else kept,
+        _c(id_col) == F.col("__kid"),
+        "left",
+    ).withColumn(keep_col, F.col("__kid").isNotNull()).drop("__kid")

@@ -504,3 +504,58 @@ def sql_hashed_embedding(table: str, text_col: str, id_col: str, dim: int = 64) 
                list_transform(raw, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END) AS v
         FROM nr
     """
+
+
+def _sql_url_parts(u: str) -> dict[str, str]:
+    """Shared sub-expressions of the URL twins (anchored regexes identical
+    to operators.web — single-match, so duckdb's first-match regexp_replace
+    equals Spark's replace-all)."""
+    rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    authority = f"regexp_extract({rest}, '^([^/?#]*)', 1)"
+    host_port = f"regexp_replace({authority}, '^[^@/]*@', '')"
+    return {
+        "scheme": f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))",
+        "host": f"regexp_replace(lower(regexp_replace({host_port}, ':([0-9]+)$', '')), '^www\\.', '')",
+        "port": f"regexp_extract({host_port}, ':([0-9]+)$', 1)",
+        "path": f"regexp_extract({rest}, '^[^/?#]*([^?#]*)', 1)",
+        "query": f"regexp_extract({u}, '\\?([^#]*)', 1)",
+    }
+
+
+def sql_normalize_url(u: str) -> str:
+    """Twin of operators.web.normalize_url_expr (byte-exact)."""
+    from .operators.web import TRACKING_PARAM_RE
+
+    p = _sql_url_parts(u)
+    scheme, host, port, path, query = p["scheme"], p["host"], p["port"], p["path"], p["query"]
+    port_part = (
+        f"CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443') THEN '' ELSE ':' || {port} END"
+    )
+    path_n = (
+        f"CASE WHEN {path} = '' THEN '/' "
+        f"WHEN len({path}) > 1 AND ends_with({path}, '/') THEN substr({path}, 1, len({path}) - 1) "
+        f"ELSE {path} END"
+    )
+    track = TRACKING_PARAM_RE.replace("'", "''")
+    qn = (
+        f"array_to_string(list_filter(string_split({query}, '&'), "
+        f"x -> len(x) > 0 AND NOT regexp_matches(x, '{track}')), '&')"
+    )
+    q_part = f"CASE WHEN {qn} = '' THEN '' ELSE '?' || {qn} END"
+    return f"concat({scheme}, '://', {host}, {port_part}, {path_n}, {q_part})"
+
+
+def sql_registered_domain(host: str) -> str:
+    """Twin of operators.web.registered_domain_expr."""
+    from .operators.web import SECOND_LEVEL_TLDS
+
+    parts = f"string_split({host}, '.')"
+    n = f"len({parts})"
+    last2 = f"array_to_string(list_slice({parts}, {n} - 1, {n}), '.')"
+    last3 = f"array_to_string(list_slice({parts}, {n} - 2, {n}), '.')"
+    slds = ", ".join(f"'{t}'" for t in SECOND_LEVEL_TLDS)
+    return (
+        f"CASE WHEN {n} <= 2 THEN {host} "
+        f"WHEN {last2} IN ({slds}) THEN {last3} ELSE {last2} END"
+    )

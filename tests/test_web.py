@@ -1,0 +1,156 @@
+"""URL / web-curation operators: duckdb byte-parity + scale-shape checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark import oracle as O
+from duckdb_vss_spark.operators.topk import grouped_topk
+from duckdb_vss_spark.operators.web import (
+    filter_domain_blocklist,
+    normalize_url,
+    parse_url_parts,
+    per_domain_cap,
+    registered_domain,
+)
+
+URLS = [
+    "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&id=7#frag",
+    "http://user:pw@News.example.CO.UK:80/story/",
+    "https://cdn.site.net?fbclid=abc&x=1&y=2",
+    "http://blog.example.org:8080/c/index.html?gclid=1",
+    "https://example.com",
+    "https://www.sub.deep.example.com.au/path///x/",
+    "http://plain.io/p?a=1&utm_campaign=z&b=2&ref=feed",
+    "https://xn--bcher-kva.example/page?spm=1.2.3",
+    "HTTP://ONLY.HOST.PATHLESS.COM#justfrag",
+    "https://a.b/?",
+]
+
+
+def test_normalize_url_matches_duckdb(spark, ddb):
+    df = spark.createDataFrame([(u,) for u in URLS], "url: string")
+    got = {
+        r["url"]: r["norm"]
+        for r in normalize_url(df, "url", out_col="norm").collect()
+    }
+    sql = f"SELECT url, {O.sql_normalize_url('url')} AS norm FROM urls"
+    ddb.execute("CREATE OR REPLACE TEMP TABLE urls AS SELECT unnest(?) AS url", [URLS])
+    want = dict(ddb.execute(sql).fetchall())
+    assert got == want
+    # spot-check semantics, not just parity
+    assert got[URLS[0]] == "https://example.com:443/a/b?id=7" or got[URLS[0]] == "https://example.com/a/b?id=7"
+    assert got[URLS[0]].startswith("https://example.com")
+    assert "utm_source" not in got[URLS[0]] and "#" not in got[URLS[0]]
+    assert got["https://example.com"] == "https://example.com/"
+    assert got["http://user:pw@News.example.CO.UK:80/story/"] == "http://news.example.co.uk/story"
+
+
+def test_registered_domain_matches_duckdb(spark, ddb):
+    hosts = [
+        "news.example.co.uk", "example.com", "a.b.c.example.com.au",
+        "localhost", "deep.sub.blog.example.org", "co.uk", "x.co.uk",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host: string")
+    got = {r["host"]: r["domain"] for r in registered_domain(df, "host").collect()}
+    ddb.execute("CREATE OR REPLACE TEMP TABLE hosts AS SELECT unnest(?) AS host", [hosts])
+    want = dict(
+        ddb.execute(
+            f"SELECT host, {O.sql_registered_domain('host')} AS d FROM hosts"
+        ).fetchall()
+    )
+    assert got == want
+    assert got["news.example.co.uk"] == "example.co.uk"
+    assert got["example.com"] == "example.com"
+    assert got["a.b.c.example.com.au"] == "example.com.au"
+    assert got["localhost"] == "localhost"
+    assert got["deep.sub.blog.example.org"] == "example.org"
+
+
+def test_parse_url_parts(spark):
+    df = spark.createDataFrame([(URLS[0],)], "url: string")
+    r = parse_url_parts(df, "url").collect()[0]
+    assert r["scheme"] == "HTTPS"
+    assert r["host"] == "WWW.Example.COM"
+    assert r["port"] == "443"
+    assert r["path"] == "/a/b/"
+    assert r["query"] == "utm_source=x&id=7"
+    assert r["fragment"] == "frag"
+
+
+def test_blocklist_filter(spark):
+    df = spark.createDataFrame(
+        [(1, "bad.com"), (2, "good.com"), (3, "bad.com")], "id: long, domain: string"
+    )
+    kept = filter_domain_blocklist(df, "domain", ["bad.com"]).collect()
+    assert sorted(r["id"] for r in kept) == [2]
+    bl = spark.createDataFrame([("bad.com",)], "d: string")
+    kept2 = filter_domain_blocklist(df, "domain", bl).collect()
+    assert sorted(r["id"] for r in kept2) == [2]
+    only = filter_domain_blocklist(df, "domain", bl, keep_listed=True).collect()
+    assert sorted(r["id"] for r in only) == [1, 3]
+
+
+def test_grouped_topk_matches_window(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, f"g{rng.randrange(5)}", rng.random()) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id: long, g: string, v: double").repartition(8)
+    got = grouped_topk(df, ["g"], [F.col("v"), F.col("id")], 7)
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    want = (
+        df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 7).drop("rn")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() == 35
+
+
+def test_grouped_topk_buffer_prune_path(spark):
+    # buffer smaller than the data forces the incremental prune branch
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), (F.col("id") * 37 % 101).alias("v")
+    ).repartition(4)
+    got = grouped_topk(df, ["g"], [F.col("v"), F.col("id")], 5, buffer_rows=256)
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    want = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_per_domain_cap(spark, ddb):
+    rows = [(i, f"d{i % 3}.com") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id: long, domain: string").repartition(6)
+    kept = per_domain_cap(df, "domain", "doc_id", cap=4)
+    out = kept.groupBy("domain").count().collect()
+    assert all(r["count"] == 4 for r in out) and len(out) == 3
+    # deterministic across runs / partitionings
+    again = per_domain_cap(df.repartition(2), "domain", "doc_id", cap=4)
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, again.collect()))
+    # matches the duckdb spelling of the same rule
+    ddb.execute(
+        "CREATE OR REPLACE TEMP TABLE pd AS "
+        "SELECT unnest(?) AS doc_id, unnest(?) AS domain",
+        [[r[0] for r in rows], [r[1] for r in rows]],
+    )
+    h = O.sql_id_hash("doc_id", "pdc:")
+    want = ddb.execute(
+        f"SELECT doc_id, domain FROM (SELECT doc_id, domain, "
+        f"row_number() OVER (PARTITION BY domain ORDER BY {h}, doc_id) AS rn FROM pd) "
+        f"WHERE rn <= 4"
+    ).fetchall()
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, want))
+    # flag mode keeps every row
+    flagged = per_domain_cap(df, "domain", "doc_id", cap=4, keep_col="kept")
+    assert flagged.count() == 60
+    assert flagged.filter("kept").count() == 12
+
+
+def test_normalize_url_null_and_relative(spark):
+    df = spark.createDataFrame([(None,), ("not a url",)], "url: string")
+    out = normalize_url(df, "url", out_col="n").collect()
+    vals = {r["url"]: r["n"] for r in out}
+    assert vals[None] is None
+    # no scheme/authority: components are empty -> '://' + '/' skeleton
+    assert vals["not a url"] == "://not a url/" or vals["not a url"].endswith("/")
