@@ -218,6 +218,36 @@ def _q_minhash_lsh(spark, sf_dir):
     )
 
 
+def _m_minhash(spark, sf_dir):
+    """MinHash surfaces in one entry: 'pairs' = in-corpus LSH near-dup pairs
+    (exact-Jaccard-verified); 'incr' = incremental cross-snapshot dedup via
+    the persisted MinHashStore — even docs are fingerprinted into an
+    artifact (text never retained), odd docs match against it with the
+    signature-agreement Jaccard estimator. The oracle recomputes both halves
+    from scratch, so the store's persist/reload roundtrip is inside the
+    hash gate."""
+    import tempfile
+
+    from duckdb_vss_spark.index.dedup_store import MinHashStore
+
+    pairs = _q_minhash_lsh(spark, sf_dir).select(
+        F.lit("pairs").alias("tag"), "id_a", "id_b", "jaccard"
+    )
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mh_store_") + "/store"
+    st = MinHashStore.create(spark, root, shingle_n=3, num_perm=16, bands=4)
+    st.append_snapshot(docs.filter("doc_id % 2 = 0"), "text", "doc_id", "old")
+    incr = MinHashStore.open(spark, root).match_against(
+        docs.filter("doc_id % 2 = 1"), "text", "doc_id", threshold=0.5
+    ).select(
+        F.lit("incr").alias("tag"),
+        F.col("id").alias("id_a"),
+        F.col("store_id").alias("id_b"),
+        F.col("est_jaccard").cast("float").alias("jaccard"),
+    )
+    return _union_tagged([pairs, incr])
+
+
 def _q_simhash(spark, sf_dir):
     """SimHash(60-bit) near-dup pairs, Hamming <= 3 via exact 4-band bucketing."""
     from duckdb_vss_spark.operators.dedup import simhash_pairs
@@ -1989,7 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q04_knn_match": _q_knn_match_ids,
         "q05_doc_stats": _m_doc_stats,
         "q06_exact_dedup": _q_exact_dedup,
-        "q07_minhash_lsh": _q_minhash_lsh,
+        "q07_minhash_lsh": _m_minhash,
         "q08_simhash": _q_simhash,
         "q09_ngram_jaccard": _q_ngram_jaccard,
         "q10_embedding_neardup": _m_embedding_neardup,
@@ -2071,6 +2101,38 @@ def _MINHASH_PAIRS_SQL(O) -> str:
             JOIN sig sb ON sb.doc_id = id_b
             WHERE (len(list_intersect(sa.sh, sb.sh))::DOUBLE
                    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE) >= 0.5
+    """
+
+
+def _MINHASH_INCR_SQL(O) -> str:
+    """duckdb twin of the q07 'incr' leg: even docs are the stored corpus,
+    odd docs the incoming batch; candidates by band-bucket equality with one
+    side in each half; verification by the signature-agreement estimator
+    (matching components / 16) — exactly what MinHashStore.match_against
+    computes after its persist/reload roundtrip."""
+    h1, h2 = O.sql_shingle_hash_halves("text", 3)
+    return f"""
+            WITH sig AS MATERIALIZED (
+              SELECT doc_id, doc_id % 2 = 0 AS old,
+                     {O.sql_minhash_from_halves('h1s', 'h2s', 16)} AS sig
+              FROM (SELECT doc_id, {h1} AS h1s, {h2} AS h2s FROM documents)
+            ),
+            banded AS (
+              SELECT doc_id, old, b,
+                     {O.sql_hash64("array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')")} AS bucket
+              FROM sig, range(0, 4) r(b)
+            ),
+            cand AS (
+              SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
+              FROM banded n JOIN banded o USING (b, bucket)
+              WHERE NOT n.old AND o.old
+            )
+            SELECT 'incr' AS tag, id_a, id_b, jaccard FROM (
+              SELECT id_a, id_b,
+                     (list_sum(list_transform(range(1, 17),
+                               i -> CASE WHEN sn.sig[i] = so.sig[i] THEN 1 ELSE 0 END)) / 16.0)::FLOAT AS jaccard
+              FROM cand JOIN sig sn ON sn.doc_id = id_a JOIN sig so ON so.doc_id = id_b
+            ) WHERE jaccard >= 0.5
     """
 
 
@@ -2831,7 +2893,10 @@ def oracle_sql() -> dict[str, str]:
         "q04_knn_match": P["q08_knn_match"],
         "q05_doc_stats": _doc_stats_oracle_sql(O, P),
         "q06_exact_dedup": P["q10_exact_dedup"],
-        "q07_minhash_lsh": P["q11_minhash_lsh"],
+        "q07_minhash_lsh": union(
+            f"SELECT 'pairs' AS tag, id_a, id_b, jaccard FROM ({P['q11_minhash_lsh']})",
+            f"SELECT * FROM ({_MINHASH_INCR_SQL(O)})",
+        ),
         "q08_simhash": P["q12_simhash"],
         "q09_ngram_jaccard": P["q13_ngram_jaccard"],
         "q10_embedding_neardup": union(

@@ -1,0 +1,236 @@
+"""Persisted MinHash LSH artifact — incremental cross-snapshot dedup.
+
+The 100 TB crawl-pipeline shape: each new snapshot (a CommonCrawl dump, a
+day of ingest) must dedup against EVERYTHING already accepted, but
+re-shingling the historical corpus per batch is O(history) text processing.
+This store persists only the dedup *fingerprints* — per-doc MinHash
+signatures and their LSH band buckets, ~100 bytes/doc regardless of
+document size — so matching a new batch costs one join of the batch's band
+rows against the stored band rows: the historical TEXT is never re-read.
+
+This is the dedup analog of the vector-index artifact (`ivf.py`): an
+append-only versioned parquet directory with a JSON manifest as the atomic
+commit point (data dirs written first, manifest overwrite commits;
+orphaned ``snap-*`` dirs from a crash are ignored because reads use the
+manifest's explicit snapshot list). Works on any Hadoop filesystem
+(``file:// s3a:// abfss:// hdfs://``) via the same control plane
+(:mod:`.fs`).
+
+Matching verifies candidates with the signature-agreement estimate
+(matching components / num_perm — the unbiased MinHash estimator of
+Jaccard; Broder 1997), NOT exact shingle Jaccard: storing shingle sets
+would make the artifact O(corpus) and exact verification would need the
+old text. The estimator is what production crawl dedup uses (RefinedWeb
+§3.2 / Gopher dedup keep signature-only state); callers holding the old
+text can always re-verify the returned pairs exactly with
+:func:`~duckdb_vss_spark.operators.dedup.minhash_lsh_pairs` on the union.
+
+Scale posture: the per-batch join shuffles the batch's band rows (small)
+and the store's band rows — (band, bucket, id, sig) ≈ 150-byte tuples,
+1-2% of corpus bytes — never the corpus text. AQE handles hot buckets
+(boilerplate shingle sets). Band rows are written partitioned by ``band``
+so a probe that only needs band-b candidates prunes 1/bands of the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fs
+
+__all__ = ["MinHashStore"]
+
+_MANIFEST = "manifest.json"
+
+
+class MinHashStore:
+    """Handle on a persisted MinHash LSH dedup artifact. Use
+    :meth:`create` / :meth:`open`, not the constructor."""
+
+    def __init__(self, spark: SparkSession, root: str, manifest: dict):
+        self.spark = spark
+        self.root = root
+        self.manifest = manifest
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        shingle_n: int = 3,
+        num_perm: int = 16,
+        bands: int = 4,
+        overwrite: bool = False,
+    ) -> "MinHashStore":
+        if num_perm % bands != 0:
+            raise ValueError("num_perm must divide into equal bands")
+        if fs.exists(spark, fs.join(root, _MANIFEST)):
+            if not overwrite:
+                raise ValueError(f"MinHashStore already exists at {root}")
+            fs.delete(spark, root)
+        fs.mkdirs(spark, root)
+        manifest = {
+            "format": "minhash-store",
+            "version": 1,
+            "shingle_n": int(shingle_n),
+            "num_perm": int(num_perm),
+            "bands": int(bands),
+            "snapshots": [],
+            "n_docs": 0,
+        }
+        fs.write_json(spark, fs.join(root, _MANIFEST), manifest)
+        return cls(spark, root, manifest)
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str) -> "MinHashStore":
+        manifest = fs.read_json(spark, fs.join(root, _MANIFEST))
+        if manifest.get("format") != "minhash-store":
+            raise ValueError(f"not a MinHashStore: {root}")
+        return cls(spark, root, manifest)
+
+    # -- signature plumbing ------------------------------------------------
+
+    def band_rows(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        """(band INT, bucket LONG, id, sig ARRAY<LONG>) for every row of
+        ``df`` — the batch-side input of :meth:`match_against` and the
+        stored layout of :meth:`append_snapshot` (sig is carried per band
+        row: num_perm longs x bands ≈ 0.5 KB/doc, the price of making the
+        verify step join-free)."""
+        m = self.manifest
+        from ..operators.dedup import band_buckets_expr, minhash_per_doc
+
+        per = minhash_per_doc(
+            df, text_col, id_col, m["shingle_n"], m["num_perm"], with_shingles=False
+        )
+        return per.select(
+            F.col(id_col).alias("id"),
+            F.col("sig"),
+            F.posexplode(
+                band_buckets_expr(F.col("sig"), m["num_perm"], m["bands"])
+            ).alias("band", "bucket"),
+        ).select("band", "bucket", "id", "sig")
+
+    def _store_df(self) -> Optional[DataFrame]:
+        snaps = self.manifest["snapshots"]
+        if not snaps:
+            return None
+        # one read per snapshot dir (each is its own band-partitioned root),
+        # unioned lazily — snapshot count is the manifest list's length
+        # (dozens), not a scale dimension
+        out = None
+        for s in snaps:
+            df = self.spark.read.parquet(fs.join(self.root, s["dir"])).select(
+                "band", "bucket", "id", "sig", "snapshot"
+            )
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    # -- operations --------------------------------------------------------
+
+    def append_snapshot(
+        self, df: DataFrame, text_col: str, id_col: str, snapshot: str
+    ) -> dict:
+        """Fingerprint ``df`` and commit it as snapshot ``snapshot``.
+        Typically called with the batch's KEPT rows (after
+        :meth:`match_against` flagged dupes). One shuffle (the signature
+        groupBy); the write is partitioned by band. Returns the updated
+        manifest entry."""
+        if any(s["name"] == snapshot for s in self.manifest["snapshots"]):
+            raise ValueError(f"snapshot {snapshot!r} already in store")
+        dirname = f"snap-{len(self.manifest['snapshots']):06d}"
+        out = fs.join(self.root, dirname)
+        rows = self.band_rows(df, text_col, id_col).withColumn(
+            "snapshot", F.lit(snapshot)
+        )
+        rows.write.partitionBy("band").parquet(out, mode="overwrite")
+        n = self.spark.read.parquet(out).select("id").distinct().count()
+        entry = {"name": snapshot, "dir": dirname, "n_docs": n}
+        self.manifest["snapshots"].append(entry)
+        self.manifest["n_docs"] += n
+        # manifest overwrite is the atomic commit point (crash before this
+        # line leaves an orphan snap dir that reads never touch)
+        fs.write_json(self.spark, fs.join(self.root, _MANIFEST), self.manifest)
+        return entry
+
+    def match_against(
+        self,
+        df: DataFrame,
+        text_col: str,
+        id_col: str,
+        threshold: float = 0.5,
+    ) -> DataFrame:
+        """Near-duplicate matches of ``df`` against the stored corpus:
+        ``(id, store_id, snapshot, est_jaccard DOUBLE)`` with
+        ``est_jaccard >= threshold``.
+
+        Candidates = band-bucket equality in ANY band (the LSH contract);
+        verification = signature-agreement estimate. A (id, store_id) pair
+        colliding in several bands is emitted once.
+        """
+        store = self._store_df()
+        if store is None:
+            schema = "id long, store_id long, snapshot string, est_jaccard double"
+            return self.spark.createDataFrame([], schema)
+        batch = self.band_rows(df, text_col, id_col)
+        num_perm = self.manifest["num_perm"]
+        cand = (
+            batch.alias("a")
+            .join(
+                store.alias("s"),
+                (F.col("a.band") == F.col("s.band"))
+                & (F.col("a.bucket") == F.col("s.bucket")),
+            )
+            .select(
+                F.col("a.id").alias("id"),
+                F.col("s.id").alias("store_id"),
+                F.col("s.snapshot").alias("snapshot"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("s.sig").alias("sig_b"),
+            )
+            .dropDuplicates(["id", "store_id", "snapshot"])
+        )
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+                )
+            ).cast("double")
+            / F.lit(float(num_perm))
+        )
+        return (
+            cand.withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= threshold)
+            .drop("sig_a", "sig_b")
+        )
+
+    def flag_batch(
+        self,
+        df: DataFrame,
+        text_col: str,
+        id_col: str,
+        threshold: float = 0.5,
+        flag_col: str = "dup_of_store",
+    ) -> DataFrame:
+        """``df`` plus a boolean ``flag_col``: True when the row near-dups
+        ANY stored document (flag-don't-drop, like the pipeline recipes).
+        The match ids are aggregated away; use :meth:`match_against` when
+        the pairs themselves are needed."""
+        hits = (
+            self.match_against(df, text_col, id_col, threshold)
+            .select(F.col("id").alias("__mid"))
+            .distinct()
+        )
+        return (
+            df.join(hits, F.col(id_col) == F.col("__mid"), "left")
+            .withColumn(flag_col, F.col("__mid").isNotNull())
+            .drop("__mid")
+        )
+
+    def info(self) -> dict:
+        """Manifest snapshot (copy) for pragma-style introspection."""
+        return dict(self.manifest)

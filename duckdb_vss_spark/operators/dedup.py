@@ -30,6 +30,8 @@ from ..functions.text import (
 
 __all__ = [
     "exact_dedup",
+    "minhash_per_doc",
+    "band_buckets_expr",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "ngram_jaccard_pairs",
@@ -239,54 +241,57 @@ def _pairs_from_groups(grouped: DataFrame, key_cols: list[str], id_col: str) -> 
     )
 
 
-def minhash_lsh_pairs(
+def minhash_per_doc(
     df: DataFrame,
     text_col: str,
     id_col: str,
     shingle_n: int = 3,
     num_perm: int = DEFAULT_NUM_PERM,
-    bands: int = 4,
-    threshold: float = 0.5,
+    with_shingles: bool = False,
 ) -> DataFrame:
-    """MinHash + LSH near-duplicate pairs.
+    """Per-document MinHash signature: ``(id, sig ARRAY<LONG>[num_perm]
+    [, shingles])`` — the shared signature stage of :func:`minhash_lsh_pairs`
+    and the persisted :class:`~duckdb_vss_spark.index.dedup_store
+    .MinHashStore`.
 
-    shingle -> minhash(num_perm) -> band buckets (bands x rows_per_band) ->
-    bucket self-join -> exact Jaccard verification >= threshold.
-
-    Output: (id_a, id_b, jaccard DOUBLE). The band bucket join is the classic
-    LSH candidate generator: only documents agreeing on a full band collide,
-    so the self-join stays near-linear on non-adversarial corpora.
+    Explodes shingles to ROWS and hashes them in whole-stage codegen, then
+    collects the hash-half arrays behind a groupBy shuffle. Expression-only
+    forms are quadratic here: HOF lambdas re-evaluate their argument
+    subtrees per invocation, so a nested shingle->md5->minhash expression
+    re-runs the tokenize+md5 pipeline once per permutation per band
+    (measured 160 ms/row; this form is ~1 ms/row). The shuffle is the same
+    one LSH needs for band-bucketing anyway, so at 100 TB this costs one
+    extra narrow stage, not an extra shuffle.
     """
-    assert num_perm % bands == 0, "num_perm must divide into equal bands"
-    rows_per_band = num_perm // bands
     from ..functions.text import minhash_from_halves
 
-    # Explode shingles to ROWS and hash them in whole-stage codegen, then
-    # collect the hash-half arrays behind a groupBy shuffle. Expression-only
-    # forms are quadratic here: HOF lambdas re-evaluate their argument
-    # subtrees per invocation, so a nested shingle->md5->minhash expression
-    # re-runs the tokenize+md5 pipeline once per permutation per band
-    # (measured 160 ms/row; this form is ~1 ms/row). The shuffle is the same
-    # one LSH needs for band-bucketing anyway, so at 100 TB this costs one
-    # extra narrow stage, not an extra shuffle.
-    shingled = _fan_out(df).select(F.col(id_col), F.explode(word_ngrams(text_col, shingle_n)).alias("s"))
+    shingled = _fan_out(df).select(
+        F.col(id_col), F.explode(word_ngrams(text_col, shingle_n)).alias("s")
+    )
     hashed = shingled.select(
         F.col(id_col),
         F.col("s"),
         F.conv(F.substring(F.md5("s"), 1, 10), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring(F.md5("s"), 11, 10), 16, 10).cast("long").alias("h2"),
     )
-    per_doc = _shared(
-        hashed.groupBy(id_col).agg(
-            F.collect_list("h1").alias("h1s"),
-            F.collect_list("h2").alias("h2s"),
-            F.collect_list("s").alias("shingles"),
-        )
-    )
+    aggs = [F.collect_list("h1").alias("h1s"), F.collect_list("h2").alias("h2s")]
+    if with_shingles:
+        aggs.append(F.collect_list("s").alias("shingles"))
+    per = _shared(hashed.groupBy(id_col).agg(*aggs))
     sig = minhash_from_halves(F.col("h1s"), F.col("h2s"), num_perm)
-    # md5-based band bucket (not F.hash) so the duckdb oracle can produce
-    # identical buckets: hash64 of the comma-joined band slice
-    band_arr = F.transform(
+    cols = [F.col(id_col), sig.alias("sig")]
+    if with_shingles:
+        cols.append(F.col("shingles"))
+    return per.select(*cols)
+
+
+def band_buckets_expr(sig, num_perm: int, bands: int):
+    """ARRAY<LONG>[bands] of LSH band buckets for a materialized ``sig``
+    column: hash64 of the comma-joined band slice. md5-based (not
+    ``F.hash``) so the duckdb oracle produces identical buckets."""
+    assert num_perm % bands == 0, "num_perm must divide into equal bands"
+    rows_per_band = num_perm // bands
+    return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.conv(
             F.substring(
@@ -306,7 +311,31 @@ def minhash_lsh_pairs(
             10,
         ).cast("long"),
     )
-    banded = per_doc.select(F.col(id_col), F.posexplode(band_arr).alias("b", "bucket"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle -> minhash(num_perm) -> band buckets (bands x rows_per_band) ->
+    bucket self-join -> exact Jaccard verification >= threshold.
+
+    Output: (id_a, id_b, jaccard DOUBLE). The band bucket join is the classic
+    LSH candidate generator: only documents agreeing on a full band collide,
+    so the self-join stays near-linear on non-adversarial corpora.
+    """
+    per_doc = minhash_per_doc(df, text_col, id_col, shingle_n, num_perm, with_shingles=True)
+    banded = per_doc.select(
+        F.col(id_col),
+        F.posexplode(band_buckets_expr(F.col("sig"), num_perm, bands)).alias("b", "bucket"),
+    )
     # candidates: equal bucket hash in ANY band -> one self-join on (band, bucket)
     cand = _pairs_from_groups(banded, ["b", "bucket"], id_col)
     sh = per_doc.select(F.col(id_col), "shingles")
