@@ -885,6 +885,32 @@ def _q_corpus_stats(spark, sf_dir):
     return corpus_stats(_docs(spark, sf_dir), "text", "lang")
 
 
+def _m_corpus_stats(spark, sf_dir):
+    """Corpus profiling surfaces: 'stats' = the per-language profile;
+    'hh' = exact heavy hitters (top-30 tokens) via the Misra-Gries
+    partial-summary + recount dataflow — the term column rides in
+    `stratum`, count in `n_docs`, numeric fillers elsewhere (the q27
+    filler-column union pattern)."""
+    from duckdb_vss_spark.operators.profile import heavy_hitters
+
+    stats = _q_corpus_stats(spark, sf_dir).select(
+        F.lit("stats").alias("part"), "stratum", "n_docs", "total_tokens",
+        "mean_tokens", "p50_tokens", "p90_tokens", "p99_tokens", "vocab",
+    )
+    hh = heavy_hitters(_docs(spark, sf_dir), "text", k=30, counters=4096).select(
+        F.lit("hh").alias("part"),
+        F.col("term").alias("stratum"),
+        F.col("count").alias("n_docs"),
+        F.lit(-1).cast("long").alias("total_tokens"),
+        F.lit(-1.0).cast("float").alias("mean_tokens"),
+        F.lit(-1.0).cast("float").alias("p50_tokens"),
+        F.lit(-1.0).cast("float").alias("p90_tokens"),
+        F.lit(-1.0).cast("float").alias("p99_tokens"),
+        F.lit(-1).cast("long").alias("vocab"),
+    )
+    return _union_tagged([stats, hh])
+
+
 def _q_stream_ann(spark, sf_dir):
     """Streaming ANN: query vectors arriving on a file stream are joined
     per micro-batch against the IVF index (HNSW_INDEX_JOIN path) with a
@@ -1895,7 +1921,17 @@ def _m_data_mixing(spark, sf_dir):
         F.col("domain").alias("k"),
         F.col("doc_id").cast("long").alias("v"),
     )
-    return _union_tagged([split, frac, rates, temp, dsel, dn, dc])
+    # deterministic global shuffle + sharding: shard assignment AND the
+    # intra-shard position are pure functions of the id, so the driver's
+    # value hash pins the full emitted training order across engines
+    from duckdb_vss_spark.operators.sampling import shuffle_shard
+
+    sh = shuffle_shard(docs.select("doc_id"), "doc_id", n_shards=8, pos_col="pos").select(
+        F.lit("shard").alias("mode"),
+        F.concat(F.col("shard").cast("string"), F.lit(":"), F.col("pos").cast("string")).alias("k"),
+        F.col("doc_id").cast("long").alias("v"),
+    )
+    return _union_tagged([split, frac, rates, temp, dsel, dn, dc, sh])
 
 
 def _m_vector_centroids(spark, sf_dir):
@@ -2046,7 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_skew_salted": _m_skew_salted,
         "q32_data_mixing": _m_data_mixing,
         "q33_pack_chunk": _m_pack_chunk,
-        "q34_corpus_stats": _q_corpus_stats,
+        "q34_corpus_stats": _m_corpus_stats,
         "q35_decontaminate": _q_decontaminate,
         "q36_sessionize": _q_sessionize,
         "q37_asof_join": _q_asof_join,
@@ -3030,6 +3066,10 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY {O.sql_id_hash('doc_id', 'pdc:')}, doc_id) AS rn "
             f"FROM (SELECT doc_id, source || '.example.com' AS domain FROM documents)) "
             f"WHERE rn <= 3",
+            f"SELECT 'shard' AS mode, (h % 8)::VARCHAR || ':' || rn::VARCHAR AS k, "
+            f"doc_id::BIGINT AS v FROM "
+            f"(SELECT doc_id, h, row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS rn "
+            f"FROM (SELECT doc_id, {O.sql_id_hash('doc_id', 'shard:')} AS h FROM documents))",
         ),
         "q33_pack_chunk": union(
             tag(
@@ -3047,7 +3087,17 @@ def oracle_sql() -> dict[str, str]:
                 "key, seq, n, m",
             ),
         ),
-        "q34_corpus_stats": P["q47_corpus_stats"],
+        "q34_corpus_stats": union(
+            f"SELECT 'stats' AS part, * FROM ({P['q47_corpus_stats']})",
+            (
+                f"SELECT 'hh' AS part, t AS stratum, c AS n_docs, "
+                f"-1::BIGINT AS total_tokens, (-1.0)::FLOAT AS mean_tokens, "
+                f"(-1.0)::FLOAT AS p50_tokens, (-1.0)::FLOAT AS p90_tokens, "
+                f"(-1.0)::FLOAT AS p99_tokens, -1::BIGINT AS vocab FROM "
+                f"(SELECT t, count(*) AS c FROM (SELECT unnest({O.sql_tokens('text')}) AS t "
+                f"FROM documents) GROUP BY t ORDER BY c DESC, t LIMIT 30)"
+            ),
+        ),
         "q35_decontaminate": union(
             tag(
                 "tag",

@@ -46,11 +46,13 @@ from .operators.sampling import (  # noqa: F401
     dsir_weights,
     hash_split,
     pack_sequences,
+    shuffle_shard,
     stratified_sample,
     temperature_rates,
     temperature_sample,
+    write_shuffled_shards,
 )
-from .operators.profile import corpus_stats  # noqa: F401
+from .operators.profile import corpus_stats, heavy_hitters  # noqa: F401
 from .operators.ranking import bm25_rank, tfidf_top_terms  # noqa: F401
 from .operators.quality import (  # noqa: F401
     classifier_score,

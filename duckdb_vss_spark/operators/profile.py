@@ -24,7 +24,108 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 
-__all__ = ["corpus_stats"]
+__all__ = ["corpus_stats", "heavy_hitters"]
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    k: int = 50,
+    counters: int = 4096,
+    check: bool = True,
+) -> DataFrame:
+    """EXACT top-``k`` most frequent tokens without shuffling the full
+    vocabulary — the 100 TB replacement for ``explode → groupBy →
+    orderBy`` whose exchange carries every distinct term.
+
+    Two passes, both map-dominated:
+
+    1. **Candidate generation (map-only)**: a per-partition Misra-Gries
+       summary with ``counters`` slots over the JVM-tokenized stream
+       (Misra & Gries 1982). MG's guarantee: any term whose count in a
+       partition exceeds ``n_p/(counters+1)`` survives that partition's
+       summary, so any term with GLOBAL count > N/(counters+1) appears in
+       at least one summary (pigeonhole over partitions). The union of
+       summaries — at most ``counters × n_partitions`` small rows — is the
+       candidate set.
+    2. **Exact recount**: explode tokens again, broadcast-semi-join
+       against the candidate terms (the filter runs map-side before any
+       exchange), then an ordinary partial-aggregated count. The shuffle
+       carries at most ``counters`` rows per partition instead of the
+       partition's whole vocabulary — output-proportional, like
+       ``grouped_topk``.
+
+    Result: ``(term, count)``, count desc / term asc, exactly ``k`` rows
+    (fewer if the vocabulary is smaller). With ``check=True`` the
+    exactness condition is verified from the data (kth count must exceed
+    ``N/(counters+1)``; otherwise a heavier-tailed ``counters`` is needed)
+    and a warning is emitted if it fails — the top-k returned is then
+    still drawn from true counts of the candidates, only completeness of
+    the candidate set is at risk.
+
+    The Arrow kernel merges per-batch ``np.unique`` counts into the MG
+    dict, so Python work is O(distinct-per-batch), not O(tokens).
+    """
+    import numpy as np
+    import pandas as pd
+
+    toks = df.select(T.tokens(text_col).alias("__toks"))
+
+    def mg(batches):
+        counts: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat: list = []
+            for arr in pdf["__toks"]:
+                if arr is not None and len(arr):
+                    flat.append(np.asarray(arr, dtype=object))
+            if not flat:
+                continue
+            terms, cnts = np.unique(np.concatenate(flat), return_counts=True)
+            for t, c in zip(terms.tolist(), cnts.tolist()):
+                counts[t] = counts.get(t, 0) + c
+            if len(counts) > counters:
+                # MG decrement: subtract the (size-counters)-th smallest
+                # count from everyone, drop the non-positive — one
+                # np.partition, not a per-token loop
+                vals = np.fromiter(counts.values(), dtype=np.int64)
+                m = np.partition(vals, len(counts) - counters - 1)[
+                    len(counts) - counters - 1
+                ]
+                counts = {t: c - m for t, c in counts.items() if c > m}
+        yield pd.DataFrame(
+            {"term": list(counts.keys()), "lb": list(counts.values())}
+        ) if counts else pd.DataFrame({"term": pd.Series([], dtype=str), "lb": pd.Series([], dtype="int64")})
+
+    cand = (
+        toks.mapInPandas(mg, schema="term string, lb long")
+        .select("term")
+        .distinct()
+    )
+    exploded = toks.select(F.explode("__toks").alias("term"))
+    counted = (
+        exploded.join(F.broadcast(cand), "term", "left_semi")
+        .groupBy("term")
+        .count()
+    )
+    top = counted.orderBy(F.col("count").desc(), F.col("term").asc()).limit(k)
+    if check:
+        rows = top.collect()
+        if len(rows) == k:
+            n_total = df.select(F.sum(F.size(T.tokens(text_col)))).first()[0]
+            kth = rows[-1]["count"]
+            if kth <= n_total / (counters + 1):
+                import warnings
+
+                warnings.warn(
+                    f"heavy_hitters: exactness bound not met (kth count {kth} <= "
+                    f"N/(counters+1) = {n_total / (counters + 1):.0f}); raise "
+                    f"`counters` to guarantee the candidate set is complete",
+                    stacklevel=2,
+                )
+        return df.sparkSession.createDataFrame(rows, top.schema)
+    return top
 
 
 def corpus_stats(

@@ -37,6 +37,8 @@ from ..broadcasts import tracked_broadcast
 from ..functions import text as T
 
 __all__ = [
+    "shuffle_shard",
+    "write_shuffled_shards",
     "hash_split",
     "stratified_sample",
     "temperature_rates",
@@ -55,6 +57,74 @@ SPLIT_MOD = 1_000_000  # bucket space for split thresholds (ppm resolution)
 def _hash_of(id_col: str, seed: str) -> Column:
     # cast through string so int and string ids hash identically in both engines
     return T.hash64(F.col(id_col).cast("string"), seed=seed)
+
+
+def shuffle_shard(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shard",
+    shard_col: str = "shard",
+    pos_col: str | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the last stage of a
+    training-data pipeline, where the curated corpus must be emitted as N
+    shard files in a pseudo-random document order that every rerun (at any
+    cluster size, from any input partitioning) reproduces bit-identically.
+
+    ``shard = hash64(seed||id) % n_shards`` and the intra-shard order key
+    is the same hash (ties broken by id), so both assignment and order are
+    pure functions of (seed, id) — no RNG, no ``orderBy(rand())``, no
+    global sort. Adding ``pos_col`` materializes the explicit intra-shard
+    position via one ``row_number`` window per shard (a per-shard sort —
+    fine for audit/oracle use; the writer path below gets the same order
+    from ``sortWithinPartitions`` without any window).
+
+    The shuffle quality is that of the hash: documents that were adjacent
+    in the source (same crawl segment, same domain run) land in
+    independent shards at independent positions, which is exactly the
+    decorrelation training wants.
+    """
+    h = _hash_of(id_col, f"{seed}:")
+    out = df.withColumn(shard_col, F.pmod(h, F.lit(n_shards)).cast("int"))
+    if pos_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(shard_col).orderBy(h.asc(), F.col(id_col).asc())
+        out = out.withColumn(pos_col, F.row_number().over(w))
+    return out
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shard",
+    format: str = "parquet",
+) -> None:
+    """Write ``df`` as ``n_shards`` shard files in the deterministic
+    shuffled order of :func:`shuffle_shard`: one ``repartition`` on the
+    shard id (the only exchange) + ``sortWithinPartitions`` on the hash
+    key — each shard sorts independently in its own task, so no global
+    sort and no window state. Shard files come out as
+    ``shard=NNN/part-*`` so a trainer can map shard -> worker by
+    directory.
+
+    The in-partition sort is ``(shard, shuffle_key, id)`` — prefixing with
+    the partition column matters: the parquet writer REQUIRES its input
+    sorted by the partition columns and re-sorts (destroying any other
+    order) unless the child's ordering already starts with them. The
+    ``shuffle_key`` column (the hash) is kept in the output so a trainer
+    can audit/verify the order without recomputing it."""
+    h = _hash_of(id_col, f"{seed}:")
+    out = (
+        df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int"))
+        .withColumn("shuffle_key", h)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(F.col("shard"), F.col("shuffle_key"), F.col(id_col))
+    )
+    out.write.partitionBy("shard").format(format).mode("overwrite").save(path)
 
 
 def hash_split(

@@ -404,3 +404,78 @@ def test_dsir_dense_kernel_equals_relational(docs, spark, monkeypatch):
     monkeypatch.setattr(S, "DSIR_DENSE_MAX", 0)
     rel = sorted(map(tuple, dsir_weights(docs, "text", "doc_id", tgt).collect()))
     assert dense == rel
+
+
+def test_shuffle_shard_deterministic_and_balanced(spark):
+    from duckdb_vss_spark.operators.sampling import shuffle_shard
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = shuffle_shard(docs.select("doc_id"), "doc_id", 8, pos_col="pos")
+    b = shuffle_shard(
+        docs.select("doc_id").repartition(3), "doc_id", 8, pos_col="pos"
+    )
+    # assignment + order independent of input partitioning
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    sizes = [r["count"] for r in a.groupBy("shard").count().collect()]
+    n = docs.count()
+    assert len(sizes) == 8 and max(sizes) < 2 * n / 8  # hash balance, not skew
+    # positions are 1..size within each shard
+    import collections
+
+    per = collections.defaultdict(list)
+    for r in a.collect():
+        per[r["shard"]].append(r["pos"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+
+
+def test_write_shuffled_shards_order(spark, tmp_path):
+    from duckdb_vss_spark.operators.sampling import shuffle_shard, write_shuffled_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id", "lang")
+    out = str(tmp_path / "shards")
+    write_shuffled_shards(docs, out, "doc_id", n_shards=4)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} == {0, 1, 2, 3}
+    # on-disk row order within a shard == the declared deterministic order
+    ref = shuffle_shard(docs, "doc_id", 4, pos_col="pos")
+    want2 = [
+        r["doc_id"]
+        for r in ref.filter("shard = 2").orderBy("pos").collect()
+    ]
+    import pyarrow.parquet as pq
+    import glob
+
+    files = sorted(glob.glob(f"{out}/shard=2/*.parquet"))
+    got2 = [x for f in files for x in pq.read_table(f).column("doc_id").to_pylist()]
+    assert got2 == want2
+
+
+def test_heavy_hitters_exact(spark, ddb):
+    from duckdb_vss_spark.operators.profile import heavy_hitters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(6)
+    got = [(r["term"], r["count"]) for r in heavy_hitters(docs, "text", k=15).collect()]
+    want = ddb.execute(
+        "SELECT t, count(*) AS c FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t "
+        "FROM documents) GROUP BY t ORDER BY c DESC, t LIMIT 15"
+    ).fetchall()
+    assert got == [(a, b) for a, b in want]
+
+
+def test_heavy_hitters_warns_when_bound_unmet(spark):
+    import warnings
+
+    from duckdb_vss_spark.operators.profile import heavy_hitters
+
+    # x,y in every doc (count 100) + a unique filler per doc: with
+    # counters=2, N=300 and kth count 100 == N/(counters+1) -> the strict
+    # bound fails and the warning must fire, while x,y still survive MG
+    docs = spark.createDataFrame(
+        [(i, f"x y u{i}") for i in range(100)], "doc_id: long, text: string"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = heavy_hitters(docs, "text", k=2, counters=2).collect()
+    assert any("exactness bound not met" in str(x.message) for x in w)
+    assert sorted((r["term"], r["count"]) for r in out) == [("x", 100), ("y", 100)]
