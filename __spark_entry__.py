@@ -1587,6 +1587,26 @@ def _m_doc_stats(spark, sf_dir):
         hash64(F.col("nurl")).alias("url_norm_hash"),
         registered_domain_expr(F.col("nu_host")).alias("url_domain"),
     )
+    # BPE tokenizer gate (no SQL-expressible oracle — duckdb cannot run the
+    # merge loop, so like the q13 recall gate the oracle pins the expected
+    # booleans and Spark must EARN them): corpus-trained merges must
+    # round-trip every document exactly (detokenize(tokenize(x)) equals
+    # whitespace-normalized x) and land token counts in the
+    # [n_words, n_words + n_chars] sanity band.
+    from duckdb_vss_spark.functions.bpe import detokenize_expr, train_bpe
+
+    bpe_tok = train_bpe(docs, "text", num_merges=200)
+    bpe = bpe_tok.tokenize(docs.select("doc_id", "text"), "text").select(
+        "doc_id",
+        (
+            detokenize_expr("bpe_tokens")
+            == F.regexp_replace(F.trim("text"), r"\s+", " ")
+        ).alias("bpe_roundtrip_ok"),
+        (
+            (F.size("bpe_tokens") >= F.size(F.split(F.trim("text"), r"\s+")))
+            & (F.size("bpe_tokens") <= F.length("text") + F.size(F.split(F.trim("text"), r"\s+")))
+        ).alias("bpe_bounds_ok"),
+    )
     return (
         _q_text_stats(spark, sf_dir)
         .join(_q_repetition_stats(spark, sf_dir), "doc_id")
@@ -1598,6 +1618,7 @@ def _m_doc_stats(spark, sf_dir):
         .join(ld, "doc_id")
         .join(clf, "doc_id")
         .join(web, "doc_id")
+        .join(bpe, "doc_id")
     )
 
 
@@ -2833,7 +2854,8 @@ def _doc_stats_oracle_sql(O, P) -> str:
         f"       c.cl_n_lines, c.cl_n_kept, c.clean_hash,\n"
         f"       d.ld_n_lines, d.ld_n_removed, d.linededup_hash,\n"
         f"       {O.sql_classifier_score('a0.text')}::FLOAT AS clf_score,\n"
-        f"       w.url_norm_hash, w.url_domain\n"
+        f"       w.url_norm_hash, w.url_domain,\n"
+        f"       true AS bpe_roundtrip_ok, true AS bpe_bounds_ok\n"
         f"FROM (SELECT doc_id AS doc_id0, text FROM documents) a0\n"
         f"JOIN ({P['q09_text_stats']}) a ON a.doc_id = a0.doc_id0\n"
         f"JOIN ({P['q48_repetition_stats']}) b USING (doc_id)\n"

@@ -139,6 +139,17 @@ def main() -> None:
     timings["classifier_score"] = run(
         lambda: classifier_score(docs, "text").select("doc_id", "clf_score").count()
     )
+    # real BPE: corpus-trained merge table, Arrow-batched application (no
+    # duckdb twin — the merge loop is not SQL-expressible; one-sided number)
+    from duckdb_vss_spark.functions.bpe import train_bpe
+
+    t0 = time.perf_counter()
+    _bpe = train_bpe(docs, "text", num_merges=1000)
+    timings["bpe_train"] = time.perf_counter() - t0
+    timings["bpe_tokenize"] = run(
+        lambda: _bpe.add_token_count(docs, "text").agg(F.sum("n_bpe")).collect()
+    )
+
     bench_slice = docs.filter(F.col("doc_id") % 97 == 0)
     train_slice = docs.filter(F.col("doc_id") % 97 != 0)
     timings["decontaminate"] = run(
