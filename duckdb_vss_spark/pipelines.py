@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from .functions import text as T
 
-__all__ = ["ccnet_curate", "c4_clean", "refinedweb_curate", "semantic_curate"]
+__all__ = [
+    "ccnet_curate",
+    "c4_clean",
+    "refinedweb_curate",
+    "semantic_curate",
+    "crawl_ingest",
+]
 
 
 def ccnet_curate(
@@ -129,6 +135,75 @@ def refinedweb_curate(
     return clustered.join(prof, id_col, "left").withColumn(
         "dup_window_frac", F.coalesce("dup_window_frac", F.lit(0.0))
     )
+
+
+def crawl_ingest(
+    batch: DataFrame,
+    store,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_blocklist=(),
+    domain_cap: int = 100_000,
+    store_threshold: float = 0.8,
+    append_snapshot: str | None = None,
+) -> DataFrame:
+    """Incremental crawl-snapshot ingest — the steady-state loop of a
+    RefinedWeb-style pipeline, where each new dump is curated AGAINST THE
+    ACCUMULATED HISTORY, not in isolation:
+
+    1. URL stage: normalize URLs, extract the registered domain, flag
+       blocklisted domains (``domain_blocked``), flag exact-URL recrawls
+       within the batch (``url_dup`` — keep-first on the normalized URL).
+    2. Per-domain cap: ``domain_capped`` = False for the rows a
+       hash-deterministic cap of ``domain_cap`` docs/domain would keep.
+    3. History dedup: ``dup_of_store`` from
+       :meth:`~duckdb_vss_spark.index.dedup_store.MinHashStore.flag_batch`
+       — near-dups of ANY previously ingested snapshot.
+    4. ``ingest_keep`` = none of the above flags fired.
+    5. Optionally commit the kept rows' fingerprints as
+       ``append_snapshot`` so the NEXT batch dedups against this one —
+       the append reads only kept rows (flag-don't-drop applies to the
+       returned frame; the store must not accumulate rejected rows).
+
+    Returns the batch with all flag columns. Every stage is map-only or
+    output-bounded (the cap's grouped partial top-k; the store join moves
+    band rows, never text), so the per-batch cost scales with the batch
+    plus the store's fingerprint size — never with the history's text.
+    """
+    from .operators.sampling import _hash_of
+    from .operators.web import normalize_url, parse_url_parts, per_domain_cap, registered_domain
+
+    b = normalize_url(batch, url_col, out_col="norm_url")
+    b = parse_url_parts(b, "norm_url", prefix="__u_")
+    b = registered_domain(b, "__u_host", out_col="domain").drop(
+        "__u_scheme", "__u_host", "__u_port", "__u_path", "__u_query", "__u_fragment"
+    )
+    if domain_blocklist:
+        bl = [d for d in domain_blocklist]
+        b = b.withColumn("domain_blocked", F.col("domain").isin(*bl))
+    else:
+        b = b.withColumn("domain_blocked", F.lit(False))
+    # exact-URL recrawl flag: keep-first by the deterministic id hash
+    w = Window.partitionBy("norm_url").orderBy(_hash_of(id_col, "url:"), F.col(id_col))
+    b = b.withColumn("url_dup", F.row_number().over(w) > 1)
+    capped = per_domain_cap(
+        b.select(id_col, "domain"), "domain", id_col, domain_cap, keep_col="__cap_keep"
+    ).select(id_col, "__cap_keep")
+    b = b.join(capped, id_col).withColumn("domain_capped", ~F.col("__cap_keep")).drop("__cap_keep")
+    b = store.flag_batch(b, text_col, id_col, threshold=store_threshold)
+    out = b.withColumn(
+        "ingest_keep",
+        ~F.col("domain_blocked") & ~F.col("url_dup") & ~F.col("domain_capped") & ~F.col("dup_of_store"),
+    )
+    if append_snapshot is not None:
+        store.append_snapshot(
+            out.filter("ingest_keep").select(id_col, text_col),
+            text_col,
+            id_col,
+            append_snapshot,
+        )
+    return out
 
 
 def semantic_curate(

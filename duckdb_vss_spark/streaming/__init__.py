@@ -25,6 +25,7 @@ from .ops import (  # noqa: F401
     score_vector_stream,
     stream_interval_join,
     stream_index_insert,
+    stream_crawl_ingest,
     stream_knn_join,
     run_to_memory,
 )

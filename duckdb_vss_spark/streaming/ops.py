@@ -35,6 +35,7 @@ __all__ = [
     "stream_interval_join",
     "stream_knn_join",
     "stream_index_insert",
+    "stream_crawl_ingest",
     "run_to_memory",
 ]
 
@@ -343,3 +344,63 @@ def stream_index_insert(
     if q.isActive:
         q.stop()
         raise TimeoutError("stream_index_insert did not drain before timeout")
+
+
+def stream_crawl_ingest(
+    docs: DataFrame,
+    store,
+    out_path: str,
+    checkpoint: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    snapshot_prefix: str = "batch",
+    timeout_sec: float = 180.0,
+    **ingest_kwargs,
+) -> None:
+    """Streaming twin of :func:`~duckdb_vss_spark.pipelines.crawl_ingest`:
+    documents arriving on a stream are curated per micro-batch against the
+    accumulated MinHashStore history — URL normalize/flags, per-domain cap
+    (within the micro-batch), near-dup match against every PRIOR batch —
+    then the flagged rows land in a parquet sink and the kept rows'
+    fingerprints commit as snapshot ``{prefix}-{batch_id}`` so the NEXT
+    micro-batch dedups against this one. This is the same
+    artifact-maintenance shape as :func:`stream_index_insert`: the stream
+    mutates a persisted store through its batch API, one committed
+    snapshot per micro-batch.
+
+    Delivery: at-least-once. A replayed uncommitted micro-batch re-runs
+    the whole flag+append; the snapshot-name collision guard makes the
+    replayed append a no-op-with-error, which we swallow — the store then
+    holds the FIRST attempt's fingerprints and the sink file overwrite is
+    handled by the checkpointed file sink as usual.
+    """
+    from ..pipelines import crawl_ingest
+
+    def _batch(bdf: DataFrame, bid: int) -> None:
+        name = f"{snapshot_prefix}-{bid:06d}"
+        out = crawl_ingest(
+            bdf, store, url_col=url_col, text_col=text_col, id_col=id_col,
+            append_snapshot=None, **ingest_kwargs,
+        )
+        out.write.mode("append").parquet(out_path)
+        try:
+            store.append_snapshot(
+                out.filter("ingest_keep").select(id_col, text_col),
+                text_col, id_col, name,
+            )
+        except ValueError:
+            pass  # replayed micro-batch: snapshot already committed
+
+    q = (
+        docs.writeStream.foreachBatch(_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    deadline = time.monotonic() + timeout_sec
+    while q.isActive and time.monotonic() < deadline:
+        time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("stream_crawl_ingest did not drain before timeout")

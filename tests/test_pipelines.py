@@ -85,3 +85,56 @@ def test_semantic_curate(docs, emb):
     assert out.filter("dsir_keep").count() == 50
     cols = set(out.columns)
     assert {"sem_keep", "sem_cluster", "dsir_keep", "log_w", "clf_score"} <= cols
+
+
+def test_crawl_ingest(spark, tmp_path):
+    from duckdb_vss_spark.index.dedup_store import MinHashStore
+    from duckdb_vss_spark.pipelines import crawl_ingest
+
+    st = MinHashStore.create(spark, str(tmp_path / "store"))
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    st.append_snapshot(hist, "text", "doc_id", "cc-00")
+
+    batch = spark.createDataFrame(
+        [
+            # near-dup of history -> dup_of_store
+            (10, "https://a.example.com/x", "the quick brown fox jumps over the lazy dog near the river bank"),
+            # fresh
+            (11, "https://a.example.com/y", "completely fresh text about spark plans and shuffles in executors"),
+            # same page recrawled with tracking params -> url_dup (vs 11's url? no, vs itself)
+            (12, "https://a.example.com/y?utm_source=feed", "recrawl of the same page body text here"),
+            # blocklisted domain
+            (13, "https://spam.bad.com/z", "irrelevant spam body"),
+            # over the domain cap (cap=3 on a.example.com: ids 10,11,12 + 14)
+            (14, "https://a.example.com/w", "another page on the capped domain with new words entirely"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out = crawl_ingest(
+        batch, st, domain_blocklist=["bad.com"], domain_cap=3,
+        store_threshold=0.8, append_snapshot="cc-01",
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert out.count() == 5  # flag, don't drop
+    assert rows[10]["dup_of_store"] and not rows[10]["ingest_keep"]
+    assert rows[13]["domain_blocked"] and rows[13]["domain"] == "bad.com"
+    # 11 and 12 share a normalized URL -> exactly one flagged as dup
+    assert rows[11]["norm_url"] == rows[12]["norm_url"]
+    assert rows[11]["url_dup"] != rows[12]["url_dup"]
+    # exactly 3 of the 4 a.example.com docs survive the cap
+    adom = [r for r in rows.values() if r["domain"] == "example.com"]
+    assert sum(not r["domain_capped"] for r in adom) == 3
+    # snapshot cc-01 committed with only the kept rows
+    info = st.info()
+    assert [s["name"] for s in info["snapshots"]] == ["cc-00", "cc-01"]
+    n_kept = out.filter("ingest_keep").count()
+    assert info["snapshots"][-1]["n_docs"] == n_kept
+    # the NEXT batch now near-dups against what this batch kept
+    nxt = spark.createDataFrame(
+        [(20, "completely fresh text about spark plans and shuffles in executors")],
+        "doc_id long, text string",
+    )
+    assert st.match_against(nxt, "text", "doc_id", 0.8).count() >= 1

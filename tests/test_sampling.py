@@ -455,12 +455,19 @@ def test_heavy_hitters_exact(spark, ddb):
     from duckdb_vss_spark.operators.profile import heavy_hitters
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(6)
-    got = [(r["term"], r["count"]) for r in heavy_hitters(docs, "text", k=15).collect()]
-    want = ddb.execute(
-        "SELECT t, count(*) AS c FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t "
-        "FROM documents) GROUP BY t ORDER BY c DESC, t LIMIT 15"
-    ).fetchall()
-    assert got == [(a, b) for a, b in want]
+    want = [
+        (a, b)
+        for a, b in ddb.execute(
+            "SELECT t, count(*) AS c FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t "
+            "FROM documents) GROUP BY t ORDER BY c DESC, t LIMIT 15"
+        ).fetchall()
+    ]
+    for method in ("exact", "mg"):
+        got = [
+            (r["term"], r["count"])
+            for r in heavy_hitters(docs, "text", k=15, method=method).collect()
+        ]
+        assert got == want, method
 
 
 def test_heavy_hitters_warns_when_bound_unmet(spark):
@@ -476,6 +483,6 @@ def test_heavy_hitters_warns_when_bound_unmet(spark):
     )
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        out = heavy_hitters(docs, "text", k=2, counters=2).collect()
+        out = heavy_hitters(docs, "text", k=2, counters=2, method="mg").collect()
     assert any("exactness bound not met" in str(x.message) for x in w)
     assert sorted((r["term"], r["count"]) for r in out) == [("x", 100), ("y", 100)]

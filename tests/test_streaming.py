@@ -270,3 +270,48 @@ def test_quality_projections_run_on_streams(spark, tmp_path):
     got = sorted(map(tuple, run_to_memory(stream, _name(), output_mode="append").collect()))
     want = sorted(map(tuple, pipe(batch).collect()))
     assert got == want
+
+
+def test_stream_crawl_ingest_incremental(spark, tmp_path):
+    """Streaming crawl ingest: micro-batches curate against the accumulated
+    MinHashStore — a doc that duplicates an EARLIER micro-batch is flagged
+    dup_of_store, each batch commits one snapshot, and the sink holds every
+    row flagged (flag-don't-drop)."""
+    import os
+
+    from duckdb_vss_spark.index.dedup_store import MinHashStore
+    from duckdb_vss_spark.streaming import stream_crawl_ingest
+
+    body1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    body2 = "spark shuffles data between executors when wide dependencies appear"
+    staged = str(tmp_path / "arrivals")
+    os.makedirs(staged)
+    # file 1 = batch A (fresh), file 2 = batch B (dup of A + fresh)
+    spark.createDataFrame(
+        [(1, "https://a.com/x", body1)], "doc_id long, url string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(staged + "/f1")
+    spark.createDataFrame(
+        [(2, "https://b.com/y", body1), (3, "https://b.com/z", body2)],
+        "doc_id long, url string, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(staged + "/f2")
+
+    st = MinHashStore.create(spark, str(tmp_path / "store"))
+    stream = (
+        spark.readStream.schema("doc_id long, url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged + "/f*")
+    )
+    out_path = str(tmp_path / "out")
+    stream_crawl_ingest(
+        stream, st, out_path, str(tmp_path / "ckpt"),
+        store_threshold=0.8, domain_cap=10,
+    )
+    out = spark.read.parquet(out_path)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    # doc 2 repeats doc 1's body from the earlier micro-batch
+    assert rows[2]["dup_of_store"] and not rows[2]["ingest_keep"]
+    assert not rows[3]["dup_of_store"] and rows[3]["ingest_keep"]
+    info = st.info()
+    assert len(info["snapshots"]) == 2
+    assert info["n_docs"] == 2  # doc 1 and doc 3 only
