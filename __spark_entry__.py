@@ -1754,7 +1754,68 @@ def _m_multimodal_meta(spark, sf_dir):
         F.lit(-1).cast("long").alias("d2"),
         "n_bytes",
     )
-    return _union_tagged([img, aud])
+    # REAL-codec legs: Spark synthesizes actual BMP / WAV bytes from a
+    # closed-form per-doc formula, runs the real decoder, and exposes the
+    # integer pixel/sample sums; duckdb computes the same sums from the
+    # formula directly — so the byte-level encode/decode round trip is
+    # inside the driver's value hash. Dims are constant (8x6 image, 64
+    # mono samples) because duckdb 1.0's range() cannot correlate with a
+    # per-row bound; content still varies per doc via the id terms.
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        encode_bmp,
+        encode_wav,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, bmps, wavs = [], [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                y, x = np.mgrid[0:6, 0:8]
+                img = np.stack(
+                    [(x * 7 + y * 13 + i) % 256, (x * 3 + y * 5) % 256, (x + y * 11) % 256],
+                    axis=-1,
+                ).astype(np.uint8)
+                j = np.arange(64)
+                pcm = (((j * 37 + i * 11) % 65536) - 32768).astype(np.int16)
+                ids.append(i)
+                bmps.append(encode_bmp(img))
+                wavs.append(encode_wav(pcm, 8000))
+            yield pd.DataFrame({"doc_id": ids, "bmp": bmps, "wav": wavs})
+
+    blobs = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        synth, schema="doc_id long, bmp binary, wav binary"
+    )
+    px_sum = F.aggregate(
+        F.transform("pixels", lambda x: x.cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    bmp = decode_image(blobs.select("doc_id", F.col("bmp").alias("content")), "doc_id").select(
+        F.lit("bmp").alias("kind"),
+        "doc_id",
+        F.lit("bmp").alias("media_type"),
+        px_sum.alias("d1"),
+        (F.col("width") * F.col("height")).cast("long").alias("d2"),
+        F.lit(54 + 6 * 24).cast("long").alias("n_bytes"),
+    )
+    raw_sum = F.aggregate(
+        F.transform("samples", lambda s: F.round(s * 32768.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    wav = decode_audio(blobs.select("doc_id", F.col("wav").alias("content")), "doc_id").select(
+        F.lit("wav").alias("kind"),
+        "doc_id",
+        F.lit("wav").alias("media_type"),
+        raw_sum.alias("d1"),
+        F.col("n_samples").cast("long").alias("d2"),
+        F.lit(44 + 128).cast("long").alias("n_bytes"),
+    )
+    return _union_tagged([img, aud, bmp, wav])
 
 
 def _q_sql_where_topk(spark, sf_dir):
@@ -3012,6 +3073,18 @@ def oracle_sql() -> dict[str, str]:
             (
                 "SELECT 'audio' AS kind, doc_id, media_type, sample_rate::BIGINT AS d1, "
                 f"-1::BIGINT AS d2, n_bytes FROM ({P['q42_multimodal_audio']})"
+            ),
+            (
+                "SELECT 'bmp' AS kind, d.doc_id, 'bmp' AS media_type, "
+                "sum((x*7+y*13+d.doc_id)%256 + (x*3+y*5)%256 + (x+y*11)%256)::BIGINT AS d1, "
+                "48::BIGINT AS d2, 198::BIGINT AS n_bytes "
+                "FROM documents d, range(0,8) rx(x), range(0,6) ry(y) GROUP BY d.doc_id"
+            ),
+            (
+                "SELECT 'wav' AS kind, d.doc_id, 'wav' AS media_type, "
+                "sum(((j*37 + d.doc_id*11)%65536) - 32768)::BIGINT AS d1, "
+                "64::BIGINT AS d2, 172::BIGINT AS n_bytes "
+                "FROM documents d, range(0,64) rj(j) GROUP BY d.doc_id"
             ),
         ),
         "q22_multimodal_frames": P["q26_multimodal_frames"],

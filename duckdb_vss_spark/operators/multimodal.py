@@ -3,10 +3,14 @@
 
 Model: media is an opaque ``binary`` column plus typed metadata columns —
 the schema, partitioning, Arrow batch shape, and UDF signatures here are
-the real 100 TB-scale plumbing. Real codec decoding (JPEG/PNG/WAV/MP4)
-needs libraries this container doesn't ship, so the *codec* step is stubbed
-(clearly marked ``NotImplementedError``) behind a deterministic synthetic
-format that exercises the same byte-level round trip:
+the real 100 TB-scale plumbing. Codec support is split honestly by what
+pure numpy can do: UNCOMPRESSED formats decode for real (24/32-bit BI_RGB
+BMP and binary PPM images, RIFF/WAVE PCM audio — encoders included so
+round-trips are testable end-to-end), with a real bilinear/nearest resize
+kernel on top; COMPRESSED formats (JPEG/PNG/MP3/MP4) need codec libraries
+this container doesn't ship and fall through to PIL when present, else a
+clearly-marked ``NotImplementedError``. The deterministic synthetic
+container below exercises the byte-level plumbing independent of codecs:
 
 ``VSSM`` container (16-byte header, big-endian)::
 
@@ -48,6 +52,11 @@ __all__ = [
     "synthesize_media",
     "decode_media_meta",
     "decode_image",
+    "decode_audio",
+    "resize_image",
+    "encode_bmp",
+    "encode_ppm",
+    "encode_wav",
     "byte_histogram_features",
     "frame_sample",
     "resize_media",
@@ -131,20 +140,281 @@ def decode_media_meta(df: DataFrame, id_col: str, content_col: str = "content") 
     )
 
 
-def decode_image(df: DataFrame, id_col: str, content_col: str = "content") -> DataFrame:
-    """STUB — real image decoding (JPEG/PNG -> pixel array) requires PIL or
-    OpenCV, which this environment does not ship. The Spark-side contract is
-    real: input (id, content binary), output (id, pixels array<float>,
-    width int, height int) via Arrow-batched mapInPandas."""
+# ---------------------------------------------------------------------------
+# Real codecs (pure numpy — no external libraries):
+#   images: BMP (24/32-bit uncompressed BI_RGB, top-down or bottom-up) and
+#           binary PPM (P6); audio: RIFF/WAVE PCM (8/16/32-bit).
+# Compressed formats (JPEG/PNG/MP3/MP4) genuinely require codec libraries
+# this container does not ship — those fall through to PIL if present,
+# else a clearly-marked NotImplementedError. Encoders for the supported
+# formats are provided so round-trip correctness is testable end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit bottom-up BI_RGB BMP bytes."""
+    h, w, c = pixels.shape
+    assert c == 3, "encode_bmp wants (h, w, 3) RGB"
+    row_size = (w * 3 + 3) // 4 * 4
+    img = np.zeros((h, row_size), dtype=np.uint8)
+    bgr = pixels[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    img[:, : w * 3] = bgr.reshape(h, w * 3)
+    data = img.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + data
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n,) or (n, channels) int16 PCM -> RIFF/WAVE bytes."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n_ch = s.shape[1]
+    data = s.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    nb = bpp // 8
+    row_size = (w * nb + 3) // 4 * 4
+    raw = np.frombuffer(b, dtype=np.uint8, count=row_size * h, offset=data_off)
+    rows = raw.reshape(h, row_size)[:, : w * nb].reshape(h, w, nb)
+    if not top_down:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, 2::-1])  # BGR(A) -> RGB
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    if b[:2] != b"P6":
+        raise ValueError("not a binary PPM")
+    # header tokens: P6, width, height, maxval — whitespace/comment separated
+    vals, i, n = [], 2, len(b)
+    while len(vals) < 3 and i < n:
+        while i < n and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < n and b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not b[j : j + 1].isspace():
+            j += 1
+        vals.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxv = vals
+    if maxv != 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    return np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+
+
+def _decode_image_bytes(b: bytes) -> np.ndarray:
+    b = bytes(b)
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    if b[:2] == b"P6":
+        return _decode_ppm(b)
+    if b[:4] == MAGIC:
+        raise ValueError(
+            "VSSM synthetic container holds no pixels; use decode_media_meta"
+        )
     try:
-        import PIL.Image  # noqa: F401
+        import io
+
+        import PIL.Image
+
+        return np.asarray(PIL.Image.open(io.BytesIO(b)).convert("RGB"))
     except ImportError:
         raise NotImplementedError(
-            "decode_image requires a codec library (PIL/OpenCV) not present in "
-            "this environment; use decode_media_meta + byte_histogram_features "
-            "for codec-free pipelines, or install pillow in production"
+            "compressed image formats (JPEG/PNG/...) require PIL/OpenCV, not "
+            "present in this environment; BMP and binary PPM decode natively"
         )
-    raise NotImplementedError("real codec path not implemented in this build")
+
+
+def decode_image(df: DataFrame, id_col: str, content_col: str = "content") -> DataFrame:
+    """Decode image bytes to pixels — REAL for uncompressed formats (24/32-bit
+    BI_RGB BMP, binary PPM), via PIL for compressed formats when available,
+    ``NotImplementedError`` otherwise (this container ships no codec libs).
+
+    Output: (id, width int, height int, channels int, pixels ARRAY<FLOAT>)
+    — row-major RGB, raw 0-255 values (exact in float32). Arrow-batched
+    ``mapInPandas``; bytes never leave the executor."""
+    id_t = dict(df.dtypes)[id_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, ws, hs, cs, px = [], [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                arr = _decode_image_bytes(blob)
+                h, w, c = arr.shape
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+                px.append(arr.reshape(-1).astype(np.float32))
+            yield pd.DataFrame(
+                {id_col: ids, "width": ws, "height": hs, "channels": cs, "pixels": px}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        gen,
+        schema=f"{id_col} {id_t}, width int, height int, channels int, pixels array<float>",
+    )
+
+
+def decode_audio(df: DataFrame, id_col: str, content_col: str = "content") -> DataFrame:
+    """Decode RIFF/WAVE PCM bytes (8/16/32-bit) to samples — real, pure
+    numpy. Output: (id, sample_rate bigint, n_channels int, n_samples
+    bigint, samples ARRAY<FLOAT>) — interleaved, normalized to [-1, 1)."""
+    id_t = dict(df.dtypes)[id_col]
+
+    def one(b: bytes):
+        b = bytes(b)
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE blob")
+        i, n = 12, len(b)
+        fmt = data = None
+        while i + 8 <= n:
+            cid = b[i : i + 4]
+            size = struct.unpack_from("<I", b, i + 4)[0]
+            body = b[i + 8 : i + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            i += 8 + size + (size & 1)
+        if fmt is None or data is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        audio_fmt, n_ch, sr, _, _, bits = fmt
+        if audio_fmt != 1:
+            raise NotImplementedError(f"non-PCM WAV (format {audio_fmt})")
+        if bits == 16:
+            s = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 8:
+            s = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 32:
+            s = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise NotImplementedError(f"unsupported PCM width {bits}")
+        return sr, n_ch, len(s) // max(1, n_ch), s
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, srs, chs, ns, smp = [], [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                sr, ch, nsamp, s = one(blob)
+                ids.append(i)
+                srs.append(sr)
+                chs.append(ch)
+                ns.append(nsamp)
+                smp.append(s)
+            yield pd.DataFrame(
+                {id_col: ids, "sample_rate": srs, "n_channels": chs, "n_samples": ns, "samples": smp}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_t}, sample_rate bigint, n_channels int, "
+            "n_samples bigint, samples array<float>"
+        ),
+    )
+
+
+def _resize_kernel(arr: np.ndarray, nw: int, nh: int, method: str) -> np.ndarray:
+    h, w, c = arr.shape
+    if method == "nearest":
+        yi = np.minimum((np.arange(nh) * h) // nh, h - 1)
+        xi = np.minimum((np.arange(nw) * w) // nw, w - 1)
+        return arr[yi[:, None], xi[None, :], :]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method: {method!r}")
+    # align-corners=False bilinear (the torchvision/OpenCV convention)
+    fy = (np.arange(nh) + 0.5) * h / nh - 0.5
+    fx = (np.arange(nw) + 0.5) * w / nw - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    a = arr.astype(np.float64)
+    top = a[y0[:, None], x0[None, :], :] * (1 - wx) + a[y0[:, None], x1[None, :], :] * wx
+    bot = a[y1[:, None], x0[None, :], :] * (1 - wx) + a[y1[:, None], x1[None, :], :] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def resize_image(
+    df: DataFrame,
+    id_col: str,
+    new_width: int,
+    new_height: int,
+    content_col: str = "content",
+    method: str = "bilinear",
+) -> DataFrame:
+    """Real image resize: decode (BMP/PPM, see :func:`decode_image`), resample
+    with a numpy bilinear (align-corners=False, the torchvision/OpenCV
+    convention) or nearest kernel, emit pixels. Output: (id, width, height,
+    channels, pixels ARRAY<FLOAT>). Map-only; one vectorized kernel per
+    image, no per-pixel Python."""
+    id_t = dict(df.dtypes)[id_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, px = [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                arr = _decode_image_bytes(blob)
+                out = _resize_kernel(arr, new_width, new_height, method)
+                ids.append(i)
+                px.append(out.reshape(-1).astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": [new_width] * len(ids),
+                    "height": [new_height] * len(ids),
+                    "channels": [3] * len(ids),
+                    "pixels": px,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        gen,
+        schema=f"{id_col} {id_t}, width int, height int, channels int, pixels array<float>",
+    )
 
 
 def byte_histogram_features(df: DataFrame, id_col: str, content_col: str = "content", skip_header: bool = True) -> DataFrame:

@@ -1,0 +1,108 @@
+"""Real multimodal codecs: BMP/PPM/WAV round-trips, resize kernels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.operators.multimodal import (
+    _decode_bmp,
+    _decode_ppm,
+    _resize_kernel,
+    decode_audio,
+    decode_image,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    resize_image,
+)
+
+
+def _grad(h, w, seed=0):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 7 + y * 13 + seed) % 256, (x * 3 + y * 5) % 256, (x + y * 11) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_bmp_roundtrip_kernel():
+    for h, w in [(5, 7), (8, 8), (1, 1), (3, 2)]:  # odd widths exercise padding
+        img = _grad(h, w, 3)
+        assert np.array_equal(_decode_bmp(encode_bmp(img)), img), (h, w)
+
+
+def test_ppm_roundtrip_kernel():
+    img = _grad(6, 5)
+    assert np.array_equal(_decode_ppm(encode_ppm(img)), img)
+    # comment + whitespace variants in the header
+    raw = b"P6 # comment\n5 6\n# another\n255\n" + img.tobytes()
+    assert np.array_equal(_decode_ppm(raw), img)
+
+
+def test_decode_image_dataframe(spark):
+    rows = [(i, bytearray(encode_bmp(_grad(4 + i, 5, i)))) for i in range(3)]
+    rows.append((9, bytearray(encode_ppm(_grad(3, 3, 9)))))
+    df = spark.createDataFrame(rows, "id: long, content: binary")
+    got = {r["id"]: r for r in decode_image(df, "id").collect()}
+    for i in range(3):
+        want = _grad(4 + i, 5, i)
+        assert (got[i]["width"], got[i]["height"], got[i]["channels"]) == (5, 4 + i, 3)
+        assert np.array_equal(
+            np.array(got[i]["pixels"]).reshape(4 + i, 5, 3), want.astype(np.float32)
+        )
+    assert got[9]["width"] == 3 and np.array(got[9]["pixels"]).sum() == _grad(3, 3, 9).sum()
+
+
+def test_decode_image_rejects_synthetic_and_compressed(spark):
+    from duckdb_vss_spark.operators.multimodal import pack_header
+
+    df = spark.createDataFrame(
+        [(1, bytearray(pack_header("image", 4, 4) + b"xx"))], "id: long, content: binary"
+    )
+    with pytest.raises(Exception, match="VSSM synthetic"):
+        decode_image(df, "id").collect()
+    jpeg = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0notreallyjpeg"))], "id: long, content: binary"
+    )
+    with pytest.raises(Exception, match="(NotImplementedError|PIL|codec|cannot identify)"):
+        jpeg_df = decode_image(jpeg, "id").collect()
+
+
+def test_wav_roundtrip_dataframe(spark):
+    t = np.arange(800)
+    mono = (np.sin(2 * np.pi * 440 * t / 8000) * 20000).astype(np.int16)
+    stereo = np.stack([mono, -mono], axis=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(mono, 8000))), (2, bytearray(encode_wav(stereo, 16000)))],
+        "id: long, content: binary",
+    )
+    got = {r["id"]: r for r in decode_audio(df, "id").collect()}
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_channels"] == 1
+    assert got[1]["n_samples"] == 800
+    assert np.allclose(np.array(got[1]["samples"]), mono / 32768.0, atol=1e-6)
+    assert got[2]["n_channels"] == 2 and got[2]["n_samples"] == 800
+    inter = np.array(got[2]["samples"]).reshape(800, 2)
+    assert np.allclose(inter[:, 1], -inter[:, 0], atol=1e-6)
+
+
+def test_resize_nearest_exact_and_bilinear(spark):
+    img = _grad(8, 8, 1)
+    df = spark.createDataFrame([(1, bytearray(encode_bmp(img)))], "id: long, content: binary")
+    # nearest downscale by 2: picks every other pixel exactly
+    got = resize_image(df, "id", 4, 4, method="nearest").collect()[0]
+    arr = np.array(got["pixels"]).reshape(4, 4, 3)
+    assert np.array_equal(arr, img[::2, ::2, :].astype(np.float32))
+    # bilinear identity: same size in == byte-identical out
+    same = _resize_kernel(img, 8, 8, "bilinear")
+    assert np.allclose(same, img.astype(np.float64))
+    # bilinear 2x2 constant image stays constant at any size
+    const = np.full((2, 2, 3), 77, dtype=np.uint8)
+    up = _resize_kernel(const, 5, 3, "bilinear")
+    assert np.allclose(up, 77.0)
+
+
+def test_resize_bad_method():
+    with pytest.raises(ValueError, match="unknown resize method"):
+        _resize_kernel(_grad(2, 2), 1, 1, "cubic")

@@ -79,6 +79,9 @@ def test_resize_rewrites_header_and_shrinks(media):
         assert r["n_bytes"] <= orig_sizes[r["doc_id"]]
 
 
-def test_decode_image_is_gated_stub(media):
-    with pytest.raises(NotImplementedError):
-        M.decode_image(media, "doc_id")
+def test_decode_image_rejects_pixelless_container(media):
+    # the synthetic VSSM container has no pixel payload: decode_image (now
+    # a real decoder for BMP/PPM — tests/test_codecs.py) must refuse it
+    # rather than invent pixels
+    with pytest.raises(Exception, match="VSSM synthetic"):
+        M.decode_image(media, "doc_id").collect()
