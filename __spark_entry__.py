@@ -2013,7 +2013,19 @@ def _m_data_mixing(spark, sf_dir):
         F.concat(F.col("shard").cast("string"), F.lit(":"), F.col("pos").cast("string")).alias("k"),
         F.col("doc_id").cast("long").alias("v"),
     )
-    return _union_tagged([split, frac, rates, temp, dsel, dn, dc, sh])
+    # per-domain TOKEN budget (weighted cap): keep the hash-order prefix
+    # whose running n_chars stays within 2000 per derived domain
+    from duckdb_vss_spark.operators.web import per_domain_budget_cap
+
+    db = per_domain_budget_cap(
+        docs.select("doc_id", "n_chars", F.concat(F.col("source"), F.lit(".example.com")).alias("domain")),
+        "domain", "doc_id", "n_chars", budget=2000,
+    ).filter("in_budget").select(
+        F.lit("dombudget").alias("mode"),
+        F.col("domain").alias("k"),
+        F.col("doc_id").cast("long").alias("v"),
+    )
+    return _union_tagged([split, frac, rates, temp, dsel, dn, dc, sh, db])
 
 
 def _m_vector_centroids(spark, sf_dir):
@@ -3165,6 +3177,11 @@ def oracle_sql() -> dict[str, str]:
             f"doc_id::BIGINT AS v FROM "
             f"(SELECT doc_id, h, row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS rn "
             f"FROM (SELECT doc_id, {O.sql_id_hash('doc_id', 'shard:')} AS h FROM documents))",
+            f"SELECT 'dombudget' AS mode, domain AS k, doc_id::BIGINT AS v FROM "
+            f"(SELECT doc_id, domain, sum(n_chars) OVER (PARTITION BY domain "
+            f"ORDER BY {O.sql_id_hash('doc_id', 'pdc:')}, doc_id ROWS UNBOUNDED PRECEDING) AS cum "
+            f"FROM (SELECT doc_id, n_chars, source || '.example.com' AS domain FROM documents)) "
+            f"WHERE cum <= 2000",
         ),
         "q33_pack_chunk": union(
             tag(

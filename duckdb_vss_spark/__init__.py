@@ -19,6 +19,7 @@ from .operators.web import (  # noqa: F401
     filter_domain_blocklist,
     normalize_url,
     parse_url_parts,
+    per_domain_budget_cap,
     per_domain_cap,
     registered_domain,
 )

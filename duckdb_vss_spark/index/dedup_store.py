@@ -231,6 +231,34 @@ class MinHashStore:
             .drop("__mid")
         )
 
+    def drop_snapshot(self, snapshot: str) -> None:
+        """Retire a snapshot (retention policy / GDPR-style source removal):
+        remove it from the manifest so no future match sees it. The
+        manifest overwrite is the atomic commit; the data directory becomes
+        an orphan that :meth:`vacuum` reclaims — same
+        commit-then-collect discipline as the vector index's versioned
+        artifacts (a reader holding the old manifest can finish its scan)."""
+        snaps = self.manifest["snapshots"]
+        entry = next((s for s in snaps if s["name"] == snapshot), None)
+        if entry is None:
+            raise ValueError(f"snapshot {snapshot!r} not in store")
+        self.manifest["snapshots"] = [s for s in snaps if s["name"] != snapshot]
+        self.manifest["n_docs"] -= entry["n_docs"]
+        fs.write_json(self.spark, fs.join(self.root, _MANIFEST), self.manifest)
+
+    def vacuum(self) -> list:
+        """Delete data directories no longer referenced by the manifest
+        (dropped snapshots, crash orphans). Returns the deleted dir names.
+        Run when no reader still holds a pre-drop manifest."""
+        live = {s["dir"] for s in self.manifest["snapshots"]}
+        deleted = []
+        for name in fs.listdir(self.spark, self.root):
+            base = name.rstrip("/").split("/")[-1]
+            if base.startswith("snap-") and base not in live:
+                fs.delete(self.spark, fs.join(self.root, base))
+                deleted.append(base)
+        return deleted
+
     def info(self) -> dict:
         """Manifest snapshot (copy) for pragma-style introspection."""
         return dict(self.manifest)

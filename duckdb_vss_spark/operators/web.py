@@ -25,7 +25,7 @@ Design rules shared with :mod:`.quality`:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -36,6 +36,7 @@ __all__ = [
     "registered_domain",
     "filter_domain_blocklist",
     "per_domain_cap",
+    "per_domain_budget_cap",
     "domain_stats",
 ]
 
@@ -191,6 +192,40 @@ def filter_domain_blocklist(
         return df.join(bl, on=domain_col, how=how)
     cond = _c(domain_col).isin(*list(blocklist))
     return df.filter(cond if keep_listed else ~cond)
+
+
+def per_domain_budget_cap(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    weight_col: str,
+    budget,
+    keep_col: str = "in_budget",
+) -> DataFrame:
+    """Weighted form of :func:`per_domain_cap`: keep, per domain, the
+    PREFIX of the deterministic ``hash64('pdc:'||id)`` order whose running
+    ``weight_col`` sum stays within ``budget`` — the "at most N TOKENS per
+    site" mixing rule (document counts under-weight long documents).
+
+    A row is kept iff the cumulative weight through itself is ≤ budget, so
+    the kept set is a pure function of (ids, weights, budget) — rerun-
+    stable at any cluster size, like every sampling operator here. One
+    running-sum window per domain (same single-shuffle shape as the
+    default count cap; a map-side partial is equally applicable at the
+    hot-domain extreme since the local hash-order prefix of any global
+    prefix is itself bounded by the budget). Adds boolean ``keep_col``
+    to every row — flag-don't-drop.
+    """
+    from ..functions.text import hash64
+
+    h = hash64(F.concat(F.lit("pdc:"), _c(id_col).cast("string")))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(h.asc(), _c(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(_c(weight_col)).over(w)
+    return df.withColumn(keep_col, cum <= F.lit(budget))
 
 
 def domain_stats(df: DataFrame, domain_col: str, token_col: str | None = None) -> DataFrame:

@@ -122,3 +122,23 @@ def test_matches_duckdb_estimator(spark, ddb, store_root):
     """
     want = sorted((r[0], r[1], round(r[2], 9)) for r in ddb.execute(sql).fetchall())
     assert got == want
+
+
+def test_drop_snapshot_and_vacuum(spark, store_root):
+    st = MinHashStore.create(spark, store_root)
+    st.append_snapshot(_mk(spark, BASE), "text", "doc_id", "s1")
+    st.append_snapshot(_mk(spark, [(10, BASE[0][1])]), "text", "doc_id", "s2")
+    assert st.info()["n_docs"] == 4
+    st.drop_snapshot("s1")
+    assert st.info()["n_docs"] == 1
+    # matches now come only from the surviving snapshot
+    m = st.match_against(_mk(spark, [(100, BASE[0][1])]), "text", "doc_id")
+    assert {(r["store_id"], r["snapshot"]) for r in m.collect()} == {(10, "s2")}
+    # a reopened handle sees the drop (manifest is the commit point)
+    assert MinHashStore.open(spark, store_root).info()["n_docs"] == 1
+    with pytest.raises(ValueError, match="not in store"):
+        st.drop_snapshot("s1")
+    deleted = st.vacuum()
+    assert deleted == ["snap-000000"]
+    # store still fully functional after vacuum
+    assert st.match_against(_mk(spark, [(100, BASE[0][1])]), "text", "doc_id").count() == 1

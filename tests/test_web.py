@@ -163,3 +163,35 @@ def test_normalize_url_null_and_relative(spark):
     assert vals[None] is None
     # no scheme/authority: components are empty -> '://' + '/' skeleton
     assert vals["not a url"] == "://not a url/" or vals["not a url"].endswith("/")
+
+
+def test_per_domain_budget_cap(spark, ddb):
+    rows = [(i, f"d{i % 2}.com", 10 + (i % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id: long, domain: string, n_tok: long")
+    from duckdb_vss_spark.operators.web import per_domain_budget_cap
+
+    out = per_domain_budget_cap(df, "domain", "doc_id", "n_tok", budget=60)
+    assert out.count() == 40  # flag, don't drop
+    kept = out.filter("in_budget")
+    # each domain's kept weight is within budget and maximal for the prefix
+    per = {r["domain"]: r["s"] for r in kept.groupBy("domain").agg(F.sum("n_tok").alias("s")).collect()}
+    assert all(s <= 60 for s in per.values()) and len(per) == 2
+    # oracle twin: duckdb running-sum over the same hash order
+    ddb.execute(
+        "CREATE OR REPLACE TEMP TABLE bc AS SELECT unnest(?) AS doc_id, unnest(?) AS domain, unnest(?) AS n_tok",
+        [[r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows]],
+    )
+    from duckdb_vss_spark import oracle as O
+
+    h = O.sql_id_hash("doc_id", "pdc:")
+    want = dict(
+        ddb.execute(
+            f"SELECT doc_id, sum(n_tok) OVER (PARTITION BY domain ORDER BY {h}, doc_id "
+            f"ROWS UNBOUNDED PRECEDING) <= 60 FROM bc"
+        ).fetchall()
+    )
+    got = {r["doc_id"]: r["in_budget"] for r in out.collect()}
+    assert got == want
+    # determinism under repartitioning
+    again = per_domain_budget_cap(df.repartition(5), "domain", "doc_id", "n_tok", 60)
+    assert {r["doc_id"]: r["in_budget"] for r in again.collect()} == got
