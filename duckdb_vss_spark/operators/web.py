@@ -105,8 +105,18 @@ def parse_url_parts(df: DataFrame, url_col: str, prefix: str = "") -> DataFrame:
 
 
 def normalize_url_expr(url) -> Column:
-    """Expression form of :func:`normalize_url` (one Column, composable)."""
+    """Expression form of :func:`normalize_url` (one Column, composable).
+
+    Scheme-less inputs (no ``://``) normalize WITHOUT a fabricated scheme
+    prefix, so canonical forms are fixed points — idempotency is
+    fuzz-tested, since a non-idempotent canonicalizer makes exact-URL
+    dedup drift across passes. A bare leading ``://`` is stripped before
+    parsing for the same reason."""
     u = _c(url)
+    # bare '://' (a prior fabricated prefix / malformed input) parses as
+    # part of the authority otherwise — strip it first
+    u = F.regexp_replace(u, r"^://", "")
+    has_scheme = u.rlike(_SCHEME_RE)
     rest = F.regexp_replace(u, _AFTER_SCHEME_RE, "")
     authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
     host_port = F.regexp_replace(authority, _USERINFO_RE, "")
@@ -124,6 +134,7 @@ def normalize_url_expr(url) -> Column:
     port_part = F.when((port == "") | default_port, F.lit("")).otherwise(
         F.concat(F.lit(":"), port)
     )
+    scheme_part = F.when(has_scheme, F.concat(scheme, F.lit("://"))).otherwise(F.lit(""))
     # path: empty -> "/", trailing slash dropped except for the bare root
     path_n = F.when(path == "", F.lit("/")).otherwise(
         F.when(
@@ -137,7 +148,7 @@ def normalize_url_expr(url) -> Column:
     )
     query_n = F.array_join(kept, "&")
     query_part = F.when(query_n == "", F.lit("")).otherwise(F.concat(F.lit("?"), query_n))
-    return F.concat(scheme, F.lit("://"), host, port_part, path_n, query_part)
+    return F.concat(scheme_part, host, port_part, path_n, query_part)
 
 
 def normalize_url(df: DataFrame, url_col: str, out_col: str | None = None) -> DataFrame:

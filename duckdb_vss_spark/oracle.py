@@ -523,11 +523,15 @@ def _sql_url_parts(u: str) -> dict[str, str]:
 
 
 def sql_normalize_url(u: str) -> str:
-    """Twin of operators.web.normalize_url_expr (byte-exact)."""
+    """Twin of operators.web.normalize_url_expr (byte-exact), including the
+    scheme-less fixed-point rule: no fabricated ``://`` prefix, bare
+    leading ``://`` stripped before parsing."""
     from .operators.web import TRACKING_PARAM_RE
 
+    u = f"regexp_replace({u}, '^://', '')"
     p = _sql_url_parts(u)
     scheme, host, port, path, query = p["scheme"], p["host"], p["port"], p["path"], p["query"]
+    has_scheme = f"regexp_matches({u}, '^[A-Za-z][A-Za-z0-9+.-]*://')"
     port_part = (
         f"CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = '80') "
         f"OR ({scheme} = 'https' AND {port} = '443') THEN '' ELSE ':' || {port} END"
@@ -543,7 +547,8 @@ def sql_normalize_url(u: str) -> str:
         f"x -> len(x) > 0 AND NOT regexp_matches(x, '{track}')), '&')"
     )
     q_part = f"CASE WHEN {qn} = '' THEN '' ELSE '?' || {qn} END"
-    return f"concat({scheme}, '://', {host}, {port_part}, {path_n}, {q_part})"
+    scheme_part = f"CASE WHEN {has_scheme} THEN {scheme} || '://' ELSE '' END"
+    return f"concat({scheme_part}, {host}, {port_part}, {path_n}, {q_part})"
 
 
 def sql_registered_domain(host: str) -> str:
