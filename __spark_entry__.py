@@ -1544,6 +1544,17 @@ def _m_doc_stats(spark, sf_dir):
     span = duplicated_span_profile(docs, "text", "doc_id", k=20, min_docs=2).select(
         "doc_id", "n_windows", "n_dup_windows", "dup_window_frac"
     )
+    # the Lee et al. stage as a transform: duplicated spans actually
+    # REMOVED, cleaned text pinned via hash64
+    from duckdb_vss_spark.operators.dedup import remove_duplicated_spans
+
+    despan = remove_duplicated_spans(
+        docs.select("doc_id", "text"), "text", "doc_id", k=20, min_docs=2
+    ).select(
+        "doc_id",
+        hash64(F.col("text_despanned")).alias("despan_hash"),
+        F.col("n_removed_tokens").alias("despan_removed"),
+    )
     lm = ngram_lm_score(docs, "text", "doc_id").select(
         "doc_id",
         "n_grams",
@@ -1613,6 +1624,7 @@ def _m_doc_stats(spark, sf_dir):
         .join(pii, "doc_id")
         .join(red, "doc_id")
         .join(span, "doc_id")
+        .join(despan, "doc_id")
         .join(lm, "doc_id")
         .join(cl, "doc_id")
         .join(ld, "doc_id")
@@ -2923,6 +2935,7 @@ def _doc_stats_oracle_sql(O, P) -> str:
         f"       p.n_email, p.n_ssn, p.n_phone, p.n_card, p.n_ipv4, p.has_pii,\n"
         f"       p.redact_hash,\n"
         f"       s.n_windows, s.n_dup_windows, s.dup_window_frac,\n"
+        f"       ds.despan_hash, ds.despan_removed,\n"
         f"       l.n_grams, l.avg_logprob, l.ppl,\n"
         f"       c.cl_n_lines, c.cl_n_kept, c.clean_hash,\n"
         f"       d.ld_n_lines, d.ld_n_removed, d.linededup_hash,\n"
@@ -2934,6 +2947,9 @@ def _doc_stats_oracle_sql(O, P) -> str:
         f"JOIN ({P['q48_repetition_stats']}) b USING (doc_id)\n"
         f"JOIN ({pii_sql}) p USING (doc_id)\n"
         f"JOIN ({span_sql}) s USING (doc_id)\n"
+        f"JOIN (SELECT doc_id, {O.sql_hash64('clean')} AS despan_hash, "
+        f"n_removed_tokens AS despan_removed FROM "
+        f"({O.sql_remove_duplicated_spans('documents', 'text', 'doc_id', 20, 2)})) ds USING (doc_id)\n"
         f"JOIN ({lm_sql}) l USING (doc_id)\n"
         f"JOIN ({cl_sql}) c USING (doc_id)\n"
         f"JOIN ({ld_sql}) d USING (doc_id)\n"

@@ -40,6 +40,7 @@ __all__ = [
     "winnow_fingerprint_rows",
     "duplicated_spans",
     "duplicated_span_profile",
+    "remove_duplicated_spans",
     "line_dedup",
 ]
 
@@ -964,6 +965,57 @@ def duplicated_spans(
     )
     return g.join(hot, "gram_hash").select(
         F.col("__id").alias(id_col), "pos", "gram_hash", "n_docs"
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    min_docs: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """The Lee et al. dedup stage as a TRANSFORM, not just a flag: rewrite
+    each document dropping every token covered by a duplicated k-token
+    window (a window whose hash occurs in >= ``min_docs`` distinct docs —
+    :func:`duplicated_spans` is the detector; this is the surgery their
+    pipeline performs on the corpus). Tokens are whitespace words; the
+    cleaned text is the kept tokens re-joined with single spaces.
+
+    Output: ``df`` + ``out_col`` (default ``<text_col>_despanned``) +
+    ``n_tokens`` + ``n_removed_tokens``.
+
+    Scale shape: the detector's one aggregation shuffle, a per-doc
+    ``collect_list`` of dup positions (bounded by the doc's window count),
+    one co-partitioned back-join on the id, and a map-only higher-order
+    filter (token i survives iff no dup window position p satisfies
+    p <= i < p+k) — the rewrite itself never shuffles text.
+    """
+    from ..functions.text import tokens
+
+    out_col = out_col or f"{text_col}_despanned"
+    spans = duplicated_spans(df, text_col, id_col, k=k, min_docs=min_docs)
+    pos_lists = spans.groupBy(id_col).agg(F.collect_list("pos").alias("__dup_pos"))
+    joined = df.join(pos_lists, id_col, "left").withColumn(
+        "__dup_pos", F.coalesce("__dup_pos", F.array())
+    )
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    kept_idx = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.col("__dup_pos"), lambda p: (i >= p) & (i < p + F.lit(k))
+        ),
+    )
+    kept = F.transform(kept_idx, lambda i: F.element_at(toks, i + 1))
+    return (
+        joined.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn(out_col, F.array_join(kept, " "))
+        .withColumn(
+            "n_removed_tokens", (F.size(toks) - F.size(kept_idx)).cast("long")
+        )
+        .drop("__dup_pos")
     )
 
 

@@ -564,3 +564,35 @@ def sql_registered_domain(host: str) -> str:
         f"CASE WHEN {n} <= 2 THEN {host} "
         f"WHEN {last2} IN ({slds}) THEN {last3} ELSE {last2} END"
     )
+
+
+def sql_remove_duplicated_spans(
+    table: str, text_col: str, id_col: str, k: int, min_docs: int
+) -> str:
+    """Twin of operators.dedup.remove_duplicated_spans: drop every token
+    covered by a duplicated k-token window, rejoin with single spaces.
+    Output: (id_col, clean, n_tokens, n_removed_tokens)."""
+    spans = sql_duplicated_spans(table, text_col, id_col, k, min_docs)
+    return f"""
+        WITH w AS MATERIALIZED (
+          SELECT {id_col}, list(pos) AS ps FROM ({spans}) GROUP BY {id_col}
+        ),
+        base AS (
+          SELECT {id_col}, {sql_tokens(text_col)} AS toks FROM {table}
+        ),
+        j AS (
+          SELECT base.{id_col}, toks, coalesce(w.ps, []) AS ps
+          FROM base LEFT JOIN w USING ({id_col})
+        )
+        SELECT {id_col},
+               -- duckdb's array_to_string([]) is NULL where Spark's
+               -- array_join([]) is '' — coalesce pins the fully-removed case
+               coalesce(array_to_string(list_transform(
+                 list_filter(range(0, len(toks)),
+                             i -> len(list_filter(ps, p -> i >= p AND i < p + {k})) = 0),
+                 i -> toks[i + 1]), ' '), '') AS clean,
+               len(toks)::BIGINT AS n_tokens,
+               (len(toks) - len(list_filter(range(0, len(toks)),
+                 i -> len(list_filter(ps, p -> i >= p AND i < p + {k})) = 0)))::BIGINT AS n_removed_tokens
+        FROM j
+    """

@@ -499,3 +499,28 @@ def test_semdedup_large_k_kernel_assignment_matches_expression(spark, monkeypatc
     monkeypatch.setattr(DD, "_SEMDEDUP_EXPR_MAX_K", 10_000)
     b = sorted(map(tuple, semdedup(df, "v", "vec_id", centroids=cents, eps=0.6).collect()))
     assert a == b
+
+
+def test_remove_duplicated_spans(spark):
+    from duckdb_vss_spark.operators.dedup import remove_duplicated_spans
+
+    span = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"start one {span} tail one"),
+        (2, f"other head {span} closing words here"),
+        (3, "totally unrelated body of text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, "text", "doc_id", k=5, min_docs=2).collect()}
+    assert out[1]["text_despanned"] == "start one tail one"
+    assert out[2]["text_despanned"] == "other head closing words here"
+    assert out[3]["text_despanned"] == rows[2][1] and out[3]["n_removed_tokens"] == 0
+    assert out[1]["n_removed_tokens"] == 5 == out[2]["n_removed_tokens"]
+    # overlapping windows: a doc that is ENTIRELY a shared span empties out
+    dup = spark.createDataFrame(
+        [(1, span), (2, span), (3, f"x {span} y")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["text_despanned"] for r in
+           remove_duplicated_spans(dup, "text", "doc_id", k=5, min_docs=2).collect()}
+    assert got[1] == "" and got[2] == ""
+    assert got[3] == "x y"
