@@ -319,6 +319,27 @@ def _q_ann_index_topk(spark, sf_dir):
     )
 
 
+def _q_ann_sq_topk(spark, sf_dir):
+    """SQ8 storage (`quantization: 'i8'` — the engine's analog of the
+    reference's i8 scalar kind, src/hnsw/hnsw_index.cpp:277-289): int8
+    codes drive the hot scan, full vectors the exact re-rank. Full probe +
+    exact re-rank => must equal brute force, same as the PQ leg."""
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_sq_"))
+    eng.register_table("embeddings_sq", _emb(spark, sf_dir))
+    eng.create_index(
+        "qsq_idx", "embeddings_sq", "embedding", "vec_id",
+        options={"quantization": "i8"}, replace=True,
+    )
+    eng.set_ef_search(10**6)
+    return eng.topk("embeddings_sq", "embedding", Q64, 10, tiebreak="vec_id").select(
+        "vec_id", F.col("score").cast("float").alias("score")
+    )
+
+
 def _q_ann_index_knn_join(spark, sf_dir):
     """HNSW_INDEX_JOIN path, full-probe => exact lateral top-3 per probe."""
     import tempfile
@@ -1641,6 +1662,7 @@ def _m_ann_index_topk(spark, sf_dir):
         _q_ann_index_topk(spark, sf_dir).select(F.lit("l2").alias("tag"), "vec_id", "score"),
         _q_ann_index_cosine(spark, sf_dir).select(F.lit("cos").alias("tag"), "vec_id", "score"),
         _q_ann_index_ip(spark, sf_dir).select(F.lit("ip").alias("tag"), "vec_id", "score"),
+        _q_ann_sq_topk(spark, sf_dir).select(F.lit("sq").alias("tag"), "vec_id", "score"),
     ])
 
 
@@ -1703,12 +1725,29 @@ def _m_ann_recall_gate(spark, sf_dir):
     )
     r_graph = _mean_recall_at_10(spark, emb, eng3.catalog.get("qrg_graph"), ef_search=64)
 
+    # SQ8 storage: gate the QUANTIZATION-induced loss in isolation — the
+    # int8 scan at default ef vs the FLAT index at the same ef (identical
+    # probe sets, identical seed/centroids), so probing loss cancels and
+    # the boolean measures only what the i8 codes + re-rank cost. (A
+    # vs-brute gate at default ef would conflate probe recall — which the
+    # ivf_default row already gates — with code distortion.)
+    eng4 = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_rg4_"))
+    eng4.register_table("emb_rg4", emb)
+    eng4.create_index(
+        "qrg_sq", "emb_rg4", "embedding", "vec_id",
+        options={"quantization": "i8"}, replace=True,
+    )
+    sq_ids = eng4.catalog.get("qrg_sq").search(spark, Q64, 10).select("id")
+    flat_ids = eng1.catalog.get("qrg_ivf").search(spark, Q64, 10).select("id")
+    r_sq = sq_ids.join(flat_ids, "id").count() / 10.0
+
     rows = [
         ("ivf_default", 10, r_ivf >= _RECALL_GATE_THRESHOLD),
         ("ivf_ef8", 10, r_ivf8 >= _RECALL_GATE_THRESHOLD),
         ("ivf_pq_ef128", 10, r_pq >= _RECALL_GATE_THRESHOLD),
         ("ivf_pq_default", 10, r_pq_def >= _RECALL_GATE_THRESHOLD),
         ("hnsw_ef64", 10, r_graph >= _RECALL_GATE_THRESHOLD),
+        ("sq_default", 10, r_sq >= _RECALL_GATE_THRESHOLD),
     ]
     return spark.createDataFrame(rows, "path string, k long, ok boolean")
 
@@ -3060,6 +3099,7 @@ def oracle_sql() -> dict[str, str]:
             tag("tag", "l2", P["q15_ann_index_topk"], "vec_id, score"),
             tag("tag", "cos", P["q59_ann_index_cosine"], "vec_id, score"),
             tag("tag", "ip", P["q60_ann_index_ip"], "vec_id, score"),
+            tag("tag", "sq", P["q15_ann_index_topk"], "vec_id, score"),
         ),
         "q12_ann_index_knn_join": P["q16_ann_index_knn_join"],
         "q13_ann_recall_gate": (
@@ -3071,7 +3111,9 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL\n"
             "SELECT 'ivf_pq_default', 10::BIGINT, true\n"
             "UNION ALL\n"
-            "SELECT 'hnsw_ef64', 10::BIGINT, true"
+            "SELECT 'hnsw_ef64', 10::BIGINT, true\n"
+            "UNION ALL\n"
+            "SELECT 'sq_default', 10::BIGINT, true"
         ),
         "q14_tpch_q1": P["q18_tpch_q1"],
         "q15_tpch_q3": P["q19_tpch_q3"],

@@ -186,6 +186,17 @@ def main() -> None:
         lambda: peng.knn_join(probes, "emb_bench", "embedding", "embedding", 10, left_id="vec_id", right_id="vec_id").collect()
     )
 
+    # SQ8 (`quantization: 'i8'`): int8 codes in the hot scan (dim bytes/row),
+    # exact re-rank — the engine analog of usearch's i8 scalar kind
+    seng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="bench_sq_"))
+    seng.register_table("emb_bench", emb)
+    t0 = time.perf_counter()
+    seng.create_index("bench_sq", "emb_bench", "embedding", "vec_id", options={"quantization": "i8"}, replace=True)
+    timings["ivf_sq_index_build"] = time.perf_counter() - t0
+    timings["ivf_sq_topk_k10"] = run(
+        lambda: seng.topk("emb_bench", "embedding", Q, 10, tiebreak="vec_id").collect()
+    )
+
     # graph backend (index_type='hnsw'): per-shard neighbor graphs + beam search
     geng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="bench_graph_"))
     geng.register_table("emb_bench", emb)

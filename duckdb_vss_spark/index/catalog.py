@@ -20,8 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    ByteType,
+    DoubleType,
     FloatType,
+    IntegerType,
     LongType,
+    ShortType,
     StringType,
     StructField,
     StructType,
@@ -68,6 +72,17 @@ def validate_options(options: dict) -> dict:
             if isinstance(v, bool) or not isinstance(v, int) or v < 1:
                 raise BinderException(f"IVF-PQ option '{k}' must be a positive integer")
             out[k] = v
+        elif k == "quantization":
+            # scalar-quantized storage (the 100 TB analog of usearch's i8
+            # scalar kind, reference: src/hnsw/hnsw_index.cpp:277-289):
+            # int8 codes in the hot scan + exact re-rank (:mod:`.pq`)
+            if not isinstance(v, str) or v.lower() not in ("i8",):
+                raise BinderException("index option 'quantization' must be one of: 'i8'")
+            out[k] = v.lower()
+        elif k == "sq_rerank":
+            if isinstance(v, bool) or not isinstance(v, int) or v < 1:
+                raise BinderException("SQ option 'sq_rerank' must be a positive integer")
+            out[k] = v
         elif k == "distributed_kmeans":
             # full-dataset Lloyd refinement (beyond the reference surface;
             # ivf.kmeans_distributed) for corpora a driver sample can't capture
@@ -105,6 +120,16 @@ def validate_options(options: dict) -> dict:
     return out
 
 
+# Accepted vector element types — the Spark mirror of the reference's
+# usearch scalar-kind map (reference: src/hnsw/hnsw_index.cpp:277-289:
+# FLOAT/DOUBLE/TINYINT/SMALLINT/INTEGER/BIGINT + unsigned kinds, which
+# Spark lacks). The reference SCORES in the declared scalar kind; this
+# engine always scores in f64 and stores f32 (strictly more accurate) —
+# the declared kind is an accepted input type, not a scoring mode; the
+# i8 STORAGE analog is the `quantization: 'i8'` option.
+_ALLOWED_KEY_ELEMENTS = (FloatType, DoubleType, ByteType, ShortType, IntegerType, LongType)
+
+
 def _validate_key_column(df: DataFrame, columns) -> str:
     if isinstance(columns, str):
         columns = [columns]
@@ -115,8 +140,11 @@ def _validate_key_column(df: DataFrame, columns) -> str:
     t = field.dataType
     if not isinstance(t, ArrayType):
         raise BinderException("HNSW index keys must be of type FLOAT[N]")
-    if not isinstance(t.elementType, FloatType):
-        raise BinderException("HNSW index key type must be one of: 'FLOAT[N]'")
+    if not isinstance(t.elementType, _ALLOWED_KEY_ELEMENTS):
+        allowed = ", ".join(
+            f"'{e().simpleString().upper()}[N]'" for e in _ALLOWED_KEY_ELEMENTS
+        )
+        raise BinderException(f"HNSW index key type must be one of: {allowed}")
     return col
 
 
@@ -277,7 +305,12 @@ class IndexCatalog:
             # PQ artifacts keep m code bytes + a f32 norm per row in the hot
             # scan; flat artifacts read the full f32 vector
             pq_m = idx.manifest.get("pq_m")
-            vec_bytes = live * (pq_m + 4) if pq_m else live * idx.dim * 4
+            if pq_m:
+                vec_bytes = live * (pq_m + 4)  # codes + vnorm in the hot scan
+            elif idx.manifest.get("quantization"):
+                vec_bytes = live * idx.dim  # i8: one byte per dimension
+            else:
+                vec_bytes = live * idx.dim * 4
             cent_bytes = idx.nlist * idx.dim * 8
             rows.append(
                 (

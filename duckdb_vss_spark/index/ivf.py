@@ -252,7 +252,13 @@ def build_ivf(
     kmeans_iters = max(2, min(40, round(KMEANS_ITERS * efc / 128)))
     kmeans_sample = max(4096, min(1 << 20, int(KMEANS_SAMPLE * efc / 128)))
     spark = df.sparkSession
-    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).filter(F.col(vec_col).isNotNull())
+    # storage is always f32 (like the reference's default scalar kind) —
+    # the cast is a no-op for FLOAT[N] columns and converts the other
+    # accepted element types (DOUBLE/TINYINT/... — catalog validation
+    # mirrors the reference's scalar-kind map)
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<float>").alias("vec")
+    ).filter(F.col(vec_col).isNotNull())
     # one job for count + dimension check (instead of count() + distinct())
     stats = src.agg(
         F.count(F.lit(1)).alias("n"), F.min(F.size("vec")).alias("dmin"), F.max(F.size("vec")).alias("dmax")
@@ -283,14 +289,20 @@ def build_ivf(
     pq_m = opts.get("pq_m")
     if pq_m and dim % pq_m != 0:
         raise ValueError(f"IVF-PQ option 'pq_m' ({pq_m}) must divide the vector dimension ({dim})")
+    sq = opts.get("quantization")
+    if sq and pq_m:
+        raise ValueError("IVF options 'pq_m' and 'quantization' are mutually exclusive")
     books = pqmod.train_codebooks(smat, pq_m, seed=seed) if pq_m else None
+    sq_scale = pqmod.train_sq_scale(smat) if sq else None
 
     bc = tracked_broadcast(spark.sparkContext, centroids)
     bc_books = tracked_broadcast(spark.sparkContext, books) if books is not None else None
+    bc_sq = tracked_broadcast(spark.sparkContext, sq_scale) if sq_scale is not None else None
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cents = bc.value
         cbooks = bc_books.value if bc_books is not None else None
+        sq_l = bc_sq.value if bc_sq is not None else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -304,12 +316,18 @@ def build_ivf(
                     codes=[c.tobytes() for c in codes],
                     vnorm=np.linalg.norm(mat, axis=1).astype(np.float32),
                 )
+            if sq_l is not None:
+                pdf = pdf.assign(
+                    sq=[c.tobytes() for c in pqmod.sq_encode(mat, sq_l)]
+                )
             yield pdf
 
     id_t = dict(df.dtypes)[id_col]
     schema = f"id {id_t}, vec array<float>, list_id int"
     if books is not None:
         schema += ", codes binary, vnorm float"
+    if sq_scale is not None:
+        schema += ", sq binary"
     assigned = src.mapInPandas(assign, schema=schema)
     vdir = fs.join(path, version)
     # one file per inverted list; lists are the unit of search-time pruning
@@ -322,6 +340,8 @@ def build_ivf(
     fs.write_npy(spark, fs.join(vdir, "centroids.npy"), centroids)
     if books is not None:
         fs.write_npy(spark, fs.join(vdir, "pq_codebooks.npy"), books)
+    if sq_scale is not None:
+        fs.write_npy(spark, fs.join(vdir, "sq_scale.npy"), sq_scale)
     manifest = {
         "format": "ivf-flat-parquet/v2",
         "version": version,
@@ -339,6 +359,9 @@ def build_ivf(
     if pq_m:
         manifest["pq_m"] = int(pq_m)
         manifest["pq_rerank"] = int(opts.get("pq_rerank", 4))
+    if sq:
+        manifest["quantization"] = sq
+        manifest["sq_rerank"] = int(opts.get("sq_rerank", 4))
     manifest.update(extra_manifest or {})
     fs.write_json(spark, fs.join(path, "manifest.json"), manifest)  # commit point
     return IVFIndex(path, spark)
@@ -359,6 +382,11 @@ class IVFIndex:
         self.pq_books = (
             fs.read_npy(self.spark, fs.join(self.vpath, "pq_codebooks.npy"))
             if self.manifest.get("pq_m")
+            else None
+        )
+        self.sq_scale = (
+            fs.read_npy(self.spark, fs.join(self.vpath, "sq_scale.npy"))
+            if self.manifest.get("quantization")
             else None
         )
         # lazily-resolved existence of the mutable side dirs, so steady-state
@@ -552,6 +580,8 @@ class IVFIndex:
         exact there too — only membership is approximate)."""
         if self.pq_books is not None:
             return self._pq_search(spark, query, k, ef_search)
+        if self.sq_scale is not None:
+            return self._sq_search(spark, query, k, ef_search)
         cand = self.candidates(spark, query, ef_search)
         desc = METRIC_IS_DESCENDING[self.metric]
         scored = cand.select("id", distance_expr("vec", query, self.metric).alias("score"))
@@ -593,6 +623,52 @@ class IVFIndex:
             approx = approx.join(F.broadcast(deleted), "id", "left_anti")
         order = [F.col("score").desc() if desc else F.col("score").asc(), F.col("id").asc()]
         rerank = max(k, k * int(self.manifest.get("pq_rerank", 4)))
+        shortlist = approx.orderBy(*order).limit(rerank).select("id")
+        fetched = data.select("id", "vec").join(F.broadcast(shortlist), "id")
+        tail = self.tail_df(spark)
+        if tail is not None:
+            if deleted is not None:
+                tail = tail.join(F.broadcast(deleted), "id", "left_anti")
+            fetched = fetched.unionByName(tail)
+        scored = fetched.select("id", distance_expr("vec", query, metric).alias("score"))
+        return scored.orderBy(*order).limit(k)
+
+    def _sq_search(self, spark: SparkSession, query: list[float], k: int, ef_search: int | None) -> DataFrame:
+        """SQ8 scan (``quantization: 'i8'``): the hot scan reads ONLY
+        (id, sq) — dim bytes/row instead of 4*dim — dequantizes per batch
+        and scores with the GEMM kernel, then exactly re-ranks the top
+        ``k * sq_rerank`` candidates with the full vectors (broadcast
+        id-join over the same pruned partitions). Tail rows union in
+        brute-force-exact; deleted ids drop before every cut — the same
+        contract as :meth:`_pq_search`, with a per-dim reconstruction
+        error bound of ``1/(2*scale_d)`` instead of codebook distortion."""
+        if len(query) != self.dim:
+            raise ValueError(f"query dimension {len(query)} != index dimension {self.dim}")
+        from ..functions.kernels import pairwise_scores
+
+        metric = self.metric
+        desc = METRIC_IS_DESCENDING[metric]
+        lists = self.probe_lists(query, self.nprobe_for(ef_search))
+        data = self.data_df(spark, lists)
+        bc_scale = tracked_broadcast(spark.sparkContext, self.sq_scale)
+        q = np.asarray(query, dtype=np.float64)[None, :]
+        id_t = self.manifest.get("id_type", "bigint")
+
+        def approx_scores(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            scale = bc_scale.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = pqmod.sq_decode(pdf["sq"].tolist(), scale)
+                s = pairwise_scores(mat, q, metric)[:, 0]
+                yield pd.DataFrame({"id": pdf["id"], "score": s})
+
+        approx = data.select("id", "sq").mapInPandas(approx_scores, schema=f"id {id_t}, score double")
+        deleted = self.deleted_df(spark)
+        if deleted is not None:
+            approx = approx.join(F.broadcast(deleted), "id", "left_anti")
+        order = [F.col("score").desc() if desc else F.col("score").asc(), F.col("id").asc()]
+        rerank = max(k, k * int(self.manifest.get("sq_rerank", 4)))
         shortlist = approx.orderBy(*order).limit(rerank).select("id")
         fetched = data.select("id", "vec").join(F.broadcast(shortlist), "id")
         tail = self.tail_df(spark)
@@ -687,10 +763,11 @@ class IVFIndex:
             fs.delete(spark, ddir)
         cents = self.centroids
         books = self.pq_books
-        bc = tracked_broadcast(spark.sparkContext, (cents, books))
+        sq_scale = self.sq_scale
+        bc = tracked_broadcast(spark.sparkContext, (cents, books, sq_scale))
 
         def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            cents_l, books_l = bc.value
+            cents_l, books_l, sq_l = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -704,12 +781,16 @@ class IVFIndex:
                         codes=[c.tobytes() for c in codes],
                         vnorm=np.linalg.norm(mat, axis=1).astype(np.float32),
                     )
+                if sq_l is not None:
+                    pdf = pdf.assign(sq=[c.tobytes() for c in pqmod.sq_encode(mat, sq_l)])
                 yield pdf
 
         id_t = self.manifest.get("id_type", "bigint")
         schema = f"id {id_t}, vec array<float>, list_id int"
         if books is not None:
             schema += ", codes binary, vnorm float"
+        if sq_scale is not None:
+            schema += ", sq binary"
         n_tail = tail.count()
         (
             tail.mapInPandas(assign, schema=schema)

@@ -94,3 +94,37 @@ def adc_scores(code_bytes, lut: np.ndarray) -> np.ndarray:
     m = lut.shape[0]
     codes = np.frombuffer(b"".join(code_bytes), dtype=np.uint8).reshape(-1, m)
     return lut[np.arange(m)[None, :], codes].sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — `quantization: 'i8'` index option: the engine's
+# storage analog of usearch's i8 scalar kind (reference:
+# src/hnsw/hnsw_index.cpp:277-289, where the COLUMN type picks the kind and
+# scoring runs quantized). Here the column stays FLOAT[N]; storage adds a
+# dim-byte int8 code per row (4x smaller than f32 in the hot scan) with a
+# per-DIMENSION scale trained on the build sample, and — like the PQ path —
+# membership comes from the quantized scan while reported scores are exact
+# (shortlist re-rank with the full vectors). Simpler than PQ (no codebooks,
+# exact per-dim reconstruction bound |x - deq(x)| <= 1/(2*scale_d)), at 4x
+# instead of 32x compression.
+# ---------------------------------------------------------------------------
+
+
+def train_sq_scale(sample: np.ndarray) -> np.ndarray:
+    """Per-dimension i8 scale from the build sample: scale_d = 127 /
+    max|x_d| (clamped away from 0). Out-of-sample values saturate at
+    +-127 — membership-harmless given the exact re-rank."""
+    amax = np.abs(sample).max(axis=0)
+    return 127.0 / np.maximum(amax, 1e-30)
+
+
+def sq_encode(mat: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    """(n, dim) float -> (n, dim) int8 codes."""
+    return np.clip(np.rint(mat * scale[None, :]), -127, 127).astype(np.int8)
+
+
+def sq_decode(code_bytes, scale: np.ndarray) -> np.ndarray:
+    """Sequence of dim-byte strings -> (n, dim) float64 dequantized matrix."""
+    dim = scale.shape[0]
+    codes = np.frombuffer(b"".join(code_bytes), dtype=np.int8).reshape(-1, dim)
+    return codes.astype(np.float64) / scale[None, :]

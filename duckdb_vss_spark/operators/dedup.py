@@ -986,11 +986,15 @@ def remove_duplicated_spans(
     Output: ``df`` + ``out_col`` (default ``<text_col>_despanned``) +
     ``n_tokens`` + ``n_removed_tokens``.
 
-    Scale shape: the detector's one aggregation shuffle, a per-doc
-    ``collect_list`` of dup positions (bounded by the doc's window count),
-    one co-partitioned back-join on the id, and a map-only higher-order
-    filter (token i survives iff no dup window position p satisfies
-    p <= i < p+k) — the rewrite itself never shuffles text.
+    Scale shape: the detector's one aggregation shuffle moves only
+    (id, pos, hash); the rewrite is a higher-order filter (token i
+    survives iff no dup window position p satisfies p <= i < p+k) above a
+    back-join of the position lists onto the docs. That join carries the
+    text through an Exchange UNLESS the dup-position side is small enough
+    for AQE to broadcast — which is the common case (only docs WITH
+    duplicated spans appear on that side), but on a pathologically
+    duplicated corpus the join is a co-partitioned shuffle of the text,
+    stated here honestly rather than hidden.
     """
     from ..functions.text import tokens
 

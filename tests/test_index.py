@@ -61,7 +61,9 @@ def test_key_type_validation(spark, engine):
     bad = spark.createDataFrame([(1, "x")], "id int, vec string")
     with pytest.raises(BinderException, match=r"HNSW index keys must be of type FLOAT\[N\]"):
         engine.catalog.create_index("bad", bad, "vec", "id")
-    bad2 = spark.createDataFrame([(1, [1, 2])], "id int, vec array<bigint>")
+    # BIGINT[N] is an ACCEPTED element type (reference scalar-kind map,
+    # src/hnsw/hnsw_index.cpp:277-289); non-numeric elements are not
+    bad2 = spark.createDataFrame([(1, ["a", "b"])], "id int, vec array<string>")
     with pytest.raises(BinderException, match="key type must be one of"):
         engine.catalog.create_index("bad2", bad2, "vec", "id")
     good = spark.createDataFrame([(1, [1.0, 2.0])], "id int, a array<float>")

@@ -204,3 +204,67 @@ def test_indexed_join_large_probe_side_never_cartesian(spark, tmp_path_factory):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_url_ops_are_map_only(spark):
+    """normalize_url + registered_domain must compile to pure projections:
+    zero Exchanges, inside whole-stage codegen, no Python eval."""
+    from duckdb_vss_spark.operators.web import normalize_url, parse_url_parts, registered_domain
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.concat(F.lit("https://a."), F.col("source"), F.lit(".com/x")).alias("url")
+    )
+    df = registered_domain(
+        parse_url_parts(normalize_url(docs, "url", out_col="n"), "n", prefix="p_"), "p_host"
+    )
+    plan = _physical(df)
+    assert "Exchange" not in plan
+    assert "*(" in plan  # codegen regions present (the giant normalize
+    # expression itself may fall back to interpreted Project — still
+    # map-only JVM, which is the property that matters)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_heavy_hitters_exact_partial_agg_and_take_ordered(spark):
+    """Default heavy_hitters: map-side partial aggregation (two HashAggregate
+    levels) and TakeOrderedAndProject — never a global sort of the vocab."""
+    from duckdb_vss_spark.operators.profile import heavy_hitters
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(heavy_hitters(docs, "text", k=10))
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_shuffle_shard_writer_single_exchange(spark):
+    """The shard-writer plan: exactly one Exchange (the repartition on the
+    shard id); ordering comes from sortWithinPartitions, not a global sort."""
+    from duckdb_vss_spark.operators.sampling import _hash_of
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    h = _hash_of("doc_id", "shard:")
+    df = (
+        docs.withColumn("shard", F.pmod(h, F.lit(8)).cast("int"))
+        .withColumn("shuffle_key", h)
+        .repartition(8, F.col("shard"))
+        .sortWithinPartitions("shard", "shuffle_key", "doc_id")
+    )
+    plan = _physical(df)
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_minhash_store_match_text_never_shuffles(spark, tmp_path):
+    """The store match moves band rows (band, bucket, id, sig) — the batch's
+    TEXT column must not appear in any Exchange."""
+    from duckdb_vss_spark.index.dedup_store import MinHashStore
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    st = MinHashStore.create(spark, str(tmp_path / "s"))
+    st.append_snapshot(docs.filter("doc_id % 2 = 0"), "text", "doc_id", "h")
+    m = st.match_against(docs.filter("doc_id % 2 = 1"), "text", "doc_id")
+    plan = _physical(m)
+    for chunk in plan.split("Exchange")[1:]:
+        first_line = chunk.splitlines()[0]
+        assert "text" not in first_line, first_line

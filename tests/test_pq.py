@@ -260,3 +260,122 @@ def test_pq_lifecycle_insert_delete_compact(spark, pq_engine):
     assert idx.tail_df(spark) is None and idx.deleted_df(spark) is None
     ids = [r["id"] for r in idx.search(spark, Q, 2, ef_search=128).collect()]
     assert 100001 in ids and 100002 not in ids
+
+
+# ---- SQ8 (`quantization: 'i8'`) ------------------------------------------
+
+
+def test_sq_kernels_roundtrip_bound():
+    import numpy as np
+
+    from duckdb_vss_spark.index import pq
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(200, 32))
+    s = pq.train_sq_scale(m)
+    d = pq.sq_decode([c.tobytes() for c in pq.sq_encode(m, s)], s)
+    assert np.abs(d - m).max() <= (1.0 / (2.0 * s)).max() + 1e-12
+    # out-of-sample values saturate, never wrap
+    big = pq.sq_encode(np.array([[10.0] * 32]), s)
+    assert big.max() == 127
+
+
+def test_sq_index_full_probe_exact(spark, tmp_path):
+    from duckdb_vss_spark import VSSEngine, topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Q = [((i * 7) % 16) / 16.0 for i in range(64)]
+    eng = VSSEngine(spark, index_root=str(tmp_path / "sq"))
+    eng.register_table("e", emb)
+    eng.create_index("sq", "e", "embedding", "vec_id", options={"quantization": "i8"}, replace=True)
+    eng.set_ef_search(10**6)
+    for metric in ("l2sq", "cosine"):
+        eng2 = VSSEngine(spark, index_root=str(tmp_path / f"sq_{metric}"))
+        eng2.register_table("e", emb)
+        eng2.create_index(
+            "sqm", "e", "embedding", "vec_id",
+            options={"quantization": "i8", "metric": metric}, replace=True,
+        )
+        eng2.set_ef_search(10**6)
+        got = [(r["vec_id"], round(r["score"], 5)) for r in
+               eng2.topk("e", "embedding", Q, 10, metric=metric, tiebreak="vec_id").collect()]
+        want = [(r["vec_id"], round(r["score"], 5)) for r in
+                topk(emb, "embedding", Q, 10, metric, tiebreak="vec_id").collect()]
+        assert got == want, metric
+
+
+def test_sq_maintenance_lifecycle(spark, tmp_path):
+    from duckdb_vss_spark import VSSEngine
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Q = [0.25] * 64
+    eng = VSSEngine(spark, index_root=str(tmp_path / "m"))
+    eng.register_table("e", emb)
+    eng.create_index("sq", "e", "embedding", "vec_id", options={"quantization": "i8"}, replace=True)
+    idx = eng.catalog.get("sq")
+    idx.insert(
+        emb.limit(5).select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding"),
+        "embedding", "vec_id",
+    )
+    before = idx.search(spark, Q, 10, ef_search=10**6).collect()
+    gone = before[0]["id"]
+    idx.delete(spark, [gone])
+    after = idx.search(spark, Q, 10, ef_search=10**6).collect()
+    assert all(r["id"] != gone for r in after) and len(after) == 10
+    # incremental fold keeps the sq column consistent (delta rows encoded)
+    idx2 = idx.compact_incremental(spark)
+    folded = idx2.search(spark, Q, 10, ef_search=10**6).collect()
+    assert sorted((r["id"], round(r["score"], 5)) for r in folded) == sorted(
+        (r["id"], round(r["score"], 5)) for r in after
+    )
+    # full compact rebuilds with the option intact
+    idx3 = idx2.compact(spark)
+    assert idx3.manifest.get("quantization") == "i8" and idx3.sq_scale is not None
+
+
+def test_sq_option_guards(spark):
+    from duckdb_vss_spark.index.catalog import BinderException, validate_options
+
+    with pytest.raises(BinderException, match="quantization"):
+        validate_options({"quantization": "f16"})
+    with pytest.raises(BinderException, match="sq_rerank"):
+        validate_options({"sq_rerank": 0})
+    assert validate_options({"quantization": "i8", "sq_rerank": 8})["quantization"] == "i8"
+
+
+def test_pq_and_sq_mutually_exclusive(spark, tmp_path):
+    from duckdb_vss_spark.index.ivf import build_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build_ivf(
+            emb, "embedding", "vec_id", str(tmp_path / "x"),
+            options={"pq_m": 8, "quantization": "i8"},
+        )
+
+
+def test_key_column_scalar_kinds(spark, tmp_path):
+    """Reference parity (src/hnsw/hnsw_index.cpp:277-289): every numeric
+    array element type indexes; storage casts to f32."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark import VSSEngine
+    from duckdb_vss_spark.index.catalog import BinderException
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    for i, t in enumerate(["double", "int", "bigint"]):
+        cast = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: (x * 8).cast(t)).alias("v"),
+        )
+        eng = VSSEngine(spark, index_root=str(tmp_path / f"k{i}"))
+        eng.register_table("t", cast)
+        eng.create_index("ki", "t", "v", "vec_id", replace=True)
+        eng.set_ef_search(10**6)
+        assert eng.topk("t", "v", [1.0] * 64, 5).count() == 5, t
+    bad = spark.createDataFrame([(1, ["a"])], "id long, v array<string>")
+    eng = VSSEngine(spark, index_root=str(tmp_path / "bad"))
+    eng.register_table("b", bad)
+    with pytest.raises(BinderException, match="key type must be one of"):
+        eng.create_index("bi", "b", "v", "id")
