@@ -379,7 +379,12 @@ class SQLFrontend:
                 k, v = kv.split("=")
                 k = k.strip().lower()
                 v = v.strip().strip("'\"")
-                opts[k] = v if k == "metric" else int(v)
+                if k in ("metric", "quantization", "index_type", "tail_policy"):
+                    opts[k] = v
+                elif v.lower() in ("true", "false"):
+                    opts[k] = v.lower() == "true"
+                else:
+                    opts[k] = int(v)
         df = self.engine.table(m.group("table"))
         id_col = _guess_id_column(df)
         self.engine.create_index(m.group("name"), m.group("table"), m.group("col"), id_col, options=opts or None)

@@ -268,3 +268,21 @@ def test_minhash_store_match_text_never_shuffles(spark, tmp_path):
     for chunk in plan.split("Exchange")[1:]:
         first_line = chunk.splitlines()[0]
         assert "text" not in first_line, first_line
+
+
+def test_sq_scan_prunes_vec_column(spark, tmp_path):
+    """The SQ8 approximate scan must read ONLY (id, sq) from parquet — the
+    f32 vec column stays out of the hot scan (the compression is a
+    column-pruning story, same assertion as the PQ path)."""
+    from duckdb_vss_spark import VSSEngine
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    eng = VSSEngine(spark, index_root=str(tmp_path / "sqp"))
+    eng.register_table("e", emb)
+    eng.create_index("sqp", "e", "embedding", "vec_id", options={"quantization": "i8"}, replace=True)
+    idx = eng.catalog.get("sqp")
+    plan = _physical(idx.search(spark, [0.1] * 64, 5))
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    approx_scans = [ln for ln in scan_lines if "sq:binary" in ln]
+    assert approx_scans, scan_lines
+    assert all("vec" not in ln.split("ReadSchema:")[1] for ln in approx_scans)

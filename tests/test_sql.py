@@ -486,3 +486,23 @@ def test_subquery_nonmatching_fragments_untouched(fe):
     ).collect()[0]["n"]
     assert n == 500
     assert fe.engine.last_plan is None
+
+
+def test_sql_create_index_string_and_bool_options(spark, tmp_path):
+    from duckdb_vss_spark import SQLFrontend, VSSEngine
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    eng = VSSEngine(spark, index_root=str(tmp_path / "sqlsq"))
+    eng.register_table("embeddings", emb)
+    fe = SQLFrontend(eng)
+    fe.sql("CREATE INDEX sq_idx ON embeddings USING HNSW (embedding) "
+           "WITH (metric = 'l2sq', quantization = 'i8', sq_rerank = 8)")
+    idx = eng.catalog.get("sq_idx")
+    assert idx.manifest.get("quantization") == "i8"
+    assert idx.manifest.get("sq_rerank") == 8
+    fe.sql("SET hnsw_ef_search = 1000000")
+    rows = fe.sql(
+        "SELECT vec_id, score FROM embeddings ORDER BY "
+        f"array_distance(embedding, [{', '.join(str((i * 7 % 16) / 16.0) for i in range(64))}]) LIMIT 5"
+    ).collect()
+    assert len(rows) == 5
