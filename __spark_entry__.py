@@ -320,8 +320,8 @@ def _q_ann_index_topk(spark, sf_dir):
 
 
 def _q_ann_sq_topk(spark, sf_dir):
-    """SQ8 storage (`quantization: 'i8'` — the engine's analog of the
-    reference's i8 scalar kind, src/hnsw/hnsw_index.cpp:277-289): int8
+    """SQ8 storage (`quantization: 'i8'` — usearch's i8 scalar kind as a
+    storage option; the reference TODOs it, src/hnsw/hnsw_index.cpp:277-290): int8
     codes drive the hot scan, full vectors the exact re-rank. Full probe +
     exact re-rank => must equal brute force, same as the PQ leg."""
     import tempfile

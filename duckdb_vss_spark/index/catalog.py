@@ -120,13 +120,18 @@ def validate_options(options: dict) -> dict:
     return out
 
 
-# Accepted vector element types — the Spark mirror of the reference's
-# usearch scalar-kind map (reference: src/hnsw/hnsw_index.cpp:277-289:
-# FLOAT/DOUBLE/TINYINT/SMALLINT/INTEGER/BIGINT + unsigned kinds, which
-# Spark lacks). The reference SCORES in the declared scalar kind; this
-# engine always scores in f64 and stores f32 (strictly more accurate) —
-# the declared kind is an accepted input type, not a scoring mode; the
-# i8 STORAGE analog is the `quantization: 'i8'` option.
+# Accepted vector element types. The reference ships with ONLY FLOAT
+# enabled in its usearch scalar-kind map — the other kinds sit in a
+# "TODO: Add the rest of these later" comment block (reference:
+# src/hnsw/hnsw_index.cpp:277-290) — so accepting the signed numeric
+# kinds here IMPLEMENTS that TODO'd surface (minus the unsigned kinds
+# Spark lacks) rather than mirroring shipped behavior. usearch itself
+# SCORES in the declared scalar kind; this engine always scores in f64
+# and stores f32 (strictly more accurate) — the declared kind is an
+# accepted input type, not a scoring mode; the i8 STORAGE analog is the
+# `quantization: 'i8'` option. The rejection message is generated from
+# this map exactly the way the reference generates its own
+# (hnsw_index_plan.cpp:93-98), so the strings track the accepted set.
 _ALLOWED_KEY_ELEMENTS = (FloatType, DoubleType, ByteType, ShortType, IntegerType, LongType)
 
 

@@ -252,10 +252,10 @@ def build_ivf(
     kmeans_iters = max(2, min(40, round(KMEANS_ITERS * efc / 128)))
     kmeans_sample = max(4096, min(1 << 20, int(KMEANS_SAMPLE * efc / 128)))
     spark = df.sparkSession
-    # storage is always f32 (like the reference's default scalar kind) —
+    # storage is always f32 (the reference's only SHIPPED scalar kind) —
     # the cast is a no-op for FLOAT[N] columns and converts the other
     # accepted element types (DOUBLE/TINYINT/... — catalog validation
-    # mirrors the reference's scalar-kind map)
+    # implements the reference map's TODO'd kinds, hnsw_index.cpp:277-290)
     src = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<float>").alias("vec")
     ).filter(F.col(vec_col).isNotNull())

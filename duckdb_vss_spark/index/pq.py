@@ -98,9 +98,10 @@ def adc_scores(code_bytes, lut: np.ndarray) -> np.ndarray:
 
 # ---------------------------------------------------------------------------
 # Scalar quantization (SQ8) — `quantization: 'i8'` index option: the engine's
-# storage analog of usearch's i8 scalar kind (reference:
-# src/hnsw/hnsw_index.cpp:277-289, where the COLUMN type picks the kind and
-# scoring runs quantized). Here the column stays FLOAT[N]; storage adds a
+# storage analog of usearch's i8 scalar kind (in the reference the COLUMN
+# type would pick the kind and scoring run quantized — but its map ships
+# FLOAT-only with i8 in a TODO block, src/hnsw/hnsw_index.cpp:277-290;
+# this is that TODO made real, as storage). Here the column stays FLOAT[N]; storage adds a
 # dim-byte int8 code per row (4x smaller than f32 in the hot scan) with a
 # per-DIMENSION scale trained on the build sample, and — like the PQ path —
 # membership comes from the quantized scan while reported scores are exact

@@ -61,8 +61,9 @@ def test_key_type_validation(spark, engine):
     bad = spark.createDataFrame([(1, "x")], "id int, vec string")
     with pytest.raises(BinderException, match=r"HNSW index keys must be of type FLOAT\[N\]"):
         engine.catalog.create_index("bad", bad, "vec", "id")
-    # BIGINT[N] is an ACCEPTED element type (reference scalar-kind map,
-    # src/hnsw/hnsw_index.cpp:277-289); non-numeric elements are not
+    # BIGINT[N] is accepted here (the reference's scalar-kind map TODOs it,
+    # src/hnsw/hnsw_index.cpp:277-290 — this engine implements the TODO);
+    # non-numeric elements are not
     bad2 = spark.createDataFrame([(1, ["a", "b"])], "id int, vec array<string>")
     with pytest.raises(BinderException, match="key type must be one of"):
         engine.catalog.create_index("bad2", bad2, "vec", "id")

@@ -356,8 +356,10 @@ def test_pq_and_sq_mutually_exclusive(spark, tmp_path):
 
 
 def test_key_column_scalar_kinds(spark, tmp_path):
-    """Reference parity (src/hnsw/hnsw_index.cpp:277-289): every numeric
-    array element type indexes; storage casts to f32."""
+    """Implements the reference's TODO'd scalar-kind surface (the map at
+    src/hnsw/hnsw_index.cpp:277-290 ships FLOAT-only with the rest
+    commented "add later"): every signed numeric element type indexes;
+    storage casts to f32."""
     from pyspark.sql import functions as F
 
     from duckdb_vss_spark import VSSEngine
