@@ -32,7 +32,9 @@ from .sql import SQLFrontend  # noqa: F401
 from .operators.dedup import (  # noqa: F401
     duplicated_span_profile,
     duplicated_spans,
+    remove_duplicated_spans,
     line_dedup,
+    minhash_per_doc,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,

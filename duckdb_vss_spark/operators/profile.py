@@ -34,10 +34,13 @@ def heavy_hitters(
     counters: int = 4096,
     check: bool = True,
     method: str = "exact",
+    n: int = 1,
 ) -> DataFrame:
-    """EXACT top-``k`` most frequent tokens: ``(term, count)``, count desc
-    / term asc. Two strategies with MEASURED regimes (the same
-    opt-in-with-evidence discipline as ``topk``'s method parameter):
+    """EXACT top-``k`` most frequent tokens (or word ``n``-grams, with
+    ``n > 1`` — the standard boilerplate/repeated-phrase diagnostic):
+    ``(term, count)``, count desc / term asc. Two strategies with MEASURED
+    regimes (the same opt-in-with-evidence discipline as ``topk``'s
+    method parameter):
 
     - ``"exact"`` (default): explode → partial-aggregated ``groupBy`` →
       ``TakeOrderedAndProject``. Stays entirely in whole-stage codegen;
@@ -70,7 +73,8 @@ def heavy_hitters(
     import numpy as np
     import pandas as pd
 
-    toks = df.select(T.tokens(text_col).alias("__toks"))
+    builder = T.tokens(text_col) if n == 1 else T.word_ngrams_all(text_col, n)
+    toks = df.select(builder.alias("__toks"))
     if method == "exact":
         return (
             toks.select(F.explode("__toks").alias("term"))
@@ -122,7 +126,7 @@ def heavy_hitters(
     if check:
         rows = top.collect()
         if len(rows) == k:
-            n_total = df.select(F.sum(F.size(T.tokens(text_col)))).first()[0]
+            n_total = df.select(F.sum(F.size(builder))).first()[0]
             kth = rows[-1]["count"]
             if kth <= n_total / (counters + 1):
                 import warnings

@@ -486,3 +486,18 @@ def test_heavy_hitters_warns_when_bound_unmet(spark):
         out = heavy_hitters(docs, "text", k=2, counters=2, method="mg").collect()
     assert any("exactness bound not met" in str(x.message) for x in w)
     assert sorted((r["term"], r["count"]) for r in out) == [("x", 100), ("y", 100)]
+
+
+def test_heavy_hitters_ngrams(spark, ddb):
+    from duckdb_vss_spark.operators.profile import heavy_hitters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = [(r["term"], r["count"]) for r in heavy_hitters(docs, "text", k=10, n=2).collect()]
+    want = ddb.execute("""
+        SELECT g, count(*) AS c FROM (
+          SELECT unnest(list_transform(range(1, greatest(1, len(t) - 1) + 1),
+                        i -> array_to_string(t[i:i+1], ' '))) AS g
+          FROM (SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents))
+        GROUP BY g ORDER BY c DESC, g LIMIT 10
+    """).fetchall()
+    assert got == [(a, b) for a, b in want]
