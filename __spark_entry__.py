@@ -1889,6 +1889,28 @@ def _q_sql_where_topk(spark, sf_dir):
     return out.select("vec_id", F.col("score").cast("float").alias("score")).orderBy("score", "vec_id")
 
 
+def _q_sql_macro_agg(spark, sf_dir):
+    """A macro invocation embedded in otherwise-arbitrary SQL (round-5
+    frontend generalization): an AGGREGATE over `vss_join(...)` — the
+    fragment pass evaluates the macro through the engine, registers it as
+    a statement-scoped derived table, and hands the aggregate to
+    spark.sql. Previously a hard parse error, not a slow path."""
+    import tempfile
+
+    from duckdb_vss_spark import SQLFrontend, VSSEngine
+
+    emb = _emb(spark, sf_dir)
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_magg_"))
+    eng.register_table("mq", emb.filter(F.col("vec_id") < 5))
+    eng.register_table("mi", emb)
+    fe = SQLFrontend(eng)
+    return fe.sql(
+        "SELECT left_tbl.vec_id AS vec_id, CAST(min(score) AS FLOAT) AS score "
+        "FROM vss_join(mq, mi, embedding, embedding, 3, metric:='l2sq') "
+        "GROUP BY left_tbl.vec_id"
+    )
+
+
 def _m_sql_frontend(spark, sf_dir):
     """The SQL frontend's recognized vss shapes in one entry: CREATE INDEX +
     SET ef_search + ORDER BY distance LIMIT k ('topk'), the reference's
@@ -1903,6 +1925,7 @@ def _m_sql_frontend(spark, sf_dir):
         _q_sql_where_topk(spark, sf_dir).select(F.lit("where").alias("tag"), "vec_id", "score"),
         _q_sql_fallback_join(spark, sf_dir).select(F.lit("fallback").alias("tag"), "vec_id", "score"),
         _q_sql_subquery_topk(spark, sf_dir).select(F.lit("subq").alias("tag"), "vec_id", "score"),
+        _q_sql_macro_agg(spark, sf_dir).select(F.lit("magg").alias("tag"), "vec_id", "score"),
     ])
 
 
@@ -3178,6 +3201,16 @@ def oracle_sql() -> dict[str, str]:
                 f"FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {Q64_SQL}) AS score "
                 "FROM embeddings ORDER BY score LIMIT 10) t "
                 "JOIN embeddings e2 ON t.vec_id = e2.vec_id",
+                "vec_id, score",
+            ),
+            tag(
+                "tag",
+                "magg",
+                # min over the top-3 = the nearest distance per query
+                "SELECT q.vec_id, min(list_distance(i.embedding::DOUBLE[], "
+                "q.embedding::DOUBLE[]))::FLOAT AS score "
+                "FROM embeddings q JOIN embeddings i ON true "
+                "WHERE q.vec_id < 5 GROUP BY q.vec_id",
                 "vec_id, score",
             ),
         ),

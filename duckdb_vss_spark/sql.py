@@ -237,6 +237,7 @@ class SQLFrontend:
             self._try_vss_join,
             self._try_vss_match,
             self._try_subquery_topk,
+            self._try_macro_fragments,
         ):
             handled, result = handler(s)
             if handled:
@@ -580,6 +581,63 @@ class SQLFrontend:
         r"\(\s*(?P<a1>\w+)\s*,\s*(?P<a2>\w+)\s*,\s*(?P<a3>\w+)\s*,\s*(?P<a4>\w+)\s*,"
         r"\s*(?P<k>\d+)\s*(?:,\s*metric\s*:=\s*'(?P<metric>\w+)'\s*)?\)"
     )
+
+    def _try_macro_fragments(self, s):
+        """Macro invocations embedded in OTHERWISE-ARBITRARY SQL — the same
+        generalization as :meth:`_try_subquery_topk`, for the table-function
+        macros: a reference user writing an aggregate / join / CTE body
+        OVER ``vss_join(...)`` (or ``outer, vss_match(...)``) previously
+        fell through to ``spark.sql``, which cannot parse the macro at all
+        (a hard error, not just a slow path). Each macro fragment is
+        evaluated through the engine (index-routed when one matches),
+        registered as a statement-scoped derived table, and textually
+        replaced by the table name; the rewritten remainder re-enters
+        :meth:`sql` with full generality. The simple whole-statement forms
+        never reach here (their handlers run first)."""
+        out_s, added = s, []
+        join_pat = re.compile(rf"\bvss_join\s*{self._MACRO_ARGS}", re.IGNORECASE)
+        match_pat = re.compile(
+            rf"\b(?P<outer>\w+)\s*,\s*vss_match\s*"
+            rf"\(\s*(?P<inner>\w+)\s*,\s*(?P<ocol>\w+)\s*,\s*(?P<icol>\w+)\s*,\s*(?P<k>\d+)\s*"
+            rf"(?:,\s*metric\s*:=\s*'(?P<metric>\w+)'\s*)?\)",
+            re.IGNORECASE,
+        )
+
+        def sub_join(m):
+            df = self.engine.vss_join(
+                m.group("a1"), m.group("a2"), m.group("a3"), m.group("a4"),
+                int(m.group("k")), m.group("metric") or "l2sq",
+                left_id=_guess_id_column(self.engine.table(m.group("a1"))),
+                right_id=_guess_id_column(self.engine.table(m.group("a2"))),
+            )
+            name = f"__vss_macro{self._subq_n}"
+            self._subq_n += 1
+            self.engine.register_table(name, df)
+            added.append(name)
+            return name
+
+        def sub_match(m):
+            df = self.engine.vss_match(
+                m.group("outer"), m.group("inner"), m.group("ocol"), m.group("icol"),
+                int(m.group("k")), m.group("metric") or "l2sq",
+                left_id=_guess_id_column(self.engine.table(m.group("outer"))),
+                right_id=_guess_id_column(self.engine.table(m.group("inner"))),
+            )
+            name = f"__vss_macro{self._subq_n}"
+            self._subq_n += 1
+            self.engine.register_table(name, df)
+            added.append(name)
+            return name
+
+        out_s = join_pat.sub(sub_join, out_s)
+        out_s = match_pat.sub(sub_match, out_s)
+        if not added:
+            return False, None
+        try:
+            return True, self.sql(out_s)
+        finally:
+            for name in added:
+                self.engine.tables.pop(name, None)
 
     def _try_vss_join(self, s):
         m = re.match(

@@ -506,3 +506,34 @@ def test_sql_create_index_string_and_bool_options(spark, tmp_path):
         f"array_distance(embedding, [{', '.join(str((i * 7 % 16) / 16.0) for i in range(64))}]) LIMIT 5"
     ).collect()
     assert len(rows) == 5
+
+
+def test_macro_fragments_in_arbitrary_sql(spark, tmp_path):
+    """vss_join / vss_match embedded in aggregates, joins, and subqueries —
+    the fragment pass must evaluate each macro through the engine and hand
+    the remainder to spark.sql (previously a hard parse error)."""
+    from duckdb_vss_spark import SQLFrontend, VSSEngine
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    eng = VSSEngine(spark, index_root=str(tmp_path / "mf"))
+    eng.register_table("mfq", emb.filter("vec_id < 5"))
+    eng.register_table("mfi", emb)
+    fe = SQLFrontend(eng)
+    agg = fe.sql(
+        "SELECT left_tbl.vec_id AS qid, count(*) AS n, min(score) AS best "
+        "FROM vss_join(mfq, mfi, embedding, embedding, 3) GROUP BY left_tbl.vec_id"
+    ).collect()
+    assert len(agg) == 5 and all(r["n"] == 3 and r["best"] == 0.0 for r in agg)
+    joined = fe.sql(
+        "SELECT count(*) AS c FROM vss_join(mfq, mfi, embedding, embedding, 3) v "
+        "JOIN mfi i ON i.vec_id = v.right_tbl.vec_id"
+    ).first()["c"]
+    assert joined == 15
+    m = fe.sql(
+        "SELECT count(*) AS c FROM (SELECT * FROM mfq, vss_match(mfi, embedding, embedding, 2))"
+    ).first()["c"]
+    assert m == 5
+    # statement-scoped registrations are cleaned up
+    assert not [t for t in eng.tables if t.startswith("__vss_macro")]
+    # and the simple whole-statement forms still take the dedicated handlers
+    assert fe.sql("SELECT * FROM vss_join(mfq, mfi, embedding, embedding, 2)").count() == 10
