@@ -196,6 +196,9 @@ def main() -> None:
     timings["ivf_sq_topk_k10"] = run(
         lambda: seng.topk("emb_bench", "embedding", Q, 10, tiebreak="vec_id").collect()
     )
+    timings["ivf_sq_knn_join_100xN_k10"] = run(
+        lambda: seng.knn_join(probes, "emb_bench", "embedding", "embedding", 10, left_id="vec_id", right_id="vec_id").collect()
+    )
 
     # graph backend (index_type='hnsw'): per-shard neighbor graphs + beam search
     geng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="bench_graph_"))

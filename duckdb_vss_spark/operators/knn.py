@@ -274,6 +274,85 @@ def _candidates_broadcast_pq(
     return items.mapInPandas(gen, schema=f"qid {qid_t}, rid {rid_t}")
 
 
+def _candidates_broadcast_sq(
+    left: DataFrame,
+    data: DataFrame,
+    left_on: str,
+    left_id: str,
+    k_sel: int,
+    metric: str,
+    index,
+    probe_mask,
+    excluded_ids,
+    probes_pdf,
+) -> DataFrame:
+    """SQ8 candidate generation (``quantization: 'i8'`` artifacts): the
+    same probe-mask fold as :func:`_candidates_broadcast_pq` but with
+    per-batch int8 dequantization + one GEMM instead of ADC lookups — the
+    scan reads ``dim`` bytes per row (4x less than the flat kernel's f32
+    vectors) and fold memory is O(k_sel * nq) scalars. Returns (qid, rid)
+    pairs; the caller recomputes exact scores."""
+    import numpy as np
+
+    from ..index import pq as pqmod
+
+    spark = left.sparkSession
+    qids = probes_pdf["qid"].to_numpy()
+    qmat = as_matrix(probes_pdf["v"]) if len(probes_pdf) else None
+    excl = np.asarray(list(excluded_ids)) if excluded_ids is not None and len(excluded_ids) else None
+    bc = tracked_broadcast(spark.sparkContext, (qids, qmat, probe_mask, excl, index.sq_scale))
+    desc = METRIC_IS_DESCENDING[metric]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        qids_l, qmat_l, mask_l, excl_l, scale_l = bc.value
+        if qmat_l is None:
+            return
+        nq = len(qids_l)
+        best_scores = best_rids = None
+        for pdf in batches:
+            if excl_l is not None and len(pdf):
+                pdf = pdf[~pdf["rid"].isin(excl_l)]
+            if len(pdf) == 0:
+                continue
+            rids = pdf["rid"].to_numpy()
+            mat = pqmod.sq_decode(pdf["sq"].tolist(), scale_l)
+            if best_scores is None:
+                best_scores = np.full((k_sel, nq), -np.inf if desc else np.inf)
+                rid_numeric = np.issubdtype(rids.dtype, np.number)
+                best_rids = (
+                    np.full((k_sel, nq), -1, dtype=np.int64)
+                    if rid_numeric
+                    else np.full((k_sel, nq), None, dtype=object)
+                )
+            lists = pdf["__lst"].to_numpy() if mask_l is not None else None
+            for q0 in range(0, nq, _PROBE_CHUNK):
+                q1 = min(q0 + _PROBE_CHUNK, nq)
+                scores = pairwise_scores(mat, qmat_l[q0:q1], metric)
+                if mask_l is not None:
+                    allowed = mask_l[lists][:, q0:q1]
+                    scores = np.where(allowed, scores, -np.inf if desc else np.inf)
+                idx = local_topk(scores, k_sel, desc)
+                cols = np.arange(q1 - q0)[None, :]
+                merged_s = np.vstack([best_scores[:, q0:q1], scores[idx, cols]])
+                merged_r = np.vstack([best_rids[:, q0:q1], rids[idx]])
+                keep = local_topk(merged_s, k_sel, desc)
+                best_scores[: keep.shape[0], q0:q1] = merged_s[keep, cols]
+                best_rids[: keep.shape[0], q0:q1] = merged_r[keep, cols]
+        if best_scores is None:
+            return
+        valid = np.isfinite(best_scores.ravel(order="F"))
+        out_q = np.repeat(qids_l, k_sel)[valid]
+        out_r = best_rids.ravel(order="F")[valid]
+        yield pd.DataFrame({"qid": out_q, "rid": out_r})
+
+    items = data.select(F.col("id").alias("rid"), "sq", F.col("list_id").alias("__lst"))
+    qid_t = dict(left.dtypes)[left_id]
+    rid_t = index.manifest.get("id_type", "bigint")
+    return items.mapInPandas(gen, schema=f"qid {qid_t}, rid {rid_t}")
+
+
 def _candidates_crossjoin(
     left: DataFrame, right: DataFrame, left_on: str, right_on: str, left_id: str, right_id: str, metric: str
 ) -> DataFrame:
@@ -460,7 +539,11 @@ def knn_join_flat_indexed(
     for qi, lists in enumerate(probe_sets):
         mask[lists, qi] = True
     needed = sorted({int(l) for lists in probe_sets for l in lists})
-    if len(needed) >= 0.5 * index.nlist and getattr(index, "pq_books", None) is None:
+    quantized = (
+        getattr(index, "pq_books", None) is not None
+        or getattr(index, "sq_scale", None) is not None
+    )
+    if len(needed) >= 0.5 * index.nlist and not quantized:
         # the probes' combined lists cover most of the index: the masked
         # kernel would scan nearly everything AND pay per-row mask checks.
         # The exact flat GEMM join over the live rows is then both faster
@@ -482,16 +565,23 @@ def knn_join_flat_indexed(
     data = index.data_df(spark, needed)
     # shortlist broadcast bound: <= |probed lists| * nq * k_sel (qid, rid)
     # pairs; beyond ~8M pairs the flat vector kernel is the safer plan
-    pq_pairs_est = len(needed) * len(probes_pdf) * max(k, k * int(index.manifest.get("pq_rerank", 4)))
-    if getattr(index, "pq_books", None) is not None and pq_pairs_est <= 8_000_000:
-        # ADC kernel over codes only; exact scores recomputed on a vec fetch
-        # driven by a broadcast of the (qid, rid) shortlist — the expensive
-        # codes scan runs once (inside the broadcast job), and the vec scan
-        # streams against it with no shuffle of the data side.
-        k_sel = max(k, k * int(index.manifest.get("pq_rerank", 4)))
-        cand_ids = _candidates_broadcast_pq(
-            left, data, left_on, left_id, k_sel, metric, index, mask, excl, probes_pdf
-        )
+    rerank_mult = int(index.manifest.get("pq_rerank", index.manifest.get("sq_rerank", 4)))
+    pq_pairs_est = len(needed) * len(probes_pdf) * max(k, k * rerank_mult)
+    if quantized and pq_pairs_est <= 8_000_000:
+        # codes-only kernel (ADC for PQ, dequantized GEMM for SQ8); exact
+        # scores recomputed on a vec fetch driven by a broadcast of the
+        # (qid, rid) shortlist — the expensive codes scan runs once (inside
+        # the broadcast job), and the vec scan streams against it with no
+        # shuffle of the data side.
+        k_sel = max(k, k * rerank_mult)
+        if getattr(index, "pq_books", None) is not None:
+            cand_ids = _candidates_broadcast_pq(
+                left, data, left_on, left_id, k_sel, metric, index, mask, excl, probes_pdf
+            )
+        else:
+            cand_ids = _candidates_broadcast_sq(
+                left, data, left_on, left_id, k_sel, metric, index, mask, excl, probes_pdf
+            )
         rvec = data.select(F.col("id").alias("rid"), F.col("vec").alias("__rv")).join(
             F.broadcast(cand_ids), "rid"
         )

@@ -381,3 +381,40 @@ def test_key_column_scalar_kinds(spark, tmp_path):
     eng.register_table("b", bad)
     with pytest.raises(BinderException, match="key type must be one of"):
         eng.create_index("bi", "b", "v", "id")
+
+
+def test_sq_indexed_knn_join_full_probe_exact(spark, tmp_path):
+    """The SQ8 join kernel (int8 dequantized GEMM + exact re-rank) at full
+    probe must reproduce the exact flat join, including under tail rows
+    and tombstones."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark import VSSEngine, knn_join_flat
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter("vec_id < 10")
+    eng = VSSEngine(spark, index_root=str(tmp_path / "sqj"))
+    eng.register_table("e", emb)
+    eng.create_index("sj", "e", "embedding", "vec_id", options={"quantization": "i8"}, replace=True)
+    eng.set_ef_search(10**6)
+    got = sorted(
+        (r["qid"], r["rid"], r["rnk"], round(r["score"], 5))
+        for r in eng.knn_join(probes, "e", "embedding", "embedding", 3,
+                              left_id="vec_id", right_id="vec_id").collect()
+    )
+    want = sorted(
+        (r["qid"], r["rid"], r["rnk"], round(r["score"], 5))
+        for r in knn_join_flat(probes, emb, "embedding", "embedding", 3, "l2sq",
+                               left_id="vec_id", right_id="vec_id").collect()
+    )
+    assert got == want
+    idx = eng.catalog.get("sj")
+    idx.insert(
+        emb.limit(3).select((F.col("vec_id") + 50_000).alias("vec_id"), "embedding"),
+        "embedding", "vec_id",
+    )
+    gone = want[0][1]
+    idx.delete(spark, [gone])
+    r = eng.knn_join(probes, "e", "embedding", "embedding", 3,
+                     left_id="vec_id", right_id="vec_id").collect()
+    assert len(r) == 30 and all(x["rid"] != gone for x in r)
