@@ -124,6 +124,8 @@ class MinHashStore:
         # (dozens), not a scale dimension
         out = None
         for s in snaps:
+            if s.get("n_docs") == 0:
+                continue  # empty snapshot: committed ledger entry, no files
             df = self.spark.read.parquet(fs.join(self.root, s["dir"])).select(
                 "band", "bucket", "id", "sig", "snapshot"
             )
@@ -148,7 +150,14 @@ class MinHashStore:
             "snapshot", F.lit(snapshot)
         )
         rows.write.partitionBy("band").parquet(out, mode="overwrite")
-        n = self.spark.read.parquet(out).select("id").distinct().count()
+        try:
+            n = self.spark.read.parquet(out).select("id").distinct().count()
+        except Exception:
+            # a fully-filtered batch (e.g. every row was a dup of history)
+            # writes zero files — an EMPTY snapshot is legitimate steady
+            # state and must still commit, so the next batch gets a fresh
+            # snapshot name and the ledger records the event
+            n = 0
         entry = {"name": snapshot, "dir": dirname, "n_docs": n}
         self.manifest["snapshots"].append(entry)
         self.manifest["n_docs"] += n

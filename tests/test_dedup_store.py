@@ -142,3 +142,19 @@ def test_drop_snapshot_and_vacuum(spark, store_root):
     assert deleted == ["snap-000000"]
     # store still fully functional after vacuum
     assert st.match_against(_mk(spark, [(100, BASE[0][1])]), "text", "doc_id").count() == 1
+
+
+def test_empty_snapshot_commits(spark, store_root):
+    """A batch where every row was filtered (all dups of history) still
+    commits an empty snapshot — the crash found by the 500k crawl-ingest
+    measurement (partitioned write of 0 rows leaves no readable files)."""
+    st = MinHashStore.create(spark, store_root)
+    st.append_snapshot(_mk(spark, BASE), "text", "doc_id", "s1")
+    st.append_snapshot(_mk(spark, []), "text", "doc_id", "s2")
+    info = st.info()
+    assert [s["name"] for s in info["snapshots"]] == ["s1", "s2"]
+    assert info["snapshots"][-1]["n_docs"] == 0 and info["n_docs"] == 3
+    # store still fully functional: reads skip the fileless snapshot dir
+    m = st.match_against(_mk(spark, [(9, BASE[0][1])]), "text", "doc_id")
+    assert m.count() == 1
+    assert MinHashStore.open(spark, store_root).info()["n_docs"] == 3
