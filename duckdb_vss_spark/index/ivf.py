@@ -596,16 +596,10 @@ class IVFIndex:
         partitions). Tail rows are unioned brute-force-exact; deleted ids are
         dropped before every top-k cut (same tombstone contract as
         :meth:`candidates`)."""
-        if len(query) != self.dim:
-            raise ValueError(f"query dimension {len(query)} != index dimension {self.dim}")
         metric = self.metric
-        desc = METRIC_IS_DESCENDING[metric]
-        lists = self.probe_lists(query, self.nprobe_for(ef_search))
-        data = self.data_df(spark, lists)
         lut = pqmod.adc_lut(np.asarray(query, dtype=np.float64), self.pq_books, metric)
         bc_lut = tracked_broadcast(spark.sparkContext, lut)
         qnorm = float(np.linalg.norm(np.asarray(query, dtype=np.float64)))
-        id_t = self.manifest.get("id_type", "bigint")
 
         def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             table = bc_lut.value
@@ -617,42 +611,24 @@ class IVFIndex:
                     s = s / np.maximum(qnorm * pdf["vnorm"].to_numpy(np.float64), 1e-30)
                 yield pd.DataFrame({"id": pdf["id"], "score": s})
 
-        approx = data.select("id", "codes", "vnorm").mapInPandas(adc, schema=f"id {id_t}, score double")
-        deleted = self.deleted_df(spark)
-        if deleted is not None:
-            approx = approx.join(F.broadcast(deleted), "id", "left_anti")
-        order = [F.col("score").desc() if desc else F.col("score").asc(), F.col("id").asc()]
-        rerank = max(k, k * int(self.manifest.get("pq_rerank", 4)))
-        shortlist = approx.orderBy(*order).limit(rerank).select("id")
-        fetched = data.select("id", "vec").join(F.broadcast(shortlist), "id")
-        tail = self.tail_df(spark)
-        if tail is not None:
-            if deleted is not None:
-                tail = tail.join(F.broadcast(deleted), "id", "left_anti")
-            fetched = fetched.unionByName(tail)
-        scored = fetched.select("id", distance_expr("vec", query, metric).alias("score"))
-        return scored.orderBy(*order).limit(k)
+        return self._quantized_search(
+            spark, query, k, ef_search, cols=["codes", "vnorm"],
+            approx_fn=adc, rerank=int(self.manifest.get("pq_rerank", 4)),
+        )
 
     def _sq_search(self, spark: SparkSession, query: list[float], k: int, ef_search: int | None) -> DataFrame:
         """SQ8 scan (``quantization: 'i8'``): the hot scan reads ONLY
         (id, sq) — dim bytes/row instead of 4*dim — dequantizes per batch
         and scores with the GEMM kernel, then exactly re-ranks the top
-        ``k * sq_rerank`` candidates with the full vectors (broadcast
-        id-join over the same pruned partitions). Tail rows union in
-        brute-force-exact; deleted ids drop before every cut — the same
-        contract as :meth:`_pq_search`, with a per-dim reconstruction
-        error bound of ``1/(2*scale_d)`` instead of codebook distortion."""
-        if len(query) != self.dim:
-            raise ValueError(f"query dimension {len(query)} != index dimension {self.dim}")
+        ``k * sq_rerank`` candidates with the full vectors. Same re-rank /
+        tail / tombstone contract as :meth:`_pq_search`, with a per-dim
+        reconstruction error bound of ``1/(2*scale_d)`` instead of
+        codebook distortion."""
         from ..functions.kernels import pairwise_scores
 
         metric = self.metric
-        desc = METRIC_IS_DESCENDING[metric]
-        lists = self.probe_lists(query, self.nprobe_for(ef_search))
-        data = self.data_df(spark, lists)
         bc_scale = tracked_broadcast(spark.sparkContext, self.sq_scale)
         q = np.asarray(query, dtype=np.float64)[None, :]
-        id_t = self.manifest.get("id_type", "bigint")
 
         def approx_scores(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             scale = bc_scale.value
@@ -663,20 +639,37 @@ class IVFIndex:
                 s = pairwise_scores(mat, q, metric)[:, 0]
                 yield pd.DataFrame({"id": pdf["id"], "score": s})
 
-        approx = data.select("id", "sq").mapInPandas(approx_scores, schema=f"id {id_t}, score double")
+        return self._quantized_search(
+            spark, query, k, ef_search, cols=["sq"],
+            approx_fn=approx_scores, rerank=int(self.manifest.get("sq_rerank", 4)),
+        )
+
+    def _quantized_search(
+        self, spark: SparkSession, query, k: int, ef_search, cols: list, approx_fn, rerank: int
+    ) -> DataFrame:
+        """Shared skeleton of the quantized scans: probed-list codes scan →
+        approximate shortlist (``k * rerank``, tombstones dropped first so
+        live rows keep every slot) → exact re-rank of the fetched vectors →
+        brute-exact tail union → final top-k cut."""
+        if len(query) != self.dim:
+            raise ValueError(f"query dimension {len(query)} != index dimension {self.dim}")
+        desc = METRIC_IS_DESCENDING[self.metric]
+        lists = self.probe_lists(query, self.nprobe_for(ef_search))
+        data = self.data_df(spark, lists)
+        id_t = self.manifest.get("id_type", "bigint")
+        approx = data.select("id", *cols).mapInPandas(approx_fn, schema=f"id {id_t}, score double")
         deleted = self.deleted_df(spark)
         if deleted is not None:
             approx = approx.join(F.broadcast(deleted), "id", "left_anti")
         order = [F.col("score").desc() if desc else F.col("score").asc(), F.col("id").asc()]
-        rerank = max(k, k * int(self.manifest.get("sq_rerank", 4)))
-        shortlist = approx.orderBy(*order).limit(rerank).select("id")
+        shortlist = approx.orderBy(*order).limit(max(k, k * rerank)).select("id")
         fetched = data.select("id", "vec").join(F.broadcast(shortlist), "id")
         tail = self.tail_df(spark)
         if tail is not None:
             if deleted is not None:
                 tail = tail.join(F.broadcast(deleted), "id", "left_anti")
             fetched = fetched.unionByName(tail)
-        scored = fetched.select("id", distance_expr("vec", query, metric).alias("score"))
+        scored = fetched.select("id", distance_expr("vec", query, self.metric).alias("score"))
         return scored.orderBy(*order).limit(k)
 
     # -- maintenance ------------------------------------------------------

@@ -175,10 +175,9 @@ def _candidates_broadcast(
     )
 
 
-def _candidates_broadcast_pq(
+def _quantized_candidates(
     left: DataFrame,
     data: DataFrame,
-    left_on: str,
     left_id: str,
     k_sel: int,
     metric: str,
@@ -186,43 +185,37 @@ def _candidates_broadcast_pq(
     probe_mask,
     excluded_ids,
     probes_pdf,
+    data_cols: list,
+    bc_extra,
+    make_batch_scorer,
 ) -> DataFrame:
-    """ADC candidate generation over a PQ artifact (:mod:`..index.pq`):
-    per-partition top-``k_sel`` per probe computed from ``(rid, codes,
-    vnorm, list_id)`` only — no vectors enter the kernel, so fold memory is
-    O(k_sel * nq) scalars instead of the flat kernel's O(k * nq * dim)
-    vector carry, and the scan reads ``pq_m`` bytes per row. Returns
-    (qid, rid) pairs; the caller recomputes exact scores.
+    """Shared probe-mask fold for codes-only candidate generation over a
+    quantized artifact (PQ and SQ8 wrap this with their scorers): scans
+    only ``data_cols`` (never the f32 vectors), keeps an O(k_sel x nq)
+    running per-probe top-k across the partition's Arrow batches, and
+    returns (qid, rid) pairs for the caller's exact re-rank.
 
-    The per-query lookup tables are built INSIDE the kernel from the
-    broadcast codebooks + probe matrix (nq*m*256 doubles would be a heavy
-    driver broadcast; recomputing them per partition is ~33 MFLOPs)."""
+    ``make_batch_scorer(extra, qmat, metric)`` runs once per partition
+    (e.g. PQ builds its per-query LUTs there) and returns a per-batch
+    function ``prep(pdf) -> score(q0, q1) -> (n, chunk) ndarray``.
+    """
     import numpy as np
 
     spark = left.sparkSession
     qids = probes_pdf["qid"].to_numpy()
     qmat = as_matrix(probes_pdf["v"]) if len(probes_pdf) else None
     excl = np.asarray(list(excluded_ids)) if excluded_ids is not None and len(excluded_ids) else None
-    bc = tracked_broadcast(spark.sparkContext, (qids, qmat, probe_mask, excl, index.pq_books))
+    bc = tracked_broadcast(spark.sparkContext, (qids, qmat, probe_mask, excl, bc_extra))
     desc = METRIC_IS_DESCENDING[metric]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        qids_l, qmat_l, mask_l, excl_l, books_l = bc.value
+        qids_l, qmat_l, mask_l, excl_l, extra_l = bc.value
         if qmat_l is None:
             return
         nq = len(qids_l)
-        m, ks, dsub = books_l.shape
-        qsub = qmat_l.reshape(nq, m, dsub)
-        lut = np.empty((nq, m, ks))
-        for j in range(m):
-            if metric == "l2sq":
-                diff = qsub[:, j, None, :] - books_l[j][None, :, :]  # (nq, ks, dsub)
-                lut[:, j, :] = (diff * diff).sum(axis=2)
-            else:  # ip numerator serves both 'ip' and 'cosine'
-                lut[:, j, :] = qsub[:, j, :] @ books_l[j].T
-        qnorms = np.linalg.norm(qmat_l, axis=1) if metric == "cosine" else None
+        prep = make_batch_scorer(extra_l, qmat_l, metric)
         best_scores = best_rids = None
         for pdf in batches:
             if excl_l is not None and len(pdf):
@@ -230,8 +223,7 @@ def _candidates_broadcast_pq(
             if len(pdf) == 0:
                 continue
             rids = pdf["rid"].to_numpy()
-            codes = np.frombuffer(b"".join(pdf["codes"].tolist()), dtype=np.uint8).reshape(-1, m)
-            n = codes.shape[0]
+            score = prep(pdf)
             if best_scores is None:
                 best_scores = np.full((k_sel, nq), -np.inf if desc else np.inf)
                 rid_numeric = np.issubdtype(rids.dtype, np.number)
@@ -241,14 +233,9 @@ def _candidates_broadcast_pq(
                     else np.full((k_sel, nq), None, dtype=object)
                 )
             lists = pdf["__lst"].to_numpy() if mask_l is not None else None
-            vn = pdf["vnorm"].to_numpy(np.float64) if metric == "cosine" else None
             for q0 in range(0, nq, _PROBE_CHUNK):
                 q1 = min(q0 + _PROBE_CHUNK, nq)
-                scores = np.zeros((n, q1 - q0))
-                for j in range(m):
-                    scores += lut[q0:q1, j, :][:, codes[:, j]].T  # (n, chunk)
-                if metric == "cosine":
-                    scores = scores / np.maximum(vn[:, None] * qnorms[q0:q1][None, :], 1e-30)
+                scores = score(q0, q1)
                 if mask_l is not None:
                     allowed = mask_l[lists][:, q0:q1]
                     scores = np.where(allowed, scores, -np.inf if desc else np.inf)
@@ -267,90 +254,89 @@ def _candidates_broadcast_pq(
         yield pd.DataFrame({"qid": out_q, "rid": out_r})
 
     items = data.select(
-        F.col("id").alias("rid"), "codes", "vnorm", F.col("list_id").alias("__lst")
+        F.col("id").alias("rid"), *data_cols, F.col("list_id").alias("__lst")
     )
     qid_t = dict(left.dtypes)[left_id]
     rid_t = index.manifest.get("id_type", "bigint")
     return items.mapInPandas(gen, schema=f"qid {qid_t}, rid {rid_t}")
 
 
-def _candidates_broadcast_sq(
-    left: DataFrame,
-    data: DataFrame,
-    left_on: str,
-    left_id: str,
-    k_sel: int,
-    metric: str,
-    index,
-    probe_mask,
-    excluded_ids,
-    probes_pdf,
-) -> DataFrame:
-    """SQ8 candidate generation (``quantization: 'i8'`` artifacts): the
-    same probe-mask fold as :func:`_candidates_broadcast_pq` but with
-    per-batch int8 dequantization + one GEMM instead of ADC lookups — the
-    scan reads ``dim`` bytes per row (4x less than the flat kernel's f32
-    vectors) and fold memory is O(k_sel * nq) scalars. Returns (qid, rid)
-    pairs; the caller recomputes exact scores."""
+def _pq_batch_scorer(books_l, qmat_l, metric):
+    """ADC scorer for the shared fold: per-partition per-query lookup
+    tables built from the broadcast codebooks + probe matrix (nq*m*256
+    doubles would be a heavy driver broadcast; recomputing per partition
+    is ~33 MFLOPs), then per-batch code-indexed sums. ``cosine`` divides
+    the quantized numerator by the stored true vector norm."""
     import numpy as np
 
+    nq = len(qmat_l)
+    m, ks, dsub = books_l.shape
+    qsub = qmat_l.reshape(nq, m, dsub)
+    lut = np.empty((nq, m, ks))
+    for j in range(m):
+        if metric == "l2sq":
+            diff = qsub[:, j, None, :] - books_l[j][None, :, :]  # (nq, ks, dsub)
+            lut[:, j, :] = (diff * diff).sum(axis=2)
+        else:  # ip numerator serves both 'ip' and 'cosine'
+            lut[:, j, :] = qsub[:, j, :] @ books_l[j].T
+    qnorms = np.linalg.norm(qmat_l, axis=1) if metric == "cosine" else None
+
+    def prep(pdf):
+        codes = np.frombuffer(b"".join(pdf["codes"].tolist()), dtype=np.uint8).reshape(-1, m)
+        n = codes.shape[0]
+        vn = pdf["vnorm"].to_numpy(np.float64) if metric == "cosine" else None
+
+        def score(q0, q1):
+            s = np.zeros((n, q1 - q0))
+            for j in range(m):
+                s += lut[q0:q1, j, :][:, codes[:, j]].T  # (n, chunk)
+            if metric == "cosine":
+                s = s / np.maximum(vn[:, None] * qnorms[q0:q1][None, :], 1e-30)
+            return s
+
+        return score
+
+    return prep
+
+
+def _sq_batch_scorer(scale_l, qmat_l, metric):
+    """SQ8 scorer for the shared fold: per-batch int8 dequantization + one
+    GEMM — the scan reads ``dim`` bytes per row (4x less than the flat
+    kernel's f32 vectors)."""
     from ..index import pq as pqmod
 
-    spark = left.sparkSession
-    qids = probes_pdf["qid"].to_numpy()
-    qmat = as_matrix(probes_pdf["v"]) if len(probes_pdf) else None
-    excl = np.asarray(list(excluded_ids)) if excluded_ids is not None and len(excluded_ids) else None
-    bc = tracked_broadcast(spark.sparkContext, (qids, qmat, probe_mask, excl, index.sq_scale))
-    desc = METRIC_IS_DESCENDING[metric]
+    def prep(pdf):
+        mat = pqmod.sq_decode(pdf["sq"].tolist(), scale_l)
+        return lambda q0, q1: pairwise_scores(mat, qmat_l[q0:q1], metric)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
+    return prep
 
-        qids_l, qmat_l, mask_l, excl_l, scale_l = bc.value
-        if qmat_l is None:
-            return
-        nq = len(qids_l)
-        best_scores = best_rids = None
-        for pdf in batches:
-            if excl_l is not None and len(pdf):
-                pdf = pdf[~pdf["rid"].isin(excl_l)]
-            if len(pdf) == 0:
-                continue
-            rids = pdf["rid"].to_numpy()
-            mat = pqmod.sq_decode(pdf["sq"].tolist(), scale_l)
-            if best_scores is None:
-                best_scores = np.full((k_sel, nq), -np.inf if desc else np.inf)
-                rid_numeric = np.issubdtype(rids.dtype, np.number)
-                best_rids = (
-                    np.full((k_sel, nq), -1, dtype=np.int64)
-                    if rid_numeric
-                    else np.full((k_sel, nq), None, dtype=object)
-                )
-            lists = pdf["__lst"].to_numpy() if mask_l is not None else None
-            for q0 in range(0, nq, _PROBE_CHUNK):
-                q1 = min(q0 + _PROBE_CHUNK, nq)
-                scores = pairwise_scores(mat, qmat_l[q0:q1], metric)
-                if mask_l is not None:
-                    allowed = mask_l[lists][:, q0:q1]
-                    scores = np.where(allowed, scores, -np.inf if desc else np.inf)
-                idx = local_topk(scores, k_sel, desc)
-                cols = np.arange(q1 - q0)[None, :]
-                merged_s = np.vstack([best_scores[:, q0:q1], scores[idx, cols]])
-                merged_r = np.vstack([best_rids[:, q0:q1], rids[idx]])
-                keep = local_topk(merged_s, k_sel, desc)
-                best_scores[: keep.shape[0], q0:q1] = merged_s[keep, cols]
-                best_rids[: keep.shape[0], q0:q1] = merged_r[keep, cols]
-        if best_scores is None:
-            return
-        valid = np.isfinite(best_scores.ravel(order="F"))
-        out_q = np.repeat(qids_l, k_sel)[valid]
-        out_r = best_rids.ravel(order="F")[valid]
-        yield pd.DataFrame({"qid": out_q, "rid": out_r})
 
-    items = data.select(F.col("id").alias("rid"), "sq", F.col("list_id").alias("__lst"))
-    qid_t = dict(left.dtypes)[left_id]
-    rid_t = index.manifest.get("id_type", "bigint")
-    return items.mapInPandas(gen, schema=f"qid {qid_t}, rid {rid_t}")
+def _candidates_broadcast_pq(
+    left, data, left_on, left_id, k_sel, metric, index, probe_mask, excluded_ids, probes_pdf
+) -> DataFrame:
+    """ADC candidate generation over a PQ artifact (:mod:`..index.pq`):
+    the shared fold over ``(rid, codes, vnorm, list_id)`` — no vectors
+    enter the kernel, fold memory is O(k_sel * nq) scalars, the scan
+    reads ``pq_m`` bytes per row. Returns (qid, rid) pairs."""
+    return _quantized_candidates(
+        left, data, left_id, k_sel, metric, index, probe_mask, excluded_ids,
+        probes_pdf, data_cols=["codes", "vnorm"], bc_extra=index.pq_books,
+        make_batch_scorer=_pq_batch_scorer,
+    )
+
+
+def _candidates_broadcast_sq(
+    left, data, left_on, left_id, k_sel, metric, index, probe_mask, excluded_ids, probes_pdf
+) -> DataFrame:
+    """SQ8 candidate generation (``quantization: 'i8'`` artifacts): the
+    shared fold over ``(rid, sq, list_id)`` with dequantized-GEMM scoring.
+    Returns (qid, rid) pairs; the caller recomputes exact scores."""
+    return _quantized_candidates(
+        left, data, left_id, k_sel, metric, index, probe_mask, excluded_ids,
+        probes_pdf, data_cols=["sq"], bc_extra=index.sq_scale,
+        make_batch_scorer=_sq_batch_scorer,
+    )
 
 
 def _candidates_crossjoin(
