@@ -676,26 +676,40 @@ def knn_join_flat_indexed_distributed(
 
     deleted = index.deleted_df(spark)
     excl = [r["id"] for r in deleted.collect()] if deleted is not None else None
-    bc_excl = tracked_broadcast(spark.sparkContext, np.asarray(excl) if excl else None)
+    # SQ8 artifacts ship their int8 codes through the cell Exchange instead
+    # of f32 vectors — 4x less data-side shuffle, which is exactly the cost
+    # this large-probe path exists to manage; membership then follows the
+    # quantized-shortlist contract (k * sq_rerank candidates per cell, exact
+    # re-rank downstream), same as the broadcast SQ kernel.
+    sq_scale = getattr(index, "sq_scale", None)
+    k_cell = k if sq_scale is None else max(k, k * int(index.manifest.get("sq_rerank", 4)))
+    bc_excl = tracked_broadcast(
+        spark.sparkContext, (np.asarray(excl) if excl else None, sq_scale)
+    )
 
     def cell_topk(probes_pdf: pd.DataFrame, items_pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        excl_l = bc_excl.value
+        from ..index import pq as pqmod
+
+        excl_l, scale_l = bc_excl.value
         if excl_l is not None and len(items_pdf):
             items_pdf = items_pdf[~items_pdf["id"].isin(excl_l)]
         if len(probes_pdf) == 0 or len(items_pdf) == 0:
             return pd.DataFrame({"qid": [], "rid": [], "ks": []}).astype(
                 {"ks": "float64"}
             )
-        imat = np.ascontiguousarray(np.vstack(items_pdf["vec"].to_numpy()), dtype=np.float64)
+        if scale_l is not None:
+            imat = pqmod.sq_decode(items_pdf["sq"].tolist(), scale_l)
+        else:
+            imat = np.ascontiguousarray(np.vstack(items_pdf["vec"].to_numpy()), dtype=np.float64)
         rids = items_pdf["id"].to_numpy()
         out_q, out_r, out_s = [], [], []
         for q0 in range(0, len(probes_pdf), _PROBE_CHUNK):
             chunk = probes_pdf.iloc[q0 : q0 + _PROBE_CHUNK]
             qmat = np.ascontiguousarray(np.vstack(chunk["qv"].to_numpy()), dtype=np.float64)
             scores = pairwise_scores(imat, qmat, metric)  # (n_items, chunk)
-            idx = local_topk(scores, k, desc)  # (k', chunk)
+            idx = local_topk(scores, k_cell, desc)  # (k', chunk)
             cols = np.arange(scores.shape[1])[None, :]
             kk = idx.shape[0]
             out_q.append(np.repeat(chunk["qid"].to_numpy(), kk))
@@ -705,7 +719,8 @@ def knn_join_flat_indexed_distributed(
             {"qid": np.concatenate(out_q), "rid": np.concatenate(out_r), "ks": np.concatenate(out_s)}
         )
 
-    data = index.data_df(spark).select("id", "vec", F.col("list_id").cast("long").alias("list_id"))
+    data_col = "sq" if sq_scale is not None else "vec"
+    data = index.data_df(spark).select("id", data_col, F.col("list_id").cast("long").alias("list_id"))
     cand = (
         probe_cells.groupBy("list_id")
         .cogroup(data.groupBy("list_id"))
@@ -751,11 +766,13 @@ def knn_join_flat_indexed_distributed(
             )
 
     # per-probe kernel-score cut with an eps band (GEMM is ~1e-13 relative
-    # of the sequential fold; band 8 >> any plausible near-tie pileup), then
-    # the authoritative JVM score on the surviving k+8 rows per probe
+    # of the sequential fold; band 8 >> any plausible near-tie pileup; for
+    # SQ8 the cut keeps the full k_cell shortlist — quantization error is
+    # absorbed by the rerank budget, not the band), then the authoritative
+    # JVM score on the survivors
     order_ks = [F.col("ks").desc() if desc else F.col("ks").asc(), F.col("rid").asc()]
     w_ks = Window.partitionBy("qid").orderBy(*order_ks)
-    short = cand.withColumn("__r", F.row_number().over(w_ks)).filter(F.col("__r") <= k + 8).drop("__r")
+    short = cand.withColumn("__r", F.row_number().over(w_ks)).filter(F.col("__r") <= k_cell + 8).drop("__r")
 
     vec_src = index.data_df(spark).select(F.col("id").alias("rid"), F.col("vec").alias("__rv"))
     if tail is not None:

@@ -418,3 +418,43 @@ def test_sq_indexed_knn_join_full_probe_exact(spark, tmp_path):
     r = eng.knn_join(probes, "e", "embedding", "embedding", 3,
                      left_id="vec_id", right_id="vec_id").collect()
     assert len(r) == 30 and all(x["rid"] != gone for x in r)
+
+
+def test_sq_distributed_join_full_probe_exact(spark, tmp_path):
+    """The large-probe distributed cogroup join over an SQ8 artifact ships
+    int8 codes through the cell Exchange (4x less data-side shuffle) with
+    the quantized-shortlist contract — at full probe it must equal the
+    exact flat join, incl. under tail rows and tombstones."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark import VSSEngine, knn_join_flat
+    from duckdb_vss_spark.operators.knn import knn_join_flat_indexed_distributed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter("vec_id < 50")
+    eng = VSSEngine(spark, index_root=str(tmp_path / "sqd"))
+    eng.register_table("e", emb)
+    eng.create_index("i", "e", "embedding", "vec_id", options={"quantization": "i8"}, replace=True)
+    idx = eng.catalog.get("i")
+    got = sorted(
+        (r["qid"], r["rid"], r["rnk"], round(r["score"], 5))
+        for r in knn_join_flat_indexed_distributed(
+            probes, idx, "embedding", 3, "vec_id", ef_search=10**6
+        ).collect()
+    )
+    want = sorted(
+        (r["qid"], r["rid"], r["rnk"], round(r["score"], 5))
+        for r in knn_join_flat(probes, emb, "embedding", "embedding", 3, "l2sq",
+                               left_id="vec_id", right_id="vec_id").collect()
+    )
+    assert got == want
+    idx.insert(
+        emb.limit(3).select((F.col("vec_id") + 70_000).alias("vec_id"), "embedding"),
+        "embedding", "vec_id",
+    )
+    gone = want[0][1]
+    idx.delete(spark, [gone])
+    r = knn_join_flat_indexed_distributed(
+        probes, idx, "embedding", 3, "vec_id", ef_search=10**6
+    ).collect()
+    assert len(r) == 150 and all(x["rid"] != gone for x in r)
