@@ -150,13 +150,22 @@ class MinHashStore:
             "snapshot", F.lit(snapshot)
         )
         rows.write.partitionBy("band").parquet(out, mode="overwrite")
-        try:
+        # A fully-filtered batch (e.g. every row was a dup of history) writes
+        # zero data files — an EMPTY snapshot is legitimate steady state and
+        # must still commit, so the next batch gets a fresh snapshot name and
+        # the ledger records the event. But "empty" must be proven by the
+        # directory listing, not inferred from a failed read: a transient
+        # read error after a successful write would otherwise commit
+        # n_docs=0 and _store_df would silently skip the snapshot's
+        # fingerprints forever.
+        names = fs.listdir(self.spark, out)
+        has_data = any(
+            n.startswith("band=") or (n.startswith("part-") and not n.endswith(".crc"))
+            for n in names
+        )
+        if has_data:
             n = self.spark.read.parquet(out).select("id").distinct().count()
-        except Exception:
-            # a fully-filtered batch (e.g. every row was a dup of history)
-            # writes zero files — an EMPTY snapshot is legitimate steady
-            # state and must still commit, so the next batch gets a fresh
-            # snapshot name and the ledger records the event
+        else:
             n = 0
         entry = {"name": snapshot, "dir": dirname, "n_docs": n}
         self.manifest["snapshots"].append(entry)

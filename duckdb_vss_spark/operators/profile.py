@@ -125,18 +125,25 @@ def heavy_hitters(
     top = counted.orderBy(F.col("count").desc(), F.col("term").asc()).limit(k)
     if check:
         rows = top.collect()
-        if len(rows) == k:
-            n_total = df.select(F.sum(F.size(builder))).first()[0]
-            kth = rows[-1]["count"]
-            if kth <= n_total / (counters + 1):
-                import warnings
+        # Verify the bound against the LAST returned row regardless of
+        # whether we got a full k: fewer-than-k rows (down to zero, when
+        # every counter was decremented away) is the clearest symptom of
+        # an incomplete candidate set — any non-candidate term with count
+        # <= N/(counters+1) could belong in the missing tail.
+        n_total = df.select(F.sum(F.size(builder))).first()[0] or 0
+        kth = rows[-1]["count"] if rows else 0
+        if (len(rows) < k and n_total > 0) or (rows and kth <= n_total / (counters + 1)):
+            import warnings
 
-                warnings.warn(
-                    f"heavy_hitters: exactness bound not met (kth count {kth} <= "
-                    f"N/(counters+1) = {n_total / (counters + 1):.0f}); raise "
-                    f"`counters` to guarantee the candidate set is complete",
-                    stacklevel=2,
-                )
+            short = (
+                f"only {len(rows)}/{k} candidate terms survived; " if len(rows) < k else ""
+            )
+            warnings.warn(
+                f"heavy_hitters: exactness bound not met ({short}last count "
+                f"{kth} vs N/(counters+1) = {n_total / (counters + 1):.0f}); "
+                f"raise `counters` to guarantee the candidate set is complete",
+                stacklevel=2,
+            )
         return df.sparkSession.createDataFrame(rows, top.schema)
     return top
 

@@ -284,8 +284,12 @@ def per_domain_cap(
     kept = grouped_topk(
         df, [domain_col], [order, _c(id_col)], cap, method=method
     ).select(_c(id_col).alias("__kid"))
+    # No forced broadcast: the kept-id set is cap x n_domains rows, and
+    # n_domains is unknowable here (web scale = millions of registered
+    # domains, so even cap=10 can be a multi-GB set). AQE sizes the built
+    # side at runtime and picks broadcast only when it actually fits.
     return df.join(
-        F.broadcast(kept) if cap < 1024 else kept,
+        kept,
         _c(id_col) == F.col("__kid"),
         "left",
     ).withColumn(keep_col, F.col("__kid").isNotNull()).drop("__kid")

@@ -157,6 +157,10 @@ def crawl_ingest(
        within the batch (``url_dup`` — keep-first on the normalized URL).
     2. Per-domain cap: ``domain_capped`` = False for the rows a
        hash-deterministic cap of ``domain_cap`` docs/domain would keep.
+       The cap races only rows no other flag drops (blocked, recrawled,
+       and history-dup rows do not consume slots), so a domain with many
+       blocked/recrawled/dup rows still keeps up to ``domain_cap``
+       eligible docs.
     3. History dedup: ``dup_of_store`` from
        :meth:`~duckdb_vss_spark.index.dedup_store.MinHashStore.flag_batch`
        — near-dups of ANY previously ingested snapshot.
@@ -187,11 +191,24 @@ def crawl_ingest(
     # exact-URL recrawl flag: keep-first by the deterministic id hash
     w = Window.partitionBy("norm_url").orderBy(_hash_of(id_col, "url:"), F.col(id_col))
     b = b.withColumn("url_dup", F.row_number().over(w) > 1)
-    capped = per_domain_cap(
-        b.select(id_col, "domain"), "domain", id_col, domain_cap, keep_col="__cap_keep"
-    ).select(id_col, "__cap_keep")
-    b = b.join(capped, id_col).withColumn("domain_capped", ~F.col("__cap_keep")).drop("__cap_keep")
     b = store.flag_batch(b, text_col, id_col, threshold=store_threshold)
+    # The cap is computed over the rows still ELIGIBLE after every other
+    # flag (blocked / url-dup / history-dup rows must not consume cap
+    # slots — otherwise a domain with many recrawls could end up keeping
+    # far fewer than domain_cap docs); rows that never entered the cap
+    # race get domain_capped=False (they are dropped by their own flag,
+    # not this one).
+    eligible = b.filter(
+        ~F.col("domain_blocked") & ~F.col("url_dup") & ~F.col("dup_of_store")
+    )
+    capped = per_domain_cap(
+        eligible.select(id_col, "domain"), "domain", id_col, domain_cap, keep_col="__cap_keep"
+    ).select(id_col, "__cap_keep")
+    b = (
+        b.join(capped, id_col, "left")
+        .withColumn("domain_capped", ~F.coalesce(F.col("__cap_keep"), F.lit(True)))
+        .drop("__cap_keep")
+    )
     out = b.withColumn(
         "ingest_keep",
         ~F.col("domain_blocked") & ~F.col("url_dup") & ~F.col("domain_capped") & ~F.col("dup_of_store"),

@@ -346,6 +346,38 @@ def stream_index_insert(
         raise TimeoutError("stream_index_insert did not drain before timeout")
 
 
+def _crawl_ingest_batch(
+    bdf: DataFrame,
+    bid: int,
+    store,
+    out_path: str,
+    url_col: str,
+    text_col: str,
+    id_col: str,
+    snapshot_prefix: str,
+    **ingest_kwargs,
+) -> None:
+    """One micro-batch of :func:`stream_crawl_ingest`, idempotent under
+    replay: the sink write targets a batch-id-keyed subdirectory with
+    ``overwrite`` (re-running the batch replaces, never duplicates), and
+    the store append is guarded by the snapshot-name collision check."""
+    from ..pipelines import crawl_ingest
+
+    name = f"{snapshot_prefix}-{bid:06d}"
+    out = crawl_ingest(
+        bdf, store, url_col=url_col, text_col=text_col, id_col=id_col,
+        append_snapshot=None, **ingest_kwargs,
+    )
+    out.write.mode("overwrite").parquet(f"{out_path}/batch={bid:06d}")
+    try:
+        store.append_snapshot(
+            out.filter("ingest_keep").select(id_col, text_col),
+            text_col, id_col, name,
+        )
+    except ValueError:
+        pass  # replayed micro-batch: snapshot already committed
+
+
 def stream_crawl_ingest(
     docs: DataFrame,
     store,
@@ -369,28 +401,23 @@ def stream_crawl_ingest(
     mutates a persisted store through its batch API, one committed
     snapshot per micro-batch.
 
-    Delivery: at-least-once. A replayed uncommitted micro-batch re-runs
+    Delivery: effectively-once. A replayed uncommitted micro-batch re-runs
     the whole flag+append; the snapshot-name collision guard makes the
     replayed append a no-op-with-error, which we swallow — the store then
-    holds the FIRST attempt's fingerprints and the sink file overwrite is
-    handled by the checkpointed file sink as usual.
+    holds the FIRST attempt's fingerprints. The sink write is made
+    idempotent the same way: each micro-batch lands in its own
+    ``out_path/batch=NNNNNN/`` subdirectory with ``mode("overwrite")``
+    (foreachBatch manual writes get no exactly-once help from the
+    checkpoint, so a plain ``mode("append")`` would duplicate the batch's
+    rows on replay). Readers see ``batch`` as an ordinary partition column
+    of ``spark.read.parquet(out_path)``.
     """
-    from ..pipelines import crawl_ingest
-
     def _batch(bdf: DataFrame, bid: int) -> None:
-        name = f"{snapshot_prefix}-{bid:06d}"
-        out = crawl_ingest(
-            bdf, store, url_col=url_col, text_col=text_col, id_col=id_col,
-            append_snapshot=None, **ingest_kwargs,
+        _crawl_ingest_batch(
+            bdf, bid, store, out_path,
+            url_col=url_col, text_col=text_col, id_col=id_col,
+            snapshot_prefix=snapshot_prefix, **ingest_kwargs,
         )
-        out.write.mode("append").parquet(out_path)
-        try:
-            store.append_snapshot(
-                out.filter("ingest_keep").select(id_col, text_col),
-                text_col, id_col, name,
-            )
-        except ValueError:
-            pass  # replayed micro-batch: snapshot already committed
 
     q = (
         docs.writeStream.foreachBatch(_batch)

@@ -158,3 +158,27 @@ def test_empty_snapshot_commits(spark, store_root):
     m = st.match_against(_mk(spark, [(9, BASE[0][1])]), "text", "doc_id")
     assert m.count() == 1
     assert MinHashStore.open(spark, store_root).info()["n_docs"] == 3
+
+
+def test_append_snapshot_reraises_read_errors(spark, store_root, monkeypatch):
+    """A transient read failure AFTER a write that provably produced data
+    files must propagate, not silently commit n_docs=0 (which would make
+    _store_df skip the snapshot's fingerprints forever — ADVICE r5)."""
+    import pyspark.sql.readwriter as rw
+
+    st = MinHashStore.create(spark, store_root)
+    orig = rw.DataFrameReader.parquet
+
+    def boom(self, *paths, **kw):
+        if any("snap-" in str(p) for p in paths):
+            raise RuntimeError("transient fs failure")
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", boom)
+    with pytest.raises(RuntimeError, match="transient fs failure"):
+        st.append_snapshot(_mk(spark, BASE), "text", "doc_id", "s1")
+    monkeypatch.undo()
+    # nothing committed: the ledger has no entry, a retry succeeds cleanly
+    assert st.info()["snapshots"] == []
+    st.append_snapshot(_mk(spark, BASE), "text", "doc_id", "s1")
+    assert st.info()["snapshots"][-1]["n_docs"] == 3

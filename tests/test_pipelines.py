@@ -124,9 +124,11 @@ def test_crawl_ingest(spark, tmp_path):
     # 11 and 12 share a normalized URL -> exactly one flagged as dup
     assert rows[11]["norm_url"] == rows[12]["norm_url"]
     assert rows[11]["url_dup"] != rows[12]["url_dup"]
-    # exactly 3 of the 4 a.example.com docs survive the cap
+    # the cap races only rows no other flag drops: on example.com the
+    # eligible set is {keeper of 11/12, 14} (10 is a history dup, one of
+    # 11/12 a url dup) — 2 docs <= cap=3, so nothing is domain_capped
     adom = [r for r in rows.values() if r["domain"] == "example.com"]
-    assert sum(not r["domain_capped"] for r in adom) == 3
+    assert sum(r["domain_capped"] for r in adom) == 0
     # snapshot cc-01 committed with only the kept rows
     info = st.info()
     assert [s["name"] for s in info["snapshots"]] == ["cc-00", "cc-01"]
@@ -138,3 +140,37 @@ def test_crawl_ingest(spark, tmp_path):
         "doc_id long, text string",
     )
     assert st.match_against(nxt, "text", "doc_id", 0.8).count() >= 1
+
+
+def test_crawl_ingest_cap_ignores_flagged_rows(spark, tmp_path):
+    """Rows dropped by other flags (url_dup / dup_of_store) must not
+    consume per-domain cap slots: a domain with many recrawls still keeps
+    up to domain_cap ELIGIBLE docs (ADVICE r5)."""
+    from duckdb_vss_spark.index.dedup_store import MinHashStore
+    from duckdb_vss_spark.pipelines import crawl_ingest
+
+    st = MinHashStore.create(spark, str(tmp_path / "store"))
+    hist_body = "the quick brown fox jumps over the lazy dog near the river bank"
+    st.append_snapshot(
+        spark.createDataFrame([(1, hist_body)], "doc_id long, text string"),
+        "text", "doc_id", "h0",
+    )
+    batch = spark.createDataFrame(
+        [
+            # history dup -> dup_of_store, must not take a slot
+            (10, "https://a.example.com/h", hist_body),
+            # recrawl pair -> one url_dup, the dup must not take a slot
+            (11, "https://a.example.com/p", "fresh body about spark shuffle plans and exchanges"),
+            (12, "https://a.example.com/p?utm_source=x", "recrawled page body text goes here"),
+            # two more fresh docs
+            (13, "https://a.example.com/q", "another entirely new document about tokenizers and merges"),
+            (14, "https://a.example.com/r", "yet another new page with different words and content"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    # eligible docs on example.com = {keeper of 11/12, 13, 14} = 3 = cap
+    out = crawl_ingest(batch, st, domain_cap=3, store_threshold=0.8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert not any(r["domain_capped"] for r in rows.values())
+    kept = {i for i, r in rows.items() if r["ingest_keep"]}
+    assert len(kept) == 3 and {13, 14} <= kept and kept <= {11, 12, 13, 14}

@@ -501,3 +501,23 @@ def test_heavy_hitters_ngrams(spark, ddb):
         GROUP BY g ORDER BY c DESC, g LIMIT 10
     """).fetchall()
     assert got == [(a, b) for a, b in want]
+
+
+def test_heavy_hitters_warns_on_short_result(spark):
+    """Fewer than k returned rows is the clearest symptom of an incomplete
+    Misra-Gries candidate set — the check must warn there too, not only
+    when exactly k rows come back (ADVICE r5)."""
+    import warnings
+
+    from duckdb_vss_spark.operators.profile import heavy_hitters
+
+    # 20 uniform singleton terms, counters=2, one partition: MG decrements
+    # leave <=2 candidates, so the recount returns far fewer than k=10
+    docs = spark.createDataFrame(
+        [(i, f"t{i:02d}") for i in range(20)], "doc_id: long, text: string"
+    ).repartition(1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = heavy_hitters(docs, "text", k=10, counters=2, method="mg").collect()
+    assert len(out) < 10
+    assert any("candidate terms survived" in str(x.message) for x in w)

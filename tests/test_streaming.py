@@ -315,3 +315,24 @@ def test_stream_crawl_ingest_incremental(spark, tmp_path):
     info = st.info()
     assert len(info["snapshots"]) == 2
     assert info["n_docs"] == 2  # doc 1 and doc 3 only
+
+
+def test_crawl_ingest_batch_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (foreachBatch gets no exactly-once help from
+    the checkpoint) must not duplicate the batch's rows in the sink: each
+    batch overwrites its own batch=NNNNNN subdirectory (ADVICE r5)."""
+    from duckdb_vss_spark.index.dedup_store import MinHashStore
+    from duckdb_vss_spark.streaming.ops import _crawl_ingest_batch
+
+    st = MinHashStore.create(spark, str(tmp_path / "store"))
+    bdf = spark.createDataFrame(
+        [(1, "https://a.com/x", "some body text for the replayed batch here")],
+        "doc_id long, url string, text string",
+    )
+    out_path = str(tmp_path / "out")
+    kw = dict(url_col="url", text_col="text", id_col="doc_id", snapshot_prefix="b")
+    _crawl_ingest_batch(bdf, 0, st, out_path, **kw)
+    assert spark.read.parquet(out_path).count() == 1
+    _crawl_ingest_batch(bdf, 0, st, out_path, **kw)  # replay
+    assert spark.read.parquet(out_path).count() == 1
+    assert len(st.info()["snapshots"]) == 1
