@@ -2187,11 +2187,51 @@ def _q_bm25(spark, sf_dir):
     return out.select("doc_id", F.col("score").cast("float").alias("score"))
 
 
+def _q_rrf(spark, sf_dir):
+    """Hybrid retrieval: Reciprocal Rank Fusion (Cormack et al. 2009,
+    operators/ranking.py::rrf_fuse) of the BM25 top-50 lexical shortlist
+    and a hashed-embedding cosine top-50 vector shortlist over the SAME
+    document table — rank-only fusion, per-doc contributions folded in
+    tag order so the double sum is engine-stable. Both input lists rank
+    on float-cast scores so the rank windows agree with the oracle's."""
+    from duckdb_vss_spark.functions.distance import array_cosine_similarity
+    from duckdb_vss_spark.functions.text import hashed_embedding
+    from duckdb_vss_spark.operators.ranking import rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    bm = _q_bm25(spark, sf_dir)
+    vec = (
+        docs.select(
+            "doc_id",
+            array_cosine_similarity(hashed_embedding("text", dim=DIM), Q64)
+            .cast("float")
+            .alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+    return rrf_fuse({"bm25": bm, "vec": vec}, "doc_id", k=60, limit=30)
+
+
+def _q_mmr(spark, sf_dir):
+    """Diversified re-rank: Maximal Marginal Relevance (Carbonell &
+    Goldstein 1998, operators/ranking.py::mmr_rerank) over the cosine
+    top-16 pool of the embeddings table, k=5, lam=0.7. Relevance and
+    pairwise sims both come from the JVM array_cosine_similarity
+    expression, so the greedy selection is bit-reproducible against the
+    oracle's unrolled-CTE twin."""
+    from duckdb_vss_spark.operators.ranking import mmr_rerank
+
+    return mmr_rerank(_emb(spark, sf_dir), "embedding", "vec_id", Q64, k=5, lam=0.7, pool=16)
+
+
 def _m_ranking(spark, sf_dir):
-    """Lexical ranking surfaces in one entry: corpus-level Okapi BM25 top-50
-    and per-doc tf-idf keyword extraction (top-3 terms, rank ties broken by
-    term so the row set is deterministic) — tagged so both value sets are
-    independently hash-checked under the driver gate."""
+    """Retrieval surfaces in one entry: corpus-level Okapi BM25 top-50,
+    per-doc tf-idf keyword extraction (top-3 terms, rank ties broken by
+    term so the row set is deterministic), RRF hybrid fusion of the
+    lexical and vector shortlists, and MMR diversified re-ranking — all
+    tagged so each value set is independently hash-checked under the
+    driver gate."""
     from duckdb_vss_spark.operators.ranking import tfidf_top_terms
 
     bm = _q_bm25(spark, sf_dir).select(
@@ -2212,7 +2252,25 @@ def _m_ranking(spark, sf_dir):
         F.col("df").cast("long").alias("df"),
         F.col("tfidf").cast("float").alias("score"),
     )
-    return _union_tagged([bm, tf])
+    rrf = _q_rrf(spark, sf_dir).select(
+        F.lit("rrf").alias("tag"),
+        "doc_id",
+        F.lit("").alias("term"),
+        F.lit(-1).cast("long").alias("rank"),
+        F.col("n_lists").cast("long").alias("tf"),
+        F.lit(-1).cast("long").alias("df"),
+        F.col("rrf_score").cast("float").alias("score"),
+    )
+    mmr = _q_mmr(spark, sf_dir).select(
+        F.lit("mmr").alias("tag"),
+        F.col("vec_id").alias("doc_id"),
+        F.lit("").alias("term"),
+        F.col("mmr_rank").cast("long").alias("rank"),
+        F.lit(-1).cast("long").alias("tf"),
+        F.lit(-1).cast("long").alias("df"),
+        F.col("mmr_score").cast("float").alias("score"),
+    )
+    return _union_tagged([bm, tf, rrf, mmr])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3067,6 +3125,78 @@ def _BM25_ORACLE_SQL(O) -> str:
     """
 
 
+def _RRF_ORACLE_SQL(O) -> str:
+    """duckdb twin of entry q50's rrf leg: rank both float-cast shortlists,
+    fold per-doc 1/(60+rank) contributions in tag order (list ORDER BY tag
+    -> list_sum, the shared double-fold discipline), top-30."""
+    he = O.sql_hashed_embedding("documents", "text", "doc_id", DIM)
+    return f"""
+        WITH bm AS MATERIALIZED (SELECT doc_id, score FROM ({_BM25_ORACLE_SQL(O)})),
+        ve AS MATERIALIZED (
+          SELECT doc_id, sc::FLOAT AS score FROM (
+            SELECT doc_id, list_cosine_similarity(v::DOUBLE[], {Q64_SQL}) AS sc FROM ({he})
+          ) ORDER BY score DESC, doc_id LIMIT 50
+        ),
+        ranked AS (
+          SELECT 'bm25' AS tag, doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm
+          UNION ALL
+          SELECT 'vec' AS tag, doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM ve
+        ),
+        fused AS (
+          SELECT doc_id, list_sum(list(1.0/(60.0 + rnk) ORDER BY tag)) AS rrf,
+                 count(*) AS n_lists
+          FROM ranked GROUP BY doc_id
+        )
+        SELECT doc_id, rrf::FLOAT AS rrf_score, n_lists
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT 30
+    """
+
+
+def _MMR_ORACLE_SQL(pool: int = 16, k: int = 5, lam: float = 0.7) -> str:
+    """duckdb twin of entry q50's mmr leg: the greedy argmax unrolled as k
+    chained CTEs — step j picks, from the not-yet-selected pool, the max of
+    lam*rel - (1-lam)*max(sim to selected), ties by id; constants emitted
+    via repr so both engines multiply by the identical doubles."""
+    mu = repr(1.0 - lam)
+    ctes = [
+        "s1 AS (SELECT id, rel AS score FROM cand ORDER BY rel DESC, id LIMIT 1)",
+        "sel1 AS (SELECT id FROM s1)",
+    ]
+    for j in range(2, k + 1):
+        prev = f"sel{j-1}"
+        ctes.append(
+            f"""s{j} AS (
+              SELECT c.id,
+                     {lam!r} * c.rel - {mu} * (
+                       SELECT max(p.sim) FROM p
+                       WHERE (p.ia = c.id AND p.ib IN (SELECT id FROM {prev}))
+                          OR (p.ib = c.id AND p.ia IN (SELECT id FROM {prev}))
+                     ) AS score
+              FROM cand c WHERE c.id NOT IN (SELECT id FROM {prev})
+              ORDER BY score DESC, c.id LIMIT 1)"""
+        )
+        ctes.append(f"sel{j} AS (SELECT id FROM {prev} UNION ALL SELECT id FROM s{j})")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {j} AS mmr_rank, s{j}.id AS vec_id, s{j}.score AS score "
+        f"FROM s{j}"
+        for j in range(1, k + 1)
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+        WITH cand AS MATERIALIZED (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                 list_cosine_similarity(embedding::DOUBLE[], {Q64_SQL}) AS rel
+          FROM embeddings ORDER BY rel DESC, vec_id LIMIT {pool}
+        ),
+        p AS MATERIALIZED (
+          SELECT a.id AS ia, b.id AS ib, list_cosine_similarity(a.v, b.v) AS sim
+          FROM cand a JOIN cand b ON a.id < b.id
+        ),
+        {joined}
+        SELECT mmr_rank, vec_id, score::FLOAT AS mmr_score FROM ({union})
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     """Consolidated oracles, one per queries() entry. Merged entries UNION
     ALL the round-3 per-operator fragments with the same tag literals the
@@ -3356,6 +3486,17 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT 'tfidf' AS tag, doc_id, term, rank::BIGINT AS rank,\n"
                 "       tf::BIGINT AS tf, df::BIGINT AS df, tfidf::FLOAT AS score\n"
                 f"FROM ({O.sql_tfidf_top_terms('documents', 'text', 'doc_id', 3)})"
+            ),
+            (
+                "SELECT 'rrf' AS tag, doc_id, '' AS term, -1::BIGINT AS rank,\n"
+                "       n_lists::BIGINT AS tf, -1::BIGINT AS df, rrf_score AS score\n"
+                f"FROM ({_RRF_ORACLE_SQL(O)})"
+            ),
+            (
+                "SELECT 'mmr' AS tag, vec_id AS doc_id, '' AS term,\n"
+                "       mmr_rank::BIGINT AS rank, -1::BIGINT AS tf, -1::BIGINT AS df,\n"
+                "       mmr_score AS score\n"
+                f"FROM ({_MMR_ORACLE_SQL()})"
             ),
         ),
         "q49_hnsw_graph_index": (

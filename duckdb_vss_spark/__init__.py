@@ -57,7 +57,7 @@ from .operators.sampling import (  # noqa: F401
 )
 from .operators.profile import corpus_stats, heavy_hitters  # noqa: F401
 from .functions.bpe import BPETokenizer, train_bpe  # noqa: F401
-from .operators.ranking import bm25_rank, tfidf_top_terms  # noqa: F401
+from .operators.ranking import bm25_rank, mmr_rerank, rrf_fuse, tfidf_top_terms  # noqa: F401
 from .operators.quality import (  # noqa: F401
     classifier_score,
     clean_lines,

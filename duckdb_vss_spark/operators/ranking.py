@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["bm25_rank", "tfidf_top_terms"]
+__all__ = ["bm25_rank", "tfidf_top_terms", "rrf_fuse", "mmr_rerank"]
 
 
 def bm25_rank(
@@ -140,4 +140,153 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select(F.col("__id").alias(id_col), "term", "rank", "tf", "df", "tfidf")
+    )
+
+
+def rrf_fuse(
+    lists: dict[str, DataFrame],
+    id_col: str,
+    score_col: str = "score",
+    k: int = 60,
+    limit: int | None = None,
+    out_col: str = "rrf_score",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    ranked shortlists — the standard hybrid-retrieval combiner for a
+    lexical list (:func:`bm25_rank`) and a vector list (``topk`` /
+    ``HNSW_INDEX_SCAN``), robust to incomparable score scales because only
+    RANKS enter the fusion: ``rrf(d) = sum_lists 1 / (k + rank_list(d))``.
+
+    ``lists`` maps a tag to a ``(id_col, score_col)`` shortlist where
+    HIGHER score = better (pass similarities or negated distances).
+    Returns ``(id_col, out_col, n_lists)`` best-first, ties by id.
+
+    Scale shape: the inputs are SHORTLISTS — each already cut to its own
+    top-N by an upstream partial top-k — so the per-list global
+    ``row_number`` window (one single-partition task per list) is over
+    hundreds of rows, not the corpus; that is the contract, and it is what
+    makes rank-based fusion computable at all (a corpus-wide dense rank
+    would be a global sort). The fused aggregation folds each doc's
+    per-list contributions in TAG order (``sort_array`` over a
+    struct-packed list) so the double sum is bit-stable across engines
+    and partitionings, per the cross-engine float discipline.
+    """
+    if not lists:
+        raise ValueError("rrf_fuse requires at least one ranked list")
+    from pyspark.sql import Window
+
+    tagged = None
+    for tag in sorted(lists):
+        df = lists[tag]
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        part = df.select(
+            F.lit(tag).alias("__tag"),
+            F.col(id_col),
+            F.row_number().over(w).alias("__rank"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    contrib = tagged.withColumn(
+        "__c", F.lit(1.0) / (F.lit(float(k)) + F.col("__rank").cast("double"))
+    )
+    fused = (
+        contrib.groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("__tag", "__c"))).alias("__cs"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                "__cs", F.lit(0.0), lambda acc, s: acc + s["__c"]
+            ).alias(out_col),
+            "n_lists",
+        )
+        .orderBy(F.col(out_col).desc(), F.col(id_col).asc())
+    )
+    return fused.limit(limit) if limit else fused
+
+
+def mmr_rerank(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    lam: float = 0.5,
+    pool: int = 64,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    1998): pick ``k`` results that balance relevance to ``query_vec``
+    against redundancy with what is already picked —
+    ``argmax_d lam * sim(q, d) - (1 - lam) * max_{s in S} sim(d, s)`` —
+    the classic diversification pass over an ANN/brute top-``pool``
+    shortlist. Cosine similarity throughout (MMR needs a bounded,
+    scale-free sim; l2 distances are neither).
+
+    Returns ``(id_col, mmr_rank, relevance, mmr_score)`` in selection
+    order; ``mmr_score`` of the first pick is its pure relevance (the
+    redundancy term is empty-max = 0 only AFTER the first pick by the
+    paper's convention — we seed with the most relevant doc).
+
+    Scale shape: the DISTRIBUTED work is the pool cut (partial top-k per
+    partition — the same plan as ``topk``) and the pool x pool similarity
+    join (``pool**2`` rows, pool <= ~1k by contract, all JVM
+    expressions); the greedy selection itself is inherently sequential
+    (each pick conditions the next) and runs on the driver over the
+    bounded ``pool``-sized candidate set — the standard shape for this
+    operator (rerankers run on shortlists, never corpora). Both the
+    relevance and the pairwise sims come from the SAME JVM
+    ``array_cosine_similarity`` expression the exact top-k paths use, so
+    selections are bit-reproducible across engines and partitionings.
+    """
+    if k <= 0:
+        raise ValueError("mmr_rerank requires k > 0")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("mmr_rerank requires 0 <= lam <= 1")
+    from ..functions.distance import array_cosine_similarity
+
+    spark = df.sparkSession
+    cand = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            array_cosine_similarity(F.col(vec_col), query_vec).alias("__rel"),
+        )
+        .orderBy(F.col("__rel").desc(), F.col(id_col).asc())
+        .limit(pool)
+    )
+    cand = cand.localCheckpoint(eager=False)  # pool feeds two subplans
+    a = cand.select(F.col(id_col).alias("__ia"), F.col(vec_col).alias("__va"))
+    b = cand.select(F.col(id_col).alias("__ib"), F.col(vec_col).alias("__vb"))
+    pair_rows = (
+        a.join(b, F.col("__ia") < F.col("__ib"))
+        .select(
+            "__ia", "__ib",
+            array_cosine_similarity(F.col("__va"), F.col("__vb")).alias("__sim"),
+        )
+        .collect()
+    )
+    sims = {(r["__ia"], r["__ib"]): r["__sim"] for r in pair_rows}
+
+    def _sim(x, y):
+        return sims[(x, y)] if x < y else sims[(y, x)]
+
+    rel = {r[id_col]: r["__rel"] for r in cand.select(id_col, "__rel").collect()}
+    remaining = sorted(rel)
+    selected: list[tuple] = []  # (id, mmr_score)
+    while remaining and len(selected) < k:
+        best_id, best_score = None, None
+        for d in remaining:  # iterate in id order -> deterministic ties
+            red = max((_sim(d, s) for s, _ in selected), default=None)
+            score = rel[d] if red is None else lam * rel[d] - (1.0 - lam) * red
+            if best_score is None or score > best_score:
+                best_id, best_score = d, score
+        selected.append((best_id, best_score))
+        remaining.remove(best_id)
+    out = [
+        (i + 1, d, float(rel[d]), float(s)) for i, (d, s) in enumerate(selected)
+    ]
+    return spark.createDataFrame(
+        out, f"mmr_rank int, {id_col} long, relevance double, mmr_score double"
     )
