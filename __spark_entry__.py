@@ -1305,6 +1305,45 @@ def _q_dedup_clusters(spark, sf_dir):
     return out.select("doc_id", "cluster_id", "is_canonical")
 
 
+def _q_pagerank(spark, sf_dir):
+    """Link-authority ranking (operators/graph.py::pagerank, GraphX
+    staticPageRank semantics): 3 iterations over a deterministic digraph
+    derived from click events (user -> event_id%97). Contributions fold in
+    source order so every iteration's doubles are engine-stable; the
+    oracle unrolls the 3 iterations as chained CTEs with the identical
+    ordered list_sum fold."""
+    from duckdb_vss_spark.operators.graph import pagerank
+
+    ev = _events(spark, sf_dir)
+    edges = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("src"), (F.col("event_id") % 97).alias("dst")
+    )
+    return pagerank(edges, iters=3, damping=0.85)
+
+
+def _m_graph(spark, sf_dir):
+    """Graph surfaces in one entry: dedup-cluster resolution (connected
+    components over MinHash pairs) and PageRank link authority — tagged,
+    with each value set independently hash-checked. PageRank rides in
+    (doc_id=node, cluster_id filler, rank in a float col via the score
+    column)."""
+    cc = _q_dedup_clusters(spark, sf_dir).select(
+        F.lit("cc").alias("tag"),
+        F.col("doc_id").cast("long").alias("node"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("is_canonical"),
+        F.lit(-1.0).cast("float").alias("rank"),
+    )
+    pr = _q_pagerank(spark, sf_dir).select(
+        F.lit("pr").alias("tag"),
+        F.col("id").cast("long").alias("node"),
+        F.lit(-1).cast("long").alias("cluster_id"),
+        F.lit(True).alias("is_canonical"),
+        F.col("rank").cast("float").alias("rank"),
+    )
+    return _union_tagged([cc, pr])
+
+
 def _q_salted_join(spark, sf_dir):
     """Skew-resistant join: the hot-key events side is salted, the customer
     dim replicated per salt — algebraically identical to the plain join
@@ -2319,7 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_stream_stateful": _q_stream_stateful_totals,
         "q43_vss_join_struct": _q_vss_join_struct,
         "q44_stream_interval_join": _q_stream_interval_join,
-        "q45_dedup_clusters": _q_dedup_clusters,
+        "q45_dedup_clusters": _m_graph,
         "q46_sink_roundtrip": _m_sink_roundtrip,
         "q47_byte_histogram": _q_byte_histogram,
         "q48_covariance": _q_covariance,
@@ -3125,6 +3164,40 @@ def _BM25_ORACLE_SQL(O) -> str:
     """
 
 
+def _PAGERANK_ORACLE_SQL(iters: int = 3, damping: float = 0.85) -> str:
+    """duckdb twin of entry q45's pagerank leg (GraphX staticPageRank
+    semantics, operators/graph.py::pagerank): the fixed iteration count
+    unrolled as chained CTEs, per-destination contributions folded in
+    source order (list ORDER BY src -> list_sum) to match the Spark side's
+    sorted struct fold bit-for-bit; damping constants emitted via repr so
+    both engines use identical doubles."""
+    reset = 1.0 - damping
+    steps = ",".join(
+        f"""
+        r{j} AS MATERIALIZED (
+          SELECT n.id, {reset!r} + {damping!r} * coalesce(s.s, 0.0::DOUBLE) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS id, list_sum(list(r{j-1}.r / deg.d ORDER BY e.src)) AS s
+            FROM e JOIN r{j-1} ON r{j-1}.id = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+          ) s ON s.id = n.id
+        )"""
+        for j in range(1, iters + 1)
+    )
+    return f"""
+        WITH e AS MATERIALIZED (
+          SELECT user_id AS src, event_id % 97 AS dst FROM events WHERE event_type = 'click'
+        ),
+        deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+        nodes AS MATERIALIZED (
+          SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+        ),
+        r0 AS (SELECT id, 1.0::DOUBLE AS r FROM nodes),
+        {steps}
+        SELECT id, r AS rank FROM r{iters}
+    """
+
+
 def _RRF_ORACLE_SQL(O) -> str:
     """duckdb twin of entry q50's rrf leg: rank both float-cast shortlists,
     fold per-doc 1/(60+rank) contributions in tag order (list ORDER BY tag
@@ -3468,7 +3541,18 @@ def oracle_sql() -> dict[str, str]:
         "q42_stream_stateful": P["q58_stream_stateful"],
         "q43_vss_join_struct": P["q61_vss_join_struct"],
         "q44_stream_interval_join": P["q62_stream_interval_join"],
-        "q45_dedup_clusters": P["q63_dedup_clusters"],
+        "q45_dedup_clusters": union(
+            (
+                "SELECT 'cc' AS tag, doc_id::BIGINT AS node, cluster_id::BIGINT AS cluster_id,\n"
+                "       is_canonical, -1.0::FLOAT AS rank\n"
+                f"FROM ({P['q63_dedup_clusters']})"
+            ),
+            (
+                "SELECT 'pr' AS tag, id::BIGINT AS node, -1::BIGINT AS cluster_id,\n"
+                "       TRUE AS is_canonical, rank::FLOAT AS rank\n"
+                f"FROM ({_PAGERANK_ORACLE_SQL()})"
+            ),
+        ),
         "q46_sink_roundtrip": union(
             tag("fmt", "csv", P["q65_csv_roundtrip"], "lang, n, total_chars"),
             tag("fmt", "json", P["q71_json_roundtrip"], "lang, n, total_chars"),

@@ -67,7 +67,7 @@ from .operators.quality import (  # noqa: F401
     redact_pii,
     repetition_stats,
 )
-from .operators.graph import connected_components, dedup_clusters  # noqa: F401
+from .operators.graph import connected_components, dedup_clusters, pagerank  # noqa: F401
 from .pipelines import (  # noqa: F401
     c4_clean,
     ccnet_curate,

@@ -118,3 +118,72 @@ def dedup_clusters(
         .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
     )
     return out
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a directed edge list — the classic link-authority
+    signal a web-curation pipeline ranks crawl domains/hosts by (the
+    Common-Crawl-style complement to :mod:`.web`'s per-domain caps: budget
+    goes to authoritative domains first).
+
+    GraphX ``staticPageRank`` semantics (the unnormalized fixed-iteration
+    variant): ranks start at 1.0 and iterate
+    ``r(v) = (1 - damping) + damping * sum_{u->v} r(u) / out_deg(u)``;
+    dangling nodes contribute nothing (no global redistribution term), and
+    parallel edges each carry a contribution, exactly like counting them
+    in the degree. Returns ``(id, rank DOUBLE)`` over every node appearing
+    as a source or destination.
+
+    Scale shape: per iteration, ONE join of the rank table onto the edge
+    list (both keyed by source — AQE broadcasts the rank side while it
+    fits, e.g. a domain graph against a page-level edge list) and ONE
+    aggregation shuffle keyed by destination; ``localCheckpoint`` after
+    each iteration truncates the replanning lineage (the iterative-loop
+    trap, same as :func:`connected_components`). Per-destination
+    contributions fold in SOURCE order (``sort_array`` over struct-packed
+    pairs) so the double sums — and therefore every downstream iteration —
+    are bit-stable across engines and partitionings, per the cross-engine
+    float discipline.
+    """
+    if iters < 1:
+        raise ValueError("pagerank requires iters >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("pagerank requires 0 < damping < 1")
+    reset = 1.0 - damping
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    nodes = (
+        e.select(F.col("__src").alias("id"))
+        .unionByName(e.select(F.col("__dst").alias("id")))
+        .distinct()
+    )
+    nodes = nodes.localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    ed = e.join(deg, "__src")  # (src, dst, out_deg) — static across iterations
+    ed = ed.localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = ed.join(
+            ranks.select(F.col("id").alias("__src"), "rank"), "__src"
+        ).select(
+            "__dst", "__src", (F.col("rank") / F.col("__deg").cast("double")).alias("__c")
+        )
+        summed = (
+            contrib.groupBy("__dst")
+            .agg(F.sort_array(F.collect_list(F.struct("__src", "__c"))).alias("__cs"))
+            .select(
+                F.col("__dst").alias("id"),
+                F.aggregate("__cs", F.lit(0.0), lambda acc, s: acc + s["__c"]).alias("__s"),
+            )
+        )
+        ranks = nodes.join(summed, "id", "left").select(
+            "id",
+            (F.lit(reset) + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -98,3 +98,77 @@ def test_cc_warns_when_max_iter_exhausted(spark):
         warnings.simplefilter("always")
         connected_components(df, max_iter=1)
         assert any("max_iter" in str(x.message) for x in w)
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _py_pagerank(edges, iters=3, d=0.85):
+    from collections import Counter, defaultdict
+
+    deg = Counter(s for s, _ in edges)
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    r = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        inc = defaultdict(list)
+        for s, t in edges:
+            inc[t].append((s, r[s] / deg[s]))
+        nr = {}
+        for n in nodes:
+            # fold in source order, matching the engine's sorted struct fold
+            acc = 0.0
+            for _, c in sorted(inc.get(n, [])):
+                acc += c
+            nr[n] = (1.0 - d) + d * acc
+        r = nr
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    from duckdb_vss_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 3)]  # incl. parallel edge
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(5)
+    got = {r["id"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+    want = _py_pagerank(edges)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == want[n], (n, got[n], want[n])  # bit-exact fold
+    # node 4 is never a destination: rank stays at the reset floor
+    assert got[4] == (1.0 - 0.85)
+
+
+def test_pagerank_dangling_and_sink(spark):
+    from duckdb_vss_spark.operators.graph import pagerank
+
+    # 1 -> 2, 2 has no out-edges (sink): GraphX static semantics, no
+    # redistribution — sink accumulates, source decays to the floor
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(df, iters=2).collect()}
+    assert got[1] == (1.0 - 0.85)  # nothing points at 1
+    want = _py_pagerank([(1, 2)], iters=2)
+    assert got == want
+
+
+def test_pagerank_partition_invariant(spark):
+    from duckdb_vss_spark.operators.graph import pagerank
+
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(200)]
+    df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    df2 = spark.createDataFrame(edges, "src long, dst long").repartition(13)
+    a = sorted((r["id"], r["rank"]) for r in pagerank(df1, iters=4).collect())
+    b = sorted((r["id"], r["rank"]) for r in pagerank(df2, iters=4).collect())
+    assert a == b  # bit-identical at any partitioning (ordered folds)
+
+
+def test_pagerank_validation(spark):
+    from duckdb_vss_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(df, iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)
