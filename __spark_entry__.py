@@ -2160,14 +2160,41 @@ def _m_vector_centroids(spark, sf_dir):
     return _union_tagged([cent, assign])
 
 
+def _q_zorder_roundtrip(spark, sf_dir):
+    """Z-order (Morton) layout sink (sources/__init__.py::write_zordered):
+    documents written range-partitioned + sorted along the interleaved
+    (n_chars, doc_id%128) key — the multi-dimensional data-skipping
+    layout — then read back and checksummed per lang, with the Morton key
+    itself as the checksum (``total_chars`` carries sum(zorder_key), an
+    exact integer, so both the roundtrip AND the bit-interleave math are
+    driver-gated against duckdb's spelling of the same interleave)."""
+    import tempfile
+
+    from duckdb_vss_spark.sources import write_zordered, zorder_key
+
+    docs = _docs(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="vss_zorder_") + "/docs"
+    write_zordered(
+        docs, [F.col("n_chars"), F.col("doc_id") % 128], out_dir, n_files=8, bits=12
+    )
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(zorder_key([F.col("n_chars"), F.col("doc_id") % 128], bits=12)).alias(
+            "total_chars"
+        ),
+    )
+
+
 def _m_sink_roundtrip(spark, sf_dir):
-    """Source/sink round trips through CSV and JSON partitioned sinks with
-    explicit read schemas; the oracle reads the original parquet, so any
-    write/read corruption breaks the hash."""
+    """Source/sink round trips through CSV, JSON, ORC and a Z-ordered
+    parquet sink with explicit read schemas; the oracle reads the original
+    parquet, so any write/read corruption breaks the hash."""
     return _union_tagged([
         _q_csv_roundtrip(spark, sf_dir).select(F.lit("csv").alias("fmt"), "lang", "n", "total_chars"),
         _q_json_roundtrip(spark, sf_dir).select(F.lit("json").alias("fmt"), "lang", "n", "total_chars"),
         _q_orc_roundtrip(spark, sf_dir).select(F.lit("orc").alias("fmt"), "lang", "n", "total_chars"),
+        _q_zorder_roundtrip(spark, sf_dir).select(F.lit("zorder").alias("fmt"), "lang", "n", "total_chars"),
     ])
 
 
@@ -3557,6 +3584,18 @@ def oracle_sql() -> dict[str, str]:
             tag("fmt", "csv", P["q65_csv_roundtrip"], "lang, n, total_chars"),
             tag("fmt", "json", P["q71_json_roundtrip"], "lang, n, total_chars"),
             tag("fmt", "orc", P["q65_csv_roundtrip"], "lang, n, total_chars"),
+            tag(
+                "fmt",
+                "zorder",
+                """
+                SELECT lang, count(*) AS n,
+                       sum(list_sum(list_transform(range(0, 12), i ->
+                           (((n_chars >> i) & 1) << (2*i))
+                           + ((((doc_id % 128) >> i) & 1) << (2*i + 1))))) AS total_chars
+                FROM documents GROUP BY lang
+                """,
+                "lang, n, total_chars",
+            ),
         ),
         "q47_byte_histogram": P["q66_byte_histogram"],
         "q48_covariance": P["q72_covariance"],

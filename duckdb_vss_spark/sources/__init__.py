@@ -148,3 +148,64 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def zorder_key(cols, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    column in ``cols`` (non-negative integers — pre-bucket continuous
+    values first, e.g. ``ntile`` or fixed-width binning). Bit ``i`` of
+    column ``j`` lands at position ``i * len(cols) + j``, so nearby
+    points in ALL dimensions get nearby keys.
+
+    Pure JVM integer expressions (shift/and/or — whole-stage codegen, no
+    UDF), exact at any scale: the positions are disjoint so the OR-sum is
+    a plain sum, and ``len(cols) * bits`` must fit a signed 64-bit key
+    (validated).
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 1:
+        raise ValueError("zorder_key requires at least one column")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits = {n*bits} > 63 key bits")
+    cs = [F.col(c).cast("long") if isinstance(c, str) else c.cast("long") for c in cols]
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            key = key + F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    cols,
+    path: str,
+    n_files: int = 64,
+    bits: int = 16,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` laid out along the Z-order curve of ``cols`` — the
+    multi-dimensional data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER
+    shape): range-partition by the Morton key, sort within each file, drop
+    the key. Parquet's per-file and per-rowgroup min/max stats on the
+    ORIGINAL columns then become tight for every interleaved dimension, so
+    a reader's multi-column box filter prunes files/rowgroups it could
+    not prune under a single-column sort (where only the leading column's
+    stats are selective).
+
+    At 100 TB this is the difference between a box query scanning the
+    whole table and scanning ~(selectivity)^(1/n_dims) of it; the write
+    itself is one range exchange (sampled bounds) + per-task sort — the
+    same cost as any global sort-write.
+    """
+    z = zorder_key(cols, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )
