@@ -3258,14 +3258,17 @@ def _MMR_ORACLE_SQL(pool: int = 16, k: int = 5, lam: float = 0.7) -> str:
     lam*rel - (1-lam)*max(sim to selected), ties by id; constants emitted
     via repr so both engines multiply by the identical doubles."""
     mu = repr(1.0 - lam)
+    # every step CTE is MATERIALIZED: the sel chain references its
+    # predecessor, and un-materialized CTEs inline recursively — at
+    # k=10 that is a 2^k plan blowup (measured: >500 s at pool=128)
     ctes = [
-        "s1 AS (SELECT id, rel AS score FROM cand ORDER BY rel DESC, id LIMIT 1)",
-        "sel1 AS (SELECT id FROM s1)",
+        "s1 AS MATERIALIZED (SELECT id, rel AS score FROM cand ORDER BY rel DESC, id LIMIT 1)",
+        "sel1 AS MATERIALIZED (SELECT id FROM s1)",
     ]
     for j in range(2, k + 1):
         prev = f"sel{j-1}"
         ctes.append(
-            f"""s{j} AS (
+            f"""s{j} AS MATERIALIZED (
               SELECT c.id,
                      {lam!r} * c.rel - {mu} * (
                        SELECT max(p.sim) FROM p
@@ -3275,7 +3278,7 @@ def _MMR_ORACLE_SQL(pool: int = 16, k: int = 5, lam: float = 0.7) -> str:
               FROM cand c WHERE c.id NOT IN (SELECT id FROM {prev})
               ORDER BY score DESC, c.id LIMIT 1)"""
         )
-        ctes.append(f"sel{j} AS (SELECT id FROM {prev} UNION ALL SELECT id FROM s{j})")
+        ctes.append(f"sel{j} AS MATERIALIZED (SELECT id FROM {prev} UNION ALL SELECT id FROM s{j})")
     union = "\nUNION ALL\n".join(
         f"SELECT {j} AS mmr_rank, s{j}.id AS vec_id, s{j}.score AS score "
         f"FROM s{j}"

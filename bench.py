@@ -216,6 +216,34 @@ def main() -> None:
         lambda: geng.knn_join(probes, "emb_bench", "embedding", "embedding", 10, left_id="vec_id", right_id="vec_id").collect()
     )
 
+    # retrieval composition + graph + layout (round-6 surfaces)
+    from duckdb_vss_spark.operators.graph import pagerank
+    from duckdb_vss_spark.operators.ranking import mmr_rerank, rrf_fuse
+    from duckdb_vss_spark.sources import write_zordered
+
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    pr_edges = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("src"), (F.col("event_id") % 4096).alias("dst")
+    )
+    timings["pagerank_3it"] = run(lambda: pagerank(pr_edges, iters=3).count())
+
+    bm = entrymod._q_bm25(spark, SF_DIR)
+    vec_short = topk(emb, "embedding", Q, 50, "cosine", tiebreak="vec_id").select(
+        F.col("vec_id").alias("doc_id"), F.col("score").cast("float").alias("score")
+    )
+    timings["rrf_fuse"] = run(
+        lambda: rrf_fuse({"bm25": bm, "vec": vec_short}, "doc_id", limit=30).collect()
+    )
+    timings["mmr_rerank_k10"] = run(
+        lambda: mmr_rerank(emb, "embedding", "vec_id", Q, k=10, lam=0.7, pool=128).collect()
+    )
+    zdir = tempfile.mkdtemp(prefix="bench_zorder_") + "/d"
+    timings["zorder_write"] = run(
+        lambda: write_zordered(
+            docs, [F.col("n_chars"), F.col("doc_id") % 4096], zdir, n_files=32
+        )
+    )
+
     sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
     out = {
         "metric": "headline_query_wall_sec",
