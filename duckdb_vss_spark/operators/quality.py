@@ -291,6 +291,7 @@ def decontaminate(
     bench_text_col: str,
     n: int = 3,
     mark_only: bool = True,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Flag (or drop) training documents sharing any word ``n``-gram with a
     benchmark corpus.
@@ -299,8 +300,15 @@ def decontaminate(
     where ``n_hit_grams`` counts DISTINCT benchmark grams found in the
     document; ``mark_only=False`` returns only clean rows, original schema.
 
-    The benchmark side is deduped then broadcast — the training corpus is
-    probed with a broadcast hash join, never shuffled against the benchmark.
+    ``broadcast=True`` (default): the benchmark side is deduped then
+    broadcast — the training corpus is probed with a broadcast hash join,
+    never shuffled against the benchmark. Right while the deduped gram set
+    fits an executor (every published benchmark suite does). For a
+    benchmark corpus too large to broadcast (e.g. decontaminating against
+    another full training corpus), pass ``broadcast=False``: the probe
+    becomes a shuffle hash join on the gram key — the training side's
+    (id, gram) pairs exchange once, and AQE still picks broadcast at
+    runtime if the built side turns out small.
     """
     bench_grams = (
         bench_df.select(F.explode(T.word_ngrams(bench_text_col, n)).alias("gram")).distinct()
@@ -308,8 +316,9 @@ def decontaminate(
     doc_grams = df.select(
         F.col(id_col).alias("__id"), F.explode(T.word_ngrams(text_col, n)).alias("gram")
     )
+    probe = F.broadcast(bench_grams) if broadcast else bench_grams
     hits = (
-        doc_grams.join(F.broadcast(bench_grams), "gram")
+        doc_grams.join(probe, "gram")
         .groupBy("__id")
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
     )

@@ -108,6 +108,25 @@ def test_decontaminate_plan_broadcasts_bench(spark):
     assert "EvalPython" not in plan
 
 
+def test_decontaminate_join_path_matches_broadcast(spark):
+    """broadcast=False (the too-big-to-broadcast benchmark regime) must
+    produce identical flags via the shuffle hash join, with no forced
+    broadcast hint in the plan."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter("doc_id % 11 = 0")
+    key = lambda rows: sorted((r["doc_id"], r["n_hit_grams"], r["contaminated"]) for r in rows)
+    a = key(decontaminate(docs, "text", "doc_id", bench, "text", 3).collect())
+    b = key(decontaminate(docs, "text", "doc_id", bench, "text", 3, broadcast=False).collect())
+    assert a == b
+    # the hint must be absent from the logical plan (AQE may still CHOOSE
+    # broadcast at runtime; forcing is what the flag removes)
+    logical = (
+        decontaminate(docs, "text", "doc_id", bench, "text", 3, broadcast=False)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in logical
+
+
 def test_repetition_stats_matches_duckdb(spark, ddb):
     """Cross-engine spot check at sf0.001 (the full q48 oracle runs in the
     driver harness; this is the fast local twin on three columns)."""
