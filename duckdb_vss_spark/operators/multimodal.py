@@ -4,10 +4,12 @@
 Model: media is an opaque ``binary`` column plus typed metadata columns —
 the schema, partitioning, Arrow batch shape, and UDF signatures here are
 the real 100 TB-scale plumbing. Codec support is split honestly by what
-pure numpy can do: UNCOMPRESSED formats decode for real (24/32-bit BI_RGB
-BMP and binary PPM images, RIFF/WAVE PCM audio — encoders included so
-round-trips are testable end-to-end), with a real bilinear/nearest resize
-kernel on top; COMPRESSED formats (JPEG/PNG/MP3/MP4) need codec libraries
+pure numpy + the stdlib can do: UNCOMPRESSED formats decode for real
+(24/32-bit BI_RGB BMP and binary PPM images, RIFF/WAVE PCM audio), and
+8-bit PNG decodes for real too (stdlib zlib inflate + all five scanline
+filters, color types 0/2/3/4/6, non-interlaced; encoder included) —
+round-trips are testable end-to-end with no codec library. LOSSY formats
+(JPEG/WEBP/MP3/MP4) need codec libraries
 this container doesn't ship and fall through to PIL when present, else a
 clearly-marked ``NotImplementedError``. The deterministic synthetic
 container below exercises the byte-level plumbing independent of codecs:
@@ -56,6 +58,7 @@ __all__ = [
     "resize_image",
     "encode_bmp",
     "encode_ppm",
+    "encode_png",
     "encode_wav",
     "byte_histogram_features",
     "frame_sample",
@@ -144,10 +147,12 @@ def decode_media_meta(df: DataFrame, id_col: str, content_col: str = "content") 
 # Real codecs (pure numpy — no external libraries):
 #   images: BMP (24/32-bit uncompressed BI_RGB, top-down or bottom-up) and
 #           binary PPM (P6); audio: RIFF/WAVE PCM (8/16/32-bit).
-# Compressed formats (JPEG/PNG/MP3/MP4) genuinely require codec libraries
-# this container does not ship — those fall through to PIL if present,
-# else a clearly-marked NotImplementedError. Encoders for the supported
-# formats are provided so round-trip correctness is testable end-to-end.
+#   8-bit PNG (stdlib zlib inflate + the five scanline filters) decodes
+#   and encodes natively too. Lossy formats (JPEG/WEBP/MP3/MP4) genuinely
+# require codec libraries this container does not ship — those fall
+# through to PIL if present, else a clearly-marked NotImplementedError.
+# Encoders for the supported formats are provided so round-trip
+# correctness is testable end-to-end.
 # ---------------------------------------------------------------------------
 
 
@@ -242,6 +247,8 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
         return _decode_bmp(b)
     if b[:2] == b"P6":
         return _decode_ppm(b)
+    if b[:8] == _PNG_SIG:
+        return _decode_png(b)
     if b[:4] == MAGIC:
         raise ValueError(
             "VSSM synthetic container holds no pixels; use decode_media_meta"
@@ -254,9 +261,129 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
         return np.asarray(PIL.Image.open(io.BytesIO(b)).convert("RGB"))
     except ImportError:
         raise NotImplementedError(
-            "compressed image formats (JPEG/PNG/...) require PIL/OpenCV, not "
-            "present in this environment; BMP and binary PPM decode natively"
+            "lossy/esoteric image formats (JPEG/WEBP/...) require PIL/OpenCV, "
+            "not present in this environment; BMP, binary PPM and 8-bit PNG "
+            "decode natively"
         )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """Native PNG decode — pure numpy + stdlib zlib, no codec library:
+    8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA), non-interlaced, all five scanline filters (PNG spec §9/§13).
+    Palette and gray expand to RGB; alpha is preserved as a 4th channel."""
+    import zlib
+
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(f"PNG depth={depth}/compression={comp} not supported (8-bit only)")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    if ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {ctype} not supported")
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        rof = y * (stride + 1)
+        f = raw[rof]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=rof + 1).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # up
+            cur = (line + prev) & 0xFF
+        elif f == 1:  # sub: per-pixel cumulative sum in steps of bpp
+            px = line.reshape(w, ch)
+            cur = (px.cumsum(axis=0, dtype=np.int64) & 0xFF).astype(np.int32).reshape(-1)
+        else:  # average (3) / paeth (4): sequential per pixel along the row
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                up = prev[i]
+                if f == 3:
+                    cur[i] = (line[i] + ((a + up) >> 1)) & 0xFF
+                elif f == 4:
+                    c = prev[i - ch] if i >= ch else 0
+                    cur[i] = (line[i] + _paeth(int(a), int(up), int(c))) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[:, :, 0]]
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:  # gray+alpha -> RGBA
+        g, a = px[:, :, 0:1], px[:, :, 1:2]
+        return np.concatenate([g, g, g, a], axis=2)
+    return px  # 2 (RGB) / 6 (RGBA)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode HxWx{1,3,4} uint8 pixels as a valid non-interlaced 8-bit PNG
+    (filter 0 scanlines, one zlib IDAT) — stdlib-only, the write-side twin
+    of :func:`_decode_png` so round trips are testable without PIL."""
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    ctype = {1: 0, 3: 2, 4: 6}.get(ch)
+    if ctype is None:
+        raise ValueError(f"encode_png supports 1/3/4 channels, got {ch}")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    scan = np.concatenate([np.zeros((h, 1), np.uint8), arr.reshape(h, w * ch)], axis=1)
+    idat = zlib.compress(scan.tobytes(), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
 def decode_image(df: DataFrame, id_col: str, content_col: str = "content") -> DataFrame:

@@ -106,3 +106,105 @@ def test_resize_nearest_exact_and_bilinear(spark):
 def test_resize_bad_method():
     with pytest.raises(ValueError, match="unknown resize method"):
         _resize_kernel(_grad(2, 2), 1, 1, "cubic")
+
+
+# ---------------------------------------------------------------- PNG
+
+
+def _png_with_filters(img, ftypes):
+    """Hand-encode using a chosen filter type per scanline, to exercise
+    every unfilter path in the decoder."""
+    import struct
+    import zlib
+
+    from duckdb_vss_spark.operators.multimodal import _paeth
+
+    h, w, ch = img.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    lines, prev = [], np.zeros(w * ch, np.int32)
+    for y, f in zip(range(h), ftypes):
+        cur = flat[y]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur.copy(); filt[ch:] = (cur[ch:] - cur[:-ch]) % 256
+        elif f == 2:
+            filt = (cur - prev) % 256
+        elif f == 3:
+            filt = np.array([(cur[i] - (((cur[i-ch] if i >= ch else 0) + prev[i]) >> 1)) % 256
+                             for i in range(w * ch)])
+        else:
+            filt = np.array([(cur[i] - _paeth(int(cur[i-ch] if i >= ch else 0), int(prev[i]),
+                                              int(prev[i-ch] if i >= ch else 0))) % 256
+                             for i in range(w * ch)])
+        lines.append(bytes([f]) + bytes(filt.astype(np.uint8))); prev = cur
+    raw = b"".join(lines)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_shapes_and_channels():
+    from duckdb_vss_spark.operators.multimodal import _decode_image_bytes, encode_png
+
+    rng = np.random.default_rng(0)
+    for shape in [(5, 7, 3), (4, 4, 1), (8, 3, 4), (1, 1, 3), (16, 16, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        dec = _decode_image_bytes(encode_png(img))
+        ref = np.repeat(img, 3, axis=2) if shape[2] == 1 else img
+        assert dec.shape == ref.shape and (dec == ref).all()
+
+
+def test_png_all_filter_types_decode():
+    from duckdb_vss_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    for ft in [[0, 1, 2, 3, 4, 1], [4] * 6, [3] * 6, [1, 2] * 3]:
+        assert (_decode_png(_png_with_filters(img, ft)) == img).all()
+    rgba = rng.integers(0, 256, (4, 4, 4), dtype=np.uint8)
+    assert (_decode_png(_png_with_filters(rgba, [4, 3, 2, 1])) == rgba).all()
+
+
+def test_png_palette_and_unsupported():
+    import struct
+    import zlib
+
+    from duckdb_vss_spark.operators.multimodal import _decode_png
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    rng = np.random.default_rng(2)
+    plte = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, (4, 6), dtype=np.uint8)
+    raw = b"".join(bytes([0]) + bytes(idx[y]) for y in range(4))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", plte.tobytes()) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert (_decode_png(png) == plte[idx]).all()
+    # 16-bit depth and interlace are honestly unsupported
+    png16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        _decode_png(png16)
+
+
+def test_png_through_decode_image_operator(spark):
+    """PNG blobs ride the same mapInPandas decode path as BMP/PPM."""
+    from duckdb_vss_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(3)
+    imgs = {i: rng.integers(0, 256, (4 + i, 5, 3), dtype=np.uint8) for i in range(3)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_png(v))) for i, v in imgs.items()], "id long, content binary"
+    )
+    out = {r["id"]: r for r in decode_image(df, "id").collect()}
+    for i, v in imgs.items():
+        assert (out[i]["width"], out[i]["height"], out[i]["channels"]) == (5, 4 + i, 3)
+        assert np.array_equal(
+            np.array(out[i]["pixels"], dtype=np.uint8).reshape(4 + i, 5, 3), v
+        )
