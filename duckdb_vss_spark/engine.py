@@ -336,3 +336,51 @@ class VSSEngine:
 
         flat, _ = self._plan_knn_join(left, right, left_col, right_col, k, metric, left_id, right_id, True)
         return match_from_flat(flat, self.table(left), self.table(right), left_id, right_id)
+
+    def hybrid_topk(
+        self,
+        table: Union[str, DataFrame],
+        vec_col: str,
+        id_col: str,
+        query_vec: list,
+        query_terms: list,
+        text_col: str = "text",
+        k: int = 10,
+        pool: int = 50,
+        metric: str = "cosine",
+        rrf_k: int = 60,
+        mmr_lambda: float | None = None,
+    ) -> DataFrame:
+        """Hybrid lexical+vector retrieval in one call: the vector
+        shortlist comes from :meth:`topk` (HNSW_INDEX_SCAN when an index
+        matches, exact TakeOrderedAndProject otherwise), the lexical
+        shortlist from BM25 over ``text_col``, fused by Reciprocal Rank
+        Fusion; pass ``mmr_lambda`` to finish with an MMR diversification
+        pass over the fused top-``k``'s vectors. Returns
+        ``(id_col, rrf_score, n_lists)`` best-first (or MMR's selection
+        frame when diversifying). Both shortlists are ``pool``-bounded, so
+        every post-shortlist step is O(pool) regardless of table size.
+        """
+        from pyspark.sql import functions as F
+
+        from .operators.ranking import bm25_rank, mmr_rerank, rrf_fuse
+
+        df = self.table(table)
+        vec = self.topk(
+            table, vec_col, query_vec, pool, metric, tiebreak=id_col
+        ).select(
+            F.col(id_col),
+            (F.col("score") if metric in ("cosine", "ip") else -F.col("score"))
+            .cast("float")
+            .alias("score"),
+        )
+        lex = bm25_rank(df, text_col, id_col, query_terms, limit=pool).select(
+            id_col, F.col("score").cast("float").alias("score")
+        )
+        fused = rrf_fuse({"lex": lex, "vec": vec}, id_col, k=rrf_k, limit=k)
+        if mmr_lambda is None:
+            return fused
+        cand = df.join(fused.select(id_col), id_col, "left_semi")
+        return mmr_rerank(
+            cand, vec_col, id_col, query_vec, k=k, lam=mmr_lambda, pool=k
+        )

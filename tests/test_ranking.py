@@ -261,3 +261,47 @@ def test_mmr_rerank_edges(spark):
         mmr_rerank(df, "embedding", "vec_id", [1.0, 0.0], k=0)
     with pytest.raises(ValueError, match="0 <= lam <= 1"):
         mmr_rerank(df, "embedding", "vec_id", [1.0, 0.0], k=1, lam=1.5)
+
+
+# ---------------------------------------------------------------- hybrid_topk
+
+
+def test_hybrid_topk_engine(spark, tmp_path):
+    """One-call hybrid retrieval: identical fused results with and without
+    an ANN index at full probe (the index only changes the vector
+    shortlist's plan, not its rows), and the MMR finisher returns a
+    selection frame over the fused pool."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark import VSSEngine
+    from duckdb_vss_spark.functions.text import hashed_embedding
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tbl = docs.select(
+        "doc_id", "text", hashed_embedding("text", dim=64).alias("emb")
+    )
+    eng = VSSEngine(spark, index_root=str(tmp_path / "idx"))
+    eng.register_table("hdocs", tbl)
+    q = [((i * 5) % 13) / 13.0 for i in range(64)]
+    terms = ["hash", "join"]
+    base = eng.hybrid_topk("hdocs", "emb", "doc_id", q, terms, k=10, pool=30)
+    rows = base.collect()
+    assert len(rows) == 10
+    assert rows == sorted(rows, key=lambda r: (-r["rrf_score"], r["doc_id"]))
+    assert {r["n_lists"] for r in rows} <= {1, 2}
+
+    # full-probe index path returns the same fused rows
+    eng.create_index("hyb_idx", "hdocs", "emb", "doc_id", options={"metric": "cosine"})
+    eng.set_ef_search(10**6)
+    with_idx = eng.hybrid_topk("hdocs", "emb", "doc_id", q, terms, k=10, pool=30).collect()
+    assert [(r["doc_id"], r["rrf_score"]) for r in rows] == [
+        (r["doc_id"], r["rrf_score"]) for r in with_idx
+    ]
+
+    # MMR finisher: k rows in selection order over the fused pool
+    div = eng.hybrid_topk(
+        "hdocs", "emb", "doc_id", q, terms, k=5, pool=30, mmr_lambda=0.5
+    ).collect()
+    assert [r["mmr_rank"] for r in div] == [1, 2, 3, 4, 5]
+    fused_ids = {r["doc_id"] for r in eng.hybrid_topk("hdocs", "emb", "doc_id", q, terms, k=5, pool=30).collect()}
+    assert {r["doc_id"] for r in div} <= fused_ids
