@@ -209,3 +209,6 @@ def write_zordered(
         .mode("overwrite")
         .save(path)
     )
+
+
+from .warc import parse_warc_bytes, read_warc  # noqa: E402,F401

@@ -129,3 +129,105 @@ def test_write_zordered_concentrates_box_queries(spark, tmp_path):
     back = spark.read.parquet(z_dir)
     assert back.count() == 50_000
     assert back.agg(F.sum("k")).first()[0] == sum(k for _, _, k in rows)
+
+
+# ---------------------------------------------------------------- WARC
+
+
+def _mk_warc(records):
+    """Synthesize WARC bytes: records = [(type, url, block_bytes)]."""
+    out = bytearray()
+    for i, (wtype, url, block) in enumerate(records):
+        hdr = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: {wtype}\r\n"
+            f"WARC-Record-ID: <urn:uuid:{i:08d}>\r\n"
+            f"WARC-Date: 2026-08-14T00:00:0{i % 10}Z\r\n"
+            + (f"WARC-Target-URI: {url}\r\n" if url else "")
+            + f"Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(block)}\r\n\r\n"
+        ).encode()
+        out += hdr + block + b"\r\n\r\n"
+    return bytes(out)
+
+
+def _http(body: bytes, status=200, ctype="text/html; charset=utf-8"):
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def test_parse_warc_bytes_plain_and_gzip():
+    import gzip
+
+    from duckdb_vss_spark.sources.warc import parse_warc_bytes
+
+    html = b"<html><title>T</title><body>hello</body></html>"
+    raw = _mk_warc(
+        [
+            ("warcinfo", "", b"software: test\r\n"),
+            ("request", "http://a.com/x", b"GET /x HTTP/1.1\r\n\r\n"),
+            ("response", "http://a.com/x", _http(html)),
+        ]
+    )
+    for blob in (raw, gzip.compress(raw)):
+        recs = parse_warc_bytes(blob)
+        assert [r["warc_type"] for r in recs] == ["warcinfo", "request", "response"]
+        resp = recs[2]
+        assert resp["url"] == "http://a.com/x"
+        assert resp["http_status"] == 200
+        assert resp["http_content_type"].startswith("text/html")
+        assert bytes(resp["body"]) == html
+
+
+def test_read_warc_to_documents_end_to_end(spark, tmp_path):
+    """The crawl front of the pipeline: WARC segment -> response records ->
+    HTML text extraction -> a documents frame ready for URL curation."""
+    from duckdb_vss_spark.operators.web import extract_html_text
+    from duckdb_vss_spark.sources import read_warc
+
+    pages = {
+        "https://a.example.com/1": "<html><head><title>Page One</title>"
+        "<style>.x{color:red}</style></head><body><h1>Head&amp;line</h1>"
+        "<p>first para</p><script>var x=1;</script><p>second   para</p></body></html>",
+        "https://b.example.com/2": "<html><body><ul><li>alpha</li><li>beta</li></ul></body></html>",
+    }
+    recs = [("response", u, _http(h.encode())) for u, h in pages.items()]
+    recs.insert(0, ("warcinfo", "", b"software: test\r\n"))
+    (tmp_path / "seg").mkdir()
+    (tmp_path / "seg" / "part-0.warc").write_bytes(_mk_warc(recs))
+    out = read_warc(spark, str(tmp_path / "seg"))
+    rows = out.collect()
+    assert len(rows) == 2  # warcinfo filtered by default
+    docs = extract_html_text(
+        out.selectExpr("url", "body"), "body", "url"
+    ).collect()
+    byurl = {r["url"]: r for r in docs}
+    one = byurl["https://a.example.com/1"]
+    assert one["title"] == "Page One"
+    assert ".x{color:red}" not in one["text"] and "var x=1" not in one["text"]
+    assert "Head&line" in one["text"]
+    assert "first para" in one["text"] and "second para" in one["text"]
+    two = byurl["https://b.example.com/2"]
+    assert "alpha" in two["text"] and "beta" in two["text"]
+    assert two["n_text_chars"] == len(two["text"])
+
+
+def test_extract_html_text_string_input_and_malformed(spark):
+    from duckdb_vss_spark.operators.web import extract_html_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>fine</p>"),
+            (2, "<div><b>unclosed"),
+            (3, None),
+            (4, "<!-- comment --><p>c &lt;tag&gt; d</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    out = {r["doc_id"]: r for r in extract_html_text(df, "html", "doc_id").collect()}
+    assert out[1]["text"] == "fine"
+    assert "unclosed" in out[2]["text"]
+    assert out[3]["text"] == ""
+    assert out[4]["text"] == "c <tag> d"  # entities decoded, comment dropped
