@@ -16,6 +16,7 @@ from .functions.distance import (  # noqa: F401
 from .operators.knn import knn_join, knn_join_flat, knn_match  # noqa: F401
 from .operators.topk import grouped_topk, max_by_k, min_by_k, topk  # noqa: F401
 from .operators.web import (  # noqa: F401
+    extract_html_text,
     filter_domain_blocklist,
     normalize_url,
     parse_url_parts,
@@ -23,6 +24,7 @@ from .operators.web import (  # noqa: F401
     per_domain_cap,
     registered_domain,
 )
+from .sources.warc import read_warc  # noqa: F401
 from .session import get_spark  # noqa: F401
 from .engine import VSSEngine  # noqa: F401
 from .index.catalog import BinderException, IndexCatalog  # noqa: F401

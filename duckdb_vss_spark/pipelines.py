@@ -37,6 +37,7 @@ __all__ = [
     "refinedweb_curate",
     "semantic_curate",
     "crawl_ingest",
+    "warc_ingest",
 ]
 
 
@@ -259,3 +260,42 @@ def semantic_curate(
         .withColumn("sem_keep", F.coalesce("sem_keep", F.lit(True)))
         .withColumn("dsir_keep", F.coalesce("dsir_keep", F.lit(False)))
     )
+
+
+def warc_ingest(
+    spark,
+    warc_path: str,
+    store,
+    min_status: int = 200,
+    max_status: int = 299,
+    html_only: bool = True,
+    **crawl_kwargs,
+) -> DataFrame:
+    """The full crawl front in one lazy plan: WARC segments -> HTTP
+    response records (:func:`~duckdb_vss_spark.sources.warc.read_warc`) ->
+    status/content-type gate -> HTML text extraction
+    (:func:`~duckdb_vss_spark.operators.web.extract_html_text`) ->
+    :func:`crawl_ingest` (URL normalize/flags, per-domain cap, history
+    dedup against ``store``). Returns the flagged document frame with
+    ``title``/``text``/``n_text_chars`` plus every crawl_ingest flag;
+    ``doc_id`` is ``hash64('warc:' || record_id)`` — deterministic, so
+    re-processing a segment yields identical ids.
+
+    Every stage before the crawl_ingest flags is map-only (parse and
+    extract never shuffle); segment files are the parallelism unit.
+    """
+    from .functions.text import hash64
+    from .operators.web import extract_html_text
+    from .sources.warc import read_warc
+
+    recs = read_warc(spark, warc_path)
+    ok = recs.filter(
+        (F.col("http_status") >= min_status) & (F.col("http_status") <= max_status)
+    )
+    if html_only:
+        ok = ok.filter(F.lower(F.coalesce("http_content_type", F.lit(""))).contains("html"))
+    ok = ok.withColumn("doc_id", hash64(F.concat(F.lit("warc:"), F.col("record_id"))))
+    docs = extract_html_text(ok.select("doc_id", "body"), "body", "doc_id").join(
+        ok.select("doc_id", "url"), "doc_id"
+    )
+    return crawl_ingest(docs, store, url_col="url", text_col="text", id_col="doc_id", **crawl_kwargs)

@@ -174,3 +174,37 @@ def test_crawl_ingest_cap_ignores_flagged_rows(spark, tmp_path):
     assert not any(r["domain_capped"] for r in rows.values())
     kept = {i for i, r in rows.items() if r["ingest_keep"]}
     assert len(kept) == 3 and {13, 14} <= kept and kept <= {11, 12, 13, 14}
+
+
+def test_warc_ingest_end_to_end(spark, tmp_path):
+    """WARC segment -> extracted docs -> crawl_ingest flags, one call."""
+    from duckdb_vss_spark.index.dedup_store import MinHashStore
+    from duckdb_vss_spark.pipelines import warc_ingest
+    from tests.test_sources import _http, _mk_warc
+
+    body1 = "<html><title>A</title><body><p>the quick brown fox jumps over the lazy dog near the river bank</p></body></html>"
+    body2 = "<html><body><p>entirely different words about spark executors and shuffles</p></body></html>"
+    recs = [
+        ("warcinfo", "", b"software: t\r\n"),
+        ("response", "https://a.example.com/p1", _http(body1.encode())),
+        ("response", "https://a.example.com/p2", _http(body2.encode())),
+        ("response", "https://a.example.com/miss", _http(b"nope", status=404)),
+        ("response", "https://a.example.com/img", _http(b"\x89PNG", ctype="image/png")),
+    ]
+    seg = tmp_path / "seg"; seg.mkdir()
+    (seg / "part-0.warc").write_bytes(_mk_warc(recs))
+    st = MinHashStore.create(spark, str(tmp_path / "store"))
+    out = warc_ingest(spark, str(seg), st, append_snapshot="w0")
+    rows = out.collect()
+    # 404 and non-HTML records are gated out before extraction
+    assert len(rows) == 2
+    assert {r["url"] for r in rows} == {"https://a.example.com/p1", "https://a.example.com/p2"}
+    assert all(r["ingest_keep"] for r in rows)
+    byurl = {r["url"]: r for r in rows}
+    assert byurl["https://a.example.com/p1"]["title"] == "A"
+    assert "quick brown fox" in byurl["https://a.example.com/p1"]["text"]
+    # re-processing the same segment dedups against the committed history
+    out2 = warc_ingest(spark, str(seg), st)
+    assert out2.filter("dup_of_store").count() == 2
+    # deterministic ids: same records -> same doc_ids across runs
+    assert {r["doc_id"] for r in out2.collect()} == {r["doc_id"] for r in rows}
