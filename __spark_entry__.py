@@ -1905,7 +1905,54 @@ def _m_multimodal_meta(spark, sf_dir):
         F.col("n_samples").cast("long").alias("d2"),
         F.lit(44 + 128).cast("long").alias("n_bytes"),
     )
-    return _union_tagged([img, aud, bmp, wav])
+    # WARC + HTML leg: per doc, build a real one-record WARC segment whose
+    # HTTP body wraps the doc text in markup, parse it back with the
+    # stdlib WARC parser, extract text with the HTML parser operator, and
+    # expose (title, n_text_chars, hash64(extracted text), block bytes) —
+    # duckdb reproduces the extraction's whitespace-collapse and the
+    # framing arithmetic in closed form, so record framing, HTTP
+    # splitting, AND the tag-stripping state machine are all inside the
+    # driver's value hash.
+    from duckdb_vss_spark.functions.text import hash64
+    from duckdb_vss_spark.operators.web import extract_html_text
+    from duckdb_vss_spark.sources.warc import parse_warc_bytes
+
+    def synth_warc(batches):
+        for pdf in batches:
+            ids, bodies, nb = [], [], []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                html = (
+                    f"<html><head><title>D{i}</title></head><body><p>{txt}</p></body></html>"
+                ).encode()
+                block = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+                warc = (
+                    f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:{i}>\r\n"
+                    f"WARC-Target-URI: http://x/{i}\r\nContent-Length: {len(block)}\r\n\r\n"
+                ).encode() + block + b"\r\n\r\n"
+                recs = parse_warc_bytes(warc)
+                ids.append(i)
+                bodies.append(recs[0]["body"])
+                nb.append(recs[0]["n_bytes"])
+            yield pd.DataFrame({"doc_id": ids, "body": bodies, "n_bytes": nb})
+
+    parsed = _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        synth_warc, schema="doc_id long, body binary, n_bytes long"
+    )
+    parsed = parsed.localCheckpoint(eager=False)  # feeds extract + n_bytes join
+    warc = (
+        extract_html_text(parsed, "body", "doc_id")
+        .join(parsed.select("doc_id", "n_bytes"), "doc_id")
+        .select(
+            F.lit("warc").alias("kind"),
+            "doc_id",
+            F.col("title").alias("media_type"),
+            F.col("n_text_chars").alias("d1"),
+            hash64(F.col("text")).alias("d2"),
+            "n_bytes",
+        )
+    )
+    return _union_tagged([img, aud, bmp, wav, warc])
 
 
 def _q_sql_where_topk(spark, sf_dir):
@@ -3411,6 +3458,23 @@ def oracle_sql() -> dict[str, str]:
                 "sum(((j*37 + d.doc_id*11)%65536) - 32768)::BIGINT AS d1, "
                 "64::BIGINT AS d2, 172::BIGINT AS n_bytes "
                 "FROM documents d, range(0,64) rj(j) GROUP BY d.doc_id"
+            ),
+            (
+                # warc leg twin: replicate the HTML extractor's whitespace
+                # collapse (per-line trim+squeeze, drop empties, join \n)
+                # and the record framing arithmetic (44-byte HTTP head +
+                # 62 wrapper chars + id digits + body text, ascii fixture)
+                "SELECT 'warc' AS kind, doc_id, 'D' || doc_id AS media_type,\n"
+                "       length(ext)::BIGINT AS d1,\n"
+                f"       {O.sql_hash64('ext')} AS d2,\n"
+                "       (44 + 62 + length(doc_id::VARCHAR) + strlen(text))::BIGINT AS n_bytes\n"
+                "FROM (\n"
+                "  SELECT doc_id, text, array_to_string(list_filter(\n"
+                "    list_transform(string_split(text, chr(10)),\n"
+                "                   l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))),\n"
+                "    x -> x <> ''), chr(10)) AS ext\n"
+                "  FROM documents\n"
+                ")"
             ),
         ),
         "q22_multimodal_frames": P["q26_multimodal_frames"],
