@@ -365,12 +365,17 @@ class VSSEngine:
 
         from .operators.ranking import bm25_rank, mmr_rerank, rrf_fuse
 
+        from .functions.distance import METRIC_IS_DESCENDING
+
         df = self.table(table)
+        # polarity by the metric table (NOT a raw-string check: 'cos' is a
+        # valid alias and must not fall into the negate branch)
+        higher_is_better = METRIC_IS_DESCENDING[metric]
         vec = self.topk(
             table, vec_col, query_vec, pool, metric, tiebreak=id_col
         ).select(
             F.col(id_col),
-            (F.col("score") if metric in ("cosine", "ip") else -F.col("score"))
+            (F.col("score") if higher_is_better else -F.col("score"))
             .cast("float")
             .alias("score"),
         )

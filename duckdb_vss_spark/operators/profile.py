@@ -129,10 +129,25 @@ def heavy_hitters(
         # whether we got a full k: fewer-than-k rows (down to zero, when
         # every counter was decremented away) is the clearest symptom of
         # an incomplete candidate set — any non-candidate term with count
-        # <= N/(counters+1) could belong in the missing tail.
-        n_total = df.select(F.sum(F.size(builder))).first()[0] or 0
-        kth = rows[-1]["count"] if rows else 0
-        if (len(rows) < k and n_total > 0) or (rows and kth <= n_total / (counters + 1)):
+        # <= N/(counters+1) could belong in the missing tail. But a short
+        # result is EXACT when the corpus simply has fewer than k distinct
+        # terms and no MG decrement can have occurred (distinct <=
+        # counters ⇒ no partition ever overflowed its summary) — don't
+        # cry wolf there; the distinct count is one extra aggregate, paid
+        # only on the short-result path of an explicit check=True run.
+        suspect = False
+        n_total = kth = 0
+        if rows and len(rows) == k:
+            n_total = df.select(F.sum(F.size(builder))).first()[0] or 0
+            kth = rows[-1]["count"]
+            suspect = kth <= n_total / (counters + 1)
+        elif len(rows) < k:
+            n_distinct = exploded.select("term").distinct().count()
+            if n_distinct > counters and len(rows) < min(k, n_distinct):
+                n_total = df.select(F.sum(F.size(builder))).first()[0] or 0
+                kth = rows[-1]["count"] if rows else 0
+                suspect = True
+        if suspect:
             import warnings
 
             short = (

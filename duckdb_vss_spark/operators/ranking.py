@@ -246,8 +246,18 @@ def mmr_rerank(
     from ..functions.distance import array_cosine_similarity
 
     spark = df.sparkSession
+    id_t = dict(df.dtypes)[id_col]
+    # zero-norm vectors must be dropped BEFORE the cosine is evaluated:
+    # under ANSI mode the 0/0 throws DIVIDE_BY_ZERO, and under legacy mode
+    # the NaN would sort ABOVE every double, hijacking the pool cut and
+    # (NaN poisons every later > comparison) the greedy argmax
+    sqnorm = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
     cand = (
-        df.filter(F.col(vec_col).isNotNull())
+        df.filter(F.col(vec_col).isNotNull() & (sqnorm > 0.0))
         .select(
             F.col(id_col),
             F.col(vec_col),
@@ -288,5 +298,5 @@ def mmr_rerank(
         (i + 1, d, float(rel[d]), float(s)) for i, (d, s) in enumerate(selected)
     ]
     return spark.createDataFrame(
-        out, f"mmr_rank int, {id_col} long, relevance double, mmr_score double"
+        out, f"mmr_rank int, {id_col} {id_t}, relevance double, mmr_score double"
     )

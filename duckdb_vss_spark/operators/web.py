@@ -301,6 +301,7 @@ def extract_html_text(
     html_col: str,
     id_col: str,
     encoding: str = "utf-8",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """HTML -> text extraction (the step between a WARC response body and
     the document table): strips markup with the stdlib ``html.parser``
@@ -311,7 +312,10 @@ def extract_html_text(
 
     Input ``html_col`` may be BINARY (decoded with ``encoding``,
     errors=replace — crawls lie about charsets) or STRING. Output:
-    ``(id_col, title, text, n_text_chars)``.
+    ``(id_col, *carry_cols, title, text, n_text_chars)`` — ``carry_cols``
+    ride through the projection unchanged, so callers needing extraction
+    output joined with other record fields (e.g. the URL) avoid a self-
+    join that would re-run the upstream parse and add an exchange.
 
     Scale shape: one Arrow-batched ``mapInPandas`` projection — map-only,
     no shuffle, bytes never leave the executor; this is the same plumbing
@@ -393,10 +397,18 @@ def extract_html_text(
                 titles.append(t)
                 texts.append(x)
                 ns.append(len(x))
-            yield pd.DataFrame(
-                {id_col: ids, "title": titles, "text": texts, "n_text_chars": ns}
-            )
+            out = {id_col: ids}
+            for c in carry_cols:
+                out[c] = list(pdf[c])
+            out.update({"title": titles, "text": texts, "n_text_chars": ns})
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, html_col).mapInPandas(
-        gen, schema=f"{id_col} {id_t}, title string, text string, n_text_chars long"
+    dtypes = dict(df.dtypes)
+    carry_schema = "".join(f", {c} {dtypes[c]}" for c in carry_cols)
+    return df.select(id_col, *carry_cols, html_col).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_t}{carry_schema}, title string, text string, "
+            "n_text_chars long"
+        ),
     )

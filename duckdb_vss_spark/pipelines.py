@@ -295,7 +295,10 @@ def warc_ingest(
     if html_only:
         ok = ok.filter(F.lower(F.coalesce("http_content_type", F.lit(""))).contains("html"))
     ok = ok.withColumn("doc_id", hash64(F.concat(F.lit("warc:"), F.col("record_id"))))
-    docs = extract_html_text(ok.select("doc_id", "body"), "body", "doc_id").join(
-        ok.select("doc_id", "url"), "doc_id"
+    # url rides THROUGH the extraction projection (carry_cols) — a
+    # doc_id self-join here would re-run the segment parse on both sides
+    # and add an exchange
+    docs = extract_html_text(
+        ok.select("doc_id", "url", "body"), "body", "doc_id", carry_cols=("url",)
     )
     return crawl_ingest(docs, store, url_col="url", text_col="text", id_col="doc_id", **crawl_kwargs)

@@ -358,24 +358,34 @@ def _crawl_ingest_batch(
     **ingest_kwargs,
 ) -> None:
     """One micro-batch of :func:`stream_crawl_ingest`, idempotent under
-    replay: the sink write targets a batch-id-keyed subdirectory with
-    ``overwrite`` (re-running the batch replaces, never duplicates), and
-    the store append is guarded by the snapshot-name collision check."""
+    replay. Two guards make the replay a no-op rather than a recompute:
+
+    - If this batch's snapshot name is ALREADY in the store, the whole
+      batch is skipped. Re-running the flags would be wrong, not just
+      wasteful: flag_batch would match the batch's docs against their own
+      committed fingerprints (est_jaccard 1.0), flip every kept row to
+      dup_of_store, and the sink overwrite would replace the correct
+      first-attempt output with an all-dup version. The sink write
+      precedes the snapshot commit, so a committed snapshot implies the
+      sink subdirectory is already complete.
+    - The sink write targets a batch-id-keyed subdirectory with
+      ``overwrite``, so a replay that DOES recompute (crash before the
+      snapshot committed — the store holds no trace of this batch yet,
+      flags recompute identically) replaces rather than duplicates."""
     from ..pipelines import crawl_ingest
 
     name = f"{snapshot_prefix}-{bid:06d}"
+    if any(s["name"] == name for s in store.manifest["snapshots"]):
+        return  # replayed after full commit: sink + store already hold batch
     out = crawl_ingest(
         bdf, store, url_col=url_col, text_col=text_col, id_col=id_col,
         append_snapshot=None, **ingest_kwargs,
     )
     out.write.mode("overwrite").parquet(f"{out_path}/batch={bid:06d}")
-    try:
-        store.append_snapshot(
-            out.filter("ingest_keep").select(id_col, text_col),
-            text_col, id_col, name,
-        )
-    except ValueError:
-        pass  # replayed micro-batch: snapshot already committed
+    store.append_snapshot(
+        out.filter("ingest_keep").select(id_col, text_col),
+        text_col, id_col, name,
+    )
 
 
 def stream_crawl_ingest(

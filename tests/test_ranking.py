@@ -305,3 +305,25 @@ def test_hybrid_topk_engine(spark, tmp_path):
     assert [r["mmr_rank"] for r in div] == [1, 2, 3, 4, 5]
     fused_ids = {r["doc_id"] for r in eng.hybrid_topk("hdocs", "emb", "doc_id", q, terms, k=5, pool=30).collect()}
     assert {r["doc_id"] for r in div} <= fused_ids
+
+
+def test_mmr_rerank_string_ids_and_zero_vectors(spark):
+    """Review follow-ups: the output schema derives the id type from the
+    input (string ids — the web-corpus case — must work), and zero-norm
+    vectors (NaN cosine) must not hijack the pool cut or the greedy
+    argmax."""
+    from duckdb_vss_spark.operators.ranking import mmr_rerank
+
+    df = spark.createDataFrame(
+        [
+            ("https://a/1", [1.0, 0.0]),
+            ("https://a/2", [0.8, 0.6]),
+            ("https://a/3", [0.0, 0.0]),  # zero vector -> NaN relevance
+        ],
+        "url string, embedding array<float>",
+    )
+    out = mmr_rerank(df, "embedding", "url", [1.0, 0.1], k=3, lam=0.5)
+    rows = out.collect()
+    assert [r["url"] for r in rows][:1] == ["https://a/1"]
+    assert {r["url"] for r in rows} == {"https://a/1", "https://a/2"}  # zero vec excluded
+    assert dict(out.dtypes)["url"] == "string"

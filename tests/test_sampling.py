@@ -521,3 +521,23 @@ def test_heavy_hitters_warns_on_short_result(spark):
         out = heavy_hitters(docs, "text", k=10, counters=2, method="mg").collect()
     assert len(out) < 10
     assert any("candidate terms survived" in str(x.message) for x in w)
+
+
+def test_heavy_hitters_short_but_exact_no_warning(spark):
+    """A corpus with fewer than k distinct terms and counters >= distinct
+    CANNOT have dropped a candidate (no MG decrement ever fires) — the
+    short result is exact and must NOT warn (review follow-up: the
+    short-result warning is gated on distinct > counters)."""
+    import warnings
+
+    from duckdb_vss_spark.operators.profile import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(50)], "doc_id: long, text: string"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = heavy_hitters(docs, "text", k=10, counters=100, method="mg").collect()
+    assert sorted(r["term"] for r in out) == ["alpha", "beta", "gamma"]
+    assert all(r["count"] == 50 for r in out)
+    assert not [x for x in w if "exactness" in str(x.message)]

@@ -332,7 +332,12 @@ def test_crawl_ingest_batch_replay_idempotent(spark, tmp_path):
     out_path = str(tmp_path / "out")
     kw = dict(url_col="url", text_col="text", id_col="doc_id", snapshot_prefix="b")
     _crawl_ingest_batch(bdf, 0, st, out_path, **kw)
-    assert spark.read.parquet(out_path).count() == 1
-    _crawl_ingest_batch(bdf, 0, st, out_path, **kw)  # replay
-    assert spark.read.parquet(out_path).count() == 1
+    first = spark.read.parquet(out_path).collect()
+    assert len(first) == 1 and first[0]["ingest_keep"]
+    _crawl_ingest_batch(bdf, 0, st, out_path, **kw)  # replay after full commit
+    after = spark.read.parquet(out_path).collect()
+    # no duplicate rows AND no flag poisoning: a replayed batch must not
+    # re-match its docs against their own committed snapshot (which would
+    # flip ingest_keep to False and overwrite the correct sink output)
+    assert len(after) == 1 and after[0]["ingest_keep"]
     assert len(st.info()["snapshots"]) == 1
