@@ -36,6 +36,7 @@ __all__ = [
     "stream_knn_join",
     "stream_index_insert",
     "stream_crawl_ingest",
+    "stream_warc_ingest",
     "run_to_memory",
 ]
 
@@ -441,3 +442,97 @@ def stream_crawl_ingest(
     if q.isActive:
         q.stop()
         raise TimeoutError("stream_crawl_ingest did not drain before timeout")
+
+
+def stream_warc_ingest(
+    spark,
+    warc_dir: str,
+    store,
+    out_path: str,
+    checkpoint: str,
+    timeout_sec: float = 300.0,
+    min_status: int = 200,
+    max_status: int = 299,
+    html_only: bool = True,
+    snapshot_prefix: str = "warcseg",
+    **ingest_kwargs,
+) -> None:
+    """Streaming twin of :func:`~duckdb_vss_spark.pipelines.warc_ingest`:
+    WARC segments LANDING IN A DIRECTORY are the stream (the crawl
+    steady state — each dump drop is a micro-batch). A ``binaryFile``
+    file-source stream picks up new segments exactly once via the
+    checkpoint; each micro-batch parses its segments, extracts HTML text,
+    and runs the incremental crawl curation against the MinHashStore —
+    so segment N+1 near-dedups against everything segment N kept. Sink
+    and store writes share :func:`_crawl_ingest_batch`'s replay guards
+    (batch-keyed overwrite + committed-snapshot skip).
+
+    Parallelism note: one segment file = one task (the same unit as the
+    batch path); a micro-batch of S segments fans out S-wide.
+    """
+    from ..operators.web import extract_html_text
+    from ..functions.text import hash64
+    from ..sources.warc import parse_warc_bytes
+
+    import pandas as pd
+
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming file sources need the schema declared; binaryFile's is
+        # fixed by the format
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.warc*")
+        .load(warc_dir)
+        .select("path", "content")
+    )
+
+    def _parse(batches):
+        cols = ["record_id", "url", "http_status", "http_content_type", "body"]
+        for pdf in batches:
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                recs = parse_warc_bytes(bytes(blob), warc_file=str(p))
+                rows = [
+                    {c: r[c] for c in cols}
+                    for r in recs
+                    if r["warc_type"] == "response"
+                ]
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    def _batch(bdf: DataFrame, bid: int) -> None:
+        recs = bdf.mapInPandas(
+            _parse,
+            schema="record_id string, url string, http_status int, "
+            "http_content_type string, body binary",
+        )
+        ok = recs.filter(
+            (F.col("http_status") >= min_status) & (F.col("http_status") <= max_status)
+        )
+        if html_only:
+            ok = ok.filter(
+                F.lower(F.coalesce("http_content_type", F.lit(""))).contains("html")
+            )
+        ok = ok.withColumn(
+            "doc_id", hash64(F.concat(F.lit("warc:"), F.col("record_id")))
+        )
+        docs = extract_html_text(
+            ok.select("doc_id", "url", "body"), "body", "doc_id", carry_cols=("url",)
+        )
+        _crawl_ingest_batch(
+            docs, bid, store, out_path,
+            url_col="url", text_col="text", id_col="doc_id",
+            snapshot_prefix=snapshot_prefix, **ingest_kwargs,
+        )
+
+    q = (
+        files.writeStream.foreachBatch(_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    deadline = time.monotonic() + timeout_sec
+    while q.isActive and time.monotonic() < deadline:
+        time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("stream_warc_ingest did not drain before timeout")

@@ -341,3 +341,37 @@ def test_crawl_ingest_batch_replay_idempotent(spark, tmp_path):
     # flip ingest_keep to False and overwrite the correct sink output)
     assert len(after) == 1 and after[0]["ingest_keep"]
     assert len(st.info()["snapshots"]) == 1
+
+
+def test_stream_warc_ingest_segments_as_microbatches(spark, tmp_path):
+    """WARC segments landing in a directory are the stream: two segments
+    processed as separate micro-batches; the second's recrawl of a page
+    kept by the first is flagged dup_of_store (incremental curation), and
+    each segment commits one snapshot."""
+    from duckdb_vss_spark.index.dedup_store import MinHashStore
+    from duckdb_vss_spark.streaming import stream_warc_ingest
+    from tests.test_sources import _http, _mk_warc
+
+    body1 = "<html><title>A</title><body><p>the quick brown fox jumps over the lazy dog near the river bank</p></body></html>"
+    body2 = "<html><body><p>fresh words about spark executors shuffles and exchanges today</p></body></html>"
+    land = tmp_path / "landing"; land.mkdir()
+    (land / "seg-0.warc").write_bytes(_mk_warc(
+        [("response", "https://a.example.com/1", _http(body1.encode()))]
+    ))
+    st = MinHashStore.create(spark, str(tmp_path / "store"))
+    out_path, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_warc_ingest(spark, str(land), st, out_path, ckpt, store_threshold=0.8)
+    assert spark.read.parquet(out_path).count() == 1
+    assert len(st.info()["snapshots"]) == 1
+
+    # second segment arrives later: one recrawl of seg-0's page + one new
+    (land / "seg-1.warc").write_bytes(_mk_warc([
+        ("response", "https://b.example.com/recrawl", _http(body1.encode())),
+        ("response", "https://b.example.com/new", _http(body2.encode())),
+    ]))
+    stream_warc_ingest(spark, str(land), st, out_path, ckpt, store_threshold=0.8)
+    rows = {r["url"]: r for r in spark.read.parquet(out_path).collect()}
+    assert len(rows) == 3
+    assert rows["https://b.example.com/recrawl"]["dup_of_store"]
+    assert rows["https://b.example.com/new"]["ingest_keep"]
+    assert len(st.info()["snapshots"]) == 2
