@@ -311,7 +311,10 @@ def extract_html_text(
     boundaries and collapses other whitespace runs.
 
     Input ``html_col`` may be BINARY (decoded with ``encoding``,
-    errors=replace — crawls lie about charsets) or STRING. Output:
+    errors=replace) or STRING. ``encoding="auto"`` sniffs per document the
+    way browsers do for crawled bytes — whose HTTP headers routinely lie:
+    BOM first, then a ``<meta charset>`` / ``http-equiv`` declaration in
+    the first 2 KiB, else UTF-8. Output:
     ``(id_col, *carry_cols, title, text, n_text_chars)`` — ``carry_cols``
     ride through the projection unchanged, so callers needing extraction
     output joined with other record fields (e.g. the URL) avoid a self-
@@ -369,12 +372,43 @@ def extract_html_text(
             else:
                 self.parts.append(data)
 
-    def _one(raw) -> tuple:
-        h = (
-            bytes(raw).decode(encoding, errors="replace")
-            if src_is_bin
-            else (raw or "")
+    _META_CHARSET = None
+    if encoding == "auto":
+        import codecs
+        import re as _re
+
+        _META_CHARSET = _re.compile(
+            rb"""<meta[^>]+?(?:charset\s*=\s*["']?|charset=)([A-Za-z0-9_\-]+)""",
+            _re.IGNORECASE,
         )
+        _BOMS = (
+            (codecs.BOM_UTF8, "utf-8-sig"),
+            (codecs.BOM_UTF16_LE, "utf-16-le"),
+            (codecs.BOM_UTF16_BE, "utf-16-be"),
+        )
+
+        def _sniff(b: bytes) -> str:
+            for bom, enc in _BOMS:
+                if b.startswith(bom):
+                    return enc
+            m = _META_CHARSET.search(b[:2048])
+            if m:
+                try:
+                    import codecs as _c
+
+                    _c.lookup(m.group(1).decode("ascii"))
+                    return m.group(1).decode("ascii")
+                except (LookupError, UnicodeDecodeError):
+                    pass
+            return "utf-8"
+
+    def _one(raw) -> tuple:
+        if src_is_bin:
+            b = bytes(raw)
+            enc = _sniff(b) if encoding == "auto" else encoding
+            h = b.decode(enc, errors="replace")
+        else:
+            h = raw or ""
         p = _Extract()
         try:
             p.feed(h)

@@ -231,3 +231,27 @@ def test_extract_html_text_string_input_and_malformed(spark):
     assert "unclosed" in out[2]["text"]
     assert out[3]["text"] == ""
     assert out[4]["text"] == "c <tag> d"  # entities decoded, comment dropped
+
+
+def test_extract_html_text_charset_sniffing(spark):
+    """encoding='auto': BOM wins, then <meta charset>, else UTF-8 —
+    the browser sniffing order for crawled bytes with lying headers."""
+    from duckdb_vss_spark.operators.web import extract_html_text
+
+    latin = "<html><meta charset=\"iso-8859-1\"><body><p>caf\xe9 cr\xe8me</p></body></html>"
+    utf8 = "<html><body><p>naïve — dash</p></body></html>"
+    bom = "<html><body><p>bom doc</p></body></html>"
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(latin.encode("iso-8859-1"))),
+            (2, bytearray(utf8.encode("utf-8"))),
+            (3, bytearray(bom.encode("utf-8-sig"))),  # leading BOM bytes
+            (4, bytearray("<meta charset='bogus-enc'><p>fallback</p>".encode())),
+        ],
+        "doc_id long, html binary",
+    )
+    out = {r["doc_id"]: r["text"] for r in extract_html_text(df, "html", "doc_id", encoding="auto").collect()}
+    assert out[1] == "caf\xe9 cr\xe8me"      # meta-declared latin-1 honored
+    assert out[2] == "naïve — dash"  # default utf-8
+    assert out[3] == "bom doc"                # BOM stripped, not in text
+    assert out[4] == "fallback"               # unknown charset -> utf-8
