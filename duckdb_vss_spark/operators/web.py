@@ -39,6 +39,7 @@ __all__ = [
     "per_domain_budget_cap",
     "domain_stats",
     "extract_html_text",
+    "extract_main_content",
 ]
 
 # Query parameters that identify a click, not a page: their presence makes
@@ -444,5 +445,154 @@ def extract_html_text(
         schema=(
             f"{id_col} {id_t}{carry_schema}, title string, text string, "
             "n_text_chars long"
+        ),
+    )
+
+
+def extract_main_content(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+    encoding: str = "utf-8",
+    lang: str = "en",
+    min_len: int = 60,
+    max_link_density: float = 0.35,
+    min_stopword_density: float = 0.2,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Main-content extraction (simplified jusText, Pomikalek 2011 — the
+    boilerplate-removal step RefinedWeb runs trafilatura for): the page is
+    segmented into text blocks at block-level tag boundaries, each block
+    classified by three features, and only content blocks survive:
+
+    - **link density** (chars inside ``<a>`` / block chars): navigation,
+      footers and tag clouds are link-dense; content is not.
+    - **stopword density** (function-word tokens / tokens): real prose in
+      ``lang`` is stopword-heavy; menus, titles and code are not.
+    - **length**: blocks under ``min_len`` chars are only kept when
+      ADJACENT to a good block (the jusText context rule — short
+      paragraphs inside an article are content, isolated short strings
+      are chrome).
+
+    Output: ``(id_col, *carry_cols, text, n_blocks, n_good_blocks)`` with
+    ``text`` = the surviving blocks joined by newlines. Same map-only
+    ``mapInPandas`` plumbing (and the same ``encoding``/carry semantics)
+    as :func:`extract_html_text`, which remains the keep-everything twin.
+    """
+    from html.parser import HTMLParser
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..functions.text import STOPWORDS
+
+    stop = set(STOPWORDS.get(lang, STOPWORDS["en"]))
+    id_t = dict(df.dtypes)[id_col]
+    src_is_bin = dict(df.dtypes)[html_col] == "binary"
+
+    _SKIP = {"script", "style", "noscript", "template", "head"}
+    _BLOCK = {
+        "p", "div", "li", "ul", "ol", "table", "tr", "h1", "h2", "h3", "h4",
+        "h5", "h6", "section", "article", "header", "footer", "blockquote",
+        "pre", "br", "hr", "td", "th", "nav", "aside",
+    }
+
+    class _Blocks(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.blocks: list[list] = []  # [text_parts, link_chars]
+            self._cur: list = [[], 0]
+            self._skip = 0
+            self._link = 0
+
+        def _flush(self):
+            if any(p.strip() for p in self._cur[0]):
+                self.blocks.append(self._cur)
+            self._cur = [[], 0]
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _SKIP:
+                self._skip += 1
+            elif tag == "a":
+                self._link += 1
+            if tag in _BLOCK:
+                self._flush()
+
+        def handle_endtag(self, tag):
+            if tag in _SKIP and self._skip:
+                self._skip -= 1
+            elif tag == "a" and self._link:
+                self._link -= 1
+            if tag in _BLOCK:
+                self._flush()
+
+        def handle_data(self, data):
+            if self._skip:
+                return
+            self._cur[0].append(data)
+            if self._link:
+                self._cur[1] += len(data)
+
+    def _classify(btext: str, link_chars: int) -> str:
+        n = len(btext)
+        toks = btext.lower().split()
+        ld = link_chars / n if n else 1.0
+        sd = (sum(1 for t in toks if t in stop) / len(toks)) if toks else 0.0
+        if ld > max_link_density:
+            return "bad"
+        if n < min_len:
+            return "short"
+        return "good" if sd >= min_stopword_density else "bad"
+
+    def _one(raw) -> tuple:
+        if src_is_bin:
+            h = bytes(raw).decode(encoding, errors="replace")
+        else:
+            h = raw or ""
+        p = _Blocks()
+        try:
+            p.feed(h)
+            p.close()
+        except Exception:
+            pass
+        p._flush()
+        blocks = [
+            (" ".join("".join(parts).split()), lc) for parts, lc in p.blocks
+        ]
+        blocks = [(t, lc) for t, lc in blocks if t]
+        labels = [_classify(t, lc) for t, lc in blocks]
+        # context rule: a 'short' block next to a good one is content
+        final = list(labels)
+        for i, lb in enumerate(labels):
+            if lb == "short":
+                prev_good = i > 0 and labels[i - 1] == "good"
+                next_good = i + 1 < len(labels) and labels[i + 1] == "good"
+                final[i] = "good" if (prev_good or next_good) else "bad"
+        kept = [t for (t, _), lb in zip(blocks, final) if lb == "good"]
+        return "\n".join(kept), len(blocks), sum(1 for lb in final if lb == "good")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {id_col: list(pdf[id_col])}
+            for c in carry_cols:
+                out[c] = list(pdf[c])
+            texts, nb, ng = [], [], []
+            for raw in pdf[html_col]:
+                t, b, g = _one(raw)
+                texts.append(t)
+                nb.append(b)
+                ng.append(g)
+            out.update({"text": texts, "n_blocks": nb, "n_good_blocks": ng})
+            yield pd.DataFrame(out)
+
+    dtypes = dict(df.dtypes)
+    carry_schema = "".join(f", {c} {dtypes[c]}" for c in carry_cols)
+    return df.select(id_col, *carry_cols, html_col).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_t}{carry_schema}, text string, n_blocks long, "
+            "n_good_blocks long"
         ),
     )

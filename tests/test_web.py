@@ -220,3 +220,45 @@ def test_normalize_url_idempotent_fuzz(spark):
     twice = normalize_url(once, "n1", out_col="n2")
     bad = twice.filter("n1 <> n2").collect()
     assert bad == [], [(r["url"], r["n1"], r["n2"]) for r in bad[:5]]
+
+
+def test_extract_main_content_boilerplate_removal(spark):
+    """Simplified jusText: link-dense nav/footer blocks drop, prose
+    survives, and a short block adjacent to a good one is kept by the
+    context rule while an isolated short string is not."""
+    from duckdb_vss_spark.operators.web import extract_main_content
+
+    prose1 = ("the model is trained on a large corpus of text and it is "
+              "evaluated on a held out set of documents that the pipeline kept")
+    prose2 = ("in practice the results depend on the quality of the data and "
+              "the filters that were applied to it before training")
+    html = (
+        "<html><body>"
+        "<div><a href='/'>Home</a> <a href='/a'>About</a> <a href='/c'>Contact</a></div>"
+        f"<p>{prose1}</p>"
+        "<p>short but next to content</p>"
+        f"<p>{prose2}</p>"
+        "<div><a href='/p'>Privacy</a> | <a href='/t'>Terms</a> | copyright</div>"
+        "<div>isolated stub</div>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = extract_main_content(df, "html", "doc_id").collect()[0]
+    assert prose1 in r["text"] and prose2 in r["text"]
+    assert "Home" not in r["text"] and "Privacy" not in r["text"]
+    assert "short but next to content" in r["text"]  # context rule
+    assert "isolated stub" not in r["text"]
+    assert r["n_blocks"] >= 5 and r["n_good_blocks"] == 3
+
+
+def test_extract_main_content_carry_and_binary(spark):
+    from duckdb_vss_spark.operators.web import extract_main_content
+
+    prose = ("this is a long enough paragraph of ordinary prose that the "
+             "classifier will keep because it is full of the usual words")
+    df = spark.createDataFrame(
+        [(7, "https://x/1", bytearray(f"<p>{prose}</p>".encode()))],
+        "doc_id long, url string, html binary",
+    )
+    r = extract_main_content(df, "html", "doc_id", carry_cols=("url",)).collect()[0]
+    assert r["url"] == "https://x/1" and r["text"] == prose
