@@ -297,6 +297,45 @@ def per_domain_cap(
     ).withColumn(keep_col, F.col("__kid").isNotNull()).drop("__kid")
 
 
+_HTML_META_CHARSET = None
+
+
+def _decode_html_bytes(b: bytes, encoding: str) -> str:
+    """Decode crawled HTML bytes. ``encoding="auto"`` sniffs the way
+    browsers do (headers routinely lie): BOM first, then a ``<meta
+    charset>`` / ``http-equiv`` declaration in the first 2 KiB, else
+    UTF-8; unknown declared charsets fall back to UTF-8. Always
+    ``errors="replace"`` — adversarial bytes must not kill a task."""
+    if encoding != "auto":
+        return b.decode(encoding, errors="replace")
+    import codecs
+
+    global _HTML_META_CHARSET
+    if _HTML_META_CHARSET is None:
+        import re as _re
+
+        _HTML_META_CHARSET = _re.compile(
+            rb"""<meta[^>]+?(?:charset\s*=\s*["']?|charset=)([A-Za-z0-9_\-]+)""",
+            _re.IGNORECASE,
+        )
+    for bom, enc in (
+        (codecs.BOM_UTF8, "utf-8-sig"),
+        (codecs.BOM_UTF16_LE, "utf-16-le"),
+        (codecs.BOM_UTF16_BE, "utf-16-be"),
+    ):
+        if b.startswith(bom):
+            return b.decode(enc, errors="replace")
+    m = _HTML_META_CHARSET.search(b[:2048])
+    if m:
+        try:
+            name = m.group(1).decode("ascii")
+            codecs.lookup(name)
+            return b.decode(name, errors="replace")
+        except (LookupError, UnicodeDecodeError):
+            pass
+    return b.decode("utf-8", errors="replace")
+
+
 def extract_html_text(
     df: DataFrame,
     html_col: str,
@@ -373,43 +412,8 @@ def extract_html_text(
             else:
                 self.parts.append(data)
 
-    _META_CHARSET = None
-    if encoding == "auto":
-        import codecs
-        import re as _re
-
-        _META_CHARSET = _re.compile(
-            rb"""<meta[^>]+?(?:charset\s*=\s*["']?|charset=)([A-Za-z0-9_\-]+)""",
-            _re.IGNORECASE,
-        )
-        _BOMS = (
-            (codecs.BOM_UTF8, "utf-8-sig"),
-            (codecs.BOM_UTF16_LE, "utf-16-le"),
-            (codecs.BOM_UTF16_BE, "utf-16-be"),
-        )
-
-        def _sniff(b: bytes) -> str:
-            for bom, enc in _BOMS:
-                if b.startswith(bom):
-                    return enc
-            m = _META_CHARSET.search(b[:2048])
-            if m:
-                try:
-                    import codecs as _c
-
-                    _c.lookup(m.group(1).decode("ascii"))
-                    return m.group(1).decode("ascii")
-                except (LookupError, UnicodeDecodeError):
-                    pass
-            return "utf-8"
-
     def _one(raw) -> tuple:
-        if src_is_bin:
-            b = bytes(raw)
-            enc = _sniff(b) if encoding == "auto" else encoding
-            h = b.decode(enc, errors="replace")
-        else:
-            h = raw or ""
+        h = _decode_html_bytes(bytes(raw), encoding) if src_is_bin else (raw or "")
         p = _Extract()
         try:
             p.feed(h)
@@ -545,10 +549,7 @@ def extract_main_content(
         return "good" if sd >= min_stopword_density else "bad"
 
     def _one(raw) -> tuple:
-        if src_is_bin:
-            h = bytes(raw).decode(encoding, errors="replace")
-        else:
-            h = raw or ""
+        h = _decode_html_bytes(bytes(raw), encoding) if src_is_bin else (raw or "")
         p = _Blocks()
         try:
             p.feed(h)

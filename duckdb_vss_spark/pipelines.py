@@ -269,6 +269,8 @@ def warc_ingest(
     min_status: int = 200,
     max_status: int = 299,
     html_only: bool = True,
+    main_content: bool = False,
+    encoding: str = "auto",
     **crawl_kwargs,
 ) -> DataFrame:
     """The full crawl front in one lazy plan: WARC segments -> HTTP
@@ -283,9 +285,14 @@ def warc_ingest(
 
     Every stage before the crawl_ingest flags is map-only (parse and
     extract never shuffle); segment files are the parallelism unit.
+
+    ``main_content=True`` swaps the keep-everything HTML extraction for
+    the jusText-style boilerplate-removing
+    :func:`~duckdb_vss_spark.operators.web.extract_main_content`;
+    ``encoding`` defaults to per-doc charset sniffing.
     """
     from .functions.text import hash64
-    from .operators.web import extract_html_text
+    from .operators.web import extract_html_text, extract_main_content
     from .sources.warc import read_warc
 
     recs = read_warc(spark, warc_path)
@@ -298,7 +305,9 @@ def warc_ingest(
     # url rides THROUGH the extraction projection (carry_cols) — a
     # doc_id self-join here would re-run the segment parse on both sides
     # and add an exchange
-    docs = extract_html_text(
-        ok.select("doc_id", "url", "body"), "body", "doc_id", carry_cols=("url",)
+    extractor = extract_main_content if main_content else extract_html_text
+    docs = extractor(
+        ok.select("doc_id", "url", "body"), "body", "doc_id",
+        encoding=encoding, carry_cols=("url",),
     )
     return crawl_ingest(docs, store, url_col="url", text_col="text", id_col="doc_id", **crawl_kwargs)
