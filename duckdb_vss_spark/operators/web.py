@@ -40,6 +40,8 @@ __all__ = [
     "domain_stats",
     "extract_html_text",
     "extract_main_content",
+    "robots_disallow_rules",
+    "flag_robots_disallowed",
 ]
 
 # Query parameters that identify a click, not a page: their presence makes
@@ -596,4 +598,120 @@ def extract_main_content(
             f"{id_col} {id_t}{carry_schema}, text string, n_blocks long, "
             "n_good_blocks long"
         ),
+    )
+
+
+def robots_disallow_rules(
+    robots: DataFrame,
+    domain_col: str,
+    body_col: str,
+    user_agent: str = "*",
+) -> DataFrame:
+    """Parse per-domain ``robots.txt`` bodies into disallow prefix lists:
+    ``(domain, disallow ARRAY<STRING>)`` — the compliance input of
+    :func:`flag_robots_disallowed`. Robots Exclusion Protocol (RFC 9309)
+    group semantics: the group(s) whose ``User-agent`` matches
+    ``user_agent`` (or ``*`` when no specific group matches) contribute
+    their ``Disallow`` path prefixes; empty ``Disallow:`` lines mean
+    allow-all and contribute nothing. ``Allow`` precedence is
+    deliberately NOT modeled (a curation pipeline wants the conservative
+    read: flag anything a disallow prefix covers); byte-unparseable lines
+    are skipped, matching crawler practice.
+
+    Map-only Arrow projection, one output row per input row.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    ua = user_agent.lower()
+
+    def _parse(body) -> list:
+        if body is None:
+            return []
+        if isinstance(body, (bytes, bytearray)):
+            body = bytes(body).decode("utf-8", errors="replace")
+        star, specific = [], []
+        cur_agents: list[str] = []
+        cur_rules: list[str] | None = None
+        in_group_rules = False
+
+        def _commit():
+            if cur_rules is None:
+                return
+            if any(a == ua for a in cur_agents):
+                specific.extend(cur_rules)
+            if "*" in cur_agents:
+                star.extend(cur_rules)
+
+        for raw in body.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            k, _, v = line.partition(":")
+            k, v = k.strip().lower(), v.strip()
+            if k == "user-agent":
+                if in_group_rules:
+                    _commit()
+                    cur_agents, cur_rules, in_group_rules = [], None, False
+                cur_agents.append(v.lower())
+                cur_rules = cur_rules or []
+            elif k == "disallow" and cur_rules is not None:
+                in_group_rules = True
+                if v:
+                    cur_rules.append(v)
+            elif k in ("allow", "crawl-delay", "sitemap") and cur_rules is not None:
+                in_group_rules = True
+        _commit()
+        return specific if specific else star
+
+    dom_t = dict(robots.dtypes)[domain_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "domain": list(pdf[domain_col]),
+                    "disallow": [_parse(b) for b in pdf[body_col]],
+                }
+            )
+
+    return robots.select(domain_col, body_col).mapInPandas(
+        gen, schema=f"domain {dom_t}, disallow array<string>"
+    )
+
+
+def flag_robots_disallowed(
+    df: DataFrame,
+    url_col: str,
+    rules: DataFrame,
+    out_col: str = "robots_disallowed",
+) -> DataFrame:
+    """Flag rows whose URL path falls under a domain's robots.txt disallow
+    prefix (``rules`` = :func:`robots_disallow_rules` output). The URL's
+    registered domain keys the join (rules fetched per registrable site);
+    the prefix check is a JVM ``exists`` over the rule array — rows from
+    domains with no rules (or no matching prefix) flag False.
+
+    One join on the domain key (rule tables are small — one row per
+    domain — so AQE broadcasts when it fits); everything else map-only.
+    """
+    u = parse_url_parts(
+        df.withColumn("__rb_norm", normalize_url_expr(url_col)), "__rb_norm", prefix="__rb_"
+    )
+    u = registered_domain(u, "__rb_host", out_col="__rb_dom")
+    joined = u.join(
+        rules.select(F.col("domain").alias("__rb_dom"), F.col("disallow").alias("__rb_rules")),
+        "__rb_dom",
+        "left",
+    )
+    path = F.when(F.col("__rb_path") == "", F.lit("/")).otherwise(F.col("__rb_path"))
+    flag = F.when(
+        F.col("__rb_rules").isNull(), F.lit(False)
+    ).otherwise(F.exists("__rb_rules", lambda p: path.startswith(p)))
+    return joined.withColumn(out_col, flag).drop(
+        "__rb_norm", "__rb_scheme", "__rb_host", "__rb_port", "__rb_path",
+        "__rb_query", "__rb_fragment", "__rb_dom", "__rb_rules",
     )

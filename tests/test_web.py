@@ -262,3 +262,45 @@ def test_extract_main_content_carry_and_binary(spark):
     )
     r = extract_main_content(df, "html", "doc_id", carry_cols=("url",)).collect()[0]
     assert r["url"] == "https://x/1" and r["text"] == prose
+
+
+def test_robots_rules_and_flagging(spark):
+    """RFC 9309 group semantics: specific UA groups override *, empty
+    Disallow contributes nothing, flags join per registered domain."""
+    from duckdb_vss_spark.operators.web import (
+        flag_robots_disallowed,
+        robots_disallow_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /private\nDisallow: /tmp/\n\n"
+                      "User-agent: trainbot\nDisallow: /no-train"),
+            ("b.com", "User-agent: *\nDisallow:"),       # allow-all
+            ("c.com", "User-agent: *\r\nDisallow: /x # comment\r\n"),
+        ],
+        "domain string, body string",
+    )
+    rules = {r["domain"]: r["disallow"] for r in
+             robots_disallow_rules(robots, "domain", "body").collect()}
+    assert rules["a.com"] == ["/private", "/tmp/"]
+    assert rules["b.com"] == []
+    assert rules["c.com"] == ["/x"]
+    # specific-UA group wins over *
+    tb = {r["domain"]: r["disallow"] for r in
+          robots_disallow_rules(robots, "domain", "body", user_agent="trainbot").collect()}
+    assert tb["a.com"] == ["/no-train"]
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://www.a.com/private/page"),
+            (2, "https://a.com/public"),
+            (3, "https://b.com/anything"),
+            (4, "https://sub.c.com/x/y"),
+            (5, "https://unknown.org/whatever"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r["robots_disallowed"] for r in
+           flag_robots_disallowed(urls, "url", robots_disallow_rules(robots, "domain", "body")).collect()}
+    assert out == {1: True, 2: False, 3: False, 4: True, 5: False}
