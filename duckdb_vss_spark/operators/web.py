@@ -302,12 +302,20 @@ def per_domain_cap(
 _HTML_META_CHARSET = None
 
 
-def _decode_html_bytes(b: bytes, encoding: str) -> str:
-    """Decode crawled HTML bytes. ``encoding="auto"`` sniffs the way
+def _decode_html_bytes(b, encoding: str) -> str:
+    """Decode crawled HTML bytes (``None``-safe — adversarial or missing
+    bytes must not kill a task). ``encoding="auto"`` sniffs the way
     browsers do (headers routinely lie): BOM first, then a ``<meta
     charset>`` / ``http-equiv`` declaration in the first 2 KiB, else
-    UTF-8; unknown declared charsets fall back to UTF-8. Always
-    ``errors="replace"`` — adversarial bytes must not kill a task."""
+    UTF-8. Per the WHATWG encoding-sniffing rules, a DECLARED utf-16
+    family charset is treated as UTF-8 (a document actually in UTF-16
+    could never be byte-scanned for an ASCII meta tag, so such
+    declarations are always lies on ASCII-superset bytes); a UTF-16 BOM
+    decodes through the BOM-consuming ``utf-16`` codec so no stray
+    U+FEFF lands in the text. Always ``errors="replace"``."""
+    if b is None:
+        return ""
+    b = bytes(b)
     if encoding != "auto":
         return b.decode(encoding, errors="replace")
     import codecs
@@ -320,22 +328,67 @@ def _decode_html_bytes(b: bytes, encoding: str) -> str:
             rb"""<meta[^>]+?(?:charset\s*=\s*["']?|charset=)([A-Za-z0-9_\-]+)""",
             _re.IGNORECASE,
         )
-    for bom, enc in (
-        (codecs.BOM_UTF8, "utf-8-sig"),
-        (codecs.BOM_UTF16_LE, "utf-16-le"),
-        (codecs.BOM_UTF16_BE, "utf-16-be"),
-    ):
-        if b.startswith(bom):
-            return b.decode(enc, errors="replace")
+    if b.startswith(codecs.BOM_UTF8):
+        return b.decode("utf-8-sig", errors="replace")
+    if b.startswith(codecs.BOM_UTF16_LE) or b.startswith(codecs.BOM_UTF16_BE):
+        # the generic 'utf-16' codec reads AND consumes the BOM;
+        # 'utf-16-le'/'utf-16-be' would leave U+FEFF in the text
+        return b.decode("utf-16", errors="replace")
     m = _HTML_META_CHARSET.search(b[:2048])
     if m:
+        name = m.group(1).decode("ascii", errors="replace").lower()
+        if name.replace("-", "").replace("_", "") in ("utf16", "utf16le", "utf16be"):
+            return b.decode("utf-8", errors="replace")  # WHATWG: lie -> utf-8
         try:
-            name = m.group(1).decode("ascii")
             codecs.lookup(name)
             return b.decode(name, errors="replace")
         except (LookupError, UnicodeDecodeError):
             pass
     return b.decode("utf-8", errors="replace")
+
+
+def _run_html_extractor(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+    encoding: str,
+    carry_cols: tuple,
+    one_fn,
+    out_fields: "list[tuple[str, str]]",
+) -> DataFrame:
+    """Shared mapInPandas skeleton for the HTML extractors: binary/string
+    + charset handling, NULL-safe decode, carry-column pass-through, and
+    schema assembly live ONCE here. ``one_fn(html_str) -> tuple`` aligned
+    with ``out_fields`` [(name, spark_type), ...]."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    dtypes = dict(df.dtypes)
+    id_t = dtypes[id_col]
+    src_is_bin = dtypes[html_col] == "binary"
+    names = [n for n, _ in out_fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cols: dict = {id_col: list(pdf[id_col])}
+            for c in carry_cols:
+                cols[c] = list(pdf[c])
+            acc: list[list] = [[] for _ in names]
+            for raw in pdf[html_col]:
+                h = _decode_html_bytes(raw, encoding) if src_is_bin else (raw or "")
+                for slot, v in zip(acc, one_fn(h)):
+                    slot.append(v)
+            cols.update(dict(zip(names, acc)))
+            yield pd.DataFrame(cols)
+
+    carry_schema = "".join(f", {c} {dtypes[c]}" for c in carry_cols)
+    out_schema = ", ".join(f"{n} {t}" for n, t in out_fields)
+    return df.select(id_col, *carry_cols, html_col).mapInPandas(
+        gen, schema=f"{id_col} {id_t}{carry_schema}, {out_schema}"
+    )
 
 
 def extract_html_text(
@@ -353,34 +406,22 @@ def extract_html_text(
     boundaries and collapses other whitespace runs.
 
     Input ``html_col`` may be BINARY (decoded with ``encoding``,
-    errors=replace) or STRING. ``encoding="auto"`` sniffs per document the
-    way browsers do for crawled bytes — whose HTTP headers routinely lie:
-    BOM first, then a ``<meta charset>`` / ``http-equiv`` declaration in
-    the first 2 KiB, else UTF-8. Output:
+    errors=replace) or STRING. ``encoding="auto"`` sniffs per document
+    (see :func:`_decode_html_bytes`). Output:
     ``(id_col, *carry_cols, title, text, n_text_chars)`` — ``carry_cols``
     ride through the projection unchanged, so callers needing extraction
     output joined with other record fields (e.g. the URL) avoid a self-
     join that would re-run the upstream parse and add an exchange.
 
     Scale shape: one Arrow-batched ``mapInPandas`` projection — map-only,
-    no shuffle, bytes never leave the executor; this is the same plumbing
-    contract as :mod:`.multimodal`'s codecs (Python is unavoidable here —
-    an HTML tokenizer is not expressible as a JVM regex, and a regex
-    stripper is wrong on comments/CDATA)."""
+    no shuffle, bytes never leave the executor (shared skeleton
+    :func:`_run_html_extractor`); Python is unavoidable here — an HTML
+    tokenizer is not expressible as a JVM regex, and a regex stripper is
+    wrong on comments/CDATA."""
     from html.parser import HTMLParser
-    from typing import Iterator
-
-    import pandas as pd
-
-    id_t = dict(df.dtypes)[id_col]
-    src_is_bin = dict(df.dtypes)[html_col] == "binary"
 
     _SKIP = {"script", "style", "noscript", "template"}
-    _BLOCK = {
-        "p", "div", "br", "li", "ul", "ol", "table", "tr", "h1", "h2", "h3",
-        "h4", "h5", "h6", "section", "article", "header", "footer",
-        "blockquote", "pre", "hr", "td", "th",
-    }
+    _BLOCK = _BLOCK_TAGS
 
     class _Extract(HTMLParser):
         def __init__(self) -> None:
@@ -414,8 +455,7 @@ def extract_html_text(
             else:
                 self.parts.append(data)
 
-    def _one(raw) -> tuple:
-        h = _decode_html_bytes(bytes(raw), encoding) if src_is_bin else (raw or "")
+    def _one(h: str) -> tuple:
         p = _Extract()
         try:
             p.feed(h)
@@ -425,34 +465,21 @@ def extract_html_text(
         title = " ".join("".join(p.title_parts).split())
         lines = ("".join(p.parts)).split("\n")
         text = "\n".join(x for x in (" ".join(ln.split()) for ln in lines) if x)
-        return title, text
+        return title, text, len(text)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids, titles, texts, ns = [], [], [], []
-            for i, raw in zip(pdf[id_col], pdf[html_col]):
-                t, x = _one(raw)
-                ids.append(i)
-                titles.append(t)
-                texts.append(x)
-                ns.append(len(x))
-            out = {id_col: ids}
-            for c in carry_cols:
-                out[c] = list(pdf[c])
-            out.update({"title": titles, "text": texts, "n_text_chars": ns})
-            yield pd.DataFrame(out)
-
-    dtypes = dict(df.dtypes)
-    carry_schema = "".join(f", {c} {dtypes[c]}" for c in carry_cols)
-    return df.select(id_col, *carry_cols, html_col).mapInPandas(
-        gen,
-        schema=(
-            f"{id_col} {id_t}{carry_schema}, title string, text string, "
-            "n_text_chars long"
-        ),
+    return _run_html_extractor(
+        df, html_col, id_col, encoding, carry_cols, _one,
+        [("title", "string"), ("text", "string"), ("n_text_chars", "long")],
     )
+
+
+# block-level boundaries shared by both extractors (extract_main_content
+# additionally SKIPS head/nav/aside content via its classifier, not here)
+_BLOCK_TAGS = {
+    "p", "div", "br", "li", "ul", "ol", "table", "tr", "h1", "h2", "h3",
+    "h4", "h5", "h6", "section", "article", "header", "footer",
+    "blockquote", "pre", "hr", "td", "th", "nav", "aside",
+}
 
 
 def extract_main_content(
@@ -471,8 +498,10 @@ def extract_main_content(
     segmented into text blocks at block-level tag boundaries, each block
     classified by three features, and only content blocks survive:
 
-    - **link density** (chars inside ``<a>`` / block chars): navigation,
-      footers and tag clouds are link-dense; content is not.
+    - **link density** (anchor chars / block chars, BOTH measured on the
+      whitespace-collapsed text so source indentation cannot inflate the
+      ratio): navigation, footers and tag clouds are link-dense; content
+      is not.
     - **stopword density** (function-word tokens / tokens): real prose in
       ``lang`` is stopword-heavy; menus, titles and code are not.
     - **length**: blocks under ``min_len`` chars are only kept when
@@ -482,39 +511,29 @@ def extract_main_content(
 
     Output: ``(id_col, *carry_cols, text, n_blocks, n_good_blocks)`` with
     ``text`` = the surviving blocks joined by newlines. Same map-only
-    ``mapInPandas`` plumbing (and the same ``encoding``/carry semantics)
-    as :func:`extract_html_text`, which remains the keep-everything twin.
+    plumbing (shared skeleton :func:`_run_html_extractor`) as
+    :func:`extract_html_text`, which remains the keep-everything twin.
     """
     from html.parser import HTMLParser
-    from typing import Iterator
-
-    import pandas as pd
 
     from ..functions.text import STOPWORDS
 
     stop = set(STOPWORDS.get(lang, STOPWORDS["en"]))
-    id_t = dict(df.dtypes)[id_col]
-    src_is_bin = dict(df.dtypes)[html_col] == "binary"
-
     _SKIP = {"script", "style", "noscript", "template", "head"}
-    _BLOCK = {
-        "p", "div", "li", "ul", "ol", "table", "tr", "h1", "h2", "h3", "h4",
-        "h5", "h6", "section", "article", "header", "footer", "blockquote",
-        "pre", "br", "hr", "td", "th", "nav", "aside",
-    }
+    _BLOCK = _BLOCK_TAGS
 
     class _Blocks(HTMLParser):
         def __init__(self) -> None:
             super().__init__(convert_charrefs=True)
-            self.blocks: list[list] = []  # [text_parts, link_chars]
-            self._cur: list = [[], 0]
+            self.blocks: list[list] = []  # [(text, is_link) parts]
+            self._cur: list = []
             self._skip = 0
             self._link = 0
 
         def _flush(self):
-            if any(p.strip() for p in self._cur[0]):
+            if any(t.strip() for t, _ in self._cur):
                 self.blocks.append(self._cur)
-            self._cur = [[], 0]
+            self._cur = []
 
         def handle_starttag(self, tag, attrs):
             if tag in _SKIP:
@@ -535,9 +554,7 @@ def extract_main_content(
         def handle_data(self, data):
             if self._skip:
                 return
-            self._cur[0].append(data)
-            if self._link:
-                self._cur[1] += len(data)
+            self._cur.append((data, self._link > 0))
 
     def _classify(btext: str, link_chars: int) -> str:
         n = len(btext)
@@ -550,8 +567,7 @@ def extract_main_content(
             return "short"
         return "good" if sd >= min_stopword_density else "bad"
 
-    def _one(raw) -> tuple:
-        h = _decode_html_bytes(bytes(raw), encoding) if src_is_bin else (raw or "")
+    def _one(h: str) -> tuple:
         p = _Blocks()
         try:
             p.feed(h)
@@ -559,10 +575,14 @@ def extract_main_content(
         except Exception:
             pass
         p._flush()
-        blocks = [
-            (" ".join("".join(parts).split()), lc) for parts, lc in p.blocks
-        ]
-        blocks = [(t, lc) for t, lc in blocks if t]
+        blocks = []
+        for parts in p.blocks:
+            text = " ".join("".join(t for t, _ in parts).split())
+            # numerator measured on the SAME collapsed form as the
+            # denominator — raw anchor bytes would count indentation
+            link_chars = len(" ".join("".join(t for t, il in parts if il).split()))
+            if text:
+                blocks.append((text, link_chars))
         labels = [_classify(t, lc) for t, lc in blocks]
         # context rule: a 'short' block next to a good one is content
         final = list(labels)
@@ -574,30 +594,9 @@ def extract_main_content(
         kept = [t for (t, _), lb in zip(blocks, final) if lb == "good"]
         return "\n".join(kept), len(blocks), sum(1 for lb in final if lb == "good")
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            out = {id_col: list(pdf[id_col])}
-            for c in carry_cols:
-                out[c] = list(pdf[c])
-            texts, nb, ng = [], [], []
-            for raw in pdf[html_col]:
-                t, b, g = _one(raw)
-                texts.append(t)
-                nb.append(b)
-                ng.append(g)
-            out.update({"text": texts, "n_blocks": nb, "n_good_blocks": ng})
-            yield pd.DataFrame(out)
-
-    dtypes = dict(df.dtypes)
-    carry_schema = "".join(f", {c} {dtypes[c]}" for c in carry_cols)
-    return df.select(id_col, *carry_cols, html_col).mapInPandas(
-        gen,
-        schema=(
-            f"{id_col} {id_t}{carry_schema}, text string, n_blocks long, "
-            "n_good_blocks long"
-        ),
+    return _run_html_extractor(
+        df, html_col, id_col, encoding, carry_cols, _one,
+        [("text", "string"), ("n_blocks", "long"), ("n_good_blocks", "long")],
     )
 
 
@@ -607,24 +606,39 @@ def robots_disallow_rules(
     body_col: str,
     user_agent: str = "*",
 ) -> DataFrame:
-    """Parse per-domain ``robots.txt`` bodies into disallow prefix lists:
+    """Parse per-domain ``robots.txt`` bodies into disallow match patterns:
     ``(domain, disallow ARRAY<STRING>)`` — the compliance input of
     :func:`flag_robots_disallowed`. Robots Exclusion Protocol (RFC 9309)
     group semantics: the group(s) whose ``User-agent`` matches
     ``user_agent`` (or ``*`` when no specific group matches) contribute
-    their ``Disallow`` path prefixes; empty ``Disallow:`` lines mean
-    allow-all and contribute nothing. ``Allow`` precedence is
-    deliberately NOT modeled (a curation pipeline wants the conservative
-    read: flag anything a disallow prefix covers); byte-unparseable lines
-    are skipped, matching crawler practice.
+    their ``Disallow`` rules; empty ``Disallow:`` lines mean allow-all and
+    contribute nothing. The RFC's special characters ARE modeled — ``*``
+    matches any characters and a trailing ``$`` anchors the end — by
+    emitting each rule as an anchored-prefix regex (all other characters
+    regex-escaped), which is what the flag side evaluates. ``Allow``
+    precedence is deliberately NOT modeled (a curation pipeline wants the
+    conservative read: flag anything a disallow rule covers);
+    byte-unparseable lines are skipped, matching crawler practice.
 
-    Map-only Arrow projection, one output row per input row.
+    Map-only Arrow projection, one output row per input row (the flag
+    side aggregates per domain, so recrawled robots.txt rows are safe).
     """
+    import re as _re
     from typing import Iterator
 
     import pandas as pd
 
     ua = user_agent.lower()
+
+    def _rule_regex(rule: str) -> str:
+        # RFC 9309 §2.2.3: '*' = any chars, trailing '$' = end anchor;
+        # everything else is literal -> escape it for the Java regex the
+        # JVM-side regexp_like evaluates
+        anchored = rule.endswith("$")
+        if anchored:
+            rule = rule[:-1]
+        body = ".*".join(_re.escape(part) for part in rule.split("*"))
+        return "^" + body + ("$" if anchored else "")
 
     def _parse(body) -> list:
         if body is None:
@@ -659,7 +673,7 @@ def robots_disallow_rules(
             elif k == "disallow" and cur_rules is not None:
                 in_group_rules = True
                 if v:
-                    cur_rules.append(v)
+                    cur_rules.append(_rule_regex(v))
             elif k in ("allow", "crawl-delay", "sitemap") and cur_rules is not None:
                 in_group_rules = True
         _commit()
@@ -689,28 +703,41 @@ def flag_robots_disallowed(
     rules: DataFrame,
     out_col: str = "robots_disallowed",
 ) -> DataFrame:
-    """Flag rows whose URL path falls under a domain's robots.txt disallow
-    prefix (``rules`` = :func:`robots_disallow_rules` output). The URL's
+    """Flag rows whose URL path a domain's robots.txt disallow rule covers
+    (``rules`` = :func:`robots_disallow_rules` output). The URL's
     registered domain keys the join (rules fetched per registrable site);
-    the prefix check is a JVM ``exists`` over the rule array — rows from
-    domains with no rules (or no matching prefix) flag False.
+    the match is a JVM ``exists`` of ``regexp_like`` over the rule array —
+    rows from domains with no rules (or no matching rule) flag False.
 
-    One join on the domain key (rule tables are small — one row per
-    domain — so AQE broadcasts when it fits); everything else map-only.
+    Correctness guards: rules are aggregated to ONE row per domain before
+    the join (recrawled robots.txt rows would otherwise multiply URL
+    rows), and each rule is tested against both the normalized path and
+    the path with its trailing slash restored — URL normalization strips
+    it, but ``Disallow: /dir/`` must still flag the directory URL itself.
+
+    One join on the domain key (the aggregated rule table is one small
+    row per domain, so AQE broadcasts when it fits); everything else
+    map-only.
     """
+    agg = rules.groupBy("domain").agg(
+        F.array_distinct(F.flatten(F.collect_list("disallow"))).alias("disallow")
+    )
     u = parse_url_parts(
         df.withColumn("__rb_norm", normalize_url_expr(url_col)), "__rb_norm", prefix="__rb_"
     )
     u = registered_domain(u, "__rb_host", out_col="__rb_dom")
     joined = u.join(
-        rules.select(F.col("domain").alias("__rb_dom"), F.col("disallow").alias("__rb_rules")),
+        agg.select(F.col("domain").alias("__rb_dom"), F.col("disallow").alias("__rb_rules")),
         "__rb_dom",
         "left",
     )
     path = F.when(F.col("__rb_path") == "", F.lit("/")).otherwise(F.col("__rb_path"))
-    flag = F.when(
-        F.col("__rb_rules").isNull(), F.lit(False)
-    ).otherwise(F.exists("__rb_rules", lambda p: path.startswith(p)))
+    hit = F.exists(
+        "__rb_rules",
+        lambda p: F.regexp_like(path, p)
+        | F.regexp_like(F.concat(path, F.lit("/")), p),
+    )
+    flag = F.when(F.col("__rb_rules").isNull(), F.lit(False)).otherwise(hit)
     return joined.withColumn(out_col, flag).drop(
         "__rb_norm", "__rb_scheme", "__rb_host", "__rb_port", "__rb_path",
         "__rb_query", "__rb_fragment", "__rb_dom", "__rb_rules",

@@ -454,6 +454,8 @@ def stream_warc_ingest(
     min_status: int = 200,
     max_status: int = 299,
     html_only: bool = True,
+    main_content: bool = False,
+    encoding: str = "auto",
     snapshot_prefix: str = "warcseg",
     **ingest_kwargs,
 ) -> None:
@@ -469,8 +471,13 @@ def stream_warc_ingest(
 
     Parallelism note: one segment file = one task (the same unit as the
     batch path); a micro-batch of S segments fans out S-wide.
+
+    ``encoding``/``main_content`` mirror the batch twin's defaults
+    (per-doc charset sniffing; keep-everything extraction) — the twins
+    MUST extract identical text, or a page kept by a batch run would not
+    near-dup against a later streaming run's fingerprints.
     """
-    from ..operators.web import extract_html_text
+    from ..operators.web import extract_html_text, extract_main_content
     from ..functions.text import hash64
     from ..sources.warc import parse_warc_bytes
 
@@ -515,8 +522,10 @@ def stream_warc_ingest(
         ok = ok.withColumn(
             "doc_id", hash64(F.concat(F.lit("warc:"), F.col("record_id")))
         )
-        docs = extract_html_text(
-            ok.select("doc_id", "url", "body"), "body", "doc_id", carry_cols=("url",)
+        extractor = extract_main_content if main_content else extract_html_text
+        docs = extractor(
+            ok.select("doc_id", "url", "body"), "body", "doc_id",
+            encoding=encoding, carry_cols=("url",),
         )
         _crawl_ingest_batch(
             docs, bid, store, out_path,

@@ -255,3 +255,28 @@ def test_extract_html_text_charset_sniffing(spark):
     assert out[2] == "naïve — dash"  # default utf-8
     assert out[3] == "bom doc"                # BOM stripped, not in text
     assert out[4] == "fallback"               # unknown charset -> utf-8
+
+
+def test_extract_html_null_body_and_utf16_bom(spark):
+    """Review follow-ups: a NULL binary cell must not kill the task, and a
+    UTF-16 BOM decodes through the BOM-consuming codec (no stray U+FEFF
+    in the text); a lying '<meta charset=utf-16>' on ASCII-superset bytes
+    is treated as UTF-8 per the WHATWG sniffing rules."""
+    from duckdb_vss_spark.operators.web import extract_html_text, extract_main_content
+
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, bytearray("<p>utf16 doc body</p>".encode("utf-16"))),  # BOM included
+            (3, bytearray(b"<meta charset=utf-16><p>actually ascii</p>")),
+        ],
+        "doc_id long, html binary",
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           extract_html_text(df, "html", "doc_id", encoding="auto").collect()}
+    assert out[1] == ""
+    assert out[2] == "utf16 doc body" and "﻿" not in out[2]
+    assert out[3] == "actually ascii"
+    # the main-content extractor shares the same decode path
+    mc = extract_main_content(df, "html", "doc_id", encoding="auto").collect()
+    assert len(mc) == 3
