@@ -365,12 +365,13 @@ class VSSEngine:
 
         from .operators.ranking import bm25_rank, mmr_rerank, rrf_fuse
 
-        from .functions.distance import METRIC_IS_DESCENDING
+        from .functions.distance import METRIC_IS_DESCENDING, canonical_metric
 
         df = self.table(table)
         # polarity by the metric table (NOT a raw-string check: 'cos' is a
-        # valid alias and must not fall into the negate branch)
-        higher_is_better = METRIC_IS_DESCENDING[metric]
+        # valid alias and must not fall into the negate branch); validate
+        # first so a bad name raises the macro's error, not a KeyError
+        higher_is_better = METRIC_IS_DESCENDING[canonical_metric(metric)]
         vec = self.topk(
             table, vec_col, query_vec, pool, metric, tiebreak=id_col
         ).select(
