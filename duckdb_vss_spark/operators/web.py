@@ -21,6 +21,15 @@ Design rules shared with :mod:`.quality`:
   grouped partial-top-k dataflow (map-side per-partition cap, then an exact
   window over the bounded survivors) so a hot domain with 100M rows never
   sorts 100M rows in one task.
+
+Extraction stability: the HTML extractors' OUTPUT TEXT is a fingerprint
+input — a MinHashStore built from extracted text only near-dups future
+batches correctly while extraction is byte-stable. Changing the block-tag
+set, the charset default, or the whitespace rules changes extracted text
+and therefore fingerprints; after such a change, rebuild incremental
+stores (or expect recrawls of pre-change pages to miss the near-dup
+match). The round-6 history records one such change: nav/aside joined
+the block set and the crawl recipes moved to charset sniffing.
 """
 
 from __future__ import annotations
@@ -534,6 +543,11 @@ def extract_main_content(
             if any(t.strip() for t, _ in self._cur):
                 self.blocks.append(self._cur)
             self._cur = []
+            # an anchor spanning a block boundary is chrome; resetting
+            # here contains an UNCLOSED <a> (html.parser never auto-
+            # closes) to its own block instead of marking the whole rest
+            # of the document link text and emptying the extraction
+            self._link = 0
 
         def handle_starttag(self, tag, attrs):
             if tag in _SKIP:
@@ -615,7 +629,10 @@ def robots_disallow_rules(
     contribute nothing. The RFC's special characters ARE modeled — ``*``
     matches any characters and a trailing ``$`` anchors the end — by
     emitting each rule as an anchored-prefix regex (all other characters
-    regex-escaped), which is what the flag side evaluates. ``Allow``
+    regex-escaped; wildcard count and rule length are capped, truncating
+    toward MORE matching, so adversarial robots.txt cannot compile a
+    catastrophically backtracking pattern), which is what the flag side
+    evaluates. ``Allow``
     precedence is deliberately NOT modeled (a curation pipeline wants the
     conservative read: flag anything a disallow rule covers);
     byte-unparseable lines are skipped, matching crawler practice.
@@ -633,12 +650,31 @@ def robots_disallow_rules(
     def _rule_regex(rule: str) -> str:
         # RFC 9309 §2.2.3: '*' = any chars, trailing '$' = end anchor;
         # everything else is literal -> escape it for the Java regex the
-        # JVM-side regexp_like evaluates
+        # JVM-side regexp_like evaluates. Two adversarial-input caps (any
+        # crawled site controls its own robots.txt): at most 3 wildcard
+        # segments and 512 literal chars per rule — excess is TRUNCATED
+        # with the end anchor dropped, which only ever matches MORE (the
+        # conservative direction), and keeps the compiled pattern's
+        # backtracking polynomial of bounded degree instead of letting
+        # 'Disallow: /a*a*a*a*...' hang an executor (ReDoS).
         anchored = rule.endswith("$")
         if anchored:
             rule = rule[:-1]
-        body = ".*".join(_re.escape(part) for part in rule.split("*"))
-        return "^" + body + ("$" if anchored else "")
+        if len(rule) > 512:
+            rule, anchored = rule[:512], False
+        parts = rule.split("*")
+        if len(parts) > 4:  # > 3 wildcards
+            parts, anchored = parts[:4], False
+        # a directory rule must also flag the directory URL itself, whose
+        # normalized path lost the trailing slash: fold '(/|$)' into the
+        # pattern instead of matching twice on the flag side
+        dir_rule = anchored is False and parts[-1].endswith("/") and rule != "/"
+        if dir_rule:
+            parts[-1] = parts[-1][:-1]
+        body = ".*".join(_re.escape(part) for part in parts)
+        if rule == "/":
+            return "^/"
+        return "^" + body + ("(/|$)" if dir_rule else ("$" if anchored else ""))
 
     def _parse(body) -> list:
         if body is None:
@@ -711,9 +747,13 @@ def flag_robots_disallowed(
 
     Correctness guards: rules are aggregated to ONE row per domain before
     the join (recrawled robots.txt rows would otherwise multiply URL
-    rows), and each rule is tested against both the normalized path and
-    the path with its trailing slash restored — URL normalization strips
-    it, but ``Disallow: /dir/`` must still flag the directory URL itself.
+    rows); the match target is the normalized ``path?query`` — RFC 9309
+    matches path AND query, so ``Disallow: /*?sort=`` must flag faceted
+    URLs (tracking params are already normalized away, a documented
+    difference) — truncated to 512 chars so an adversarial kilometer-long
+    URL cannot feed the bounded-degree patterns a huge backtracking
+    subject; the directory-slash case is folded into the rule regex at
+    build time, so it is ONE regexp_like per rule per row.
 
     One join on the domain key (the aggregated rule table is one small
     row per domain, so AQE broadcasts when it fits); everything else
@@ -732,11 +772,14 @@ def flag_robots_disallowed(
         "left",
     )
     path = F.when(F.col("__rb_path") == "", F.lit("/")).otherwise(F.col("__rb_path"))
-    hit = F.exists(
-        "__rb_rules",
-        lambda p: F.regexp_like(path, p)
-        | F.regexp_like(F.concat(path, F.lit("/")), p),
+    target = F.substring(
+        F.when(
+            F.col("__rb_query") == "", path
+        ).otherwise(F.concat(path, F.lit("?"), F.col("__rb_query"))),
+        1,
+        512,
     )
+    hit = F.exists("__rb_rules", lambda p: F.regexp_like(target, p))
     flag = F.when(F.col("__rb_rules").isNull(), F.lit(False)).otherwise(hit)
     return joined.withColumn(out_col, flag).drop(
         "__rb_norm", "__rb_scheme", "__rb_host", "__rb_port", "__rb_path",

@@ -283,7 +283,7 @@ def test_robots_rules_and_flagging(spark):
     )
     rules = {r["domain"]: r["disallow"] for r in
              robots_disallow_rules(robots, "domain", "body").collect()}
-    assert rules["a.com"] == ["^/private", "^/tmp/"]
+    assert rules["a.com"] == ["^/private", "^/tmp(/|$)"]
     assert rules["b.com"] == []
     assert rules["c.com"] == ["^/x"]
     # specific-UA group wins over *
@@ -336,12 +336,11 @@ def test_robots_wildcards_dirslash_and_recrawled_rules(spark):
     out = flag_robots_disallowed(urls, "url", rules)
     assert out.count() == 6  # recrawled rules rows did not multiply URLs
     got = {r["doc_id"]: r["robots_disallowed"] for r in out.collect()}
+    assert got[1] is True   # query-targeting rule matches path?query (RFC 9309)
     assert got[2] is True and got[3] is False
     assert got[4] is True and got[5] is True
     assert got[6] is False
-    # the wildcard rule matches against the path(+query is normalized off,
-    # so ?sort= survives only via the query-less path — not flagged here);
-    # wildcard mechanics themselves are covered by a path wildcard:
+    # wildcard mechanics on a pure path rule:
     body2 = "User-agent: *\nDisallow: /a/*/c"
     r2 = robots_disallow_rules(
         spark.createDataFrame([("b.com", body2)], "domain string, body string"),
@@ -354,3 +353,45 @@ def test_robots_wildcards_dirslash_and_recrawled_rules(spark):
     g2 = {r["doc_id"]: r["robots_disallowed"] for r in
           flag_robots_disallowed(u2, "url", r2).collect()}
     assert g2 == {1: True, 2: False}
+
+
+def test_robots_adversarial_rules_bounded(spark):
+    """ReDoS guard: a rule with many wildcards truncates (toward MORE
+    matching) instead of compiling a catastrophically backtracking
+    pattern, and flagging long-path URLs completes promptly."""
+    import time
+
+    from duckdb_vss_spark.operators.web import (
+        flag_robots_disallowed,
+        robots_disallow_rules,
+    )
+
+    evil = "User-agent: *\nDisallow: /" + "a*" * 25 + "b"
+    robots = spark.createDataFrame([("a.com", evil)], "domain string, body string")
+    rules = robots_disallow_rules(robots, "domain", "body")
+    pats = rules.collect()[0]["disallow"]
+    assert len(pats) == 1 and pats[0].count(".*") <= 3 and not pats[0].endswith("$")
+    urls = spark.createDataFrame(
+        [(1, "https://a.com/" + "a" * 3000), (2, "https://a.com/zzz")],
+        "doc_id long, url string",
+    )
+    t0 = time.perf_counter()
+    got = {r["doc_id"]: r["robots_disallowed"] for r in
+           flag_robots_disallowed(urls, "url", rules).collect()}
+    assert time.perf_counter() - t0 < 30  # job time, not regex hang
+    # truncated rule '^/a.*a.*a' over-matches the all-a path: conservative
+    assert got[1] is True and got[2] is False
+
+
+def test_main_content_unclosed_anchor_contained(spark):
+    """An unclosed <a> must not mark the whole rest of the document as
+    link text (link depth resets at block boundaries), or one stray tag
+    would classify every later block link-dense and empty the page."""
+    from duckdb_vss_spark.operators.web import extract_main_content
+
+    prose = ("a long paragraph of perfectly ordinary prose that should be "
+             "kept because it is full of the usual words and it is long")
+    html = f"<div><a href='/x'>Home</div><p>{prose}</p>"
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = extract_main_content(df, "html", "doc_id").collect()[0]
+    assert prose in r["text"]
