@@ -148,6 +148,7 @@ def crawl_ingest(
     domain_cap: int = 100_000,
     store_threshold: float = 0.8,
     append_snapshot: str | None = None,
+    robots_rules=None,
 ) -> DataFrame:
     """Incremental crawl-snapshot ingest — the steady-state loop of a
     RefinedWeb-style pipeline, where each new dump is curated AGAINST THE
@@ -155,7 +156,11 @@ def crawl_ingest(
 
     1. URL stage: normalize URLs, extract the registered domain, flag
        blocklisted domains (``domain_blocked``), flag exact-URL recrawls
-       within the batch (``url_dup`` — keep-first on the normalized URL).
+       within the batch (``url_dup`` — keep-first on the normalized URL),
+       and — when a ``robots_rules`` frame (from
+       :func:`~duckdb_vss_spark.operators.web.robots_disallow_rules`) is
+       given — flag robots-disallowed URLs (``robots_disallowed``, the
+       compliance gate; always present, all-False without rules).
     2. Per-domain cap: ``domain_capped`` = False for the rows a
        hash-deterministic cap of ``domain_cap`` docs/domain would keep.
        The cap races only rows no other flag drops (blocked, recrawled,
@@ -192,6 +197,12 @@ def crawl_ingest(
     # exact-URL recrawl flag: keep-first by the deterministic id hash
     w = Window.partitionBy("norm_url").orderBy(_hash_of(id_col, "url:"), F.col(id_col))
     b = b.withColumn("url_dup", F.row_number().over(w) > 1)
+    if robots_rules is not None:
+        from .operators.web import flag_robots_disallowed
+
+        b = flag_robots_disallowed(b, "norm_url", robots_rules)
+    else:
+        b = b.withColumn("robots_disallowed", F.lit(False))
     b = store.flag_batch(b, text_col, id_col, threshold=store_threshold)
     # The cap is computed over the rows still ELIGIBLE after every other
     # flag (blocked / url-dup / history-dup rows must not consume cap
@@ -201,6 +212,7 @@ def crawl_ingest(
     # not this one).
     eligible = b.filter(
         ~F.col("domain_blocked") & ~F.col("url_dup") & ~F.col("dup_of_store")
+        & ~F.col("robots_disallowed")
     )
     capped = per_domain_cap(
         eligible.select(id_col, "domain"), "domain", id_col, domain_cap, keep_col="__cap_keep"
@@ -212,7 +224,8 @@ def crawl_ingest(
     )
     out = b.withColumn(
         "ingest_keep",
-        ~F.col("domain_blocked") & ~F.col("url_dup") & ~F.col("domain_capped") & ~F.col("dup_of_store"),
+        ~F.col("domain_blocked") & ~F.col("url_dup") & ~F.col("domain_capped")
+        & ~F.col("dup_of_store") & ~F.col("robots_disallowed"),
     )
     if append_snapshot is not None:
         store.append_snapshot(

@@ -208,3 +208,34 @@ def test_warc_ingest_end_to_end(spark, tmp_path):
     assert out2.filter("dup_of_store").count() == 2
     # deterministic ids: same records -> same doc_ids across runs
     assert {r["doc_id"] for r in out2.collect()} == {r["doc_id"] for r in rows}
+
+
+def test_crawl_ingest_robots_gate(spark, tmp_path):
+    """The compliance stage: robots-disallowed URLs flag and drop from
+    ingest_keep, and (like every other flag) consume no cap slots."""
+    from duckdb_vss_spark.index.dedup_store import MinHashStore
+    from duckdb_vss_spark.operators.web import robots_disallow_rules
+    from duckdb_vss_spark.pipelines import crawl_ingest
+
+    st = MinHashStore.create(spark, str(tmp_path / "store"))
+    rules = robots_disallow_rules(
+        spark.createDataFrame(
+            [("example.com", "User-agent: *\nDisallow: /private")],
+            "domain string, body string",
+        ),
+        "domain", "body",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/private/x", "some secret page body text here"),
+            (2, "https://a.example.com/public", "a perfectly public page body text"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           crawl_ingest(batch, st, robots_rules=rules, domain_cap=1).collect()}
+    assert out[1]["robots_disallowed"] and not out[1]["ingest_keep"]
+    assert not out[2]["robots_disallowed"] and out[2]["ingest_keep"]
+    # without rules the flag exists and is all-False
+    out2 = crawl_ingest(batch, st, domain_cap=10).collect()
+    assert all(r["robots_disallowed"] is False for r in out2)
