@@ -61,6 +61,15 @@ SEM_CENTS_SQL = [
     "[" + ",".join(str(x) for x in vec) + "]::DOUBLE[]" for _, vec in SEM_CENTS
 ]
 
+# Four deterministic query-token vectors for the maxsim (late-interaction)
+# leg of q50 — exactly-representable components, literal on both sides.
+MAXSIM_Q = [
+    [(((i * 7 + j * 11 + 3) % 16) / 16.0) for i in range(DIM)] for j in range(4)
+]
+MAXSIM_Q_SQL = ["[" + ",".join(str(x) for x in q) + "]::DOUBLE[]" for q in MAXSIM_Q]
+# Token-bag grouping: consecutive vec_ids form one multi-vector "document".
+MAXSIM_GROUP = 5
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_vss_spark.deploy import ensure_shipped
@@ -2338,11 +2347,29 @@ def _q_mmr(spark, sf_dir):
     return mmr_rerank(_emb(spark, sf_dir), "embedding", "vec_id", Q64, k=5, lam=0.7, pool=16)
 
 
+def _q_maxsim(spark, sf_dir):
+    """ColBERT-style late-interaction retrieval
+    (operators/ranking.py::maxsim_topk): consecutive vec_ids form a
+    multi-vector document (token bag), the query is the 4-vector
+    MAXSIM_Q bag, and score(d) = sum_i max_j <q_i, d_j>. The expr path
+    is pinned here (constant-unrolled codegen dot products, one
+    partial-max Exchange keyed on doc) so every similarity is
+    bit-identical to the oracle's list_inner_product over DOUBLE[]."""
+    from duckdb_vss_spark.operators.ranking import maxsim_topk
+
+    tok = _emb(spark, sf_dir).select(
+        F.expr(f"CAST(vec_id DIV {MAXSIM_GROUP} AS BIGINT)").alias("doc"),
+        "embedding",
+    )
+    return maxsim_topk(tok, "embedding", "doc", MAXSIM_Q, k=10, method="expr")
+
+
 def _m_ranking(spark, sf_dir):
     """Retrieval surfaces in one entry: corpus-level Okapi BM25 top-50,
     per-doc tf-idf keyword extraction (top-3 terms, rank ties broken by
     term so the row set is deterministic), RRF hybrid fusion of the
-    lexical and vector shortlists, and MMR diversified re-ranking — all
+    lexical and vector shortlists, MMR diversified re-ranking, and
+    ColBERT-style maxsim late interaction — all
     tagged so each value set is independently hash-checked under the
     driver gate."""
     from duckdb_vss_spark.operators.ranking import tfidf_top_terms
@@ -2383,7 +2410,16 @@ def _m_ranking(spark, sf_dir):
         F.lit(-1).cast("long").alias("df"),
         F.col("mmr_score").cast("float").alias("score"),
     )
-    return _union_tagged([bm, tf, rrf, mmr])
+    ms = _q_maxsim(spark, sf_dir).select(
+        F.lit("maxsim").alias("tag"),
+        F.col("doc").alias("doc_id"),
+        F.lit("").alias("term"),
+        F.lit(-1).cast("long").alias("rank"),
+        F.lit(-1).cast("long").alias("tf"),
+        F.lit(-1).cast("long").alias("df"),
+        F.col("maxsim").cast("float").alias("score"),
+    )
+    return _union_tagged([bm, tf, rrf, mmr, ms])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

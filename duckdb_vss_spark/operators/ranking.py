@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["bm25_rank", "tfidf_top_terms", "rrf_fuse", "mmr_rerank"]
+__all__ = ["bm25_rank", "tfidf_top_terms", "rrf_fuse", "mmr_rerank", "maxsim_topk"]
 
 
 def bm25_rank(
@@ -299,4 +299,106 @@ def mmr_rerank(
     ]
     return spark.createDataFrame(
         out, f"mmr_rank int, {id_col} {id_t}, relevance double, mmr_score double"
+    )
+
+
+def maxsim_topk(
+    df: DataFrame,
+    vec_col: str,
+    doc_col: str,
+    query_vecs: list[list[float]],
+    k: int = 10,
+    method: str = "auto",
+    score_col: str = "maxsim",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia, SIGIR
+    2020): each document is a BAG of token vectors (multiple rows sharing
+    ``doc_col``), the query is a small bag of token vectors, and
+
+        ``maxsim(q, d) = sum_i max_j  <q_i, d_j>``
+
+    — for every query token, its best-matching document token, summed.
+    The reference engine is single-vector-per-row only (its
+    ``hnsw_index_scan`` has no multi-vector notion, reference:
+    src/hnsw/hnsw_index_scan.cpp); late interaction is the retrieval
+    surface modern RAG / rerank stacks actually run, so it is part of the
+    north-star pipeline set.
+
+    Spark-first shape (100 TB posture): for each query token ``q_i`` the
+    per-row similarity is a constant-unrolled codegen projection
+    (:func:`..functions.distance.array_inner_product` — no Python, no
+    HOF interpretation), so the whole map side is one WholeStageCodegen
+    span emitting ``len(query_vecs)`` doubles per token row. The ONLY
+    exchange is a partial-max aggregation keyed on ``doc_col`` carrying
+    ``(doc, |Q| doubles)`` — map-side combine folds each partition's token
+    rows before the shuffle, so shuffle bytes scale with the number of
+    DOCUMENTS, never token rows. The final score is a fixed left-to-right
+    sum of the per-query maxes (bit-stable across partitionings: MAX is
+    order-insensitive, the sum order is literal), then a
+    ``TakeOrderedAndProject`` top-k cut.
+
+    ``method="kernel"`` batches the map side through one Arrow
+    ``mapInPandas`` GEMM (``Q @ X^T`` per batch, partial max per doc
+    within the batch) — same shuffle shape, preferable when ``|Q|`` is
+    large enough (>~64 tokens) that per-column unrolled projections stop
+    codegen-compiling; ``"expr"`` forces the codegen path; ``"auto"``
+    picks ``expr`` for small query bags.
+    """
+    if not query_vecs:
+        raise ValueError("maxsim_topk requires at least one query vector")
+    nq = len(query_vecs)
+    if method == "auto":
+        method = "expr" if nq <= 64 else "kernel"
+    if method == "expr":
+        from ..functions.distance import array_inner_product
+
+        sims = df.select(
+            F.col(doc_col),
+            *[
+                array_inner_product(vec_col, list(q)).alias(f"__ms{i}")
+                for i, q in enumerate(query_vecs)
+            ],
+        )
+        agg = sims.groupBy(doc_col).agg(
+            *[F.max(f"__ms{i}").alias(f"__m{i}") for i in range(nq)]
+        )
+    elif method == "kernel":
+        import numpy as np
+        import pandas as pd
+
+        qm = [[float(x) for x in q] for q in query_vecs]
+        doc_t = df.schema[doc_col].dataType.simpleString()
+        out_schema = f"{doc_col} {doc_t}, " + ", ".join(
+            f"__m{i} double" for i in range(nq)
+        )
+
+        def _partial(batches):
+            Q = np.asarray(qm, dtype=np.float64)  # (nq, d)
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                X = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
+                )  # (n, d)
+                S = Q @ X.T  # (nq, n)
+                g = pd.DataFrame({doc_col: b[doc_col].values})
+                for i in range(Q.shape[0]):
+                    g[f"__m{i}"] = S[i]
+                yield g.groupby(doc_col, as_index=False).max()
+
+        agg = (
+            df.select(doc_col, vec_col)
+            .mapInPandas(_partial, schema=out_schema)
+            .groupBy(doc_col)
+            .agg(*[F.max(f"__m{i}").alias(f"__m{i}") for i in range(nq)])
+        )
+    else:
+        raise ValueError(f"unknown maxsim method {method!r}")
+    score = F.col("__m0")
+    for i in range(1, nq):
+        score = score + F.col(f"__m{i}")
+    return (
+        agg.select(F.col(doc_col), score.alias(score_col))
+        .orderBy(F.col(score_col).desc(), F.col(doc_col).asc())
+        .limit(k)
     )
