@@ -71,6 +71,30 @@ MAXSIM_Q_SQL = ["[" + ",".join(str(x) for x in q) + "]::DOUBLE[]" for q in MAXSI
 MAXSIM_GROUP = 5
 
 
+def _synth_jpeg(w: int, h: int, orient: int) -> bytes:
+    """Header-only real-format JPEG fixture for the q21 'jpeg' leg:
+    SOI + APP0/JFIF + APP1/EXIF(orientation) + SOF0 + SOS + EOI. No entropy
+    data — exactly the marker stream parse_jpeg_header consumes. All
+    segments are fixed-length, so the blob size is a constant
+    (_JPEG_N_BYTES) the duckdb oracle can inline."""
+    import struct as _s
+
+    out = b"\xff\xd8"
+    jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + _s.pack(">H", 2 + len(jfif)) + jfif
+    tiff = b"II" + _s.pack("<HI", 42, 8) + _s.pack("<H", 1)
+    tiff += _s.pack("<HHI", 0x0112, 3, 1) + _s.pack("<HH", orient, 0) + _s.pack("<I", 0)
+    exif = b"Exif\x00\x00" + tiff
+    out += b"\xff\xe1" + _s.pack(">H", 2 + len(exif)) + exif
+    payload = b"\x08" + _s.pack(">HH", h, w) + b"\x01" + b"\x01\x11\x00"
+    out += b"\xff\xc0" + _s.pack(">H", 2 + len(payload)) + payload
+    out += b"\xff\xda" + _s.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00" + b"\xff\xd9"
+    return out
+
+
+_JPEG_N_BYTES = len(_synth_jpeg(16, 16, 1))
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_vss_spark.deploy import ensure_shipped
 
@@ -1866,13 +1890,14 @@ def _m_multimodal_meta(spark, sf_dir):
     from duckdb_vss_spark.operators.multimodal import (
         decode_audio,
         decode_image,
+        decode_media_meta,
         encode_bmp,
         encode_wav,
     )
 
     def synth(batches):
         for pdf in batches:
-            ids, bmps, wavs = [], [], []
+            ids, bmps, wavs, jpgs = [], [], [], []
             for i in pdf["doc_id"]:
                 i = int(i)
                 y, x = np.mgrid[0:6, 0:8]
@@ -1885,10 +1910,11 @@ def _m_multimodal_meta(spark, sf_dir):
                 ids.append(i)
                 bmps.append(encode_bmp(img))
                 wavs.append(encode_wav(pcm, 8000))
-            yield pd.DataFrame({"doc_id": ids, "bmp": bmps, "wav": wavs})
+                jpgs.append(_synth_jpeg(16 + i % 101, 16 + (7 * i) % 101, 1 + i % 8))
+            yield pd.DataFrame({"doc_id": ids, "bmp": bmps, "wav": wavs, "jpg": jpgs})
 
     blobs = _docs(spark, sf_dir).select("doc_id").mapInPandas(
-        synth, schema="doc_id long, bmp binary, wav binary"
+        synth, schema="doc_id long, bmp binary, wav binary, jpg binary"
     )
     px_sum = F.aggregate(
         F.transform("pixels", lambda x: x.cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
@@ -1961,7 +1987,20 @@ def _m_multimodal_meta(spark, sf_dir):
             "n_bytes",
         )
     )
-    return _union_tagged([img, aud, bmp, wav, warc])
+    # real-format JPEG leg: header-only parse of marker-stream fixtures —
+    # SOF dims and EXIF orientation (5-8 swap to display dims) land in the
+    # driver's value hash; the duckdb twin recomputes the closed form.
+    jpeg = decode_media_meta(
+        blobs.select("doc_id", F.col("jpg").alias("content")), "doc_id"
+    ).select(
+        F.lit("jpeg").alias("kind"),
+        "doc_id",
+        "media_type",
+        F.col("width").cast("long").alias("d1"),
+        F.col("height").cast("long").alias("d2"),
+        "n_bytes",
+    )
+    return _union_tagged([img, aud, bmp, wav, warc, jpeg])
 
 
 def _q_sql_where_topk(spark, sf_dir):
@@ -3277,19 +3316,26 @@ def _BM25_ORACLE_SQL(O) -> str:
 def _PAGERANK_ORACLE_SQL(iters: int = 3, damping: float = 0.85) -> str:
     """duckdb twin of entry q45's pagerank leg (GraphX staticPageRank
     semantics, operators/graph.py::pagerank): the fixed iteration count
-    unrolled as chained CTEs, per-destination contributions folded in
-    source order (list ORDER BY src -> list_sum) to match the Spark side's
-    sorted struct fold bit-for-bit; damping constants emitted via repr so
-    both engines use identical doubles."""
+    unrolled as chained CTEs, per-destination contributions folded with
+    the SAME deterministic two-level tree as the Spark side (salt buckets
+    by the shared md5 hash64 of src, inner fold in source order, outer
+    fold in bucket order) so the doubles match bit-for-bit; damping
+    constants emitted via repr so both engines use identical doubles."""
+    from duckdb_vss_spark.operators.graph import PAGERANK_FOLD_BUCKETS as B
+
     reset = 1.0 - damping
+    bkt = "(('0x' || substr(md5('prb:' || CAST(e.src AS VARCHAR)), 1, 15))::BIGINT % " + str(B) + ")"
     steps = ",".join(
         f"""
         r{j} AS MATERIALIZED (
           SELECT n.id, {reset!r} + {damping!r} * coalesce(s.s, 0.0::DOUBLE) AS r
           FROM nodes n LEFT JOIN (
-            SELECT e.dst AS id, list_sum(list(r{j-1}.r / deg.d ORDER BY e.src)) AS s
-            FROM e JOIN r{j-1} ON r{j-1}.id = e.src JOIN deg ON deg.src = e.src
-            GROUP BY e.dst
+            SELECT id, list_sum(list(bs ORDER BY bkt)) AS s FROM (
+              SELECT e.dst AS id, {bkt} AS bkt,
+                     list_sum(list(r{j-1}.r / deg.d ORDER BY e.src)) AS bs
+              FROM e JOIN r{j-1} ON r{j-1}.id = e.src JOIN deg ON deg.src = e.src
+              GROUP BY e.dst, {bkt}
+            ) GROUP BY id
           ) s ON s.id = n.id
         )"""
         for j in range(1, iters + 1)
@@ -3380,6 +3426,26 @@ def _MMR_ORACLE_SQL(pool: int = 16, k: int = 5, lam: float = 0.7) -> str:
         ),
         {joined}
         SELECT mmr_rank, vec_id, score::FLOAT AS mmr_score FROM ({union})
+    """
+
+
+def _MAXSIM_ORACLE_SQL(k: int = 10) -> str:
+    """duckdb twin of entry q50's maxsim leg: token bags are vec_id // 5,
+    per-query-token best match is max(list_inner_product) over DOUBLE[]
+    (order-insensitive), and the final score sums the four maxes in the
+    same literal left-to-right order as the Spark expr path, so the double
+    is bit-identical before the FLOAT cast."""
+    maxes = ",\n                 ".join(
+        f"max(list_inner_product(embedding::DOUBLE[], {q})) AS m{i}"
+        for i, q in enumerate(MAXSIM_Q_SQL)
+    )
+    score = " + ".join(f"m{i}" for i in range(len(MAXSIM_Q_SQL)))
+    return f"""
+        SELECT doc, ({score}) AS maxsim FROM (
+          SELECT vec_id // {MAXSIM_GROUP} AS doc,
+                 {maxes}
+          FROM embeddings GROUP BY vec_id // {MAXSIM_GROUP}
+        ) ORDER BY maxsim DESC, doc LIMIT {k}
     """
 
 
@@ -3494,6 +3560,18 @@ def oracle_sql() -> dict[str, str]:
                 "sum(((j*37 + d.doc_id*11)%65536) - 32768)::BIGINT AS d1, "
                 "64::BIGINT AS d2, 172::BIGINT AS n_bytes "
                 "FROM documents d, range(0,64) rj(j) GROUP BY d.doc_id"
+            ),
+            (
+                # jpeg leg twin: the header-only parser's output in closed
+                # form — SOF dims (w = 16 + id%101, h = 16 + 7*id%101),
+                # EXIF orientation 1 + id%8; orientations 5-8 swap to
+                # display dims; fixed marker-stream length
+                "SELECT 'jpeg' AS kind, doc_id, 'image' AS media_type, "
+                "(CASE WHEN (1 + doc_id % 8) >= 5 THEN 16 + (7*doc_id) % 101 "
+                "ELSE 16 + doc_id % 101 END)::BIGINT AS d1, "
+                "(CASE WHEN (1 + doc_id % 8) >= 5 THEN 16 + doc_id % 101 "
+                "ELSE 16 + (7*doc_id) % 101 END)::BIGINT AS d2, "
+                f"{_JPEG_N_BYTES}::BIGINT AS n_bytes FROM documents"
             ),
             (
                 # warc leg twin: replicate the HTML extractor's whitespace
@@ -3694,7 +3772,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, count(*) AS n,
                        sum(list_sum(list_transform(range(0, 12), i ->
                            (((n_chars >> i) & 1) << (2*i))
-                           + ((((doc_id % 128) >> i) & 1) << (2*i + 1))))) AS total_chars
+                           + ((((doc_id % 128) >> i) & 1) << (2*i + 1)))))::BIGINT AS total_chars
                 FROM documents GROUP BY lang
                 """,
                 "lang, n, total_chars",
@@ -3723,6 +3801,11 @@ def oracle_sql() -> dict[str, str]:
                 "       mmr_rank::BIGINT AS rank, -1::BIGINT AS tf, -1::BIGINT AS df,\n"
                 "       mmr_score AS score\n"
                 f"FROM ({_MMR_ORACLE_SQL()})"
+            ),
+            (
+                "SELECT 'maxsim' AS tag, doc AS doc_id, '' AS term, -1::BIGINT AS rank,\n"
+                "       -1::BIGINT AS tf, -1::BIGINT AS df, maxsim::FLOAT AS score\n"
+                f"FROM ({_MAXSIM_ORACLE_SQL()})"
             ),
         ),
         "q49_hnsw_graph_index": (

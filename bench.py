@@ -2,8 +2,19 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
-Each query is run twice and the best time is reported: the first run pays
-JVM/codegen warm-up that a long-lived cluster session never sees per-query.
+Each query is run three times and the best time is reported: the first run
+pays JVM/codegen warm-up that a long-lived cluster session never sees
+per-query.
+
+Self-diagnosis: the JSON carries ``calibration`` probes taken at start /
+mid / end — the empty-job Spark scheduling floor, a fixed single-thread
+numpy multiply-sum (CPU + memory-bandwidth contention probe), and the OS
+load average — plus an ``interleaved`` block where the noise-sensitive
+queries alternate spark/duckdb runs in the same process and record the
+per-round ratio. A host-noise-inflated run is therefore machine-detectable
+from the artifact alone: inflated floors / loadavg / both-engines-slow
+ratios ≈ 1 mean noise; a spark-only inflation with clean probes means a
+real regression.
 """
 
 from __future__ import annotations
@@ -15,6 +26,35 @@ import time
 from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def _calibration(spark) -> dict:
+    """Fixed-cost probes: if these inflate between rounds, the host (not
+    the engine) changed. Each is best-of-3 of an O(fixed) operation."""
+    import numpy as np
+
+    floor = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(32).count()
+        floor = min(floor, time.perf_counter() - t0)
+    a = np.arange(1 << 23, dtype=np.float64)  # 64 MB, elementwise: no BLAS threading
+    gemm = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float((a * a).sum())
+        gemm = min(gemm, time.perf_counter() - t0)
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = -1.0
+    return {
+        "spark_job_floor_sec": round(floor, 4),
+        "numpy_probe_sec": round(gemm, 4),
+        "loadavg_1m": round(load1, 2),
+        "loadavg_5m": round(load5, 2),
+    }
 
 
 def main() -> None:
@@ -23,6 +63,7 @@ def main() -> None:
 
     spark = get_spark("vss-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    calib = {"start": _calibration(spark)}
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).cache()
     emb.count()
     lineitem = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
@@ -30,7 +71,7 @@ def main() -> None:
 
     def run(fn):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(N_REPS):
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
@@ -244,6 +285,73 @@ def main() -> None:
         )
     )
 
+    calib["mid"] = _calibration(spark)
+
+    # -- interleaved spark<->duckdb twins, same process, alternating runs:
+    # host noise hits both engines equally, so the per-round RATIO is the
+    # noise-immune signal. A round where both inflate but the ratio holds
+    # is host noise; a spark-only inflation is a real regression.
+    import duckdb as _duck
+
+    icon = _duck.connect()
+    icon.execute(f"CREATE VIEW emb AS SELECT * FROM '{SF_DIR}/embeddings.parquet'")
+    icon.execute(f"CREATE VIEW li AS SELECT * FROM '{SF_DIR}/lineitem.parquet'")
+    qsql01 = "[" + ",".join(str(x) for x in Q) + "]::DOUBLE[]"
+    inter_pairs = {
+        "topk_l2_k10": (
+            lambda: topk(emb, "embedding", Q, 10, "l2sq", tiebreak="vec_id").collect(),
+            lambda: icon.execute(
+                f"SELECT vec_id, list_distance(embedding::DOUBLE[], {qsql01}) AS s "
+                "FROM emb ORDER BY s, vec_id LIMIT 10"
+            ).fetchall(),
+        ),
+        "knn_join_NxN_k10": (
+            lambda: knn_join_flat(
+                emb, emb, "embedding", "embedding", 10, "l2sq", left_id="vec_id", right_id="vec_id"
+            ).count(),
+            lambda: icon.execute(
+                "SELECT count(*) FROM ("
+                "SELECT a.vec_id AS qid, b.vec_id AS rid, row_number() OVER ("
+                "PARTITION BY a.vec_id ORDER BY "
+                "list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) AS rnk "
+                "FROM emb a, emb b) WHERE rnk <= 10"
+            ).fetchall(),
+        ),
+        "tpch_q1ish_agg": (
+            lambda: lineitem.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.avg("l_discount").alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+            .collect(),
+            lambda: icon.execute(
+                "SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice), "
+                "avg(l_discount), count(*) FROM li GROUP BY 1, 2"
+            ).fetchall(),
+        ),
+    }
+    interleaved = {}
+    for name, (sp_fn, dk_fn) in inter_pairs.items():
+        rounds = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sp_fn()
+            s_t = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            dk_fn()
+            d_t = time.perf_counter() - t0
+            rounds.append(
+                {
+                    "spark": round(s_t, 4),
+                    "duckdb": round(d_t, 4),
+                    "ratio": round(s_t / d_t, 3) if d_t > 0 else -1.0,
+                }
+            )
+        interleaved[name] = rounds
+    icon.close()
+
     sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
     out = {
         "metric": "headline_query_wall_sec",
@@ -251,6 +359,8 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 4) for k, v in timings.items()},
         "sf": sf,
+        "reps": N_REPS,
+        "interleaved": interleaved,
     }
 
     # -- second scale point: the 4 sub-second-in-duckdb queries are pure
@@ -407,6 +517,8 @@ def main() -> None:
             "duckdb": {k: round(v, 4) for k, v in s3_duck.items()},
         }
 
+    calib["end"] = _calibration(spark)
+    out["calibration"] = calib
     print(json.dumps(out))
     spark.stop()
 

@@ -28,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "pagerank"]
+
+# Salt-bucket count for pagerank's deterministic two-level contribution
+# fold: per-reducer array size is bounded by in_deg / PAGERANK_FOLD_BUCKETS,
+# so a 10^8-in-link hub folds ~10^5-entry arrays instead of one 10^8 one.
+# The duckdb oracle twin must bucket with the same constant.
+PAGERANK_FOLD_BUCKETS = 1024
 
 
 def connected_components(
@@ -146,10 +152,22 @@ def pagerank(
     aggregation shuffle keyed by destination; ``localCheckpoint`` after
     each iteration truncates the replanning lineage (the iterative-loop
     trap, same as :func:`connected_components`). Per-destination
-    contributions fold in SOURCE order (``sort_array`` over struct-packed
-    pairs) so the double sums — and therefore every downstream iteration —
-    are bit-stable across engines and partitionings, per the cross-engine
-    float discipline.
+    contributions fold deterministically so the double sums — and
+    therefore every downstream iteration — are bit-stable across engines
+    and partitionings, per the cross-engine float discipline.
+
+    Hub-node skew: a web hub can carry 10^7–10^8 in-links; materializing
+    its full in-edge contribution list on one reducer (a naive
+    ``collect_list`` keyed by destination) OOMs exactly on the operator's
+    declared use case. The fold is therefore TWO-LEVEL and still
+    bit-stable: contributions salt into ``PAGERANK_FOLD_BUCKETS`` buckets
+    by a deterministic hash of the source (shared md5-based ``hash64``, so
+    the duckdb twin buckets identically), each bucket folds its
+    contributions in source order, then the per-destination result folds
+    the bucket sums in bucket order. Both folds run in defined order, so
+    the association tree — and the resulting double — is a pure function
+    of the edge multiset; per-reducer array size is bounded by
+    ``in_deg / PAGERANK_FOLD_BUCKETS``.
     """
     if iters < 1:
         raise ValueError("pagerank requires iters >= 1")
@@ -167,23 +185,41 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0))
     ed = e.join(deg, "__src")  # (src, dst, out_deg) — static across iterations
     ed = ed.localCheckpoint(eager=True)
-    for _ in range(iters):
+    from ..functions.text import hash64
+
+    bkt = F.pmod(hash64(F.col("__src").cast("string"), seed="prb:"), PAGERANK_FOLD_BUCKETS)
+    for it in range(iters):
         contrib = ed.join(
             ranks.select(F.col("id").alias("__src"), "rank"), "__src"
         ).select(
-            "__dst", "__src", (F.col("rank") / F.col("__deg").cast("double")).alias("__c")
+            "__dst",
+            "__src",
+            bkt.alias("__b"),
+            (F.col("rank") / F.col("__deg").cast("double")).alias("__c"),
         )
-        summed = (
-            contrib.groupBy("__dst")
+        bucketed = (
+            contrib.groupBy("__dst", "__b")
             .agg(F.sort_array(F.collect_list(F.struct("__src", "__c"))).alias("__cs"))
             .select(
+                "__dst",
+                "__b",
+                F.aggregate("__cs", F.lit(0.0), lambda acc, s: acc + s["__c"]).alias("__bs"),
+            )
+        )
+        summed = (
+            bucketed.groupBy("__dst")
+            .agg(F.sort_array(F.collect_list(F.struct("__b", "__bs"))).alias("__bss"))
+            .select(
                 F.col("__dst").alias("id"),
-                F.aggregate("__cs", F.lit(0.0), lambda acc, s: acc + s["__c"]).alias("__s"),
+                F.aggregate("__bss", F.lit(0.0), lambda acc, s: acc + s["__bs"]).alias("__s"),
             )
         )
         ranks = nodes.join(summed, "id", "left").select(
             "id",
             (F.lit(reset) + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))).alias("rank"),
         )
-        ranks = ranks.localCheckpoint(eager=False)
+        if it < iters - 1:
+            # truncate lineage between iterations only; the final result
+            # keeps its plan (inspectable, and no extra materialization)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

@@ -60,6 +60,38 @@ _PROBE_CHUNK = 1024  # bounds the (batch x probe-chunk) GEMM output size
 # flat join. Below it, the broadcast kernel's single-pass zero-shuffle shape
 # wins on fixed costs (100 probes: ~0.8 s).
 DISTRIBUTED_MIN_PROBES = 1024
+# Tombstone sets at or below this many ids ride into the scan kernels as an
+# in-memory exclusion list (the reference's in-RAM free-list shape,
+# usearch/index_dense.hpp:1228-1248 — fine there because it never leaves one
+# process). Above it, the driver collect is the scale hazard: exclusion
+# routes through a distributed anti-join on the item side BEFORE the
+# kernels instead, so live rows still keep all k slots.
+DELETED_IDS_KERNEL_CAP = 1_000_000
+
+
+def _deleted_exclusion(index, spark):
+    """Resolve the index's tombstone set into ``(excl_ids, deleted_df,
+    small)``: ``excl_ids`` is the driver-side id list when the set fits
+    ``DELETED_IDS_KERNEL_CAP`` (else None — callers must anti-join
+    ``deleted_df`` onto the item side pre-kernel); ``deleted_df`` is None
+    when there are no tombstones; ``small`` says a broadcast-hinted
+    anti-join is safe."""
+    deleted = index.deleted_df(spark)
+    if deleted is None:
+        return None, None, True
+    head = deleted.limit(DELETED_IDS_KERNEL_CAP + 1).collect()
+    if len(head) > DELETED_IDS_KERNEL_CAP:
+        return None, deleted, False
+    return [r["id"] for r in head], deleted, True
+
+
+def _anti_join_deleted(df: DataFrame, deleted_df, small: bool, id_col: str = "id") -> DataFrame:
+    """Remove tombstoned ids from an item-side frame; broadcast the
+    tombstones only when the set is known small."""
+    if deleted_df is None:
+        return df
+    d = deleted_df.withColumnRenamed("id", id_col) if id_col != "id" else deleted_df
+    return df.join(F.broadcast(d) if small else d, id_col, "left_anti")
 
 
 def _candidates_broadcast(
@@ -470,12 +502,12 @@ def knn_join_flat_indexed(
         cand = raw.join(F.broadcast(probes_small), "qid").select(
             "qid", "rid", distance_expr("__qv", "vec", metric).alias("score")
         )
-        deleted = index.deleted_df(spark)
-        if deleted is not None:
-            cand = cand.join(F.broadcast(deleted.withColumnRenamed("id", "rid")), "rid", "left_anti")
+        excl, del_df, del_small = _deleted_exclusion(index, spark)
+        cand = _anti_join_deleted(cand, del_df, del_small, id_col="rid")
         tail = index.tail_df(spark)
         if tail is not None:
-            excl = [r["id"] for r in deleted.collect()] if deleted is not None else None
+            if del_df is not None and excl is None:
+                tail = _anti_join_deleted(tail, del_df, del_small)
             cand = cand.unionByName(
                 _candidates_broadcast(
                     left, tail, left_on, "vec", left_id, "id", k, metric,
@@ -513,7 +545,9 @@ def knn_join_flat_indexed(
             full = full.unionByName(tail)
         deleted = index.deleted_df(spark)
         if deleted is not None:
-            full = full.join(F.broadcast(deleted), "id", "left_anti")
+            # no forced broadcast hint: the tombstone set is unbounded in
+            # principle; AQE broadcasts it while it actually fits
+            full = full.join(deleted, "id", "left_anti")
         return knn_join_flat(left, full, left_on, "vec", k, metric, left_id, "id", method="crossjoin")
     if len(probes_pdf) == 0:
         return spark.createDataFrame([], f"qid {dict(left.dtypes)[left_id]}, rid {index.manifest.get('id_type', 'bigint')}, rnk int, score double")
@@ -541,14 +575,18 @@ def knn_join_flat_indexed(
             full = full.unionByName(tail)
         deleted = index.deleted_df(spark)
         if deleted is not None:
-            full = full.join(F.broadcast(deleted), "id", "left_anti")
+            # no forced broadcast hint (unbounded set; AQE decides)
+            full = full.join(deleted, "id", "left_anti")
         return knn_join_flat(left, full, left_on, "vec", k, metric, left_id, "id")
-    deleted = index.deleted_df(spark)
-    # deleted ids ride into the kernel so live rows keep all k slots; the
-    # set is tombstone-sized (bounded by compact cadence), like the
-    # reference's in-RAM free list (reference: usearch/index_dense.hpp:1228-1248)
-    excl = [r["id"] for r in deleted.collect()] if deleted is not None else None
+    # deleted ids ride into the kernel (so live rows keep all k slots) only
+    # while the tombstone set fits DELETED_IDS_KERNEL_CAP — the reference's
+    # in-RAM free list (usearch/index_dense.hpp:1228-1248) has no such
+    # bound because it never leaves one process; ours must. Above the cap,
+    # exclusion anti-joins the item side BEFORE the kernel instead.
+    excl, del_df, del_small = _deleted_exclusion(index, spark)
     data = index.data_df(spark, needed)
+    if del_df is not None and excl is None:
+        data = _anti_join_deleted(data, del_df, del_small)
     # shortlist broadcast bound: <= |probed lists| * nq * k_sel (qid, rid)
     # pairs; beyond ~8M pairs the flat vector kernel is the safer plan
     rerank_mult = int(index.manifest.get("pq_rerank", index.manifest.get("sq_rerank", 4)))
@@ -584,6 +622,8 @@ def knn_join_flat_indexed(
     # probe table is reused, so the tail union costs no extra driver job
     tail = index.tail_df(spark)
     if tail is not None:
+        if del_df is not None and excl is None:
+            tail = _anti_join_deleted(tail, del_df, del_small)
         cand = cand.unionByName(
             _candidates_broadcast(
                 left, tail, left_on, "vec", left_id, "id", k, metric,
@@ -674,8 +714,9 @@ def knn_join_flat_indexed_distributed(
 
     probe_cells = probes.mapInPandas(assign, schema=f"qid {qid_t}, qv array<float>, list_id long")
 
-    deleted = index.deleted_df(spark)
-    excl = [r["id"] for r in deleted.collect()] if deleted is not None else None
+    # tombstones ride into the cell kernel only below DELETED_IDS_KERNEL_CAP;
+    # above it the item side is anti-joined before the cogroup instead
+    excl, del_df, del_small = _deleted_exclusion(index, spark)
     # SQ8 artifacts ship their int8 codes through the cell Exchange instead
     # of f32 vectors — 4x less data-side shuffle, which is exactly the cost
     # this large-probe path exists to manage; membership then follows the
@@ -721,6 +762,8 @@ def knn_join_flat_indexed_distributed(
 
     data_col = "sq" if sq_scale is not None else "vec"
     data = index.data_df(spark).select("id", data_col, F.col("list_id").cast("long").alias("list_id"))
+    if del_df is not None and excl is None:
+        data = _anti_join_deleted(data, del_df, del_small)
     cand = (
         probe_cells.groupBy("list_id")
         .cogroup(data.groupBy("list_id"))
@@ -729,6 +772,8 @@ def knn_join_flat_indexed_distributed(
 
     tail = index.tail_df(spark)
     if tail is not None:
+        if del_df is not None and excl is None:
+            tail = _anti_join_deleted(tail, del_df, del_small)
         tail_pdf = tail.toPandas()  # bounded by the compact cadence / tail_max_rows
         if excl:
             tail_pdf = tail_pdf[~tail_pdf["id"].isin(excl)]

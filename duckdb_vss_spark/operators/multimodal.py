@@ -60,6 +60,7 @@ __all__ = [
     "encode_ppm",
     "encode_png",
     "encode_wav",
+    "parse_jpeg_header",
     "byte_histogram_features",
     "frame_sample",
     "resize_media",
@@ -111,11 +112,78 @@ def synthesize_media(df: DataFrame, id_col: str, payload_col: str, kind: str = "
     )
 
 
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOF0..SOF15 minus DHT/JPG/DAC (JPEG T.81 §B.2.2)
+
+
+def parse_jpeg_header(b: bytes) -> tuple[int, int, int]:
+    """Header-only JPEG parse — dimensions + EXIF orientation, NO entropy
+    decode (so it needs no codec library and reads only the marker
+    segments, never the scan data). Returns ``(width, height,
+    orientation)`` with orientation 1 when no EXIF tag is present.
+
+    Walks the marker stream (T.81 §B): any SOF0/SOF2/... frame header
+    carries (precision, height, width, n_components); an APP1 segment
+    starting ``Exif\\0\\0`` is parsed as a TIFF IFD0 for tag 0x0112
+    (orientation). Hostile/truncated bytes raise ValueError, never read
+    out of bounds."""
+    b = bytes(b)
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    w = h = None
+    orient = 1
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:  # desync — skip fill bytes defensively
+            pos += 1
+            continue
+        marker = b[pos + 1]
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: scan data follows
+            break
+        if 0xD0 <= marker <= 0xD7 or marker in (0x01, 0xFF):  # standalone
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        if seg_len < 2 or pos + 2 + seg_len > len(b):
+            raise ValueError("truncated JPEG segment")
+        seg = b[pos + 4 : pos + 2 + seg_len]
+        if marker in _JPEG_SOF_MARKERS and len(seg) >= 5:
+            h, w = struct.unpack(">HH", seg[1:5])
+        elif marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            tiff = seg[6:]
+            if len(tiff) >= 8 and tiff[:2] in (b"II", b"MM"):
+                endian = "<" if tiff[:2] == b"II" else ">"
+                (ifd0,) = struct.unpack(endian + "I", tiff[4:8])
+                if ifd0 + 2 <= len(tiff):
+                    (n_ent,) = struct.unpack(endian + "H", tiff[ifd0 : ifd0 + 2])
+                    for e in range(n_ent):
+                        off = ifd0 + 2 + 12 * e
+                        if off + 12 > len(tiff):
+                            break
+                        tag, typ = struct.unpack(endian + "HH", tiff[off : off + 4])
+                        if tag == 0x0112 and typ == 3:  # SHORT orientation
+                            (orient,) = struct.unpack(
+                                endian + "H", tiff[off + 8 : off + 10]
+                            )
+                            break
+        pos += 2 + seg_len
+    if w is None:
+        raise ValueError("no SOF frame header found (truncated JPEG?)")
+    return int(w), int(h), int(orient) if 1 <= orient <= 8 else 1
+
+
 def decode_media_meta(df: DataFrame, id_col: str, content_col: str = "content") -> DataFrame:
     """Parse the typed metadata out of the binary container header.
     Output: (id, media_type, width, height, n_frames, sample_rate, n_bytes).
     This is the real executor-side byte path; only the *codec* (pixel/PCM
-    decode) is stubbed — see :func:`decode_image`."""
+    decode) is stubbed — see :func:`decode_image`.
+
+    Besides the synthetic VSSM container, real JPEG payloads (the dominant
+    format in crawled corpora) are recognized by signature and parsed
+    header-only via :func:`parse_jpeg_header`: width/height come from the
+    SOF marker, and EXIF orientations 5-8 (90°-rotated display) swap them
+    so downstream filters see display dimensions."""
     id_t = dict(df.dtypes)[id_col]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -124,7 +192,13 @@ def decode_media_meta(df: DataFrame, id_col: str, content_col: str = "content") 
                 continue
             rows = {k: [] for k in (id_col, "media_type", "width", "height", "n_frames", "sample_rate", "n_bytes")}
             for i, blob in zip(pdf[id_col], pdf[content_col]):
-                kind, w, h, nf, sr, _ = _unpack_header(blob)
+                if bytes(blob[:2]) == b"\xff\xd8":
+                    w, h, orient = parse_jpeg_header(blob)
+                    if orient >= 5:
+                        w, h = h, w
+                    kind, nf, sr = "image", 1, 0
+                else:
+                    kind, w, h, nf, sr, _ = _unpack_header(blob)
                 rows[id_col].append(i)
                 rows["media_type"].append(kind)
                 rows["width"].append(w)

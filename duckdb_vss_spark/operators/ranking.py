@@ -343,6 +343,17 @@ def maxsim_topk(
     large enough (>~64 tokens) that per-column unrolled projections stop
     codegen-compiling; ``"expr"`` forces the codegen path; ``"auto"``
     picks ``expr`` for small query bags.
+
+    Numeric contract: ``method="expr"`` is a deterministic left-to-right
+    double sum — partitioning-independent, and within 1 ulp of duckdb's
+    ``list_inner_product`` (whose SIMD accumulation order differs), which
+    the driver gate's 9-significant-digit canonicalization absorbs. The
+    kernel path's BLAS GEMM accumulation order is also implementation-
+    defined to the last ulp; pin hash-gated queries to ``"expr"``. NaN
+    similarities propagate identically on both paths (the kernel partial
+    max is NaN-propagating and NULL-restored at the merge, matching
+    Spark's NaN-is-greatest ``F.max``), so results stay
+    partitioning-independent.
     """
     if not query_vecs:
         raise ValueError("maxsim_topk requires at least one query vector")
@@ -381,16 +392,39 @@ def maxsim_topk(
                     [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
                 )  # (n, d)
                 S = Q @ X.T  # (nq, n)
-                g = pd.DataFrame({doc_col: b[doc_col].values})
+                # NaN-propagating grouped max (np.maximum.reduceat, unlike
+                # pandas' skipna max, keeps NaN): Spark's merging F.max
+                # treats NaN as greatest, so a NaN similarity must survive
+                # the partial or results become partitioning-dependent.
+                if b[doc_col].isna().any():
+                    g = pd.DataFrame({doc_col: b[doc_col].values})
+                    for i in range(Q.shape[0]):
+                        g[f"__m{i}"] = S[i]
+                    yield g.groupby(doc_col, as_index=False, dropna=False).agg(
+                        lambda s: s.max(skipna=False)
+                    )
+                    continue
+                codes, uniq = pd.factorize(b[doc_col], sort=False)
+                order = np.argsort(codes, kind="stable")
+                starts = np.searchsorted(codes[order], np.arange(len(uniq)))
+                g = pd.DataFrame({doc_col: uniq})
                 for i in range(Q.shape[0]):
-                    g[f"__m{i}"] = S[i]
-                yield g.groupby(doc_col, as_index=False).max()
+                    g[f"__m{i}"] = np.maximum.reduceat(S[i][order], starts)
+                yield g
 
+        # pandas->Arrow uses NaN as the null sentinel, so a NaN partial max
+        # arrives as NULL; coalesce it back to NaN so the merging F.max
+        # keeps NaN-is-greatest semantics identical to the expr path.
         agg = (
             df.select(doc_col, vec_col)
             .mapInPandas(_partial, schema=out_schema)
             .groupBy(doc_col)
-            .agg(*[F.max(f"__m{i}").alias(f"__m{i}") for i in range(nq)])
+            .agg(
+                *[
+                    F.max(F.coalesce(F.col(f"__m{i}"), F.lit(float("nan")))).alias(f"__m{i}")
+                    for i in range(nq)
+                ]
+            )
         )
     else:
         raise ValueError(f"unknown maxsim method {method!r}")

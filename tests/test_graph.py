@@ -103,6 +103,15 @@ def test_cc_warns_when_max_iter_exhausted(spark):
 # ---------------------------------------------------------------- pagerank
 
 
+def _pr_bucket(src) -> int:
+    import hashlib
+
+    from duckdb_vss_spark.operators.graph import PAGERANK_FOLD_BUCKETS
+
+    h = int(hashlib.md5(f"prb:{src}".encode()).hexdigest()[:15], 16)
+    return h % PAGERANK_FOLD_BUCKETS
+
+
 def _py_pagerank(edges, iters=3, d=0.85):
     from collections import Counter, defaultdict
 
@@ -115,10 +124,18 @@ def _py_pagerank(edges, iters=3, d=0.85):
             inc[t].append((s, r[s] / deg[s]))
         nr = {}
         for n in nodes:
-            # fold in source order, matching the engine's sorted struct fold
+            # two-level fold, matching the engine's de-skewed shape: inner
+            # fold in source order within each salt bucket, outer fold in
+            # bucket order
+            buckets = defaultdict(list)
+            for s, c in inc.get(n, []):
+                buckets[_pr_bucket(s)].append((s, c))
             acc = 0.0
-            for _, c in sorted(inc.get(n, [])):
-                acc += c
+            for b in sorted(buckets):
+                bs = 0.0
+                for _, c in sorted(buckets[b]):
+                    bs += c
+                acc += bs
             nr[n] = (1.0 - d) + d * acc
         r = nr
     return r
@@ -172,3 +189,54 @@ def test_pagerank_validation(spark):
         pagerank(df, iters=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank(df, damping=1.0)
+
+
+def test_pagerank_hub_node_de_skewed(spark):
+    """A web hub with very high in-degree must not materialize its full
+    in-edge contribution list on one reducer: the fold is two-level
+    (salt buckets by hash64(src) -> per-bucket ordered fold -> ordered
+    fold of bucket sums). Functional check: 1M distinct sources each with
+    out-degree 1 pointing at one hub — every contribution is exactly 1.0,
+    so the rank is exact regardless of association: 0.15 + 0.85 * 1e6."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.operators.graph import pagerank
+
+    n = 1_000_000
+    edges = spark.range(1, n + 1).select(
+        F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    got = {r["id"]: r["rank"] for r in pagerank(edges, iters=1).collect()}
+    assert got[0] == (1.0 - 0.85) + 0.85 * float(n)
+    assert got[1] == (1.0 - 0.85)
+
+
+def test_pagerank_plan_has_bucketed_fold(spark):
+    """Plan-shape pin (test_plans.py discipline): the contribution
+    aggregation must group by (dst, salt bucket) before any collect_list —
+    no aggregate may collect the full per-destination in-edge set."""
+    from duckdb_vss_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    old = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+    try:
+        plan = (
+            pagerank(df, iters=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", old)
+    assert "collect_list" in plan
+    # every collect_list over per-source contributions carries the salt
+    # bucket in its grouping keys; the outer fold collects only bucket sums
+    saw_inner = saw_outer = False
+    for line in plan.splitlines():
+        if "collect_list(struct(__src" in line:
+            saw_inner = True
+            assert "__b#" in line.split("functions=")[0], line  # bucket in keys
+        if "collect_list(struct(__b," in line:
+            saw_outer = True
+    assert saw_inner and saw_outer, plan

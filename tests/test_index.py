@@ -555,3 +555,40 @@ def test_compact_incremental_crash_recovery(spark, tmp_path):
     assert reopened.tail_df(spark) is None
     ids = [r["id"] for r in reopened.search(spark, Q, 8, ef_search=10**6).collect()]
     assert len(ids) == len(set(ids)) == 8
+
+
+def test_indexed_join_tombstones_above_kernel_cap(spark, tmp_path, monkeypatch):
+    """Tombstone sets above DELETED_IDS_KERNEL_CAP must never be collected
+    to the driver or ride the kernels: exclusion routes through the
+    distributed anti-join on the item side, with identical results. The cap
+    is monkeypatched tiny so the over-cap route runs on test-size data."""
+    from duckdb_vss_spark import knn_join_flat
+    from duckdb_vss_spark.operators import knn as knn_mod
+
+    eng = VSSEngine(spark, index_root=str(tmp_path))
+    emb = emb_df(spark)
+    eng.register_table("tc", emb)
+    eng.create_index("tc_idx", "tc", "embedding", "vec_id")
+    deleted_ids = [0, 1, 2, 5, 8, 13]
+    eng.delete("tc_idx", deleted_ids)
+    probes = emb.filter(F.col("vec_id") < 3)
+    live = emb.filter(~F.col("vec_id").isin(deleted_ids))
+    want = knn_join_flat(
+        probes, live, "embedding", "embedding", 4, "l2sq", left_id="vec_id", right_id="vec_id"
+    ).collect()
+    key = lambda rows: sorted((r["qid"], r["rnk"], r["rid"]) for r in rows)
+
+    eng.set_ef_search(10**6)
+    try:
+        base = eng.knn_join(
+            probes, "tc", "embedding", "embedding", 4, left_id="vec_id", right_id="vec_id"
+        ).collect()
+        monkeypatch.setattr(knn_mod, "DELETED_IDS_KERNEL_CAP", 2)
+        capped = eng.knn_join(
+            probes, "tc", "embedding", "embedding", 4, left_id="vec_id", right_id="vec_id"
+        ).collect()
+    finally:
+        eng.set_ef_search(None)
+    assert key(base) == key(want)
+    assert key(capped) == key(want)
+    assert not any(r["rid"] in deleted_ids for r in capped)

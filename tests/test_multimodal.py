@@ -85,3 +85,67 @@ def test_decode_image_rejects_pixelless_container(media):
     # rather than invent pixels
     with pytest.raises(Exception, match="VSSM synthetic"):
         M.decode_image(media, "doc_id").collect()
+
+
+# ------------------------------------------------------------- JPEG headers
+
+
+def _jpeg_bytes(w, h, orientation=None, progressive=False, little_endian=True):
+    """Hand-assembled minimal JPEG: SOI + optional APP1/EXIF + SOF + SOS+EOI.
+    Header-only parsers need no entropy data, so none is included."""
+    import struct
+
+    out = b"\xff\xd8"  # SOI
+    # APP0/JFIF (typical real-file prefix)
+    jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(jfif)) + jfif
+    if orientation is not None:
+        e = "<" if little_endian else ">"
+        bo = b"II" if little_endian else b"MM"
+        tiff = bo + struct.pack(e + "HI", 42, 8)
+        tiff += struct.pack(e + "H", 1)  # one IFD entry
+        tiff += struct.pack(e + "HHI", 0x0112, 3, 1) + struct.pack(e + "HH", orientation, 0)
+        tiff += struct.pack(e + "I", 0)  # next-IFD pointer
+        exif = b"Exif\x00\x00" + tiff
+        out += b"\xff\xe1" + struct.pack(">H", 2 + len(exif)) + exif
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    comp = b"\x01\x11\x00"
+    payload = b"\x08" + struct.pack(">HH", h, w) + b"\x01" + comp
+    out += sof + struct.pack(">H", 2 + len(payload)) + payload
+    out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"  # SOS
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def test_parse_jpeg_header_sof0_sof2_and_exif():
+    assert M.parse_jpeg_header(_jpeg_bytes(640, 480)) == (640, 480, 1)
+    assert M.parse_jpeg_header(_jpeg_bytes(31, 17, progressive=True)) == (31, 17, 1)
+    assert M.parse_jpeg_header(_jpeg_bytes(100, 50, orientation=6)) == (100, 50, 6)
+    # big-endian (MM) EXIF too
+    assert M.parse_jpeg_header(_jpeg_bytes(100, 50, orientation=8, little_endian=False)) == (100, 50, 8)
+
+
+def test_parse_jpeg_header_rejects_garbage():
+    with pytest.raises(ValueError, match="SOI"):
+        M.parse_jpeg_header(b"BM000000")
+    with pytest.raises(ValueError, match="SOF|truncated"):
+        M.parse_jpeg_header(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+    with pytest.raises(ValueError, match="truncated"):
+        M.parse_jpeg_header(_jpeg_bytes(10, 10)[:12])
+
+
+def test_decode_media_meta_handles_jpeg_rows(spark):
+    """Mixed corpus: VSSM synthetic containers and real-format JPEG blobs in
+    the same column decode side by side; EXIF orientations 5-8 swap the
+    reported display dimensions."""
+    rows = [
+        (0, bytearray(_jpeg_bytes(640, 480))),
+        (1, bytearray(_jpeg_bytes(100, 50, orientation=6))),  # rotated: swaps
+        (2, bytearray(M.pack_header("audio", 0, 0, 1, 8000) + b"pcm")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in M.decode_media_meta(df, "doc_id").collect()}
+    assert (got[0]["media_type"], got[0]["width"], got[0]["height"]) == ("image", 640, 480)
+    assert (got[1]["width"], got[1]["height"]) == (50, 100)
+    assert (got[2]["media_type"], got[2]["sample_rate"]) == ("audio", 8000)
+    assert got[0]["n_frames"] == 1 and got[0]["sample_rate"] == 0

@@ -327,3 +327,128 @@ def test_mmr_rerank_string_ids_and_zero_vectors(spark):
     assert [r["url"] for r in rows][:1] == ["https://a/1"]
     assert {r["url"] for r in rows} == {"https://a/1", "https://a/2"}  # zero vec excluded
     assert dict(out.dtypes)["url"] == "string"
+
+
+# ---------------------------------------------------------------------------
+# maxsim (ColBERT late interaction)
+# ---------------------------------------------------------------------------
+
+
+def _py_maxsim(docs: dict[int, list[list[float]]], qs: list[list[float]]) -> dict[int, float]:
+    """Pure-Python reference: sum_i max_j <q_i, d_j>, dots left-to-right."""
+    out = {}
+    for d, toks in docs.items():
+        s = 0.0
+        for q in qs:
+            best = None
+            for t in toks:
+                dot = 0.0
+                for a, b in zip(t, q):
+                    dot += float(a) * float(b)
+                if best is None or dot > best:
+                    best = dot
+            s += best
+        out[d] = s
+    return out
+
+
+def _maxsim_fixture(spark):
+    docs = {
+        0: [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+        1: [[0.5, 0.5, 0.0], [0.25, 0.0, 0.75], [0.0, 0.0, 1.0]],
+        2: [[-1.0, -1.0, -1.0]],
+        3: [[0.125, 0.375, 0.5], [0.875, 0.0625, 0.0]],
+    }
+    rows = [(d, t) for d, toks in docs.items() for t in toks]
+    df = spark.createDataFrame(rows, "doc long, embedding array<float>")
+    qs = [[1.0, 0.5, 0.0], [0.0, 0.25, 0.75]]
+    return docs, df, qs
+
+
+def test_maxsim_expr_known_answer(spark):
+    from duckdb_vss_spark.operators.ranking import maxsim_topk
+
+    docs, df, qs = _maxsim_fixture(spark)
+    want = _py_maxsim(docs, qs)
+    got = {r["doc"]: r["maxsim"] for r in maxsim_topk(df, "embedding", "doc", qs, k=10, method="expr").collect()}
+    assert set(got) == set(docs)
+    for d in docs:
+        assert got[d] == want[d], d  # expr path is bit-exact vs sequential sum
+    # ordering: score desc, doc asc
+    rows = maxsim_topk(df, "embedding", "doc", qs, k=2, method="expr").collect()
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r["doc"], r["maxsim"]) for r in rows] == ranked
+
+
+def test_maxsim_kernel_matches_expr(spark):
+    from duckdb_vss_spark.operators.ranking import maxsim_topk
+
+    docs, df, qs = _maxsim_fixture(spark)
+    df = df.repartition(4)
+    e = {r["doc"]: r["maxsim"] for r in maxsim_topk(df, "embedding", "doc", qs, k=10, method="expr").collect()}
+    kk = {r["doc"]: r["maxsim"] for r in maxsim_topk(df, "embedding", "doc", qs, k=10, method="kernel").collect()}
+    assert set(e) == set(kk)
+    for d in e:
+        assert kk[d] == pytest.approx(e[d], rel=1e-12, abs=1e-15), d
+
+
+def test_maxsim_kernel_nan_propagates(spark):
+    """A NaN similarity (e.g. from a NaN component) must win the max on the
+    kernel path exactly as Spark's NaN-is-greatest F.max does on the expr
+    path, regardless of which batch/partition the NaN row lands in."""
+    import math
+
+    from duckdb_vss_spark.operators.ranking import maxsim_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [float("nan"), 1.0]), (1, [0.5, 0.5])],
+        "doc long, embedding array<float>",
+    ).repartition(3)
+    qs = [[1.0, 1.0]]
+    for method in ("expr", "kernel"):
+        got = {r["doc"]: r["maxsim"] for r in maxsim_topk(df, "embedding", "doc", qs, k=10, method=method).collect()}
+        assert math.isnan(got[0]), method
+        assert got[1] == pytest.approx(1.0), method
+
+
+def test_maxsim_expr_plan_is_codegen(spark):
+    """The expr map side must be pure codegen projections — no Python eval
+    — and the only exchange is the per-doc partial max."""
+    from duckdb_vss_spark.operators.ranking import maxsim_topk
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])], "doc long, embedding array<float>")
+    plan = maxsim_topk(df, "embedding", "doc", [[1.0, 0.5]], k=5, method="expr")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_max" in plan or "max" in plan
+
+
+def test_maxsim_matches_duckdb(spark, ddb):
+    """Entry-gate twin in miniature: expr path vs duckdb list_inner_product
+    over DOUBLE[], equal under the driver's 9-significant-digit
+    canonicalization (duckdb's SIMD accumulation differs in the last ulp)."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i // 3, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc long, embedding array<float>")
+    qs = [[rnd.uniform(-1, 1) for _ in range(8)] for _ in range(2)]
+    from duckdb_vss_spark.operators.ranking import maxsim_topk
+
+    got = {r["doc"]: r["maxsim"] for r in maxsim_topk(df, "embedding", "doc", qs, k=10, method="expr").collect()}
+    ddb.execute("CREATE OR REPLACE TABLE msim(doc BIGINT, embedding FLOAT[])")
+    ddb.executemany("INSERT INTO msim VALUES (?, ?)", rows)
+    q_sql = ["[" + ",".join(repr(x) for x in q) + "]::DOUBLE[]" for q in qs]
+    want = dict(
+        ddb.execute(
+            f"""
+        SELECT doc, (m0 + m1) AS maxsim FROM (
+          SELECT doc,
+                 max(list_inner_product(embedding::DOUBLE[], {q_sql[0]})) AS m0,
+                 max(list_inner_product(embedding::DOUBLE[], {q_sql[1]})) AS m1
+          FROM msim GROUP BY doc
+        ) ORDER BY maxsim DESC, doc LIMIT 10
+        """
+        ).fetchall()
+    )
+    canon = lambda d: {k: float(f"{v:.9g}") for k, v in d.items()}  # noqa: E731
+    assert canon(got) == canon(want)
