@@ -416,6 +416,20 @@ def main() -> None:
             )
             .collect()
         )
+        # maxsim late interaction at 1M token rows (200k 5-token docs):
+        # the codegen-projection expr path vs the Arrow GEMM kernel path —
+        # both shuffle only (doc, |Q| doubles) partial maxes
+        from duckdb_vss_spark.operators.ranking import maxsim_topk
+
+        ms_tok = emb_b.select(
+            F.expr("CAST(vec_id DIV 5 AS BIGINT)").alias("doc"), "embedding"
+        )
+        s2_spark["maxsim_expr_k10"] = run(
+            lambda: maxsim_topk(ms_tok, "embedding", "doc", entrymod.MAXSIM_Q, 10, method="expr").collect()
+        )
+        s2_spark["maxsim_kernel_k10"] = run(
+            lambda: maxsim_topk(ms_tok, "embedding", "doc", entrymod.MAXSIM_Q, 10, method="kernel").collect()
+        )
 
         con = duckdb.connect()  # all cores, same as the BASELINE.md runs
         con.execute(f"CREATE VIEW emb_b AS SELECT * FROM '{stage}/embeddings/*.parquet'")
@@ -443,6 +457,18 @@ def main() -> None:
             lambda: con.execute(
                 "SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice), "
                 "avg(l_discount), count(*) FROM li_b GROUP BY 1, 2"
+            ).fetchall()
+        )
+        ms_q = ["[" + ",".join(str(x) for x in q) + "]::DOUBLE[]" for q in entrymod.MAXSIM_Q]
+        ms_maxes = ", ".join(
+            f"max(list_inner_product(embedding::DOUBLE[], {q})) AS m{i}" for i, q in enumerate(ms_q)
+        )
+        ms_score = " + ".join(f"m{i}" for i in range(len(ms_q)))
+        s2_duck["maxsim_expr_k10"] = run(
+            lambda: con.execute(
+                f"SELECT doc, ({ms_score}) AS s FROM ("
+                f"SELECT vec_id // 5 AS doc, {ms_maxes} FROM emb_b GROUP BY vec_id // 5"
+                f") ORDER BY s DESC, doc LIMIT 10"
             ).fetchall()
         )
         # index-vs-brute crossover at 1M rows, in the per-round record:
