@@ -431,12 +431,12 @@ class GraphIndex(IVFIndex):
         )
         deleted = self.deleted_df(spark)
         if deleted is not None:
-            local = local.join(F.broadcast(deleted), "id", "left_anti")
+            local = local.join(deleted, "id", "left_anti")
         tail = self.tail_df(spark)
         if tail is not None:
             tail_scored = tail.select("id", distance_expr("vec", list(query), metric).alias("score"))
             if deleted is not None:
-                tail_scored = tail_scored.join(F.broadcast(deleted), "id", "left_anti")
+                tail_scored = tail_scored.join(deleted, "id", "left_anti")
             local = local.unionByName(tail_scored)
         desc = METRIC_IS_DESCENDING[metric]
         order = [F.col("score").desc() if desc else F.col("score").asc(), F.col("id").asc()]
@@ -523,7 +523,7 @@ class GraphIndex(IVFIndex):
             data = data.unionByName(tail)
         deleted = self.deleted_df(spark)
         if deleted is not None:
-            data = data.join(F.broadcast(deleted), "id", "left_anti")
+            data = data.join(deleted, "id", "left_anti")
         cur = int(self.version[1:]) if self.version else 0
         new_version = f"v{cur + 1:06d}"
         keep = {

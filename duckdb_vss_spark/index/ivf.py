@@ -569,8 +569,11 @@ class IVFIndex:
         deleted = self.deleted_df(spark)
         if deleted is not None:
             # deletions are immediately invisible (reference: src/hnsw/hnsw_index.cpp:496-512);
-            # filtering happens BEFORE the top-k cut so k rows still come back
-            cand = cand.join(F.broadcast(deleted), "id", "left_anti")
+            # filtering happens BEFORE the top-k cut so k rows still come back.
+            # No forced broadcast hint anywhere tombstones are joined: the
+            # set is unbounded in principle, so AQE broadcasts it only while
+            # it actually fits (same discipline as operators/knn.py).
+            cand = cand.join(deleted, "id", "left_anti")
         return cand
 
     def search(self, spark: SparkSession, query: list[float], k: int, ef_search: int | None = None) -> DataFrame:
@@ -660,14 +663,14 @@ class IVFIndex:
         approx = data.select("id", *cols).mapInPandas(approx_fn, schema=f"id {id_t}, score double")
         deleted = self.deleted_df(spark)
         if deleted is not None:
-            approx = approx.join(F.broadcast(deleted), "id", "left_anti")
+            approx = approx.join(deleted, "id", "left_anti")
         order = [F.col("score").desc() if desc else F.col("score").asc(), F.col("id").asc()]
         shortlist = approx.orderBy(*order).limit(max(k, k * rerank)).select("id")
         fetched = data.select("id", "vec").join(F.broadcast(shortlist), "id")
         tail = self.tail_df(spark)
         if tail is not None:
             if deleted is not None:
-                tail = tail.join(F.broadcast(deleted), "id", "left_anti")
+                tail = tail.join(deleted, "id", "left_anti")
             fetched = fetched.unionByName(tail)
         scored = fetched.select("id", distance_expr("vec", query, self.metric).alias("score"))
         return scored.orderBy(*order).limit(k)
@@ -819,7 +822,7 @@ class IVFIndex:
             data = data.unionByName(tail)
         deleted = self.deleted_df(spark)
         if deleted is not None:
-            data = data.join(F.broadcast(deleted), "id", "left_anti")
+            data = data.join(deleted, "id", "left_anti")
         cur = int(self.version[1:]) if self.version else 0
         new_version = f"v{cur + 1:06d}"
         # carry catalog identity through the rebuild
