@@ -193,3 +193,62 @@ def test_resize_kernel_shape_and_range(h, w, nh, nw):
         out = _resize_kernel(img, nw, nh, method)
         assert out.shape == (nh, nw, 3)
         assert out.min() >= img.min() - 1e-9 and out.max() <= img.max() + 1e-9
+
+
+# ------------------------------------------------------------- JPEG headers
+
+
+@given(st.binary(min_size=0, max_size=512))
+@settings(max_examples=300, deadline=None)
+def test_parse_jpeg_header_never_crashes_on_hostile_bytes(b):
+    """Any byte string either parses to sane ints or raises ValueError —
+    no other exception, no out-of-bounds read, no hang."""
+    from duckdb_vss_spark.operators.multimodal import parse_jpeg_header
+
+    try:
+        w, h, o = parse_jpeg_header(b)
+    except ValueError:
+        return
+    assert 0 <= w <= 0xFFFF and 0 <= h <= 0xFFFF and 1 <= o <= 8
+
+
+@given(
+    w=st.integers(1, 0xFFFF),
+    h=st.integers(1, 0xFFFF),
+    orient=st.integers(1, 8),
+    junk=st.binary(max_size=64),
+)
+@settings(max_examples=100, deadline=None)
+def test_parse_jpeg_header_roundtrips_synthetic(w, h, orient, junk):
+    """Assembled marker streams parse back exactly, including with junk
+    appended after EOI (framing never reads past the scan start)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    from duckdb_vss_spark.operators.multimodal import parse_jpeg_header
+
+    b = entry._synth_jpeg(w, h, orient)
+    assert parse_jpeg_header(b) == (w, h, orient)
+    assert parse_jpeg_header(b + junk) == (w, h, orient)
+
+
+def test_maxsim_expr_partition_invariant(spark):
+    """The expr path's per-doc score is a partitioning-independent double:
+    MAX is order-insensitive and the query-sum order is literal."""
+    import random
+
+    from duckdb_vss_spark.operators.ranking import maxsim_topk
+
+    rnd = random.Random(13)
+    rows = [(i % 7, [rnd.uniform(-1, 1) for _ in range(6)]) for i in range(60)]
+    qs = [[rnd.uniform(-1, 1) for _ in range(6)] for _ in range(3)]
+    outs = []
+    for parts in (1, 4, 17):
+        df = spark.createDataFrame(rows, "doc long, embedding array<float>").repartition(parts)
+        outs.append(sorted(
+            (r["doc"], r["maxsim"])
+            for r in maxsim_topk(df, "embedding", "doc", qs, k=10, method="expr").collect()
+        ))
+    assert outs[0] == outs[1] == outs[2]  # bit-identical
