@@ -368,6 +368,12 @@ def main() -> None:
     # there); replicate the data (both engines read the SAME staged
     # parquet) until per-row throughput dominates the floor. Disable with
     # SPARK_GRAFT_SCALE2_MULT=1.
+    # duckdb maxsim twin fragments, shared by the scale2 and scale3 blocks
+    ms_q = ["[" + ",".join(str(x) for x in q) + "]::DOUBLE[]" for q in entrymod.MAXSIM_Q]
+    ms_maxes = ", ".join(
+        f"max(list_inner_product(embedding::DOUBLE[], {q})) AS m{i}" for i, q in enumerate(ms_q)
+    )
+    ms_score = " + ".join(f"m{i}" for i in range(len(ms_q)))
     mult = int(os.environ.get("SPARK_GRAFT_SCALE2_MULT", "500"))
     li_mult = max(1, mult // 25)  # lineitem is already ~600k rows at sf0.1
     if mult > 1:
@@ -459,11 +465,6 @@ def main() -> None:
                 "avg(l_discount), count(*) FROM li_b GROUP BY 1, 2"
             ).fetchall()
         )
-        ms_q = ["[" + ",".join(str(x) for x in q) + "]::DOUBLE[]" for q in entrymod.MAXSIM_Q]
-        ms_maxes = ", ".join(
-            f"max(list_inner_product(embedding::DOUBLE[], {q})) AS m{i}" for i, q in enumerate(ms_q)
-        )
-        ms_score = " + ".join(f"m{i}" for i in range(len(ms_q)))
         s2_duck["maxsim_expr_k10"] = run(
             lambda: con.execute(
                 f"SELECT doc, ({ms_score}) AS s FROM ("
@@ -514,9 +515,15 @@ def main() -> None:
         emb3.repartition(32).write.mode("overwrite").parquet(f"{stage3}/embeddings")
         emb_3 = spark.read.parquet(f"{stage3}/embeddings").cache()
         emb_3.count()
+        from duckdb_vss_spark.operators.ranking import maxsim_topk as _ms3
+
+        tok3 = emb_3.select(F.expr("CAST(vec_id DIV 5 AS BIGINT)").alias("doc"), "embedding")
         s3_spark = {
             "topk_l2_k10": run(lambda: topk(emb_3, "embedding", Q, 10, "l2sq", tiebreak="vec_id").collect()),
             "topk_cosine_k10": run(lambda: topk(emb_3, "embedding", Q, 10, "cosine", tiebreak="vec_id").collect()),
+            "maxsim_expr_k10": run(
+                lambda: _ms3(tok3, "embedding", "doc", entrymod.MAXSIM_Q, 10, method="expr").collect()
+            ),
         }
         con3 = duckdb.connect()
         con3.execute(f"CREATE VIEW emb3 AS SELECT * FROM '{stage3}/embeddings/*.parquet'")
@@ -532,6 +539,13 @@ def main() -> None:
                 lambda: con3.execute(
                     f"SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], {qsql}) AS s "
                     "FROM emb3 ORDER BY s DESC, vec_id LIMIT 10"
+                ).fetchall()
+            ),
+            "maxsim_expr_k10": run(
+                lambda: con3.execute(
+                    f"SELECT doc, ({ms_score}) AS s FROM ("
+                    f"SELECT vec_id // 5 AS doc, {ms_maxes} FROM emb3 GROUP BY vec_id // 5"
+                    f") ORDER BY s DESC, doc LIMIT 10"
                 ).fetchall()
             ),
         }
