@@ -557,9 +557,138 @@ def main() -> None:
             "duckdb": {k: round(v, 4) for k, v in s3_duck.items()},
         }
 
+    # -- recall@10 vs ef_search curve at a staged 1M-row point, for every
+    # index backend (r7 verdict task 4: q13 pins one operating point; this
+    # rides the whole curve in the artifact so recall drift from any index
+    # change is machine-visible). The scale2/scale3 stages replicate rows
+    # VERBATIM, which makes recall@10 meaningless (an index returning a
+    # different equal-distance copy of the true neighbor would count as a
+    # miss), so this stage adds a deterministic per-replica jitter
+    # (xxhash64(vec_id, dim) -> [0, 0.1009)) to make every vector unique
+    # while preserving cluster structure. Disable with
+    # SPARK_GRAFT_RECALL_MULT=1.
+    rmult = int(os.environ.get("SPARK_GRAFT_RECALL_MULT", "500"))
+    if rmult > 1:
+        from duckdb_vss_spark.operators.knn import knn_join_flat_indexed
+
+        rstage = tempfile.mkdtemp(prefix="bench_recall_")
+        n_emb = emb.count()
+        jit = (
+            emb.crossJoin(spark.range(rmult).withColumnRenamed("id", "__rep"))
+            .withColumn(
+                "vec_id", (F.col("vec_id") + F.col("__rep") * F.lit(n_emb)).cast("long")
+            )
+            .withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i: (
+                        x
+                        + (
+                            F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(1009))
+                            / F.lit(10000.0)
+                        ).cast("float")
+                    ).cast("float"),
+                ),
+            )
+            .drop("__rep")
+        )
+        jit.repartition(32).write.mode("overwrite").parquet(f"{rstage}/emb")
+        emb_r = spark.read.parquet(f"{rstage}/emb").cache()
+        emb_r.count()
+        probes_r = emb_r.filter(F.col("vec_id") < 20)
+        exact_nn = (
+            knn_join_flat(
+                probes_r, emb_r, "embedding", "embedding", 10, "l2sq",
+                left_id="vec_id", right_id="vec_id",
+            )
+            .select("qid", "rid")
+            .cache()
+        )
+        n_exact = exact_nn.count()
+        recall_block = {"rows": n_emb * rmult, "probes": 20}
+        for bname, opts in (
+            ("flat", {}),
+            ("sq8", {"quantization": "i8"}),
+            ("pq8", {"pq_m": 8}),
+            ("graph", {"index_type": "hnsw"}),
+        ):
+            reng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix=f"bench_rc_{bname}_"))
+            reng.register_table("emb_r", emb_r)
+            t0 = time.perf_counter()
+            reng.create_index(f"rc_{bname}", "emb_r", "embedding", "vec_id", options=opts, replace=True)
+            bsec = time.perf_counter() - t0
+            idx = reng.catalog.get(f"rc_{bname}")
+            curve = {}
+            for ef in (8, 32, 64, 128):
+                approx = knn_join_flat_indexed(
+                    probes_r, idx, "embedding", 10, "vec_id", ef_search=ef
+                ).select("qid", "rid")
+                hits = exact_nn.join(approx, ["qid", "rid"]).count()
+                curve[str(ef)] = round(hits / n_exact, 3)
+            recall_block[bname] = {"build_sec": round(bsec, 1), "r10": curve}
+        exact_nn.unpersist()
+        emb_r.unpersist()
+        out["recall"] = recall_block
+
     calib["end"] = _calibration(spark)
     out["calibration"] = calib
-    print(json.dumps(out))
+
+    # Full self-diagnosis artifact (calibration probes, interleaved rounds,
+    # scale2/scale3 blocks) goes to a file committed alongside; the FINAL
+    # stdout line is a compact JSON that stays under the driver's 2000-char
+    # tail capture so BENCH_r{N}.json parses (round-7 regression: the full
+    # blob overflowed the capture and `"parsed"` came back null).
+    self_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
+    )
+    with open(self_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+
+    # one-field noise verdict distilled from the probes: floor/loadavg
+    # inflation with stable interleaved spark<->duckdb ratios = host noise;
+    # a spark-only inflation against clean probes = real regression.
+    floors = [c["spark_job_floor_sec"] for c in calib.values()]
+    loads = [c["loadavg_1m"] for c in calib.values() if c["loadavg_1m"] >= 0]
+    # per-query ratio stability (NOT across queries — each query has its
+    # own spark/duckdb ratio; the noise signal is whether a given query's
+    # ratio holds across interleaved rounds)
+    spreads = []
+    for rounds in interleaved.values():
+        rs = [r["ratio"] for r in rounds if r["ratio"] > 0]
+        if len(rs) >= 2:
+            spreads.append(max(rs) / max(min(rs), 1e-9))
+    noise = {
+        "floor_spread": round(max(floors) / max(min(floors), 1e-9), 2),
+        "loadavg_max": round(max(loads), 1) if loads else -1.0,
+        "ratio_spread": round(max(spreads), 2) if spreads else -1.0,
+    }
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": out["queries"],
+        "sf": sf,
+        "noise": noise,
+        "self": "BENCH_SELF.json",
+    }
+    if "recall" in out:
+        # slim projection for the capture-bounded line; full block (build
+        # times, row counts) lives in BENCH_SELF.json
+        compact["recall"] = {
+            b: out["recall"][b]["r10"]
+            for b in ("flat", "sq8", "pq8", "graph")
+            if b in out["recall"]
+        }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # never truncate mid-JSON: drop to the 15 slowest queries instead
+        compact["queries"] = dict(
+            sorted(out["queries"].items(), key=lambda kv: -kv[1])[:15]
+        )
+        compact["queries_top15_by_time"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -349,7 +349,18 @@ def maxsim_topk(
     ``list_inner_product`` (whose SIMD accumulation order differs), which
     the driver gate's 9-significant-digit canonicalization absorbs. The
     kernel path's BLAS GEMM accumulation order is also implementation-
-    defined to the last ulp; pin hash-gated queries to ``"expr"``. NaN
+    defined to the last ulp; pin hash-gated queries to ``"expr"``.
+
+    Perf adjudication (round 8, BASELINE.md): fusing the four unrolled
+    projections (two-step element-extract select, with and without a
+    CollapseProject barrier) and a zero-copy ``mapInArrow`` GEMM variant
+    were all measured WORSE than or equal to this plan at 1M/10M token
+    rows — codegen subexpression elimination already shares the
+    ``embedding[j]`` loads across the projections (marginal cost per
+    extra projection ~0.05 s/1M rows). The residual ~2.2× vs duckdb at
+    10M rows is the row-at-a-time hash agg over ~docs groups vs a native
+    vectorized perfect-hash groupby: an engine constant that
+    parallelizes linearly with executors, not a plan-shape defect. NaN
     similarities propagate identically on both paths (the kernel partial
     max is NaN-propagating and NULL-restored at the merge, matching
     Spark's NaN-is-greatest ``F.max``), so results stay
