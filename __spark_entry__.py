@@ -2461,6 +2461,57 @@ def _m_ranking(spark, sf_dir):
     return _union_tagged([bm, tf, rrf, mmr, ms])
 
 
+def _q_curate_corpus(spark, sf_dir):
+    """The composed pretraining-data recipe (pipelines.curate_corpus) as
+    ONE driver-gated surface — the r7 verdict's "artifact a pipeline user
+    actually ships": quality gate → MinHashStore history dedup → benchmark
+    decontamination → temperature mixing → sequence packing, with every
+    stage boundary visible in the hashed row.
+
+    Fixture legs: docs with doc_id % 4 == 0 are committed to a fresh
+    MinHashStore as the 'history' snapshot (the previous crawl); the rest
+    are the incoming batch; docs with doc_id % 97 == 0 are the held-out
+    benchmark (same slice as q35). The batch is curated against BOTH: a
+    regression in any stage, or in the inter-stage cohort handoff (e.g.
+    the mixing race running over the wrong survivor set, or packing
+    including dropped rows), flips the value hash."""
+    import tempfile
+
+    from duckdb_vss_spark.index.dedup_store import MinHashStore
+    from duckdb_vss_spark.pipelines import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    history = docs.filter(F.col("doc_id") % 4 == 0)
+    batch = docs.filter(F.col("doc_id") % 4 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    store = MinHashStore.create(
+        spark, tempfile.mkdtemp(prefix="vss_q51_") + "/store", 3, 16, 4
+    )
+    store.append_snapshot(history, "text", "doc_id", "history")
+    out = curate_corpus(
+        batch,
+        store=store,
+        bench=bench,
+        quality_threshold=0.5,
+        store_threshold=0.5,
+        strata_col="lang",
+        alpha=0.5,
+        pack_budget=512,
+    )
+    return out.select(
+        "doc_id",
+        F.col("clf_score").cast("float").alias("clf_score"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "quality_ok",
+        "dup_of_store",
+        F.col("n_hit_grams").cast("long").alias("n_hit_grams"),
+        "contaminated",
+        "mix_keep",
+        "curate_keep",
+        F.coalesce(F.col("pack_id"), F.lit(-1)).cast("long").alias("pack_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_metrics": _m_topk_metrics,
@@ -2513,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_covariance": _q_covariance,
         "q49_hnsw_graph_index": _m_hnsw_graph_index,
         "q50_ranking": _m_ranking,
+        "q51_curate_corpus": _q_curate_corpus,
     }
 
 
@@ -2551,6 +2603,98 @@ def _MINHASH_PAIRS_SQL(O) -> str:
             JOIN sig sb ON sb.doc_id = id_b
             WHERE (len(list_intersect(sa.sh, sb.sh))::DOUBLE
                    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE) >= 0.5
+    """
+
+
+def _CURATE_CORPUS_ORACLE_SQL(O) -> str:
+    """duckdb twin of q51: the full curate_corpus chain over the
+    documents fixture. History = doc_id % 4 == 0 (the MinHashStore
+    snapshot), batch = the rest, benchmark = doc_id % 97 == 0. Each
+    stage reuses the already-gated fragment shapes: classifier
+    (q34 'stats' leg), MinHash store match (_MINHASH_INCR_SQL with the
+    % 4 split), decontaminate (q35 'ngram' leg), temperature mixing
+    (O.sql_temperature_sample over the SURVIVOR cohort only), packing
+    (q33 'pack' leg's window over the KEPT cohort only)."""
+    h1, h2 = O.sql_shingle_hash_halves("text", 3)
+    bucket = O.sql_hash64(
+        "array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')"
+    )
+    return f"""
+        WITH batch AS MATERIALIZED (
+          SELECT doc_id, text, lang FROM documents WHERE doc_id % 4 <> 0
+        ),
+        q AS MATERIALIZED (
+          SELECT doc_id, lang,
+                 ({O.sql_classifier_score('text')})::DOUBLE AS clf_score,
+                 {O.sql_token_count('text')}::BIGINT AS n_tok
+          FROM batch
+        ),
+        sig AS MATERIALIZED (
+          SELECT doc_id, doc_id % 4 = 0 AS old,
+                 {O.sql_minhash_from_halves('h1s', 'h2s', 16)} AS sig
+          FROM (SELECT doc_id, {h1} AS h1s, {h2} AS h2s FROM documents)
+        ),
+        banded AS (
+          SELECT doc_id, old, b, {bucket} AS bucket
+          FROM sig, range(0, 4) r(b)
+        ),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
+          FROM banded n JOIN banded o USING (b, bucket)
+          WHERE NOT n.old AND o.old
+        ),
+        dup AS (
+          SELECT DISTINCT id_a AS doc_id FROM (
+            SELECT id_a,
+                   list_sum(list_transform(range(1, 17),
+                     i -> CASE WHEN sn.sig[i] = so.sig[i] THEN 1 ELSE 0 END)) / 16.0 AS est
+            FROM cand JOIN sig sn ON sn.doc_id = id_a JOIN sig so ON so.doc_id = id_b
+          ) WHERE est >= 0.5
+        ),
+        bgrams AS (
+          SELECT DISTINCT unnest({O.sql_word_ngrams('text', 3)}) AS gram
+          FROM documents WHERE doc_id % 97 = 0
+        ),
+        dgrams AS (
+          SELECT doc_id, unnest({O.sql_word_ngrams('text', 3)}) AS gram FROM batch
+        ),
+        hits AS (
+          SELECT doc_id, count(*)::BIGINT AS n
+          FROM dgrams JOIN bgrams USING (gram) GROUP BY doc_id
+        ),
+        flags AS MATERIALIZED (
+          SELECT q.doc_id, q.lang, q.clf_score, q.n_tok,
+                 q.clf_score >= 0.5 AS quality_ok,
+                 d.doc_id IS NOT NULL AS dup_of_store,
+                 coalesce(h.n, 0)::BIGINT AS n_hit_grams,
+                 coalesce(h.n, 0) > 0 AS contaminated
+          FROM q LEFT JOIN dup d USING (doc_id) LEFT JOIN hits h USING (doc_id)
+        ),
+        surv AS MATERIALIZED (
+          SELECT doc_id, lang, n_tok FROM flags
+          WHERE quality_ok AND NOT dup_of_store AND NOT contaminated
+        ),
+        mix AS MATERIALIZED (
+          SELECT doc_id FROM ({O.sql_temperature_sample('surv', 'lang', 'doc_id', 0.5)})
+        ),
+        kept AS (
+          SELECT s.doc_id, s.lang, s.n_tok FROM surv s JOIN mix m USING (doc_id)
+        ),
+        pack AS (
+          SELECT doc_id,
+                 ((sum(n_tok) OVER (PARTITION BY lang
+                     ORDER BY {O.sql_id_hash('doc_id', 'pack')}, doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tok) // 512)::BIGINT AS pack_id
+          FROM kept
+        )
+        SELECT f.doc_id, f.clf_score::FLOAT AS clf_score, f.n_tok,
+               f.quality_ok, f.dup_of_store, f.n_hit_grams, f.contaminated,
+               CASE WHEN f.quality_ok AND NOT f.dup_of_store AND NOT f.contaminated
+                    THEN m.doc_id IS NOT NULL ELSE true END AS mix_keep,
+               (f.quality_ok AND NOT f.dup_of_store AND NOT f.contaminated
+                AND m.doc_id IS NOT NULL) AS curate_keep,
+               coalesce(p.pack_id, -1)::BIGINT AS pack_id
+        FROM flags f LEFT JOIN mix m USING (doc_id) LEFT JOIN pack p USING (doc_id)
     """
 
 
@@ -3816,5 +3960,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'join' AS tag, qid, rid, rnk::BIGINT AS rnk, score\n"
             f"FROM ({P['q16_ann_index_knn_join']})"
         ),
+        "q51_curate_corpus": _CURATE_CORPUS_ORACLE_SQL(O),
     }
     return out

@@ -197,6 +197,26 @@ def main() -> None:
         lambda: decontaminate(train_slice, "text", "doc_id", bench_slice, "text", 3).count()
     )
 
+    # composed pretraining recipe (pipelines.curate_corpus): quality gate ->
+    # MinHashStore history dedup -> decontaminate -> temperature mixing ->
+    # packing, one call — the end-to-end number a pipeline user ships
+    from duckdb_vss_spark.pipelines import curate_corpus
+
+    _cst = MinHashStore.create(spark, _tf.mkdtemp(prefix="bench_cc_") + "/store", 3, 16, 4)
+    t0 = time.perf_counter()
+    _cst.append_snapshot(docs.filter("doc_id % 4 = 0"), "text", "doc_id", "history")
+    timings["curate_store_build"] = time.perf_counter() - t0
+    timings["curate_corpus"] = run(
+        lambda: curate_corpus(
+            docs.filter("doc_id % 4 <> 0"),
+            store=_cst,
+            bench=bench_slice,
+            quality_threshold=0.5,
+            strata_col="lang",
+            pack_budget=512,
+        ).count()
+    )
+
     import tempfile
 
     from duckdb_vss_spark import VSSEngine

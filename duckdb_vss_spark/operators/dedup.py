@@ -549,6 +549,7 @@ def embedding_neardup_pairs(
     method: str = "auto",
     nlist: int | None = None,
     seed: int = 42,
+    prune_stats: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: cosine_similarity >= threshold,
     id_a < id_b. Output: (id_a, id_b, cos_sim DOUBLE).
@@ -624,6 +625,13 @@ def embedding_neardup_pairs(
     r = math.sqrt(max(0.0, 2.0 * (1.0 - threshold))) + 1e-9
     la, lb = _admissible_cell_pairs(cents, rmax, r)
     frac = len(la) / float(nlist * nlist)
+    if prune_stats is not None:
+        # observable pruning effectiveness (plan tests / capacity planning):
+        # the candidate join's work is proportional to admissible_frac of
+        # the all-pairs cell grid
+        prune_stats.update(
+            nlist=int(nlist), admissible_pairs=int(len(la)), admissible_frac=frac
+        )
     if nlist > 1 and frac > 0.8:
         import warnings
 

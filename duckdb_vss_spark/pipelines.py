@@ -38,6 +38,7 @@ __all__ = [
     "semantic_curate",
     "crawl_ingest",
     "warc_ingest",
+    "curate_corpus",
 ]
 
 
@@ -324,3 +325,143 @@ def warc_ingest(
         encoding=encoding, carry_cols=("url",),
     )
     return crawl_ingest(docs, store, url_col="url", text_col="text", id_col="doc_id", **crawl_kwargs)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    store=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench: DataFrame | None = None,
+    bench_text_col: str = "text",
+    decontam_n: int = 3,
+    quality_threshold: float = 0.5,
+    store_threshold: float = 0.5,
+    strata_col: str | None = None,
+    alpha: float = 0.5,
+    mix_weight_col: str | None = None,
+    mix_target: float | None = None,
+    pack_budget: int | None = None,
+    snapshot: str | None = None,
+) -> DataFrame:
+    """The composed pretraining-data recipe — the artifact a pipeline user
+    actually ships: quality gate → cross-snapshot MinHashStore dedup →
+    benchmark decontamination → temperature mixing → sequence packing, in
+    ONE call over a document frame, flag-don't-drop throughout.
+
+    This is the back half of the crawl→curate path; feed it raw documents,
+    or the output of :func:`warc_ingest` / :func:`crawl_ingest` (when an
+    ``ingest_keep`` column is present it gates participation in the mixing
+    race and folds into the final verdict — crawl-rejected rows never
+    consume mixture slots).
+
+    Stages and the columns they add (every input row survives; callers
+    filter on ``curate_keep``):
+
+    1. **Quality** (:func:`~.operators.quality.classifier_score` +
+       :func:`~.functions.text.token_count`): ``clf_score``, ``n_tok``,
+       ``quality_ok = clf_score >= quality_threshold``. Map-only.
+    2. **History dedup** (``store``, a
+       :class:`~.index.dedup_store.MinHashStore`): ``dup_of_store`` —
+       near-dup of ANY previously committed snapshot at
+       ``store_threshold``. O(batch + store fingerprints); the history's
+       TEXT is never read. ``store=None`` skips (column all-False).
+    3. **Decontamination** (:func:`~.operators.quality.decontaminate` vs
+       ``bench``): ``n_hit_grams``, ``contaminated``. Broadcast probe of
+       the deduped benchmark gram set. ``bench=None`` skips.
+    4. **Temperature mixing** (:func:`~.operators.sampling.temperature_rates`
+       + the exact-count :func:`~.operators.sampling.stratified_sample`
+       cut, Arivazhagan et al. 2019): ``mix_keep``. The race runs ONLY
+       over rows no earlier flag dropped (same convention as
+       :func:`crawl_ingest`'s domain cap: a row dropped by its own flag
+       neither consumes a mixture slot nor is blamed by this one —
+       non-participants get ``mix_keep=True``). ``strata_col=None``
+       skips.
+    5. **Packing** (:func:`~.operators.sampling.pack_sequences`):
+       ``pack_id`` over the FINAL kept rows (budget ``pack_budget``
+       ``n_tok`` tokens per pack, sharded by ``strata_col``), NULL for
+       dropped rows. ``pack_budget=None`` skips.
+    6. ``curate_keep`` = every gate passed (AND ``ingest_keep`` when the
+       crawl front supplied one).
+
+    ``snapshot``: commit the kept rows' fingerprints to ``store`` under
+    that name, so the NEXT batch dedups against this one — the
+    steady-state incremental loop.
+
+    100-TB posture: stages 1-3 are map-only or broadcast-probe (no
+    all-pairs anywhere — the store join moves band rows, never text); the
+    mixing race is one shuffle keyed by the stratum; packing is one window
+    per shard over kept rows only. The only driver-side collect is
+    ``temperature_rates``'s one-row-per-stratum aggregate (strata are
+    vocabulary-scale). Every stage's plan is the underlying operator's
+    own oracle-gated plan — this function only wires flag joins, all on
+    the id column.
+    """
+    from .operators.quality import classifier_score, decontaminate
+    from .operators.sampling import pack_sequences, stratified_sample, temperature_rates
+
+    out = classifier_score(docs, text_col)
+    out = out.withColumn("n_tok", T.token_count(F.col(text_col)))
+    out = out.withColumn(
+        "quality_ok", F.col("clf_score") >= F.lit(float(quality_threshold))
+    )
+    if store is not None:
+        out = store.flag_batch(out, text_col, id_col, threshold=store_threshold)
+    else:
+        out = out.withColumn("dup_of_store", F.lit(False))
+    if bench is not None:
+        out = decontaminate(
+            out, text_col, id_col, bench, bench_text_col, n=decontam_n
+        )
+    else:
+        out = out.withColumn("n_hit_grams", F.lit(0).cast("long")).withColumn(
+            "contaminated", F.lit(False)
+        )
+    surv = (
+        F.col("quality_ok") & ~F.col("dup_of_store") & ~F.col("contaminated")
+    )
+    if "ingest_keep" in docs.columns:
+        surv = surv & F.col("ingest_keep")
+    if strata_col is not None:
+        parts = out.filter(surv)
+        rates = temperature_rates(
+            parts, strata_col, alpha, weight_col=mix_weight_col, target_total=mix_target
+        )
+        kept = stratified_sample(
+            parts.select(id_col, strata_col), strata_col, rates, id_col
+        ).select(id_col, F.lit(True).alias("__mix"))
+        out = (
+            out.join(kept, id_col, "left")
+            # participants that lost the race: False; non-participants:
+            # True (dropped by their own flag, not this one)
+            .withColumn("mix_keep", F.coalesce(F.col("__mix"), ~surv))
+            .drop("__mix")
+        )
+    else:
+        out = out.withColumn("mix_keep", F.lit(True))
+    keep = surv & F.col("mix_keep")
+    out = out.withColumn("curate_keep", keep)
+    if pack_budget is not None:
+        shard = strata_col
+        packed = pack_sequences(
+            out.filter("curate_keep").select(
+                id_col, "n_tok", *([shard] if shard else [])
+            ),
+            "n_tok",
+            pack_budget,
+            id_col,
+            shard_col=shard,
+        ).select(id_col, "pack_id")
+        out = out.join(packed, id_col, "left")
+    else:
+        out = out.withColumn("pack_id", F.lit(None).cast("long"))
+    if snapshot is not None:
+        if store is None:
+            raise ValueError("snapshot commit requires a store")
+        store.append_snapshot(
+            out.filter("curate_keep").select(id_col, text_col),
+            text_col,
+            id_col,
+            snapshot,
+        )
+    return out

@@ -313,6 +313,7 @@ def stream_index_insert(
     id_col: str,
     checkpoint: str,
     timeout_sec: float = 120.0,
+    compact_tail_rows: int | None = None,
 ) -> None:
     """Streaming index maintenance (M1 as a stream): each micro-batch of
     arriving vectors appends to the index's unindexed tail, exactly as a
@@ -325,6 +326,19 @@ def stream_index_insert(
     semantics — dedup-sensitive callers compact (which drops duplicate ids
     via the rebuild's id-keyed fold) or keep ids unique upstream.
 
+    ``compact_tail_rows``: auto-compaction inside the sink — after a
+    micro-batch pushes the unindexed tail past this row count, the
+    O(|tail|) incremental fold (:meth:`IVFIndex.compact_incremental`) runs
+    INSIDE ``foreachBatch``, committing the tail as a list-partitioned
+    delta before the next batch arrives. This bounds the brute-force tail
+    scan every concurrent search pays at streaming ingest rates, without
+    ever taking the index offline (the fold is a manifest commit; the
+    handle is updated in place so this sink and any catalog handle stay
+    valid). Equivalent to creating the index with ``tail_max_rows`` +
+    ``tail_policy='compact'`` — this knob puts the policy at the sink for
+    indexes created without one. A fold that loses the race with a crash
+    is repaired at next handle open (see ``compact_incremental``).
+
     Runs with ``availableNow`` over the currently-staged input and blocks
     until the stream drains (the harness contract: one pass over all data
     must equal the batch INSERT twin).
@@ -332,6 +346,14 @@ def stream_index_insert(
 
     def _batch(bdf: DataFrame, _bid: int) -> None:
         index.insert(bdf, vec_col, id_col)
+        if compact_tail_rows is not None and getattr(index, "_tail_exists", False):
+            spark = bdf.sparkSession
+            tail = index.tail_df(spark)
+            if tail is not None and tail.count() > int(compact_tail_rows):
+                rebuilt = index.compact_incremental(spark)
+                # adopt rebuilt state in place: catalog/engine handles and
+                # this closure all keep working across the fold
+                index.__dict__.update(rebuilt.__dict__)
 
     q = (
         vectors.writeStream.foreachBatch(_batch)

@@ -239,3 +239,100 @@ def test_crawl_ingest_robots_gate(spark, tmp_path):
     # without rules the flag exists and is all-False
     out2 = crawl_ingest(batch, st, domain_cap=10).collect()
     assert all(r["robots_disallowed"] is False for r in out2)
+
+
+def test_curate_corpus_full_chain(spark, docs, tmp_path):
+    from duckdb_vss_spark.index.dedup_store import MinHashStore
+    from duckdb_vss_spark.pipelines import curate_corpus
+
+    store = MinHashStore.create(spark, str(tmp_path / "cc_store"), 3, 16, 4)
+    history = docs.filter("doc_id % 4 = 0")
+    batch = docs.filter("doc_id % 4 <> 0")
+    store.append_snapshot(history, "text", "doc_id", "history")
+    bench = docs.filter("doc_id % 97 = 0")
+    out = curate_corpus(
+        batch, store=store, bench=bench,
+        quality_threshold=0.5, strata_col="lang", alpha=0.5, pack_budget=512,
+    ).cache()
+    # flag-don't-drop: every batch row survives with every stage column
+    assert out.count() == batch.count()
+    assert {
+        "clf_score", "n_tok", "quality_ok", "dup_of_store", "n_hit_grams",
+        "contaminated", "mix_keep", "curate_keep", "pack_id",
+    } <= set(out.columns)
+    rows = out.collect()
+    # verdict composition: keep == all gates passed
+    for r in rows:
+        expect = (
+            r["quality_ok"] and not r["dup_of_store"]
+            and not r["contaminated"] and r["mix_keep"]
+        )
+        assert r["curate_keep"] == expect
+        # packing covers exactly the kept rows
+        assert (r["pack_id"] is not None) == r["curate_keep"]
+    # mixing race ran only over survivors: a row dropped by an earlier
+    # flag is never blamed by the mixing stage
+    for r in rows:
+        if not r["quality_ok"] or r["dup_of_store"] or r["contaminated"]:
+            assert r["mix_keep"]
+    out.unpersist()
+
+
+def test_curate_corpus_pack_budget_shape(spark, docs, tmp_path):
+    """Packs are contiguous per stratum and respect the token budget up to
+    one-document overflow (pack_sequences' contract, re-checked through
+    the recipe's kept-rows-only handoff)."""
+    from duckdb_vss_spark.pipelines import curate_corpus
+
+    out = curate_corpus(
+        docs, quality_threshold=0.0, strata_col="lang", pack_budget=256
+    )
+    kept = out.filter("curate_keep").select("lang", "pack_id", "n_tok")
+    agg = kept.groupBy("lang", "pack_id").agg(
+        F.sum("n_tok").alias("tok"), F.max("n_tok").alias("mx")
+    ).collect()
+    by_lang = {}
+    for r in agg:
+        by_lang.setdefault(r["lang"], []).append(r)
+        # budget overflow bounded by one document
+        assert r["tok"] < 256 + r["mx"] + 1
+    for lang, packs in by_lang.items():
+        ids = sorted(r["pack_id"] for r in packs)
+        assert ids == list(range(len(ids)))  # contiguous from 0
+
+
+def test_curate_corpus_ingest_keep_gates_mixing(spark, tmp_path):
+    """A crawl-front-rejected row (ingest_keep=False) must not consume a
+    mixture slot NOR be blamed by the mixing flag, and must end
+    curate_keep=False."""
+    from duckdb_vss_spark.pipelines import curate_corpus
+
+    rows = [(i, f"unique document body number {i} with shared tail words", "en",
+             i % 3 != 0) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, ingest_keep boolean")
+    out = curate_corpus(df, quality_threshold=0.0, strata_col="lang", alpha=0.0).collect()
+    for r in out:
+        if not r["ingest_keep"]:
+            assert not r["curate_keep"]
+            assert r["mix_keep"]  # not dropped BY MIXING
+    # with alpha=0 and one stratum the rate is 1.0: every eligible row kept
+    assert all(r["curate_keep"] for r in out if r["ingest_keep"])
+
+
+def test_curate_corpus_snapshot_commit(spark, docs, tmp_path):
+    """snapshot= commits ONLY kept rows; the next batch dedups against
+    them (the steady-state incremental loop)."""
+    from duckdb_vss_spark.index.dedup_store import MinHashStore
+    from duckdb_vss_spark.pipelines import curate_corpus
+
+    store = MinHashStore.create(spark, str(tmp_path / "cc_snap"), 3, 16, 4)
+    first = docs.filter("doc_id % 2 = 0")
+    out1 = curate_corpus(
+        first, store=store, quality_threshold=0.3, snapshot="batch1"
+    )
+    kept1 = out1.filter("curate_keep").count()
+    assert store.manifest["snapshots"][0]["n_docs"] == kept1
+    # replaying the SAME kept docs as a new batch: all flagged as dups
+    replay = out1.filter("curate_keep").select("doc_id", "text", "lang")
+    out2 = curate_corpus(replay, store=store, quality_threshold=0.0)
+    assert out2.filter("dup_of_store").count() == kept1

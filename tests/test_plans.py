@@ -286,3 +286,40 @@ def test_sq_scan_prunes_vec_column(spark, tmp_path):
     approx_scans = [ln for ln in scan_lines if "sq:binary" in ln]
     assert approx_scans, scan_lines
     assert all("vec" not in ln.split("ReadSchema:")[1] for ln in approx_scans)
+
+
+def test_embedding_neardup_prunes_on_clustered_data(spark):
+    """r7 verdict task 6: on data WITH cluster structure (the near-dup use
+    case) the epsilon-join's triangle-inequality bound must strictly prune
+    the cell-pair grid — only same-cluster cell pairs are admissible — and
+    the pruned join must still be exact vs the all-pairs method. (The
+    companion uniform-fixture test pins the 100%-admissible warning path.)"""
+    import warnings
+
+    from duckdb_vss_spark.operators.dedup import embedding_neardup_pairs
+
+    # 4 orthogonal unit clusters in 64-dim with small deterministic noise:
+    # centers pairwise |ci - cj| = sqrt(2), noise radius ~0.1 << the
+    # threshold radius r = sqrt(2*(1-0.9)) ~ 0.45
+    rows = []
+    for i in range(400):
+        c = i % 4
+        v = [0.0] * 64
+        v[c] = 1.0
+        for j in range(4):
+            v[4 + (i * 7 + j * 13) % 60] += (((i * 31 + j * 17) % 21) - 10) / 100.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = {}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the ineffective-pruning warning must NOT fire
+        got = embedding_neardup_pairs(
+            df, "embedding", "vec_id", threshold=0.9, prune_stats=stats
+        ).collect()
+    assert stats["nlist"] > 1
+    # strict pruning: well under half the cell-pair grid is admissible
+    assert stats["admissible_frac"] < 0.5, stats
+    # and exactness survives the pruning
+    want = embedding_neardup_pairs(df, "embedding", "vec_id", threshold=0.9, method="exact").collect()
+    key = lambda rows: sorted((r["id_a"], r["id_b"]) for r in rows)
+    assert key(got) == key(want) and len(want) > 0

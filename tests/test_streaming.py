@@ -375,3 +375,57 @@ def test_stream_warc_ingest_segments_as_microbatches(spark, tmp_path):
     assert rows["https://b.example.com/recrawl"]["dup_of_store"]
     assert rows["https://b.example.com/new"]["ingest_keep"]
     assert len(st.info()["snapshots"]) == 2
+
+
+def test_stream_index_insert_auto_compacts_midstream(spark, tmp_path):
+    """r7 verdict task 5: with compact_tail_rows set, the incremental fold
+    fires INSIDE foreachBatch when the tail crosses the threshold
+    mid-stream — a delta directory appears, the folded tail is gone, and
+    post-stream search returns exact k across base+delta+residual-tail."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark import VSSEngine, topk
+    from duckdb_vss_spark.streaming import stream_index_insert
+
+    SF = "/root/testdata/sf0.001"
+    Q = [((i * 7) % 16) / 16.0 for i in range(64)]
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    eng = VSSEngine(spark, index_root=str(tmp_path / "idx"))
+    eng.register_table("emb_ac", emb.filter(F.col("vec_id") >= 100))
+    eng.create_index("ac_idx", "emb_ac", "embedding", "vec_id", replace=True)
+    eng.register_table("emb_ac", emb)
+
+    staged = str(tmp_path / "arrivals")
+    os.makedirs(staged)
+    # 100 arriving rows in ~7 files -> several micro-batches of ~30 rows
+    arriving = emb.filter(F.col("vec_id") < 100).repartition(7)
+    arriving.write.mode("overwrite").parquet(staged)
+    arrivals = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+        .select("vec_id", "embedding")
+    )
+    idx = eng.catalog.get("ac_idx")
+    stream_index_insert(
+        arrivals, idx, "embedding", "vec_id",
+        checkpoint=str(tmp_path / "ckpt"),
+        compact_tail_rows=25,  # crossed by the 2nd micro-batch at latest
+    )
+    # at least one delta committed mid-stream...
+    assert len(idx.manifest.get("deltas", [])) >= 1
+    delta_dir = os.path.join(idx.vpath, idx.manifest["deltas"][0])
+    assert os.path.isdir(delta_dir)
+    # ...and the residual tail is below the threshold (folded, not grown)
+    counts = idx.counts(spark)
+    assert counts["tail"] <= 25
+    # all 100 streamed rows are searchable: full-probe equals brute force
+    eng.set_ef_search(10**6)
+    want = [
+        r["vec_id"]
+        for r in topk(emb, "embedding", Q, 10, "l2sq", tiebreak="vec_id").select("vec_id").collect()
+    ]
+    got = [r["vec_id"] for r in eng.topk("emb_ac", "embedding", Q, 10, tiebreak="vec_id").collect()]
+    assert got == want
