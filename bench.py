@@ -631,6 +631,10 @@ def main() -> None:
             ("flat", {}),
             ("sq8", {"quantization": "i8"}),
             ("pq8", {"pq_m": 8}),
+            # the near-tie mitigation point: shortlist k*64 covers the
+            # fixture's ~500-tie sets (README deployment manual; measured
+            # r10 0.28 -> 1.00 at identical build cost)
+            ("pq8_rr64", {"pq_m": 8, "pq_rerank": 64}),
             ("graph", {"index_type": "hnsw"}),
         ):
             reng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix=f"bench_rc_{bname}_"))
@@ -697,7 +701,7 @@ def main() -> None:
         # times, row counts) lives in BENCH_SELF.json
         compact["recall"] = {
             b: out["recall"][b]["r10"]
-            for b in ("flat", "sq8", "pq8", "graph")
+            for b in ("flat", "sq8", "pq8", "pq8_rr64", "graph")
             if b in out["recall"]
         }
     line = json.dumps(compact, separators=(",", ":"))

@@ -458,3 +458,49 @@ def test_sq_distributed_join_full_probe_exact(spark, tmp_path):
         probes, idx, "embedding", 3, "vec_id", ef_search=10**6
     ).collect()
     assert len(r) == 150 and all(x["rid"] != gone for x in r)
+
+
+def test_pq_rerank_recovers_near_tie_recall(spark, tmp_path):
+    """The near-tie regime (round-8 README/BASELINE measurement, small
+    twin; 512 base clusters (beyond the 256-entry-per-subspace codebook capacity, so codes cannot separate the jitter) keep the probed-cell coverage below the
+    exact-flat-join reroute threshold): with many ADC-indistinguishable neighbors per query, the
+    default k*4 shortlist samples the tie set and recall craters; sizing
+    the shortlist past the tie-set size via pq_rerank recovers exact
+    recall. 512 base vectors x 64 jittered copies whose jitter is far below the
+    quantization cell, so copies encode to identical codes -> tie sets of
+    ~64 ADC-indistinguishable ties."""
+    from duckdb_vss_spark import knn_join_flat
+    from duckdb_vss_spark.operators.knn import knn_join_flat_indexed
+
+    rows = []
+    for b in range(512):
+        base = [(((b * 7 + j * 5) % 509) / 509.0) for j in range(64)]
+        for r in range(64):
+            vid = b * 64 + r
+            v = [x + (((vid * 31 + j * 13) % 101) / 40000.0) for j, x in enumerate(base)]
+            rows.append((vid, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.filter(F.col("vec_id") % 64 == 0).limit(8)
+    exact = knn_join_flat(
+        probes, df, "embedding", "embedding", 10, "l2sq", left_id="vec_id", right_id="vec_id"
+    ).select("qid", "rid").cache()
+    n_exact = exact.count()
+
+    def recall(rerank):
+        eng = VSSEngine(spark, index_root=str(tmp_path / f"rr{rerank}"))
+        eng.register_table("tie", df)
+        eng.create_index(
+            "tie_pq", "tie", "embedding", "vec_id",
+            options={"pq_m": 8, "pq_rerank": rerank}, replace=True,
+        )
+        idx = eng.catalog.get("tie_pq")
+        approx = knn_join_flat_indexed(probes, idx, "embedding", 10, "vec_id", ef_search=8).select("qid", "rid")
+        return exact.join(approx, ["qid", "rid"]).count() / n_exact
+
+    low = recall(4)    # shortlist 40 < tie set 64
+    high = recall(32)  # shortlist 320 >= tie set
+    # high recovers to ~1.0 (the residual miss is probing loss at ef=8,
+    # identical in both runs, not shortlist loss); low demonstrably
+    # samples the tie sets
+    assert high >= 0.95, (low, high)
+    assert low <= high - 0.3, (low, high)
