@@ -336,3 +336,40 @@ def test_curate_corpus_snapshot_commit(spark, docs, tmp_path):
     replay = out1.filter("curate_keep").select("doc_id", "text", "lang")
     out2 = curate_corpus(replay, store=store, quality_threshold=0.0)
     assert out2.filter("dup_of_store").count() == kept1
+
+
+def test_warc_to_curate_full_pipeline(spark, tmp_path):
+    """The complete crawl->curate path in two calls: warc_ingest produces
+    flagged docs; curate_corpus consumes them (ingest_keep gates the
+    downstream races) — the full recipe a pretraining-data user runs."""
+    from duckdb_vss_spark.index.dedup_store import MinHashStore
+    from duckdb_vss_spark.pipelines import curate_corpus, warc_ingest
+    from tests.test_sources import _http, _mk_warc
+
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
+    recs = [("warcinfo", "", b"software: t\r\n")]
+    for i in range(12):
+        text = " ".join(words[(i * 3 + j) % 8] + str(i * 7 + j) for j in range(30))
+        body = f"<html><title>d{i}</title><body><p>{text}</p></body></html>"
+        recs.append(("response", f"https://s{i % 3}.example.com/p{i}", _http(body.encode())))
+    seg = tmp_path / "seg"; seg.mkdir()
+    (seg / "part-0.warc").write_bytes(_mk_warc(recs))
+    st = MinHashStore.create(spark, str(tmp_path / "store"))
+    docs = warc_ingest(spark, str(seg), st, append_snapshot="w0")
+    # curate the ingested docs against a bench slice; lang strata constant
+    docs = docs.withColumn("lang", F.lit("en"))
+    bench = docs.limit(2).select("doc_id", "text")
+    out = curate_corpus(
+        docs, bench=bench, bench_text_col="text",
+        quality_threshold=0.0, strata_col="lang", alpha=0.0, pack_budget=64,
+    ).collect()
+    assert len(out) == 12
+    for r in out:
+        # ingest_keep folds into the final verdict
+        if not r["ingest_keep"]:
+            assert not r["curate_keep"]
+        # the two bench docs contaminate themselves
+    contaminated = [r for r in out if r["contaminated"]]
+    assert len(contaminated) >= 2
+    kept = [r for r in out if r["curate_keep"]]
+    assert kept and all(r["pack_id"] is not None for r in kept)

@@ -323,3 +323,21 @@ def test_embedding_neardup_prunes_on_clustered_data(spark):
     want = embedding_neardup_pairs(df, "embedding", "vec_id", threshold=0.9, method="exact").collect()
     key = lambda rows: sorted((r["id_a"], r["id_b"]) for r in rows)
     assert key(got) == key(want) and len(want) > 0
+
+
+def test_curate_corpus_plan_shape(spark):
+    """The composed recipe's single plan must keep each stage's scale
+    contract: no cartesian anywhere, and the decontamination probe joins
+    the benchmark gram set broadcast (the training side never shuffles
+    against the benchmark)."""
+    from duckdb_vss_spark.pipelines import curate_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = curate_corpus(
+        docs, bench=bench, quality_threshold=0.5, strata_col="lang", pack_budget=512
+    )
+    plan = _physical(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the bench gram probe
