@@ -335,6 +335,7 @@ def curate_corpus(
     bench: DataFrame | None = None,
     bench_text_col: str = "text",
     decontam_n: int = 3,
+    decontam_broadcast: bool = True,
     quality_threshold: float = 0.5,
     store_threshold: float = 0.5,
     strata_col: str | None = None,
@@ -411,7 +412,8 @@ def curate_corpus(
         out = out.withColumn("dup_of_store", F.lit(False))
     if bench is not None:
         out = decontaminate(
-            out, text_col, id_col, bench, bench_text_col, n=decontam_n
+            out, text_col, id_col, bench, bench_text_col, n=decontam_n,
+            broadcast=decontam_broadcast,
         )
     else:
         out = out.withColumn("n_hit_grams", F.lit(0).cast("long")).withColumn(
