@@ -2732,7 +2732,7 @@ def _MINHASH_INCR_SQL(O) -> str:
 
 def _oracle_parts() -> dict[str, str]:
     """Per-operator duckdb SQL fragments, keyed by the ROUND-3 query names.
-    ``oracle_sql()`` composes these into the consolidated <=50 driver
+    ``oracle_sql()`` composes these into the consolidated 51 driver
     entries (tagged UNION ALL mirrors of the merged Spark queries)."""
     from duckdb_vss_spark import oracle as O
 

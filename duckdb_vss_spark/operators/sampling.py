@@ -16,10 +16,12 @@ operator here is exactly reproducible across engines and across runs — no
 Scale notes (100 TB posture):
 
 - ``hash_split`` is a pure projection — no shuffle at all.
-- ``stratified_sample`` is one window shuffle keyed by the stratum column;
-  skewed strata are bounded by the stratum's own size, and the hash-rank
-  cut is exact per stratum (ceil(fraction * n)), unlike ``df.sampleBy``
-  which is only expected-fraction.
+- ``stratified_sample`` makes the exact per-stratum cut
+  (ceil(fraction * n), unlike ``df.sampleBy`` which is only
+  expected-fraction) WITHOUT a per-stratum window: hash-range buckets
+  keep whole prefixes, and only each stratum's boundary bucket (1/4096th
+  of it) is ranked — a dominant stratum never serializes onto one
+  reducer.
 - ``pack_sequences`` windows within a shard (e.g. language): a global
   ORDER BY would serialize the world; per-shard packing is what a real
   pipeline does anyway (one tokenizer/stream per shard), and each shard's
@@ -158,6 +160,10 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+# bound on driver-side (stratum, bucket) tuples for the bucketed exact cut
+STRATA_CUT_TARGET = 1_000_000
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -172,28 +178,85 @@ def stratified_sample(
     ``{stratum_value: rate}`` (strata absent from the dict are dropped) —
     the mixture-weights use case. Unlike ``DataFrame.sampleBy`` (Bernoulli,
     expected fraction only), the cut here is exact and deterministic.
-    One shuffle, keyed by the stratum column.
+
+    Scale shape (round 8): the naive form of this cut is a per-stratum
+    ``row_number`` window — at 100 TB a dominant stratum (one language at
+    60% of the corpus) serializes onto a single reducer. Instead the cut
+    runs bucketed: rows bucket by the HIGH BITS of the ordering hash (so
+    bucket ranges are order-consistent with the global (hash, id) order),
+    a bounded driver aggregate of per-(stratum, bucket) counts locates
+    each stratum's boundary bucket, whole buckets below the cut keep with
+    no window at all, and the ``row_number`` runs only inside boundary
+    buckets — 1/4096th of a stratum at default width. Output is
+    row-identical to the naive window cut (pinned by test); the driver
+    collect is bounded by ``STRATA_CUT_TARGET`` tuples (bucket width
+    adapts to the stratum count, degenerating to the plain window cut
+    when strata are so many that each stratum is small).
     """
     if isinstance(fraction, dict):
-        frac = None
         for val, r in fraction.items():
             if not (0.0 <= r <= 1.0):
                 raise ValueError(f"fraction for {val!r} must be in [0, 1]")
-            frac = (F.when if frac is None else frac.when)(F.col(strata_col) == val, F.lit(float(r)))
-        frac = F.lit(0.0) if frac is None else frac.otherwise(F.lit(0.0))
+        # a NULL stratum never matches the dict (the old when-chain's
+        # null-comparison semantics, preserved)
+        _rate = lambda s: 0.0 if s is None else float(fraction.get(s, 0.0))
     else:
         if not (0.0 <= fraction <= 1.0):
             raise ValueError("fraction must be in [0, 1]")
-        frac = F.lit(float(fraction))
+        _rate = lambda s: float(fraction)
     h = _hash_of(id_col, seed)
-    w = Window.partitionBy(strata_col)
-    rnk = F.row_number().over(w.orderBy(h.asc(), F.col(id_col).asc()))
-    n = F.count(F.lit(1)).over(w)
+    # per-stratum totals: vocabulary-scale driver collect, the same
+    # contract temperature_rates already relies on
+    totals = {
+        r[0]: int(r["n"])
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not totals:
+        return df.filter(F.lit(False))
+    k_bits = min(12, max(0, (STRATA_CUT_TARGET // len(totals)).bit_length() - 1))
+    bcol = (F.shiftright(h, 60 - k_bits) if k_bits > 0 else F.lit(0)).cast("int")
+    per: dict = {}
+    for r in (
+        df.groupBy(strata_col, bcol.alias("__db"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ):
+        per.setdefault(r[0], {})[int(r["__db"])] = int(r["c"])
+    # driver-side boundary location per stratum: full buckets below the
+    # cut keep outright; the bucket the cut lands in gets its in-bucket
+    # rank budget. ceil(rate * n) reproduces the window form's
+    # F.ceil(double) exactly (same IEEE product, n < 2^53).
+    ACT_ALL, ACT_BOUNDARY = 2, 1
+    rows = []
+    for s, bmap in per.items():
+        n_s = totals[s]
+        rate = _rate(s)
+        keep_n = math.ceil(rate * n_s) if rate > 0.0 else 0
+        if keep_n <= 0:
+            continue
+        cum = 0
+        for b in sorted(bmap):
+            c = bmap[b]
+            if cum + c <= keep_n:
+                rows.append((s, b, ACT_ALL, 0))
+                cum += c
+                if cum == keep_n:
+                    break
+            else:
+                rows.append((s, b, ACT_BOUNDARY, keep_n - cum))
+                break
+    spark = df.sparkSession
+    s_type = dict(df.dtypes)[strata_col]
+    dec = spark.createDataFrame(rows, f"__ds {s_type}, __db int, __act int, __k int")
+    j = df.withColumn("__b", bcol).join(
+        F.broadcast(dec),
+        F.col(strata_col).eqNullSafe(F.col("__ds")) & (F.col("__b") == F.col("__db")),
+    )
+    w = Window.partitionBy(strata_col, "__b").orderBy(h.asc(), F.col(id_col).asc())
     return (
-        df.withColumn("__rnk", rnk)
-        .withColumn("__keep", F.ceil(frac * n))
-        .filter(F.col("__rnk") <= F.col("__keep"))
-        .drop("__rnk", "__keep")
+        j.withColumn("__rnk", F.row_number().over(w))
+        .filter((F.col("__act") == ACT_ALL) | (F.col("__rnk") <= F.col("__k")))
+        .drop("__ds", "__db", "__act", "__k", "__b", "__rnk")
     )
 
 

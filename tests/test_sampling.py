@@ -186,7 +186,9 @@ def test_sampling_plan_shapes(docs):
     split_plan = _physical(hash_split(docs, "doc_id"))
     assert "Exchange" not in split_plan
     strat_plan = _physical(stratified_sample(docs, "lang", 0.2, "doc_id"))
-    assert strat_plan.count("Exchange") == 1
+    # one SHUFFLE exchange (the (stratum, bucket) window key); the round-8
+    # bucketed cut adds only a BroadcastExchange of the bounded decisions
+    assert strat_plan.count("Exchange hashpartitioning") == 1
     pack_plan = _physical(
         pack_sequences(docs.withColumn("nt", T.token_count("text")), "nt", 512, "doc_id", shard_col="lang")
     )
@@ -541,3 +543,66 @@ def test_heavy_hitters_short_but_exact_no_warning(spark):
     assert sorted(r["term"] for r in out) == ["alpha", "beta", "gamma"]
     assert all(r["count"] == 50 for r in out)
     assert not [x for x in w if "exactness" in str(x.message)]
+
+
+def test_stratified_sample_bucketed_equals_window_cut(spark):
+    """The round-8 bucketed exact cut (boundary-bucket window only) must be
+    row-identical to the naive per-stratum window form it replaced, on a
+    skewed fixture with a dominant stratum, dict rates, an absent-from-dict
+    stratum, and NULL strata."""
+    from duckdb_vss_spark.operators.sampling import _hash_of, stratified_sample
+
+    rows = []
+    for i in range(3000):
+        lang = "en" if i % 10 < 7 else ("de" if i % 10 < 9 else None)
+        rows.append((i, lang))
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def naive(fraction):
+        if isinstance(fraction, dict):
+            frac = None
+            for val, r in fraction.items():
+                frac = (F.when if frac is None else frac.when)(F.col("lang") == val, F.lit(float(r)))
+            frac = F.lit(0.0) if frac is None else frac.otherwise(F.lit(0.0))
+        else:
+            frac = F.lit(float(fraction))
+        from pyspark.sql import Window
+
+        h = _hash_of("doc_id", "strata")
+        w = Window.partitionBy("lang")
+        rnk = F.row_number().over(w.orderBy(h.asc(), F.col("doc_id").asc()))
+        n = F.count(F.lit(1)).over(w)
+        return (
+            df.withColumn("__rnk", rnk)
+            .withColumn("__keep", F.ceil(frac * n))
+            .filter(F.col("__rnk") <= F.col("__keep"))
+            .drop("__rnk", "__keep")
+        )
+
+    for fraction in (0.31, 1.0, 0.0, {"en": 0.5, "de": 0.9}, {"en": 0.001}):
+        got = sorted(r["doc_id"] for r in stratified_sample(df, "lang", fraction, "doc_id").collect())
+        want = sorted(r["doc_id"] for r in naive(fraction).collect())
+        assert got == want, (fraction, len(got), len(want))
+    # uniform fraction keeps NULL-stratum rows at the same rate (own stratum)
+    kept = stratified_sample(df, "lang", 0.5, "doc_id").filter("lang IS NULL").count()
+    assert kept == 150  # ceil(0.5 * 300)
+
+
+def test_stratified_sample_no_full_stratum_window(spark):
+    """Plan shape: the cut's row_number window partitions by
+    (stratum, bucket), never by the stratum alone — the 100-TB skew
+    guarantee. (Bucket width degenerates only when strata outnumber
+    STRATA_CUT_TARGET.)"""
+    from duckdb_vss_spark.operators.sampling import stratified_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    out = stratified_sample(df, "lang", 0.5, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    wins = [l for l in plan.splitlines() if "Window" in l and "row_number" in l]
+    assert wins, plan
+    # the partition spec must include the bucket column alongside the stratum
+    assert all("__b" in l for l in wins), wins
