@@ -22,10 +22,11 @@ Scale notes (100 TB posture):
   keep whole prefixes, and only each stratum's boundary bucket (1/4096th
   of it) is ranked — a dominant stratum never serializes onto one
   reducer.
-- ``pack_sequences`` windows within a shard (e.g. language): a global
-  ORDER BY would serialize the world; per-shard packing is what a real
-  pipeline does anyway (one tokenizer/stream per shard), and each shard's
-  cumulative sum parallelizes across Spark's range-partitioned window.
+- ``pack_sequences`` packs per shard (e.g. language) but never windows a
+  whole shard: hash-range buckets carry driver-computed token offsets and
+  the running sum runs per (shard, bucket) — a dominant shard
+  parallelizes across its 4096 buckets instead of serializing onto one
+  reducer.
 """
 
 from __future__ import annotations
@@ -340,21 +341,63 @@ def pack_sequences(
     ``budget`` tokens once their boundary document arrives, and token
     overflow per pack is bounded by one document.
 
-    ``shard_col=None`` packs the whole frame as one shard — fine for tests,
-    serializes the window at scale; pass a real shard column (language,
-    source bucket) for cluster runs.
+    Scale shape (round 8, same treatment as :func:`stratified_sample`):
+    the naive form is one running-sum window per shard, which serializes
+    a dominant shard onto a single reducer. Here rows bucket by the HIGH
+    BITS of the ordering hash (order-consistent with the global
+    (hash, id) order within a shard), a bounded driver aggregate of
+    per-(shard, bucket) token sums yields each bucket's starting offset,
+    and the window runs per (shard, bucket) — 1/4096th of a shard at
+    default width — with the bucket offset added before the pack-id
+    division. Output is row-identical to the per-shard window (pinned by
+    test); ``shard_col=None`` packs the whole frame as one logical shard
+    and STILL parallelizes across the hash buckets.
     """
     if budget < 1:
         raise ValueError("budget must be at least 1")
     shard = F.col(shard_col) if shard_col else F.lit(0)
     h = _hash_of(id_col, seed)
+    spark = df.sparkSession
+    n_shards = df.select(shard.alias("__s")).distinct().count()
+    if n_shards == 0:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    k_bits = min(12, max(0, (STRATA_CUT_TARGET // n_shards).bit_length() - 1))
+    bcol = (F.shiftright(h, 60 - k_bits) if k_bits > 0 else F.lit(0)).cast("int")
+    per: dict = {}
+    for r in (
+        df.groupBy(shard.alias("__s"), bcol.alias("__pb"))
+        .agg(F.sum(F.col(token_col).cast("long")).alias("t"))
+        .collect()
+    ):
+        per.setdefault(r["__s"], {})[int(r["__pb"])] = int(r["t"] or 0)
+    # driver-side prefix offsets: tokens in all earlier buckets of the shard
+    rows = []
+    for s, bmap in per.items():
+        cum = 0
+        for b in sorted(bmap):
+            rows.append((s, b, cum))
+            cum += bmap[b]
+    if shard_col:
+        s_type = dict(df.dtypes)[shard_col]
+    else:
+        s_type = "int"
+    off = spark.createDataFrame(rows, f"__ps {s_type}, __pb int, __off long")
+    j = df.withColumn("__b", bcol).join(
+        F.broadcast(off),
+        shard.eqNullSafe(F.col("__ps")) & (F.col("__b") == F.col("__pb")),
+    )
     w = (
-        Window.partitionBy(shard)
+        Window.partitionBy(shard, F.col("__b"))
         .orderBy(h.asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    before = F.sum(F.col(token_col)).over(w) - F.col(token_col)
-    return df.withColumn(out_col, F.floor(before / F.lit(int(budget))).cast("long"))
+    before = (
+        F.col("__off") + F.sum(F.col(token_col).cast("long")).over(w) - F.col(token_col)
+    )
+    return (
+        j.withColumn(out_col, F.floor(before / F.lit(int(budget))).cast("long"))
+        .drop("__ps", "__pb", "__off", "__b")
+    )
 
 
 def chunk_documents(

@@ -192,7 +192,9 @@ def test_sampling_plan_shapes(docs):
     pack_plan = _physical(
         pack_sequences(docs.withColumn("nt", T.token_count("text")), "nt", 512, "doc_id", shard_col="lang")
     )
-    assert pack_plan.count("Exchange") == 1
+    # one SHUFFLE exchange (the (shard, bucket) window key) + the bounded
+    # offsets BroadcastExchange (round-8 de-skewed packing)
+    assert pack_plan.count("Exchange hashpartitioning") == 1
     for plan in (split_plan, strat_plan, pack_plan):
         assert "Python" not in plan and "BatchEval" not in plan
 
@@ -606,3 +608,35 @@ def test_stratified_sample_no_full_stratum_window(spark):
     assert wins, plan
     # the partition spec must include the bucket column alongside the stratum
     assert all("__b" in l for l in wins), wins
+
+
+def test_pack_sequences_bucketed_equals_shard_window(spark):
+    """The round-8 bucketed prefix-sum packing must be row-identical to
+    the naive per-shard running-sum window it replaced — skewed shards,
+    no-shard mode, NULL shard values, and NULL token counts."""
+    from pyspark.sql import Window
+
+    from duckdb_vss_spark.operators.sampling import _hash_of, pack_sequences
+
+    rows = []
+    for i in range(2500):
+        shard = "en" if i % 10 < 8 else ("de" if i % 10 < 9 else None)
+        nt = None if i % 97 == 0 else (i * 13) % 300 + 1
+        rows.append((i, shard, nt))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok int")
+
+    def naive(shard_col):
+        shard = F.col(shard_col) if shard_col else F.lit(0)
+        h = _hash_of("doc_id", "pack")
+        w = (
+            Window.partitionBy(shard)
+            .orderBy(h.asc(), F.col("doc_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        before = F.sum(F.col("n_tok")).over(w) - F.col("n_tok")
+        return df.withColumn("pack_id", F.floor(before / F.lit(512)).cast("long"))
+
+    for shard_col in ("lang", None):
+        got = {r["doc_id"]: r["pack_id"] for r in pack_sequences(df, "n_tok", 512, "doc_id", shard_col=shard_col).collect()}
+        want = {r["doc_id"]: r["pack_id"] for r in naive(shard_col).collect()}
+        assert got == want, shard_col
