@@ -56,7 +56,13 @@ def ccnet_curate(
     Scale shape: line_dedup shuffles only (id, pos, hash) tuples; lang-id
     and LM scoring are a broadcast-probe plus one token-level aggregation;
     the tercile split is one ``percent_rank`` window per language — the
-    stratum key CCNet itself partitions by."""
+    stratum key CCNet itself partitions by. Known window: a dominant
+    language sorts on one reducer here (by ppl, so the hash-bucket
+    de-skew used by ``stratified_sample``/``pack_sequences`` does not
+    apply; an order-statistic split would) — Spark spill-sorts rather
+    than failing, and the LM scoring pass dominates the recipe's cost
+    well before the window does (grouped_topk's measured 8M-row hot-group
+    sort: 1.2 s)."""
     from .operators.dedup import line_dedup
     from .operators.quality import ngram_lm_score
 
