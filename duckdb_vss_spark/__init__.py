@@ -51,6 +51,7 @@ from .operators.sampling import (  # noqa: F401
     dsir_weights,
     hash_split,
     pack_sequences,
+    rank_split,
     shuffle_shard,
     stratified_sample,
     temperature_rates,

@@ -44,6 +44,7 @@ __all__ = [
     "write_shuffled_shards",
     "hash_split",
     "stratified_sample",
+    "rank_split",
     "temperature_rates",
     "temperature_sample",
     "pack_sequences",
@@ -259,6 +260,141 @@ def stratified_sample(
         .filter((F.col("__act") == ACT_ALL) | (F.col("__rnk") <= F.col("__k")))
         .drop("__ds", "__db", "__act", "__k", "__b", "__rnk")
     )
+
+
+def rank_split(
+    df: DataFrame,
+    strata_col: str,
+    order_col: str,
+    id_col: str,
+    edges: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple = ("head", "middle", "tail"),
+    out_col: str = "rank_bucket",
+) -> DataFrame:
+    """Per-stratum quantile labels with exact ``percent_rank`` semantics,
+    de-skewed: row gets ``labels[i]`` where ``i`` is the first edge with
+    ``percent_rank() OVER (PARTITION BY strata ORDER BY order, id) <=
+    edges[i]`` (last label otherwise) — the CCNet head/middle/tail tercile
+    split — WITHOUT sorting any whole stratum on one reducer.
+
+    Scale shape: the naive form is one window per stratum; a dominant
+    stratum (one language at 60% of a 100 TB corpus) serializes its sort
+    onto a single reducer. Here rows bucket by VALUE RANGE of
+    ``order_col`` (per-stratum min/max from one aggregate; equal values
+    always share a bucket, so bucket order is consistent with the rank
+    order and no tie spans buckets), a bounded driver collect of
+    per-(stratum, bucket) counts turns each stratum's IEEE-exact
+    percent_rank cut ranks into per-bucket IN-BUCKET rank thresholds, and
+    the only window runs partitioned by (stratum, bucket) — 1/4096th of a
+    stratum at default width. Output is row-identical to the window form
+    (pinned by test), including tie handling (``F.rank`` + bucket prefix
+    reproduces the global rank exactly when (order, id) pairs repeat) and
+    Spark's null-first / NaN-last ordering. Degenerate case: a stratum
+    whose ``order_col`` is one constant value collapses to a single
+    bucket — the naive sort, which Spark spill-sorts rather than fails.
+
+    Used by :func:`~duckdb_vss_spark.pipelines.ccnet_curate` for the
+    per-language perplexity terciles (Wenzek et al. 2020 §4.4).
+    """
+    if len(labels) != len(edges) + 1:
+        raise ValueError("need len(labels) == len(edges) + 1")
+    if any(edges[i] >= edges[i + 1] for i in range(len(edges) - 1)):
+        raise ValueError("edges must be strictly ascending")
+    o_type = dict(df.dtypes)[order_col]
+    if o_type not in ("tinyint", "smallint", "int", "bigint", "float", "double") and not o_type.startswith("decimal"):
+        raise ValueError(
+            f"rank_split orders by value-range buckets; order_col must be "
+            f"numeric, got {o_type}"
+        )
+    ocol = F.col(order_col).cast("double")
+    # min/max EXCLUDE NaN (Spark's max would return NaN, killing the value
+    # buckets for every row); NaN rows route straight to the top bucket,
+    # where the rank comparator's NaN-last order keeps them after finite
+    # values of that bucket
+    fin = F.when(~F.isnan(ocol), ocol)
+    stats = {
+        r[0]: (int(r["n"]), r["mn"], r["mx"])
+        for r in df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.min(fin).alias("mn"), F.max(fin).alias("mx"))
+        .collect()
+    }
+    if not stats:
+        return df.withColumn(out_col, F.lit(labels[-1])).filter(F.lit(False))
+    nb = 1 << min(12, max(0, (STRATA_CUT_TARGET // len(stats)).bit_length() - 1))
+    # per-stratum bucket expression via a broadcast stats join: NaN sorts
+    # last (top bucket), nulls sort first (bucket 0), constant strata
+    # collapse to bucket 0; double cast is monotone for any numeric input
+    spark = df.sparkSession
+    s_type = dict(df.dtypes)[strata_col]
+    stats_df = spark.createDataFrame(
+        [(s, float(mn) if mn is not None else None, float(mx) if mx is not None else None)
+         for s, (_, mn, mx) in stats.items()],
+        f"__rs {s_type}, __mn double, __mx double",
+    )
+    width = F.col("__mx") - F.col("__mn")
+    raw = F.floor((ocol - F.col("__mn")) / width * nb).cast("long")
+    # a stratum with non-finite width (constant, all-null, or ±inf values)
+    # collapses to one bucket — the naive-sort fallback, order-trivially
+    # consistent; under finite width no row can be ±inf (it would have
+    # widened min/max), so raw is always defined there
+    finite_w = (
+        F.col("__mn").isNotNull() & (width > 0) & (width < float("inf"))
+    )
+    bexpr = (
+        F.when(ocol.isNull(), F.lit(0))
+        .when(F.isnan(ocol), F.lit(nb - 1))
+        .when(~finite_w, F.lit(0))
+        .otherwise(F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1)))
+        .cast("int")
+    )
+    withb = df.join(
+        F.broadcast(stats_df), F.col(strata_col).eqNullSafe(F.col("__rs"))
+    ).withColumn("__b", bexpr)
+    per: dict = {}
+    for r in withb.groupBy(strata_col, "__b").agg(F.count(F.lit(1)).alias("c")).collect():
+        per.setdefault(r[0], {})[int(r["__b"])] = int(r["c"])
+
+    def _cut(n: int, e: float) -> int:
+        # largest rank r in [1, n] with percent_rank(r) <= e, replicating
+        # Spark's IEEE double (r-1)/(n-1) (0.0 when n == 1) bit-for-bit
+        if n <= 1:
+            return 1 if (n == 1 and 0.0 <= e) else 0
+        lo_r, hi_r = 0, n  # invariant: f(lo_r) true-or-zero, f(hi_r+1) false
+        while lo_r < hi_r:
+            mid = (lo_r + hi_r + 1) // 2
+            if (mid - 1) / (n - 1) <= e:
+                lo_r = mid
+            else:
+                hi_r = mid - 1
+        return lo_r
+
+    rows = []
+    for s, bmap in per.items():
+        n_s = stats[s][0]
+        cuts = [_cut(n_s, e) for e in edges]
+        prefix = 0
+        for b in sorted(bmap):
+            # in-bucket threshold: global rank = prefix + in-bucket rank
+            rows.append((s, b, *[c - prefix for c in cuts]))
+            prefix += bmap[b]
+    tcols = ", ".join(f"__t{i} long" for i in range(len(edges)))
+    dec = spark.createDataFrame(rows, f"__ds {s_type}, __db int, {tcols}")
+    j = withb.join(
+        F.broadcast(dec),
+        F.col(strata_col).eqNullSafe(F.col("__ds")) & (F.col("__b") == F.col("__db")),
+    )
+    w = Window.partitionBy(strata_col, "__b").orderBy(
+        F.col(order_col).asc(), F.col(id_col).asc()
+    )
+    rnk = F.rank().over(w)
+    lab = F.when(rnk <= F.col("__t0"), labels[0])
+    for i in range(1, len(edges)):
+        lab = lab.when(rnk <= F.col(f"__t{i}"), labels[i])
+    lab = lab.otherwise(labels[-1])
+    drop = ["__rs", "__mn", "__mx", "__ds", "__db", "__b"] + [
+        f"__t{i}" for i in range(len(edges))
+    ]
+    return j.withColumn(out_col, lab).drop(*drop)
 
 
 def temperature_rates(

@@ -55,16 +55,14 @@ def ccnet_curate(
 
     Scale shape: line_dedup shuffles only (id, pos, hash) tuples; lang-id
     and LM scoring are a broadcast-probe plus one token-level aggregation;
-    the tercile split is one ``percent_rank`` window per language — the
-    stratum key CCNet itself partitions by. Known window: a dominant
-    language sorts on one reducer here (by ppl, so the hash-bucket
-    de-skew used by ``stratified_sample``/``pack_sequences`` does not
-    apply; an order-statistic split would) — Spark spill-sorts rather
-    than failing, and the LM scoring pass dominates the recipe's cost
-    well before the window does (grouped_topk's measured 8M-row hot-group
-    sort: 1.2 s)."""
+    the tercile split is :func:`~duckdb_vss_spark.operators.sampling.
+    rank_split` — exact per-language ``percent_rank`` semantics computed
+    via ppl-value-range buckets, so a dominant language ranks across its
+    4096 buckets instead of spill-sorting on one reducer (round 8; the
+    naive window form is equality-pinned in the rank_split tests)."""
     from .operators.dedup import line_dedup
     from .operators.quality import ngram_lm_score
+    from .operators.sampling import rank_split
 
     ld = line_dedup(docs, text_col, id_col, out_col="dedup_text").select(
         id_col, "dedup_text", "n_removed_lines"
@@ -72,11 +70,10 @@ def ccnet_curate(
     base = docs.join(ld, id_col).withColumn("lang", T.lang_id(F.col(text_col)))
     lm = ngram_lm_score(base, "dedup_text", id_col).select(id_col, "ppl")
     scored = base.join(lm, id_col)
-    pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("ppl", id_col))
-    lo, hi = bucket_edges
-    return scored.withColumn(
-        "ppl_bucket",
-        F.when(pr <= lo, "head").when(pr <= hi, "middle").otherwise("tail"),
+    return rank_split(
+        scored, "lang", "ppl", id_col,
+        edges=bucket_edges, labels=("head", "middle", "tail"),
+        out_col="ppl_bucket",
     )
 
 

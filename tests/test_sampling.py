@@ -640,3 +640,86 @@ def test_pack_sequences_bucketed_equals_shard_window(spark):
         got = {r["doc_id"]: r["pack_id"] for r in pack_sequences(df, "n_tok", 512, "doc_id", shard_col=shard_col).collect()}
         want = {r["doc_id"]: r["pack_id"] for r in naive(shard_col).collect()}
         assert got == want, shard_col
+
+
+def test_rank_split_equals_percent_rank_window(spark):
+    """rank_split (round 8: value-range-bucketed exact percent_rank split,
+    the de-skewed CCNet tercile) must be row-identical to the naive
+    per-stratum percent_rank window on a hostile fixture: dominant
+    stratum, heavy order-value ties, a singleton stratum, a
+    constant-value stratum, NULL strata, NULL and NaN order values."""
+    from pyspark.sql import Window
+
+    from duckdb_vss_spark.operators.sampling import rank_split
+
+    rows = []
+    for i in range(4000):
+        if i % 20 == 19:
+            lang = None
+        elif i % 20 >= 17:
+            lang = "de"
+        else:
+            lang = "en"
+        # ~5 rows per distinct value -> rank ties inside every stratum
+        ppl = float((i * 7919) % 800)
+        if i % 131 == 0:
+            ppl = None
+        elif i % 137 == 0:
+            ppl = float("nan")
+        rows.append((i, lang, ppl))
+    rows.append((4000, "solo", 42.0))  # n == 1 stratum
+    for i in range(4001, 4031):
+        rows.append((i, "const", 7.0))  # constant-value stratum
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+
+    for edges, labels in (
+        ((1.0 / 3.0, 2.0 / 3.0), ("head", "middle", "tail")),
+        ((0.1,), ("top", "rest")),
+        ((0.0, 0.5, 0.999), ("a", "b", "c", "d")),
+    ):
+        pr = F.percent_rank().over(
+            Window.partitionBy("lang").orderBy(F.col("ppl").asc(), F.col("doc_id").asc())
+        )
+        lab = F.when(pr <= edges[0], labels[0])
+        for j in range(1, len(edges)):
+            lab = lab.when(pr <= edges[j], labels[j])
+        naive = df.withColumn("rank_bucket", lab.otherwise(labels[-1]))
+        got = {r["doc_id"]: r["rank_bucket"] for r in rank_split(df, "lang", "ppl", "doc_id", edges, labels).collect()}
+        want = {r["doc_id"]: r["rank_bucket"] for r in naive.collect()}
+        assert got == want, (edges, sum(1 for k in got if got[k] != want[k]))
+
+
+def test_rank_split_no_full_stratum_window(spark):
+    """Plan shape: the split's rank window partitions by
+    (stratum, bucket), never the stratum alone — a dominant language
+    ranks across its value buckets instead of one reducer."""
+    from duckdb_vss_spark.operators.sampling import rank_split
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        (F.col("id") % 97).cast("double").alias("ppl"),
+    )
+    out = rank_split(df, "lang", "ppl", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    wins = [l for l in plan.splitlines() if "Window" in l and "rank(" in l]
+    assert wins, plan
+    assert all("__b" in l for l in wins), wins
+
+
+def test_rank_split_validation(spark):
+    from duckdb_vss_spark.operators.sampling import rank_split
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang"),
+        F.col("id").cast("double").alias("ppl"), F.lit("x").alias("txt"),
+    )
+    with pytest.raises(ValueError, match="labels"):
+        rank_split(df, "lang", "ppl", "doc_id", edges=(0.5,), labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="ascending"):
+        rank_split(df, "lang", "ppl", "doc_id", edges=(0.7, 0.3), labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="numeric"):
+        rank_split(df, "lang", "txt", "doc_id")
+    # empty input returns an empty frame with the out column present
+    empty = rank_split(df.filter(F.lit(False)), "lang", "ppl", "doc_id")
+    assert empty.count() == 0 and "rank_bucket" in empty.columns
