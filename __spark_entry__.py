@@ -2512,6 +2512,27 @@ def _q_curate_corpus(spark, sf_dir):
     )
 
 
+def _q_ccnet_curate(spark, sf_dir):
+    """The CCNet recipe (pipelines.ccnet_curate, Wenzek et al. 2020) as a
+    driver-gated surface: corpus-level line dedup → stopword-ratio lang-id
+    → self-trained unigram-LM perplexity → per-language head/middle/tail
+    terciles. The tercile stage is rank_split (round 8) — value-bucketed
+    exact percent_rank — so this gate pins the de-skewed split against a
+    plain SQL ``percent_rank()`` window twin: any drift in the bucketed
+    rank reconstruction (tie handling, IEEE cut comparison, bucket-order
+    consistency) flips the value hash."""
+    from duckdb_vss_spark.pipelines import ccnet_curate
+
+    out = ccnet_curate(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_removed_lines").cast("long").alias("n_removed_lines"),
+        F.col("ppl").cast("float").alias("ppl"),
+        "ppl_bucket",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_metrics": _m_topk_metrics,
@@ -2565,7 +2586,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_hnsw_graph_index": _m_hnsw_graph_index,
         "q50_ranking": _m_ranking,
         "q51_curate_corpus": _q_curate_corpus,
+        "q52_ccnet_curate": _q_ccnet_curate,
     }
+
+
+def _CCNET_CURATE_ORACLE_SQL(O) -> str:
+    """duckdb twin of q52: the ccnet_curate chain — corpus line dedup
+    (gated fragment O.sql_line_dedup), stopword lang-id (O.sql_lang_id),
+    self-trained unigram LM (O.sql_ngram_lm_score), then the tercile
+    labels as a PLAIN percent_rank window — the naive form rank_split
+    replaced, which is exactly what makes this a de-skew equivalence
+    gate."""
+    return f"""
+        WITH ld AS MATERIALIZED (
+          {O.sql_line_dedup('documents', 'text', 'doc_id')}
+        ),
+        base AS MATERIALIZED (
+          SELECT d.doc_id, ld.text_dedup AS dedup_text,
+                 ld.n_removed_lines,
+                 ({O.sql_lang_id('d.text')}) AS lang
+          FROM documents d JOIN ld USING (doc_id)
+        ),
+        lm AS MATERIALIZED (
+          {O.sql_ngram_lm_score('base', 'dedup_text', 'doc_id')}
+        ),
+        scored AS (
+          SELECT base.doc_id, base.lang, base.n_removed_lines, lm.ppl,
+                 percent_rank() OVER (
+                   PARTITION BY base.lang
+                   ORDER BY lm.ppl, base.doc_id) AS pr
+          FROM base JOIN lm USING (doc_id)
+        )
+        SELECT doc_id, lang,
+               n_removed_lines::BIGINT AS n_removed_lines,
+               ppl::FLOAT AS ppl,
+               CASE WHEN pr <= 1.0/3.0 THEN 'head'
+                    WHEN pr <= 2.0/3.0 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM scored
+    """
 
 
 def _MINHASH_PAIRS_SQL(O) -> str:
@@ -3961,5 +4020,6 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({P['q16_ann_index_knn_join']})"
         ),
         "q51_curate_corpus": _CURATE_CORPUS_ORACLE_SQL(O),
+        "q52_ccnet_curate": _CCNET_CURATE_ORACLE_SQL(O),
     }
     return out

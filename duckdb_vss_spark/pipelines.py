@@ -427,8 +427,28 @@ def curate_corpus(
     )
     if "ingest_keep" in docs.columns:
         surv = surv & F.col("ingest_keep")
+    # The mixing and packing stages each run driver-side aggregates
+    # (temperature_rates' one collect; the exact-cut's two; packing's
+    # bucket offsets) — without a persisted intermediate, EVERY one of
+    # those actions would recompute the quality classifier, the MinHash
+    # signatures + store band join, and the decontamination probe from
+    # scratch (measured ~6 evaluations of the heavy chain at 1M docs).
+    # Persist the NARROW flag projection only — ids, token counts,
+    # stratum, booleans; never the text — so the heavy operators run once
+    # to materialize it and every stage collect reuses it. The frame is
+    # ~tens of bytes/row (memory-then-disk), and the returned DataFrame's
+    # joins reference it, so it stays persisted (Spark evicts LRU).
+    narrow = None
+    if strata_col is not None or pack_budget is not None:
+        cols = [id_col, "n_tok", "quality_ok", "dup_of_store", "contaminated"]
+        if "ingest_keep" in docs.columns:
+            cols.append("ingest_keep")
+        for extra in (strata_col, mix_weight_col):
+            if extra is not None and extra not in cols:
+                cols.append(extra)
+        narrow = out.select(*cols).persist()
     if strata_col is not None:
-        parts = out.filter(surv)
+        parts = narrow.filter(surv)
         rates = temperature_rates(
             parts, strata_col, alpha, weight_col=mix_weight_col, target_total=mix_target
         )
@@ -448,10 +468,14 @@ def curate_corpus(
     out = out.withColumn("curate_keep", keep)
     if pack_budget is not None:
         shard = strata_col
+        # kept rows, reconstructed narrow-side: keep = surv AND won-the-mix
+        # (non-participants' mix_keep=True never reaches the pack — their
+        # surv is False)
+        pack_src = narrow.filter(surv)
+        if strata_col is not None:
+            pack_src = pack_src.join(kept.select(id_col), id_col)
         packed = pack_sequences(
-            out.filter("curate_keep").select(
-                id_col, "n_tok", *([shard] if shard else [])
-            ),
+            pack_src.select(id_col, "n_tok", *([shard] if shard else [])),
             "n_tok",
             pack_budget,
             id_col,
