@@ -2533,6 +2533,75 @@ def _q_ccnet_curate(spark, sf_dir):
     )
 
 
+def _q_c4_clean(spark, sf_dir):
+    """The C4 §2.2 recipe (pipelines.c4_clean, Raffel et al. 2020) as a
+    driver-gated surface: per-line cleaning (terminal punctuation, min
+    words, blocklist, braces) → English-ratio language gate →
+    corpus-level duplicated-span signal → composed keep verdict. Gates
+    the cleaned TEXT itself (string-equal cross-engine), not just the
+    flags. require_terminal_punct is relaxed because the synthetic
+    fixture never punctuates — with C4's default every line drops and
+    the span/keep legs would gate nothing."""
+    from duckdb_vss_spark.pipelines import c4_clean
+
+    out = c4_clean(_docs(spark, sf_dir), require_terminal_punct=False)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_kept_lines").cast("long").alias("n_kept_lines"),
+        "lang",
+        "lang_ok",
+        F.col("dup_window_frac").cast("float").alias("dup_window_frac"),
+        "c4_keep",
+    )
+
+
+def _q_refinedweb_curate(spark, sf_dir):
+    """The RefinedWeb recipe (pipelines.refinedweb_curate, Penedo et al.
+    2023) as a driver-gated surface: corpus line dedup → MinHash+LSH
+    fuzzy document dedup at jaccard 0.8 resolved to clusters (one
+    canonical survivor per near-dup group, via the pointer-jumping
+    connected components) → exact duplicated-span signal. The oracle
+    resolves the same clusters with a recursive-CTE closure."""
+    from duckdb_vss_spark.pipelines import refinedweb_curate
+
+    out = refinedweb_curate(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "dedup_text",
+        F.col("n_removed_lines").cast("long").alias("n_removed_lines"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "fuzzy_keep",
+        F.col("dup_window_frac").cast("float").alias("dup_window_frac"),
+    )
+
+
+def _q_semantic_curate(spark, sf_dir):
+    """The embedding-era recipe (pipelines.semantic_curate): SemDeDup
+    over the embeddings table (pinned literal centroids so cluster
+    assignment is engine-agnostic), DSIR target-matching selection over
+    the text (target = doc_id % 7 slice, same as the q32 dsir leg), and
+    the hashed quality classifier — one flag frame per document."""
+    from duckdb_vss_spark.pipelines import semantic_curate
+
+    docs = _docs(spark, sf_dir)
+    out = semantic_curate(
+        docs,
+        _emb(spark, sf_dir),
+        docs.filter("doc_id % 7 = 0"),
+        sem_eps=0.4,
+        select_k=50,
+        centroids=SEM_CENTS,
+    )
+    return out.select(
+        "doc_id",
+        F.col("clf_score").cast("float").alias("clf_score"),
+        F.coalesce(F.col("sem_cluster"), F.lit(-1)).cast("long").alias("sem_cluster"),
+        "sem_keep",
+        "dsir_keep",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_metrics": _m_topk_metrics,
@@ -2587,6 +2656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_ranking": _m_ranking,
         "q51_curate_corpus": _q_curate_corpus,
         "q52_ccnet_curate": _q_ccnet_curate,
+        "q53_c4_clean": _q_c4_clean,
+        "q54_refinedweb_curate": _q_refinedweb_curate,
+        "q55_semantic_curate": _q_semantic_curate,
     }
 
 
@@ -2624,6 +2696,131 @@ def _CCNET_CURATE_ORACLE_SQL(O) -> str:
                     WHEN pr <= 2.0/3.0 THEN 'middle'
                     ELSE 'tail' END AS ppl_bucket
         FROM scored
+    """
+
+
+def _C4_CLEAN_ORACLE_SQL(O) -> str:
+    """duckdb twin of q53: the c4_clean chain — line filter
+    (O.sql_clean_lines, gated fragment), stopword lang-id, duplicated
+    k-token span profile computed over the NON-EMPTY cleaned docs only
+    (exactly the cohort the Spark recipe profiles), composed c4_keep."""
+    return f"""
+        WITH cl AS MATERIALIZED (
+          SELECT doc_id,
+                 {O.sql_clean_lines('text', require_terminal_punct=False)} AS kept
+          FROM documents
+        ),
+        base AS MATERIALIZED (
+          SELECT d.doc_id,
+                 -- duckdb 1.0 array_to_string([]) is NULL; Spark's
+                 -- array_join gives '' — align on ''
+                 coalesce(array_to_string(cl.kept, chr(10)), '') AS clean_text,
+                 len(cl.kept)::BIGINT AS n_kept_lines,
+                 ({O.sql_lang_id('d.text')}) AS lang
+          FROM documents d JOIN cl USING (doc_id)
+        ),
+        nz AS MATERIALIZED (
+          SELECT doc_id, clean_text FROM base WHERE n_kept_lines > 0
+        ),
+        prof AS MATERIALIZED (
+          {O.sql_duplicated_span_profile('nz', 'clean_text', 'doc_id', 20, 2)}
+        )
+        SELECT base.doc_id, base.clean_text, base.n_kept_lines,
+               base.lang, (base.lang = 'en') AS lang_ok,
+               coalesce(prof.dup_window_frac, 0.0)::FLOAT AS dup_window_frac,
+               ((base.lang = 'en') AND base.n_kept_lines > 0
+                AND coalesce(prof.dup_window_frac, 0.0) < 0.5) AS c4_keep
+        FROM base LEFT JOIN prof USING (doc_id)
+    """
+
+
+def _REFINEDWEB_ORACLE_SQL(O) -> str:
+    """duckdb twin of q54: line dedup → MinHash(16)+LSH(4 bands) pairs
+    over the DEDUPED text at jaccard 0.8 → recursive-CTE cluster closure
+    (min-id canonical, the same resolution dedup_clusters computes by
+    pointer jumping) → duplicated-span profile over the deduped text."""
+    h1, h2 = O.sql_shingle_hash_halves("dedup_text", 3)
+    bucket = O.sql_hash64(
+        "array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')"
+    )
+    jac = (
+        "(len(list_intersect(sa.sh, sb.sh))::DOUBLE"
+        " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)"
+    )
+    return f"""
+        WITH RECURSIVE ld AS MATERIALIZED (
+          {O.sql_line_dedup('documents', 'text', 'doc_id')}
+        ),
+        base AS MATERIALIZED (
+          SELECT d.doc_id, ld.text_dedup AS dedup_text, ld.n_removed_lines
+          FROM documents d JOIN ld USING (doc_id)
+        ),
+        sig AS MATERIALIZED (
+          SELECT doc_id,
+                 {O.sql_minhash_from_halves('h1s', 'h2s', 16)} AS sig, sh
+          FROM (SELECT doc_id, {h1} AS h1s, {h2} AS h2s,
+                       {O.sql_word_ngrams('dedup_text', 3)} AS sh
+                FROM base)
+        ),
+        banded AS (
+          SELECT doc_id, b, {bucket} AS bucket
+          FROM sig, range(0, 4) r(b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM banded a JOIN banded b2 USING (b, bucket)
+          WHERE a.doc_id < b2.doc_id
+        ),
+        pairs AS MATERIALIZED (
+          SELECT id_a, id_b FROM cand
+          JOIN sig sa ON sa.doc_id = id_a
+          JOIN sig sb ON sb.doc_id = id_b
+          WHERE {jac} >= 0.8
+        ),
+        und AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        walk(node, lab) AS (
+          SELECT a, a FROM und
+          UNION
+          SELECT u.a, w.lab FROM und u JOIN walk w ON u.b = w.node
+        ),
+        comp AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY node),
+        prof AS MATERIALIZED (
+          {O.sql_duplicated_span_profile('base', 'dedup_text', 'doc_id', 20, 2)}
+        )
+        SELECT base.doc_id, base.dedup_text,
+               base.n_removed_lines::BIGINT AS n_removed_lines,
+               coalesce(comp.cluster_id, base.doc_id)::BIGINT AS cluster_id,
+               (coalesce(comp.cluster_id, base.doc_id) = base.doc_id) AS fuzzy_keep,
+               coalesce(prof.dup_window_frac, 0.0)::FLOAT AS dup_window_frac
+        FROM base
+        LEFT JOIN comp ON comp.node = base.doc_id
+        LEFT JOIN prof USING (doc_id)
+    """
+
+
+def _SEMANTIC_CURATE_ORACLE_SQL(O, P) -> str:
+    """duckdb twin of q55: SemDeDup verdicts over the pinned literal
+    centroids (reuses the q14b fragment verbatim), DSIR hash-Gumbel
+    top-50 selection against the doc_id % 7 target slice (the q32 dsir
+    leg's gated fragment), and the hashed classifier score — left-joined
+    onto documents with the recipe's coalesce defaults."""
+    return f"""
+        WITH sem AS MATERIALIZED ({P['q14b_semdedup']}),
+        ds AS MATERIALIZED (
+          {O.sql_dsir('documents', 'text', 'doc_id', 'doc_id % 7 = 0', 50)}
+        )
+        SELECT d.doc_id,
+               ({O.sql_classifier_score('text')})::FLOAT AS clf_score,
+               coalesce(sem.cluster_id, -1)::BIGINT AS sem_cluster,
+               coalesce(sem.keep, TRUE) AS sem_keep,
+               coalesce(ds.keep, FALSE) AS dsir_keep
+        FROM documents d
+        LEFT JOIN sem ON sem.id_a = d.doc_id
+        LEFT JOIN ds ON ds.doc_id = d.doc_id
     """
 
 
@@ -4021,5 +4218,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q51_curate_corpus": _CURATE_CORPUS_ORACLE_SQL(O),
         "q52_ccnet_curate": _CCNET_CURATE_ORACLE_SQL(O),
+        "q53_c4_clean": _C4_CLEAN_ORACLE_SQL(O),
+        "q54_refinedweb_curate": _REFINEDWEB_ORACLE_SQL(O),
+        "q55_semantic_curate": _SEMANTIC_CURATE_ORACLE_SQL(O, P),
     }
     return out

@@ -82,16 +82,23 @@ def c4_clean(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_tokens: int = 20,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
 ) -> DataFrame:
     """C4 §2.2: per-line cleaning (terminal punctuation, ≥ min words,
     blocklist, brace heuristic), English-ratio language gate, and the
     corpus-level duplicated-span removal signal. Adds ``clean_text``,
     ``n_kept_lines``, ``lang``, ``lang_ok``, ``dup_window_frac``,
-    ``c4_keep``."""
+    ``c4_keep``. ``min_words``/``require_terminal_punct`` pass through
+    to the line filter (C4's defaults; relax for corpora that don't
+    punctuate, e.g. code or log text)."""
     from .operators.dedup import duplicated_span_profile
     from .operators.quality import clean_lines
 
-    cl = clean_lines(docs, text_col, out_col="clean_text").select(
+    cl = clean_lines(
+        docs, text_col, min_words=min_words,
+        require_terminal_punct=require_terminal_punct, out_col="clean_text",
+    ).select(
         id_col, "clean_text", "n_kept_lines"
     )
     base = docs.join(cl, id_col).withColumn("lang", T.lang_id(F.col(text_col)))
@@ -252,17 +259,24 @@ def semantic_curate(
     k_clusters: int = 64,
     sem_eps: float = 0.95,
     select_k: int = 1000,
+    centroids: list[tuple] | None = None,
 ) -> DataFrame:
     """The embedding-era stack: SemDeDup over the embedding table, DSIR
     target-matching selection over the text, and the hashed quality
     classifier — one flag/score frame joined back onto the docs. Adds
     ``sem_keep``, ``sem_cluster``, ``dsir_keep``, ``log_w``,
-    ``clf_score``."""
+    ``clf_score``. ``centroids`` (optional) pins the SemDeDup cluster
+    assignment to given (cid, vector) literals instead of running
+    k-means — the engine-agnostic form the oracle gate uses."""
     from .operators.dedup import semdedup
     from .operators.quality import classifier_score
     from .operators.sampling import dsir_resample
 
-    sem = semdedup(embeddings, vec_col, vec_id_col, k=k_clusters, eps=sem_eps).select(
+    sem = semdedup(
+        embeddings, vec_col, vec_id_col,
+        k=None if centroids is not None else k_clusters,
+        eps=sem_eps, centroids=centroids,
+    ).select(
         F.col(vec_id_col).alias(id_col),
         F.col("cluster_id").alias("sem_cluster"),
         F.col("keep").alias("sem_keep"),
