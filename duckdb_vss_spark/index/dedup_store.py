@@ -105,7 +105,8 @@ class MinHashStore:
         from ..operators.dedup import band_buckets_expr, minhash_per_doc
 
         per = minhash_per_doc(
-            df, text_col, id_col, m["shingle_n"], m["num_perm"], with_shingles=False
+            df, text_col, id_col, m["shingle_n"], m["num_perm"],
+            with_shingles=False, share=False,
         )
         return per.select(
             F.col(id_col).alias("id"),

@@ -249,6 +249,7 @@ def minhash_per_doc(
     shingle_n: int = 3,
     num_perm: int = DEFAULT_NUM_PERM,
     with_shingles: bool = False,
+    share: bool = True,
 ) -> DataFrame:
     """Per-document MinHash signature: ``(id, sig ARRAY<LONG>[num_perm]
     [, shingles])`` — the shared signature stage of :func:`minhash_lsh_pairs`
@@ -278,7 +279,14 @@ def minhash_per_doc(
     aggs = [F.collect_list("h1").alias("h1s"), F.collect_list("h2").alias("h2s")]
     if with_shingles:
         aggs.append(F.collect_list("s").alias("shingles"))
-    per = _shared(hashed.groupBy(id_col).agg(*aggs))
+    # share=True persists for consumers that reference the frame several
+    # times (minhash_lsh_pairs' bucket self-join); single-reference
+    # consumers (the MinHashStore's band_rows: one write or one
+    # broadcast-side join) pass share=False — their persist would be pure
+    # overhead AND a cache leak in per-micro-batch streaming loops
+    per = hashed.groupBy(id_col).agg(*aggs)
+    if share:
+        per = _shared(per)
     sig = minhash_from_halves(F.col("h1s"), F.col("h2s"), num_perm)
     cols = [F.col(id_col), sig.alias("sig")]
     if with_shingles:

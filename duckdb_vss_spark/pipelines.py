@@ -507,4 +507,9 @@ def curate_corpus(
             id_col,
             snapshot,
         )
+    # expose the persisted narrow frame so batch-loop callers (e.g.
+    # streaming.stream_curate) can unpersist it once the batch's output
+    # is fully materialized — long-running loops would otherwise
+    # accumulate one cached frame per micro-batch
+    out._curate_narrow = narrow
     return out

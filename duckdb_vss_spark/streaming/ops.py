@@ -37,6 +37,7 @@ __all__ = [
     "stream_index_insert",
     "stream_crawl_ingest",
     "stream_warc_ingest",
+    "stream_curate",
     "run_to_memory",
 ]
 
@@ -464,6 +465,94 @@ def stream_crawl_ingest(
     if q.isActive:
         q.stop()
         raise TimeoutError("stream_crawl_ingest did not drain before timeout")
+
+
+def _curate_batch(
+    bdf: DataFrame,
+    bid: int,
+    store,
+    bench,
+    out_path: str,
+    text_col: str,
+    id_col: str,
+    snapshot_prefix: str,
+    **curate_kwargs,
+) -> None:
+    """One micro-batch of :func:`stream_curate`. Same replay discipline as
+    :func:`_crawl_ingest_batch`: a committed snapshot means sink + store
+    already hold this batch (skip — re-flagging would match the batch
+    against its own fingerprints); the sink write is batch-keyed with
+    overwrite and PRECEDES the snapshot commit. The recipe's persisted
+    narrow flag frame is unpersisted once the batch is fully
+    materialized, so a long-running stream does not accumulate one
+    cached frame per micro-batch."""
+    from ..pipelines import curate_corpus
+
+    name = f"{snapshot_prefix}-{bid:06d}"
+    if any(s["name"] == name for s in store.manifest["snapshots"]):
+        return
+    out = curate_corpus(
+        bdf, store=store, bench=bench, text_col=text_col, id_col=id_col,
+        **curate_kwargs,
+    )
+    out.write.mode("overwrite").parquet(f"{out_path}/batch={bid:06d}")
+    store.append_snapshot(
+        out.filter("curate_keep").select(id_col, text_col),
+        text_col, id_col, name,
+    )
+    narrow = getattr(out, "_curate_narrow", None)
+    if narrow is not None:
+        narrow.unpersist()
+
+
+def stream_curate(
+    docs: DataFrame,
+    store,
+    out_path: str,
+    checkpoint: str,
+    bench: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    snapshot_prefix: str = "curate",
+    timeout_sec: float = 180.0,
+    **curate_kwargs,
+) -> None:
+    """Streaming twin of :func:`~duckdb_vss_spark.pipelines.curate_corpus`
+    — the steady-state pretraining-data loop: each arriving micro-batch
+    runs the full recipe (quality gate → near-dup match against EVERY
+    prior batch's committed fingerprints → benchmark decontamination →
+    mixing → packing, all flags materialized), lands batch-keyed in the
+    parquet sink, and commits its kept rows' fingerprints as snapshot
+    ``{prefix}-{batch_id}`` so the NEXT micro-batch dedups against it.
+
+    Mixing and packing run WITHIN each micro-batch (the batch is the
+    mixing race's population — the same per-dump semantics the batch
+    recipe has when invoked per crawl snapshot); cross-batch state is
+    exactly the MinHashStore's fingerprints, O(kept docs), never text.
+    Delivery is effectively-once via the same two guards as
+    :func:`stream_crawl_ingest` (snapshot-name skip + batch-keyed
+    overwrite sink). ``curate_kwargs`` pass through to the recipe
+    (``strata_col``, ``alpha``, ``pack_budget``, thresholds...).
+    """
+    def _batch(bdf: DataFrame, bid: int) -> None:
+        _curate_batch(
+            bdf, bid, store, bench, out_path,
+            text_col=text_col, id_col=id_col,
+            snapshot_prefix=snapshot_prefix, **curate_kwargs,
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    deadline = time.monotonic() + timeout_sec
+    while q.isActive and time.monotonic() < deadline:
+        time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("stream_curate did not drain before timeout")
 
 
 def stream_warc_ingest(

@@ -278,6 +278,21 @@ def test_curate_corpus_full_chain(spark, docs, tmp_path):
     out.unpersist()
 
 
+def test_curate_corpus_stage_collects_hit_cached_narrow(spark, docs, tmp_path):
+    """Round 8: the recipe's mixing/packing joins must read the PERSISTED
+    narrow flag frame (InMemoryTableScan), not re-derive the quality/
+    dedup/decontaminate chain — each driver-collect stage used to
+    re-evaluate the heavy operators (~6 passes at 1M docs, measured
+    140.5 -> 117.2 s after the fix). The final consumer plan keeps the
+    heavy chain map-side exactly once; the kept/packed join inputs come
+    from cache."""
+    from duckdb_vss_spark.pipelines import curate_corpus
+
+    out = curate_corpus(docs, quality_threshold=0.0, strata_col="lang", pack_budget=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan[:2000]
+
+
 def test_curate_corpus_pack_budget_shape(spark, docs, tmp_path):
     """Packs are contiguous per stratum and respect the token budget up to
     one-document overflow (pack_sequences' contract, re-checked through

@@ -429,3 +429,59 @@ def test_stream_index_insert_auto_compacts_midstream(spark, tmp_path):
     ]
     got = [r["vec_id"] for r in eng.topk("emb_ac", "embedding", Q, 10, tiebreak="vec_id").collect()]
     assert got == want
+
+
+def test_stream_curate_incremental(spark, tmp_path):
+    """Streaming curate_corpus: each micro-batch runs the full recipe
+    against the accumulated fingerprint history — a doc near-dupping an
+    EARLIER batch flags dup_of_store, a doc quoting the benchmark flags
+    contaminated, every row lands flagged (flag-don't-drop), kept rows
+    pack, and each batch commits one snapshot."""
+    import os
+
+    from duckdb_vss_spark.index.dedup_store import MinHashStore
+    from duckdb_vss_spark.streaming import stream_curate
+
+    body1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    body2 = "spark shuffles data between executors when wide dependencies appear in plans"
+    leak = "benchmark question alpha beta gamma delta epsilon zeta eta theta"
+    staged = str(tmp_path / "arrivals")
+    os.makedirs(staged)
+    spark.createDataFrame(
+        [(1, "en", body1)], "doc_id long, lang string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(staged + "/f1")
+    spark.createDataFrame(
+        [(2, "en", body1), (3, "en", body2), (4, "en", leak + " padded out")],
+        "doc_id long, lang string, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(staged + "/f2")
+    bench = spark.createDataFrame([(99, leak)], "doc_id long, text string")
+
+    st = MinHashStore.create(spark, str(tmp_path / "store"))
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged + "/f*")
+    )
+    out_path = str(tmp_path / "out")
+    stream_curate(
+        stream, st, out_path, str(tmp_path / "ckpt"),
+        bench=bench, quality_threshold=0.0, store_threshold=0.5,
+        strata_col="lang", pack_budget=512,
+    )
+    out = spark.read.parquet(out_path)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # flag-don't-drop: all rows present
+    # doc 2 repeats doc 1's body from the earlier micro-batch
+    assert rows[2]["dup_of_store"] and not rows[2]["curate_keep"]
+    # doc 4 quotes the benchmark
+    assert rows[4]["contaminated"] and not rows[4]["curate_keep"]
+    assert rows[1]["curate_keep"] and rows[3]["curate_keep"]
+    # kept rows packed, dropped rows not
+    assert rows[1]["pack_id"] is not None and rows[3]["pack_id"] is not None
+    assert rows[2]["pack_id"] is None and rows[4]["pack_id"] is None
+    info = st.info()
+    assert len(info["snapshots"]) == 2
+    assert info["n_docs"] == 2  # docs 1 and 3 only
+    # no cached narrow frames left behind by the drained stream
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
