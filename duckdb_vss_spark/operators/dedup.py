@@ -139,16 +139,24 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicate assignment: every row mapped to the smallest id
     sharing its normalized-text fingerprint.
 
-    Output: (id_col, canonical_id, fingerprint, group_size). One shuffle on
-    the fingerprint (hash-partitioned window) — scale-safe.
+    Output: (id_col, canonical_id, fingerprint, group_size).
+
+    Scale shape (round 8): aggregate + join, NOT a fingerprint-partitioned
+    window. A corpus-scale hot fingerprint (an empty/boilerplate page
+    duplicated 10^8 times) is the NORMAL input to this operator; a window
+    must sort that entire group on one reducer, while the aggregate takes
+    map-side partials (each task emits one row per distinct local
+    fingerprint) and the remaining join-side skew is the splittable kind
+    — AQE's skew-join splits a hot sort-merge partition, which it can
+    never do for a window.
     """
     fp = df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
-    w = Window.partitionBy("fingerprint")
-    return fp.select(
-        F.col(id_col),
-        F.min(id_col).over(w).alias("canonical_id"),
-        "fingerprint",
-        F.count(F.lit(1)).over(w).alias("group_size"),
+    groups = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return fp.join(groups, "fingerprint").select(
+        F.col(id_col), "canonical_id", "fingerprint", "group_size"
     )
 
 

@@ -26,7 +26,7 @@ Dolma convention: materialized signals, deferred decisions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .functions import text as T
@@ -205,9 +205,25 @@ def crawl_ingest(
         b = b.withColumn("domain_blocked", F.col("domain").isin(*bl))
     else:
         b = b.withColumn("domain_blocked", F.lit(False))
-    # exact-URL recrawl flag: keep-first by the deterministic id hash
-    w = Window.partitionBy("norm_url").orderBy(_hash_of(id_col, "url:"), F.col(id_col))
-    b = b.withColumn("url_dup", F.row_number().over(w) > 1)
+    # exact-URL recrawl flag: keep-first by the deterministic id hash.
+    # Aggregate + null-safe join rather than a norm_url window (round 8):
+    # a hot URL (a redirect target recrawled 10^7 times in one dump) would
+    # serialize the window's sort onto one reducer; min(struct) takes
+    # map-side partials and the join skew is AQE-splittable.
+    uh = _hash_of(id_col, "url:")
+    first = (
+        b.select(F.col("norm_url").alias("__fu"), F.struct(uh.alias("h"), F.col(id_col).alias("i")).alias("__k"))
+        .groupBy("__fu")
+        .agg(F.min("__k").alias("__keep"))
+    )
+    b = (
+        b.join(first, F.col("norm_url").eqNullSafe(F.col("__fu")), "left")
+        .withColumn(
+            "url_dup",
+            ~((uh == F.col("__keep.h")) & (F.col(id_col) == F.col("__keep.i"))),
+        )
+        .drop("__fu", "__keep")
+    )
     if robots_rules is not None:
         from .operators.web import flag_robots_disallowed
 

@@ -388,3 +388,42 @@ def test_warc_to_curate_full_pipeline(spark, tmp_path):
     assert len(contaminated) >= 2
     kept = [r for r in out if r["curate_keep"]]
     assert kept and all(r["pack_id"] is not None for r in kept)
+
+
+def test_crawl_ingest_url_dup_equals_window_form(spark, tmp_path):
+    """Round 8: the keep-first url_dup flag (agg + null-safe join) must be
+    row-identical to the norm_url window form it replaced, on a fixture
+    with a HOT recrawled URL (the redirect-target case) and unparseable
+    URLs that normalize to the same null-ish key."""
+    from pyspark.sql import Window
+
+    from duckdb_vss_spark.index.dedup_store import MinHashStore
+    from duckdb_vss_spark.operators.sampling import _hash_of
+    from duckdb_vss_spark.pipelines import crawl_ingest
+
+    rows = []
+    for i in range(400):
+        if i % 2 == 0:
+            url = "https://hot.example.com/login?utm_source=x"  # hot recrawl
+        elif i % 7 == 0:
+            url = ""  # degenerate
+        else:
+            url = f"https://site{i % 23}.example.org/p/{i}"
+        rows.append((i, url, f"body text {i} with words"))
+    batch = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    st = MinHashStore.create(spark, str(tmp_path / "ud_store"))
+    out = crawl_ingest(batch, st, domain_cap=10**6, store_threshold=0.99).select(
+        "doc_id", "norm_url", "url_dup"
+    )
+    got = {r["doc_id"]: r["url_dup"] for r in out.collect()}
+    w = Window.partitionBy("norm_url").orderBy(
+        _hash_of("doc_id", "url:"), F.col("doc_id")
+    )
+    want = {
+        r["doc_id"]: r["rn"] > 1
+        for r in out.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    # exactly one keeper per distinct norm_url
+    keepers = out.filter(~F.col("url_dup")).groupBy("norm_url").count().collect()
+    assert all(r["count"] == 1 for r in keepers)

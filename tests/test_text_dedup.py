@@ -524,3 +524,30 @@ def test_remove_duplicated_spans(spark):
            remove_duplicated_spans(dup, "text", "doc_id", k=5, min_docs=2).collect()}
     assert got[1] == "" and got[2] == ""
     assert got[3] == "x y"
+
+
+def test_exact_dedup_agg_equals_window_form(spark):
+    """Round 8: exact_dedup's aggregate+join must be row-identical to the
+    fingerprint-window form it replaced, on a fixture with a HOT
+    fingerprint (half the corpus is one duplicated page — the input this
+    operator exists for)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark import exact_dedup
+    from duckdb_vss_spark.functions.text import fingerprint_md5
+
+    rows = [(i, "the same boilerplate page" if i % 2 == 0 else f"unique text {i}")
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["canonical_id"], r["group_size"])
+           for r in exact_dedup(df, "text", "doc_id").collect()}
+    fp = df.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    want = {r["doc_id"]: (r["c"], r["g"]) for r in fp.select(
+        "doc_id", F.min("doc_id").over(w).alias("c"),
+        F.count(F.lit(1)).over(w).alias("g")).collect()}
+    assert got == want
+    # plan shape: no Window survives — partial-aggregate + join only
+    plan = exact_dedup(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:1500]
