@@ -135,22 +135,41 @@ def _shared(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, method: str = "window"
+) -> DataFrame:
     """Exact duplicate assignment: every row mapped to the smallest id
     sharing its normalized-text fingerprint.
 
     Output: (id_col, canonical_id, fingerprint, group_size).
 
-    Scale shape (round 8): aggregate + join, NOT a fingerprint-partitioned
-    window. A corpus-scale hot fingerprint (an empty/boilerplate page
-    duplicated 10^8 times) is the NORMAL input to this operator; a window
-    must sort that entire group on one reducer, while the aggregate takes
-    map-side partials (each task emits one row per distinct local
-    fingerprint) and the remaining join-side skew is the splittable kind
-    — AQE's skew-join splits a hot sort-merge partition, which it can
-    never do for a window.
+    Two measured strategies (same dual-strategy contract as
+    ``grouped_topk``; outputs identical, equality test-pinned):
+
+    - ``"window"`` (default): one shuffle, min/count over the
+      fingerprint partition. Measured faster wherever a hot group fits
+      one reducer's sort: 4.7 s vs the agg form's 13.1 s at 10M rows
+      with a 50%-hot fingerprint, and parity (8.0 vs 7.2 s) even when
+      ALL 10M rows share one fingerprint (local[32]; BASELINE.md).
+    - ``"agg"``: map-side-combinable aggregate (one row per distinct
+      local fingerprint leaves each task) + a sort-merge join whose
+      residual skew AQE's skew-join SPLITS — a window's hot sort never
+      splits. Two shuffles of the row set, so it costs ~2x at moderate
+      skew; opt in when one fingerprint's occurrence count exceeds what
+      a single reducer can sort/spill in your stage budget (10^8-10^9
+      duplicates of one boilerplate page at 100 TB).
     """
     fp = df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+    if method == "window":
+        w = Window.partitionBy("fingerprint")
+        return fp.select(
+            F.col(id_col),
+            F.min(id_col).over(w).alias("canonical_id"),
+            "fingerprint",
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+    if method != "agg":
+        raise ValueError(f"method must be 'window' or 'agg', got {method!r}")
     groups = fp.groupBy("fingerprint").agg(
         F.min(id_col).alias("canonical_id"),
         F.count(F.lit(1)).alias("group_size"),

@@ -206,24 +206,17 @@ def crawl_ingest(
     else:
         b = b.withColumn("domain_blocked", F.lit(False))
     # exact-URL recrawl flag: keep-first by the deterministic id hash.
-    # Aggregate + null-safe join rather than a norm_url window (round 8):
-    # a hot URL (a redirect target recrawled 10^7 times in one dump) would
-    # serialize the window's sort onto one reducer; min(struct) takes
-    # map-side partials and the join skew is AQE-splittable.
-    uh = _hash_of(id_col, "url:")
-    first = (
-        b.select(F.col("norm_url").alias("__fu"), F.struct(uh.alias("h"), F.col(id_col).alias("i")).alias("__k"))
-        .groupBy("__fu")
-        .agg(F.min("__k").alias("__keep"))
-    )
-    b = (
-        b.join(first, F.col("norm_url").eqNullSafe(F.col("__fu")), "left")
-        .withColumn(
-            "url_dup",
-            ~((uh == F.col("__keep.h")) & (F.col(id_col) == F.col("__keep.i"))),
-        )
-        .drop("__fu", "__keep")
-    )
+    # One window over norm_url — adjudicated round 8: the agg+join
+    # alternative (map-side min(struct) + AQE-splittable join) was tried
+    # and measured 2x SLOWER at moderate skew and only at parity when one
+    # key held all 10M rows (exact_dedup's identical keep-first shape,
+    # BASELINE.md) — the window's single shuffle wins until one URL's
+    # recrawl count exceeds a reducer's sort budget, far beyond any real
+    # per-dump hot URL.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("norm_url").orderBy(_hash_of(id_col, "url:"), F.col(id_col))
+    b = b.withColumn("url_dup", F.row_number().over(w) > 1)
     if robots_rules is not None:
         from .operators.web import flag_robots_disallowed
 
