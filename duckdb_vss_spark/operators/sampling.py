@@ -262,6 +262,23 @@ def stratified_sample(
     )
 
 
+def _percent_rank_cut(n: int, e: float) -> int:
+    """Largest rank r in [1, n] with ``percent_rank(r) <= e``, replicating
+    Spark's IEEE double ``(r-1)/(n-1)`` (0.0 when n == 1) bit-for-bit —
+    Python floats are the same IEEE doubles, so the driver-side comparison
+    is exactly the one the window form would evaluate per row."""
+    if n <= 1:
+        return 1 if (n == 1 and 0.0 <= e) else 0
+    lo_r, hi_r = 0, n  # invariant: f(lo_r) true-or-zero, f(hi_r+1) false
+    while lo_r < hi_r:
+        mid = (lo_r + hi_r + 1) // 2
+        if (mid - 1) / (n - 1) <= e:
+            lo_r = mid
+        else:
+            hi_r = mid - 1
+    return lo_r
+
+
 def rank_split(
     df: DataFrame,
     strata_col: str,
@@ -354,24 +371,10 @@ def rank_split(
     for r in withb.groupBy(strata_col, "__b").agg(F.count(F.lit(1)).alias("c")).collect():
         per.setdefault(r[0], {})[int(r["__b"])] = int(r["c"])
 
-    def _cut(n: int, e: float) -> int:
-        # largest rank r in [1, n] with percent_rank(r) <= e, replicating
-        # Spark's IEEE double (r-1)/(n-1) (0.0 when n == 1) bit-for-bit
-        if n <= 1:
-            return 1 if (n == 1 and 0.0 <= e) else 0
-        lo_r, hi_r = 0, n  # invariant: f(lo_r) true-or-zero, f(hi_r+1) false
-        while lo_r < hi_r:
-            mid = (lo_r + hi_r + 1) // 2
-            if (mid - 1) / (n - 1) <= e:
-                lo_r = mid
-            else:
-                hi_r = mid - 1
-        return lo_r
-
     rows = []
     for s, bmap in per.items():
         n_s = stats[s][0]
-        cuts = [_cut(n_s, e) for e in edges]
+        cuts = [_percent_rank_cut(n_s, e) for e in edges]
         prefix = 0
         for b in sorted(bmap):
             # in-bucket threshold: global rank = prefix + in-bucket rank

@@ -252,3 +252,44 @@ def test_maxsim_expr_partition_invariant(spark):
             for r in maxsim_topk(df, "embedding", "doc", qs, k=10, method="expr").collect()
         ))
     assert outs[0] == outs[1] == outs[2]  # bit-identical
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=5000),
+    st.floats(min_value=-0.5, max_value=1.5, allow_nan=False),
+)
+def test_percent_rank_cut_matches_bruteforce(n, e):
+    """rank_split's driver-side IEEE cut (binary search over the exact
+    double comparison Spark's percent_rank evaluates) must equal the
+    brute-force answer for any n and edge — including edges outside
+    [0, 1], n in {0, 1}, and edges landing exactly on a rank's
+    (r-1)/(n-1) value."""
+    from duckdb_vss_spark.operators.sampling import _percent_rank_cut
+
+    got = _percent_rank_cut(n, e)
+    if n == 0:
+        assert got == 0
+        return
+    if n == 1:
+        assert got == (1 if 0.0 <= e else 0)
+        return
+    brute = 0
+    for r in range(1, n + 1):
+        if (r - 1) / (n - 1) <= e:
+            brute = r
+        else:
+            break
+    assert got == brute
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.integers(min_value=2, max_value=5000), st.integers(min_value=1, max_value=4999))
+def test_percent_rank_cut_exact_boundary(n, r):
+    """Feeding a rank's own percent_rank value as the edge must include
+    exactly that rank (<= comparison, bit-for-bit)."""
+    from duckdb_vss_spark.operators.sampling import _percent_rank_cut
+
+    r = min(r, n)
+    e = (r - 1) / (n - 1)
+    assert _percent_rank_cut(n, e) >= r
