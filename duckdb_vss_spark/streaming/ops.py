@@ -486,14 +486,20 @@ def _curate_batch(
     narrow flag frame is unpersisted once the batch is fully
     materialized, so a long-running stream does not accumulate one
     cached frame per micro-batch."""
+    from ..operators.dedup import _fan_out
     from ..pipelines import curate_corpus
 
     name = f"{snapshot_prefix}-{bid:06d}"
     if any(s["name"] == name for s in store.manifest["snapshots"]):
         return
+    # a micro-batch inherits the arrival files' partition count — a
+    # narrow drop (1-4 files) would run the recipe's map-only stages at
+    # file width while the cluster idles (measured: the MinHash stage
+    # re-fans itself, the classifier/decontam stages do not); doc-level
+    # rows are cheap to shuffle relative to anything derived from them
     out = curate_corpus(
-        bdf, store=store, bench=bench, text_col=text_col, id_col=id_col,
-        **curate_kwargs,
+        _fan_out(bdf), store=store, bench=bench, text_col=text_col,
+        id_col=id_col, **curate_kwargs,
     )
     out.write.mode("overwrite").parquet(f"{out_path}/batch={bid:06d}")
     store.append_snapshot(
