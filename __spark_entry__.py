@@ -2602,6 +2602,30 @@ def _q_semantic_curate(spark, sf_dir):
     )
 
 
+def _q_b1_index_topk(spark, sf_dir):
+    """Binary-quantized index (``quantization: 'b1'``, usearch's b1x8
+    scalar kind — round 8): packed sign codes drive the hot scan at
+    ceil(dim/64)*8 bytes/row, Hamming shortlist, exact re-rank. At full
+    probe with a table-covering shortlist the result must equal brute
+    force exactly — the same full-probe gate shape as the SQ8 leg, with
+    coverage coming from b1_rerank (Hamming order alone guarantees
+    nothing)."""
+    import tempfile
+
+    from duckdb_vss_spark import VSSEngine
+
+    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="vss_b1_"))
+    eng.register_table("embeddings_b1", _emb(spark, sf_dir))
+    eng.create_index(
+        "q56_idx", "embeddings_b1", "embedding", "vec_id",
+        options={"quantization": "b1", "b1_rerank": 10**6}, replace=True,
+    )
+    eng.set_ef_search(10**6)
+    return eng.topk("embeddings_b1", "embedding", Q64, 10, tiebreak="vec_id").select(
+        "vec_id", F.col("score").cast("float").alias("score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_metrics": _m_topk_metrics,
@@ -2659,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_c4_clean": _q_c4_clean,
         "q54_refinedweb_curate": _q_refinedweb_curate,
         "q55_semantic_curate": _q_semantic_curate,
+        "q56_b1_index_topk": _q_b1_index_topk,
     }
 
 
@@ -4221,5 +4246,8 @@ def oracle_sql() -> dict[str, str]:
         "q53_c4_clean": _C4_CLEAN_ORACLE_SQL(O),
         "q54_refinedweb_curate": _REFINEDWEB_ORACLE_SQL(O),
         "q55_semantic_curate": _SEMANTIC_CURATE_ORACLE_SQL(O, P),
+        # b1 full-probe + covering re-rank == brute force: the flat top-k
+        # twin IS the oracle
+        "q56_b1_index_topk": P["q15_ann_index_topk"],
     }
     return out

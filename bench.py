@@ -635,6 +635,11 @@ def main() -> None:
             # fixture's ~500-tie sets (README deployment manual; measured
             # r10 0.28 -> 1.00 at identical build cost)
             ("pq8_rr64", {"pq_m": 8, "pq_rerank": 64}),
+            # 1-bit sign codes (round 8): 32x hot-scan compression at
+            # dim=64; default shortlist k*16, plus the raised point for
+            # the near-tie fixture (same mitigation lever as pq_rerank)
+            ("b1", {"quantization": "b1"}),
+            ("b1_rr64", {"quantization": "b1", "b1_rerank": 64}),
             ("graph", {"index_type": "hnsw"}),
         ):
             reng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix=f"bench_rc_{bname}_"))
@@ -701,7 +706,7 @@ def main() -> None:
         # times, row counts) lives in BENCH_SELF.json
         compact["recall"] = {
             b: out["recall"][b]["r10"]
-            for b in ("flat", "sq8", "pq8", "pq8_rr64", "graph")
+            for b in ("flat", "sq8", "pq8", "pq8_rr64", "b1", "b1_rr64", "graph")
             if b in out["recall"]
         }
     line = json.dumps(compact, separators=(",", ":"))

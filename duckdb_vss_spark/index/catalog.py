@@ -73,15 +73,21 @@ def validate_options(options: dict) -> dict:
                 raise BinderException(f"IVF-PQ option '{k}' must be a positive integer")
             out[k] = v
         elif k == "quantization":
-            # scalar-quantized storage (the 100 TB analog of usearch's i8
-            # scalar kind, reference: src/hnsw/hnsw_index.cpp:277-289):
-            # int8 codes in the hot scan + exact re-rank (:mod:`.pq`)
-            if not isinstance(v, str) or v.lower() not in ("i8",):
-                raise BinderException("index option 'quantization' must be one of: 'i8'")
+            # quantized storage (the 100 TB analog of usearch's i8 and
+            # b1x8 scalar kinds, reference: src/hnsw/hnsw_index.cpp:277-289
+            # and usearch/index_plugins.hpp:125): i8 = int8 codes (dim
+            # bytes/row), b1 = packed sign bits (ceil(dim/64)*8 bytes/row,
+            # Hamming shortlist); both exact-re-rank (:mod:`.pq`)
+            if not isinstance(v, str) or v.lower() not in ("i8", "b1"):
+                raise BinderException("index option 'quantization' must be one of: 'i8', 'b1'")
             out[k] = v.lower()
         elif k == "sq_rerank":
             if isinstance(v, bool) or not isinstance(v, int) or v < 1:
                 raise BinderException("SQ option 'sq_rerank' must be a positive integer")
+            out[k] = v
+        elif k == "b1_rerank":
+            if isinstance(v, bool) or not isinstance(v, int) or v < 1:
+                raise BinderException("B1 option 'b1_rerank' must be a positive integer")
             out[k] = v
         elif k == "distributed_kmeans":
             # full-dataset Lloyd refinement (beyond the reference surface;
@@ -312,6 +318,8 @@ class IndexCatalog:
             pq_m = idx.manifest.get("pq_m")
             if pq_m:
                 vec_bytes = live * (pq_m + 4)  # codes + vnorm in the hot scan
+            elif idx.manifest.get("quantization") == "b1":
+                vec_bytes = live * (((idx.dim + 63) // 64) * 8)  # packed sign bits
             elif idx.manifest.get("quantization"):
                 vec_bytes = live * idx.dim  # i8: one byte per dimension
             else:

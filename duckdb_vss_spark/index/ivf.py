@@ -289,20 +289,23 @@ def build_ivf(
     pq_m = opts.get("pq_m")
     if pq_m and dim % pq_m != 0:
         raise ValueError(f"IVF-PQ option 'pq_m' ({pq_m}) must divide the vector dimension ({dim})")
-    sq = opts.get("quantization")
-    if sq and pq_m:
+    qz = opts.get("quantization")
+    if qz and pq_m:
         raise ValueError("IVF options 'pq_m' and 'quantization' are mutually exclusive")
     books = pqmod.train_codebooks(smat, pq_m, seed=seed) if pq_m else None
-    sq_scale = pqmod.train_sq_scale(smat) if sq else None
+    sq_scale = pqmod.train_sq_scale(smat) if qz == "i8" else None
+    b1_thr = pqmod.train_b1_thresholds(smat) if qz == "b1" else None
 
     bc = tracked_broadcast(spark.sparkContext, centroids)
     bc_books = tracked_broadcast(spark.sparkContext, books) if books is not None else None
     bc_sq = tracked_broadcast(spark.sparkContext, sq_scale) if sq_scale is not None else None
+    bc_b1 = tracked_broadcast(spark.sparkContext, b1_thr) if b1_thr is not None else None
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cents = bc.value
         cbooks = bc_books.value if bc_books is not None else None
         sq_l = bc_sq.value if bc_sq is not None else None
+        b1_l = bc_b1.value if bc_b1 is not None else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -320,6 +323,10 @@ def build_ivf(
                 pdf = pdf.assign(
                     sq=[c.tobytes() for c in pqmod.sq_encode(mat, sq_l)]
                 )
+            if b1_l is not None:
+                pdf = pdf.assign(
+                    b1=[c.tobytes() for c in pqmod.b1_encode(mat, b1_l)]
+                )
             yield pdf
 
     id_t = dict(df.dtypes)[id_col]
@@ -328,6 +335,8 @@ def build_ivf(
         schema += ", codes binary, vnorm float"
     if sq_scale is not None:
         schema += ", sq binary"
+    if b1_thr is not None:
+        schema += ", b1 binary"
     assigned = src.mapInPandas(assign, schema=schema)
     vdir = fs.join(path, version)
     # one file per inverted list; lists are the unit of search-time pruning
@@ -342,6 +351,8 @@ def build_ivf(
         fs.write_npy(spark, fs.join(vdir, "pq_codebooks.npy"), books)
     if sq_scale is not None:
         fs.write_npy(spark, fs.join(vdir, "sq_scale.npy"), sq_scale)
+    if b1_thr is not None:
+        fs.write_npy(spark, fs.join(vdir, "b1_thresholds.npy"), b1_thr)
     manifest = {
         "format": "ivf-flat-parquet/v2",
         "version": version,
@@ -359,9 +370,15 @@ def build_ivf(
     if pq_m:
         manifest["pq_m"] = int(pq_m)
         manifest["pq_rerank"] = int(opts.get("pq_rerank", 4))
-    if sq:
-        manifest["quantization"] = sq
+    if qz == "i8":
+        manifest["quantization"] = qz
         manifest["sq_rerank"] = int(opts.get("sq_rerank", 4))
+    elif qz == "b1":
+        manifest["quantization"] = qz
+        # 1-bit codes are far coarser than i8: a wider exact-re-rank
+        # shortlist is the default posture (same lever as pq_rerank; the
+        # recall bench rides both the default and a raised point)
+        manifest["b1_rerank"] = int(opts.get("b1_rerank", 16))
     manifest.update(extra_manifest or {})
     fs.write_json(spark, fs.join(path, "manifest.json"), manifest)  # commit point
     return IVFIndex(path, spark)
@@ -384,9 +401,17 @@ class IVFIndex:
             if self.manifest.get("pq_m")
             else None
         )
+        # pre-'b1' manifests wrote quantization only as 'i8'; keep them
+        # loading by treating any non-'b1' truthy value as the i8 path
+        _qz = self.manifest.get("quantization")
         self.sq_scale = (
             fs.read_npy(self.spark, fs.join(self.vpath, "sq_scale.npy"))
-            if self.manifest.get("quantization")
+            if _qz and _qz != "b1"
+            else None
+        )
+        self.b1_thresholds = (
+            fs.read_npy(self.spark, fs.join(self.vpath, "b1_thresholds.npy"))
+            if _qz == "b1"
             else None
         )
         # lazily-resolved existence of the mutable side dirs, so steady-state
@@ -585,6 +610,8 @@ class IVFIndex:
             return self._pq_search(spark, query, k, ef_search)
         if self.sq_scale is not None:
             return self._sq_search(spark, query, k, ef_search)
+        if self.b1_thresholds is not None:
+            return self._b1_search(spark, query, k, ef_search)
         cand = self.candidates(spark, query, ef_search)
         desc = METRIC_IS_DESCENDING[self.metric]
         scored = cand.select("id", distance_expr("vec", query, self.metric).alias("score"))
@@ -645,6 +672,37 @@ class IVFIndex:
         return self._quantized_search(
             spark, query, k, ef_search, cols=["sq"],
             approx_fn=approx_scores, rerank=int(self.manifest.get("sq_rerank", 4)),
+        )
+
+    def _b1_search(self, spark: SparkSession, query: list[float], k: int, ef_search: int | None) -> DataFrame:
+        """Binary scan (``quantization: 'b1'``, usearch's b1x8 scalar kind):
+        the hot scan reads ONLY (id, b1) — ceil(dim/64)*8 bytes/row, 32x
+        less IO than f32 at dim=64 — and ranks by Hamming distance over the
+        packed sign codes (a monotone proxy for angular order), then
+        exactly re-ranks the top ``k * b1_rerank`` with the full vectors.
+        Hamming is polarity-normalized into the metric's direction so the
+        shared shortlist machinery applies unchanged; reported scores are
+        exact (re-rank contract identical to PQ/SQ8)."""
+        metric = self.metric
+        desc = METRIC_IS_DESCENDING[metric]
+        qcode = pqmod.b1_encode(
+            np.asarray(query, dtype=np.float64)[None, :], self.b1_thresholds
+        )[0]
+        bc_q = tracked_broadcast(spark.sparkContext, qcode)
+
+        def approx_scores(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qc = bc_q.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                h = pqmod.b1_hamming(pdf["b1"].tolist(), qc).astype(np.float64)
+                # smaller hamming = more similar; flip for descending
+                # metrics so the shared polarity ordering shortlists right
+                yield pd.DataFrame({"id": pdf["id"], "score": -h if desc else h})
+
+        return self._quantized_search(
+            spark, query, k, ef_search, cols=["b1"],
+            approx_fn=approx_scores, rerank=int(self.manifest.get("b1_rerank", 16)),
         )
 
     def _quantized_search(
@@ -760,10 +818,11 @@ class IVFIndex:
         cents = self.centroids
         books = self.pq_books
         sq_scale = self.sq_scale
-        bc = tracked_broadcast(spark.sparkContext, (cents, books, sq_scale))
+        b1_thr = self.b1_thresholds
+        bc = tracked_broadcast(spark.sparkContext, (cents, books, sq_scale, b1_thr))
 
         def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            cents_l, books_l, sq_l = bc.value
+            cents_l, books_l, sq_l, b1_l = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -779,6 +838,8 @@ class IVFIndex:
                     )
                 if sq_l is not None:
                     pdf = pdf.assign(sq=[c.tobytes() for c in pqmod.sq_encode(mat, sq_l)])
+                if b1_l is not None:
+                    pdf = pdf.assign(b1=[c.tobytes() for c in pqmod.b1_encode(mat, b1_l)])
                 yield pdf
 
         id_t = self.manifest.get("id_type", "bigint")
@@ -787,6 +848,8 @@ class IVFIndex:
             schema += ", codes binary, vnorm float"
         if sq_scale is not None:
             schema += ", sq binary"
+        if b1_thr is not None:
+            schema += ", b1 binary"
         n_tail = tail.count()
         (
             tail.mapInPandas(assign, schema=schema)

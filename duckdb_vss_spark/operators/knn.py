@@ -371,6 +371,56 @@ def _candidates_broadcast_sq(
     )
 
 
+def _b1_batch_scorer(thr_l, qmat_l, metric):
+    """Binary (b1) scorer for the shared fold: queries encode to packed
+    sign codes once per partition, then per-batch Hamming via table-driven
+    popcount — the scan reads ceil(dim/64)*8 bytes per row (32x less than
+    f32 at dim=64). Emits the NEGATED distance for descending metrics so
+    the fold's polarity ordering shortlists correctly; scores are a
+    monotone proxy only — the caller's exact re-rank restores true
+    values."""
+    import numpy as np
+
+    from ..index import pq as pqmod
+
+    desc = METRIC_IS_DESCENDING[metric]
+    qcodes = pqmod.b1_encode(np.asarray(qmat_l, dtype=np.float64), thr_l)
+
+    def prep(pdf):
+        n_words = qcodes.shape[1]
+        codes = np.frombuffer(b"".join(pdf["b1"].tolist()), dtype=np.uint64).reshape(-1, n_words)
+
+        def score(q0, q1):
+            x = np.ascontiguousarray(
+                np.bitwise_xor(codes[:, None, :], qcodes[None, q0:q1, :])
+            )
+            h = (
+                pqmod._POP8[x.view(np.uint8)]
+                .reshape(len(codes), q1 - q0, -1)
+                .sum(axis=2)
+                .astype(np.float64)
+            )
+            return -h if desc else h
+
+        return score
+
+    return prep
+
+
+def _candidates_broadcast_b1(
+    left, data, left_on, left_id, k_sel, metric, index, probe_mask, excluded_ids, probes_pdf
+) -> DataFrame:
+    """Binary candidate generation (``quantization: 'b1'`` artifacts):
+    the shared fold over ``(rid, b1, list_id)`` with Hamming-proxy
+    scoring. Returns (qid, rid) pairs; the caller recomputes exact
+    scores."""
+    return _quantized_candidates(
+        left, data, left_id, k_sel, metric, index, probe_mask, excluded_ids,
+        probes_pdf, data_cols=["b1"], bc_extra=index.b1_thresholds,
+        make_batch_scorer=_b1_batch_scorer,
+    )
+
+
 def _candidates_crossjoin(
     left: DataFrame, right: DataFrame, left_on: str, right_on: str, left_id: str, right_id: str, metric: str
 ) -> DataFrame:
@@ -562,6 +612,7 @@ def knn_join_flat_indexed(
     quantized = (
         getattr(index, "pq_books", None) is not None
         or getattr(index, "sq_scale", None) is not None
+        or getattr(index, "b1_thresholds", None) is not None
     )
     if len(needed) >= 0.5 * index.nlist and not quantized:
         # the probes' combined lists cover most of the index: the masked
@@ -589,7 +640,12 @@ def knn_join_flat_indexed(
         data = _anti_join_deleted(data, del_df, del_small)
     # shortlist broadcast bound: <= |probed lists| * nq * k_sel (qid, rid)
     # pairs; beyond ~8M pairs the flat vector kernel is the safer plan
-    rerank_mult = int(index.manifest.get("pq_rerank", index.manifest.get("sq_rerank", 4)))
+    rerank_mult = int(
+        index.manifest.get(
+            "pq_rerank",
+            index.manifest.get("sq_rerank", index.manifest.get("b1_rerank", 4)),
+        )
+    )
     pq_pairs_est = len(needed) * len(probes_pdf) * max(k, k * rerank_mult)
     if quantized and pq_pairs_est <= 8_000_000:
         # codes-only kernel (ADC for PQ, dequantized GEMM for SQ8); exact
@@ -602,8 +658,12 @@ def knn_join_flat_indexed(
             cand_ids = _candidates_broadcast_pq(
                 left, data, left_on, left_id, k_sel, metric, index, mask, excl, probes_pdf
             )
-        else:
+        elif getattr(index, "sq_scale", None) is not None:
             cand_ids = _candidates_broadcast_sq(
+                left, data, left_on, left_id, k_sel, metric, index, mask, excl, probes_pdf
+            )
+        else:
+            cand_ids = _candidates_broadcast_b1(
                 left, data, left_on, left_id, k_sel, metric, index, mask, excl, probes_pdf
             )
         rvec = data.select(F.col("id").alias("rid"), F.col("vec").alias("__rv")).join(

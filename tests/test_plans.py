@@ -288,6 +288,24 @@ def test_sq_scan_prunes_vec_column(spark, tmp_path):
     assert all("vec" not in ln.split("ReadSchema:")[1] for ln in approx_scans)
 
 
+def test_b1_scan_prunes_vec_column(spark, tmp_path):
+    """The binary (b1) approximate scan must read ONLY (id, b1) from
+    parquet — ceil(dim/64)*8 bytes/row in the hot scan, the 32x
+    column-pruning story (same assertion as the PQ/SQ paths)."""
+    from duckdb_vss_spark import VSSEngine
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    eng = VSSEngine(spark, index_root=str(tmp_path / "b1p"))
+    eng.register_table("e", emb)
+    eng.create_index("b1p", "e", "embedding", "vec_id", options={"quantization": "b1"}, replace=True)
+    idx = eng.catalog.get("b1p")
+    plan = _physical(idx.search(spark, [0.1] * 64, 5))
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    approx_scans = [ln for ln in scan_lines if "b1:binary" in ln]
+    assert approx_scans, scan_lines
+    assert all("vec" not in ln.split("ReadSchema:")[1] for ln in approx_scans)
+
+
 def test_embedding_neardup_prunes_on_clustered_data(spark):
     """r7 verdict task 6: on data WITH cluster structure (the near-dup use
     case) the epsilon-join's triangle-inequality bound must strictly prune

@@ -504,3 +504,160 @@ def test_pq_rerank_recovers_near_tie_recall(spark, tmp_path):
     # samples the tie sets
     assert high >= 0.95, (low, high)
     assert low <= high - 0.3, (low, high)
+
+
+# ---- B1 (`quantization: 'b1'`) ---------------------------------------------
+
+
+def test_b1_kernels_match_bruteforce():
+    import numpy as np
+
+    from duckdb_vss_spark.index import pq
+
+    rng = np.random.default_rng(7)
+    for dim in (3, 64, 65, 128, 100):
+        m = rng.normal(size=(60, dim))
+        thr = pq.train_b1_thresholds(m)
+        codes = pq.b1_encode(m, thr)
+        assert codes.shape == (60, pq.b1_words(dim))
+        q = m[11]
+        qc = pq.b1_encode(q[None, :], thr)[0]
+        h = pq.b1_hamming([c.tobytes() for c in codes], qc)
+        bits = m > thr[None, :]
+        brute = (bits != (q > thr)[None, :]).sum(axis=1)
+        assert (h == brute).all() and h[11] == 0
+
+
+def test_b1_index_full_probe_covering_rerank_exact(spark, tmp_path):
+    """With every list probed AND a re-rank shortlist covering the whole
+    table, the b1 index must equal brute force exactly — the same gate
+    shape as SQ8's, with the coverage coming from b1_rerank (Hamming
+    order alone guarantees nothing)."""
+    from duckdb_vss_spark import VSSEngine, topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Q = [((i * 7) % 16) / 16.0 for i in range(64)]
+    for metric in ("l2sq", "cosine"):
+        eng = VSSEngine(spark, index_root=str(tmp_path / f"b1_{metric}"))
+        eng.register_table("e", emb)
+        eng.create_index(
+            "b1", "e", "embedding", "vec_id",
+            options={"quantization": "b1", "metric": metric, "b1_rerank": 1000},
+            replace=True,
+        )
+        eng.set_ef_search(10**6)
+        got = [(r["vec_id"], round(r["score"], 5)) for r in
+               eng.topk("e", "embedding", Q, 10, metric=metric, tiebreak="vec_id").collect()]
+        want = [(r["vec_id"], round(r["score"], 5)) for r in
+                topk(emb, "embedding", Q, 10, metric, tiebreak="vec_id").collect()]
+        assert got == want, metric
+
+
+def test_b1_default_rerank_scores_are_exact(spark, tmp_path):
+    """At the DEFAULT shortlist the membership is approximate but every
+    reported (id, score) must carry the exact metric value — the engine's
+    only-membership-is-approximate contract."""
+    from duckdb_vss_spark import VSSEngine
+    from duckdb_vss_spark.functions.distance import distance_expr
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Q = [0.25] * 64
+    eng = VSSEngine(spark, index_root=str(tmp_path / "b1d"))
+    eng.register_table("e", emb)
+    eng.create_index("b1", "e", "embedding", "vec_id", options={"quantization": "b1"}, replace=True)
+    eng.set_ef_search(10**6)
+    got = {r["vec_id"]: r["score"] for r in eng.topk("e", "embedding", Q, 10, tiebreak="vec_id").collect()}
+    assert len(got) == 10
+    exact = {
+        r["vec_id"]: r["s"]
+        for r in emb.filter(F.col("vec_id").isin(*got)).select(
+            "vec_id", distance_expr("embedding", Q, "l2sq").alias("s")).collect()
+    }
+    for vid, s in got.items():
+        assert abs(s - exact[vid]) < 1e-5
+
+
+def test_b1_maintenance_lifecycle(spark, tmp_path):
+    from duckdb_vss_spark import VSSEngine
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Q = [0.25] * 64
+    eng = VSSEngine(spark, index_root=str(tmp_path / "b1m"))
+    eng.register_table("e", emb)
+    eng.create_index(
+        "b1", "e", "embedding", "vec_id",
+        options={"quantization": "b1", "b1_rerank": 1000}, replace=True,
+    )
+    idx = eng.catalog.get("b1")
+    idx.insert(
+        emb.limit(5).select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding"),
+        "embedding", "vec_id",
+    )
+    before = idx.search(spark, Q, 10, ef_search=10**6).collect()
+    gone = before[0]["id"]
+    idx.delete(spark, [gone])
+    after = idx.search(spark, Q, 10, ef_search=10**6).collect()
+    assert all(r["id"] != gone for r in after) and len(after) == 10
+    # incremental fold keeps the b1 column consistent (delta rows encoded)
+    idx2 = idx.compact_incremental(spark)
+    folded = idx2.search(spark, Q, 10, ef_search=10**6).collect()
+    assert sorted((r["id"], round(r["score"], 5)) for r in folded) == sorted(
+        (r["id"], round(r["score"], 5)) for r in after
+    )
+    # full compact rebuilds with the option intact
+    idx3 = idx2.compact(spark)
+    assert idx3.manifest.get("quantization") == "b1" and idx3.b1_thresholds is not None
+    assert idx3.sq_scale is None
+
+
+def test_b1_option_guards(spark):
+    from duckdb_vss_spark.index.catalog import BinderException, validate_options
+
+    with pytest.raises(BinderException, match="b1_rerank"):
+        validate_options({"b1_rerank": 0})
+    assert validate_options({"quantization": "b1", "b1_rerank": 64})["quantization"] == "b1"
+    with pytest.raises(BinderException, match="quantization"):
+        validate_options({"quantization": "b2"})
+
+
+def test_b1_indexed_join_full_probe_covering_rerank_exact(spark, tmp_path):
+    """The indexed kNN join over a b1 artifact runs the Hamming codes-only
+    kernel (fold over (rid, b1), no vectors in the scan); with every list
+    probed and a covering b1_rerank it must equal the exact flat join,
+    including under tail inserts and tombstones."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark import VSSEngine, knn_join_flat
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter("vec_id < 10")
+    eng = VSSEngine(spark, index_root=str(tmp_path / "b1j"))
+    eng.register_table("e", emb)
+    eng.create_index(
+        "bj", "e", "embedding", "vec_id",
+        options={"quantization": "b1", "b1_rerank": 1000}, replace=True,
+    )
+    eng.set_ef_search(10**6)
+    got = sorted(
+        (r["qid"], r["rid"], r["rnk"], round(r["score"], 5))
+        for r in eng.knn_join(probes, "e", "embedding", "embedding", 3,
+                              left_id="vec_id", right_id="vec_id").collect()
+    )
+    want = sorted(
+        (r["qid"], r["rid"], r["rnk"], round(r["score"], 5))
+        for r in knn_join_flat(probes, emb, "embedding", "embedding", 3, "l2sq",
+                               left_id="vec_id", right_id="vec_id").collect()
+    )
+    assert got == want
+    idx = eng.catalog.get("bj")
+    idx.insert(
+        emb.limit(3).select((F.col("vec_id") + 50_000).alias("vec_id"), "embedding"),
+        "embedding", "vec_id",
+    )
+    gone = want[0][1]
+    idx.delete(spark, [gone])
+    r = eng.knn_join(probes, "e", "embedding", "embedding", 3,
+                     left_id="vec_id", right_id="vec_id").collect()
+    assert len(r) == 30 and all(x["rid"] != gone for x in r)
