@@ -506,6 +506,21 @@ def test_sql_create_index_string_and_bool_options(spark, tmp_path):
         f"array_distance(embedding, [{', '.join(str((i * 7 % 16) / 16.0) for i in range(64))}]) LIMIT 5"
     ).collect()
     assert len(rows) == 5
+    # binary quantization through the same DDL surface (round 8): the
+    # full-probe covering-rerank query must serve from the b1 index
+    fe.sql("DROP INDEX sq_idx")
+    fe.sql("CREATE INDEX b1_idx ON embeddings USING HNSW (embedding) "
+           "WITH (metric = 'l2sq', quantization = 'b1', b1_rerank = 1000)")
+    idx2 = eng.catalog.get("b1_idx")
+    assert idx2.manifest.get("quantization") == "b1"
+    assert idx2.manifest.get("b1_rerank") == 1000
+    rows2 = fe.sql(
+        "SELECT vec_id, score FROM embeddings ORDER BY "
+        f"array_distance(embedding, [{', '.join(str((i * 7 % 16) / 16.0) for i in range(64))}]) LIMIT 5"
+    ).collect()
+    assert [(r["vec_id"], round(r["score"], 5)) for r in rows2] == [
+        (r["vec_id"], round(r["score"], 5)) for r in rows
+    ]
 
 
 def test_macro_fragments_in_arbitrary_sql(spark, tmp_path):
