@@ -2626,6 +2626,133 @@ def _q_b1_index_topk(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-9 consolidation: queries() had grown to 56 entries while the driver's
+# CORRECTNESS artifact records at most 50 rows (observed cap; see the note
+# above _union_tagged's merged-entry block), so q51-q56 carried no external
+# correctness signal in round 8. Six single-operator pairs that share a result
+# shape are folded into tagged unions below, bringing the total back to
+# exactly 50 so every registered surface rides the driver gate.
+# ---------------------------------------------------------------------------
+
+
+def _m_multimodal(spark, sf_dir):
+    """q21+q22 merged: typed-metadata decode (image/audio/bmp/wav/jpeg/warc
+    legs from _m_multimodal_meta) plus video frame sampling, tagged
+    kind='frames' with frame_idx riding d1."""
+    frames = _q_multimodal_frames(spark, sf_dir).select(
+        F.lit("frames").alias("kind"),
+        "doc_id",
+        F.lit("video").alias("media_type"),
+        F.col("frame_idx").alias("d1"),
+        F.lit(-1).cast("long").alias("d2"),
+        F.lit(-1).cast("long").alias("n_bytes"),
+    )
+    return _union_tagged([_m_multimodal_meta(spark, sf_dir), frames])
+
+
+def _m_temporal_join(spark, sf_dir):
+    """q37+q38 merged: the as-of join (last click at or before each
+    purchase, left-outer) and the banded range join (clicks in the 4h
+    before each error, counted) in one tagged frame."""
+    asof = _q_asof_join(spark, sf_dir).select(
+        F.lit("asof").alias("tag"),
+        "event_id",
+        "user_id",
+        "click_id",
+        "click_ts",
+        F.lit(-1).cast("long").alias("n"),
+    )
+    rng = _q_range_join(spark, sf_dir).select(
+        F.lit("range").alias("tag"),
+        "event_id",
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(-1).cast("long").alias("click_id"),
+        F.lit("1970-01-01").cast("timestamp").alias("click_ts"),
+        F.col("n_clicks").cast("long").alias("n"),
+    )
+    return _union_tagged([asof, rng])
+
+
+def _m_vector_analytics(spark, sf_dir):
+    """q39+q40 merged: per-label centroids + E-step assignment profile
+    (already tagged 'cent'/'assign') plus one deterministic Lloyd k-means
+    step as part='kmeans' (a=cid, b=pos, x=c)."""
+    km = _q_kmeans_step(spark, sf_dir).select(
+        F.lit("kmeans").alias("part"),
+        F.col("cid").alias("a"),
+        F.col("pos").alias("b"),
+        F.col("c").alias("x"),
+    )
+    return _union_tagged([_m_vector_centroids(spark, sf_dir), km])
+
+
+def _m_feature_stats(spark, sf_dir):
+    """q47+q48 merged: the L1-normalized byte histogram (tag='hist',
+    a=doc_id, b=byte) and the distributed embedding covariance matrix
+    (tag='cov', a=i, b=j) share the (tag, a, b, v) shape."""
+    hist = _q_byte_histogram(spark, sf_dir).select(
+        F.lit("hist").alias("tag"),
+        F.col("doc_id").alias("a"),
+        F.col("byte").alias("b"),
+        F.col("freq").alias("v"),
+    )
+    cov = _q_covariance(spark, sf_dir).select(
+        F.lit("cov").alias("tag"),
+        F.col("i").alias("a"),
+        F.col("j").alias("b"),
+        F.col("cov").alias("v"),
+    )
+    return _union_tagged([hist, cov])
+
+
+def _m_index_backends(spark, sf_dir):
+    """q49+q56 merged: the graph backend's scan+join legs plus the
+    binary-quantized (b1) full-probe scan as tag='b1' (qid=-1, rnk =
+    rank of the exact top-10 — same shape as the 'scan' leg)."""
+    from pyspark.sql import Window
+
+    b1 = _q_b1_index_topk(spark, sf_dir).select(
+        F.lit("b1").alias("tag"),
+        F.lit(-1).cast("long").alias("qid"),
+        F.col("vec_id").alias("rid"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").asc(), F.col("vec_id").asc()))
+        .cast("long")
+        .alias("rnk"),
+        F.col("score").cast("float").alias("score"),
+    )
+    return _union_tagged([_m_hnsw_graph_index(spark, sf_dir), b1])
+
+
+def _m_web_curate(spark, sf_dir):
+    """q53+q54 merged: the C4 §2.2 cleaning recipe (tag='c4': cleaned
+    text, kept-line count, lang label, composed c4_keep) and the
+    RefinedWeb recipe (tag='rw': line-deduped text, removed-line count,
+    fuzzy cluster id as the label, fuzzy_keep) in one tagged frame. The
+    c4 leg's lang_ok column is dropped as derived (lang = 'en' in both
+    engines); every other gated value survives verbatim."""
+    c4 = _q_c4_clean(spark, sf_dir).select(
+        F.lit("c4").alias("tag"),
+        "doc_id",
+        F.col("clean_text").alias("text_out"),
+        F.col("n_kept_lines").alias("n_lines"),
+        F.col("lang").alias("label"),
+        F.col("c4_keep").alias("keep"),
+        "dup_window_frac",
+    )
+    rw = _q_refinedweb_curate(spark, sf_dir).select(
+        F.lit("rw").alias("tag"),
+        "doc_id",
+        F.col("dedup_text").alias("text_out"),
+        F.col("n_removed_lines").alias("n_lines"),
+        F.col("cluster_id").cast("string").alias("label"),
+        F.col("fuzzy_keep").alias("keep"),
+        "dup_window_frac",
+    )
+    return _union_tagged([c4, rw])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_topk_metrics": _m_topk_metrics,
@@ -2648,8 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_events_json": _q_events_json,
         "q19_stream_hourly": _q_stream_hourly,
         "q20_stream_dedup": _q_stream_dedup,
-        "q21_multimodal_meta": _m_multimodal_meta,
-        "q22_multimodal_frames": _q_multimodal_frames,
+        "q21_multimodal": _m_multimodal,
         "q23_sql_frontend": _m_sql_frontend,
         "q24_knn_join_grouped": _q_knn_join_grouped,
         "q25_topk_filtered_ceiling": _m_topk_filtered_ceiling,
@@ -2664,26 +2790,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_corpus_stats": _m_corpus_stats,
         "q35_decontaminate": _q_decontaminate,
         "q36_sessionize": _q_sessionize,
-        "q37_asof_join": _q_asof_join,
-        "q38_range_join": _q_range_join,
-        "q39_vector_centroids": _m_vector_centroids,
-        "q40_kmeans_step": _q_kmeans_step,
+        "q37_temporal_join": _m_temporal_join,
+        "q39_vector_analytics": _m_vector_analytics,
         "q41_stream_sessions": _q_stream_sessions,
         "q42_stream_stateful": _q_stream_stateful_totals,
         "q43_vss_join_struct": _q_vss_join_struct,
         "q44_stream_interval_join": _q_stream_interval_join,
         "q45_dedup_clusters": _m_graph,
         "q46_sink_roundtrip": _m_sink_roundtrip,
-        "q47_byte_histogram": _q_byte_histogram,
-        "q48_covariance": _q_covariance,
-        "q49_hnsw_graph_index": _m_hnsw_graph_index,
+        "q47_feature_stats": _m_feature_stats,
+        "q49_index_backends": _m_index_backends,
         "q50_ranking": _m_ranking,
         "q51_curate_corpus": _q_curate_corpus,
         "q52_ccnet_curate": _q_ccnet_curate,
-        "q53_c4_clean": _q_c4_clean,
-        "q54_refinedweb_curate": _q_refinedweb_curate,
+        "q53_web_curate": _m_web_curate,
         "q55_semantic_curate": _q_semantic_curate,
-        "q56_b1_index_topk": _q_b1_index_topk,
     }
 
 
@@ -3965,7 +4086,12 @@ def oracle_sql() -> dict[str, str]:
         "q18_events_json": P["q22_events_json"],
         "q19_stream_hourly": P["q23_stream_hourly"],
         "q20_stream_dedup": P["q24_stream_dedup"],
-        "q21_multimodal_meta": union(
+        "q21_multimodal": union(
+            (
+                "SELECT 'frames' AS kind, doc_id, 'video' AS media_type, "
+                "frame_idx::BIGINT AS d1, -1::BIGINT AS d2, -1::BIGINT AS n_bytes "
+                f"FROM ({P['q26_multimodal_frames']})"
+            ),
             (
                 "SELECT 'image' AS kind, doc_id, media_type, width::BIGINT AS d1, "
                 f"height::BIGINT AS d2, n_bytes FROM ({P['q25_multimodal_meta']})"
@@ -4016,7 +4142,6 @@ def oracle_sql() -> dict[str, str]:
                 ")"
             ),
         ),
-        "q22_multimodal_frames": P["q26_multimodal_frames"],
         "q23_sql_frontend": union(
             tag("tag", "topk", P["q27_sql_topk"], "vec_id, score"),
             tag("tag", "alias", P["q35_sql_alias_topk"], "vec_id, score"),
@@ -4157,9 +4282,18 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "q36_sessionize": P["q50_sessionize"],
-        "q37_asof_join": P["q51_asof_join"],
-        "q38_range_join": P["q52_range_join"],
-        "q39_vector_centroids": union(
+        "q37_temporal_join": union(
+            (
+                "SELECT 'asof' AS tag, event_id, user_id, click_id::BIGINT AS click_id, "
+                f"click_ts, -1::BIGINT AS n FROM ({P['q51_asof_join']})"
+            ),
+            (
+                "SELECT 'range' AS tag, event_id, -1::BIGINT AS user_id, "
+                "-1::BIGINT AS click_id, TIMESTAMP '1970-01-01' AS click_ts, "
+                f"n_clicks::BIGINT AS n FROM ({P['q52_range_join']})"
+            ),
+        ),
+        "q39_vector_analytics": union(
             (
                 "SELECT 'cent' AS part, label::BIGINT AS a, pos::BIGINT AS b, c AS x "
                 f"FROM ({P['q53_label_centroids']})"
@@ -4168,8 +4302,11 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT 'assign' AS part, centroid_id::BIGINT AS a, n::BIGINT AS b, sum_dist AS x "
                 f"FROM ({P['q54_nearest_centroid']})"
             ),
+            (
+                "SELECT 'kmeans' AS part, cid::BIGINT AS a, pos::BIGINT AS b, c AS x "
+                f"FROM ({P['q56_kmeans_step']})"
+            ),
         ),
-        "q40_kmeans_step": P["q56_kmeans_step"],
         "q41_stream_sessions": P["q57_stream_sessions"],
         "q42_stream_stateful": P["q58_stream_stateful"],
         "q43_vss_join_struct": P["q61_vss_join_struct"],
@@ -4203,8 +4340,16 @@ def oracle_sql() -> dict[str, str]:
                 "lang, n, total_chars",
             ),
         ),
-        "q47_byte_histogram": P["q66_byte_histogram"],
-        "q48_covariance": P["q72_covariance"],
+        "q47_feature_stats": union(
+            (
+                "SELECT 'hist' AS tag, doc_id::BIGINT AS a, byte::BIGINT AS b, "
+                f"freq AS v FROM ({P['q66_byte_histogram']})"
+            ),
+            (
+                "SELECT 'cov' AS tag, i::BIGINT AS a, j::BIGINT AS b, "
+                f"cov AS v FROM ({P['q72_covariance']})"
+            ),
+        ),
         "q50_ranking": union(
             (
                 "SELECT 'bm25' AS tag, doc_id, '' AS term, -1::BIGINT AS rank,\n"
@@ -4233,21 +4378,35 @@ def oracle_sql() -> dict[str, str]:
                 f"FROM ({_MAXSIM_ORACLE_SQL()})"
             ),
         ),
-        "q49_hnsw_graph_index": (
+        "q49_index_backends": (
             "SELECT 'scan' AS tag, -1::BIGINT AS qid, vec_id AS rid,\n"
             "       row_number() OVER (ORDER BY score, vec_id)::BIGINT AS rnk, score\n"
             f"FROM ({P['q15_ann_index_topk']})\n"
             "UNION ALL\n"
             "SELECT 'join' AS tag, qid, rid, rnk::BIGINT AS rnk, score\n"
-            f"FROM ({P['q16_ann_index_knn_join']})"
+            f"FROM ({P['q16_ann_index_knn_join']})\n"
+            "UNION ALL\n"
+            # b1 full-probe + covering re-rank == brute force: the flat
+            # top-k twin IS the oracle
+            "SELECT 'b1' AS tag, -1::BIGINT AS qid, vec_id AS rid,\n"
+            "       row_number() OVER (ORDER BY score, vec_id)::BIGINT AS rnk, score\n"
+            f"FROM ({P['q15_ann_index_topk']})"
         ),
         "q51_curate_corpus": _CURATE_CORPUS_ORACLE_SQL(O),
         "q52_ccnet_curate": _CCNET_CURATE_ORACLE_SQL(O),
-        "q53_c4_clean": _C4_CLEAN_ORACLE_SQL(O),
-        "q54_refinedweb_curate": _REFINEDWEB_ORACLE_SQL(O),
+        "q53_web_curate": union(
+            (
+                "SELECT 'c4' AS tag, doc_id, clean_text AS text_out, "
+                "n_kept_lines::BIGINT AS n_lines, lang AS label, c4_keep AS keep, "
+                f"dup_window_frac FROM ({_C4_CLEAN_ORACLE_SQL(O)})"
+            ),
+            (
+                "SELECT 'rw' AS tag, doc_id, dedup_text AS text_out, "
+                "n_removed_lines::BIGINT AS n_lines, cluster_id::VARCHAR AS label, "
+                "fuzzy_keep AS keep, dup_window_frac "
+                f"FROM ({_REFINEDWEB_ORACLE_SQL(O)})"
+            ),
+        ),
         "q55_semantic_curate": _SEMANTIC_CURATE_ORACLE_SQL(O, P),
-        # b1 full-probe + covering re-rank == brute force: the flat top-k
-        # twin IS the oracle
-        "q56_b1_index_topk": P["q15_ann_index_topk"],
     }
     return out
