@@ -77,6 +77,7 @@ from .pipelines import (  # noqa: F401
     refinedweb_curate,
     semantic_curate,
 )
+from .broadcasts import release_tracked_persists as release_caches  # noqa: F401
 from .operators.temporal import asof_join, range_join_banded, sessionize_batch  # noqa: F401
 from .operators.vector import (  # noqa: F401
     covariance_matrix,

@@ -49,3 +49,59 @@ def tracked_broadcast(sc, value):
 def live_broadcast_count(sc) -> int:
     """Number of tracked live broadcasts for this context (test surface)."""
     return len(_LIVE.get(sc.applicationId, ()))
+
+
+MAX_LIVE_PERSISTS = int(os.environ.get("SPARK_GRAFT_MAX_LIVE_PERSISTS", "8"))
+
+# applicationId -> deque of internally persisted DataFrames (oldest first)
+_LIVE_PERSISTS: dict[str, deque] = {}
+
+
+def tracked_persist(df):
+    """``df.persist(MEMORY_AND_DISK)`` with the same bounded-lifetime LRU
+    discipline as :func:`tracked_broadcast`, for operators that must read
+    their input more than once (driver-side decision collects + the final
+    distributed pass) and therefore persist it internally: the cache makes
+    the multiple reads mutually consistent and evaluates the upstream chain
+    once, and the ring bounds how many such frames a long-lived session
+    accumulates. Evicting the oldest is safe for correctness on
+    deterministic inputs (Spark recomputes); it only forfeits the reuse."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    sc = df.sparkSession.sparkContext
+    ring = _LIVE_PERSISTS.setdefault(sc.applicationId, deque())
+    ring.append(df)
+    while len(ring) > MAX_LIVE_PERSISTS:
+        old = ring.popleft()
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # context already stopped; nothing to free
+    return df
+
+
+def release_tracked_persists(spark=None) -> int:
+    """Unpersist every internally persisted frame (all contexts, or just
+    ``spark``'s). The explicit release hook for batch loops that call
+    :func:`~duckdb_vss_spark.pipelines.curate_corpus` or the sampling
+    operators repeatedly and want caches dropped before the LRU ring
+    evicts them. Returns the number of frames released."""
+    keys = (
+        [spark.sparkContext.applicationId] if spark is not None else list(_LIVE_PERSISTS)
+    )
+    n = 0
+    for k in keys:
+        ring = _LIVE_PERSISTS.pop(k, None) or ()
+        for df in ring:
+            try:
+                df.unpersist(blocking=False)
+                n += 1
+            except Exception:
+                pass
+    return n
+
+
+def live_persist_count(sc) -> int:
+    """Number of tracked internally persisted frames (test surface)."""
+    return len(_LIVE_PERSISTS.get(sc.applicationId, ()))

@@ -683,6 +683,8 @@ class IVFIndex:
         Hamming is polarity-normalized into the metric's direction so the
         shared shortlist machinery applies unchanged; reported scores are
         exact (re-rank contract identical to PQ/SQ8)."""
+        if len(query) != self.dim:
+            raise ValueError(f"query dimension {len(query)} != index dimension {self.dim}")
         metric = self.metric
         desc = METRIC_IS_DESCENDING[metric]
         qcode = pqmod.b1_encode(

@@ -172,6 +172,7 @@ def stratified_sample(
     fraction,
     id_col: str,
     seed: str = "strata",
+    internal_persist: bool = True,
 ) -> DataFrame:
     """Exact-count stratified sample: within each stratum keep the first
     ``ceil(fraction * n_stratum)`` rows in hash-of-id order.
@@ -194,6 +195,18 @@ def stratified_sample(
     collect is bounded by ``STRATA_CUT_TARGET`` tuples (bucket width
     adapts to the stratum count, degenerating to the plain window cut
     when strata are so many that each stratum is small).
+
+    Determinism contract: the cut is decided by a driver-side collect and
+    applied by a separate distributed pass, so ``df`` must be
+    deterministic (no ``rand()``-derived columns, no source that changes
+    between actions) or already cached — otherwise the collected counts
+    and the final pass can disagree and the cut is silently wrong. When
+    ``df`` is not already cached it is persisted internally
+    (:func:`~duckdb_vss_spark.broadcasts.tracked_persist`, bounded LRU)
+    so the decision collects and the final pass read one materialization;
+    note this makes the call eager. Strata totals are derived from the
+    same single collect that locates the boundary buckets, so the two can
+    never disagree with each other.
     """
     if isinstance(fraction, dict):
         for val, r in fraction.items():
@@ -206,16 +219,17 @@ def stratified_sample(
         if not (0.0 <= fraction <= 1.0):
             raise ValueError("fraction must be in [0, 1]")
         _rate = lambda s: float(fraction)
+    from ..broadcasts import tracked_persist
+
+    if internal_persist and not df.is_cached:
+        df = tracked_persist(df)
     h = _hash_of(id_col, seed)
-    # per-stratum totals: vocabulary-scale driver collect, the same
-    # contract temperature_rates already relies on
-    totals = {
-        r[0]: int(r["n"])
-        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    if not totals:
+    # stratum count sizes the bucket width only — correctness-relevant
+    # counts all come from the single per-(stratum, bucket) collect below
+    n_strata = df.select(strata_col).distinct().count()
+    if n_strata == 0:
         return df.filter(F.lit(False))
-    k_bits = min(12, max(0, (STRATA_CUT_TARGET // len(totals)).bit_length() - 1))
+    k_bits = min(12, max(0, (STRATA_CUT_TARGET // n_strata).bit_length() - 1))
     bcol = (F.shiftright(h, 60 - k_bits) if k_bits > 0 else F.lit(0)).cast("int")
     per: dict = {}
     for r in (
@@ -224,6 +238,9 @@ def stratified_sample(
         .collect()
     ):
         per.setdefault(r[0], {})[int(r["__db"])] = int(r["c"])
+    # per-stratum totals derived from the SAME collect that locates the
+    # boundary buckets, so cut sizes and bucket prefixes cannot disagree
+    totals = {s: sum(bmap.values()) for s, bmap in per.items()}
     # driver-side boundary location per stratum: full buckets below the
     # cut keep outright; the bucket the cut lands in gets its in-bucket
     # rank budget. ceil(rate * n) reproduces the window form's
@@ -287,6 +304,7 @@ def rank_split(
     edges: tuple = (1.0 / 3.0, 2.0 / 3.0),
     labels: tuple = ("head", "middle", "tail"),
     out_col: str = "rank_bucket",
+    internal_persist: bool = True,
 ) -> DataFrame:
     """Per-stratum quantile labels with exact ``percent_rank`` semantics,
     de-skewed: row gets ``labels[i]`` where ``i`` is the first edge with
@@ -312,6 +330,14 @@ def rank_split(
 
     Used by :func:`~duckdb_vss_spark.pipelines.ccnet_curate` for the
     per-language perplexity terciles (Wenzek et al. 2020 §4.4).
+
+    Determinism contract (same as :func:`stratified_sample`): the cut
+    ranks are decided driver-side and applied by a separate distributed
+    pass, so ``df`` must be deterministic or already cached; uncached
+    input is persisted internally (bounded LRU) so every pass reads one
+    materialization. Stratum sizes are derived from the same
+    per-(stratum, bucket) collect that computes the in-bucket thresholds,
+    so cut ranks and bucket prefixes cannot disagree with each other.
     """
     if len(labels) != len(edges) + 1:
         raise ValueError("need len(labels) == len(edges) + 1")
@@ -323,16 +349,22 @@ def rank_split(
             f"rank_split orders by value-range buckets; order_col must be "
             f"numeric, got {o_type}"
         )
+    from ..broadcasts import tracked_persist
+
+    if internal_persist and not df.is_cached:
+        df = tracked_persist(df)
     ocol = F.col(order_col).cast("double")
     # min/max EXCLUDE NaN (Spark's max would return NaN, killing the value
     # buckets for every row); NaN rows route straight to the top bucket,
     # where the rank comparator's NaN-last order keeps them after finite
-    # values of that bucket
+    # values of that bucket. Stratum sizes are NOT taken from this
+    # collect — they come from the per-bucket counts below, the same
+    # collect that feeds the threshold prefixes.
     fin = F.when(~F.isnan(ocol), ocol)
     stats = {
-        r[0]: (int(r["n"]), r["mn"], r["mx"])
+        r[0]: (r["mn"], r["mx"])
         for r in df.groupBy(strata_col)
-        .agg(F.count(F.lit(1)).alias("n"), F.min(fin).alias("mn"), F.max(fin).alias("mx"))
+        .agg(F.min(fin).alias("mn"), F.max(fin).alias("mx"))
         .collect()
     }
     if not stats:
@@ -345,7 +377,7 @@ def rank_split(
     s_type = dict(df.dtypes)[strata_col]
     stats_df = spark.createDataFrame(
         [(s, float(mn) if mn is not None else None, float(mx) if mx is not None else None)
-         for s, (_, mn, mx) in stats.items()],
+         for s, (mn, mx) in stats.items()],
         f"__rs {s_type}, __mn double, __mx double",
     )
     width = F.col("__mx") - F.col("__mn")
@@ -373,7 +405,7 @@ def rank_split(
 
     rows = []
     for s, bmap in per.items():
-        n_s = stats[s][0]
+        n_s = sum(bmap.values())
         cuts = [_percent_rank_cut(n_s, e) for e in edges]
         prefix = 0
         for b in sorted(bmap):
@@ -469,6 +501,7 @@ def pack_sequences(
     shard_col: str | None = None,
     seed: str = "pack",
     out_col: str = "pack_id",
+    internal_persist: bool = True,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: order documents deterministically
     (hash of id) within each shard, accumulate token counts, and assign
@@ -491,9 +524,20 @@ def pack_sequences(
     division. Output is row-identical to the per-shard window (pinned by
     test); ``shard_col=None`` packs the whole frame as one logical shard
     and STILL parallelizes across the hash buckets.
+
+    Determinism contract (same as :func:`stratified_sample`): the bucket
+    offsets are decided by a driver-side collect and applied by a
+    separate distributed pass, so ``df`` must be deterministic or already
+    cached; uncached input is persisted internally (bounded LRU). The
+    shard-count probe only sizes the bucket width — every
+    correctness-relevant sum comes from the single offsets collect.
     """
     if budget < 1:
         raise ValueError("budget must be at least 1")
+    from ..broadcasts import tracked_persist
+
+    if internal_persist and not df.is_cached:
+        df = tracked_persist(df)
     shard = F.col(shard_col) if shard_col else F.lit(0)
     h = _hash_of(id_col, seed)
     spark = df.sparkSession

@@ -463,20 +463,25 @@ def curate_corpus(
     # joins reference it, so it stays persisted (Spark evicts LRU).
     narrow = None
     if strata_col is not None or pack_budget is not None:
+        from .broadcasts import tracked_persist
+
         cols = [id_col, "n_tok", "quality_ok", "dup_of_store", "contaminated"]
         if "ingest_keep" in docs.columns:
             cols.append("ingest_keep")
         for extra in (strata_col, mix_weight_col):
             if extra is not None and extra not in cols:
                 cols.append(extra)
-        narrow = out.select(*cols).persist()
+        narrow = tracked_persist(out.select(*cols))
     if strata_col is not None:
         parts = narrow.filter(surv)
         rates = temperature_rates(
             parts, strata_col, alpha, weight_col=mix_weight_col, target_total=mix_target
         )
         kept = stratified_sample(
-            parts.select(id_col, strata_col), strata_col, rates, id_col
+            # derives from the persisted narrow frame: deterministic, so
+            # the operator's own internal persist would only double-cache
+            parts.select(id_col, strata_col), strata_col, rates, id_col,
+            internal_persist=False,
         ).select(id_col, F.lit(True).alias("__mix"))
         out = (
             out.join(kept, id_col, "left")
@@ -503,6 +508,7 @@ def curate_corpus(
             pack_budget,
             id_col,
             shard_col=shard,
+            internal_persist=False,  # derives from the persisted narrow frame
         ).select(id_col, "pack_id")
         out = out.join(packed, id_col, "left")
     else:
@@ -516,9 +522,14 @@ def curate_corpus(
             id_col,
             snapshot,
         )
-    # expose the persisted narrow frame so batch-loop callers (e.g.
-    # streaming.stream_curate) can unpersist it once the batch's output
-    # is fully materialized — long-running loops would otherwise
-    # accumulate one cached frame per micro-batch
+    # The persisted narrow frame has two release paths: (1) the private
+    # _curate_narrow attribute lets a batch loop that holds THIS exact
+    # DataFrame (streaming.stream_curate) unpersist eagerly per batch —
+    # note any transformation returns a new object without the attribute;
+    # (2) the frame is registered in the bounded tracked-persist LRU ring
+    # (broadcasts.tracked_persist), so plain batch callers either call
+    # duckdb_vss_spark.release_caches() explicitly or let the ring evict
+    # the oldest frame — repeated invocations can no longer accumulate
+    # caches without bound.
     out._curate_narrow = narrow
     return out

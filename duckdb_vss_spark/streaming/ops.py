@@ -538,8 +538,20 @@ def stream_curate(
     Delivery is effectively-once via the same two guards as
     :func:`stream_crawl_ingest` (snapshot-name skip + batch-keyed
     overwrite sink). ``curate_kwargs`` pass through to the recipe
-    (``strata_col``, ``alpha``, ``pack_budget``, thresholds...).
+    (``strata_col``, ``alpha``, ``pack_budget``, thresholds...) — except
+    ``snapshot`` and ``store``, which the stream owns: a caller-fixed
+    snapshot name would commit a second, identically-named snapshot every
+    micro-batch that the ``{prefix}-{batch_id}`` replay guard cannot see,
+    so a restarted batch would re-dedup against its own fingerprints and
+    break the effectively-once contract.
     """
+    forbidden = {"snapshot", "store"} & curate_kwargs.keys()
+    if forbidden:
+        raise ValueError(
+            f"stream_curate owns snapshot naming and the store; "
+            f"pass {sorted(forbidden)} as direct arguments, not via curate_kwargs"
+        )
+
     def _batch(bdf: DataFrame, bid: int) -> None:
         _curate_batch(
             bdf, bid, store, bench, out_path,

@@ -661,3 +661,19 @@ def test_b1_indexed_join_full_probe_covering_rerank_exact(spark, tmp_path):
     r = eng.knn_join(probes, "e", "embedding", "embedding", 3,
                      left_id="vec_id", right_id="vec_id").collect()
     assert len(r) == 30 and all(x["rid"] != gone for x in r)
+
+
+def test_b1_wrong_dimension_query_clean_error(spark, tmp_path):
+    """A wrong-dimension query against a b1 index must raise the same
+    clean ValueError the flat/PQ/SQ paths produce, not an opaque numpy
+    broadcast error from the encode step (round-9 ADVICE)."""
+    import pytest
+
+    from duckdb_vss_spark import VSSEngine
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    eng = VSSEngine(spark, index_root=str(tmp_path / "b1dim"))
+    eng.register_table("e", emb)
+    eng.create_index("b1", "e", "embedding", "vec_id", options={"quantization": "b1"}, replace=True)
+    with pytest.raises(ValueError, match="dimension"):
+        eng.topk("e", "embedding", [0.5] * 16, 5)

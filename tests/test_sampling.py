@@ -723,3 +723,70 @@ def test_rank_split_validation(spark):
     # empty input returns an empty frame with the out column present
     empty = rank_split(df.filter(F.lit(False)), "lang", "ppl", "doc_id")
     assert empty.count() == 0 and "rank_bucket" in empty.columns
+
+
+def test_internal_persist_and_release(spark):
+    """The exact-cut operators persist uncached input internally (bounded
+    LRU ring) so their driver collects and final pass read one
+    materialization; release_caches() drops them on demand; and
+    internal_persist=False opts out for inputs the caller already pinned
+    (the curate_corpus path)."""
+    from duckdb_vss_spark import release_caches
+    from duckdb_vss_spark.broadcasts import live_persist_count
+    from duckdb_vss_spark.operators.sampling import pack_sequences, stratified_sample
+
+    release_caches(spark)
+    sc = spark.sparkContext
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+        (F.col("id") % 50 + 1).alias("n_tok"),
+    )
+    out = stratified_sample(df, "lang", 0.5, "doc_id")
+    assert out.count() > 0
+    assert live_persist_count(sc) == 1
+    # same object is now cached -> second operator reuses, no new ring entry
+    packed = pack_sequences(df, "n_tok", 128, "doc_id", shard_col="lang")
+    assert packed.count() == 500
+    assert live_persist_count(sc) == 1
+    # a distinct uncached frame gets its own entry
+    df2 = df.select("doc_id", "lang", (F.col("n_tok") + 1).alias("n_tok"))
+    pack_sequences(df2, "n_tok", 128, "doc_id", shard_col="lang").count()
+    assert live_persist_count(sc) == 2
+    # opt-out path adds nothing to the ring
+    df3 = df.select("doc_id", "lang")
+    stratified_sample(df3, "lang", 0.5, "doc_id", internal_persist=False).count()
+    assert live_persist_count(sc) == 2
+    assert release_caches(spark) == 2
+    assert live_persist_count(sc) == 0
+
+
+def test_nondeterministic_input_exact_cut(spark):
+    """The round-9 determinism hardening end-to-end: with a rand()-derived
+    stratum column (nondeterministic across evaluations), the internal
+    persist pins one materialization, so the exact per-stratum cut still
+    holds — collected counts, boundary ranks, and the final pass all read
+    the same rows."""
+    import math
+
+    from duckdb_vss_spark import release_caches
+    from duckdb_vss_spark.operators.sampling import stratified_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.rand(seed=7) < 0.8, "en").otherwise("de").alias("lang"),
+    )
+    out = stratified_sample(df, "lang", 0.25, "doc_id")
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    # the input is persisted by the operator, so recounting it now reads the
+    # SAME materialization the cut was decided on: the exact-count contract
+    # ceil(0.25 * n_stratum) must hold stratum-for-stratum
+    base = {
+        r["lang"]: r["n"]
+        for r in df.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got and all(got[s] == math.ceil(0.25 * base[s]) for s in got), (got, base)
+    release_caches(spark)

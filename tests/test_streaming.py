@@ -495,3 +495,25 @@ def test_stream_curate_incremental(spark, tmp_path):
     # pre-stream snapshot, not zero)
     leaked = _persisted_ids() - before
     assert not leaked, leaked
+
+
+def test_stream_curate_rejects_owned_kwargs(spark, tmp_path):
+    """stream_curate owns snapshot naming and the store: forwarding a
+    caller-fixed snapshot= into every micro-batch would commit a second,
+    fixed-name snapshot the '{prefix}-{bid}' replay guard cannot see,
+    breaking effectively-once on restart (round-9 ADVICE) — reject it
+    up front."""
+    import pytest
+
+    from duckdb_vss_spark import MinHashStore
+    from duckdb_vss_spark.streaming.ops import stream_curate
+
+    store = MinHashStore.create(spark, str(tmp_path / "store"), 3, 16, 4)
+    docs = spark.readStream.format("rate").load().selectExpr(
+        "value AS doc_id", "CAST(value AS STRING) AS text"
+    )
+    with pytest.raises(ValueError, match="snapshot"):
+        stream_curate(
+            docs, store, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            snapshot="fixed-name",
+        )
