@@ -63,6 +63,14 @@ def main() -> None:
 
     spark = get_spark("vss-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + codegen before the START probe: without this the
+    # first probe measures one-time JVM warm-up (~0.2 s vs the ~0.08 s
+    # steady-state scheduling floor), which inflated floor_spread to
+    # ~2.8 on a GENUINELY QUIET host (round-9 finding) and made the
+    # noise verdict unreadable. Best-of-3 inside _calibration does not
+    # help because all three warm-up probes are slow together.
+    for _ in range(3):
+        spark.range(1 << 10).selectExpr("sum(id)").collect()
     calib = {"start": _calibration(spark)}
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).cache()
     emb.count()
