@@ -648,6 +648,11 @@ def main() -> None:
             # the near-tie fixture (same mitigation lever as pq_rerank)
             ("b1", {"quantization": "b1"}),
             ("b1_rr64", {"quantization": "b1", "b1_rerank": 64}),
+            # round 9: the NO-KNOB points — target_recall auto-sizes the
+            # re-rank shortlist at build time from a sampled tie-width
+            # probe (the executable form of the rr64 rule of thumb)
+            ("pq8_auto", {"pq_m": 8, "target_recall": 0.95}),
+            ("b1_auto", {"quantization": "b1", "target_recall": 0.95}),
             ("graph", {"index_type": "hnsw"}),
         ):
             reng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix=f"bench_rc_{bname}_"))
@@ -714,7 +719,7 @@ def main() -> None:
         # times, row counts) lives in BENCH_SELF.json
         compact["recall"] = {
             b: out["recall"][b]["r10"]
-            for b in ("flat", "sq8", "pq8", "pq8_rr64", "b1", "b1_rr64", "graph")
+            for b in ("flat", "sq8", "pq8", "pq8_rr64", "pq8_auto", "b1", "b1_rr64", "b1_auto", "graph")
             if b in out["recall"]
         }
     line = json.dumps(compact, separators=(",", ":"))

@@ -119,10 +119,31 @@ def validate_options(options: dict) -> dict:
             if not isinstance(v, str) or v.lower() not in ("warn", "compact"):
                 raise BinderException("index option 'tail_policy' must be one of: 'warn', 'compact'")
             out[k] = v.lower()
+        elif k == "target_recall":
+            # auto-size the quantized re-rank shortlist at build time
+            # (round 9): a sampled probe measures the approx-rank of true
+            # neighbors and picks pq_rerank/sq_rerank/b1_rerank to reach
+            # this recall@10 — the executable form of the README's
+            # "size k*rerank to the tie-set" rule of thumb
+            if isinstance(v, bool) or not isinstance(v, (int, float)) or not (0.0 < float(v) <= 1.0):
+                raise BinderException("index option 'target_recall' must be a number in (0, 1]")
+            out[k] = float(v)
         else:
             raise BinderException(f"Unknown option for HNSW index: '{key}'")
     if out["M0"] is None:
         out["M0"] = 2 * out["M"]  # m0 defaults to 2*m (reference: hnsw_index.cpp:208-217)
+    if "target_recall" in out:
+        if not (out.get("pq_m") or out.get("quantization")):
+            raise BinderException(
+                "index option 'target_recall' requires a quantized layout "
+                "('pq_m' or quantization: 'i8'/'b1') — the flat scan is already exact"
+            )
+        explicit = {"pq_rerank", "sq_rerank", "b1_rerank"} & out.keys()
+        if explicit:
+            raise BinderException(
+                f"index option 'target_recall' auto-sizes the re-rank shortlist; "
+                f"drop the explicit {sorted(explicit)[0]!r} or the target"
+            )
     return out
 
 

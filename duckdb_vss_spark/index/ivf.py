@@ -202,6 +202,161 @@ def kmeans_distributed(
     return cents
 
 
+PROBE_SAMPLES = 16  # build-time recall probes for target_recall auto-sizing
+PROBE_K = 10        # the recall@k the auto-sizer targets
+
+
+def _auto_rerank(
+    spark: SparkSession,
+    data: DataFrame,
+    metric: str,
+    target: float,
+    floor: int,
+    books=None,
+    sq_scale=None,
+    b1_thr=None,
+) -> tuple[int, dict]:
+    """Build-time re-rank shortlist sizing for ``target_recall`` (round 9):
+    the executable form of the README's "size k*rerank to the tie-set"
+    rule. Takes ``PROBE_SAMPLES`` deterministic probe vectors from the
+    freshly written data, measures — under the SAME approximate scorer the
+    search path uses (ADC / dequantized SQ8 / Hamming, polarity included) —
+    the worst-case approximate rank of each probe's true top-``PROBE_K``
+    neighbors (ties counted against us, matching the shortlist's
+    (score, id) cut), and picks the shortlist size whose pooled rank
+    quantile reaches ``target``, with a 2x sampling margin.
+
+    Cost: two extra distributed passes over the index data (exact top-k
+    probe + rank counting), paid once at build. The chosen value and the
+    probe diagnostics land in the manifest as ``rerank_auto``.
+    """
+    from ..functions.kernels import pairwise_scores
+
+    desc = METRIC_IS_DESCENDING[metric]
+    probe_rows = data.select("id", "vec").orderBy("id").limit(PROBE_SAMPLES).collect()
+    Q = np.vstack([np.asarray(r["vec"], dtype=np.float64) for r in probe_rows])
+    S = Q.shape[0]
+    qnorms = np.linalg.norm(Q, axis=1)
+    luts = (
+        np.stack([pqmod.adc_lut(Q[s], books, metric) for s in range(S)])
+        if books is not None
+        else None
+    )
+    qcodes = pqmod.b1_encode(Q, b1_thr) if b1_thr is not None else None
+    bc = tracked_broadcast(spark.sparkContext, (Q, luts, sq_scale, qcodes))
+
+    def _approx(pdf: pd.DataFrame) -> np.ndarray:
+        """(n, S) approximate scores, exactly the search path's math."""
+        Qv, lut_t, sq_l, qc = bc.value
+        if lut_t is not None:
+            ap = np.stack(
+                [pqmod.adc_scores(pdf["codes"].tolist(), lut_t[s]) for s in range(len(Qv))],
+                axis=1,
+            )
+            if metric == "cosine":
+                ap = ap / np.maximum(
+                    np.outer(pdf["vnorm"].to_numpy(np.float64), qnorms), 1e-30
+                )
+            return ap
+        if sq_l is not None:
+            return pairwise_scores(pqmod.sq_decode(pdf["sq"].tolist(), sq_l), Qv, metric)
+        h = np.stack(
+            [pqmod.b1_hamming(pdf["b1"].tolist(), qc[s]).astype(np.float64) for s in range(len(Qv))],
+            axis=1,
+        )
+        return -h if desc else h
+
+    id_t = dict(data.dtypes)["id"]
+    out_schema = f"probe int, id {id_t}, exact double, approx double"
+
+    def part_top(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate the running top-K per probe ACROSS the partition's
+        # batches and emit once: the driver collect is then
+        # O(partitions * S * K), independent of row count
+        Qv = bc.value[0]
+        best: list[pd.DataFrame | None] = [None] * len(Qv)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            ex = pairwise_scores(mat, Qv, metric)
+            ap = _approx(pdf)
+            ids = pdf["id"].to_numpy()
+            for s in range(len(Qv)):
+                key = -ex[:, s] if desc else ex[:, s]
+                top = np.argsort(key, kind="stable")[:PROBE_K]
+                batch_best = pd.DataFrame(
+                    {"probe": s, "id": ids[top], "exact": ex[top, s], "approx": ap[top, s]}
+                )
+                if best[s] is not None:
+                    batch_best = pd.concat([best[s], batch_best], ignore_index=True)
+                    keep = np.argsort(
+                        -batch_best["exact"].to_numpy() if desc else batch_best["exact"].to_numpy(),
+                        kind="stable",
+                    )[:PROBE_K]
+                    batch_best = batch_best.iloc[keep].reset_index(drop=True)
+                best[s] = batch_best
+        live = [b for b in best if b is not None]
+        if live:
+            yield pd.concat(live, ignore_index=True)
+
+    cand = data.mapInPandas(part_top, schema=out_schema).collect()
+    # driver merge: global true top-PROBE_K per probe, engine tiebreak (score, id)
+    members: dict[int, list] = {}
+    for r in cand:
+        members.setdefault(r["probe"], []).append((r["exact"], r["id"], r["approx"]))
+    member_scores = np.full((S, PROBE_K), np.nan)
+    for s, rows in members.items():
+        rows.sort(key=lambda t: ((-t[0] if desc else t[0]), t[1]))
+        for m, (_, _, ap_s) in enumerate(rows[:PROBE_K]):
+            member_scores[s, m] = ap_s
+    bc_m = tracked_broadcast(spark.sparkContext, member_scores)
+
+    def count_ranks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition partial counts, one emit per partition
+        ms = bc_m.value
+        acc = np.zeros(ms.shape, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ap = _approx(pdf)
+            for s in range(ms.shape[0]):
+                # worst-case member position: strictly-better rows PLUS all
+                # ties (the shortlist cut breaks ties by id, so a member can
+                # sit last in its tie set)
+                cmp = ap[:, s][:, None] >= ms[s][None, :] if desc else ap[:, s][:, None] <= ms[s][None, :]
+                acc[s] += np.where(np.isnan(ms[s]), 0, cmp.sum(axis=0))
+        recs = [
+            (s, m, int(acc[s, m]))
+            for s in range(ms.shape[0])
+            for m in np.flatnonzero(~np.isnan(ms[s]))
+        ]
+        if recs:
+            yield pd.DataFrame(recs, columns=["probe", "member", "cnt"])
+
+    totals = (
+        data.mapInPandas(count_ranks, schema="probe int, member int, cnt long")
+        .groupBy("probe", "member")
+        .agg(F.sum("cnt").alias("rank"))
+        .collect()
+    )
+    ranks = sorted(int(r["rank"]) for r in totals)
+    if not ranks:
+        return floor, {"ranks": [], "chosen_rank": 0}
+    idx = min(len(ranks) - 1, max(0, math.ceil(target * len(ranks)) - 1))
+    need = ranks[idx]
+    rerank = max(floor, math.ceil(need * 2.0 / PROBE_K))
+    diag = {
+        "probes": S,
+        "probe_k": PROBE_K,
+        "rank_median": ranks[len(ranks) // 2],
+        "rank_q_target": need,
+        "rank_max": ranks[-1],
+        "margin": 2.0,
+    }
+    return int(rerank), diag
+
+
 def build_ivf(
     df: DataFrame,
     vec_col: str,
@@ -353,6 +508,15 @@ def build_ivf(
         fs.write_npy(spark, fs.join(vdir, "sq_scale.npy"), sq_scale)
     if b1_thr is not None:
         fs.write_npy(spark, fs.join(vdir, "b1_thresholds.npy"), b1_thr)
+    tr = opts.get("target_recall")
+    auto_rerank = auto_diag = None
+    if tr is not None and (pq_m or qz):
+        rerank_key = "pq_rerank" if pq_m else ("sq_rerank" if qz == "i8" else "b1_rerank")
+        floor = 16 if rerank_key == "b1_rerank" else 4
+        auto_rerank, auto_diag = _auto_rerank(
+            spark, spark.read.parquet(fs.join(vdir, "data")), metric, float(tr),
+            floor=floor, books=books, sq_scale=sq_scale, b1_thr=b1_thr,
+        )
     manifest = {
         "format": "ivf-flat-parquet/v2",
         "version": version,
@@ -379,6 +543,9 @@ def build_ivf(
         # shortlist is the default posture (same lever as pq_rerank; the
         # recall bench rides both the default and a raised point)
         manifest["b1_rerank"] = int(opts.get("b1_rerank", 16))
+    if auto_rerank is not None:
+        manifest[rerank_key] = auto_rerank
+        manifest["rerank_auto"] = {"target_recall": float(tr), **auto_diag}
     manifest.update(extra_manifest or {})
     fs.write_json(spark, fs.join(path, "manifest.json"), manifest)  # commit point
     return IVFIndex(path, spark)

@@ -384,6 +384,8 @@ class SQLFrontend:
                     opts[k] = v
                 elif v.lower() in ("true", "false"):
                     opts[k] = v.lower() == "true"
+                elif k == "target_recall":
+                    opts[k] = float(v)
                 else:
                     opts[k] = int(v)
         df = self.engine.table(m.group("table"))

@@ -677,3 +677,66 @@ def test_b1_wrong_dimension_query_clean_error(spark, tmp_path):
     eng.create_index("b1", "e", "embedding", "vec_id", options={"quantization": "b1"}, replace=True)
     with pytest.raises(ValueError, match="dimension"):
         eng.topk("e", "embedding", [0.5] * 16, 5)
+
+
+def test_target_recall_auto_sizes_shortlist_on_near_ties(spark, tmp_path):
+    """Round-9 gate: with ``target_recall`` set and NO manual rerank knob,
+    the build-time probe must detect the near-tie structure (the round-8
+    fixture where the default shortlist craters recall) and auto-size the
+    shortlist so recall@10 reaches the target. Covers PQ8 and b1; also
+    pins the manifest diagnostics and the DDL validation pairing rules."""
+    import pytest
+
+    from duckdb_vss_spark import BinderException, knn_join_flat
+    from duckdb_vss_spark.operators.knn import knn_join_flat_indexed
+
+    rows = []
+    for b in range(512):
+        base = [(((b * 7 + j * 5) % 509) / 509.0) for j in range(64)]
+        for r in range(64):
+            vid = b * 64 + r
+            v = [x + (((vid * 31 + j * 13) % 101) / 40000.0) for j, x in enumerate(base)]
+            rows.append((vid, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.filter(F.col("vec_id") % 64 == 0).limit(8)
+    exact = knn_join_flat(
+        probes, df, "embedding", "embedding", 10, "l2sq", left_id="vec_id", right_id="vec_id"
+    ).select("qid", "rid").cache()
+    n_exact = exact.count()
+
+    for name, opts, default_rerank in (
+        ("pq", {"pq_m": 8, "target_recall": 0.95}, 4),
+        ("b1", {"quantization": "b1", "target_recall": 0.95}, 16),
+    ):
+        eng = VSSEngine(spark, index_root=str(tmp_path / f"auto_{name}"))
+        eng.register_table("tie", df)
+        eng.create_index("tie_idx", "tie", "embedding", "vec_id", options=opts, replace=True)
+        idx = eng.catalog.get("tie_idx")
+        auto = idx.manifest["rerank_auto"]
+        key = "pq_rerank" if name == "pq" else "b1_rerank"
+        chosen = idx.manifest[key]
+        # the probe must have SEEN the ~64-wide tie sets and raised the
+        # shortlist well past the default
+        assert chosen > default_rerank, (name, chosen, auto)
+        approx = knn_join_flat_indexed(
+            probes, idx, "embedding", 10, "vec_id", ef_search=8
+        ).select("qid", "rid")
+        rec = exact.join(approx, ["qid", "rid"]).count() / n_exact
+        assert rec >= 0.95, (name, chosen, rec, auto)
+        assert auto["target_recall"] == 0.95 and auto["probes"] >= 1
+
+    # validation pairing: target_recall needs a quantized layout, and is
+    # mutually exclusive with an explicit rerank knob
+    eng = VSSEngine(spark, index_root=str(tmp_path / "auto_bad"))
+    eng.register_table("tie", df)
+    with pytest.raises(BinderException, match="quantized"):
+        eng.create_index("bad1", "tie", "embedding", "vec_id",
+                         options={"target_recall": 0.95}, replace=True)
+    with pytest.raises(BinderException, match="auto-sizes"):
+        eng.create_index("bad2", "tie", "embedding", "vec_id",
+                         options={"pq_m": 8, "pq_rerank": 8, "target_recall": 0.95},
+                         replace=True)
+    with pytest.raises(BinderException, match="target_recall"):
+        eng.create_index("bad3", "tie", "embedding", "vec_id",
+                         options={"pq_m": 8, "target_recall": 1.5}, replace=True)
+    exact.unpersist()

@@ -521,6 +521,14 @@ def test_sql_create_index_string_and_bool_options(spark, tmp_path):
     assert [(r["vec_id"], round(r["score"], 5)) for r in rows2] == [
         (r["vec_id"], round(r["score"], 5)) for r in rows
     ]
+    # round 9: target_recall rides the DDL as a float option and lands the
+    # auto-sized shortlist + diagnostics in the manifest
+    fe.sql("DROP INDEX b1_idx")
+    fe.sql("CREATE INDEX tr_idx ON embeddings USING HNSW (embedding) "
+           "WITH (metric = 'l2sq', quantization = 'b1', target_recall = 0.95)")
+    idx3 = eng.catalog.get("tr_idx")
+    assert idx3.manifest["rerank_auto"]["target_recall"] == 0.95
+    assert idx3.manifest["b1_rerank"] >= 16
 
 
 def test_macro_fragments_in_arbitrary_sql(spark, tmp_path):
