@@ -2000,7 +2000,40 @@ def _m_multimodal_meta(spark, sf_dir):
         F.col("height").cast("long").alias("d2"),
         "n_bytes",
     )
-    return _union_tagged([img, aud, bmp, wav, warc, jpeg])
+    # full PIXEL decode leg (round 9, operators/jpeg.py): per doc a REAL
+    # baseline JPEG — grayscale 16x16, four constant 8x8 blocks with even
+    # values c_b = 16 + 2*((doc_id*7 + b*5) % 112) — is entropy-encoded at
+    # quality 50 and decoded back. At q50 the DC quant step (16) divides
+    # 8*(c-128) for even c and every AC coefficient is zero, so the
+    # decode is bit-exact and duckdb states the expected pixel sum in
+    # closed form: Huffman tables, DC prediction, dequant, IDCT, and
+    # level shift are all inside the driver's value hash.
+    from duckdb_vss_spark.operators.jpeg import encode_jpeg
+
+    def synth_jpx(batches):
+        for pdf in batches:
+            ids, blobs_ = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                im = np.zeros((16, 16), dtype=np.uint8)
+                for b, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+                    im[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 16 + 2 * ((i * 7 + b * 5) % 112)
+                ids.append(i)
+                blobs_.append(encode_jpeg(im, quality=50))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs_})
+
+    jpx_blobs = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        synth_jpx, schema="doc_id long, content binary"
+    )
+    jpegpx = decode_image(jpx_blobs, "doc_id").select(
+        F.lit("jpegpx").alias("kind"),
+        "doc_id",
+        F.lit("jpeg").alias("media_type"),
+        px_sum.alias("d1"),
+        (F.col("width") * F.col("height")).cast("long").alias("d2"),
+        F.lit(-1).cast("long").alias("n_bytes"),
+    )
+    return _union_tagged([img, aud, bmp, wav, warc, jpeg, jpegpx])
 
 
 def _q_sql_where_topk(spark, sf_dir):
@@ -4123,6 +4156,16 @@ def oracle_sql() -> dict[str, str]:
                 "(CASE WHEN (1 + doc_id % 8) >= 5 THEN 16 + doc_id % 101 "
                 "ELSE 16 + (7*doc_id) % 101 END)::BIGINT AS d2, "
                 f"{_JPEG_N_BYTES}::BIGINT AS n_bytes FROM documents"
+            ),
+            (
+                # jpegpx leg twin: the baseline decode of four constant
+                # even-valued 8x8 blocks at q50 is LOSSLESS (DC step 16
+                # divides 8*(c-128), no AC), so the pixel sum is the
+                # closed form 3 channels x 64 px x c_b summed over blocks
+                "SELECT 'jpegpx' AS kind, doc_id, 'jpeg' AS media_type, "
+                "sum(192 * (16 + 2*((doc_id*7 + rb.b*5) % 112)))::BIGINT AS d1, "
+                "256::BIGINT AS d2, -1::BIGINT AS n_bytes "
+                "FROM documents, range(0,4) rb(b) GROUP BY doc_id"
             ),
             (
                 # warc leg twin: replicate the HTML extractor's whitespace

@@ -1,0 +1,619 @@
+"""Baseline-profile JPEG codec (ITU-T T.81 / ISO 10918-1) in pure numpy.
+
+Round-9 resolution of the "decide lossy-codec decode" item: the container
+ships no codec libraries (no PIL / OpenCV / libjpeg), so the pipeline's
+JPEG surface was header-only metadata. This module implements the baseline
+sequential DCT process end to end — enough to *decode real baseline JPEGs*
+(the overwhelming majority of web-crawled images) and to *encode*
+deterministic test material so the decoder is gate-able without vendored
+binaries:
+
+- ``encode_jpeg(pixels, quality)``: grayscale or RGB, 4:4:4 (no chroma
+  subsampling), standard Annex K quantization tables scaled by the IJG
+  quality curve, standard Annex K Huffman tables, byte-stuffed entropy
+  stream. Deterministic: same pixels + quality => same bytes.
+- ``decode_jpeg(b)``: marker parse (DQT / DHT / SOF0 / SOS / DRI / RSTn),
+  canonical Huffman decode with DC prediction, dequantize, de-zigzag,
+  orthonormal 2-D IDCT, level shift, nearest-neighbor chroma upsampling
+  for subsampled inputs, JFIF YCbCr->RGB. Supported: 8-bit precision,
+  1 or 3 components, baseline (SOF0) only; progressive (SOF2), arithmetic
+  coding, 12-bit, and hierarchical modes raise ``NotImplementedError``
+  with the marker name, same contract as the other codec guards in
+  :mod:`.multimodal`.
+
+The reference repo has no pixel-decode surface at all (its `test/` tree is
+vector-search only) — this is pure north-star pipeline capability: a
+multimodal training-data pipeline must turn crawled bytes into pixel
+tensors engine-side, in the same mapInPandas batches the rest of the
+curation runs in.
+
+Determinism notes (these make the codec oracle-able):
+
+- The DCT/IDCT use the exact orthonormal matrix (float64); for an 8x8
+  block of one constant EVEN value the whole path is lossless at quality
+  50 (DC quant step 16 divides 8*(c-128)), which is what the driver gate
+  exploits (closed-form expected pixels in SQL).
+- Quantization rounds half away from zero (IJG convention), not banker's.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_jpeg", "decode_jpeg"]
+
+# -- constants (ITU-T T.81 Annex K) -----------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# K.1 / K.2 base quantization tables (natural order)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# K.3 typical Huffman tables: (bits[1..16], huffval)
+HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8-point DCT-II matrix (the scaling T.81's FDCT/IDCT define)
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16.0) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _fdct2(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) level-shifted samples -> (n, 8, 8) DCT coefficients."""
+    return np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+
+
+def _idct2(coefs: np.ndarray) -> np.ndarray:
+    return np.einsum("ji,njk,kl->nil", _C, coefs, _C)
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def _scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    if not (1 <= quality <= 100):
+        raise ValueError("JPEG quality must be in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+# -- bit I/O -----------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (T.81 F.1.2.3)
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Entropy-segment reader: un-stuffs 0xFF00 and stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn consumed by caller
+                raise _AtMarker(nxt)
+            else:
+                raise _AtMarker(nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+
+class _AtMarker(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+# -- Huffman -----------------------------------------------------------------
+
+
+def _build_codes(bits: list, huffval: list) -> dict:
+    """symbol -> (code, length), canonical assignment (T.81 C.2)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(bits: list, huffval: list) -> dict:
+    """(length, code) -> symbol, for bit-serial canonical decode."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_symbol(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value -> (size category, raw bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+# -- encoder ------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.clip(_round_half_away(np.stack([y, cb, cr], axis=-1)), 0, 255)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(_round_half_away(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(h, w) -> (nby*nbx, 8, 8) raster order, edge-replicated padding."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = plane.shape
+    return (
+        plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _encode_plane(qcoefs: np.ndarray, dc_codes: dict, ac_codes: dict, bw: _BitWriter) -> None:
+    """qcoefs: (n_blocks, 64) zigzag-ordered quantized coefficients."""
+    pred = 0
+    for blk in qcoefs:
+        dc = int(blk[0])
+        size, bits = _magnitude(dc - pred)
+        pred = dc
+        code, length = dc_codes[size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits, size)
+        run = 0
+        last_nz = 0
+        nz = np.flatnonzero(blk[1:])
+        last_nz = (nz[-1] + 1) if len(nz) else 0
+        for i in range(1, last_nz + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, length = ac_codes[(run << 4) | size]
+            bw.write(code, length)
+            bw.write(bits, size)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_codes[0x00]  # EOB
+            bw.write(code, length)
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
+    """Baseline JFIF encode of ``(h, w)`` grayscale or ``(h, w, 3)`` RGB
+    uint8 pixels at 4:4:4 (no chroma subsampling). Deterministic."""
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8 pixels")
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("encode_jpeg expects (h, w) or (h, w, 3) pixels")
+    h, w = px.shape[:2]
+    qt_l = _scaled_qtable(QT_LUMA, quality)
+    qt_c = _scaled_qtable(QT_CHROMA, quality)
+    if gray:
+        planes = [px.astype(np.float64)]
+        qts = [qt_l]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qts = [qt_l, qt_c, qt_c]
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00]) + bytes(qt_l[ZIGZAG].astype(np.uint8))
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x01]) + bytes(qt_c[ZIGZAG].astype(np.uint8))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    for tclass, tid, (bits, vals) in (
+        (0, 0, HT_DC_LUMA), (1, 0, HT_AC_LUMA), (0, 1, HT_DC_CHROMA), (1, 1, HT_AC_CHROMA),
+    )[: 2 if gray else 4]:
+        payload = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    # 4:4:4 interleaved MCU = one block per component, raster order
+    dc_l, ac_l = _build_codes(*HT_DC_LUMA), _build_codes(*HT_AC_LUMA)
+    dc_c, ac_c = _build_codes(*HT_DC_CHROMA), _build_codes(*HT_AC_CHROMA)
+    qplanes = []
+    for plane, qt in zip(planes, qts):
+        blocks = _to_blocks(np.asarray(plane, dtype=np.float64)) - 128.0
+        coefs = _fdct2(blocks).reshape(-1, 64)
+        q = _round_half_away(coefs / qt[None, :]).astype(np.int64)
+        qplanes.append(q[:, ZIGZAG])
+    bw = _BitWriter()
+    if gray:
+        _encode_plane(qplanes[0], dc_l, ac_l, bw)
+    else:
+        preds = [0, 0, 0]
+        tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+        for b in range(qplanes[0].shape[0]):
+            for ci in range(3):
+                blk = qplanes[ci][b]
+                dc_codes, ac_codes = tables[ci]
+                dc = int(blk[0])
+                size, bits_v = _magnitude(dc - preds[ci])
+                preds[ci] = dc
+                code, length = dc_codes[size]
+                bw.write(code, length)
+                if size:
+                    bw.write(bits_v, size)
+                nz = np.flatnonzero(blk[1:])
+                last_nz = (nz[-1] + 1) if len(nz) else 0
+                run = 0
+                for i in range(1, last_nz + 1):
+                    v = int(blk[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                    size, bits_v = _magnitude(v)
+                    code, length = ac_codes[(run << 4) | size]
+                    bw.write(code, length)
+                    bw.write(bits_v, size)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_codes[0x00]
+                    bw.write(code, length)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# -- decoder ------------------------------------------------------------------
+
+_UNSUPPORTED_SOF = {
+    0xC1: "extended sequential (SOF1)",
+    0xC2: "progressive (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic sequential (SOF9)",
+    0xCA: "arithmetic progressive (SOF10)",
+    0xCB: "arithmetic lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) JPEG to ``(h, w, 3)`` RGB uint8 (grayscale
+    replicated to 3 channels, matching the other decoders' RGB contract).
+    Non-baseline processes raise ``NotImplementedError``."""
+    data = bytes(b)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quantization tables not supported")
+                tbl = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int64)
+                qtables[tq] = tbl[UNZIGZAG]
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                htables[(tc, th)] = _build_decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision not supported")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in _UNSUPPORTED_SOF:
+            raise NotImplementedError(
+                f"JPEG {_UNSUPPORTED_SOF[marker]} process not supported (baseline SOF0 only)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 0x0F))
+            return _decode_scan(
+                data, pos + seglen, frame, scan, qtables, htables, restart_interval
+            )
+        pos += seglen
+    raise ValueError("JPEG has no scan data")
+
+
+def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
+    fh, fw = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    # per-component coefficient planes (in MCU-padded dims)
+    planes = {}
+    for comp, _, _ in scan:
+        cw, ch = mcux * comp["h"] * 8, mcuy * comp["v"] * 8
+        planes[comp["id"]] = np.zeros((ch, cw), dtype=np.float64)
+    br = _BitReader(data, pos)
+    preds = {comp["id"]: 0 for comp, _, _ in scan}
+    n_mcu = mcux * mcuy
+    mcu = 0
+    while mcu < n_mcu:
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            br.byte_align()
+            # skip the RSTn marker
+            while data[br.pos] != 0xFF:
+                br.pos += 1
+            if 0xD0 <= data[br.pos + 1] <= 0xD7:
+                br.pos += 2
+            preds = {k: 0 for k in preds}
+        my, mx = divmod(mcu, mcux)
+        try:
+            for comp, td, ta in scan:
+                qt = qtables[comp["tq"]]
+                dct_t = htables[(0, td)]
+                act_t = htables[(1, ta)]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        blk = np.zeros(64, dtype=np.float64)
+                        size = _decode_symbol(br, dct_t)
+                        diff = _extend(br.read_bits(size), size) if size else 0
+                        preds[comp["id"]] += diff
+                        blk[0] = preds[comp["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(br, act_t)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            blk[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        coef = (blk * qt)[UNZIGZAG].reshape(8, 8)
+                        px = _idct2(coef[None])[0] + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+        except _AtMarker as m:
+            if m.marker == 0xD9:
+                break
+            raise ValueError(f"unexpected marker 0x{m.marker:02X} in JPEG scan")
+        mcu += 1
+    out_planes = []
+    for comp, _, _ in scan:
+        p = planes[comp["id"]]
+        # nearest-neighbor upsample to full resolution (JFIF allows any
+        # upsampling filter; nearest is the deterministic choice)
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        g = np.clip(_round_half_away(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    ycc = np.stack(out_planes, axis=-1)
+    ycc = np.clip(ycc, 0.0, 255.0)
+    return _ycbcr_to_rgb(ycc)

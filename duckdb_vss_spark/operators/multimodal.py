@@ -323,6 +323,12 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
         return _decode_ppm(b)
     if b[:8] == _PNG_SIG:
         return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        # baseline JPEG decodes natively (round 9, :mod:`.jpeg`);
+        # progressive/arithmetic raise NotImplementedError inside
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     if b[:4] == MAGIC:
         raise ValueError(
             "VSSM synthetic container holds no pixels; use decode_media_meta"
@@ -335,9 +341,9 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
         return np.asarray(PIL.Image.open(io.BytesIO(b)).convert("RGB"))
     except ImportError:
         raise NotImplementedError(
-            "lossy/esoteric image formats (JPEG/WEBP/...) require PIL/OpenCV, "
-            "not present in this environment; BMP, binary PPM and 8-bit PNG "
-            "decode natively"
+            "lossy/esoteric image formats (WEBP/AVIF/...) require PIL/OpenCV, "
+            "not present in this environment; BMP, binary PPM, 8-bit PNG and "
+            "baseline JPEG decode natively"
         )
 
 

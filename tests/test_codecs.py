@@ -63,11 +63,19 @@ def test_decode_image_rejects_synthetic_and_compressed(spark):
     )
     with pytest.raises(Exception, match="VSSM synthetic"):
         decode_image(df, "id").collect()
+    # JPEG now decodes natively (round 9) — garbage after SOI is a decode
+    # error from the baseline parser, not a missing-PIL guard
     jpeg = spark.createDataFrame(
         [(1, bytearray(b"\xff\xd8\xff\xe0notreallyjpeg"))], "id: long, content: binary"
     )
+    with pytest.raises(Exception, match="(scan data|struct|unpack|index)"):
+        decode_image(jpeg, "id").collect()
+    # formats with no native decoder still hit the clearly-marked guard
+    webp = spark.createDataFrame(
+        [(1, bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 "))], "id: long, content: binary"
+    )
     with pytest.raises(Exception, match="(NotImplementedError|PIL|codec|cannot identify)"):
-        jpeg_df = decode_image(jpeg, "id").collect()
+        decode_image(webp, "id").collect()
 
 
 def test_wav_roundtrip_dataframe(spark):
@@ -208,3 +216,111 @@ def test_png_through_decode_image_operator(spark):
         assert np.array_equal(
             np.array(out[i]["pixels"], dtype=np.uint8).reshape(4 + i, 5, 3), v
         )
+
+
+# ---- baseline JPEG (round 9, operators/jpeg.py) -----------------------------
+
+
+def test_jpeg_constant_blocks_lossless_at_q50():
+    """An image of constant EVEN-valued 8x8 blocks is LOSSLESS through the
+    baseline path at quality 50: DC quant step 16 divides 8*(c-128), all
+    AC coefficients are zero, and the orthonormal IDCT reproduces the
+    constant exactly — the property the driver's jpegpx gate pins in
+    closed form."""
+    from duckdb_vss_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((16, 24), dtype=np.uint8)
+    cs = iter([40, 128, 202, 16, 90, 238])
+    for by in range(2):
+        for bx in range(3):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = next(cs)
+    out = decode_jpeg(encode_jpeg(img, quality=50))
+    assert out.shape == (16, 24, 3)
+    assert np.array_equal(out[:, :, 0], img)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+
+
+def test_jpeg_roundtrip_quality_and_fixture():
+    """Smooth content round-trips tightly at high quality; the q75 RGB
+    decode is pinned to a stored pixel fixture (sha256), so any change to
+    the DCT, quantization rounding, Huffman tables, or color transform is
+    machine-visible."""
+    import hashlib
+
+    from duckdb_vss_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    sm = (128 + 100 * np.sin(np.mgrid[0:32, 0:32][0] / 10.0)).astype(np.uint8)
+    o = decode_jpeg(encode_jpeg(sm, quality=95))
+    assert np.abs(o[:, :, 0].astype(int) - sm.astype(int)).max() <= 6
+
+    y, x = np.mgrid[0:64, 0:48]
+    rgb = np.stack([(x * 3 + y * 2) % 256, (x * 5 + y * 7) % 256, (x + y) % 256], axis=-1).astype(np.uint8)
+    enc = encode_jpeg(rgb, quality=75)
+    assert enc == encode_jpeg(rgb, quality=75)  # deterministic bytes
+    dec = decode_jpeg(enc)
+    assert dec.shape == (64, 48, 3)
+    assert (
+        hashlib.sha256(dec.tobytes()).hexdigest()
+        == "a0b9440b20e0065368d68d9c391a37ecece31e2fa69896f15ba1514f9a9ecebe"
+    )
+
+
+def test_jpeg_header_parser_agrees_with_encoder():
+    """Cross-check with the INDEPENDENT header-only parser that predates
+    the codec (multimodal.parse_jpeg_header): dims parsed from our
+    encoder's SOF0 must equal the input dims — the two implementations
+    share no code."""
+    from duckdb_vss_spark.operators.jpeg import encode_jpeg
+    from duckdb_vss_spark.operators.multimodal import parse_jpeg_header
+
+    img = _grad(24, 40)
+    w, h, _orient = parse_jpeg_header(encode_jpeg(img, quality=75))
+    assert (w, h) == (40, 24)
+
+
+def test_jpeg_odd_dims_and_grayscale():
+    from duckdb_vss_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    odd = ((np.mgrid[0:13, 0:11][0] * 17) % 256).astype(np.uint8)
+    o = decode_jpeg(encode_jpeg(odd, quality=75))
+    assert o.shape == (13, 11, 3)
+
+
+def test_jpeg_unsupported_processes_raise():
+    from duckdb_vss_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    good = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quality=50))
+    sof = good.find(b"\xff\xc0")
+    prog = bytes(good[:sof]) + b"\xff\xc2" + bytes(good[sof + 2 :])
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+
+
+def test_jpeg_through_decode_image_operator(spark):
+    """decode_image dispatches JPEG bytes to the native baseline decoder
+    inside the same mapInPandas batches as the other codecs."""
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.jpeg import encode_jpeg
+    from duckdb_vss_spark.operators.multimodal import decode_image
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                img = np.full((8, 8), 16 + 2 * (i % 112), dtype=np.uint8)
+                out.append((i, encode_jpeg(img, quality=50)))
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    docs = spark.range(20).withColumnRenamed("id", "doc_id").mapInPandas(
+        synth, schema="doc_id long, content binary"
+    )
+    rows = decode_image(docs, "doc_id").collect()
+    assert len(rows) == 20
+    for r in rows:
+        c = 16 + 2 * (r["doc_id"] % 112)
+        assert r["width"] == 8 and r["height"] == 8
+        assert all(p == c for p in r["pixels"][:64])
