@@ -292,6 +292,7 @@ def decontaminate(
     n: int = 3,
     mark_only: bool = True,
     broadcast: bool = True,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Flag (or drop) training documents sharing any word ``n``-gram with a
     benchmark corpus.
@@ -309,10 +310,17 @@ def decontaminate(
     becomes a shuffle hash join on the gram key — the training side's
     (id, gram) pairs exchange once, and AQE still picks broadcast at
     runtime if the built side turns out small.
+
+    ``bench_grams``: a precomputed single-column ``gram`` frame (the
+    deduped benchmark n-gram set). Batch loops that decontaminate MANY
+    batches against the SAME benchmark (stream_curate) pass a persisted
+    one so the explode+distinct does not rerun per batch; must have been
+    built with the same ``n``.
     """
-    bench_grams = (
-        bench_df.select(F.explode(T.word_ngrams(bench_text_col, n)).alias("gram")).distinct()
-    )
+    if bench_grams is None:
+        bench_grams = bench_df.select(
+            F.explode(T.word_ngrams(bench_text_col, n)).alias("gram")
+        ).distinct()
     doc_grams = df.select(
         F.col(id_col).alias("__id"), F.explode(T.word_ngrams(text_col, n)).alias("gram")
     )

@@ -370,6 +370,7 @@ def curate_corpus(
     mix_target: float | None = None,
     pack_budget: int | None = None,
     snapshot: str | None = None,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """The composed pretraining-data recipe — the artifact a pipeline user
     actually ships: quality gate → cross-snapshot MinHashStore dedup →
@@ -415,6 +416,11 @@ def curate_corpus(
     that name, so the NEXT batch dedups against this one — the
     steady-state incremental loop.
 
+    ``bench_grams``: precomputed deduped benchmark ``gram`` frame (see
+    :func:`~.operators.quality.decontaminate`) — batch loops running many
+    batches against the same benchmark pass a persisted one so the
+    benchmark explode+distinct does not rerun per batch.
+
     100-TB posture: stages 1-3 are map-only or broadcast-probe (no
     all-pairs anywhere — the store join moves band rows, never text); the
     mixing race is one shuffle keyed by the stratum; packing is one window
@@ -436,10 +442,10 @@ def curate_corpus(
         out = store.flag_batch(out, text_col, id_col, threshold=store_threshold)
     else:
         out = out.withColumn("dup_of_store", F.lit(False))
-    if bench is not None:
+    if bench is not None or bench_grams is not None:
         out = decontaminate(
             out, text_col, id_col, bench, bench_text_col, n=decontam_n,
-            broadcast=decontam_broadcast,
+            broadcast=decontam_broadcast, bench_grams=bench_grams,
         )
     else:
         out = out.withColumn("n_hit_grams", F.lit(0).cast("long")).withColumn(

@@ -501,11 +501,19 @@ def _curate_batch(
         _fan_out(bdf), store=store, bench=bench, text_col=text_col,
         id_col=id_col, **curate_kwargs,
     )
-    out.write.mode("overwrite").parquet(f"{out_path}/batch={bid:06d}")
-    store.append_snapshot(
-        out.filter("curate_keep").select(id_col, text_col),
-        text_col, id_col, name,
+    sink = f"{out_path}/batch={bid:06d}"
+    out.write.mode("overwrite").parquet(sink)
+    # the snapshot commit fingerprints the KEPT rows — read them back from
+    # the sink just written instead of re-evaluating the recipe chain
+    # (round 9: the write already materialized every flag; re-running
+    # `out` here paid the classifier + store join + decontam a second
+    # time per batch)
+    kept = (
+        bdf.sparkSession.read.parquet(sink)
+        .filter("curate_keep")
+        .select(id_col, text_col)
     )
+    store.append_snapshot(kept, text_col, id_col, name)
     narrow = getattr(out, "_curate_narrow", None)
     if narrow is not None:
         narrow.unpersist()
@@ -551,6 +559,18 @@ def stream_curate(
             f"stream_curate owns snapshot naming and the store; "
             f"pass {sorted(forbidden)} as direct arguments, not via curate_kwargs"
         )
+    # the benchmark gram set is stream-invariant: build + persist it ONCE
+    # and hand it to every micro-batch, instead of re-running the
+    # benchmark explode+distinct per batch (round 9 overhead cut)
+    if bench is not None and "bench_grams" not in curate_kwargs:
+        from ..broadcasts import tracked_persist
+        from ..functions import text as _T
+
+        n = curate_kwargs.get("decontam_n", 3)
+        bt = curate_kwargs.get("bench_text_col", text_col)
+        curate_kwargs["bench_grams"] = tracked_persist(
+            bench.select(F.explode(_T.word_ngrams(bt, n)).alias("gram")).distinct()
+        )
 
     def _batch(bdf: DataFrame, bid: int) -> None:
         _curate_batch(
@@ -559,18 +579,23 @@ def stream_curate(
             snapshot_prefix=snapshot_prefix, **curate_kwargs,
         )
 
-    q = (
-        docs.writeStream.foreachBatch(_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    deadline = time.monotonic() + timeout_sec
-    while q.isActive and time.monotonic() < deadline:
-        time.sleep(0.2)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError("stream_curate did not drain before timeout")
+    try:
+        q = (
+            docs.writeStream.foreachBatch(_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        deadline = time.monotonic() + timeout_sec
+        while q.isActive and time.monotonic() < deadline:
+            time.sleep(0.2)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("stream_curate did not drain before timeout")
+    finally:
+        bg = curate_kwargs.get("bench_grams")
+        if bg is not None:
+            bg.unpersist()
 
 
 def stream_warc_ingest(

@@ -5,6 +5,8 @@ row preservation, survivor invariants), not the operators themselves."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -427,3 +429,128 @@ def test_crawl_ingest_url_dup_equals_window_form(spark, tmp_path):
     # exactly one keeper per distinct norm_url
     keepers = out.filter(~F.col("url_dup")).groupBy("norm_url").count().collect()
     assert all(r["count"] == 1 for r in keepers)
+
+
+# ---- curate_corpus cohort algebra (round-9 property test) -------------------
+
+_COHORT_GRAM = "zzq zzr zzs"
+
+
+@pytest.fixture(scope="module")
+def cohort_fixture(spark, tmp_path_factory):
+    """Probed text pools hitting every (quality_ok, contaminated,
+    dup_of_store) cell, plus a MinHashStore with the dup pool committed as
+    history. Text control: quality comes from probing the hashed
+    classifier on candidate sentences (deterministic), contamination from
+    appending the benchmark 3-gram, store-dup from reusing a committed
+    history text verbatim."""
+    from duckdb_vss_spark.index.dedup_store import MinHashStore
+    from duckdb_vss_spark.operators.quality import classifier_score
+
+    cands = []
+    for i in range(150):
+        base = " ".join(f"w{i}x{j} filler{(i * 7 + j) % 31}" for j in range(10))
+        cands.append((i, 0, base))
+        cands.append((i, 1, base + " " + _COHORT_GRAM))
+    df = spark.createDataFrame(cands, "i int, c int, text string")
+    pools: dict = {}
+    for r in classifier_score(df, "text").collect():
+        q = 1 if r["clf_score"] >= 0.5 else 0
+        hist_pool = 1 if r["i"] < 75 else 0
+        pools.setdefault((q, r["c"], hist_pool), []).append(r["text"])
+    missing = [k for q in (0, 1) for c in (0, 1) for h in (0, 1) if not pools.get((q, c, h), None) for k in [(q, c, h)]]
+    assert not missing, f"probe found no text for cells {missing}"
+    root = str(tmp_path_factory.mktemp("cohort_store"))
+    store = MinHashStore.create(spark, root + "/store")
+    hist_rows = [
+        (9000 + qi * 2 + ci, pools[(qi, ci, 1)][0]) for qi in (0, 1) for ci in (0, 1)
+    ]
+    store.append_snapshot(
+        spark.createDataFrame(hist_rows, "doc_id long, text string"),
+        "text", "doc_id", "history",
+    )
+    bench = spark.createDataFrame([(1, _COHORT_GRAM)], "doc_id long, text string")
+    return pools, store, bench
+
+
+def _expected_mix_counts(parts, alpha=0.5):
+    """Independent reimplementation of temperature_rates + the exact cut:
+    stratum s keeps ceil(min(1, T*p_s/Z/n_s) * n_s) participants."""
+    import math
+
+    ns = {}
+    for s in parts:
+        ns[s] = ns.get(s, 0) + 1
+    total = sum(ns.values())
+    z = sum(n ** alpha for n in ns.values())
+    out = {}
+    for s, n in ns.items():
+        rate = min(1.0, total * (n ** alpha) / z / n)
+        out[s] = math.ceil(rate * n)
+    return out
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    plan=st.lists(
+        st.tuples(st.booleans(), st.booleans(), st.booleans(), st.booleans()),
+        min_size=1,
+        max_size=20,
+    ),
+    pack=st.sampled_from([None, 64]),
+)
+@example(
+    plan=[(bool(q), bool(c), bool(d), bool(k))
+          for q in (0, 1) for c in (0, 1) for d in (0, 1) for k in (0, 1)],
+    pack=64,
+)
+def test_curate_cohort_algebra(spark, cohort_fixture, plan, pack):
+    """The flag-don't-drop cohort contract over RANDOM gate combinations
+    (round-9 verdict task 6), asserted from observed flags:
+
+    - surv = quality_ok & ~dup_of_store & ~contaminated & ingest_keep
+    - non-participants (not surv) always get mix_keep = True
+    - curate_keep = surv AND mix_keep
+    - pack_id NON-NULL <=> curate_keep (when packing; else always NULL)
+    - per-stratum kept-participant counts equal an independent
+      reimplementation of the temperature mixture's exact cut
+
+    The explicit example pins all 2^4 gate combinations at once."""
+    from duckdb_vss_spark.pipelines import curate_corpus
+
+    pools, store, bench = cohort_fixture
+    rows = []
+    for i, (q, c, d, k) in enumerate(plan):
+        text = pools[(int(q), int(c), 1 if d else 0)][0]
+        rows.append((i, "en" if i % 3 else "de", text, bool(k)))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string, ingest_keep boolean")
+    out = curate_corpus(
+        docs, store=store, bench=bench, quality_threshold=0.5,
+        store_threshold=0.5, strata_col="lang", alpha=0.5, pack_budget=pack,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == set(range(len(plan)))  # flag-don't-drop: every row survives
+    parts = []
+    for i, (q, c, d, k) in enumerate(plan):
+        r = got[i]
+        # construction sanity: the probed pools must reproduce the planned gates
+        assert r["quality_ok"] == q, (i, "quality", r["clf_score"])
+        assert r["contaminated"] == c, (i, "contam")
+        assert r["dup_of_store"] == d, (i, "dup")
+        surv = q and not d and not c and k
+        if surv:
+            parts.append(r["lang"])
+        else:
+            assert r["mix_keep"] is True, (i, "non-participant blamed by mix")
+        assert r["curate_keep"] == (surv and r["mix_keep"]), (i, "keep algebra")
+        if pack is None:
+            assert r["pack_id"] is None
+        else:
+            assert (r["pack_id"] is not None) == r["curate_keep"], (i, "pack cohort")
+    expected = _expected_mix_counts(parts)
+    kept_per = {}
+    for i in range(len(plan)):
+        r = got[i]
+        if r["curate_keep"]:
+            kept_per[r["lang"]] = kept_per.get(r["lang"], 0) + 1
+    assert kept_per == {s: n for s, n in expected.items() if n}, (kept_per, expected)
