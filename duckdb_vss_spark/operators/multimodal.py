@@ -64,6 +64,7 @@ __all__ = [
     "byte_histogram_features",
     "frame_sample",
     "resize_media",
+    "transcode_images",
 ]
 
 MEDIA_KINDS = {"image": 1, "audio": 2, "video": 3}
@@ -704,4 +705,77 @@ def resize_media(df: DataFrame, id_col: str, new_width: int, new_height: int, co
 
     return df.select(id_col, content_col).mapInPandas(
         gen, schema=f"{id_col} {id_t}, content binary"
+    )
+
+
+def transcode_images(
+    df: DataFrame,
+    id_col: str,
+    new_width: int,
+    new_height: int,
+    content_col: str = "content",
+    quality: int = 75,
+    method: str = "bilinear",
+    on_error: str = "flag",
+) -> DataFrame:
+    """The multimodal curation pipeline's thumbnailing stage, end-to-end
+    engine-side (round 9, enabled by the native baseline JPEG codec):
+    decode any natively supported format (BMP / PPM / PNG / baseline
+    JPEG), resample with :func:`_resize_kernel`, and re-encode as a
+    baseline JPEG at ``quality`` — bytes in, bytes out, so the output
+    column feeds a parquet sink or a downstream feature extractor
+    directly.
+
+    Output: ``(id, content BINARY, width, height, ok BOOLEAN, err
+    STRING)``. ``on_error='flag'`` (default) keeps undecodable rows with
+    ``ok=false`` and the error text (flag-don't-drop, same cohort
+    discipline as the text recipes — a corrupt image must not silently
+    vanish from the corpus ledger); ``on_error='raise'`` propagates.
+
+    Scale shape: map-only (one ``mapInPandas`` pass, no shuffle, no
+    driver collect); each image is one vectorized decode/resize/encode,
+    so throughput scales with executors and the output bytes are a
+    deterministic function of the input bytes.
+    """
+    if on_error not in ("flag", "raise"):
+        raise ValueError("on_error must be 'flag' or 'raise'")
+    from .jpeg import encode_jpeg
+
+    id_t = dict(df.dtypes)[id_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, blobs, oks, errs = [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    arr = _decode_image_bytes(blob)
+                    out = _resize_kernel(arr, new_width, new_height, method)
+                    enc = encode_jpeg(
+                        np.clip(np.rint(out), 0, 255).astype(np.uint8), quality=quality
+                    )
+                    ids.append(i); blobs.append(enc); oks.append(True); errs.append(None)
+                except Exception as e:  # noqa: BLE001 - per-row quarantine
+                    if on_error == "raise":
+                        raise
+                    ids.append(i); blobs.append(None); oks.append(False)
+                    errs.append(f"{type(e).__name__}: {e}"[:200])
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "content": blobs,
+                    "width": [new_width] * len(ids),
+                    "height": [new_height] * len(ids),
+                    "ok": oks,
+                    "err": errs,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_t}, content binary, width int, height int, "
+            "ok boolean, err string"
+        ),
     )

@@ -324,3 +324,39 @@ def test_jpeg_through_decode_image_operator(spark):
         c = 16 + 2 * (r["doc_id"] % 112)
         assert r["width"] == 8 and r["height"] == 8
         assert all(p == c for p in r["pixels"][:64])
+
+
+def test_transcode_images_pipeline(spark):
+    """decode -> resize -> re-encode JPEG thumbnailing, flag-don't-drop:
+    a mixed batch of BMP/PNG/JPEG inputs transcodes to decodable baseline
+    JPEGs at the target dims; a corrupt blob lands flagged, not dropped."""
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from duckdb_vss_spark.operators.multimodal import encode_png, transcode_images
+
+    img = _grad(32, 40)
+    rows = [
+        (1, bytearray(encode_bmp(img))),
+        (2, bytearray(encode_png(img))),
+        (3, bytearray(encode_jpeg(img, quality=90))),
+        (4, bytearray(b"\xff\xd8garbage")),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r["id"]: r for r in transcode_images(df, "id", 16, 12, quality=85).collect()}
+    assert len(out) == 4
+    for i in (1, 2, 3):
+        r = out[i]
+        assert r["ok"] and r["err"] is None
+        dec = decode_jpeg(bytes(r["content"]))
+        assert dec.shape == (12, 16, 3)
+    bad = out[4]
+    assert not bad["ok"] and bad["content"] is None and bad["err"]
+    # determinism: same input bytes -> same output bytes
+    again = {r["id"]: r for r in transcode_images(df, "id", 16, 12, quality=85).collect()}
+    assert bytes(again[1]["content"]) == bytes(out[1]["content"])
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        transcode_images(df, "id", 16, 12, on_error="raise").collect()
+    with _pytest.raises(ValueError, match="on_error"):
+        transcode_images(df, "id", 16, 12, on_error="bogus")
