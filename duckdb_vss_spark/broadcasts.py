@@ -81,6 +81,28 @@ def tracked_persist(df):
     return df
 
 
+def untrack_persist(df) -> None:
+    """Unpersist ``df`` and drop it from the tracked ring — for callers
+    that release a tracked frame eagerly (per micro-batch loops) so the
+    stale handle does not consume a ring slot and force early eviction of
+    frames still in use."""
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass
+    sc_id = None
+    try:
+        sc_id = df.sparkSession.sparkContext.applicationId
+    except Exception:
+        pass
+    for key, ring in ([(sc_id, _LIVE_PERSISTS.get(sc_id))] if sc_id else list(_LIVE_PERSISTS.items())):
+        if ring:
+            try:
+                ring.remove(df)
+            except ValueError:
+                pass
+
+
 def release_tracked_persists(spark=None) -> int:
     """Unpersist every internally persisted frame (all contexts, or just
     ``spark``'s). The explicit release hook for batch loops that call

@@ -283,16 +283,20 @@ def _auto_rerank(
             ap = _approx(pdf)
             ids = pdf["id"].to_numpy()
             for s in range(len(Qv)):
+                # (score, id) tiebreak, matching the engine's shortlist cut
+                # — score-only truncation could keep an arbitrary tie
+                # subset and diverge from the real exact top-K on the
+                # tie-heavy corpora this estimator exists for
                 key = -ex[:, s] if desc else ex[:, s]
-                top = np.argsort(key, kind="stable")[:PROBE_K]
+                top = np.lexsort((ids, key))[:PROBE_K]
                 batch_best = pd.DataFrame(
                     {"probe": s, "id": ids[top], "exact": ex[top, s], "approx": ap[top, s]}
                 )
                 if best[s] is not None:
                     batch_best = pd.concat([best[s], batch_best], ignore_index=True)
-                    keep = np.argsort(
-                        -batch_best["exact"].to_numpy() if desc else batch_best["exact"].to_numpy(),
-                        kind="stable",
+                    bk = batch_best["exact"].to_numpy()
+                    keep = np.lexsort(
+                        (batch_best["id"].to_numpy(), -bk if desc else bk)
                     )[:PROBE_K]
                     batch_best = batch_best.iloc[keep].reset_index(drop=True)
                 best[s] = batch_best

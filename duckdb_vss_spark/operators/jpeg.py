@@ -323,38 +323,44 @@ def _to_blocks(plane: np.ndarray) -> np.ndarray:
     )
 
 
+def _encode_block(blk: np.ndarray, pred: int, dc_codes: dict, ac_codes: dict, bw: _BitWriter) -> int:
+    """Entropy-code ONE zigzag-ordered quantized block; returns the new DC
+    predictor. Shared by the grayscale plane path and the interleaved
+    color MCU path."""
+    dc = int(blk[0])
+    size, bits = _magnitude(dc - pred)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    nz = np.flatnonzero(blk[1:])
+    last_nz = (nz[-1] + 1) if len(nz) else 0
+    run = 0
+    for i in range(1, last_nz + 1):
+        v = int(blk[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
 def _encode_plane(qcoefs: np.ndarray, dc_codes: dict, ac_codes: dict, bw: _BitWriter) -> None:
     """qcoefs: (n_blocks, 64) zigzag-ordered quantized coefficients."""
     pred = 0
     for blk in qcoefs:
-        dc = int(blk[0])
-        size, bits = _magnitude(dc - pred)
-        pred = dc
-        code, length = dc_codes[size]
-        bw.write(code, length)
-        if size:
-            bw.write(bits, size)
-        run = 0
-        last_nz = 0
-        nz = np.flatnonzero(blk[1:])
-        last_nz = (nz[-1] + 1) if len(nz) else 0
-        for i in range(1, last_nz + 1):
-            v = int(blk[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = ac_codes[0xF0]  # ZRL
-                bw.write(code, length)
-                run -= 16
-            size, bits = _magnitude(v)
-            code, length = ac_codes[(run << 4) | size]
-            bw.write(code, length)
-            bw.write(bits, size)
-            run = 0
-        if last_nz < 63:
-            code, length = ac_codes[0x00]  # EOB
-            bw.write(code, length)
+        pred = _encode_block(blk, pred, dc_codes, ac_codes, bw)
 
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
@@ -416,35 +422,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
         tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
         for b in range(qplanes[0].shape[0]):
             for ci in range(3):
-                blk = qplanes[ci][b]
                 dc_codes, ac_codes = tables[ci]
-                dc = int(blk[0])
-                size, bits_v = _magnitude(dc - preds[ci])
-                preds[ci] = dc
-                code, length = dc_codes[size]
-                bw.write(code, length)
-                if size:
-                    bw.write(bits_v, size)
-                nz = np.flatnonzero(blk[1:])
-                last_nz = (nz[-1] + 1) if len(nz) else 0
-                run = 0
-                for i in range(1, last_nz + 1):
-                    v = int(blk[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[0xF0]
-                        bw.write(code, length)
-                        run -= 16
-                    size, bits_v = _magnitude(v)
-                    code, length = ac_codes[(run << 4) | size]
-                    bw.write(code, length)
-                    bw.write(bits_v, size)
-                    run = 0
-                if last_nz < 63:
-                    code, length = ac_codes[0x00]
-                    bw.write(code, length)
+                preds[ci] = _encode_block(qplanes[ci][b], preds[ci], dc_codes, ac_codes, bw)
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -485,6 +464,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2 allows any number of pads)
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -592,7 +574,11 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                                 raise ValueError("JPEG AC index overflow")
                             blk[k] = _extend(br.read_bits(s), s)
                             k += 1
-                        coef = (blk * qt)[UNZIGZAG].reshape(8, 8)
+                        # blk is zigzag-ordered, qt natural-ordered:
+                        # de-zigzag FIRST, then dequantize (multiplying in
+                        # zigzag order scaled every AC coefficient by the
+                        # wrong table entry — round-9 review finding)
+                        coef = (blk[UNZIGZAG] * qt).reshape(8, 8)
                         px = _idct2(coef[None])[0] + 128.0
                         y0 = (my * comp["v"] + by) * 8
                         x0 = (mx * comp["h"] + bx) * 8

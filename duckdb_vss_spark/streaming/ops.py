@@ -516,7 +516,11 @@ def _curate_batch(
     store.append_snapshot(kept, text_col, id_col, name)
     narrow = getattr(out, "_curate_narrow", None)
     if narrow is not None:
-        narrow.unpersist()
+        from ..broadcasts import untrack_persist
+
+        # unpersist AND vacate the tracked-ring slot, so a long stream's
+        # per-batch narrow frames don't evict ring entries still in use
+        untrack_persist(narrow)
 
 
 def stream_curate(
@@ -561,16 +565,28 @@ def stream_curate(
         )
     # the benchmark gram set is stream-invariant: build + persist it ONCE
     # and hand it to every micro-batch, instead of re-running the
-    # benchmark explode+distinct per batch (round 9 overhead cut)
+    # benchmark explode+distinct per batch (round 9 overhead cut).
+    # Persisted DIRECTLY, not via the tracked LRU ring — curate_corpus
+    # adds one ring entry per micro-batch, so a ring-held gram frame
+    # would be silently evicted after ~MAX_LIVE_PERSISTS batches and the
+    # per-batch recompute would quietly return. Released in the finally
+    # below ONLY when this function created it (a caller-provided
+    # bench_grams stays the caller's to manage).
+    owned_grams = None
     if bench is not None and "bench_grams" not in curate_kwargs:
-        from ..broadcasts import tracked_persist
         from ..functions import text as _T
 
         n = curate_kwargs.get("decontam_n", 3)
-        bt = curate_kwargs.get("bench_text_col", text_col)
-        curate_kwargs["bench_grams"] = tracked_persist(
-            bench.select(F.explode(_T.word_ngrams(bt, n)).alias("gram")).distinct()
+        # curate_corpus's bench_text_col defaults to 'text' independent of
+        # text_col — mirror that, or a stream with text_col='content'
+        # would probe the wrong benchmark column
+        bt = curate_kwargs.get("bench_text_col", "text")
+        owned_grams = (
+            bench.select(F.explode(_T.word_ngrams(bt, n)).alias("gram"))
+            .distinct()
+            .persist()
         )
+        curate_kwargs["bench_grams"] = owned_grams
 
     def _batch(bdf: DataFrame, bid: int) -> None:
         _curate_batch(
@@ -593,9 +609,8 @@ def stream_curate(
             q.stop()
             raise TimeoutError("stream_curate did not drain before timeout")
     finally:
-        bg = curate_kwargs.get("bench_grams")
-        if bg is not None:
-            bg.unpersist()
+        if owned_grams is not None:
+            owned_grams.unpersist()
 
 
 def stream_warc_ingest(

@@ -261,8 +261,31 @@ def test_jpeg_roundtrip_quality_and_fixture():
     assert dec.shape == (64, 48, 3)
     assert (
         hashlib.sha256(dec.tobytes()).hexdigest()
-        == "a0b9440b20e0065368d68d9c391a37ecece31e2fa69896f15ba1514f9a9ecebe"
+        == "54a5be98e0b11f8d935880b46c21c6f0fb82c89d9ad0fb5ca06d033a274ecd49"
     )
+    # AC-path quality floor (regression gate for the round-9 dequant-order
+    # bug, which only AC-rich content exposes: mean-abs error was ~36
+    # with the zigzag/natural mixup, ~3 when correct)
+    rng = np.random.default_rng(0)
+    gray = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    dg = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert np.abs(dg[:, :, 0].astype(float) - gray.astype(float)).mean() < 6.0
+    mse = ((dec.astype(float) - rgb.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255**2 / mse) > 25.0  # PSNR floor on the gradient
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    (common in camera output) — the parse must skip them, not misread a
+    segment length."""
+    from duckdb_vss_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    b = bytearray(encode_jpeg(img, quality=50))
+    i = b.find(b"\xff\xdb")
+    padded = bytes(b[:i]) + b"\xff\xff" + bytes(b[i:])
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(bytes(b)))
 
 
 def test_jpeg_header_parser_agrees_with_encoder():
