@@ -313,6 +313,38 @@ def main() -> None:
         )
     )
 
+    # multimodal thumbnailing throughput (round 9): per-doc 24x18 BMP ->
+    # decode -> bilinear 16x12 -> baseline-JPEG re-encode, one map-only
+    # pass; no duckdb twin (codec work, not relational work) — tracked as
+    # an absolute docs/s datapoint
+    import numpy as _np
+
+    from duckdb_vss_spark.operators.multimodal import encode_bmp, transcode_images
+
+    def _synth_bmps(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                y, x = _np.mgrid[0:18, 0:24]
+                img = _np.stack(
+                    [(x * 7 + y * 13 + i) % 256, (x * 3 + y * 5 + i) % 256, (x + y * 11) % 256],
+                    axis=-1,
+                ).astype(_np.uint8)
+                ids.append(i)
+                blobs.append(encode_bmp(img))
+            yield _pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    bmps = docs.select("doc_id").mapInPandas(
+        _synth_bmps, schema="doc_id long, content binary"
+    )
+    timings["transcode_images"] = run(
+        lambda: transcode_images(bmps, "doc_id", 16, 12, quality=75)
+        .filter("ok").count()
+    )
+
     calib["mid"] = _calibration(spark)
 
     # -- interleaved spark<->duckdb twins, same process, alternating runs:
