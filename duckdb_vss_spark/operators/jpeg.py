@@ -8,10 +8,12 @@ sequential DCT process end to end — enough to *decode real baseline JPEGs*
 deterministic test material so the decoder is gate-able without vendored
 binaries:
 
-- ``encode_jpeg(pixels, quality)``: grayscale or RGB, 4:4:4 (no chroma
-  subsampling), standard Annex K quantization tables scaled by the IJG
+- ``encode_jpeg(pixels, quality, subsampling, restart_interval)``:
+  grayscale or RGB at 4:4:4 or 4:2:0 (2x2 luma + box-averaged chroma per
+  16x16 MCU — the dominant web layout), optional DRI/RSTn restart
+  markers, standard Annex K quantization tables scaled by the IJG
   quality curve, standard Annex K Huffman tables, byte-stuffed entropy
-  stream. Deterministic: same pixels + quality => same bytes.
+  stream. Deterministic: same pixels + options => same bytes.
 - ``decode_jpeg(b)``: marker parse (DQT / DHT / SOF0 / SOS / DRI / RSTn),
   canonical Huffman decode with DC prediction, dequantize, de-zigzag,
   orthonormal 2-D IDCT, level shift, nearest-neighbor chroma upsampling
@@ -363,15 +365,28 @@ def _encode_plane(qcoefs: np.ndarray, dc_codes: dict, ac_codes: dict, bw: _BitWr
         pred = _encode_block(blk, pred, dc_codes, ac_codes, bw)
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Baseline JFIF encode of ``(h, w)`` grayscale or ``(h, w, 3)`` RGB
-    uint8 pixels at 4:4:4 (no chroma subsampling). Deterministic."""
+    uint8 pixels. ``subsampling``: '444' (one block per component per
+    MCU) or '420' (2x2 luma blocks + box-averaged chroma per 16x16 MCU —
+    the dominant web format; exercises the decoder's subsampled path).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
+    that many MCUs (DC predictors reset), exercising the decoder's
+    restart machinery. Deterministic."""
     px = np.asarray(pixels)
     if px.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8 pixels")
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("encode_jpeg expects (h, w) or (h, w, 3) pixels")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub420 = subsampling == "420" and not gray
     h, w = px.shape[:2]
     qt_l = _scaled_qtable(QT_LUMA, quality)
     qt_c = _scaled_qtable(QT_CHROMA, quality)
@@ -392,8 +407,11 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+        samp = 0x22 if (sub420 and ci == 0) else 0x11
+        sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, int(restart_interval))
     for tclass, tid, (bits, vals) in (
         (0, 0, HT_DC_LUMA), (1, 0, HT_AC_LUMA), (0, 1, HT_DC_CHROMA), (1, 1, HT_AC_CHROMA),
     )[: 2 if gray else 4]:
@@ -405,9 +423,58 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
-    # 4:4:4 interleaved MCU = one block per component, raster order
     dc_l, ac_l = _build_codes(*HT_DC_LUMA), _build_codes(*HT_AC_LUMA)
     dc_c, ac_c = _build_codes(*HT_DC_CHROMA), _build_codes(*HT_AC_CHROMA)
+    if sub420:
+        # pad luma to 16-multiples (one MCU = 16x16 px); chroma is the 2x2
+        # box average of the padded luma-res planes, so its 8-multiples
+        # follow automatically
+        yf = np.asarray(planes[0], dtype=np.float64)
+        ph, pw = -h % 16, -w % 16
+        if ph or pw:
+            pads = [np.pad(np.asarray(p, dtype=np.float64), ((0, ph), (0, pw)), mode="edge")
+                    for p in planes]
+        else:
+            pads = [np.asarray(p, dtype=np.float64) for p in planes]
+        hh, ww = pads[0].shape
+        cb = pads[1].reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+        cr = pads[2].reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+        comp_planes = [pads[0], cb, cr]
+        comp_qts = [qt_l, qt_c, qt_c]
+        qplanes = []
+        for plane, qt in zip(comp_planes, comp_qts):
+            blocks = _to_blocks(plane) - 128.0
+            coefs = _fdct2(blocks).reshape(-1, 64)
+            qplanes.append(_round_half_away(coefs / qt[None, :]).astype(np.int64)[:, ZIGZAG])
+        mcux, mcuy = ww // 16, hh // 16
+        ybw = ww // 8  # luma blocks per row
+        cbw = ww // 16  # chroma blocks per row
+        bw = _BitWriter()
+        preds = [0, 0, 0]
+        tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+        mcu = 0
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    out += bw.flush()
+                    bw = _BitWriter()
+                    out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    preds = [0, 0, 0]
+                for by in range(2):
+                    for bx in range(2):
+                        blk = qplanes[0][(2 * my + by) * ybw + 2 * mx + bx]
+                        preds[0] = _encode_block(blk, preds[0], dc_l, ac_l, bw)
+                for ci in (1, 2):
+                    blk = qplanes[ci][my * cbw + mx]
+                    dc_codes, ac_codes = tables[ci]
+                    preds[ci] = _encode_block(blk, preds[ci], dc_codes, ac_codes, bw)
+                mcu += 1
+        out += bw.flush()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+    # 4:4:4 interleaved MCU = one block per component, raster order
     qplanes = []
     for plane, qt in zip(planes, qts):
         blocks = _to_blocks(np.asarray(plane, dtype=np.float64)) - 128.0
@@ -415,15 +482,21 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
         q = _round_half_away(coefs / qt[None, :]).astype(np.int64)
         qplanes.append(q[:, ZIGZAG])
     bw = _BitWriter()
-    if gray:
-        _encode_plane(qplanes[0], dc_l, ac_l, bw)
-    else:
-        preds = [0, 0, 0]
-        tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
-        for b in range(qplanes[0].shape[0]):
-            for ci in range(3):
-                dc_codes, ac_codes = tables[ci]
-                preds[ci] = _encode_block(qplanes[ci][b], preds[ci], dc_codes, ac_codes, bw)
+    preds = [0, 0, 0]
+    tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+    mcu = 0
+    rst = 0
+    for b in range(qplanes[0].shape[0]):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            out += bw.flush()
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            preds = [0, 0, 0]
+        for ci in range(len(qplanes)):
+            dc_codes, ac_codes = tables[ci]
+            preds[ci] = _encode_block(qplanes[ci][b], preds[ci], dc_codes, ac_codes, bw)
+        mcu += 1
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

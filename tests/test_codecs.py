@@ -383,3 +383,47 @@ def test_transcode_images_pipeline(spark):
         transcode_images(df, "id", 16, 12, on_error="raise").collect()
     with _pytest.raises(ValueError, match="on_error"):
         transcode_images(df, "id", 16, 12, on_error="bogus")
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 — the dominant web format — through the encoder's subsampled
+    mode: exercises the decoder's multi-block MCU layout, chroma plane
+    sizing, and nearest upsampling (dead code until round 9 gave the
+    encoder a 4:2:0 mode). Smooth content bounds the chroma loss."""
+    from duckdb_vss_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:48, 0:40]
+    rgb = np.clip(
+        np.stack(
+            [128 + 80 * np.sin(y / 9.0), 128 + 80 * np.cos(x / 11.0), 128 + 60 * np.sin((x + y) / 13.0)],
+            axis=-1,
+        ),
+        0, 255,
+    ).astype(np.uint8)
+    b420 = encode_jpeg(rgb, quality=90, subsampling="420")
+    b444 = encode_jpeg(rgb, quality=90)
+    assert len(b420) < len(b444)  # the point of subsampling
+    d420 = decode_jpeg(b420)
+    assert d420.shape == (48, 40, 3)
+    assert np.abs(d420.astype(float) - rgb.astype(float)).mean() < 4.0
+    # non-MCU-multiple dims crop correctly
+    odd = rgb[:19, :21]
+    do = decode_jpeg(encode_jpeg(odd, quality=85, subsampling="420"))
+    assert do.shape == (19, 21, 3)
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(rgb, subsampling="422")
+
+
+def test_jpeg_restart_intervals_decode_identically():
+    """DRI/RSTn: the decoder's restart machinery (byte-align, marker skip,
+    DC-predictor reset) must reproduce the no-restart pixels exactly, for
+    both MCU layouts."""
+    from duckdb_vss_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        plain = encode_jpeg(img, quality=80, subsampling=sub)
+        rst = encode_jpeg(img, quality=80, subsampling=sub, restart_interval=3)
+        assert b"\xff\xdd" in rst and rst != plain
+        assert np.array_equal(decode_jpeg(rst), decode_jpeg(plain)), sub
