@@ -71,6 +71,14 @@ from .operators.quality import (  # noqa: F401
     repetition_stats,
 )
 from .operators.graph import connected_components, dedup_clusters, pagerank  # noqa: F401
+from .operators.audio import (  # noqa: F401
+    audio_features,
+    audio_neardup_pairs,
+    block_fingerprint,
+    fingerprint_keys,
+    landmark_fingerprint,
+    resample_audio,
+)
 from .pipelines import (  # noqa: F401
     c4_clean,
     ccnet_curate,

@@ -1,0 +1,270 @@
+"""Audio operators: exact-integer features vs hand computation, spectral
+features vs an independent numpy reference, the Haitsma-Kalker-shaped
+block fingerprint's invariances, Shazam landmark matching, resample
+properties, and the offset-consistent near-dup join (incl. the hot-key
+cap)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.operators import multimodal as M
+from duckdb_vss_spark.operators.audio import (
+    audio_features,
+    audio_neardup_pairs,
+    block_fingerprint,
+    fingerprint_keys,
+    landmark_fingerprint,
+    resample_audio,
+)
+
+
+def _clip(i: int, n: int = 4096) -> np.ndarray:
+    """Deterministic pseudo-audio: a few id-keyed sinusoids plus id-keyed
+    integer noise, quantized to int16 like real PCM."""
+    rng = np.random.default_rng(1000 + i)
+    t = np.arange(n, dtype=np.float64)
+    x = (
+        0.4 * np.sin(2 * np.pi * (0.01 + 0.002 * (i % 7)) * t)
+        + 0.2 * np.sin(2 * np.pi * (0.05 + 0.003 * (i % 5)) * t)
+        + 0.05 * rng.standard_normal(n)
+    )
+    return np.clip(np.round(x * 32768), -32768, 32767).astype(np.int16)
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    """20 distinct clips as decoded sample frames (via the real WAV codec
+    round trip, so decode_audio is in the loop)."""
+    import pandas as pd
+
+    rows = [(i, M.encode_wav(_clip(i), 8000)) for i in range(20)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [r[0] for r in rows], "content": [r[1] for r in rows]})
+    )
+    return M.decode_audio(df, "clip_id").cache()
+
+
+def test_audio_features_integer_exact_hand_computed(spark):
+    import pandas as pd
+
+    pcm = np.array([100, -50, 0, 25, -25, -1, 3, 3], dtype=np.int16)
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [1], "content": [M.encode_wav(pcm, 8000)]})
+    )
+    r = audio_features(M.decode_audio(df, "clip_id"), "clip_id").collect()[0]
+    # sign changes (negative <-> non-negative): 100|-50, -50|0, 25|-25, -1|3
+    assert r["zcr"] == 4
+    assert r["ssq"] == int(np.sum(pcm.astype(np.int64) ** 2))
+    assert r["n_samples"] == 8
+    assert abs(r["peak"] - 100 / 32768.0) < 1e-9
+
+
+def test_audio_features_spectral_vs_numpy_reference(clips):
+    rows = {r["clip_id"]: r for r in audio_features(clips, "clip_id").collect()}
+    for i in (0, 3, 11):
+        x = _clip(i).astype(np.float64) / 32768.0
+        mag = np.abs(np.fft.rfft(x))
+        tot = mag.sum()
+        scale = 8000.0 / len(x)
+        cent = float(np.dot(np.arange(len(mag)), mag) / tot) * scale
+        roll = float(np.searchsorted(np.cumsum(mag), 0.85 * tot)) * scale
+        flat = float(np.exp(np.mean(np.log(mag[mag > 0]))) / np.mean(mag))
+        r = rows[i]
+        assert abs(r["spectral_centroid"] - cent) < 1e-6 * max(1.0, cent)
+        assert abs(r["spectral_rolloff85"] - roll) < 1e-9
+        assert abs(r["spectral_flatness"] - flat) < 1e-9
+        assert abs(r["rms"] - float(np.sqrt(np.mean(x * x)))) < 1e-9
+
+
+def test_block_fingerprint_hand_computed(spark):
+    import pandas as pd
+
+    # frame=4, blocks=2, blk=2: E(f,0)=q0^2+q1^2, E(f,1)=q2^2+q3^2
+    pcm = np.array([1, 0, 0, 2, 3, 0, 0, 1, 0, 1, 2, 0], dtype=np.int16)
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [7], "content": [M.encode_wav(pcm, 8000)]})
+    )
+    out = block_fingerprint(
+        M.decode_audio(df, "clip_id"), "clip_id", frame=4, blocks=2
+    ).collect()[0]
+    # E = [[1,4],[9,1],[1,4]]; d = E[:,0]-E[:,1] = [-3, 8, -3]
+    # dd = [11, -11] -> bits [1, 0]
+    assert out["n_frames"] == 3
+    assert list(out["words"]) == [1, 0]
+
+
+def test_block_fingerprint_amplitude_scale_invariant(spark, clips):
+    fp = {r["clip_id"]: list(r["words"]) for r in
+          block_fingerprint(clips, "clip_id").collect()}
+    halved = clips.select(
+        "clip_id", F.transform("samples", lambda s: s * F.lit(0.5)).alias("samples")
+    )
+    fp_h = {r["clip_id"]: list(r["words"]) for r in
+            block_fingerprint(halved, "clip_id").collect()}
+    assert fp == fp_h
+    # and distinct clips get distinct fingerprints
+    assert len({tuple(w) for w in fp.values()}) == len(fp)
+
+
+def test_fingerprint_keys_shape(clips):
+    fp = block_fingerprint(clips, "clip_id", frame=256, blocks=8)
+    keys = fingerprint_keys(fp, "clip_id", key_frames=4)
+    n_frames = {r["clip_id"]: r["n_frames"] for r in fp.collect()}
+    cnt = {r["clip_id"]: r["n"] for r in
+           keys.groupBy("clip_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for i, nf in n_frames.items():
+        # words has nf-1 entries -> (nf-1) - 4 + 1 keys
+        assert cnt[i] == (nf - 1) - 4 + 1
+    # key reconstruction for one clip, by hand
+    words = {r["clip_id"]: list(r["words"]) for r in fp.collect()}[0]
+    got = {r["t"]: r["key"] for r in keys.filter(F.col("clip_id") == 0).collect()}
+    for t in (0, 5):
+        exp = sum(words[t + j] << (j * 7) for j in range(4))
+        assert got[t] == exp
+
+
+def test_audio_neardup_finds_planted_shifted_copy(spark):
+    """Clip 100 = clip 0 delayed by exactly 3 frames (768 samples) and
+    scaled by 0.7: the vote must land on offset -3 (copy's keys are 3
+    frames later). Unrelated clips must not pair."""
+    import pandas as pd
+
+    base = _clip(0)
+    shifted = np.concatenate([np.zeros(768, dtype=np.int16), base])[: len(base)]
+    shifted = np.round(shifted * 0.7).astype(np.int16)
+    rows = [(i, M.encode_wav(_clip(i), 8000)) for i in range(10)]
+    rows.append((100, M.encode_wav(shifted, 8000)))
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [r[0] for r in rows], "content": [r[1] for r in rows]})
+    )
+    dec = M.decode_audio(df, "clip_id")
+    keys = fingerprint_keys(block_fingerprint(dec, "clip_id"), "clip_id")
+    pairs = {(r["id_a"], r["id_b"]): r for r in
+             audio_neardup_pairs(keys, "clip_id", min_matches=5).collect()}
+    assert (0, 100) in pairs
+    assert pairs[(0, 100)]["offset"] == -3
+    assert all(p == (0, 100) for p in pairs)
+
+
+def test_audio_neardup_hot_key_cap(spark):
+    """Silent clips share the all-zero key everywhere; the frequency cap
+    must drop those keys so silence does not match silence quadratically."""
+    import pandas as pd
+
+    rows = [(i, M.encode_wav(np.zeros(4096, dtype=np.int16), 8000)) for i in range(8)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [r[0] for r in rows], "content": [r[1] for r in rows]})
+    )
+    keys = fingerprint_keys(
+        block_fingerprint(M.decode_audio(df, "clip_id"), "clip_id"), "clip_id"
+    )
+    out = audio_neardup_pairs(keys, "clip_id", min_matches=5, max_key_freq=20)
+    assert out.count() == 0
+
+
+def test_landmark_fingerprint_matches_exact_copy(spark):
+    import pandas as pd
+
+    rows = [(i, M.encode_wav(_clip(i, n=8192), 8000)) for i in range(6)]
+    rows.append((50, M.encode_wav(_clip(2, n=8192), 8000)))  # exact dup of 2
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [r[0] for r in rows], "content": [r[1] for r in rows]})
+    )
+    keys = landmark_fingerprint(M.decode_audio(df, "clip_id"), "clip_id")
+    pairs = {(r["id_a"], r["id_b"]): r for r in
+             audio_neardup_pairs(keys, "clip_id", min_matches=10).collect()}
+    assert (2, 50) in pairs
+    assert pairs[(2, 50)]["offset"] == 0
+    # the planted exact copy dominates: clips sharing one sinusoid
+    # component may pair weakly (they ARE similar audio), but the true
+    # duplicate collects the most offset-consistent votes by far
+    best = max(pairs, key=lambda p: pairs[p]["n_matches"])
+    assert best == (2, 50)
+    others = [r["n_matches"] for p, r in pairs.items() if p != (2, 50)]
+    assert all(n < pairs[(2, 50)]["n_matches"] / 2 for n in others)
+
+
+def test_landmark_keys_vs_numpy_reference(spark):
+    """One clip's landmark table equals an independent straight-line
+    reimplementation of the STFT peak-pair construction."""
+    import pandas as pd
+
+    n_fft, hop, ppf, fan, max_dt = 512, 256, 3, 3, 16
+    x = _clip(4, n=4096).astype(np.float64) / 32768.0
+    win = np.hanning(n_fft)
+    n_frames = 1 + (len(x) - n_fft) // hop
+    pk = []
+    for f in range(n_frames):
+        mag = np.abs(np.fft.rfft(x[f * hop : f * hop + n_fft] * win))
+        inner = np.nonzero((mag[1:-1] > mag[:-2]) & (mag[1:-1] > mag[2:]))[0] + 1
+        top = inner[np.argsort(mag[inner], kind="stable")[::-1][:ppf]]
+        pk.append(np.sort(top))
+    exp = set()
+    for f1 in range(n_frames):
+        for b1 in pk[f1]:
+            paired = 0
+            for f2 in range(f1 + 1, min(n_frames, f1 + 1 + max_dt)):
+                for b2 in pk[f2]:
+                    exp.add((f1, (int(b1) << 24) | (int(b2) << 8) | (f2 - f1)))
+                    paired += 1
+                    if paired >= fan:
+                        break
+                if paired >= fan:
+                    break
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [4], "content": [M.encode_wav(_clip(4, n=4096), 8000)]})
+    )
+    got = {(r["t"], r["key"]) for r in
+           landmark_fingerprint(M.decode_audio(df, "clip_id"), "clip_id").collect()}
+    assert got == exp
+
+
+def test_resample_identity_and_length(clips):
+    same = resample_audio(clips, "clip_id", 8000, 8000)
+    r = same.filter(F.col("clip_id") == 1).collect()[0]
+    orig = _clip(1).astype(np.float64) / 32768.0
+    assert r["n_samples"] == len(orig)
+    assert np.allclose(np.asarray(r["samples"], dtype=np.float64), orig, atol=1e-6)
+
+
+def test_resample_linear_ramp_exact(spark):
+    """Upsampling a linear ramp by 2x reproduces the ramp at half steps —
+    linear interpolation is exact on affine signals."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "clip_id": [1],
+        "samples": [np.arange(10, dtype=np.float32) / 16.0],
+        "sample_rate": [4000],
+    }))
+    r = resample_audio(df, "clip_id", 4000, 8000).collect()[0]
+    assert r["n_samples"] == 20
+    assert r["sample_rate"] == 8000
+    got = np.asarray(r["samples"], dtype=np.float64)
+    exp = np.minimum(np.arange(20) * 0.5, 9.0) / 16.0  # clamped at the tail
+    assert np.allclose(got, exp, atol=1e-7)
+
+
+def test_resample_downsample_picks_every_other(spark):
+    import pandas as pd
+
+    x = np.arange(16, dtype=np.float32) / 32.0
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [1], "samples": [x]})
+    )
+    r = resample_audio(df, "clip_id", 8000, 4000).collect()[0]
+    assert r["n_samples"] == 8
+    assert np.allclose(np.asarray(r["samples"]), x[::2], atol=1e-7)
+
+
+def test_block_fingerprint_validates_params(clips):
+    with pytest.raises(ValueError):
+        block_fingerprint(clips, "clip_id", frame=10, blocks=3)
+    with pytest.raises(ValueError):
+        block_fingerprint(clips, "clip_id", frame=8, blocks=1)
+    with pytest.raises(ValueError):
+        resample_audio(clips, "clip_id", 0, 8000)
