@@ -94,6 +94,20 @@ def _synth_jpeg(w: int, h: int, orient: int) -> bytes:
 
 _JPEG_N_BYTES = len(_synth_jpeg(16, 16, 1))
 
+# Block-energy within-frame differences for the q21 'afp' oracle leg:
+# d(doc, f, b) = E(f, b) - E(f, b+1) over the closed-form fast-wrapping
+# clip, frame=16 samples / 4 blocks of 4 (see _m_multimodal_meta)
+_AFP_ENERGY_SQL = (
+    "SELECT doc_id, (j // 16) AS f, ((j % 16) // 4) AS b, sum(p*p) AS e FROM "
+    "(SELECT d.doc_id, j, ((j*9973 + d.doc_id*12289)%65536) - 32768 AS p "
+    "FROM documents d, range(0,64) rj(j)) GROUP BY 1,2,3"
+)
+_AFP_DIFF_SQL = (
+    f"SELECT a.doc_id, a.f, a.b, a.e - a2.e AS d FROM ({_AFP_ENERGY_SQL}) a "
+    f"JOIN ({_AFP_ENERGY_SQL}) a2 "
+    "ON a2.doc_id=a.doc_id AND a2.f=a.f AND a2.b=a.b+1"
+)
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_vss_spark.deploy import ensure_shipped
@@ -1897,7 +1911,7 @@ def _m_multimodal_meta(spark, sf_dir):
 
     def synth(batches):
         for pdf in batches:
-            ids, bmps, wavs, jpgs = [], [], [], []
+            ids, bmps, wavs, wav2s, jpgs = [], [], [], [], []
             for i in pdf["doc_id"]:
                 i = int(i)
                 y, x = np.mgrid[0:6, 0:8]
@@ -1907,14 +1921,21 @@ def _m_multimodal_meta(spark, sf_dir):
                 ).astype(np.uint8)
                 j = np.arange(64)
                 pcm = (((j * 37 + i * 11) % 65536) - 32768).astype(np.int16)
+                # second clip with a fast-wrapping step so sign changes
+                # and block energies actually vary (j*37 is a monotone
+                # ramp: zcr 0, fingerprint words all 0 -- useless gate)
+                pcm2 = (((j * 9973 + i * 12289) % 65536) - 32768).astype(np.int16)
                 ids.append(i)
                 bmps.append(encode_bmp(img))
                 wavs.append(encode_wav(pcm, 8000))
+                wav2s.append(encode_wav(pcm2, 8000))
                 jpgs.append(_synth_jpeg(16 + i % 101, 16 + (7 * i) % 101, 1 + i % 8))
-            yield pd.DataFrame({"doc_id": ids, "bmp": bmps, "wav": wavs, "jpg": jpgs})
+            yield pd.DataFrame(
+                {"doc_id": ids, "bmp": bmps, "wav": wavs, "wav2": wav2s, "jpg": jpgs}
+            )
 
     blobs = _docs(spark, sf_dir).select("doc_id").mapInPandas(
-        synth, schema="doc_id long, bmp binary, wav binary, jpg binary"
+        synth, schema="doc_id long, bmp binary, wav binary, wav2 binary, jpg binary"
     )
     px_sum = F.aggregate(
         F.transform("pixels", lambda x: x.cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
@@ -1939,6 +1960,35 @@ def _m_multimodal_meta(spark, sf_dir):
         raw_sum.alias("d1"),
         F.col("n_samples").cast("long").alias("d2"),
         F.lit(44 + 128).cast("long").alias("n_bytes"),
+    )
+    # Audio-DSP legs over the fast-wrapping clip: the real WAV codec
+    # feeds audio_features (exact integer zero-crossing count + int16-grid
+    # energy) and the Haitsma-Kalker-shaped block fingerprint (frame=16,
+    # blocks=4 -> 3-bit words for frames 1..3) -- duckdb recomputes both
+    # from the closed-form PCM, so the codec round trip AND the DSP math
+    # ride the driver's value hash.
+    from duckdb_vss_spark.operators.audio import audio_features, block_fingerprint
+
+    dec2 = decode_audio(blobs.select("doc_id", F.col("wav2").alias("content")), "doc_id")
+    afeat = audio_features(dec2, "doc_id").select(
+        F.lit("afeat").alias("kind"),
+        "doc_id",
+        F.lit("wav").alias("media_type"),
+        F.col("zcr").alias("d1"),
+        F.col("ssq").alias("d2"),
+        F.col("n_samples").alias("n_bytes"),
+    )
+    afp = (
+        block_fingerprint(dec2, "doc_id", frame=16, blocks=4)
+        .select("doc_id", F.posexplode("words").alias("__fi", "__w"))
+        .select(
+            F.lit("afp").alias("kind"),
+            "doc_id",
+            F.lit("afp").alias("media_type"),
+            (F.col("__fi") + 1).cast("long").alias("d1"),
+            F.col("__w").cast("long").alias("d2"),
+            F.lit(-1).cast("long").alias("n_bytes"),
+        )
     )
     # WARC + HTML leg: per doc, build a real one-record WARC segment whose
     # HTTP body wraps the doc text in markup, parse it back with the
@@ -2033,7 +2083,7 @@ def _m_multimodal_meta(spark, sf_dir):
         (F.col("width") * F.col("height")).cast("long").alias("d2"),
         F.lit(-1).cast("long").alias("n_bytes"),
     )
-    return _union_tagged([img, aud, bmp, wav, warc, jpeg, jpegpx])
+    return _union_tagged([img, aud, bmp, wav, afeat, afp, warc, jpeg, jpegpx])
 
 
 def _q_sql_where_topk(spark, sf_dir):
@@ -4144,6 +4194,30 @@ def oracle_sql() -> dict[str, str]:
                 "sum(((j*37 + d.doc_id*11)%65536) - 32768)::BIGINT AS d1, "
                 "64::BIGINT AS d2, 172::BIGINT AS n_bytes "
                 "FROM documents d, range(0,64) rj(j) GROUP BY d.doc_id"
+            ),
+            (
+                # afeat twin: exact zero-crossing count + int16-grid energy
+                # over the fast-wrapping clip pcm2 = (j*9973 + id*12289)
+                # % 65536 - 32768 (the j*37 ramp never crosses zero)
+                "SELECT 'afeat' AS kind, doc_id, 'wav' AS media_type, "
+                "sum(CASE WHEN j > 0 AND ((p < 0) <> (pp < 0)) THEN 1 ELSE 0 END)::BIGINT AS d1, "
+                "sum(p*p)::BIGINT AS d2, 64::BIGINT AS n_bytes FROM "
+                "(SELECT d.doc_id, j, ((j*9973 + d.doc_id*12289)%65536) - 32768 AS p, "
+                "(((j-1)*9973 + d.doc_id*12289)%65536) - 32768 AS pp "
+                "FROM documents d, range(0,64) rj(j)) GROUP BY doc_id"
+            ),
+            (
+                # afp twin: the Haitsma-Kalker-shaped block fingerprint in
+                # closed form -- block energies E(f,b) over frame=16/blk=4,
+                # within-frame diffs d(f,b)=E(f,b)-E(f,b+1), word bit b of
+                # frame f set iff d(f,b)-d(f-1,b) > 0
+                "SELECT 'afp' AS kind, c.doc_id AS doc_id, 'afp' AS media_type, "
+                "c.f::BIGINT AS d1, "
+                "sum(CASE WHEN c.d - pr.d > 0 THEN 1<<c.b ELSE 0 END)::BIGINT AS d2, "
+                "-1::BIGINT AS n_bytes "
+                f"FROM ({_AFP_DIFF_SQL}) c JOIN ({_AFP_DIFF_SQL}) pr "
+                "ON pr.doc_id=c.doc_id AND pr.f=c.f-1 AND pr.b=c.b "
+                "GROUP BY c.doc_id, c.f"
             ),
             (
                 # jpeg leg twin: the header-only parser's output in closed
