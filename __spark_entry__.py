@@ -1725,6 +1725,18 @@ def _m_doc_stats(spark, sf_dir):
             & (F.size("bpe_tokens") <= F.length("text") + F.size(F.split(F.trim("text"), r"\s+")))
         ).alias("bpe_bounds_ok"),
     )
+    # Stupid-backoff trigram LM (Brants et al. 2007), self-trained on the
+    # corpus: longest-available-context ratios, float32-exposed like the
+    # unigram LM leg
+    from duckdb_vss_spark.operators.quality import stupid_backoff_score
+
+    sb = stupid_backoff_score(docs, "text", "doc_id", n=3).select(
+        "doc_id",
+        F.col("n_tokens").alias("sb_tokens"),
+        F.col("n_oov").alias("sb_oov"),
+        F.col("avg_logscore").cast("float").alias("sb_avg_logscore"),
+        F.col("ppl").cast("float").alias("sb_ppl"),
+    )
     return (
         _q_text_stats(spark, sf_dir)
         .join(_q_repetition_stats(spark, sf_dir), "doc_id")
@@ -1733,6 +1745,7 @@ def _m_doc_stats(spark, sf_dir):
         .join(span, "doc_id")
         .join(despan, "doc_id")
         .join(lm, "doc_id")
+        .join(sb, "doc_id")
         .join(cl, "doc_id")
         .join(ld, "doc_id")
         .join(clf, "doc_id")
@@ -3843,6 +3856,11 @@ def _doc_stats_oracle_sql(O, P) -> str:
         "SELECT doc_id, n_grams, avg_logprob::FLOAT AS avg_logprob, ppl::FLOAT AS ppl "
         f"FROM ({O.sql_ngram_lm_score('documents', 'text', 'doc_id')})"
     )
+    sb_sql = (
+        "SELECT doc_id, n_tokens AS sb_tokens, n_oov AS sb_oov, "
+        "avg_logscore::FLOAT AS sb_avg_logscore, ppl::FLOAT AS sb_ppl "
+        f"FROM ({O.sql_stupid_backoff_score('documents', 'text', 'doc_id', 3)})"
+    )
     # Derived multi-line corpus shared by the two line-stage legs (see the
     # Spark twin's docstring): lines from breaking on ' the ', cross-doc
     # duplicates from appending each odd doc to its even predecessor.
@@ -3874,6 +3892,7 @@ def _doc_stats_oracle_sql(O, P) -> str:
         f"       s.n_windows, s.n_dup_windows, s.dup_window_frac,\n"
         f"       ds.despan_hash, ds.despan_removed,\n"
         f"       l.n_grams, l.avg_logprob, l.ppl,\n"
+        f"       sb.sb_tokens, sb.sb_oov, sb.sb_avg_logscore, sb.sb_ppl,\n"
         f"       c.cl_n_lines, c.cl_n_kept, c.clean_hash,\n"
         f"       d.ld_n_lines, d.ld_n_removed, d.linededup_hash,\n"
         f"       {O.sql_classifier_score('a0.text')}::FLOAT AS clf_score,\n"
@@ -3888,6 +3907,7 @@ def _doc_stats_oracle_sql(O, P) -> str:
         f"n_removed_tokens AS despan_removed FROM "
         f"({O.sql_remove_duplicated_spans('documents', 'text', 'doc_id', 20, 2)})) ds USING (doc_id)\n"
         f"JOIN ({lm_sql}) l USING (doc_id)\n"
+        f"JOIN ({sb_sql}) sb USING (doc_id)\n"
         f"JOIN ({cl_sql}) c USING (doc_id)\n"
         f"JOIN ({ld_sql}) d USING (doc_id)\n"
         f"JOIN ({_web_url_oracle_sql(O)}) w USING (doc_id)"

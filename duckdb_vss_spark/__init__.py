@@ -69,6 +69,7 @@ from .operators.quality import (  # noqa: F401
     pii_stats,
     redact_pii,
     repetition_stats,
+    stupid_backoff_score,
 )
 from .operators.graph import connected_components, dedup_clusters, pagerank  # noqa: F401
 from .operators.audio import (  # noqa: F401

@@ -44,6 +44,7 @@ __all__ = [
     "redact_pii",
     "PII_PATTERNS",
     "ngram_lm_score",
+    "stupid_backoff_score",
     "clean_lines",
     "classifier_score",
     "TERMINAL_PUNCT",
@@ -413,6 +414,159 @@ def ngram_lm_score(
         "n_grams",
         "n_oov",
         avg.alias("avg_logprob"),
+        F.exp(-avg).alias("ppl"),
+    )
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    alpha: float = 0.4,
+    counts_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document stupid-backoff LM score (Brants et al. 2007, "Large
+    Language Models in Machine Translation" §4 — the backoff scheme
+    designed precisely for distributed MapReduce-style count tables,
+    which is why it is the right LM for a Spark pipeline).
+
+    Token ``w`` at position ``i`` is scored with the LONGEST available
+    context ``k0 = min(i+1, n)`` and backs off with penalty ``alpha`` per
+    shortened order::
+
+        S(w | ctx_k) = count(gram_k) / count(ctx_k)        if seen
+                     = alpha * S(w | ctx_{k-1})            otherwise
+        S(w)         = count(w) / N                        (base case)
+
+    Self-trained (no ``counts_df``): every gram of every order came from
+    the corpus itself, so the top order always hits and no backoff or OOV
+    occurs — the interesting regimes need an external ``counts_df``
+    (columns ``gram``, ``c``; orders mixed, distinguished by space count)
+    trained on a held-out corpus, where unseen grams back off for real and
+    a token absent from the table scores the floor ``1/(N+V)`` and counts
+    in ``n_oov``.
+
+    Output: ``(id_col, n_tokens, n_oov, avg_logscore, ppl)`` with
+    ``avg_logscore`` the per-token mean of ``ln S`` and
+    ``ppl = exp(-avg_logscore)``.
+
+    Determinism contract (driver value hashes): per-document sums fold in
+    token order via an ``aggregate`` HOF over a position-sorted array,
+    and each term is ``ln(double/double) + integer * ln(alpha)`` so the
+    only cross-engine drift is the 1-ulp JVM-vs-libm ``ln`` difference —
+    expose at float32 when hash-gating, like :func:`ngram_lm_score`.
+
+    Scale shape: ``n`` count aggregations (map-side combinable; the
+    order-``n`` table is the big one — gram-keyed shuffle joins, never a
+    driver collect), ``2n-1`` probe joins of the exploded token frame
+    against the count tables (AQE broadcasts the small low orders), one
+    per-document aggregation. N/V is a single 2-scalar driver aggregate.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from .dedup import _fan_out, _shared
+
+    ln_a = math.log(alpha)
+    base = _fan_out(df).select(F.col(id_col).alias("__id"), T.tokens(text_col).alias("__t"))
+    t = F.col("__t")
+    size = F.size(t)
+
+    # per-order gram arrays aligned so arr_k[i] = the order-k gram ENDING
+    # at token position i (null for i < k-1); ctx_k[i] = arr_{k-1}[i-1]
+    null_s = F.lit(None).cast("string")
+    end_grams: list[Column] = [t]
+    for k in range(2, n + 1):
+        grams = t
+        for i in range(1, k):
+            shifted = F.slice(t, i + 1, F.greatest(F.lit(0), size - i))
+            grams = F.zip_with(grams, shifted, lambda x, y: F.concat_ws(" ", x, y))
+        full = F.slice(grams, 1, F.greatest(F.lit(0), size - (k - 1)))
+        end_grams.append(F.concat(F.array_repeat(null_s, k - 1), full))
+    named = {f"g{k}": end_grams[k - 1] for k in range(1, n + 1)}
+    for k in range(2, n + 1):
+        # shift right by one and trim to token length (arrays_zip pads the
+        # LONGEST array, so an untrimmed shift would emit a phantom row)
+        named[f"x{k}"] = F.slice(
+            F.concat(F.array(null_s), end_grams[k - 2]), 1, size
+        )
+    zipped = F.arrays_zip(*[named[c].alias(c) for c in named])
+    rows = base.select("__id", F.posexplode(zipped).alias("__pos", "__z")).select(
+        "__id", "__pos", *[F.col(f"__z.{c}").alias(c) for c in named]
+    )
+
+    if counts_df is None:
+        rows = _shared(rows)
+        counts = {
+            k: _shared(
+                rows.filter(F.col(f"g{k}").isNotNull())
+                .groupBy(F.col(f"g{k}").alias("gram"))
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            for k in range(1, n + 1)
+        }
+    else:
+        ext = counts_df.select(
+            F.col("gram").cast("string").alias("gram"), F.col("c").cast("long").alias("c")
+        )
+        order = F.size(F.split(F.col("gram"), " "))
+        counts = {k: _shared(ext.filter(order == k)) for k in range(1, n + 1)}
+    tot = counts[1].agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
+    N, V = int(tot["n"] or 0), int(tot["v"] or 0)
+
+    # probe joins: order-k gram count as ck, order-k context count as xk_c
+    # (context of order k is an order-(k-1) gram, so it probes counts[k-1])
+    for k in range(1, n + 1):
+        rows = rows.join(
+            counts[k].select(F.col("gram").alias(f"g{k}"), F.col("c").alias(f"c{k}")),
+            f"g{k}",
+            "left",
+        )
+    for k in range(2, n + 1):
+        rows = rows.join(
+            counts[k - 1].select(F.col("gram").alias(f"x{k}"), F.col("c").alias(f"xc{k}")),
+            f"x{k}",
+            "left",
+        )
+
+    k0 = F.least(F.col("__pos") + 1, F.lit(n))
+    lp = None
+    for k in range(n, 1, -1):
+        hit = F.col(f"c{k}").isNotNull() & F.col(f"xc{k}").isNotNull()
+        term = (
+            F.log(F.col(f"c{k}").cast("double") / F.col(f"xc{k}").cast("double"))
+            + (k0 - k).cast("double") * F.lit(ln_a)
+        )
+        lp = F.when(hit, term) if lp is None else lp.when(hit, term)
+    uni = (
+        F.log(F.col("c1").cast("double") / F.lit(float(N)))
+        + (k0 - 1).cast("double") * F.lit(ln_a)
+    )
+    floor = (
+        F.log(F.lit(1.0) / F.lit(float(N + V)))
+        + (k0 - 1).cast("double") * F.lit(ln_a)
+    )
+    hit1 = F.col("c1").isNotNull()
+    lp = (F.when(hit1, uni) if lp is None else lp.when(hit1, uni)).otherwise(floor)
+    scored = rows.select(
+        "__id",
+        "__pos",
+        F.col("c1").isNull().cast("int").alias("__oov"),
+        lp.alias("__lp"),
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__oov").cast("long").alias("n_oov"),
+        F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("__lp")))).alias("__arr"),
+    )
+    avg = F.aggregate(F.col("__arr"), F.lit(0.0), lambda a, e: a + e["__lp"]) / F.col(
+        "n_tokens"
+    ).cast("double")
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "n_oov",
+        avg.alias("avg_logscore"),
         F.exp(-avg).alias("ppl"),
     )
 

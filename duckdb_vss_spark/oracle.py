@@ -347,6 +347,88 @@ def sql_ngram_lm_score(table: str, text_col: str, id_col: str, n: int = 1) -> st
     """
 
 
+def sql_stupid_backoff_score(
+    table: str, text_col: str, id_col: str, n: int = 3, alpha: float = 0.4
+) -> str:
+    """Twin of operators.quality.stupid_backoff_score (self-trained):
+    per-token score with the longest available context k0 = min(pos+1, n);
+    self-trained counts mean the top order always hits, so the score is
+    count(gram_k0)/count(ctx_k0) with no backoff and no OOV. Grams are
+    built with lag() windows (|| with NULL -> NULL gives the same
+    null-for-early-positions alignment as the Spark side's padded
+    arrays); per-doc log-scores fold in token order."""
+    toks = sql_tokens(text_col)
+    lag_cat = {1: "tok"}
+    for k in range(2, n + 1):
+        parts = [f"lag(tok, {k - 1 - j}) OVER w" for j in range(k - 1)] + ["tok"]
+        lag_cat[k] = " || ' ' || ".join(parts)
+    gram_cols = ",\n                 ".join(f"{lag_cat[k]} AS g{k}" for k in range(1, n + 1))
+    # ctx_k (the order-(k-1) gram ending at pos-1) is the gram_k expression
+    # minus its last term -- no nested window functions
+    ctx_cols = ",\n                 ".join(
+        " || ' ' || ".join(f"lag(tok, {k - 1 - j}) OVER w" for j in range(k - 1))
+        + f" AS x{k}"
+        for k in range(2, n + 1)
+    )
+    count_ctes = ",\n        ".join(
+        f"c{k} AS MATERIALIZED (SELECT g{k} AS gram, count(*) AS c FROM g "
+        f"WHERE g{k} IS NOT NULL GROUP BY g{k})"
+        for k in range(1, n + 1)
+    )
+    joins = "\n          ".join(
+        f"LEFT JOIN c{k} jc{k} ON jc{k}.gram = g.g{k}" for k in range(1, n + 1)
+    ) + "\n          " + "\n          ".join(
+        f"LEFT JOIN c{k - 1} jx{k} ON jx{k}.gram = g.x{k}" for k in range(2, n + 1)
+    )
+    k0 = f"least(g.pos + 1, {n})"
+    cases = "\n                   ".join(
+        f"WHEN jc{k}.c IS NOT NULL AND jx{k}.c IS NOT NULL THEN "
+        f"ln(jc{k}.c::DOUBLE / jx{k}.c::DOUBLE) + ({k0} - {k})::DOUBLE * ln({alpha})"
+        for k in range(n, 1, -1)
+    )
+    uni = (
+        f"WHEN jc1.c IS NOT NULL THEN ln(jc1.c::DOUBLE / tot.nn::DOUBLE) "
+        f"+ ({k0} - 1)::DOUBLE * ln({alpha})"
+    )
+    floor = (
+        f"ELSE ln(1.0 / (tot.nn + tot.vv)::DOUBLE) + ({k0} - 1)::DOUBLE * ln({alpha})"
+    )
+    return f"""
+        WITH g AS MATERIALIZED (
+          SELECT id, pos, tok,
+                 {gram_cols},
+                 {ctx_cols}
+          FROM (
+            SELECT {id_col} AS id,
+                   unnest(range(0, len({toks}))) AS pos,
+                   unnest({toks}) AS tok
+            FROM {table}
+          )
+          WINDOW w AS (PARTITION BY id ORDER BY pos)
+        ),
+        {count_ctes},
+        tot AS (SELECT sum(c) AS nn, count(*) AS vv FROM c1),
+        lp AS (
+          SELECT g.id, g.pos,
+                 CASE WHEN jc1.c IS NULL THEN 1 ELSE 0 END AS oov,
+                 CASE {cases}
+                   {uni}
+                   {floor} END AS lp
+          FROM g
+          {joins}, tot
+        ),
+        arr AS (
+          SELECT id, count(*) AS n_tokens, sum(oov) AS n_oov,
+                 list(lp ORDER BY pos) AS lps
+          FROM lp GROUP BY id
+        )
+        SELECT id AS {id_col}, n_tokens, n_oov::BIGINT AS n_oov,
+               list_sum(lps) / n_tokens::DOUBLE AS avg_logscore,
+               exp(-(list_sum(lps) / n_tokens::DOUBLE)) AS ppl
+        FROM arr
+    """
+
+
 def sql_tfidf_top_terms(table: str, text_col: str, id_col: str, top_k: int, min_df: int = 1) -> str:
     """Twin of operators.ranking.tfidf_top_terms (idf = ln(N/df), raw tf,
     rank ties broken by term ascending)."""

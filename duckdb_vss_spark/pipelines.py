@@ -47,11 +47,17 @@ def ccnet_curate(
     text_col: str = "text",
     id_col: str = "doc_id",
     bucket_edges: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    lm_order: int = 1,
 ) -> DataFrame:
     """CCNet: dedup lines against the whole corpus, identify language,
     score with a corpus-trained LM, bucket per-language perplexity into
     head/middle/tail terciles. Adds ``lang``, ``ppl``, ``ppl_bucket``,
     ``n_removed_lines``, ``dedup_text``.
+
+    ``lm_order=1`` (default, the driver-gated configuration) scores with
+    the add-one unigram LM; ``lm_order>=2`` scores with the stupid-backoff
+    n-gram LM (Brants et al. 2007) — closer to the real CCNet's 5-gram
+    KenLM, at the cost of ``lm_order`` count tables.
 
     Scale shape: line_dedup shuffles only (id, pos, hash) tuples; lang-id
     and LM scoring are a broadcast-probe plus one token-level aggregation;
@@ -61,14 +67,19 @@ def ccnet_curate(
     4096 buckets instead of spill-sorting on one reducer (round 8; the
     naive window form is equality-pinned in the rank_split tests)."""
     from .operators.dedup import line_dedup
-    from .operators.quality import ngram_lm_score
+    from .operators.quality import ngram_lm_score, stupid_backoff_score
     from .operators.sampling import rank_split
 
     ld = line_dedup(docs, text_col, id_col, out_col="dedup_text").select(
         id_col, "dedup_text", "n_removed_lines"
     )
     base = docs.join(ld, id_col).withColumn("lang", T.lang_id(F.col(text_col)))
-    lm = ngram_lm_score(base, "dedup_text", id_col).select(id_col, "ppl")
+    if lm_order <= 1:
+        lm = ngram_lm_score(base, "dedup_text", id_col).select(id_col, "ppl")
+    else:
+        lm = stupid_backoff_score(base, "dedup_text", id_col, n=lm_order).select(
+            id_col, "ppl"
+        )
     scored = base.join(lm, id_col)
     return rank_split(
         scored, "lang", "ppl", id_col,

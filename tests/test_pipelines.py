@@ -42,6 +42,27 @@ def test_ccnet_curate(docs):
             assert b["head"][1] <= b["tail"][0] or abs(b["head"][1] - b["tail"][0]) < 1e-9
 
 
+def test_ccnet_curate_backoff_lm(docs):
+    """lm_order=3 swaps in the stupid-backoff trigram LM; the recipe's
+    contracts (row preservation, per-language tercile order) must hold
+    for either scorer."""
+    from duckdb_vss_spark.pipelines import ccnet_curate
+
+    out = ccnet_curate(docs.limit(200), lm_order=3)
+    assert out.count() == 200
+    stats = (
+        out.groupBy("lang", "ppl_bucket")
+        .agg(F.max("ppl").alias("mx"), F.min("ppl").alias("mn"))
+        .collect()
+    )
+    by = {}
+    for r in stats:
+        by.setdefault(r["lang"], {})[r["ppl_bucket"]] = (r["mn"], r["mx"])
+    for lang, b in by.items():
+        if "head" in b and "tail" in b:
+            assert b["head"][1] <= b["tail"][0] or abs(b["head"][1] - b["tail"][0]) < 1e-9
+
+
 def test_c4_clean(docs, spark):
     from duckdb_vss_spark.pipelines import c4_clean
 

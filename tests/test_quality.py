@@ -281,6 +281,95 @@ def test_ngram_lm_score_external_counts_oov(spark):
     assert out["n_grams"] == 3
 
 
+# -- stupid backoff ----------------------------------------------------------
+
+
+def test_stupid_backoff_hand_computed_self_trained(spark):
+    """n=2 over two docs; self-trained so the top order always hits:
+    corpus 'a b a' + 'b b' -> c1={a:2,b:3}, N=5, c2={'a b':1,'b a':1,'b b':1}."""
+    import math
+
+    from duckdb_vss_spark import stupid_backoff_score
+
+    df = spark.createDataFrame([(1, "a b a"), (2, "b b")], "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in
+           stupid_backoff_score(df, "text", "doc_id", n=2).collect()}
+    exp1 = (math.log(2 / 5) + math.log(1 / 2) + math.log(1 / 3)) / 3
+    exp2 = (math.log(3 / 5) + math.log(1 / 3)) / 2
+    assert out[1]["n_tokens"] == 3 and out[1]["n_oov"] == 0
+    assert out[1]["avg_logscore"] == pytest.approx(exp1, rel=1e-12)
+    assert out[2]["avg_logscore"] == pytest.approx(exp2, rel=1e-12)
+    assert out[2]["ppl"] == pytest.approx(math.exp(-exp2), rel=1e-12)
+
+
+def test_stupid_backoff_external_counts_backoff_and_oov(spark):
+    """External table {a:4, b:2, 'a b':2}: 'b a c' scores the unigram top
+    order at pos 0, BACKS OFF (alpha penalty) at pos 1 ('b a' unseen), and
+    floors at pos 2 ('c' is OOV)."""
+    import math
+
+    from duckdb_vss_spark import stupid_backoff_score
+
+    df = spark.createDataFrame([(1, "b a c")], "doc_id: long, text: string")
+    counts = spark.createDataFrame(
+        [("a", 4), ("b", 2), ("a b", 2)], "gram: string, c: long"
+    )
+    out = stupid_backoff_score(df, "text", "doc_id", n=2, counts_df=counts).collect()[0]
+    n_ext, v_ext, a = 6, 2, 0.4
+    exp = (
+        math.log(2 / n_ext)                                   # 'b' unigram, k0=1
+        + (math.log(4 / n_ext) + math.log(a))                 # 'b a' miss -> backoff
+        + (math.log(1 / (n_ext + v_ext)) + math.log(a))       # 'c' OOV floor
+    ) / 3
+    assert out["n_oov"] == 1
+    assert out["avg_logscore"] == pytest.approx(exp, rel=1e-12)
+
+
+def test_stupid_backoff_uses_longest_available_context(spark):
+    """n=3 self-trained: position 2+ must score with the trigram, position
+    1 with the bigram, position 0 with the unigram — all exact ratios."""
+    import math
+
+    from duckdb_vss_spark import stupid_backoff_score
+
+    df = spark.createDataFrame([(1, "x y z x y z")], "doc_id: long, text: string")
+    out = stupid_backoff_score(df, "text", "doc_id", n=3).collect()[0]
+    # c1: x2 y2 z2, N=6; c2: 'x y':2,'y z':2,'z x':1; c3: 'x y z':2,'y z x':1,'z x y':1
+    exp = (
+        math.log(2 / 6)        # x | k0=1
+        + math.log(2 / 2)      # 'x y' / 'x'
+        + math.log(2 / 2)      # 'x y z' / 'x y'
+        + math.log(1 / 2)      # 'y z x' / 'y z'
+        + math.log(1 / 1)      # 'z x y' / 'z x'
+        + math.log(2 / 2)      # 'x y z' / 'x y'
+    ) / 6
+    assert out["n_tokens"] == 6 and out["n_oov"] == 0
+    assert out["avg_logscore"] == pytest.approx(exp, rel=1e-12)
+
+
+def test_stupid_backoff_matches_duckdb_sf001(spark, ddb):
+    from duckdb_vss_spark import stupid_backoff_score
+    from duckdb_vss_spark.oracle import sql_stupid_backoff_score
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], f32(r["avg_logscore"]))
+        for r in stupid_backoff_score(df, "text", "doc_id", n=3).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], f32(r[3]))
+        for r in ddb.execute(
+            sql_stupid_backoff_score("documents", "text", "doc_id", n=3)
+        ).fetchall()
+    }
+    assert got == want
+
+
 # -- C4-style line cleaning -------------------------------------------------
 
 
