@@ -5,12 +5,15 @@ Model: media is an opaque ``binary`` column plus typed metadata columns —
 the schema, partitioning, Arrow batch shape, and UDF signatures here are
 the real 100 TB-scale plumbing. Codec support is split honestly by what
 pure numpy + the stdlib can do: UNCOMPRESSED formats decode for real
-(24/32-bit BI_RGB BMP and binary PPM images, RIFF/WAVE PCM audio), and
-8-bit PNG decodes for real too (stdlib zlib inflate + all five scanline
-filters, color types 0/2/3/4/6, non-interlaced; encoder included) —
-round-trips are testable end-to-end with no codec library. LOSSY formats
-(JPEG/WEBP/MP3/MP4) need codec libraries
-this container doesn't ship and fall through to PIL when present, else a
+(24/32-bit BI_RGB BMP and binary PPM images, RIFF/WAVE PCM audio); 8-bit
+PNG decodes for real (stdlib zlib inflate + all five scanline filters,
+color types 0/2/3/4/6, non-interlaced; encoder included); baseline JPEG
+decodes and encodes for real (:mod:`.jpeg`, pure-numpy huffman + IDCT;
+progressive/arithmetic raise); GIF87a/89a decodes and encodes for real
+(:mod:`.gif`, pure-python LZW, animation frames composited) — round
+trips are testable end-to-end with no codec library. Remaining lossy
+formats (WEBP/MP3/MP4/AVIF) genuinely need codec libraries this
+container doesn't ship and fall through to PIL when present, else a
 clearly-marked ``NotImplementedError``. The deterministic synthetic
 container below exercises the byte-level plumbing independent of codecs:
 
@@ -63,6 +66,7 @@ __all__ = [
     "parse_jpeg_header",
     "byte_histogram_features",
     "frame_sample",
+    "gif_frames",
     "resize_media",
     "transcode_images",
 ]
@@ -198,6 +202,11 @@ def decode_media_meta(df: DataFrame, id_col: str, content_col: str = "content") 
                     if orient >= 5:
                         w, h = h, w
                     kind, nf, sr = "image", 1, 0
+                elif bytes(blob[:6]) in (b"GIF87a", b"GIF89a"):
+                    from .gif import parse_gif_header
+
+                    w, h, nf = parse_gif_header(blob)
+                    kind, sr = "image", 0
                 else:
                     kind, w, h, nf, sr, _ = _unpack_header(blob)
                 rows[id_col].append(i)
@@ -330,6 +339,11 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        # first composited frame; use gif_frames for the full animation
+        from .gif import decode_gif
+
+        return decode_gif(b)
     if b[:4] == MAGIC:
         raise ValueError(
             "VSSM synthetic container holds no pixels; use decode_media_meta"
@@ -676,6 +690,54 @@ def frame_sample(df: DataFrame, id_col: str, content_col: str = "content", every
 
     return df.select(id_col, content_col).mapInPandas(
         gen, schema=f"{id_col} {id_t}, frame_idx int, frame binary"
+    )
+
+
+def gif_frames(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    every_nth: int = 1,
+) -> DataFrame:
+    """Real animated-frame sampling: decode a GIF column's frames
+    (composited the way a viewer renders them — disposal/transparency
+    applied), keep every nth, and emit one row per kept frame with raw
+    pixels. Output: (id, frame_idx int, delay_cs int, width int,
+    height int, pixels ARRAY<FLOAT>) — same pixel contract as
+    :func:`decode_image`, so each frame feeds resize/transcode/feature
+    ops directly. Map-only explode; frame bytes never leave the
+    executor."""
+    from .gif import decode_gif_frames_np
+
+    id_t = dict(df.dtypes)[id_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, idxs, delays, ws, hs, px = [], [], [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                for fi, (arr, delay) in enumerate(decode_gif_frames_np(blob)):
+                    if fi % every_nth:
+                        continue
+                    h, w = arr.shape[:2]
+                    ids.append(i)
+                    idxs.append(fi)
+                    delays.append(delay)
+                    ws.append(w)
+                    hs.append(h)
+                    px.append(arr.reshape(-1).astype(np.float32))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "delay_cs": delays,
+                 "width": ws, "height": hs, "pixels": px}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_t}, frame_idx int, delay_cs int, width int, "
+            "height int, pixels array<float>"
+        ),
     )
 
 
