@@ -2003,6 +2003,44 @@ def _m_multimodal_meta(spark, sf_dir):
             F.lit(-1).cast("long").alias("n_bytes"),
         )
     )
+    # GIF leg: a two-frame animated GIF per doc, both frames and the
+    # 8-color palette in closed form; Spark runs the real encoder (LZW
+    # compress) then gif_frames (LZW decompress + composite) and exposes
+    # per-frame pixel sums -- duckdb sums the palette formula directly, so
+    # the whole LZW round trip rides the driver's value hash.
+    from duckdb_vss_spark.operators.gif import encode_gif
+    from duckdb_vss_spark.operators.multimodal import gif_frames
+
+    def synth_gif(batches):
+        pal = np.stack(
+            [(np.arange(8) * 37) % 256, (np.arange(8) * 59) % 256, (np.arange(8) * 83) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                y, x = np.mgrid[0:6, 0:8]
+                f0 = pal[(x * x + y * 5 + i) % 8]
+                f1 = pal[(x * x * 3 + y * 2 + 2 * i) % 8]
+                ids.append(i)
+                blobs.append(encode_gif([f0, f1], delays_cs=[4, 4]))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    gif_blobs = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        synth_gif, schema="doc_id long, content binary"
+    )
+    gif_px_sum = F.aggregate(
+        F.transform("pixels", lambda p: p.cast("long")), F.lit(0).cast("long"), lambda a, p: a + p
+    )
+    gif = gif_frames(gif_blobs, "doc_id").select(
+        F.lit("gif").alias("kind"),
+        "doc_id",
+        F.lit("gif").alias("media_type"),
+        F.col("frame_idx").cast("long").alias("d1"),
+        gif_px_sum.alias("d2"),
+        (F.col("width") * F.col("height")).cast("long").alias("n_bytes"),
+    )
     # WARC + HTML leg: per doc, build a real one-record WARC segment whose
     # HTTP body wraps the doc text in markup, parse it back with the
     # stdlib WARC parser, extract text with the HTML parser operator, and
@@ -2096,7 +2134,7 @@ def _m_multimodal_meta(spark, sf_dir):
         (F.col("width") * F.col("height")).cast("long").alias("d2"),
         F.lit(-1).cast("long").alias("n_bytes"),
     )
-    return _union_tagged([img, aud, bmp, wav, afeat, afp, warc, jpeg, jpegpx])
+    return _union_tagged([img, aud, bmp, wav, afeat, afp, gif, warc, jpeg, jpegpx])
 
 
 def _q_sql_where_topk(spark, sf_dir):
@@ -4238,6 +4276,20 @@ def oracle_sql() -> dict[str, str]:
                 f"FROM ({_AFP_DIFF_SQL}) c JOIN ({_AFP_DIFF_SQL}) pr "
                 "ON pr.doc_id=c.doc_id AND pr.f=c.f-1 AND pr.b=c.b "
                 "GROUP BY c.doc_id, c.f"
+            ),
+            (
+                # gif twin: frame pixel sums from the closed-form palette
+                # animation (both frames full-screen, disposal 'leave', so
+                # composited frame k = frame k); palette channel sum for
+                # color c is (c*37)%256 + (c*59)%256 + (c*83)%256
+                "SELECT 'gif' AS kind, doc_id, 'gif' AS media_type, fr AS d1, "
+                "sum(((c*37)%256) + ((c*59)%256) + ((c*83)%256))::BIGINT AS d2, "
+                "48::BIGINT AS n_bytes FROM ("
+                "  SELECT d.doc_id, fr, CASE WHEN fr = 0 "
+                "    THEN (x*x + y*5 + d.doc_id) % 8 "
+                "    ELSE (x*x*3 + y*2 + 2*d.doc_id) % 8 END AS c "
+                "  FROM documents d, range(0,8) rx(x), range(0,6) ry(y), range(0,2) rf(fr)"
+                ") GROUP BY doc_id, fr"
             ),
             (
                 # jpeg leg twin: the header-only parser's output in closed
