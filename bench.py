@@ -347,6 +347,45 @@ def main() -> None:
         .filter("ok").count()
     )
 
+    # audio fingerprint dedup throughput (round 9): per-doc 2048-sample
+    # WAV -> decode -> block fingerprint -> keyed match join with offset
+    # votes; clips derived from doc_id % 1000 plant ~5x duplicate groups
+    # so the join finds real pairs. Codec+DSP work plus one bucketed
+    # self-join; the fingerprint math itself is oracle-gated on q21.
+    from duckdb_vss_spark.operators.audio import (
+        audio_neardup_pairs,
+        block_fingerprint,
+        fingerprint_keys,
+    )
+    from duckdb_vss_spark.operators.multimodal import decode_audio, encode_wav
+
+    def _synth_wavs(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                g = i % 1000
+                j = _np.arange(2048, dtype=_np.int64)
+                pcm = (((j * (4093 + g * 2) + g * 12289) % 65536) - 32768).astype(_np.int16)
+                ids.append(i)
+                blobs.append(encode_wav(pcm, 8000))
+            yield _pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    wavs = docs.select("doc_id").mapInPandas(
+        _synth_wavs, schema="doc_id long, content binary"
+    )
+
+    def _audio_dedup():
+        keys = fingerprint_keys(
+            block_fingerprint(decode_audio(wavs, "doc_id"), "doc_id", frame=128, blocks=8),
+            "doc_id",
+        )
+        return audio_neardup_pairs(keys, "doc_id", min_matches=8).count()
+
+    timings["audio_fingerprint_dedup"] = run(_audio_dedup)
+
     calib["mid"] = _calibration(spark)
 
     # -- interleaved spark<->duckdb twins, same process, alternating runs:
