@@ -14,14 +14,21 @@ binaries:
   markers, standard Annex K quantization tables scaled by the IJG
   quality curve, standard Annex K Huffman tables, byte-stuffed entropy
   stream. Deterministic: same pixels + options => same bytes.
-- ``decode_jpeg(b)``: marker parse (DQT / DHT / SOF0 / SOS / DRI / RSTn),
-  canonical Huffman decode with DC prediction, dequantize, de-zigzag,
-  orthonormal 2-D IDCT, level shift, nearest-neighbor chroma upsampling
-  for subsampled inputs, JFIF YCbCr->RGB. Supported: 8-bit precision,
-  1 or 3 components, baseline (SOF0) only; progressive (SOF2), arithmetic
-  coding, 12-bit, and hierarchical modes raise ``NotImplementedError``
-  with the marker name, same contract as the other codec guards in
-  :mod:`.multimodal`.
+- ``decode_jpeg(b)``: marker parse (DQT / DHT / SOF0 / SOF2 / SOS / DRI /
+  RSTn), canonical Huffman decode with DC prediction, dequantize,
+  de-zigzag, orthonormal 2-D IDCT, level shift, nearest-neighbor chroma
+  upsampling for subsampled inputs, JFIF YCbCr->RGB. Supported: 8-bit
+  precision, 1 or 3 components, baseline (SOF0) AND progressive (SOF2 —
+  T.81 Annex G: spectral selection, successive approximation, DC/AC
+  first + refinement scans, EOBn runs, restarts; the dominant web-JPEG
+  mode). Arithmetic coding, 12-bit, and hierarchical modes raise
+  ``NotImplementedError`` with the marker name, same contract as the
+  other codec guards in :mod:`.multimodal`.
+- ``encode_jpeg(..., progressive=True)``: SOF2 encode with the libjpeg
+  default-script shape (DC first at Al=1, per-component spectral bands
+  1-5 / 6-63 at Al=1, AC refinement to Al=0, DC refinement) — it shares
+  the baseline quantizer, so progressive and baseline decodes of the
+  same pixels are pixel-identical, which is what the tests pin.
 
 The reference repo has no pixel-decode surface at all (its `test/` tree is
 vector-search only) — this is pure north-star pipeline capability: a
@@ -370,6 +377,7 @@ def encode_jpeg(
     quality: int = 75,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Baseline JFIF encode of ``(h, w)`` grayscale or ``(h, w, 3)`` RGB
     uint8 pixels. ``subsampling``: '444' (one block per component per
@@ -386,6 +394,8 @@ def encode_jpeg(
         raise ValueError("encode_jpeg expects (h, w) or (h, w, 3) pixels")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
+    if progressive:
+        return _encode_progressive(px, quality, subsampling, restart_interval)
     sub420 = subsampling == "420" and not gray
     h, w = px.shape[:2]
     qt_l = _scaled_qtable(QT_LUMA, quality)
@@ -502,11 +512,227 @@ def encode_jpeg(
     return bytes(out)
 
 
+# -- progressive encoder (SOF2) ----------------------------------------------
+
+
+def _emit_ac_first(blk, ss, se, al, ac_codes, bw):
+    """AC first scan for one block's band: magnitudes truncated by Al
+    (|v| >> Al, sign re-applied), EOB run forced to flush per block (an
+    EOB run of 1 is the 0x00 symbol with no extra bits — spec-valid and
+    keeps the encoder simple; the decoder handles general EOBn)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        mag = (v if v >= 0 else -v) >> al
+        if mag == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            r -= 16
+        size, bits = _magnitude(mag if v >= 0 else -mag)
+        code, length = ac_codes[(r << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        r = 0
+    if r > 0:
+        code, length = ac_codes[0x00]
+        bw.write(code, length)
+
+
+def _emit_ac_refine(blk, ss, se, al, ac_codes, bw):
+    """AC refinement scan for one block's band (T.81 G.1.2.3, the encoder
+    mirror of _decode_prog_scan.ac_refine): newly-significant coefficients
+    (|v| >> Al == 1) emit (run<<4)|1 + a sign bit; already-significant ones
+    buffer one correction bit, flushed after the next emitted symbol."""
+    absv = [(abs(int(blk[k])) >> al) for k in range(ss, se + 1)]
+    eobpos = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+    r = 0
+    br_bits: list[int] = []
+
+    def flush_bits():
+        for bit in br_bits:
+            bw.write(bit, 1)
+        br_bits.clear()
+
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eobpos:
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            r -= 16
+            flush_bits()
+        if t > 1:
+            br_bits.append(t & 1)
+            continue
+        code, length = ac_codes[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+        flush_bits()
+        r = 0
+    if r > 0 or br_bits:
+        code, length = ac_codes[0x00]
+        bw.write(code, length)
+        flush_bits()
+
+
+def _encode_progressive(px, quality, subsampling, restart_interval):
+    """Spectral-selection + successive-approximation encode (the libjpeg
+    default-script shape): DC first at Al=1 (interleaved), per-component
+    AC first scans for bands 1-5 and 6-63 at Al=1, one per-component AC
+    refinement scan over 1-63 to Al=0, and a DC refinement scan. Produces
+    the same quantized coefficients as the baseline encoder, so decode of
+    the progressive stream must equal decode of the baseline stream
+    pixel-for-pixel — which is exactly what the tests pin."""
+    gray = px.ndim == 2
+    sub420 = subsampling == "420" and not gray
+    h, w = px.shape[:2]
+    qt_l = _scaled_qtable(QT_LUMA, quality)
+    qt_c = _scaled_qtable(QT_CHROMA, quality)
+
+    # quantized zigzag coefficient planes + per-component grid geometry
+    comps = []
+    if gray:
+        plane_specs = [(px.astype(np.float64), qt_l, 1, 1, 1, 0, 0)]
+    elif not sub420:
+        ycc = _rgb_to_ycbcr(px)
+        plane_specs = [
+            (ycc[..., 0], qt_l, 1, 1, 1, 0, 0),
+            (ycc[..., 1], qt_c, 2, 1, 1, 1, 1),
+            (ycc[..., 2], qt_c, 3, 1, 1, 1, 1),
+        ]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        ph, pw = -h % 16, -w % 16
+        pads = [
+            np.pad(ycc[..., i].astype(np.float64), ((0, ph), (0, pw)), mode="edge")
+            if (ph or pw) else ycc[..., i].astype(np.float64)
+            for i in range(3)
+        ]
+        hh, ww = pads[0].shape
+        cb = pads[1].reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+        cr = pads[2].reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+        plane_specs = [
+            (pads[0], qt_l, 1, 2, 2, 0, 0),
+            (cb, qt_c, 2, 1, 1, 1, 1),
+            (cr, qt_c, 3, 1, 1, 1, 1),
+        ]
+    hmax = max(s[3] for s in plane_specs)
+    vmax = max(s[4] for s in plane_specs)
+    for plane, qt, cid, ch_, cv_, tq, tid in plane_specs:
+        blocks = _to_blocks(np.asarray(plane, dtype=np.float64)) - 128.0
+        coefsq = _round_half_away(_fdct2(blocks).reshape(-1, 64) / qt[None, :]).astype(np.int64)
+        padcols = -(-plane.shape[1] // 8)
+        # transmitted (ceil-dims) grid for non-interleaved scans
+        cw_t = -(-(w * ch_) // hmax)
+        ch_t = -(-(h * cv_) // vmax)
+        comps.append({
+            "id": cid, "h": ch_, "v": cv_, "tq": tq, "tid": tid,
+            "q": coefsq[:, ZIGZAG], "padcols": padcols,
+            "nbx": -(-cw_t // 8), "nby": -(-ch_t // 8),
+        })
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00]) + bytes(qt_l[ZIGZAG].astype(np.uint8))
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x01]) + bytes(qt_c[ZIGZAG].astype(np.uint8))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, int(restart_interval))
+    for tclass, tid, (bits, vals) in (
+        (0, 0, HT_DC_LUMA), (1, 0, HT_AC_LUMA), (0, 1, HT_DC_CHROMA), (1, 1, HT_AC_CHROMA),
+    )[: 2 if gray else 4]:
+        payload = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+    dc_codes = [_build_codes(*(HT_DC_LUMA if c["tid"] == 0 else HT_DC_CHROMA)) for c in comps]
+    ac_codes = [_build_codes(*(HT_AC_LUMA if c["tid"] == 0 else HT_AC_CHROMA)) for c in comps]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def sos(scan_comps, ss, se, ah, al):
+        hdr = bytes([len(scan_comps)])
+        for c in scan_comps:
+            hdr += bytes([c["id"], (c["tid"] << 4) | c["tid"]])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(hdr) + 2) + hdr
+
+    def dc_scan(ah, al):
+        nonlocal out
+        out += sos(comps, 0, 0, ah, al)
+        bw = _BitWriter()
+        preds = [0] * len(comps)
+        rst = 0
+        for mcu in range(mcux * mcuy):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                out += bw.flush()
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(comps)
+            my, mx = divmod(mcu, mcux)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bi = (my * c["v"] + by) * c["padcols"] + mx * c["h"] + bx
+                        dc = int(c["q"][bi, 0])
+                        if ah == 0:
+                            v = dc >> al  # arithmetic shift (T.81 G.1.2.1)
+                            size, bits = _magnitude(v - preds[ci])
+                            code, length = dc_codes[ci][size]
+                            bw.write(code, length)
+                            if size:
+                                bw.write(bits, size)
+                            preds[ci] = v
+                        else:
+                            bw.write((dc >> al) & 1, 1)
+        out += bw.flush()
+
+    def ac_scan(ci, ss, se, ah, al):
+        nonlocal out
+        c = comps[ci]
+        out += sos([c], ss, se, ah, al)
+        bw = _BitWriter()
+        rst = 0
+        unit = 0
+        for ry in range(c["nby"]):
+            for rx in range(c["nbx"]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    out += bw.flush()
+                    bw = _BitWriter()
+                    out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                blk = c["q"][ry * c["padcols"] + rx]
+                if ah == 0:
+                    _emit_ac_first(blk, ss, se, al, ac_codes[ci], bw)
+                else:
+                    _emit_ac_refine(blk, ss, se, al, ac_codes[ci], bw)
+                unit += 1
+        out += bw.flush()
+
+    dc_scan(0, 1)
+    for ci in range(len(comps)):
+        ac_scan(ci, 1, 5, 0, 1)
+        ac_scan(ci, 6, 63, 0, 1)
+    for ci in range(len(comps)):
+        ac_scan(ci, 1, 63, 1, 0)
+    dc_scan(1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # -- decoder ------------------------------------------------------------------
 
 _UNSUPPORTED_SOF = {
     0xC1: "extended sequential (SOF1)",
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -532,6 +758,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    coefs = None  # progressive: comp id -> (padded blocks, 64) zigzag coefs
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -565,7 +792,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision not supported")
@@ -573,26 +800,39 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
+            frame = {"h": fh, "w": fw, "comps": comps, "progressive": marker == 0xC2}
         elif marker in _UNSUPPORTED_SOF:
             raise NotImplementedError(
-                f"JPEG {_UNSUPPORTED_SOF[marker]} process not supported (baseline SOF0 only)"
+                f"JPEG {_UNSUPPORTED_SOF[marker]} process not supported "
+                "(baseline SOF0 and progressive SOF2 only)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(
-                data, pos + seglen, frame, scan, qtables, htables, restart_interval
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, pos + seglen, frame, scan, qtables, htables, restart_interval
+                )
+            if coefs is None:
+                coefs = _alloc_coef_planes(frame)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahl = seg[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                data, pos + seglen, frame, scan, (ss, se, ahl >> 4, ahl & 0x0F),
+                htables, restart_interval, coefs,
             )
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive") and coefs is not None:
+        return _reconstruct(frame, coefs, qtables)
     raise ValueError("JPEG has no scan data")
 
 
@@ -675,4 +915,208 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
         return np.stack([g, g, g], axis=-1)
     ycc = np.stack(out_planes, axis=-1)
     ycc = np.clip(ycc, 0.0, 255.0)
+    return _ycbcr_to_rgb(ycc)
+
+
+# -- progressive decode (SOF2, T.81 Annex G) ----------------------------------
+
+
+def _frame_geometry(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_coef_planes(frame) -> dict:
+    """Per-component zigzag-ordered coefficient store on the MCU-padded
+    block grid; successive scans accumulate into it and _reconstruct
+    renders it once at EOI."""
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    out = {}
+    for comp in frame["comps"]:
+        cols, rows = mcux * comp["h"], mcuy * comp["v"]
+        out[comp["id"]] = {
+            "arr": np.zeros((rows * cols, 64), dtype=np.int64),
+            "cols": cols,
+            "rows": rows,
+        }
+    return out
+
+
+def _scan_units(frame, scan, coefs):
+    """The scan's data units in transmission order, as (comp, block_index)
+    pairs grouped per restart unit: interleaved scans advance per MCU,
+    non-interleaved per block of the single component's ceil-dims grid
+    (T.81 A.2; the padded-grid columns outside it are not transmitted)."""
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    units = []
+    if len(scan) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for comp, td, ta in scan:
+                    cols = coefs[comp["id"]]["cols"]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            bi = (my * comp["v"] + by) * cols + mx * comp["h"] + bx
+                            unit.append((comp, td, ta, bi))
+                units.append(unit)
+    else:
+        comp, td, ta = scan[0]
+        cw = -(-(frame["w"] * comp["h"]) // hmax)
+        ch = -(-(frame["h"] * comp["v"]) // vmax)
+        nbx, nby = -(-cw // 8), -(-ch // 8)
+        cols = coefs[comp["id"]]["cols"]
+        for ry in range(nby):
+            for rx in range(nbx):
+                units.append([(comp, td, ta, ry * cols + rx)])
+    return units
+
+
+def _decode_prog_scan(data, pos, frame, scan, band, htables, restart_interval, coefs):
+    """One progressive scan (DC/AC x first/refinement) into the coefficient
+    store; returns the byte position of the next marker."""
+    ss, se, ah, al = band
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    br = _BitReader(data, pos)
+    preds = {comp["id"]: 0 for comp, _, _ in scan}
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def dc_first(arr, bi, cid, td):
+        size = _decode_symbol(br, htables[(0, td)])
+        diff = _extend(br.read_bits(size), size) if size else 0
+        preds[cid] += diff
+        arr[bi, 0] = preds[cid] << al
+
+    def dc_refine(arr, bi):
+        if br.read_bit():
+            arr[bi, 0] = int(arr[bi, 0]) | p1
+
+    def ac_first(arr, bi, ta):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_symbol(br, htables[(1, ta)])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index overflow in progressive scan")
+            # sign * (magnitude << Al) == value * 2^Al for either sign
+            arr[bi, k] = _extend(br.read_bits(s), s) * p1
+            k += 1
+
+    def ac_refine(arr, bi, ta):
+        # T.81 G.1.2.3 / the canonical decoder structure: new significant
+        # coefficients arrive as s=1 symbols; every already-nonzero
+        # coefficient passed over carries one correction bit; EOB runs
+        # still carry correction bits for the rest of the band
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_symbol(br, htables[(1, ta)])
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement magnitude must be 1")
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    c = int(arr[bi, k])
+                    if c != 0:
+                        if br.read_bit() and (c & p1) == 0:
+                            arr[bi, k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if val and k <= se:
+                    arr[bi, k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                c = int(arr[bi, k])
+                if c != 0 and br.read_bit() and (c & p1) == 0:
+                    arr[bi, k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    units = _scan_units(frame, scan, coefs)
+    for ui, unit in enumerate(units):
+        if restart_interval and ui and ui % restart_interval == 0:
+            br.byte_align()
+            while data[br.pos] != 0xFF:
+                br.pos += 1
+            if 0xD0 <= data[br.pos + 1] <= 0xD7:
+                br.pos += 2
+            preds = {k: 0 for k in preds}
+            eobrun = 0
+        for comp, td, ta, bi in unit:
+            arr = coefs[comp["id"]]["arr"]
+            if ss == 0:
+                if ah == 0:
+                    dc_first(arr, bi, comp["id"], td)
+                else:
+                    dc_refine(arr, bi)
+            else:
+                if ah == 0:
+                    ac_first(arr, bi, ta)
+                else:
+                    ac_refine(arr, bi, ta)
+    # advance to the next marker (skipping pad bits, stuffing, stray RSTs)
+    p = br.pos
+    n = len(data)
+    while p < n - 1:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return n
+
+
+def _reconstruct(frame, coefs, qtables):
+    """Dequantize + IDCT + upsample + color-convert the accumulated
+    progressive coefficient store (the baseline path renders per block in
+    _decode_scan; progressive renders once, after all scans)."""
+    fh, fw = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    out_planes = []
+    for comp in frame["comps"]:
+        st = coefs[comp["id"]]
+        qt = qtables[comp["tq"]]
+        nat = st["arr"][:, UNZIGZAG] * qt[None, :]
+        px = _idct2(nat.reshape(-1, 8, 8).astype(np.float64)) + 128.0
+        rows, cols = st["rows"], st["cols"]
+        plane = px.reshape(rows, cols, 8, 8).transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:fh, :fw])
+    if len(out_planes) == 1:
+        g = np.clip(_round_half_away(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    ycc = np.clip(np.stack(out_planes, axis=-1), 0.0, 255.0)
     return _ycbcr_to_rgb(ycc)

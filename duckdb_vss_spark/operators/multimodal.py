@@ -8,8 +8,9 @@ pure numpy + the stdlib can do: UNCOMPRESSED formats decode for real
 (24/32-bit BI_RGB BMP and binary PPM images, RIFF/WAVE PCM audio); 8-bit
 PNG decodes for real (stdlib zlib inflate + all five scanline filters,
 color types 0/2/3/4/6, non-interlaced; encoder included); baseline JPEG
-decodes and encodes for real (:mod:`.jpeg`, pure-numpy huffman + IDCT;
-progressive/arithmetic raise); GIF87a/89a decodes and encodes for real
+decodes and encodes for real, baseline AND progressive (:mod:`.jpeg`,
+pure-numpy huffman + IDCT; arithmetic/12-bit raise); GIF87a/89a
+decodes and encodes for real
 (:mod:`.gif`, pure-python LZW, animation frames composited) — round
 trips are testable end-to-end with no codec library. Remaining lossy
 formats (WEBP/MP3/MP4/AVIF) genuinely need codec libraries this
@@ -334,8 +335,8 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
     if b[:8] == _PNG_SIG:
         return _decode_png(b)
     if b[:2] == b"\xff\xd8":
-        # baseline JPEG decodes natively (round 9, :mod:`.jpeg`);
-        # progressive/arithmetic raise NotImplementedError inside
+        # baseline AND progressive JPEG decode natively (round 9,
+        # :mod:`.jpeg`); arithmetic/12-bit raise NotImplementedError inside
         from .jpeg import decode_jpeg
 
         return decode_jpeg(b)

@@ -314,9 +314,10 @@ def test_jpeg_unsupported_processes_raise():
 
     good = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quality=50))
     sof = good.find(b"\xff\xc0")
-    prog = bytes(good[:sof]) + b"\xff\xc2" + bytes(good[sof + 2 :])
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(prog)
+    # progressive (0xC2) is supported since round 9 — arithmetic is not
+    arith = bytes(good[:sof]) + b"\xff\xca" + bytes(good[sof + 2 :])
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(arith)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
 
@@ -427,3 +428,75 @@ def test_jpeg_restart_intervals_decode_identically():
         rst = encode_jpeg(img, quality=80, subsampling=sub, restart_interval=3)
         assert b"\xff\xdd" in rst and rst != plain
         assert np.array_equal(decode_jpeg(rst), decode_jpeg(plain)), sub
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """Progressive (SOF2: spectral selection + successive approximation)
+    and baseline encodes share the quantizer, so their decodes must be
+    pixel-IDENTICAL — any slip in DC/AC first/refinement entropy coding,
+    EOB runs, or band bookkeeping breaks exact equality somewhere."""
+    from duckdb_vss_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    fixtures = [
+        ("gradient", np.stack(
+            [(np.mgrid[0:40, 0:56][1] * 3 + np.mgrid[0:40, 0:56][0] * 2) % 256,
+             (np.mgrid[0:40, 0:56][1] * 5) % 256,
+             (np.mgrid[0:40, 0:56][0] * 7) % 256], axis=-1).astype(np.uint8)),
+        ("noise", rng.integers(0, 256, (24, 24, 3), dtype=np.int64).astype(np.uint8)),
+        ("flat+edge", np.pad(np.full((8, 8, 3), 200, np.uint8),
+                             ((0, 16), (0, 16), (0, 0)), constant_values=30)),
+    ]
+    for name, img in fixtures:
+        for q in (50, 75, 90):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_jpeg(img, quality=q, progressive=True))
+            assert np.array_equal(prog, base), (name, q)
+
+
+def test_jpeg_progressive_grayscale_and_odd_dims():
+    from duckdb_vss_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 256, (19, 23), dtype=np.int64).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(g, quality=80))
+    prog = decode_jpeg(encode_jpeg(g, quality=80, progressive=True))
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_420_subsampled():
+    from duckdb_vss_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:34, 0:41]  # non-multiple-of-16 dims: padded MCU grid
+    img = np.stack([(x * 7 + y) % 256, (x + y * 5) % 256, (x * 2 + y * 3) % 256],
+                   axis=-1).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=75, subsampling="420"))
+    prog = decode_jpeg(encode_jpeg(img, quality=75, subsampling="420", progressive=True))
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_restart_intervals():
+    from duckdb_vss_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (32, 40, 3), dtype=np.int64).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=85, progressive=True))
+    with_rst = decode_jpeg(
+        encode_jpeg(img, quality=85, progressive=True, restart_interval=3)
+    )
+    assert np.array_equal(plain, with_rst)
+
+
+def test_jpeg_progressive_through_decode_image(spark):
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.jpeg import encode_jpeg
+    from duckdb_vss_spark.operators.multimodal import decode_image
+
+    y, x = np.mgrid[0:16, 0:16]
+    img = np.stack([(x * 9) % 256, (y * 9) % 256, (x + y) % 256], axis=-1).astype(np.uint8)
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "content": [encode_jpeg(img, quality=90, progressive=True)],
+    }))
+    r = decode_image(df, "doc_id").collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (16, 16, 3)
