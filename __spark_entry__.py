@@ -2113,7 +2113,7 @@ def _m_multimodal_meta(spark, sf_dir):
 
     def synth_jpx(batches):
         for pdf in batches:
-            ids, blobs_ = [], []
+            ids, blobs_, progs = [], [], []
             for i in pdf["doc_id"]:
                 i = int(i)
                 im = np.zeros((16, 16), dtype=np.uint8)
@@ -2121,12 +2121,16 @@ def _m_multimodal_meta(spark, sf_dir):
                     im[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 16 + 2 * ((i * 7 + b * 5) % 112)
                 ids.append(i)
                 blobs_.append(encode_jpeg(im, quality=50))
-            yield pd.DataFrame({"doc_id": ids, "content": blobs_})
+                # same pixels as a PROGRESSIVE (SOF2) stream: lossless at
+                # q50 for the same reason, so the same closed form gates
+                # the Annex-G scan machinery too
+                progs.append(encode_jpeg(im, quality=50, progressive=True))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs_, "prog": progs})
 
     jpx_blobs = _docs(spark, sf_dir).select("doc_id").mapInPandas(
-        synth_jpx, schema="doc_id long, content binary"
+        synth_jpx, schema="doc_id long, content binary, prog binary"
     )
-    jpegpx = decode_image(jpx_blobs, "doc_id").select(
+    jpegpx = decode_image(jpx_blobs.select("doc_id", "content"), "doc_id").select(
         F.lit("jpegpx").alias("kind"),
         "doc_id",
         F.lit("jpeg").alias("media_type"),
@@ -2134,7 +2138,19 @@ def _m_multimodal_meta(spark, sf_dir):
         (F.col("width") * F.col("height")).cast("long").alias("d2"),
         F.lit(-1).cast("long").alias("n_bytes"),
     )
-    return _union_tagged([img, aud, bmp, wav, afeat, afp, gif, warc, jpeg, jpegpx])
+    jpegpr = decode_image(
+        jpx_blobs.select("doc_id", F.col("prog").alias("content")), "doc_id"
+    ).select(
+        F.lit("jpegpr").alias("kind"),
+        "doc_id",
+        F.lit("jpeg").alias("media_type"),
+        px_sum.alias("d1"),
+        (F.col("width") * F.col("height")).cast("long").alias("d2"),
+        F.lit(-1).cast("long").alias("n_bytes"),
+    )
+    return _union_tagged(
+        [img, aud, bmp, wav, afeat, afp, gif, warc, jpeg, jpegpx, jpegpr]
+    )
 
 
 def _q_sql_where_topk(spark, sf_dir):
@@ -4309,6 +4325,14 @@ def oracle_sql() -> dict[str, str]:
                 # divides 8*(c-128), no AC), so the pixel sum is the
                 # closed form 3 channels x 64 px x c_b summed over blocks
                 "SELECT 'jpegpx' AS kind, doc_id, 'jpeg' AS media_type, "
+                "sum(192 * (16 + 2*((doc_id*7 + rb.b*5) % 112)))::BIGINT AS d1, "
+                "256::BIGINT AS d2, -1::BIGINT AS n_bytes "
+                "FROM documents, range(0,4) rb(b) GROUP BY doc_id"
+            ),
+            (
+                # jpegpr twin: identical closed form through the PROGRESSIVE
+                # (SOF2) stream -- same pixels, lossless for the same reason
+                "SELECT 'jpegpr' AS kind, doc_id, 'jpeg' AS media_type, "
                 "sum(192 * (16 + 2*((doc_id*7 + rb.b*5) % 112)))::BIGINT AS d1, "
                 "256::BIGINT AS d2, -1::BIGINT AS n_bytes "
                 "FROM documents, range(0,4) rb(b) GROUP BY doc_id"
