@@ -2138,6 +2138,40 @@ def _m_multimodal_meta(spark, sf_dir):
         (F.col("width") * F.col("height")).cast("long").alias("d2"),
         F.lit(-1).cast("long").alias("n_bytes"),
     )
+    # MJPEG-AVI leg: a real 3-frame Motion-JPEG AVI per doc, frames built
+    # from the same lossless constant-even-block trick (frame f, block b:
+    # 16 + 2*((doc*7 + f*11 + b*5) % 112)) -- container parse + per-frame
+    # JPEG entropy decode both ride the driver's value hash.
+    from duckdb_vss_spark.operators.video import avi_frames, encode_avi_mjpeg
+
+    def synth_avi(batches):
+        for pdf in batches:
+            ids, blobs_ = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                frames = []
+                for f in range(3):
+                    im = np.zeros((16, 16), dtype=np.uint8)
+                    for bk, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+                        im[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            16 + 2 * ((i * 7 + f * 11 + bk * 5) % 112)
+                        )
+                    frames.append(np.stack([im, im, im], axis=-1))
+                ids.append(i)
+                blobs_.append(encode_avi_mjpeg(frames, fps=10, quality=50))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs_})
+
+    avi_blobs = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        synth_avi, schema="doc_id long, content binary"
+    )
+    avi = avi_frames(avi_blobs, "doc_id").select(
+        F.lit("avi").alias("kind"),
+        "doc_id",
+        F.lit("video").alias("media_type"),
+        F.col("frame_idx").cast("long").alias("d1"),
+        px_sum.alias("d2"),
+        F.lit(-1).cast("long").alias("n_bytes"),
+    )
     jpegpr = decode_image(
         jpx_blobs.select("doc_id", F.col("prog").alias("content")), "doc_id"
     ).select(
@@ -2149,7 +2183,7 @@ def _m_multimodal_meta(spark, sf_dir):
         F.lit(-1).cast("long").alias("n_bytes"),
     )
     return _union_tagged(
-        [img, aud, bmp, wav, afeat, afp, gif, warc, jpeg, jpegpx, jpegpr]
+        [img, aud, bmp, wav, afeat, afp, gif, avi, warc, jpeg, jpegpx, jpegpr]
     )
 
 
@@ -4328,6 +4362,16 @@ def oracle_sql() -> dict[str, str]:
                 "sum(192 * (16 + 2*((doc_id*7 + rb.b*5) % 112)))::BIGINT AS d1, "
                 "256::BIGINT AS d2, -1::BIGINT AS n_bytes "
                 "FROM documents, range(0,4) rb(b) GROUP BY doc_id"
+            ),
+            (
+                # avi twin: per (doc, frame) the lossless MJPEG pixel sum in
+                # closed form (3 RGB channels x 64 px x block value over the
+                # 4 blocks of each 16x16 frame)
+                "SELECT 'avi' AS kind, doc_id, 'video' AS media_type, f AS d1, "
+                "sum(192 * (16 + 2*((doc_id*7 + f*11 + rb.b*5) % 112)))::BIGINT AS d2, "
+                "-1::BIGINT AS n_bytes "
+                "FROM documents, range(0,3) rf(f), range(0,4) rb(b) "
+                "GROUP BY doc_id, f"
             ),
             (
                 # jpegpr twin: identical closed form through the PROGRESSIVE

@@ -208,6 +208,11 @@ def decode_media_meta(df: DataFrame, id_col: str, content_col: str = "content") 
 
                     w, h, nf = parse_gif_header(blob)
                     kind, sr = "image", 0
+                elif bytes(blob[:4]) == b"RIFF" and bytes(blob[8:12]) == b"AVI ":
+                    from .video import parse_avi_header
+
+                    w, h, nf, fps = parse_avi_header(blob)
+                    kind, sr = "video", 0
                 else:
                     kind, w, h, nf, sr, _ = _unpack_header(blob)
                 rows[id_col].append(i)
@@ -345,6 +350,14 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        # first MJPEG frame; use operators.video.avi_frames for the sequence
+        from .video import decode_avi_frames_np
+
+        frames = decode_avi_frames_np(b)
+        if not frames:
+            raise ValueError("AVI contains no video frames")
+        return frames[0]
     if b[:4] == MAGIC:
         raise ValueError(
             "VSSM synthetic container holds no pixels; use decode_media_meta"

@@ -1,0 +1,86 @@
+"""MJPEG-AVI container: RIFF structure round trips, header-only parse,
+lossless-fixture pixel exactness through the real JPEG codec, frame
+sampling, and the Spark-side dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from duckdb_vss_spark.operators.video import (
+    avi_frames,
+    decode_avi_frames_np,
+    encode_avi_mjpeg,
+    parse_avi_header,
+)
+
+
+def _lossless_frame(seed: int) -> np.ndarray:
+    """16x16 grayscale-as-RGB of constant EVEN 8x8 blocks: bit-exact
+    through baseline JPEG at q50 (DC step 16 divides 8*(c-128), no AC) —
+    the same trick the jpegpx driver gate uses, so container tests can
+    assert pixel EQUALITY, not tolerance."""
+    im = np.zeros((16, 16), dtype=np.uint8)
+    for b, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        im[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 16 + 2 * ((seed * 7 + b * 5) % 112)
+    return np.stack([im, im, im], axis=-1)
+
+
+def test_avi_roundtrip_lossless_frames_exact():
+    frames = [_lossless_frame(s) for s in range(4)]
+    b = encode_avi_mjpeg(frames, fps=10, quality=50)
+    got = decode_avi_frames_np(b)
+    assert len(got) == 4
+    for g, e in zip(got, frames):
+        assert np.array_equal(g, e)
+
+
+def test_avi_header_only_parse():
+    frames = [_lossless_frame(s) for s in range(7)]
+    w, h, nf, fps = parse_avi_header(encode_avi_mjpeg(frames, fps=30))
+    assert (w, h, nf, fps) == (16, 16, 7, 30)
+    with pytest.raises(ValueError, match="not an AVI"):
+        parse_avi_header(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_avi_lossy_frames_close():
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (24, 32, 3), dtype=np.int64).astype(np.uint8)
+              for _ in range(3)]
+    got = decode_avi_frames_np(encode_avi_mjpeg(frames, quality=90))
+    assert len(got) == 3
+    for g, e in zip(got, frames):
+        assert g.shape == e.shape
+        assert np.abs(g.astype(float) - e.astype(float)).mean() < 12.0
+
+
+def test_avi_frames_operator_and_sampling(spark):
+    import pandas as pd
+
+    frames = [_lossless_frame(s) for s in range(5)]
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "content": [encode_avi_mjpeg(frames, quality=50)],
+    }))
+    rows = {r["frame_idx"]: r for r in avi_frames(df, "doc_id").collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    for fi, exp in enumerate(frames):
+        got = np.asarray(rows[fi]["pixels"], dtype=np.float32).reshape(16, 16, 3)
+        assert np.array_equal(got.astype(np.uint8), exp)
+    sampled = avi_frames(df, "doc_id", every_nth=2).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 2, 4]
+
+
+def test_avi_through_media_meta_and_decode_image(spark):
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.multimodal import decode_image, decode_media_meta
+
+    frames = [_lossless_frame(s) for s in range(3)]
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "content": [encode_avi_mjpeg(frames, fps=25, quality=50)],
+    }))
+    m = decode_media_meta(df, "doc_id").collect()[0]
+    assert (m["media_type"], m["width"], m["height"], m["n_frames"]) == ("video", 16, 16, 3)
+    d = decode_image(df, "doc_id").collect()[0]  # first frame
+    got = np.asarray(d["pixels"], dtype=np.float32).reshape(16, 16, 3)
+    assert np.array_equal(got.astype(np.uint8), frames[0])
