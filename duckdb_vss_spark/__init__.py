@@ -73,6 +73,7 @@ from .operators.quality import (  # noqa: F401
 )
 from .operators.graph import connected_components, dedup_clusters, pagerank  # noqa: F401
 from .operators.audio import (  # noqa: F401
+    audio_embedding,
     audio_features,
     audio_neardup_pairs,
     block_fingerprint,

@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "audio_features",
+    "audio_embedding",
     "resample_audio",
     "block_fingerprint",
     "fingerprint_keys",
@@ -386,6 +387,84 @@ def landmark_fingerprint(
 
     return df.select(id_col, samples_col).mapInPandas(
         gen, schema=f"{id_col} {id_t}, t bigint, key bigint"
+    )
+
+
+def _mel_filterbank(n_mels: int, n_fft: int, rate: float, fmin: float, fmax: float) -> np.ndarray:
+    """Triangular mel filterbank (Stevens-Volkmann mel scale,
+    ``mel = 2595 log10(1 + f/700)``; the standard MFCC front end shape).
+    Returns (n_mels, n_fft//2 + 1) weights."""
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+    pts = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2))
+    bins = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+    fb = np.zeros((n_mels, len(bins)))
+    for m in range(n_mels):
+        lo, c, hi = pts[m], pts[m + 1], pts[m + 2]
+        up = (bins - lo) / max(c - lo, 1e-12)
+        down = (hi - bins) / max(hi - c, 1e-12)
+        fb[m] = np.maximum(0.0, np.minimum(up, down))
+    return fb
+
+
+def audio_embedding(
+    df: DataFrame,
+    id_col: str,
+    samples_col: str = "samples",
+    rate: int = 8000,
+    n_mels: int = 32,
+    n_fft: int = 512,
+    hop: int = 256,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+) -> DataFrame:
+    """Deterministic model-free audio embedding: Hann-windowed STFT power
+    -> triangular mel filterbank energies -> log -> mean over frames ->
+    L2 normalize. The audio analog of
+    :func:`~duckdb_vss_spark.functions.text.hashed_embedding` — a bridge
+    from raw clips into the vector/ANN stack (topk, knn_join, semdedup,
+    IVF indexes all run on the output). Output: ``(id, embedding
+    ARRAY<FLOAT>)`` with ``n_mels`` dimensions.
+
+    No learned weights (the container ships no audio models) — log-mel
+    statistics are the standard classical front end and are genuinely
+    useful for near-dup grouping and coarse content bucketing; swap in a
+    trained encoder by replacing this one op, the downstream vector
+    machinery is identical. Map-only; clips never leave the executor.
+    """
+    if fmax is None:
+        fmax = rate / 2.0
+    id_t = dict(df.dtypes)[id_col]
+    fb = _mel_filterbank(n_mels, n_fft, float(rate), float(fmin), float(fmax))
+    win = np.hanning(n_fft)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, embs = [], []
+            for i, s in zip(pdf[id_col], pdf[samples_col]):
+                x = np.asarray(s, dtype=np.float64)
+                n_frames = 1 + (len(x) - n_fft) // hop if len(x) >= n_fft else 0
+                if n_frames == 0:
+                    emb = np.zeros(n_mels, dtype=np.float32)
+                else:
+                    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+                    spec = np.abs(np.fft.rfft(x[idx] * win[None, :], axis=1)) ** 2
+                    mel = np.log(spec @ fb.T + 1e-10)
+                    v = mel.mean(axis=0)
+                    nrm = float(np.linalg.norm(v))
+                    emb = (v / nrm if nrm > 0 else v).astype(np.float32)
+                ids.append(i)
+                embs.append(emb)
+            yield pd.DataFrame({id_col: ids, "embedding": embs})
+
+    return df.select(id_col, samples_col).mapInPandas(
+        gen, schema=f"{id_col} {id_t}, embedding array<float>"
     )
 
 

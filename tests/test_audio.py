@@ -268,3 +268,53 @@ def test_block_fingerprint_validates_params(clips):
         block_fingerprint(clips, "clip_id", frame=8, blocks=1)
     with pytest.raises(ValueError):
         resample_audio(clips, "clip_id", 0, 8000)
+
+
+def test_audio_embedding_vs_numpy_reference(clips):
+    """Log-mel embedding equals an independent straight-line numpy
+    reimplementation (filterbank, windowing, pooling, normalization)."""
+    from duckdb_vss_spark.operators.audio import audio_embedding
+
+    rows = {r["clip_id"]: np.asarray(r["embedding"], dtype=np.float32)
+            for r in audio_embedding(clips, "clip_id", rate=8000).collect()}
+    n_fft, hop, n_mels, rate = 512, 256, 32, 8000.0
+    for i in (0, 7):
+        x = _clip(i).astype(np.float64) / 32768.0
+        # reference mel filterbank
+        def h2m(f): return 2595.0 * np.log10(1.0 + f / 700.0)
+        def m2h(m): return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+        pts = m2h(np.linspace(h2m(0.0), h2m(rate / 2), n_mels + 2))
+        bins = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+        fb = np.zeros((n_mels, len(bins)))
+        for m in range(n_mels):
+            lo, c, hi = pts[m], pts[m + 1], pts[m + 2]
+            fb[m] = np.maximum(0.0, np.minimum((bins - lo) / (c - lo), (hi - bins) / (hi - c)))
+        win = np.hanning(n_fft)
+        nf = 1 + (len(x) - n_fft) // hop
+        frames = np.stack([x[f * hop: f * hop + n_fft] * win for f in range(nf)])
+        spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        v = np.log(spec @ fb.T + 1e-10).mean(axis=0)
+        ref = (v / np.linalg.norm(v)).astype(np.float32)
+        assert np.allclose(rows[i], ref, atol=1e-6)
+        assert abs(float(np.linalg.norm(rows[i])) - 1.0) < 1e-5
+
+
+def test_audio_embedding_feeds_vector_stack(spark, clips):
+    """Embeddings drive the standard vector ops: a clip's nearest
+    neighbor by cosine is its duplicate (planted as clip 0's samples)."""
+    import pandas as pd
+
+    from duckdb_vss_spark import topk
+    from duckdb_vss_spark.operators.audio import audio_embedding
+
+    dup = spark.createDataFrame(pd.DataFrame({
+        "clip_id": [99], "content": [M.encode_wav(_clip(0), 8000)],
+    }))
+    allc = clips.select("clip_id", "samples").unionByName(
+        M.decode_audio(dup, "clip_id").select("clip_id", "samples")
+    )
+    emb = audio_embedding(allc, "clip_id", rate=8000)
+    q = [float(v) for v in emb.filter(F.col("clip_id") == 99).collect()[0]["embedding"]]
+    top = topk(emb.filter(F.col("clip_id") != 99), "embedding", q, 1, "cosine",
+               tiebreak="clip_id").collect()
+    assert top[0]["clip_id"] == 0
