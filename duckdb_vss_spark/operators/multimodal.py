@@ -389,11 +389,59 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Adam7 interlace pass geometry (PNG spec §8.2):
+# (starting row, starting col, row increment, col increment)
+_ADAM7 = (
+    (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+    (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+)
+
+
+def _png_unfilter(raw: bytes, offset: int, w: int, h: int, ch: int) -> tuple[np.ndarray, int]:
+    """Un-filter h scanlines of w pixels (ch samples each) starting at
+    ``offset``; returns ((h, w*ch) uint8, new offset). Shared by the
+    non-interlaced path (one call) and Adam7 (one call per pass)."""
+    stride = w * ch
+    need = h * (stride + 1)
+    if offset + need > len(raw):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        rof = offset + y * (stride + 1)
+        f = raw[rof]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=rof + 1).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # up
+            cur = (line + prev) & 0xFF
+        elif f == 1:  # sub: per-pixel cumulative sum in steps of bpp
+            px = line.reshape(w, ch)
+            cur = (px.cumsum(axis=0, dtype=np.int64) & 0xFF).astype(np.int32).reshape(-1)
+        else:  # average (3) / paeth (4): sequential per pixel along the row
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                up = prev[i]
+                if f == 3:
+                    cur[i] = (line[i] + ((a + up) >> 1)) & 0xFF
+                elif f == 4:
+                    c = prev[i - ch] if i >= ch else 0
+                    cur[i] = (line[i] + _paeth(int(a), int(up), int(c))) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out, offset + need
+
+
 def _decode_png(b: bytes) -> np.ndarray:
     """Native PNG decode — pure numpy + stdlib zlib, no codec library:
     8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-    6 (RGBA), non-interlaced, all five scanline filters (PNG spec §9/§13).
-    Palette and gray expand to RGB; alpha is preserved as a 4th channel."""
+    6 (RGBA), all five scanline filters (PNG spec §9/§13), non-interlaced
+    AND Adam7 interlaced (seven sub-image passes, each independently
+    filtered). Palette and gray expand to RGB; alpha is preserved as a
+    4th channel."""
     import zlib
 
     pos = 8
@@ -418,42 +466,29 @@ def _decode_png(b: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if depth != 8 or comp != 0 or filt != 0:
         raise NotImplementedError(f"PNG depth={depth}/compression={comp} not supported (8-bit only)")
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if ctype not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG color type {ctype} not supported")
     ch = _PNG_CHANNELS[ctype]
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        rof = y * (stride + 1)
-        f = raw[rof]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=rof + 1).astype(np.int32)
-        if f == 0:
-            cur = line
-        elif f == 2:  # up
-            cur = (line + prev) & 0xFF
-        elif f == 1:  # sub: per-pixel cumulative sum in steps of bpp
-            px = line.reshape(w, ch)
-            cur = (px.cumsum(axis=0, dtype=np.int64) & 0xFF).astype(np.int32).reshape(-1)
-        else:  # average (3) / paeth (4): sequential per pixel along the row
-            cur = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                up = prev[i]
-                if f == 3:
-                    cur[i] = (line[i] + ((a + up) >> 1)) & 0xFF
-                elif f == 4:
-                    c = prev[i - ch] if i >= ch else 0
-                    cur[i] = (line[i] + _paeth(int(a), int(up), int(c))) & 0xFF
-                else:
-                    raise ValueError(f"bad PNG filter type {f}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
+    if interlace == 0:
+        out, end = _png_unfilter(raw, 0, w, h, ch)
+        if end != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+    else:
+        out = np.zeros((h, w * ch), dtype=np.uint8)
+        off = 0
+        for y0, x0, dy, dx in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, off = _png_unfilter(raw, off, pw, ph, ch)
+            grid = out.reshape(h, w, ch)
+            grid[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        if off != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
     px = out.reshape(h, w, ch)
     if ctype == 3:
         if plte is None:
@@ -467,10 +502,11 @@ def _decode_png(b: bytes) -> np.ndarray:
     return px  # 2 (RGB) / 6 (RGBA)
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """Encode HxWx{1,3,4} uint8 pixels as a valid non-interlaced 8-bit PNG
-    (filter 0 scanlines, one zlib IDAT) — stdlib-only, the write-side twin
-    of :func:`_decode_png` so round trips are testable without PIL."""
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode HxWx{1,3,4} uint8 pixels as a valid 8-bit PNG (filter 0
+    scanlines, one zlib IDAT; ``interlace=True`` writes the seven Adam7
+    sub-image passes) — stdlib-only, the write-side twin of
+    :func:`_decode_png` so round trips are testable without PIL."""
     import zlib
 
     arr = np.asarray(pixels, dtype=np.uint8)
@@ -489,9 +525,25 @@ def encode_png(pixels: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    scan = np.concatenate([np.zeros((h, 1), np.uint8), arr.reshape(h, w * ch)], axis=1)
-    idat = zlib.compress(scan.tobytes(), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
+    if not interlace:
+        scan = np.concatenate(
+            [np.zeros((h, 1), np.uint8), arr.reshape(h, w * ch)], axis=1
+        ).tobytes()
+    else:
+        parts = []
+        for y0, x0, dy, dx in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            parts.append(
+                np.concatenate(
+                    [np.zeros((ph, 1), np.uint8), sub.reshape(ph, pw * ch)], axis=1
+                ).tobytes()
+            )
+        scan = b"".join(parts)
+    idat = zlib.compress(scan, 6)
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 

@@ -500,3 +500,31 @@ def test_jpeg_progressive_through_decode_image(spark):
     }))
     r = decode_image(df, "doc_id").collect()[0]
     assert (r["width"], r["height"], r["channels"]) == (16, 16, 3)
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 decode equals non-interlaced decode of the same pixels, for
+    shapes exercising empty and partial passes (tiny dims skip passes)."""
+    from duckdb_vss_spark.operators.multimodal import _decode_png, encode_png
+
+    rng = np.random.default_rng(21)
+    for h, w, ch in [(16, 16, 3), (13, 7, 3), (5, 3, 1), (1, 1, 3), (2, 9, 4), (8, 1, 3)]:
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.int64).astype(np.uint8)
+        plain = _decode_png(encode_png(img))
+        inter = _decode_png(encode_png(img, interlace=True))
+        assert np.array_equal(inter, plain), (h, w, ch)
+
+
+def test_png_adam7_through_decode_image(spark):
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.multimodal import decode_image, encode_png
+
+    y, x = np.mgrid[0:11, 0:14]
+    img = np.stack([(x * 9 + y) % 256, (y * 5) % 256, (x + y * 3) % 256], axis=-1).astype(np.uint8)
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "content": [encode_png(img, interlace=True)],
+    }))
+    r = decode_image(df, "doc_id").collect()[0]
+    got = np.asarray(r["pixels"], dtype=np.float32).reshape(11, 14, 3).astype(np.uint8)
+    assert np.array_equal(got, img)
