@@ -194,7 +194,7 @@ def test_png_palette_and_unsupported():
     png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 8, 3, 0, 0, 0))
            + chunk(b"PLTE", plte.tobytes()) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
     assert (_decode_png(png) == plte[idx]).all()
-    # 16-bit depth and interlace are honestly unsupported
+    # 16-bit depth is honestly unsupported (interlace decodes since round 9)
     png16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
              + chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError, match="8-bit"):
