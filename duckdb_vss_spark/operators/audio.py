@@ -40,7 +40,10 @@ Operators:
   match join.
 
 Scale notes: feature/fingerprint extraction is ``mapInPandas`` over
-Arrow batches (clip bytes stay on the executor); the match join moves
+Arrow batches (clip bytes stay on the executor), with narrow inputs
+fanned to cluster width first (``dedup._fan_out``: a single-file source
+arrives as ONE partition, which would serialize the whole DSP kernel
+onto one task — measured 8.4 -> 3.4 s at 5k clips on local[32]); the match join moves
 only ``(id, t, key)`` longs, its fan-out is bounded by the key-frequency
 cap, and the vote aggregation is map-side combinable. At 100 TB the
 partitioning unit is clips, and nothing here ever materializes an
@@ -152,8 +155,10 @@ def audio_features(
                 out["spectral_flatness"].append(flat)
             yield pd.DataFrame(out)
 
+    from .dedup import _fan_out
+
     cols = [id_col, samples_col] + ([rate_col] if has_rate else [])
-    return df.select(*cols).mapInPandas(
+    return _fan_out(df.select(*cols)).mapInPandas(
         gen,
         schema=(
             f"{id_col} {id_t}, n_samples bigint, zcr bigint, ssq bigint, "
@@ -278,7 +283,9 @@ def block_fingerprint(
                 words.append(w.astype(np.int32))
             yield pd.DataFrame({id_col: ids, "n_frames": nfs, "words": words})
 
-    return df.select(id_col, samples_col).mapInPandas(
+    from .dedup import _fan_out
+
+    return _fan_out(df.select(id_col, samples_col)).mapInPandas(
         gen, schema=f"{id_col} {id_t}, n_frames bigint, words array<int>"
     )
 
@@ -385,7 +392,9 @@ def landmark_fingerprint(
                                 break
             yield pd.DataFrame({id_col: ids, "t": ts, "key": keys})
 
-    return df.select(id_col, samples_col).mapInPandas(
+    from .dedup import _fan_out
+
+    return _fan_out(df.select(id_col, samples_col)).mapInPandas(
         gen, schema=f"{id_col} {id_t}, t bigint, key bigint"
     )
 
@@ -463,7 +472,9 @@ def audio_embedding(
                 embs.append(emb)
             yield pd.DataFrame({id_col: ids, "embedding": embs})
 
-    return df.select(id_col, samples_col).mapInPandas(
+    from .dedup import _fan_out
+
+    return _fan_out(df.select(id_col, samples_col)).mapInPandas(
         gen, schema=f"{id_col} {id_t}, embedding array<float>"
     )
 
