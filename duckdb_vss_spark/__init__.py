@@ -82,6 +82,7 @@ from .operators.audio import (  # noqa: F401
     resample_audio,
 )
 from .pipelines import (  # noqa: F401
+    audio_curate,
     c4_clean,
     ccnet_curate,
     refinedweb_curate,

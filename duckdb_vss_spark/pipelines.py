@@ -36,6 +36,7 @@ __all__ = [
     "c4_clean",
     "refinedweb_curate",
     "semantic_curate",
+    "audio_curate",
     "crawl_ingest",
     "warc_ingest",
     "curate_corpus",
@@ -158,6 +159,102 @@ def refinedweb_curate(
     return clustered.join(prof, id_col, "left").withColumn(
         "dup_window_frac", F.coalesce("dup_window_frac", F.lit(0.0))
     )
+
+
+def audio_curate(
+    clips: DataFrame,
+    content_col: str = "content",
+    id_col: str = "clip_id",
+    min_duration_s: float = 0.5,
+    max_duration_s: float = 3600.0,
+    min_rms: float = 1e-4,
+    max_clip_frac: float = 0.2,
+    min_matches: int = 8,
+    target_rate: int | None = None,
+) -> DataFrame:
+    """The audio analog of :func:`curate_corpus`: decode WAV bytes →
+    per-clip quality gates → fingerprint near-dup clustering, one
+    flag-don't-drop plan (every input clip survives with its flags — the
+    same cohort discipline as the text recipes).
+
+    Stages and the flags they add:
+
+    1. **Decode + features** (:func:`~.operators.audio.audio_features`):
+       ``duration_s``, ``rms``, ``peak``, ``zcr`` ride along.
+    2. **Quality gate** — ``quality_keep``: duration within
+       [``min_duration_s``, ``max_duration_s``], RMS above ``min_rms``
+       (drops silence/near-silence), peak-clipping fraction below
+       ``max_clip_frac`` (fraction of samples at full scale — recorder
+       clipping). Cheap signal gates, the audio counterpart of the text
+       length/punctuation heuristics.
+    3. **Near-dup clustering** — block fingerprints → offset-consistent
+       vote pairs (:func:`~.operators.audio.audio_neardup_pairs`, hot-key
+       capped) → connected components; ``dedup_keep`` flags exactly one
+       canonical survivor per duplicate cluster (min id), ``cluster_id``
+       rides along.
+    4. ``audio_keep`` = ``quality_keep AND dedup_keep``.
+
+    ``target_rate`` optionally resamples all clips first (mixed-rate
+    corpora must be normalized before fingerprints are comparable).
+
+    Scale shape: decode/features/fingerprints are fanned map-only
+    kernels; the only shuffles are the capped key join and the id-keyed
+    flag joins; connected components is the pointer-jumping loop bounded
+    by cluster diameter. Nothing collects clips to the driver.
+    """
+    from .operators.audio import (
+        audio_features,
+        audio_neardup_pairs,
+        block_fingerprint,
+        fingerprint_keys,
+        resample_audio,
+    )
+    from .operators.graph import dedup_clusters
+    from .operators.multimodal import decode_audio
+
+    dec = decode_audio(clips.select(id_col, content_col), id_col)
+    if target_rate is not None:
+        # decode emits per-clip rates; the recipe requires ONE rate, so a
+        # mixed corpus must state it — resample per the clip's own rate
+        rates = [r[0] for r in dec.select("sample_rate").distinct().collect()]
+        parts = [
+            resample_audio(
+                dec.filter(F.col("sample_rate") == r), id_col, int(r), target_rate
+            ).select(id_col, "samples", "sample_rate")
+            for r in rates
+        ]
+        frames = parts[0]
+        for p in parts[1:]:
+            frames = frames.unionByName(p)
+        dec = frames
+    feats = audio_features(dec, id_col)
+    # clipping fraction needs the samples; compute it JVM-side from the
+    # decoded array (|s| >= 32766/32768 counts as clipped)
+    clip_frac = (
+        F.size(F.filter("samples", lambda s: F.abs(s) >= F.lit(32766.0 / 32768.0)))
+        / F.greatest(F.size("samples"), F.lit(1))
+    )
+    cf = dec.select(id_col, clip_frac.alias("clip_frac"))
+    rate_col = F.col("sample_rate").cast("double")
+    base = (
+        clips.join(feats, id_col)
+        .join(cf, id_col)
+        .join(dec.select(id_col, "sample_rate"), id_col)
+        .withColumn("duration_s", F.col("n_samples") / F.greatest(rate_col, F.lit(1.0)))
+        .withColumn(
+            "quality_keep",
+            (F.col("duration_s") >= min_duration_s)
+            & (F.col("duration_s") <= max_duration_s)
+            & (F.col("rms") >= min_rms)
+            & (F.col("clip_frac") <= max_clip_frac),
+        )
+    )
+    keys = fingerprint_keys(block_fingerprint(dec, id_col), id_col)
+    pairs = audio_neardup_pairs(keys, id_col, min_matches=min_matches)
+    out = dedup_clusters(base, id_col, pairs.select("id_a", "id_b")).withColumnRenamed(
+        "is_canonical", "dedup_keep"
+    )
+    return out.withColumn("audio_keep", F.col("quality_keep") & F.col("dedup_keep"))
 
 
 def crawl_ingest(

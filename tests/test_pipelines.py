@@ -575,3 +575,72 @@ def test_curate_cohort_algebra(spark, cohort_fixture, plan, pack):
         if r["curate_keep"]:
             kept_per[r["lang"]] = kept_per.get(r["lang"], 0) + 1
     assert kept_per == {s: n for s, n in expected.items() if n}, (kept_per, expected)
+
+
+def test_audio_curate_flags_and_dedup(spark):
+    """Flag-don't-drop over an audio corpus: silence, clipping, and
+    too-short clips fail quality_keep; a planted scaled duplicate pair
+    keeps exactly one canonical; clean clips pass audio_keep."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_vss_spark.operators import multimodal as M
+    from duckdb_vss_spark.pipelines import audio_curate
+
+    def clip(i, n=4096):
+        rng = np.random.default_rng(40 + i)  # per-id seed: clip(i) is a pure function
+        t = np.arange(n)
+        x = 0.4 * np.sin(2 * np.pi * (0.01 + 0.002 * i) * t) + 0.05 * rng.standard_normal(n)
+        return np.clip(np.round(x * 32768), -32768, 32767).astype(np.int16)
+
+    rows = [(i, M.encode_wav(clip(i), 8000)) for i in range(5)]
+    # exact duplicate of clip 0 (scale-robustness of the fingerprint is
+    # pinned in test_audio; the recipe test pins the cluster wiring)
+    rows.append((100, M.encode_wav(clip(0), 8000)))
+    rows.append((200, M.encode_wav(np.zeros(4096, np.int16), 8000)))   # silence
+    clipped = np.where(np.arange(4096) % 2 == 0, 32767, -32768).astype(np.int16)
+    rows.append((300, M.encode_wav(clipped, 8000)))          # full-scale clipping
+    rows.append((400, M.encode_wav(clip(9, n=800), 8000)))   # 0.1 s: too short
+    df = spark.createDataFrame(pd.DataFrame({
+        "clip_id": [r[0] for r in rows], "content": [r[1] for r in rows]}))
+    out = {r["clip_id"]: r for r in audio_curate(df).collect()}
+    assert len(out) == 9                                     # never drops rows
+    assert not out[200]["quality_keep"]                      # silence: rms gate
+    assert not out[300]["quality_keep"]                      # clipping gate
+    assert not out[400]["quality_keep"]                      # duration gate
+    pair = {out[0]["dedup_keep"], out[100]["dedup_keep"]}
+    assert pair == {True, False}                             # one survivor
+    assert out[0]["cluster_id"] == out[100]["cluster_id"]
+    for i in (1, 2, 3, 4):
+        assert out[i]["quality_keep"] and out[i]["dedup_keep"] and out[i]["audio_keep"]
+
+
+def test_audio_curate_mixed_rate_normalization(spark):
+    """target_rate= resamples a mixed-rate corpus first: a 2x-upsampled
+    16 kHz copy downsamples back to the exact 8 kHz original (linear
+    interp at even positions is exact), so the pair fingerprints as a
+    duplicate only AFTER normalization."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_vss_spark.operators import multimodal as M
+    from duckdb_vss_spark.pipelines import audio_curate
+
+    rng = np.random.default_rng(8)
+    t = np.arange(4096)
+    x = np.clip(np.round((0.4 * np.sin(2 * np.pi * 0.013 * t)
+                          + 0.05 * rng.standard_normal(4096)) * 32768),
+                -32768, 32767).astype(np.int16)
+    up = np.interp(np.arange(8192) / 2.0, np.arange(4096), x.astype(np.float64))
+    up16 = np.round(up).astype(np.int16)
+    other = np.clip(np.round(0.3 * np.sin(2 * np.pi * 0.029 * t) * 32768),
+                    -32768, 32767).astype(np.int16)
+    df = spark.createDataFrame(pd.DataFrame({
+        "clip_id": [1, 2, 3],
+        "content": [M.encode_wav(x, 8000), M.encode_wav(up16, 16000),
+                    M.encode_wav(other, 8000)],
+    }))
+    out = {r["clip_id"]: r for r in audio_curate(df, target_rate=8000).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"]      # matched after resample
+    assert {out[1]["dedup_keep"], out[2]["dedup_keep"]} == {True, False}
+    assert out[3]["dedup_keep"] and out[3]["cluster_id"] != out[1]["cluster_id"]
