@@ -30,6 +30,7 @@ from .engine import VSSEngine  # noqa: F401
 from .index.catalog import BinderException, IndexCatalog  # noqa: F401
 from .index.ivf import IVFIndex, build_ivf  # noqa: F401
 from .index.dedup_store import MinHashStore  # noqa: F401
+from .index.audio_store import AudioFingerprintStore  # noqa: F401
 from .sql import SQLFrontend  # noqa: F401
 from .operators.dedup import (  # noqa: F401
     duplicated_span_profile,

@@ -1,0 +1,265 @@
+"""Persisted audio-fingerprint artifact — incremental cross-snapshot
+audio dedup, the audio twin of :class:`.dedup_store.MinHashStore`.
+
+Same 100 TB crawl-pipeline shape: each new batch of clips must dedup
+against EVERYTHING already accepted, but re-decoding the historical
+audio per batch is O(history) codec work. This store persists only the
+fingerprint keys — ``(key, t, id)`` rows from the Haitsma-Kalker-shaped
+block fingerprint (:func:`~duckdb_vss_spark.operators.audio.
+block_fingerprint` widened by :func:`~duckdb_vss_spark.operators.audio.
+fingerprint_keys`) — a few longs per second of audio regardless of
+sample rate, so matching a new batch costs one key join of the batch's
+fingerprint table against the stored one: the historical AUDIO is never
+re-read.
+
+Artifact discipline is identical to the MinHash store (and the vector
+index): an append-only versioned parquet directory, JSON manifest as
+the atomic commit point, orphan ``snap-*`` dirs ignored by readers,
+``drop_snapshot`` + ``vacuum`` retention, any Hadoop filesystem via
+:mod:`.fs`. The fingerprint parameters (frame, blocks, key_frames) live
+in the manifest — keys are only comparable between identically-framed
+fingerprints, so the store owns the configuration.
+
+Matching is the offset-consistent vote of
+:func:`~duckdb_vss_spark.operators.audio.audio_neardup_pairs`: candidate
+pairs share a key, votes accumulate per (batch clip, stored clip,
+time offset), a pair matches when its best offset collects
+``min_matches`` votes. Hot keys (silence, test tones) are dropped by a
+frequency cap computed over store+batch BEFORE the join.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fs
+
+__all__ = ["AudioFingerprintStore"]
+
+_MANIFEST = "manifest.json"
+_KB = 64  # key-bucket partitions (layout symmetry with band partitioning)
+
+
+class AudioFingerprintStore:
+    """Handle on a persisted audio-fingerprint dedup artifact. Use
+    :meth:`create` / :meth:`open`, not the constructor."""
+
+    def __init__(self, spark: SparkSession, root: str, manifest: dict):
+        self.spark = spark
+        self.root = root
+        self.manifest = manifest
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        frame: int = 256,
+        blocks: int = 8,
+        key_frames: int = 4,
+        overwrite: bool = False,
+    ) -> "AudioFingerprintStore":
+        if frame % blocks != 0:
+            raise ValueError(f"frame ({frame}) must be a multiple of blocks ({blocks})")
+        if fs.exists(spark, fs.join(root, _MANIFEST)):
+            if not overwrite:
+                raise ValueError(f"AudioFingerprintStore already exists at {root}")
+            fs.delete(spark, root)
+        fs.mkdirs(spark, root)
+        manifest = {
+            "format": "audio-fp-store",
+            "version": 1,
+            "frame": int(frame),
+            "blocks": int(blocks),
+            "key_frames": int(key_frames),
+            "snapshots": [],
+            "n_clips": 0,
+        }
+        fs.write_json(spark, fs.join(root, _MANIFEST), manifest)
+        return cls(spark, root, manifest)
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str) -> "AudioFingerprintStore":
+        manifest = fs.read_json(spark, fs.join(root, _MANIFEST))
+        if manifest.get("format") != "audio-fp-store":
+            raise ValueError(f"not an AudioFingerprintStore: {root}")
+        return cls(spark, root, manifest)
+
+    # -- fingerprint plumbing ------------------------------------------------
+
+    def key_rows(self, df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+        """(kb INT, key LONG, t LONG, id) fingerprint rows for every clip —
+        the batch-side input of :meth:`match_against` and the stored
+        layout of :meth:`append_snapshot`. Decodes WAV bytes with the real
+        codec and fingerprints with the manifest's parameters."""
+        m = self.manifest
+        from ..operators.audio import block_fingerprint, fingerprint_keys
+        from ..operators.multimodal import decode_audio
+
+        dec = decode_audio(df.select(id_col, content_col), id_col)
+        words = block_fingerprint(dec, id_col, frame=m["frame"], blocks=m["blocks"])
+        keys = fingerprint_keys(
+            words, id_col, key_frames=m["key_frames"], bits_per_word=m["blocks"] - 1
+        )
+        return keys.select(
+            (F.pmod(F.col("key"), F.lit(_KB))).cast("int").alias("kb"),
+            F.col("key"),
+            F.col("t").cast("long").alias("t"),
+            F.col(id_col).alias("id"),
+        )
+
+    def _store_df(self) -> Optional[DataFrame]:
+        snaps = self.manifest["snapshots"]
+        key = tuple(s["dir"] for s in snaps if s.get("n_clips") != 0)
+        if not key:
+            return None
+        # memoized lazy union on the immutable snapshot-dir tuple, with
+        # append-only extension — same steady-state-loop discipline as
+        # MinHashStore._store_df (round 9)
+        cached = getattr(self, "_store_df_memo", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        out, todo = None, key
+        if cached is not None and key[: len(cached[0])] == cached[0]:
+            out, todo = cached[1], key[len(cached[0]):]
+        for dirname in todo:
+            df = self.spark.read.parquet(fs.join(self.root, dirname)).select(
+                "kb", "key", "t", "id", "snapshot"
+            )
+            out = df if out is None else out.unionByName(df)
+        self._store_df_memo = (key, out)
+        return out
+
+    # -- operations --------------------------------------------------------
+
+    def append_snapshot(
+        self, df: DataFrame, content_col: str, id_col: str, snapshot: str
+    ) -> dict:
+        """Fingerprint ``df``'s clips and commit them as ``snapshot``
+        (typically the batch's KEPT rows). Write partitioned by key
+        bucket; manifest overwrite is the atomic commit point."""
+        if any(s["name"] == snapshot for s in self.manifest["snapshots"]):
+            raise ValueError(f"snapshot {snapshot!r} already in store")
+        dirname = f"snap-{len(self.manifest['snapshots']):06d}"
+        out = fs.join(self.root, dirname)
+        rows = self.key_rows(df, content_col, id_col).withColumn(
+            "snapshot", F.lit(snapshot)
+        )
+        rows.write.partitionBy("kb").parquet(out, mode="overwrite")
+        names = fs.listdir(self.spark, out)
+        has_data = any(
+            n.startswith("kb=") or (n.startswith("part-") and not n.endswith(".crc"))
+            for n in names
+        )
+        n = (
+            self.spark.read.parquet(out).select("id").distinct().count()
+            if has_data
+            else 0
+        )
+        entry = {"name": snapshot, "dir": dirname, "n_clips": n}
+        self.manifest["snapshots"].append(entry)
+        self.manifest["n_clips"] += n
+        fs.write_json(self.spark, fs.join(self.root, _MANIFEST), self.manifest)
+        return entry
+
+    def match_against(
+        self,
+        df: DataFrame,
+        content_col: str,
+        id_col: str,
+        min_matches: int = 8,
+        max_key_freq: int = 1000,
+    ) -> DataFrame:
+        """Near-duplicate matches of ``df``'s clips against the stored
+        corpus: ``(id, store_id, snapshot, offset, n_matches)`` with the
+        best-offset vote count ``>= min_matches``. The frequency cap is
+        computed over store+batch keys together, so a key that went viral
+        across history is dropped even if rare in this batch."""
+        store = self._store_df()
+        if store is None:
+            schema = "id long, store_id long, snapshot string, offset long, n_matches long"
+            return self.spark.createDataFrame([], schema)
+        batch = self.key_rows(df, content_col, id_col)
+        freq = (
+            batch.select("key")
+            .unionByName(store.select("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") <= max_key_freq)
+            .select("key")
+        )
+        b = batch.join(freq, "key")
+        s = store.join(freq, "key")
+        votes = (
+            b.alias("a")
+            .join(s.alias("s"), F.col("a.key") == F.col("s.key"))
+            .groupBy(
+                F.col("a.id").alias("id"),
+                F.col("s.id").alias("store_id"),
+                F.col("s.snapshot").alias("snapshot"),
+                (F.col("a.t") - F.col("s.t")).alias("offset"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_matches"))
+        )
+        best = votes.groupBy("id", "store_id", "snapshot").agg(
+            F.max(F.struct("n_matches", "offset")).alias("__best")
+        )
+        return best.select(
+            "id",
+            "store_id",
+            "snapshot",
+            F.col("__best.offset").alias("offset"),
+            F.col("__best.n_matches").alias("n_matches"),
+        ).filter(F.col("n_matches") >= min_matches)
+
+    def flag_batch(
+        self,
+        df: DataFrame,
+        content_col: str,
+        id_col: str,
+        min_matches: int = 8,
+        flag_col: str = "dup_of_store",
+    ) -> DataFrame:
+        """``df`` plus boolean ``flag_col``: True when the clip near-dups
+        ANY stored clip (flag-don't-drop)."""
+        hits = (
+            self.match_against(df, content_col, id_col, min_matches)
+            .select(F.col("id").alias("__mid"))
+            .distinct()
+        )
+        return (
+            df.join(hits, F.col(id_col) == F.col("__mid"), "left")
+            .withColumn(flag_col, F.col("__mid").isNotNull())
+            .drop("__mid")
+        )
+
+    def drop_snapshot(self, snapshot: str) -> None:
+        """Retire a snapshot: manifest overwrite commits; the data dir
+        becomes a vacuum-able orphan."""
+        snaps = self.manifest["snapshots"]
+        entry = next((s for s in snaps if s["name"] == snapshot), None)
+        if entry is None:
+            raise ValueError(f"snapshot {snapshot!r} not in store")
+        self.manifest["snapshots"] = [s for s in snaps if s["name"] != snapshot]
+        self.manifest["n_clips"] -= entry["n_clips"]
+        fs.write_json(self.spark, fs.join(self.root, _MANIFEST), self.manifest)
+
+    def vacuum(self) -> list:
+        """Delete data dirs not referenced by the manifest."""
+        live = {s["dir"] for s in self.manifest["snapshots"]}
+        deleted = []
+        for name in fs.listdir(self.spark, self.root):
+            base = name.rstrip("/").split("/")[-1]
+            if base.startswith("snap-") and base not in live:
+                fs.delete(self.spark, fs.join(self.root, base))
+                deleted.append(base)
+        return deleted
+
+    def info(self) -> dict:
+        """Manifest snapshot (copy) for pragma-style introspection."""
+        return dict(self.manifest)

@@ -171,11 +171,21 @@ def audio_curate(
     max_clip_frac: float = 0.2,
     min_matches: int = 8,
     target_rate: int | None = None,
+    store=None,
+    snapshot: str | None = None,
 ) -> DataFrame:
     """The audio analog of :func:`curate_corpus`: decode WAV bytes →
     per-clip quality gates → fingerprint near-dup clustering, one
     flag-don't-drop plan (every input clip survives with its flags — the
     same cohort discipline as the text recipes).
+
+    With ``store`` (an :class:`~duckdb_vss_spark.index.audio_store.
+    AudioFingerprintStore`), the batch ALSO matches against all
+    previously ingested audio history — ``dup_of_store`` rides along and
+    gates ``audio_keep`` — and with ``snapshot`` the kept clips'
+    fingerprints commit to the store so the NEXT batch dedups against
+    this one: the incremental crawl loop, audio edition (historical
+    audio is never re-decoded; only fingerprint keys persist).
 
     Stages and the flags they add:
 
@@ -254,7 +264,32 @@ def audio_curate(
     out = dedup_clusters(base, id_col, pairs.select("id_a", "id_b")).withColumnRenamed(
         "is_canonical", "dedup_keep"
     )
-    return out.withColumn("audio_keep", F.col("quality_keep") & F.col("dedup_keep"))
+    keep = F.col("quality_keep") & F.col("dedup_keep")
+    if store is not None:
+        hits = (
+            store.match_against(
+                clips.select(id_col, content_col), content_col, id_col, min_matches
+            )
+            .select(F.col("id").alias("__mid"))
+            .distinct()
+        )
+        out = (
+            out.join(hits, F.col(id_col) == F.col("__mid"), "left")
+            .withColumn("dup_of_store", F.col("__mid").isNotNull())
+            .drop("__mid")
+        )
+        keep = keep & ~F.col("dup_of_store")
+    out = out.withColumn("audio_keep", keep)
+    if store is not None and snapshot is not None:
+        # commit the kept clips' fingerprints so the next batch dedups
+        # against this one (an action: the commit is the loop's barrier)
+        store.append_snapshot(
+            out.filter("audio_keep").select(id_col, content_col),
+            content_col,
+            id_col,
+            snapshot,
+        )
+    return out
 
 
 def crawl_ingest(

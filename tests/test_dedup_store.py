@@ -182,3 +182,80 @@ def test_append_snapshot_reraises_read_errors(spark, store_root, monkeypatch):
     assert st.info()["snapshots"] == []
     st.append_snapshot(_mk(spark, BASE), "text", "doc_id", "s1")
     assert st.info()["snapshots"][-1]["n_docs"] == 3
+
+
+# ---------------------------------------------------------------- audio store
+
+
+def _aclip(i, n=4096):
+    import numpy as np
+
+    rng = np.random.default_rng(70 + i)
+    t = np.arange(n)
+    x = 0.4 * np.sin(2 * np.pi * (0.011 + 0.002 * i) * t) + 0.05 * rng.standard_normal(n)
+    return np.clip(np.round(x * 32768), -32768, 32767).astype(np.int16)
+
+
+def _awavs(spark, items):
+    import pandas as pd
+
+    from duckdb_vss_spark.operators import multimodal as M
+
+    return spark.createDataFrame(pd.DataFrame({
+        "clip_id": [i for i, _ in items],
+        "content": [M.encode_wav(x, 8000) for _, x in items],
+    }))
+
+
+def test_audio_store_lifecycle_and_matching(spark, tmp_path):
+    import numpy as np
+
+    from duckdb_vss_spark.index.audio_store import AudioFingerprintStore
+
+    root = str(tmp_path / "astore")
+    st = AudioFingerprintStore.create(spark, root)
+    # history: clips 0..4
+    st.append_snapshot(
+        _awavs(spark, [(i, _aclip(i)) for i in range(5)]), "content", "clip_id", "day-0"
+    )
+    assert st.info()["n_clips"] == 5
+    # batch: a time-shifted copy of history clip 2 + one fresh clip
+    shifted = np.concatenate(
+        [np.zeros(512, dtype=np.int16), _aclip(2)]
+    )[: 4096]
+    batch = _awavs(spark, [(100, shifted), (101, _aclip(9))])
+    m = {r["id"]: r for r in
+         st.match_against(batch, "content", "clip_id", min_matches=5).collect()}
+    assert 100 in m and m[100]["store_id"] == 2 and m[100]["snapshot"] == "day-0"
+    assert m[100]["offset"] == 2  # 512 samples = 2 frames of 256
+    assert 101 not in m
+    flagged = {r["clip_id"]: r["dup_of_store"] for r in
+               st.flag_batch(batch, "content", "clip_id", min_matches=5).collect()}
+    assert flagged == {100: True, 101: False}
+    # persistence: a fresh handle sees the same history
+    st2 = AudioFingerprintStore.open(spark, root)
+    assert st2.match_against(batch, "content", "clip_id", min_matches=5).count() == 1
+    # retention: drop the snapshot -> no more matches; vacuum reclaims
+    st2.drop_snapshot("day-0")
+    assert st2.match_against(batch, "content", "clip_id", min_matches=5).count() == 0
+    assert st2.vacuum() == ["snap-000000"]
+
+
+def test_audio_store_incremental_loop_via_audio_curate(spark, tmp_path):
+    """Batch N+1 dedups against what batch N KEPT: the audio edition of
+    the crawl_ingest steady-state loop."""
+    from duckdb_vss_spark.index.audio_store import AudioFingerprintStore
+    from duckdb_vss_spark.pipelines import audio_curate
+
+    st = AudioFingerprintStore.create(spark, str(tmp_path / "astore2"))
+    b0 = _awavs(spark, [(i, _aclip(i)) for i in range(3)])
+    out0 = audio_curate(b0, store=st, snapshot="b0")
+    assert out0.filter("audio_keep").count() == 3
+    assert st.info()["snapshots"][-1]["n_clips"] == 3
+    # batch 1: an exact copy of batch-0 clip 1, plus a fresh clip
+    b1 = _awavs(spark, [(200, _aclip(1)), (201, _aclip(8))])
+    out1 = {r["clip_id"]: r for r in
+            audio_curate(b1, store=st, snapshot="b1", min_matches=5).collect()}
+    assert out1[200]["dup_of_store"] and not out1[200]["audio_keep"]
+    assert not out1[201]["dup_of_store"] and out1[201]["audio_keep"]
+    assert st.info()["snapshots"][-1]["n_clips"] == 1  # only the fresh clip committed
