@@ -38,6 +38,7 @@ __all__ = [
     "stream_crawl_ingest",
     "stream_warc_ingest",
     "stream_curate",
+    "stream_audio_curate",
     "run_to_memory",
 ]
 
@@ -611,6 +612,92 @@ def stream_curate(
     finally:
         if owned_grams is not None:
             owned_grams.unpersist()
+
+
+def _audio_curate_batch(
+    bdf: DataFrame,
+    bid: int,
+    store,
+    out_path: str,
+    content_col: str,
+    id_col: str,
+    snapshot_prefix: str,
+    **curate_kwargs,
+) -> None:
+    """One micro-batch of :func:`stream_audio_curate` — the same replay
+    discipline as :func:`_curate_batch`: committed snapshot ⇒ skip;
+    batch-keyed overwrite sink PRECEDES the snapshot commit; kept rows
+    are read back from the sink just written rather than re-running the
+    decode/fingerprint chain."""
+    from ..operators.dedup import _fan_out
+    from ..pipelines import audio_curate
+
+    name = f"{snapshot_prefix}-{bid:06d}"
+    if any(s["name"] == name for s in store.manifest["snapshots"]):
+        return
+    out = audio_curate(
+        _fan_out(bdf), content_col=content_col, id_col=id_col,
+        store=store, snapshot=None, **curate_kwargs,
+    )
+    sink = f"{out_path}/batch={bid:06d}"
+    out.write.mode("overwrite").parquet(sink)
+    kept = (
+        bdf.sparkSession.read.parquet(sink)
+        .filter("audio_keep")
+        .select(id_col, content_col)
+    )
+    store.append_snapshot(kept, content_col, id_col, name)
+
+
+def stream_audio_curate(
+    clips: DataFrame,
+    store,
+    out_path: str,
+    checkpoint: str,
+    content_col: str = "content",
+    id_col: str = "clip_id",
+    snapshot_prefix: str = "audio",
+    timeout_sec: float = 180.0,
+    **curate_kwargs,
+) -> None:
+    """Streaming twin of :func:`~duckdb_vss_spark.pipelines.audio_curate`
+    — the steady-state audio-ingest loop: each arriving micro-batch of
+    clips runs the full recipe (quality gates → within-batch fingerprint
+    dedup → match against EVERY prior batch's committed fingerprints),
+    lands batch-keyed in the parquet sink, and commits its kept clips'
+    fingerprints as snapshot ``{prefix}-{batch_id}`` so the NEXT
+    micro-batch dedups against it. Cross-batch state is the
+    :class:`~duckdb_vss_spark.index.audio_store.AudioFingerprintStore`'s
+    key rows — O(kept clips' frames), never audio bytes. Delivery is
+    effectively-once via the snapshot-name skip + batch-keyed overwrite
+    sink, like :func:`stream_curate` (which also owns snapshot naming,
+    hence the same kwarg guard)."""
+    forbidden = {"snapshot", "store"} & curate_kwargs.keys()
+    if forbidden:
+        raise ValueError(
+            f"stream_audio_curate owns snapshot naming and the store; "
+            f"pass {sorted(forbidden)} as direct arguments, not via curate_kwargs"
+        )
+
+    def _batch(bdf: DataFrame, bid: int) -> None:
+        _audio_curate_batch(
+            bdf, bid, store, out_path,
+            content_col=content_col, id_col=id_col,
+            snapshot_prefix=snapshot_prefix, **curate_kwargs,
+        )
+
+    q = (
+        clips.writeStream.foreachBatch(_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    deadline = time.monotonic() + timeout_sec
+    while q.isActive and time.monotonic() < deadline:
+        time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("stream_audio_curate did not drain before timeout")
 
 
 def stream_warc_ingest(

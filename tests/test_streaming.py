@@ -517,3 +517,81 @@ def test_stream_curate_rejects_owned_kwargs(spark, tmp_path):
             docs, store, str(tmp_path / "out"), str(tmp_path / "ckpt"),
             snapshot="fixed-name",
         )
+
+
+def test_stream_audio_curate_incremental(spark, tmp_path):
+    """Streaming audio_curate: micro-batch 2's copy of a batch-1 clip
+    flags dup_of_store via the committed fingerprint history; silence
+    fails the quality gate; every clip lands flagged; one snapshot per
+    batch with only kept clips' fingerprints."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_vss_spark.index.audio_store import AudioFingerprintStore
+    from duckdb_vss_spark.operators import multimodal as M
+    from duckdb_vss_spark.streaming import stream_audio_curate
+
+    def clip(i, n=4096):
+        rng = np.random.default_rng(500 + i)
+        t = np.arange(n)
+        x = 0.4 * np.sin(2 * np.pi * (0.012 + 0.002 * i) * t) + 0.05 * rng.standard_normal(n)
+        return np.clip(np.round(x * 32768), -32768, 32767).astype(np.int16)
+
+    staged = str(tmp_path / "aclips")
+    os.makedirs(staged)
+    spark.createDataFrame(pd.DataFrame({
+        "clip_id": [1, 2],
+        "content": [M.encode_wav(clip(1), 8000), M.encode_wav(clip(2), 8000)],
+    })).coalesce(1).write.mode("overwrite").parquet(staged + "/f1")
+    spark.createDataFrame(pd.DataFrame({
+        "clip_id": [10, 11, 12],
+        "content": [
+            M.encode_wav(clip(1), 8000),                      # dup of batch-1 clip
+            M.encode_wav(clip(7), 8000),                      # fresh
+            M.encode_wav(np.zeros(4096, np.int16), 8000),     # silence
+        ],
+    })).coalesce(1).write.mode("overwrite").parquet(staged + "/f2")
+
+    st = AudioFingerprintStore.create(spark, str(tmp_path / "astore"))
+    stream = (
+        spark.readStream.schema("clip_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged + "/f*")
+    )
+    out_path = str(tmp_path / "aout")
+    stream_audio_curate(
+        stream, st, out_path, str(tmp_path / "ackpt"), min_matches=5,
+    )
+    rows = {r["clip_id"]: r for r in spark.read.parquet(out_path).collect()}
+    assert set(rows) == {1, 2, 10, 11, 12}  # flag-don't-drop
+    assert rows[10]["dup_of_store"] and not rows[10]["audio_keep"]
+    assert not rows[11]["dup_of_store"] and rows[11]["audio_keep"]
+    assert not rows[12]["quality_keep"] and not rows[12]["audio_keep"]
+    info = st.info()
+    assert len(info["snapshots"]) == 2
+    assert [s["n_clips"] for s in info["snapshots"]] == [2, 1]
+    # replay no-op: re-running the drained stream must not double-commit
+    stream_audio_curate(
+        (spark.readStream.schema("clip_id long, content binary")
+         .option("maxFilesPerTrigger", 1).parquet(staged + "/f*")),
+        st, out_path, str(tmp_path / "ackpt"), min_matches=5,
+    )
+    assert len(st.info()["snapshots"]) == 2
+
+
+def test_stream_audio_curate_rejects_owned_kwargs(spark, tmp_path):
+    from duckdb_vss_spark.index.audio_store import AudioFingerprintStore
+    from duckdb_vss_spark.streaming import stream_audio_curate
+
+    st = AudioFingerprintStore.create(spark, str(tmp_path / "astore_k"))
+    import os
+
+    src = str(tmp_path / "empty_src")
+    os.makedirs(src)
+    stream = spark.readStream.schema("clip_id long, content binary").parquet(src)
+    with pytest.raises(ValueError, match="owns snapshot naming"):
+        stream_audio_curate(
+            stream, st, str(tmp_path / "o"), str(tmp_path / "c"), snapshot="x",
+        )
