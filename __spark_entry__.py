@@ -1737,6 +1737,34 @@ def _m_doc_stats(spark, sf_dir):
         F.col("avg_logscore").cast("float").alias("sb_avg_logscore"),
         F.col("ppl").cast("float").alias("sb_ppl"),
     )
+    # External-counts leg: counts trained on EVEN docs, ODD docs scored —
+    # self-trained scoring never backs off (the top order always hits),
+    # so this leg is what actually gates the backoff cascade (measured on
+    # the fixture: 7479/13528 scored trigrams miss the train table -> one
+    # alpha penalty; 7 bigram misses -> two). Even docs carry -1 fillers.
+    from duckdb_vss_spark.functions import text as _T
+
+    sb_counts = None
+    train = docs.filter("doc_id % 2 = 0")
+    for k in (1, 2, 3):
+        gk = train.select(
+            F.explode(
+                _T.word_ngrams_all("text", k) if k > 1 else _T.tokens("text")
+            ).alias("gram")
+        )
+        # keep FULL grams only: word_ngrams_all degrades short docs to a
+        # partial gram, but the backoff LM's aligned arrays (and the
+        # oracle's lag()-built grams) treat those positions as null
+        gk = gk.filter(F.size(F.split(F.col("gram"), " ")) == k)
+        ck = gk.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+        sb_counts = ck if sb_counts is None else sb_counts.unionByName(ck)
+    sbx = stupid_backoff_score(
+        docs.filter("doc_id % 2 = 1"), "text", "doc_id", n=3, counts_df=sb_counts
+    ).select(
+        "doc_id",
+        F.col("n_oov").alias("sbx_oov"),
+        F.col("avg_logscore").cast("float").alias("sbx_avg_logscore"),
+    )
     return (
         _q_text_stats(spark, sf_dir)
         .join(_q_repetition_stats(spark, sf_dir), "doc_id")
@@ -1746,6 +1774,8 @@ def _m_doc_stats(spark, sf_dir):
         .join(despan, "doc_id")
         .join(lm, "doc_id")
         .join(sb, "doc_id")
+        .join(sbx, "doc_id", "left")
+        .fillna({"sbx_oov": -1, "sbx_avg_logscore": -1.0})
         .join(cl, "doc_id")
         .join(ld, "doc_id")
         .join(clf, "doc_id")
@@ -3949,6 +3979,15 @@ def _doc_stats_oracle_sql(O, P) -> str:
         "avg_logscore::FLOAT AS sb_avg_logscore, ppl::FLOAT AS sb_ppl "
         f"FROM ({O.sql_stupid_backoff_score('documents', 'text', 'doc_id', 3)})"
     )
+    sbx_inner = O.sql_stupid_backoff_score(
+        "documents", "text", "doc_id", 3,
+        train_filter="doc_id % 2 = 0", score_filter="doc_id % 2 = 1",
+    )
+    sbx_sql = (
+        "SELECT d.doc_id, coalesce(s.n_oov, -1)::BIGINT AS sbx_oov, "
+        "coalesce(s.avg_logscore::FLOAT, (-1.0)::FLOAT) AS sbx_avg_logscore "
+        f"FROM documents d LEFT JOIN ({sbx_inner}) s USING (doc_id)"
+    )
     # Derived multi-line corpus shared by the two line-stage legs (see the
     # Spark twin's docstring): lines from breaking on ' the ', cross-doc
     # duplicates from appending each odd doc to its even predecessor.
@@ -3981,6 +4020,7 @@ def _doc_stats_oracle_sql(O, P) -> str:
         f"       ds.despan_hash, ds.despan_removed,\n"
         f"       l.n_grams, l.avg_logprob, l.ppl,\n"
         f"       sb.sb_tokens, sb.sb_oov, sb.sb_avg_logscore, sb.sb_ppl,\n"
+        f"       sx.sbx_oov, sx.sbx_avg_logscore,\n"
         f"       c.cl_n_lines, c.cl_n_kept, c.clean_hash,\n"
         f"       d.ld_n_lines, d.ld_n_removed, d.linededup_hash,\n"
         f"       {O.sql_classifier_score('a0.text')}::FLOAT AS clf_score,\n"
@@ -3996,6 +4036,7 @@ def _doc_stats_oracle_sql(O, P) -> str:
         f"({O.sql_remove_duplicated_spans('documents', 'text', 'doc_id', 20, 2)})) ds USING (doc_id)\n"
         f"JOIN ({lm_sql}) l USING (doc_id)\n"
         f"JOIN ({sb_sql}) sb USING (doc_id)\n"
+        f"JOIN ({sbx_sql}) sx USING (doc_id)\n"
         f"JOIN ({cl_sql}) c USING (doc_id)\n"
         f"JOIN ({ld_sql}) d USING (doc_id)\n"
         f"JOIN ({_web_url_oracle_sql(O)}) w USING (doc_id)"

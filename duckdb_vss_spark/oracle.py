@@ -348,12 +348,22 @@ def sql_ngram_lm_score(table: str, text_col: str, id_col: str, n: int = 1) -> st
 
 
 def sql_stupid_backoff_score(
-    table: str, text_col: str, id_col: str, n: int = 3, alpha: float = 0.4
+    table: str,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    alpha: float = 0.4,
+    train_filter: str | None = None,
+    score_filter: str | None = None,
 ) -> str:
-    """Twin of operators.quality.stupid_backoff_score (self-trained):
-    per-token score with the longest available context k0 = min(pos+1, n);
-    self-trained counts mean the top order always hits, so the score is
-    count(gram_k0)/count(ctx_k0) with no backoff and no OOV. Grams are
+    """Twin of operators.quality.stupid_backoff_score: per-token score
+    with the longest available context k0 = min(pos+1, n). Self-trained
+    (no filters) the top order always hits — no backoff, no OOV. With
+    ``train_filter``/``score_filter`` (SQL predicates over ``table``),
+    counts come from the training slice and scoring covers the score
+    slice, so unseen grams genuinely BACK OFF (alpha penalty per
+    shortened order) and unseen tokens floor at 1/(N+V) with n_oov
+    counted — the twin of passing an external ``counts_df``. Grams are
     built with lag() windows (|| with NULL -> NULL gives the same
     null-for-early-positions alignment as the Spark side's padded
     arrays); per-doc log-scores fold in token order."""
@@ -369,11 +379,6 @@ def sql_stupid_backoff_score(
         " || ' ' || ".join(f"lag(tok, {k - 1 - j}) OVER w" for j in range(k - 1))
         + f" AS x{k}"
         for k in range(2, n + 1)
-    )
-    count_ctes = ",\n        ".join(
-        f"c{k} AS MATERIALIZED (SELECT g{k} AS gram, count(*) AS c FROM g "
-        f"WHERE g{k} IS NOT NULL GROUP BY g{k})"
-        for k in range(1, n + 1)
     )
     joins = "\n          ".join(
         f"LEFT JOIN c{k} jc{k} ON jc{k}.gram = g.g{k}" for k in range(1, n + 1)
@@ -393,8 +398,9 @@ def sql_stupid_backoff_score(
     floor = (
         f"ELSE ln(1.0 / (tot.nn + tot.vv)::DOUBLE) + ({k0} - 1)::DOUBLE * ln({alpha})"
     )
-    return f"""
-        WITH g AS MATERIALIZED (
+    train_where = f"WHERE {train_filter}" if train_filter else ""
+    score_where = f"WHERE {score_filter}" if score_filter else ""
+    grams_of = lambda where: f"""
           SELECT id, pos, tok,
                  {gram_cols},
                  {ctx_cols}
@@ -402,10 +408,24 @@ def sql_stupid_backoff_score(
             SELECT {id_col} AS id,
                    unnest(range(0, len({toks}))) AS pos,
                    unnest({toks}) AS tok
-            FROM {table}
+            FROM {table} {where}
           )
           WINDOW w AS (PARTITION BY id ORDER BY pos)
-        ),
+    """
+    train_cte = (
+        f"gt AS MATERIALIZED ({grams_of(train_where)}),"
+        if (train_filter or score_filter)
+        else ""
+    )
+    count_src = "gt" if (train_filter or score_filter) else "g"
+    count_ctes = ",\n        ".join(
+        f"c{k} AS MATERIALIZED (SELECT g{k} AS gram, count(*) AS c FROM {count_src} "
+        f"WHERE g{k} IS NOT NULL GROUP BY g{k})"
+        for k in range(1, n + 1)
+    )
+    return f"""
+        WITH g AS MATERIALIZED ({grams_of(score_where)}),
+        {train_cte}
         {count_ctes},
         tot AS (SELECT sum(c) AS nn, count(*) AS vv FROM c1),
         lp AS (
