@@ -190,6 +190,16 @@ def main() -> None:
     timings["classifier_score"] = run(
         lambda: classifier_score(docs, "text").select("doc_id", "clf_score").count()
     )
+    from duckdb_vss_spark import stupid_backoff_score
+
+    def _backoff_lm():
+        return (
+            stupid_backoff_score(docs, "text", "doc_id", n=3)
+            .agg(F.sum("n_tokens"), F.sum("avg_logscore"))
+            .collect()
+        )
+
+    timings["stupid_backoff_lm"] = run(_backoff_lm)
     # real BPE: corpus-trained merge table, Arrow-batched application (no
     # duckdb twin — the merge loop is not SQL-expressible; one-sided number)
     from duckdb_vss_spark.functions.bpe import train_bpe
@@ -436,10 +446,21 @@ def main() -> None:
         "SELECT count(*) FROM (SELECT ia, ib, max(n) AS m FROM votes GROUP BY 1,2) "
         "WHERE m >= 8"
     )
+    from duckdb_vss_spark.oracle import sql_stupid_backoff_score as _sbs
+
+    _sb_sql = (
+        "SELECT sum(n_tokens), sum(avg_logscore) FROM ("
+        + _sbs("docs", "text", "doc_id", 3)
+        + ")"
+    )
     inter_pairs = {
         "audio_fingerprint_dedup": (
             _audio_dedup,
             lambda: icon.execute(_afp_sql).fetchall(),
+        ),
+        "stupid_backoff_lm": (
+            _backoff_lm,
+            lambda: icon.execute(_sb_sql).fetchall(),
         ),
         "topk_l2_k10": (
             lambda: topk(emb, "embedding", Q, 10, "l2sq", tiebreak="vec_id").collect(),
