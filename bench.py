@@ -357,6 +357,42 @@ def main() -> None:
         .filter("ok").count()
     )
 
+    # perceptual image dedup throughput (round 9): phash every synthetic
+    # BMP (decode -> 32x32 bilinear -> 2-D DCT -> 64-bit hash) and run the
+    # exact banded-Hamming self-join. doc_id % 97 keys the pixel content,
+    # planting duplicate groups at any sf for the join to find.
+    from duckdb_vss_spark.operators.image import image_neardup_pairs, phash
+    from duckdb_vss_spark.operators.multimodal import _resize_kernel as _resize_k
+
+    def _synth_bmps_dup(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                g = i % 97
+                rng = _np.random.default_rng(g)
+                low = rng.uniform(30, 225, size=(8, 8, 3))
+                img = _np.clip(
+                    _np.round(_resize_k(low, 24, 18, "bilinear")), 0, 255
+                ).astype(_np.uint8)
+                ids.append(i)
+                blobs.append(encode_bmp(img))
+            yield _pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    bmps_dup = docs.select("doc_id").mapInPandas(
+        _synth_bmps_dup, schema="doc_id long, content binary"
+    ).cache()
+    bmps_dup.count()
+
+    def _phash_dedup():
+        return image_neardup_pairs(
+            phash(bmps_dup, "doc_id"), "doc_id", max_hamming=4
+        ).count()
+
+    timings["image_phash_dedup"] = run(_phash_dedup)
+
     # audio fingerprint dedup throughput (round 9): per-doc 2048-sample
     # WAV -> decode -> block fingerprint -> keyed match join with offset
     # votes; clips derived from doc_id % 1000 plant ~5x duplicate groups

@@ -34,6 +34,7 @@ from .index.audio_store import AudioFingerprintStore  # noqa: F401
 from .sql import SQLFrontend  # noqa: F401
 from .operators.dedup import (  # noqa: F401
     duplicated_span_profile,
+    hamming_pairs,
     duplicated_spans,
     remove_duplicated_spans,
     line_dedup,
@@ -73,6 +74,7 @@ from .operators.quality import (  # noqa: F401
     stupid_backoff_score,
 )
 from .operators.graph import connected_components, dedup_clusters, pagerank  # noqa: F401
+from .operators.image import dhash, image_neardup_pairs, phash  # noqa: F401
 from .operators.audio import (  # noqa: F401
     audio_embedding,
     audio_features,

@@ -504,6 +504,66 @@ def simhash_pairs(
     )
 
 
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 10,
+    bands: int = 16,
+    nbits: int = 64,
+) -> DataFrame:
+    """Generic exact Hamming-distance pair join over any integer hash
+    column (perceptual image hashes, audio hashes, simhash-like text
+    signatures): all pairs with ``bit_count(a XOR b) <= max_hamming``.
+
+    Exactness by pigeonhole, as in :func:`simhash_pairs`: an ``nbits``
+    hash split into ``bands`` equal chunks — any pair within Hamming
+    distance < bands agrees on >= 1 chunk, so the chunk-bucket self-join
+    finds ALL such pairs and the final bit_count filter is exact
+    (requires ``max_hamming < bands``). The signature rides through the
+    band explode, so hamming computes inside the join — no verify join
+    afterwards. A pair agreeing on several chunks is kept only at its
+    FIRST agreeing band, decided in codegen (no global distinct).
+
+    Output: ``(id_a, id_b, hamming INT)`` with ``id_a < id_b``.
+    """
+    if max_hamming >= bands:
+        raise ValueError("exactness requires max_hamming < bands (pigeonhole)")
+    if nbits % bands != 0:
+        raise ValueError(f"nbits ({nbits}) must divide into {bands} equal bands")
+    width = nbits // bands
+    mask = F.lit((1 << width) - 1)
+    h = F.col(hash_col)
+    chunk_arr = F.array(
+        *[F.shiftrightunsigned(h, b * width).bitwiseAND(mask) for b in range(bands)]
+    )
+    banded = df.select(
+        F.col(id_col), h.alias("__h"), F.posexplode(chunk_arr).alias("b", "bucket")
+    )
+    a = banded.select("b", "bucket", F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"))
+    b2 = banded.select("b", "bucket", F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"))
+
+    def _chunk(col, b):
+        return F.shiftrightunsigned(col, b * width).bitwiseAND(mask)
+
+    first_agree = F.when(_chunk(F.col("h_a"), 0) == _chunk(F.col("h_b"), 0), F.lit(0))
+    for bb in range(1, bands):
+        first_agree = first_agree.when(
+            _chunk(F.col("h_a"), bb) == _chunk(F.col("h_b"), bb), F.lit(bb)
+        )
+    return (
+        a.join(b2, ["b", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("b") == first_agree)
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

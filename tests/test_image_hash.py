@@ -1,0 +1,128 @@
+"""Perceptual image hashing: cross-format/re-encode collision (the whole
+point of pHash), resize invariance, banded Hamming join exactness vs
+brute force, and the clustering composition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.operators.image import (
+    dhash,
+    dhash_kernel,
+    image_neardup_pairs,
+    phash,
+    phash_kernel,
+)
+
+
+def _photo(seed: int, h=64, w=64) -> np.ndarray:
+    """Broad-spectrum 'photo-like' content: random 8x8 low-res structure
+    upsampled bilinearly, so the hash's 8x8 low-frequency DCT block is
+    fully populated. (A sum of 2-3 pure sinusoids leaves most low-freq
+    coefficients ~0, the median ~0, and half the hash bits are numeric
+    noise — the known pHash degenerate case; real photos, like this
+    fixture, have broad low-frequency spectra.)"""
+    from duckdb_vss_spark.operators.multimodal import _resize_kernel
+
+    rng = np.random.default_rng(seed)
+    low = rng.uniform(30, 225, size=(8, 8, 3))
+    return np.clip(np.round(_resize_kernel(low, w, h, "bilinear")), 0, 255).astype(np.uint8)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_survives_jpeg_reencode_and_format_change():
+    from duckdb_vss_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from duckdb_vss_spark.operators.multimodal import encode_png, _decode_image_bytes
+
+    for seed in (1, 2, 3):
+        img = _photo(seed)
+        h_png = phash_kernel(_decode_image_bytes(encode_png(img)))
+        h_q90 = phash_kernel(decode_jpeg(encode_jpeg(img, quality=90)))
+        h_q50 = phash_kernel(decode_jpeg(encode_jpeg(img, quality=50)))
+        h_prog = phash_kernel(decode_jpeg(encode_jpeg(img, quality=75, progressive=True)))
+        assert _ham(h_png, h_q90) <= 6, seed
+        assert _ham(h_png, h_q50) <= 10, seed
+        assert _ham(h_png, h_prog) <= 8, seed
+
+
+def test_phash_resize_invariant_distinct_images_far():
+    from duckdb_vss_spark.operators.multimodal import _resize_kernel
+
+    img = _photo(7, 96, 96)
+    half = np.clip(np.round(_resize_kernel(img, 48, 48, "bilinear")), 0, 255).astype(np.uint8)
+    assert _ham(phash_kernel(img), phash_kernel(half)) <= 8
+    # distinct content is far apart (random 64-bit hashes expect ~32)
+    ds = [_ham(phash_kernel(_photo(s)), phash_kernel(_photo(s + 50))) for s in (10, 11, 12)]
+    assert min(ds) > 16, ds
+
+
+def test_dhash_basics():
+    img = _photo(4)
+    assert dhash_kernel(img) == dhash_kernel(img)
+    brighter = np.clip(img.astype(np.int64) + 10, 0, 255).astype(np.uint8)
+    assert _ham(dhash_kernel(img), dhash_kernel(brighter)) <= 6  # gradient signs stable
+    assert _ham(dhash_kernel(img), dhash_kernel(_photo(44))) > 16
+
+
+def test_hamming_pairs_exact_vs_bruteforce(spark):
+    from duckdb_vss_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(-(2**62), 2**62, size=40, dtype=np.int64)
+    rows = [(i, int(h)) for i, h in enumerate(base)]
+    # planted near pairs at controlled distances
+    for j, d in [(0, 3), (1, 9), (2, 15), (3, 16)]:
+        flip = int(base[j])
+        for b in rng.choice(64, size=d, replace=False):
+            flip ^= 1 << int(b)
+        rows.append((100 + j, np.int64(np.uint64(flip) & np.uint64(2**64 - 1)).item()
+                     if flip > 2**63 - 1 else flip))
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in hamming_pairs(df, "id", "h", max_hamming=15, bands=16).collect()}
+    vals = dict(rows)
+    exp = {}
+    for i in vals:
+        for j in vals:
+            if i < j:
+                d = bin((vals[i] ^ vals[j]) & ((1 << 64) - 1)).count("1")
+                if d <= 15:
+                    exp[(i, j)] = d
+    assert got == exp
+    assert (0, 100) in got and got[(0, 100)] == 3
+    assert (3, 103) not in got  # distance 16 > max_hamming
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_pairs(df, "id", "h", max_hamming=16, bands=16)
+
+
+def test_image_neardup_through_spark_and_clusters(spark):
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.graph import dedup_clusters
+    from duckdb_vss_spark.operators.jpeg import encode_jpeg
+    from duckdb_vss_spark.operators.multimodal import encode_png
+
+    rows = []
+    for i in range(8):
+        rows.append((i, encode_png(_photo(i))))
+    rows.append((100, encode_jpeg(_photo(0), quality=80)))   # re-encode of 0
+    rows.append((101, encode_jpeg(_photo(3), quality=60)))   # re-encode of 3
+    df = spark.createDataFrame(pd.DataFrame({
+        "img_id": [r[0] for r in rows], "content": [r[1] for r in rows]}))
+    hashes = phash(df, "img_id")
+    pairs = image_neardup_pairs(hashes, "img_id", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100) in got and (3, 101) in got
+    clustered = dedup_clusters(df, "img_id", pairs.select("id_a", "id_b"))
+    per = {r["img_id"]: r for r in clustered.collect()}
+    assert per[0]["cluster_id"] == per[100]["cluster_id"]
+    assert per[0]["is_canonical"] != per[100]["is_canonical"] or per[0]["is_canonical"]
+    n_canon = sum(1 for r in per.values() if r["is_canonical"])
+    # one survivor per cluster; at least the two planted clusters merged
+    assert n_canon <= len(per) - 2
