@@ -74,7 +74,13 @@ from .operators.quality import (  # noqa: F401
     stupid_backoff_score,
 )
 from .operators.graph import connected_components, dedup_clusters, pagerank  # noqa: F401
-from .operators.image import dhash, image_neardup_pairs, phash  # noqa: F401
+from .operators.image import (  # noqa: F401
+    dhash,
+    frame_phash,
+    image_neardup_pairs,
+    phash,
+    video_neardup_pairs,
+)
 from .operators.audio import (  # noqa: F401
     audio_embedding,
     audio_features,

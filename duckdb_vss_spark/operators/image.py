@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame
 
 from .multimodal import _decode_image_bytes, _resize_kernel
 
-__all__ = ["phash", "dhash", "phash_kernel", "dhash_kernel", "image_neardup_pairs"]
+__all__ = ["phash", "dhash", "phash_kernel", "dhash_kernel", "frame_phash", "video_neardup_pairs", "image_neardup_pairs"]
 
 
 def _dct_matrix(n: int) -> np.ndarray:
@@ -123,6 +123,129 @@ def dhash(df: DataFrame, id_col: str, content_col: str = "content") -> DataFrame
     """(id, dhash LONG) for an image binary column — decodes any natively
     supported format, then :func:`dhash_kernel`. Fanned map-only."""
     return _hash_op(dhash_kernel, "dhash")(df, id_col, content_col)
+
+
+def frame_phash(
+    frames: DataFrame,
+    id_col: str,
+    frame_col: str = "frame_idx",
+    pixels_col: str = "pixels",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Per-frame perceptual hashes of a decoded frame table (the output
+    shape of :func:`~.multimodal.gif_frames` / :func:`~.video.avi_frames`):
+    ``(id, t, key)`` with ``key`` the frame's :func:`phash_kernel`.
+
+    That output shape is the shared fingerprint-table contract (same as
+    the audio path's), consumed by :func:`video_neardup_pairs`: two clips
+    sharing ``min_matches`` near-colliding frame hashes at one temporal
+    offset are near-duplicates, with the alignment lag reported —
+    re-encoded, re-containered, or time-shifted copies all collide."""
+    from .dedup import _fan_out
+
+    id_t = dict(frames.dtypes)[id_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, ts, keys = [], [], []
+            for i, t, w, h, px in zip(
+                pdf[id_col], pdf[frame_col], pdf[width_col], pdf[height_col], pdf[pixels_col]
+            ):
+                arr = np.asarray(px, dtype=np.float64).reshape(int(h), int(w), -1)
+                ids.append(i)
+                ts.append(int(t))
+                keys.append(phash_kernel(arr))
+            yield pd.DataFrame({id_col: ids, "t": ts, "key": keys})
+
+    return _fan_out(
+        frames.select(id_col, frame_col, width_col, height_col, pixels_col)
+    ).mapInPandas(gen, schema=f"{id_col} {id_t}, t bigint, key bigint")
+
+
+def video_neardup_pairs(
+    keys_df: DataFrame,
+    id_col: str,
+    t_col: str = "t",
+    key_col: str = "key",
+    max_hamming: int = 6,
+    bands: int = 8,
+    min_matches: int = 5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Video near-duplicate pairs over a per-frame hash table from
+    :func:`frame_phash`: two clips match when ``min_matches`` frame pairs
+    within per-frame Hamming distance ``max_hamming`` align at ONE
+    temporal offset.
+
+    The audio matcher joins on exact key equality — right for integer
+    fingerprints, too brittle for perceptual hashes (a re-encoded frame
+    lands at hamming 1-2, not 0). Here the frame join is the banded
+    Hamming join (exact for ``max_hamming < bands`` by pigeonhole), then
+    the same offset-vote aggregation. Hot buckets (black frames, test
+    cards shared across a corpus) are dropped by a per-(band, bucket)
+    size cap before the join. Output: ``(id_a, id_b, offset,
+    n_matches)``.
+    """
+    if max_hamming >= bands:
+        raise ValueError("exactness requires max_hamming < bands (pigeonhole)")
+    from pyspark.sql import functions as F
+
+    width = 64 // bands
+    mask = F.lit((1 << width) - 1)
+    h = F.col(key_col)
+    chunk_arr = F.array(
+        *[F.shiftrightunsigned(h, b * width).bitwiseAND(mask) for b in range(bands)]
+    )
+    banded = keys_df.select(
+        F.col(id_col).alias("__id"),
+        F.col(t_col).cast("long").alias("__t"),
+        h.cast("long").alias("__h"),
+        F.posexplode(chunk_arr).alias("b", "bucket"),
+    )
+    sizes = banded.groupBy("b", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+    banded = banded.join(
+        sizes.filter(F.col("__n") <= max_bucket).select("b", "bucket"), ["b", "bucket"]
+    )
+    a = banded.select(
+        "b", "bucket", F.col("__id").alias("id_a"), F.col("__t").alias("ta"),
+        F.col("__h").alias("h_a"),
+    )
+    b2 = banded.select(
+        "b", "bucket", F.col("__id").alias("id_b"), F.col("__t").alias("tb"),
+        F.col("__h").alias("h_b"),
+    )
+
+    def _chunk(col, b):
+        return F.shiftrightunsigned(col, b * width).bitwiseAND(mask)
+
+    first_agree = F.when(_chunk(F.col("h_a"), 0) == _chunk(F.col("h_b"), 0), F.lit(0))
+    for bb in range(1, bands):
+        first_agree = first_agree.when(
+            _chunk(F.col("h_a"), bb) == _chunk(F.col("h_b"), bb), F.lit(bb)
+        )
+    frame_pairs = (
+        a.join(b2, ["b", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("b") == first_agree)  # one row per frame pair
+        .filter(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
+        )
+    )
+    votes = frame_pairs.groupBy(
+        "id_a", "id_b", (F.col("ta") - F.col("tb")).alias("offset")
+    ).agg(F.count(F.lit(1)).alias("n_matches"))
+    best = votes.groupBy("id_a", "id_b").agg(
+        F.max(F.struct("n_matches", "offset")).alias("__best")
+    )
+    return best.select(
+        "id_a",
+        "id_b",
+        F.col("__best.offset").alias("offset"),
+        F.col("__best.n_matches").alias("n_matches"),
+    ).filter(F.col("n_matches") >= min_matches)
 
 
 def image_neardup_pairs(

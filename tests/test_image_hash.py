@@ -126,3 +126,31 @@ def test_image_neardup_through_spark_and_clusters(spark):
     n_canon = sum(1 for r in per.values() if r["is_canonical"])
     # one survivor per cluster; at least the two planted clusters merged
     assert n_canon <= len(per) - 2
+
+
+def test_video_neardup_via_frame_phash_and_offset_votes(spark):
+    """Video near-dup = per-frame pHash + banded-Hamming frame join +
+    offset votes (exact key equality is too brittle for perceptual
+    hashes: a q60 re-encode lands frames at hamming 1-2): clip 100 is
+    clip 0's frames delayed by 2 and re-encoded harder — the vote lands
+    on offset -2; unrelated clips don't pair."""
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.image import frame_phash, video_neardup_pairs
+    from duckdb_vss_spark.operators.video import avi_frames, encode_avi_mjpeg
+
+    def frames_of(seed, n=10):
+        return [_photo(seed * 100 + k) for k in range(n)]
+
+    rows = [(i, encode_avi_mjpeg(frames_of(i), quality=85)) for i in range(4)]
+    shifted = frames_of(9)[:2] + frames_of(0)[:8]   # 2 filler frames, then clip 0
+    rows.append((100, encode_avi_mjpeg(shifted, quality=60)))  # harsher re-encode
+    df = spark.createDataFrame(pd.DataFrame({
+        "vid_id": [r[0] for r in rows], "content": [r[1] for r in rows]}))
+    keys = frame_phash(avi_frames(df, "vid_id"), "vid_id")
+    pairs = {(r["id_a"], r["id_b"]): r for r in
+             video_neardup_pairs(keys, "vid_id", min_matches=5).collect()}
+    assert (0, 100) in pairs
+    assert pairs[(0, 100)]["offset"] == -2
+    assert pairs[(0, 100)]["n_matches"] >= 5
+    assert all(p == (0, 100) for p in pairs)
