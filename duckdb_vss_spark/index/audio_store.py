@@ -184,7 +184,11 @@ class AudioFingerprintStore:
         if store is None:
             schema = "id long, store_id long, snapshot string, offset long, n_matches long"
             return self.spark.createDataFrame([], schema)
-        batch = self.key_rows(df, content_col, id_col)
+        from ..operators.dedup import _shared
+
+        # referenced twice (frequency union + join probe side) behind the
+        # WAV decode + fingerprint chain — persist once per match
+        batch = _shared(self.key_rows(df, content_col, id_col))
         freq = (
             batch.select("key")
             .unionByName(store.select("key"))

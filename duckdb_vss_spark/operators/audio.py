@@ -505,10 +505,19 @@ def audio_neardup_pairs(
     one key-bucketed self-join whose per-key fan-out is capped, one
     combinable vote count, one per-pair max. Only longs move.
     """
-    k = keys_df.select(
-        F.col(id_col).alias("__id"),
-        F.col(t_col).cast("long").alias("__t"),
-        F.col(key_col).cast("long").alias("__k"),
+    from .dedup import _shared
+
+    # the key table is referenced THREE times (frequency count + both join
+    # sides) and its upstream is the expensive decode+fingerprint chain —
+    # Spark performs no common-subplan dedup, so without a persist the
+    # whole codec/DSP pipeline runs three times (measured 3x wall on the
+    # bench fixture)
+    k = _shared(
+        keys_df.select(
+            F.col(id_col).alias("__id"),
+            F.col(t_col).cast("long").alias("__t"),
+            F.col(key_col).cast("long").alias("__k"),
+        )
     )
     freq = k.groupBy("__k").agg(F.count(F.lit(1)).alias("__c"))
     k = k.join(freq.filter(F.col("__c") <= max_key_freq).select("__k"), "__k")

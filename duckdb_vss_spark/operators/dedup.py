@@ -533,12 +533,17 @@ def hamming_pairs(
         raise ValueError(f"nbits ({nbits}) must divide into {bands} equal bands")
     width = nbits // bands
     mask = F.lit((1 << width) - 1)
-    h = F.col(hash_col)
-    chunk_arr = F.array(
-        *[F.shiftrightunsigned(h, b * width).bitwiseAND(mask) for b in range(bands)]
-    )
-    banded = df.select(
-        F.col(id_col), h.alias("__h"), F.posexplode(chunk_arr).alias("b", "bucket")
+    # the hash table feeds BOTH join sides; its upstream is often an
+    # expensive per-item kernel (pHash decodes every image) — persist it
+    # once, like simhash_pairs persists its signature table
+    hashes = _shared(df.select(F.col(id_col), F.col(hash_col).alias("__h")))
+    banded = hashes.select(
+        F.col(id_col), F.col("__h"), F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("__h"), b * width).bitwiseAND(mask)
+                for b in range(bands)
+            ])
+        ).alias("b", "bucket")
     )
     a = banded.select("b", "bucket", F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"))
     b2 = banded.select("b", "bucket", F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"))

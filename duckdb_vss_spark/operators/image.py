@@ -199,11 +199,18 @@ def video_neardup_pairs(
     chunk_arr = F.array(
         *[F.shiftrightunsigned(h, b * width).bitwiseAND(mask) for b in range(bands)]
     )
-    banded = keys_df.select(
-        F.col(id_col).alias("__id"),
-        F.col(t_col).cast("long").alias("__t"),
-        h.cast("long").alias("__h"),
-        F.posexplode(chunk_arr).alias("b", "bucket"),
+    from .dedup import _shared
+
+    # referenced THREE times (bucket-size screen + both join sides) and
+    # the upstream is a per-frame pHash over decoded pixels — persist
+    # once or the whole decode+hash chain runs three times
+    banded = _shared(
+        keys_df.select(
+            F.col(id_col).alias("__id"),
+            F.col(t_col).cast("long").alias("__t"),
+            h.cast("long").alias("__h"),
+            F.posexplode(chunk_arr).alias("b", "bucket"),
+        )
     )
     sizes = banded.groupBy("b", "bucket").agg(F.count(F.lit(1)).alias("__n"))
     banded = banded.join(
