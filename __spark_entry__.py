@@ -1765,6 +1765,20 @@ def _m_doc_stats(spark, sf_dir):
         F.col("n_oov").alias("sbx_oov"),
         F.col("avg_logscore").cast("float").alias("sbx_avg_logscore"),
     )
+    # Gopher A1.1 hard-filter rule set (float32-exposed ratios; the
+    # crafted per-rule fixtures live in pytest — this leg pins the
+    # measured signals + the AND on the real corpus cross-engine)
+    from duckdb_vss_spark.operators.quality import gopher_quality_flags
+
+    gq = gopher_quality_flags(docs.select("doc_id", "text"), "text", "doc_id").select(
+        "doc_id",
+        "gq_n_words",
+        F.col("gq_mean_wlen").cast("float").alias("gq_mean_wlen"),
+        F.col("gq_symbol_ratio").cast("float").alias("gq_symbol_ratio"),
+        F.col("gq_alpha_frac").cast("float").alias("gq_alpha_frac"),
+        "gq_stop_hits",
+        "gopher_keep",
+    )
     return (
         _q_text_stats(spark, sf_dir)
         .join(_q_repetition_stats(spark, sf_dir), "doc_id")
@@ -1776,6 +1790,7 @@ def _m_doc_stats(spark, sf_dir):
         .join(sb, "doc_id")
         .join(sbx, "doc_id", "left")
         .fillna({"sbx_oov": -1, "sbx_avg_logscore": -1.0})
+        .join(gq, "doc_id")
         .join(cl, "doc_id")
         .join(ld, "doc_id")
         .join(clf, "doc_id")
@@ -3988,6 +4003,12 @@ def _doc_stats_oracle_sql(O, P) -> str:
         "coalesce(s.avg_logscore::FLOAT, (-1.0)::FLOAT) AS sbx_avg_logscore "
         f"FROM documents d LEFT JOIN ({sbx_inner}) s USING (doc_id)"
     )
+    gq_sql = (
+        "SELECT doc_id, gq_n_words, gq_mean_wlen::FLOAT AS gq_mean_wlen, "
+        "gq_symbol_ratio::FLOAT AS gq_symbol_ratio, "
+        "gq_alpha_frac::FLOAT AS gq_alpha_frac, gq_stop_hits, gopher_keep "
+        f"FROM ({O.sql_gopher_quality('documents', 'text', 'doc_id')})"
+    )
     # Derived multi-line corpus shared by the two line-stage legs (see the
     # Spark twin's docstring): lines from breaking on ' the ', cross-doc
     # duplicates from appending each odd doc to its even predecessor.
@@ -4021,6 +4042,8 @@ def _doc_stats_oracle_sql(O, P) -> str:
         f"       l.n_grams, l.avg_logprob, l.ppl,\n"
         f"       sb.sb_tokens, sb.sb_oov, sb.sb_avg_logscore, sb.sb_ppl,\n"
         f"       sx.sbx_oov, sx.sbx_avg_logscore,\n"
+        f"       gq.gq_n_words, gq.gq_mean_wlen, gq.gq_symbol_ratio,\n"
+        f"       gq.gq_alpha_frac, gq.gq_stop_hits, gq.gopher_keep,\n"
         f"       c.cl_n_lines, c.cl_n_kept, c.clean_hash,\n"
         f"       d.ld_n_lines, d.ld_n_removed, d.linededup_hash,\n"
         f"       {O.sql_classifier_score('a0.text')}::FLOAT AS clf_score,\n"
@@ -4037,6 +4060,7 @@ def _doc_stats_oracle_sql(O, P) -> str:
         f"JOIN ({lm_sql}) l USING (doc_id)\n"
         f"JOIN ({sb_sql}) sb USING (doc_id)\n"
         f"JOIN ({sbx_sql}) sx USING (doc_id)\n"
+        f"JOIN ({gq_sql}) gq USING (doc_id)\n"
         f"JOIN ({cl_sql}) c USING (doc_id)\n"
         f"JOIN ({ld_sql}) d USING (doc_id)\n"
         f"JOIN ({_web_url_oracle_sql(O)}) w USING (doc_id)"

@@ -67,6 +67,7 @@ from .operators.quality import (  # noqa: F401
     classifier_score,
     clean_lines,
     decontaminate,
+    gopher_quality_flags,
     ngram_lm_score,
     pii_stats,
     redact_pii,

@@ -45,6 +45,8 @@ __all__ = [
     "PII_PATTERNS",
     "ngram_lm_score",
     "stupid_backoff_score",
+    "gopher_quality_flags",
+    "GOPHER_STOPWORDS",
     "clean_lines",
     "classifier_score",
     "TERMINAL_PUNCT",
@@ -416,6 +418,116 @@ def ngram_lm_score(
         avg.alias("avg_logprob"),
         F.exp(-avg).alias("ppl"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_BULLET_PREFIXES = ("•", "‣", "▶", "-", "*")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+    Language Models", appendix A1.1) — the published hard filters most
+    pretraining pipelines run verbatim, as per-rule flags plus their AND
+    (flag-don't-drop, like every recipe here):
+
+    1. word count in [50, 100 000];
+    2. mean word length in [3, 10] characters;
+    3. symbol-to-word ratio (``#`` or ``...``) <= 0.1;
+    4. <= 90% of lines start with a bullet ('•', '‣', '▶', '-', '*');
+    5. <= 30% of lines end with an ellipsis ('...' or '…');
+    6. >= 80% of words contain at least one alphabetic character;
+    7. at least 2 distinct Gopher stop words
+       (the/be/to/of/and/that/have/with) present as tokens.
+
+    Output: ``df`` plus the measured signals (``gq_n_words``,
+    ``gq_mean_wlen``, ``gq_symbol_ratio``, ``gq_bullet_frac``,
+    ``gq_ellipsis_frac``, ``gq_alpha_frac``, ``gq_stop_hits``), one
+    boolean per rule (``gq_r1_ok`` .. ``gq_r7_ok``) and ``gopher_keep``.
+
+    Scale shape: one map-only projection — every signal is a JVM
+    higher-order expression over the document's own token/line arrays,
+    zero Exchanges, whole-stage codegen end to end. Byte-exact duckdb
+    twin in ``oracle.sql_gopher_quality``.
+    """
+    t = T.tokens(text_col)
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_words = F.size(t).cast("long")
+    n_lines = F.size(lines)
+    mean_wlen = F.aggregate(
+        t, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    ).cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    # non-overlapping '...' runs count like regexp_extract_all; '#' per char
+    n_hash = F.size(F.split(F.col(text_col), "#", -1)) - 1
+    n_ellipsis = F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    ).cast("double")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(l, 1, 1).isin(*_BULLET_PREFIXES),
+        )
+    ).cast("double") / F.greatest(n_lines, F.lit(1)).cast("double")
+    ell = F.size(
+        F.filter(
+            lines,
+            lambda l: l.endswith("...") | l.endswith("…"),
+        )
+    ).cast("double") / F.greatest(n_lines, F.lit(1)).cast("double")
+    alpha = F.size(
+        F.filter(t, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    # distinct stop words present: one array_intersect — a per-element
+    # array_contains over the stopword list would re-evaluate the whole
+    # tokenize+lower subtree 8 times (the HOF collapse trap the shingle
+    # builders document)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(t, lambda w: F.lower(w)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    out = (
+        df.withColumn("gq_n_words", n_words)
+        .withColumn("gq_mean_wlen", mean_wlen)
+        .withColumn("gq_symbol_ratio", symbol_ratio)
+        .withColumn("gq_bullet_frac", bullet)
+        .withColumn("gq_ellipsis_frac", ell)
+        .withColumn("gq_alpha_frac", alpha)
+        .withColumn("gq_stop_hits", stop_hits)
+    )
+    rules = {
+        "gq_r1_ok": (F.col("gq_n_words") >= min_words)
+        & (F.col("gq_n_words") <= max_words),
+        "gq_r2_ok": (F.col("gq_mean_wlen") >= min_mean_wlen)
+        & (F.col("gq_mean_wlen") <= max_mean_wlen),
+        "gq_r3_ok": F.col("gq_symbol_ratio") <= max_symbol_ratio,
+        "gq_r4_ok": F.col("gq_bullet_frac") <= max_bullet_frac,
+        "gq_r5_ok": F.col("gq_ellipsis_frac") <= max_ellipsis_frac,
+        "gq_r6_ok": F.col("gq_alpha_frac") >= min_alpha_frac,
+        "gq_r7_ok": F.col("gq_stop_hits") >= min_stop_hits,
+    }
+    keep = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        keep = keep & F.col(name)
+    return out.withColumn("gopher_keep", keep)
 
 
 def stupid_backoff_score(

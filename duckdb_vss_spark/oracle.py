@@ -698,3 +698,54 @@ def sql_remove_duplicated_spans(
                  i -> len(list_filter(ps, p -> i >= p AND i < p + {k})) = 0)))::BIGINT AS n_removed_tokens
         FROM j
     """
+
+
+def sql_gopher_quality(table: str, text_col: str, id_col: str) -> str:
+    """Twin of operators.quality.gopher_quality_flags (default
+    thresholds): the Rae et al. 2021 A1.1 rule signals and flags, built
+    from the same tokenizer and line-splitting semantics."""
+    from .operators.quality import GOPHER_STOPWORDS as _GS
+
+    toks = sql_tokens(text_col)
+    stops = ", ".join(f"'{s}'" for s in _GS)
+    return f"""
+        SELECT {id_col},
+               n_words AS gq_n_words,
+               mean_wlen AS gq_mean_wlen,
+               symbol_ratio AS gq_symbol_ratio,
+               bullet_frac AS gq_bullet_frac,
+               ellipsis_frac AS gq_ellipsis_frac,
+               alpha_frac AS gq_alpha_frac,
+               stop_hits AS gq_stop_hits,
+               (n_words BETWEEN 50 AND 100000)
+                 AND (mean_wlen BETWEEN 3.0 AND 10.0)
+                 AND (symbol_ratio <= 0.1)
+                 AND (bullet_frac <= 0.9)
+                 AND (ellipsis_frac <= 0.3)
+                 AND (alpha_frac >= 0.8)
+                 AND (stop_hits >= 2) AS gopher_keep
+        FROM (
+          SELECT {id_col},
+                 len(toks)::BIGINT AS n_words,
+                 list_sum(list_transform(toks, w -> strlen(w)))::DOUBLE
+                   / greatest(len(toks), 1)::DOUBLE AS mean_wlen,
+                 ((len(string_split({text_col}, '#')) - 1)
+                  + (len(string_split({text_col}, '...')) - 1))::DOUBLE
+                   / greatest(len(toks), 1)::DOUBLE AS symbol_ratio,
+                 len(list_filter(lines, l -> substr(l, 1, 1) IN
+                     ('•', '‣', '▶', '-', '*')))::DOUBLE
+                   / greatest(len(lines), 1)::DOUBLE AS bullet_frac,
+                 len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))::DOUBLE
+                   / greatest(len(lines), 1)::DOUBLE AS ellipsis_frac,
+                 len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                   / greatest(len(toks), 1)::DOUBLE AS alpha_frac,
+                 len(list_intersect(list_transform(toks, w -> lower(w)),
+                     [{stops}]))::BIGINT AS stop_hits
+          FROM (
+            SELECT {id_col}, {text_col}, {toks} AS toks,
+                   list_filter(list_transform(string_split({text_col}, chr(10)),
+                                              l -> trim(l)), x -> x <> '') AS lines
+            FROM {table}
+          )
+        )
+    """

@@ -564,3 +564,61 @@ def test_semantic_decontaminate(spark, ddb):
     b2 = spark.createDataFrame([(9, [1.0, 0.0])], "vec_id long, embedding array<float>")
     rows = semantic_decontaminate(withnull, "embedding", "vec_id", b2, threshold=0.5).collect()
     assert [r["vec_id"] for r in rows] == [1] and rows[0]["contaminated"]
+
+
+# -- Gopher quality rules ------------------------------------------------------
+
+
+def test_gopher_quality_flags_crafted(spark):
+    """Each rule tripped by a purpose-built doc; a long clean doc passes."""
+    from duckdb_vss_spark import gopher_quality_flags
+
+    clean = ("the quick brown fox likes to be seen jumping over lazy dogs "
+             "and that is a fact we have established with care ") * 3
+    docs = spark.createDataFrame(
+        [
+            (1, clean),                                             # passes all
+            (2, "short doc with the and of"),                       # r1: < 50 words
+            (3, "a " * 60 + "the of"),                              # r2: mean wlen < 3
+            (4, ("the of " * 30) + "# " * 20),                      # r3: symbols
+            (5, "\n".join("- bullet the of line item number " + str(i) for i in range(10)) * 2),  # r4
+            (6, "\n".join("the line of text trails off..." for _ in range(10)) * 2),  # r5
+            (7, ("12345 " * 60) + "the of"),                        # r6: alpha frac
+            (8, ("zebra quagga lion tiger puma jaguar " * 12)),     # r7: no stop words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs, "text", "doc_id").collect()}
+    assert out[1]["gopher_keep"], out[1]
+    assert not out[2]["gq_r1_ok"]
+    assert not out[3]["gq_r2_ok"]
+    assert not out[4]["gq_r3_ok"]
+    assert not out[5]["gq_r4_ok"] and out[5]["gq_bullet_frac"] == 1.0
+    assert not out[6]["gq_r5_ok"] and out[6]["gq_ellipsis_frac"] == 1.0
+    assert not out[7]["gq_r6_ok"]
+    assert not out[8]["gq_r7_ok"] and out[8]["gq_stop_hits"] == 0
+    for i in range(2, 9):
+        assert not out[i]["gopher_keep"], i
+
+
+def test_gopher_quality_matches_duckdb_sf001(spark, ddb):
+    import struct
+
+    from duckdb_vss_spark import gopher_quality_flags
+    from duckdb_vss_spark.oracle import sql_gopher_quality
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["gq_n_words", "gq_mean_wlen", "gq_symbol_ratio", "gq_bullet_frac",
+            "gq_ellipsis_frac", "gq_alpha_frac", "gq_stop_hits", "gopher_keep"]
+    got = {
+        r["doc_id"]: tuple(f32(v) if isinstance(v, float) else v for v in (r[c] for c in cols))
+        for r in gopher_quality_flags(df, "text", "doc_id").select("doc_id", *cols).collect()
+    }
+    want = {
+        row[0]: tuple(f32(v) if isinstance(v, float) else v for v in row[1:])
+        for row in ddb.execute(sql_gopher_quality("documents", "text", "doc_id")).fetchall()
+    }
+    assert got == want
