@@ -318,3 +318,30 @@ def test_audio_embedding_feeds_vector_stack(spark, clips):
     top = topk(emb.filter(F.col("clip_id") != 99), "embedding", q, 1, "cosine",
                tiebreak="clip_id").collect()
     assert top[0]["clip_id"] == 0
+
+
+# -- property tests (hypothesis) ----------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    r1=st.sampled_from([4000, 8000, 16000, 22050, 44100]),
+    r2=st.sampled_from([4000, 8000, 16000, 22050, 44100]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_resample_length_and_range_property(n, r1, r2, seed, spark):
+    """Output length is always ceil(n*r2/r1); samples stay within the
+    input's range (linear interpolation cannot overshoot)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    x = (rng.uniform(-1, 1, size=n)).astype(np.float32)
+    df = spark.createDataFrame(pd.DataFrame({"clip_id": [1], "samples": [x]}))
+    r = resample_audio(df, "clip_id", r1, r2).collect()[0]
+    assert r["n_samples"] == -(-n * r2 // r1)
+    got = np.asarray(r["samples"], dtype=np.float64)
+    assert got.min() >= x.min() - 1e-6 and got.max() <= x.max() + 1e-6

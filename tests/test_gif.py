@@ -250,3 +250,35 @@ def test_gif_feeds_transcode_thumbnailing(spark):
         "doc_id",
     ).collect()[0]
     assert (dec["width"], dec["height"]) == (8, 8)
+
+
+# -- property tests (hypothesis) ----------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    mcs=st.integers(min_value=2, max_value=8),
+    data=st.lists(st.integers(min_value=0, max_value=255), min_size=0, max_size=3000),
+)
+def test_lzw_roundtrip_property(mcs, data):
+    """Any symbol stream within the alphabet round-trips — including empty
+    streams, single symbols, and streams long enough to grow code width."""
+    idx = np.asarray([d % (1 << mcs) for d in data], dtype=np.int32)
+    got = _lzw_decompress(_lzw_compress(idx, mcs), mcs)
+    assert np.array_equal(got, idx)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    ncol=st.integers(min_value=2, max_value=16),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_gif_roundtrip_property(h, w, ncol, interlace, seed):
+    img = _pal_img(h, w, ncol, seed=seed)
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=interlace)), img)
