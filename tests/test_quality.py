@@ -622,3 +622,15 @@ def test_gopher_quality_matches_duckdb_sf001(spark, ddb):
         for row in ddb.execute(sql_gopher_quality("documents", "text", "doc_id")).fetchall()
     }
     assert got == want
+
+
+def test_gopher_quality_plan_is_map_only(spark):
+    """Every Gopher signal is document-local: the operator must stay one
+    map-only codegen projection — no Exchange, no aggregate, no Python."""
+    from duckdb_vss_spark import gopher_quality_flags
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    par = spark.sparkContext.defaultParallelism
+    plan = _physical(gopher_quality_flags(docs.repartition(par), "text", "doc_id"))
+    assert plan.count("Exchange") == 1, plan  # only the test's repartition
+    assert "HashAggregate" not in plan and "EvalPython" not in plan
