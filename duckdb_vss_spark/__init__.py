@@ -90,6 +90,7 @@ from .operators.audio import (  # noqa: F401
     fingerprint_keys,
     landmark_fingerprint,
     resample_audio,
+    split_on_silence,
 )
 from .pipelines import (  # noqa: F401
     audio_curate,

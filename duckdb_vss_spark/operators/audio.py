@@ -65,6 +65,7 @@ __all__ = [
     "audio_features",
     "audio_embedding",
     "resample_audio",
+    "split_on_silence",
     "block_fingerprint",
     "fingerprint_keys",
     "landmark_fingerprint",
@@ -396,6 +397,94 @@ def landmark_fingerprint(
 
     return _fan_out(df.select(id_col, samples_col)).mapInPandas(
         gen, schema=f"{id_col} {id_t}, t bigint, key bigint"
+    )
+
+
+def split_on_silence(
+    df: DataFrame,
+    id_col: str,
+    samples_col: str = "samples",
+    frame: int = 256,
+    threshold: float = 0.01,
+    min_silence_frames: int = 4,
+    min_segment_frames: int = 2,
+) -> DataFrame:
+    """Segment clips on silence — the ASR-pipeline prep stage (utterance
+    splitting before transcription/alignment): a frame is silent when its
+    RMS is below ``threshold`` (normalized [-1,1) amplitude); a run of
+    ``min_silence_frames`` silent frames ends a segment; segments shorter
+    than ``min_segment_frames`` voiced frames are dropped as clicks.
+
+    Output: one row per segment —
+    ``(id, seg_idx INT, start_sample LONG, end_sample LONG (exclusive),
+    n_samples LONG, samples ARRAY<FLOAT>)`` with boundaries on the frame
+    grid. A clip that is all silence emits no rows; a clip with no
+    silence emits itself as segment 0. Map-only explode; clips never
+    leave the executor; each segment row feeds every other audio op
+    (features, fingerprints, embedding) unchanged.
+    """
+    if frame <= 0:
+        raise ValueError("frame must be positive")
+    from .dedup import _fan_out
+
+    id_t = dict(df.dtypes)[id_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, segi, starts, ends, ns, samp = [], [], [], [], [], []
+            for i, s in zip(pdf[id_col], pdf[samples_col]):
+                x = np.asarray(s, dtype=np.float64)
+                nf = len(x) // frame
+                if nf == 0:
+                    continue
+                rms = np.sqrt((x[: nf * frame].reshape(nf, frame) ** 2).mean(axis=1))
+                voiced = rms >= threshold
+                # segment = maximal voiced run, where short silence gaps
+                # (< min_silence_frames) do NOT split
+                segs = []
+                start = None
+                gap = 0
+                for f in range(nf):
+                    if voiced[f]:
+                        if start is None:
+                            start = f
+                        gap = 0
+                    elif start is not None:
+                        gap += 1
+                        if gap >= min_silence_frames:
+                            segs.append((start, f - gap + 1))
+                            start = None
+                            gap = 0
+                if start is not None:
+                    end = nf
+                    while end > start and not voiced[end - 1]:
+                        end -= 1
+                    segs.append((start, end))
+                k = 0
+                for f0, f1 in segs:
+                    if f1 - f0 < min_segment_frames:
+                        continue
+                    a, b = f0 * frame, f1 * frame
+                    ids.append(i)
+                    segi.append(k)
+                    starts.append(a)
+                    ends.append(b)
+                    ns.append(b - a)
+                    samp.append(x[a:b].astype(np.float32))
+                    k += 1
+            yield pd.DataFrame({
+                id_col: ids, "seg_idx": segi, "start_sample": starts,
+                "end_sample": ends, "n_samples": ns, "samples": samp,
+            })
+
+    return _fan_out(df.select(id_col, samples_col)).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_t}, seg_idx int, start_sample bigint, "
+            "end_sample bigint, n_samples bigint, samples array<float>"
+        ),
     )
 
 

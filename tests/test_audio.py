@@ -345,3 +345,50 @@ def test_resample_length_and_range_property(n, r1, r2, seed, spark):
     assert r["n_samples"] == -(-n * r2 // r1)
     got = np.asarray(r["samples"], dtype=np.float64)
     assert got.min() >= x.min() - 1e-6 and got.max() <= x.max() + 1e-6
+
+
+def test_split_on_silence_hand_built(spark):
+    """Clip = [tone 4f][silence 6f][tone 3f][1f gap][tone 2f][silence 5f]:
+    the 1-frame gap does NOT split (min_silence_frames=4), trailing
+    silence is trimmed, boundaries land on the frame grid."""
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.audio import split_on_silence
+
+    F_ = 256
+    tone = (0.3 * np.sin(2 * np.pi * 0.05 * np.arange(F_))).astype(np.float64)
+    sil = np.zeros(F_)
+    parts = [tone] * 4 + [sil] * 6 + [tone] * 3 + [sil] + [tone] * 2 + [sil] * 5
+    x = np.concatenate(parts).astype(np.float32)
+    df = spark.createDataFrame(pd.DataFrame({"clip_id": [1], "samples": [x]}))
+    rows = sorted(
+        (r["seg_idx"], r["start_sample"], r["end_sample"]) for r in
+        split_on_silence(df, "clip_id", frame=F_).collect()
+    )
+    # seg 0: frames 0-3; seg 1: frames 10-15 (the 1-frame gap bridged)
+    assert rows == [(0, 0, 4 * F_), (1, 10 * F_, 16 * F_)]
+
+
+def test_split_on_silence_edge_cases(spark):
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.audio import split_on_silence
+
+    F_ = 128
+    tone = (0.5 * np.sin(2 * np.pi * 0.1 * np.arange(F_ * 6))).astype(np.float32)
+    silent = np.zeros(F_ * 8, dtype=np.float32)
+    df = spark.createDataFrame(pd.DataFrame({
+        "clip_id": [1, 2], "samples": [tone, silent]}))
+    out = split_on_silence(df, "clip_id", frame=F_).collect()
+    segs = {r["clip_id"]: r for r in out}
+    assert 2 not in segs                       # all-silence: no rows
+    assert segs[1]["seg_idx"] == 0             # no silence: whole clip
+    assert segs[1]["start_sample"] == 0 and segs[1]["end_sample"] == F_ * 6
+    got = np.asarray(segs[1]["samples"], dtype=np.float32)
+    assert np.array_equal(got, tone)
+    # segments feed the other audio ops unchanged
+    from duckdb_vss_spark.operators.audio import audio_features
+
+    seg_rows = split_on_silence(df, "clip_id", frame=F_)
+    feats = audio_features(seg_rows, "clip_id", rate_col=None).collect()
+    assert len(feats) == 1 and feats[0]["n_samples"] == F_ * 6
