@@ -79,6 +79,7 @@ class AudioFingerprintStore:
             "key_frames": int(key_frames),
             "snapshots": [],
             "n_clips": 0,
+            "next_snap_id": 0,
         }
         fs.write_json(spark, fs.join(root, _MANIFEST), manifest)
         return cls(spark, root, manifest)
@@ -145,7 +146,7 @@ class AudioFingerprintStore:
         bucket; manifest overwrite is the atomic commit point."""
         if any(s["name"] == snapshot for s in self.manifest["snapshots"]):
             raise ValueError(f"snapshot {snapshot!r} already in store")
-        dirname = f"snap-{len(self.manifest['snapshots']):06d}"
+        dirname = fs.alloc_snap_dir(self.spark, self.root, self.manifest)
         out = fs.join(self.root, dirname)
         rows = self.key_rows(df, content_col, id_col).withColumn(
             "snapshot", F.lit(snapshot)
@@ -182,7 +183,14 @@ class AudioFingerprintStore:
         across history is dropped even if rare in this batch."""
         store = self._store_df()
         if store is None:
-            schema = "id long, store_id long, snapshot string, offset long, n_matches long"
+            # empty-store schema must track the caller's id dtype (string
+            # clip ids would otherwise change schema between the empty and
+            # non-empty paths and force implicit casts in flag_batch joins)
+            id_t = dict(df.dtypes)[id_col]
+            schema = (
+                f"id {id_t}, store_id {id_t}, snapshot string, "
+                "offset long, n_matches long"
+            )
             return self.spark.createDataFrame([], schema)
         from ..operators.dedup import _shared
 

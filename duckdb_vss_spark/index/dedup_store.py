@@ -82,6 +82,7 @@ class MinHashStore:
             "bands": int(bands),
             "snapshots": [],
             "n_docs": 0,
+            "next_snap_id": 0,
         }
         fs.write_json(spark, fs.join(root, _MANIFEST), manifest)
         return cls(spark, root, manifest)
@@ -160,7 +161,7 @@ class MinHashStore:
         manifest entry."""
         if any(s["name"] == snapshot for s in self.manifest["snapshots"]):
             raise ValueError(f"snapshot {snapshot!r} already in store")
-        dirname = f"snap-{len(self.manifest['snapshots']):06d}"
+        dirname = fs.alloc_snap_dir(self.spark, self.root, self.manifest)
         out = fs.join(self.root, dirname)
         rows = self.band_rows(df, text_col, id_col).withColumn(
             "snapshot", F.lit(snapshot)
@@ -208,7 +209,10 @@ class MinHashStore:
         """
         store = self._store_df()
         if store is None:
-            schema = "id long, store_id long, snapshot string, est_jaccard double"
+            # track the caller's id dtype so empty- and non-empty-store
+            # paths return the same schema (string doc ids included)
+            id_t = dict(df.dtypes)[id_col]
+            schema = f"id {id_t}, store_id {id_t}, snapshot string, est_jaccard double"
             return self.spark.createDataFrame([], schema)
         batch = self.band_rows(df, text_col, id_col)
         num_perm = self.manifest["num_perm"]

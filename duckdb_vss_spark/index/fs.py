@@ -28,6 +28,7 @@ __all__ = [
     "delete",
     "rename",
     "listdir",
+    "alloc_snap_dir",
     "read_bytes",
     "write_bytes",
     "read_json",
@@ -75,6 +76,35 @@ def listdir(spark: SparkSession, path: str) -> list[str]:
     if not fs.exists(p):
         return []
     return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def alloc_snap_dir(spark: SparkSession, root: str, manifest: dict) -> str:
+    """Allocate the next ``snap-NNNNNN`` directory name for a versioned
+    snapshot store and bump the manifest's in-memory ``next_snap_id``
+    counter (persisted by the caller's commit write).
+
+    Dir names must NEVER be reused: deriving them from
+    ``len(manifest['snapshots'])`` breaks after ``drop_snapshot`` — the
+    next append re-derives a LIVE snapshot's directory and
+    ``mode='overwrite'`` destroys its data. A monotonic counter persisted
+    in the manifest makes reuse impossible. Legacy manifests without the
+    counter are migrated by scanning EVERY ``snap-*`` dir on disk
+    (orphans included, so a dropped-but-unvacuumed dir is not overwritten
+    under a reader still holding the old manifest).
+    """
+    nid = manifest.get("next_snap_id")
+    if nid is None:
+        idxs = [-1]
+        for name in listdir(spark, root):
+            base = name.rstrip("/").split("/")[-1]
+            if base.startswith("snap-"):
+                try:
+                    idxs.append(int(base[5:]))
+                except ValueError:
+                    pass
+        nid = max(idxs) + 1
+    manifest["next_snap_id"] = nid + 1
+    return f"snap-{nid:06d}"
 
 
 def read_bytes(spark: SparkSession, path: str) -> bytes:

@@ -464,7 +464,11 @@ def split_on_silence(
                     segs.append((start, end))
                 k = 0
                 for f0, f1 in segs:
-                    if f1 - f0 < min_segment_frames:
+                    # the threshold counts VOICED frames (per the contract
+                    # above), not the segment span: a click-gap-click span
+                    # whose sub-threshold silence bridges must still have
+                    # min_segment_frames of actual signal to survive
+                    if int(voiced[f0:f1].sum()) < min_segment_frames:
                         continue
                     a, b = f0 * frame, f1 * frame
                     ids.append(i)
@@ -474,6 +478,11 @@ def split_on_silence(
                     ns.append(b - a)
                     samp.append(x[a:b].astype(np.float32))
                     k += 1
+            if not ids:
+                # a batch whose every clip produced zero segments must not
+                # yield: pandas gives the empty `samples` column dtype
+                # float64 and Arrow cannot cast that to array<float>
+                continue
             yield pd.DataFrame({
                 id_col: ids, "seg_idx": segi, "start_sample": starts,
                 "end_sample": ends, "n_samples": ns, "samples": samp,

@@ -511,12 +511,13 @@ def hamming_pairs(
     max_hamming: int = 10,
     bands: int = 16,
     nbits: int = 64,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """Generic exact Hamming-distance pair join over any integer hash
-    column (perceptual image hashes, audio hashes, simhash-like text
+    """Generic Hamming-distance pair join over any integer hash column
+    (perceptual image hashes, audio hashes, simhash-like text
     signatures): all pairs with ``bit_count(a XOR b) <= max_hamming``.
 
-    Exactness by pigeonhole, as in :func:`simhash_pairs`: an ``nbits``
+    Completeness by pigeonhole, as in :func:`simhash_pairs`: an ``nbits``
     hash split into ``bands`` equal chunks — any pair within Hamming
     distance < bands agrees on >= 1 chunk, so the chunk-bucket self-join
     finds ALL such pairs and the final bit_count filter is exact
@@ -524,6 +525,18 @@ def hamming_pairs(
     band explode, so hamming computes inside the join — no verify join
     afterwards. A pair agreeing on several chunks is kept only at its
     FIRST agreeing band, decided in codegen (no global distinct).
+
+    ``max_bucket`` caps the per-(band, bucket) population BEFORE the
+    self-join — the same stop-key discipline as
+    :func:`~.image.video_neardup_pairs` / the audio ``max_key_freq``: a
+    real image corpus is full of boilerplate (logos, spacer GIFs, test
+    cards) whose hashes collide into one bucket and turn the band join
+    quadratic. EXACT-BELOW-CAP contract (same as the video path's): the
+    result equals the brute force whenever no (band, bucket) exceeds the
+    cap; when a bucket IS hot (> ``max_bucket`` rows sharing one chunk
+    value — near-identical boilerplate), pairs whose first-agreeing
+    chunk lands in it are dropped. Pass ``max_bucket=None`` for
+    unconditional exactness (accepting the quadratic worst case).
 
     Output: ``(id_a, id_b, hamming INT)`` with ``id_a < id_b``.
     """
@@ -545,6 +558,12 @@ def hamming_pairs(
             ])
         ).alias("b", "bucket")
     )
+    if max_bucket is not None:
+        sizes = banded.groupBy("b", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+        banded = banded.join(
+            sizes.filter(F.col("__n") <= max_bucket).select("b", "bucket"),
+            ["b", "bucket"],
+        )
     a = banded.select("b", "bucket", F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"))
     b2 = banded.select("b", "bucket", F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"))
 

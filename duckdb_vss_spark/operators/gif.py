@@ -181,6 +181,11 @@ def encode_gif(
     for f in frames:
         if f.shape != (h, w, 3):
             raise ValueError("all frames must share the same HxWx3 shape")
+    if delays_cs is not None and len(delays_cs) != len(frames):
+        raise ValueError(
+            f"delays_cs has {len(delays_cs)} entries for {len(frames)} frames; "
+            "provide exactly one centisecond delay per frame"
+        )
     pal, colors = _build_palette(frames)
     n_colors = max(2, len(colors))
     pal_bits = max(1, (n_colors - 1).bit_length())

@@ -52,6 +52,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _fan_out
+
 __all__ = [
     "MEDIA_KINDS",
     "pack_header",
@@ -224,7 +226,7 @@ def decode_media_meta(df: DataFrame, id_col: str, content_col: str = "content") 
                 rows["n_bytes"].append(len(blob))
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, content_col).mapInPandas(
+    return _fan_out(df.select(id_col, content_col)).mapInPandas(
         gen,
         schema=(
             f"{id_col} {id_t}, media_type string, width int, height int, "
@@ -574,7 +576,7 @@ def decode_image(df: DataFrame, id_col: str, content_col: str = "content") -> Da
                 {id_col: ids, "width": ws, "height": hs, "channels": cs, "pixels": px}
             )
 
-    return df.select(id_col, content_col).mapInPandas(
+    return _fan_out(df.select(id_col, content_col)).mapInPandas(
         gen,
         schema=f"{id_col} {id_t}, width int, height int, channels int, pixels array<float>",
     )
@@ -632,7 +634,7 @@ def decode_audio(df: DataFrame, id_col: str, content_col: str = "content") -> Da
                 {id_col: ids, "sample_rate": srs, "n_channels": chs, "n_samples": ns, "samples": smp}
             )
 
-    return df.select(id_col, content_col).mapInPandas(
+    return _fan_out(df.select(id_col, content_col)).mapInPandas(
         gen,
         schema=(
             f"{id_col} {id_t}, sample_rate bigint, n_channels int, "
@@ -699,7 +701,7 @@ def resize_image(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(
+    return _fan_out(df.select(id_col, content_col)).mapInPandas(
         gen,
         schema=f"{id_col} {id_t}, width int, height int, channels int, pixels array<float>",
     )
@@ -725,7 +727,7 @@ def byte_histogram_features(df: DataFrame, id_col: str, content_col: str = "cont
                 feats.append((hist / total if total > 0 else hist).astype(np.float32))
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
-    return df.select(id_col, content_col).mapInPandas(
+    return _fan_out(df.select(id_col, content_col)).mapInPandas(
         gen, schema=f"{id_col} {id_t}, features array<float>"
     )
 
@@ -754,7 +756,7 @@ def frame_sample(df: DataFrame, id_col: str, content_col: str = "content", every
                     frames.append(payload[fi * flen : (fi + 1) * flen])
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
-    return df.select(id_col, content_col).mapInPandas(
+    return _fan_out(df.select(id_col, content_col)).mapInPandas(
         gen, schema=f"{id_col} {id_t}, frame_idx int, frame binary"
     )
 
@@ -798,7 +800,7 @@ def gif_frames(
                  "width": ws, "height": hs, "pixels": px}
             )
 
-    return df.select(id_col, content_col).mapInPandas(
+    return _fan_out(df.select(id_col, content_col)).mapInPandas(
         gen,
         schema=(
             f"{id_col} {id_t}, frame_idx int, delay_cs int, width int, "
@@ -831,7 +833,7 @@ def resize_media(df: DataFrame, id_col: str, new_width: int, new_height: int, co
                 blobs.append(pack_header(kind, new_width, new_height, nf, sr) + payload)
             yield pd.DataFrame({id_col: ids, "content": blobs})
 
-    return df.select(id_col, content_col).mapInPandas(
+    return _fan_out(df.select(id_col, content_col)).mapInPandas(
         gen, schema=f"{id_col} {id_t}, content binary"
     )
 
@@ -900,7 +902,7 @@ def transcode_images(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(
+    return _fan_out(df.select(id_col, content_col)).mapInPandas(
         gen,
         schema=(
             f"{id_col} {id_t}, content binary, width int, height int, "

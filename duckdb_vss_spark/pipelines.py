@@ -222,7 +222,15 @@ def audio_curate(
     from .operators.graph import dedup_clusters
     from .operators.multimodal import decode_audio
 
-    dec = decode_audio(clips.select(id_col, content_col), id_col)
+    from .broadcasts import tracked_persist
+
+    # `dec` (the per-clip WAV decode) is referenced 4-5 times downstream
+    # (features, clip_frac, sample_rate join, block_fingerprint, plus the
+    # distinct-rates collect) — without a persist the codec kernel re-runs
+    # once per reference (~3x wall clock, the repo's measured
+    # multiply-referenced-frame cost). Registered in the bounded
+    # tracked-persist LRU ring; release_caches() frees it eagerly.
+    dec = tracked_persist(decode_audio(clips.select(id_col, content_col), id_col))
     if target_rate is not None:
         # decode emits per-clip rates; the recipe requires ONE rate, so a
         # mixed corpus must state it — resample per the clip's own rate
@@ -236,7 +244,8 @@ def audio_curate(
         frames = parts[0]
         for p in parts[1:]:
             frames = frames.unionByName(p)
-        dec = frames
+        # the resampled union replaces `dec` as the 4x-referenced frame
+        dec = tracked_persist(frames)
     feats = audio_features(dec, id_col)
     # clipping fraction needs the samples; compute it JVM-side from the
     # decoded array (|s| >= 32766/32768 counts as clipped)

@@ -392,3 +392,28 @@ def test_split_on_silence_edge_cases(spark):
     seg_rows = split_on_silence(df, "clip_id", frame=F_)
     feats = audio_features(seg_rows, "clip_id", rate_col=None).collect()
     assert len(feats) == 1 and feats[0]["n_samples"] == F_ * 6
+
+
+def test_split_on_silence_counts_voiced_frames(spark):
+    """min_segment_frames counts VOICED frames, not the segment span: a
+    click + bridged 2-frame gap + click span (4 total frames, 2 voiced)
+    must NOT pass min_segment_frames=3 (ADVICE r9, low)."""
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.audio import split_on_silence
+
+    F_ = 128
+    tone = (0.4 * np.sin(2 * np.pi * 0.1 * np.arange(F_))).astype(np.float64)
+    sil = np.zeros(F_)
+    # [tone][sil sil][tone] -> one bridged segment spanning 4 frames but
+    # only 2 voiced, then enough trailing silence to close it
+    x = np.concatenate([tone, sil, sil, tone] + [sil] * 5).astype(np.float32)
+    df = spark.createDataFrame(pd.DataFrame({"clip_id": [1], "samples": [x]}))
+    assert split_on_silence(
+        df, "clip_id", frame=F_, min_silence_frames=4, min_segment_frames=3
+    ).count() == 0
+    # 2 voiced frames meets min_segment_frames=2
+    out = split_on_silence(
+        df, "clip_id", frame=F_, min_silence_frames=4, min_segment_frames=2
+    ).collect()
+    assert [(r["start_sample"], r["end_sample"]) for r in out] == [(0, 4 * F_)]

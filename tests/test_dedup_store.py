@@ -259,3 +259,101 @@ def test_audio_store_incremental_loop_via_audio_curate(spark, tmp_path):
     assert out1[200]["dup_of_store"] and not out1[200]["audio_keep"]
     assert not out1[201]["dup_of_store"] and out1[201]["audio_keep"]
     assert st.info()["snapshots"][-1]["n_clips"] == 1  # only the fresh clip committed
+
+
+# --------------------------------------------------- snapshot dir allocation
+
+
+def test_drop_then_append_never_reuses_dir(spark, store_root):
+    """Dir names come from a persisted monotonic counter, NOT the snapshot
+    count: after drop(s1) the next append must get a FRESH dir, or
+    mode='overwrite' destroys a LIVE snapshot's data (ADVICE r9, high)."""
+    st = MinHashStore.create(spark, store_root)
+    st.append_snapshot(_mk(spark, [(1, BASE[0][1])]), "text", "doc_id", "s1")
+    st.append_snapshot(_mk(spark, [(2, BASE[1][1])]), "text", "doc_id", "s2")
+    st.drop_snapshot("s1")
+    st.append_snapshot(_mk(spark, [(3, BASE[2][1])]), "text", "doc_id", "s3")
+    dirs = [s["dir"] for s in st.info()["snapshots"]]
+    assert dirs == ["snap-000001", "snap-000002"]  # s2 untouched, s3 fresh
+    # s2's fingerprint rows survived: doc 2's text still matches from s2
+    m = st.match_against(_mk(spark, [(90, BASE[1][1])]), "text", "doc_id")
+    assert {(r["store_id"], r["snapshot"]) for r in m.collect()} == {(2, "s2")}
+    # the drop-then-append pattern holds across a reopen too
+    st2 = MinHashStore.open(spark, store_root)
+    st2.drop_snapshot("s2")
+    st2.append_snapshot(_mk(spark, [(4, BASE[0][1])]), "text", "doc_id", "s4")
+    assert [s["dir"] for s in st2.info()["snapshots"]] == [
+        "snap-000002", "snap-000003"
+    ]
+    assert sorted(st2.vacuum()) == ["snap-000000", "snap-000001"]
+
+
+def test_legacy_manifest_without_counter_migrates_from_disk(spark, store_root):
+    """A pre-counter manifest allocates 1 + max snap-* index ON DISK
+    (orphans included), so neither a live dir nor a vacuum-pending orphan
+    is ever overwritten."""
+    from duckdb_vss_spark.index import fs
+
+    st = MinHashStore.create(spark, store_root)
+    st.append_snapshot(_mk(spark, [(1, BASE[0][1])]), "text", "doc_id", "s1")
+    st.append_snapshot(_mk(spark, [(2, BASE[1][1])]), "text", "doc_id", "s2")
+    st.drop_snapshot("s1")  # snap-000000 is now an on-disk orphan
+    # simulate a legacy store: strip the counter and rewrite the manifest
+    del st.manifest["next_snap_id"]
+    fs.write_json(spark, fs.join(store_root, "manifest.json"), st.manifest)
+    st3 = MinHashStore.open(spark, store_root)
+    assert "next_snap_id" not in st3.manifest
+    st3.append_snapshot(_mk(spark, [(3, BASE[2][1])]), "text", "doc_id", "s3")
+    assert st3.info()["snapshots"][-1]["dir"] == "snap-000002"
+    assert st3.info()["next_snap_id"] == 3
+
+
+def test_audio_store_drop_then_append_never_reuses_dir(spark, tmp_path):
+    from duckdb_vss_spark.index.audio_store import AudioFingerprintStore
+
+    st = AudioFingerprintStore.create(spark, str(tmp_path / "astore3"))
+    st.append_snapshot(_awavs(spark, [(1, _aclip(1))]), "content", "clip_id", "s1")
+    st.append_snapshot(_awavs(spark, [(2, _aclip(2))]), "content", "clip_id", "s2")
+    st.drop_snapshot("s1")
+    st.append_snapshot(_awavs(spark, [(3, _aclip(3))]), "content", "clip_id", "s3")
+    assert [s["dir"] for s in st.info()["snapshots"]] == [
+        "snap-000001", "snap-000002"
+    ]
+    # s2's fingerprints intact: an exact copy of clip 2 still matches s2
+    m = st.match_against(
+        _awavs(spark, [(90, _aclip(2))]), "content", "clip_id", min_matches=5
+    )
+    assert {(r["store_id"], r["snapshot"]) for r in m.collect()} == {(2, "s2")}
+    assert st.info()["n_clips"] == 2
+
+
+def test_empty_store_schema_tracks_string_ids(spark, store_root, tmp_path):
+    """match_against on an EMPTY store must return the caller's id dtype
+    (string ids would otherwise flip schema between the empty and
+    non-empty paths — ADVICE r9, low)."""
+    import pandas as pd
+
+    from duckdb_vss_spark.index.audio_store import AudioFingerprintStore
+    from duckdb_vss_spark.operators import multimodal as M
+
+    st = MinHashStore.create(spark, store_root)
+    sdocs = spark.createDataFrame(
+        [("u-1", BASE[0][1])], "doc_id: string, text: string"
+    )
+    empty = st.match_against(sdocs, "text", "doc_id")
+    assert dict(empty.dtypes)["id"] == "string"
+    assert dict(empty.dtypes)["store_id"] == "string"
+    assert empty.count() == 0
+    # flag_batch joins without implicit casts on either path
+    assert st.flag_batch(sdocs, "text", "doc_id").collect()[0]["dup_of_store"] is False
+
+    ast = AudioFingerprintStore.create(spark, str(tmp_path / "astore4"))
+    sclips = spark.createDataFrame(pd.DataFrame({
+        "clip_id": ["c-1"], "content": [M.encode_wav(_aclip(1), 8000)],
+    }))
+    aempty = ast.match_against(sclips, "content", "clip_id")
+    assert dict(aempty.dtypes)["id"] == "string"
+    assert dict(aempty.dtypes)["store_id"] == "string"
+    assert ast.flag_batch(sclips, "content", "clip_id").collect()[0][
+        "dup_of_store"
+    ] is False

@@ -282,3 +282,13 @@ def test_lzw_roundtrip_property(mcs, data):
 def test_gif_roundtrip_property(h, w, ncol, interlace, seed):
     img = _pal_img(h, w, ncol, seed=seed)
     assert np.array_equal(decode_gif(encode_gif(img, interlace=interlace)), img)
+
+
+def test_gif_delays_length_must_match_frames():
+    from duckdb_vss_spark.operators.gif import encode_gif
+
+    frames = [np.full((2, 2, 3), c, dtype=np.uint8) for c in (0, 80)]
+    with pytest.raises(ValueError, match="delays_cs has 1 entries for 2 frames"):
+        encode_gif(frames, delays_cs=[5])
+    with pytest.raises(ValueError, match="delays_cs has 3 entries for 2 frames"):
+        encode_gif(frames, delays_cs=[5, 5, 5])

@@ -154,3 +154,35 @@ def test_video_neardup_via_frame_phash_and_offset_votes(spark):
     assert pairs[(0, 100)]["offset"] == -2
     assert pairs[(0, 100)]["n_matches"] >= 5
     assert all(p == (0, 100) for p in pairs)
+
+
+def test_hamming_pairs_hot_bucket_cap(spark):
+    """Degenerate boilerplate corpus (N identical hashes): the per-(band,
+    bucket) cap bounds the band join instead of going quadratic (VERDICT
+    r9 #2). Below the cap the result equals brute force (the test above);
+    here every bucket of the boilerplate hash is hot, so its pairs are
+    dropped while pairs among the distinct images survive untouched."""
+    from duckdb_vss_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(3)
+    boiler = 0x5A5A_1234_DEAD_BEEF - 2**63  # one spacer-logo hash, 300 copies
+    rows = [(i, boiler) for i in range(300)]
+    base = int(rng.integers(-(2**62), 2**62))
+    near = base ^ (1 << 7) ^ (1 << 40)  # hamming 2 from base
+    rows += [(1000, base), (1001, near)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in hamming_pairs(df, "id", "h", max_hamming=10, bands=16,
+                                  max_bucket=100).collect()}
+    # the 300x299/2 boilerplate pairs are capped away; the real pair stays
+    assert got == {(1000, 1001): 2}
+    # the escape hatch restores unconditional exactness
+    n_exact = hamming_pairs(df, "id", "h", max_hamming=10, bands=16,
+                            max_bucket=None).count()
+    assert n_exact == 300 * 299 // 2 + 1
+    # image_neardup_pairs threads the cap through
+    from duckdb_vss_spark.operators.image import image_neardup_pairs
+
+    hashes = df.withColumnRenamed("h", "phash")
+    assert image_neardup_pairs(hashes, "id", max_hamming=10,
+                               max_bucket=100).count() == 1

