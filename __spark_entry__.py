@@ -109,6 +109,46 @@ _AFP_DIFF_SQL = (
 )
 
 
+def _aemb_g_consts(n_mels: int = 8, n_fft: int = 16, rate: float = 8000.0) -> list:
+    """Spectral constants for the q21 'aemb' oracle leg: G_m =
+    sum_k fb[m,k] |W[k]|^2, where W is the DFT of the symmetric Hann
+    window and fb the triangular mel filterbank. For a DC clip of
+    amplitude c every STFT frame is c * hann, so the log-mel embedding
+    collapses to ln(c^2 G_m + 1e-10) L2-normalized. Computed here with a
+    direct DFT double loop and the Stevens-Volkmann mel formula written
+    out inline -- deliberately NOT imported from the package, so a bug in
+    the operator's filterbank/window/FFT shows up as an oracle mismatch."""
+    import math
+
+    half = n_fft // 2 + 1
+    w = [0.5 - 0.5 * math.cos(2.0 * math.pi * n / (n_fft - 1)) for n in range(n_fft)]
+    w2 = []
+    for k in range(half):
+        re = sum(w[n] * math.cos(2.0 * math.pi * k * n / n_fft) for n in range(n_fft))
+        im = -sum(w[n] * math.sin(2.0 * math.pi * k * n / n_fft) for n in range(n_fft))
+        w2.append(re * re + im * im)
+
+    def mel(f):
+        return 2595.0 * math.log10(1.0 + f / 700.0)
+
+    def imel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    fmax = rate / 2.0
+    pts = [imel(mel(0.0) + (mel(fmax) - mel(0.0)) * i / (n_mels + 1)) for i in range(n_mels + 2)]
+    bins = [k * rate / n_fft for k in range(half)]
+    out = []
+    for m in range(n_mels):
+        lo, c, hi = pts[m], pts[m + 1], pts[m + 2]
+        g = 0.0
+        for k, f in enumerate(bins):
+            up = (f - lo) / max(c - lo, 1e-12)
+            dn = (hi - f) / max(hi - c, 1e-12)
+            g += max(0.0, min(up, dn)) * w2[k]
+        out.append(g)
+    return out
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_vss_spark.deploy import ensure_shipped
 
@@ -1969,7 +2009,7 @@ def _m_multimodal_meta(spark, sf_dir):
 
     def synth(batches):
         for pdf in batches:
-            ids, bmps, wavs, wav2s, jpgs = [], [], [], [], []
+            ids, bmps, wavs, wav2s, wav3s, jpgs = [], [], [], [], [], []
             for i in pdf["doc_id"]:
                 i = int(i)
                 y, x = np.mgrid[0:6, 0:8]
@@ -1983,17 +2023,25 @@ def _m_multimodal_meta(spark, sf_dir):
                 # and block energies actually vary (j*37 is a monotone
                 # ramp: zcr 0, fingerprint words all 0 -- useless gate)
                 pcm2 = (((j * 9973 + i * 12289) % 65536) - 32768).astype(np.int16)
+                # third clip: per-doc DC constant -- every STFT frame is
+                # the Hann window scaled by c, so the log-mel embedding
+                # has the closed form ln(c^2 * G_m + eps) with G_m fixed
+                # spectral constants (the aemb oracle leg)
+                pcm3 = np.full(64, 100 + (i * 37) % 900, dtype=np.int16)
                 ids.append(i)
                 bmps.append(encode_bmp(img))
                 wavs.append(encode_wav(pcm, 8000))
                 wav2s.append(encode_wav(pcm2, 8000))
+                wav3s.append(encode_wav(pcm3, 8000))
                 jpgs.append(_synth_jpeg(16 + i % 101, 16 + (7 * i) % 101, 1 + i % 8))
             yield pd.DataFrame(
-                {"doc_id": ids, "bmp": bmps, "wav": wavs, "wav2": wav2s, "jpg": jpgs}
+                {"doc_id": ids, "bmp": bmps, "wav": wavs, "wav2": wav2s,
+                 "wav3": wav3s, "jpg": jpgs}
             )
 
     blobs = _docs(spark, sf_dir).select("doc_id").mapInPandas(
-        synth, schema="doc_id long, bmp binary, wav binary, wav2 binary, jpg binary"
+        synth,
+        schema="doc_id long, bmp binary, wav binary, wav2 binary, wav3 binary, jpg binary",
     )
     px_sum = F.aggregate(
         F.transform("pixels", lambda x: x.cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
@@ -2025,7 +2073,12 @@ def _m_multimodal_meta(spark, sf_dir):
     # blocks=4 -> 3-bit words for frames 1..3) -- duckdb recomputes both
     # from the closed-form PCM, so the codec round trip AND the DSP math
     # ride the driver's value hash.
-    from duckdb_vss_spark.operators.audio import audio_features, block_fingerprint
+    from duckdb_vss_spark.operators.audio import (
+        audio_embedding,
+        audio_features,
+        block_fingerprint,
+        resample_audio,
+    )
 
     dec2 = decode_audio(blobs.select("doc_id", F.col("wav2").alias("content")), "doc_id")
     afeat = audio_features(dec2, "doc_id").select(
@@ -2045,6 +2098,46 @@ def _m_multimodal_meta(spark, sf_dir):
             F.lit("afp").alias("media_type"),
             (F.col("__fi") + 1).cast("long").alias("d1"),
             F.col("__w").cast("long").alias("d2"),
+            F.lit(-1).cast("long").alias("n_bytes"),
+        )
+    )
+    # ares leg (round 10): x2 linear-interp upsample of the fast-wrapping
+    # clip. On the int16 grid every output tap is a multiple of 2^-16
+    # (source samples at even taps, two-sample midpoints at odd taps) --
+    # exact in float32 -- so sum(round(s * 65536)) is an exact integer
+    # that duckdb reproduces from the closed-form PCM: the interpolation
+    # kernel, the ceil-length contract, and the end-clamp all ride the
+    # value hash.
+    ares_sum = F.aggregate(
+        F.transform("samples", lambda s: F.round(s * 65536.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    ares = resample_audio(dec2, "doc_id", 8000, 16000).select(
+        F.lit("ares").alias("kind"),
+        "doc_id",
+        F.lit("wav").alias("media_type"),
+        ares_sum.alias("d1"),
+        F.col("n_samples").cast("long").alias("d2"),
+        F.lit(-1).cast("long").alias("n_bytes"),
+    )
+    # aemb leg (round 10): log-mel embedding of the DC clip. All 7 STFT
+    # frames equal c * hann(16), so power spec = c^2 |W[k]|^2 and the
+    # embedding is ln(c^2 G_m + 1e-10) L2-normalized -- duckdb recomputes
+    # it from the G_m constants (independent direct-DFT + mel-triangle
+    # reimplementation below), gating framing, FFT magnitude, filterbank
+    # layout, log, mean and normalize. Values quantized at 1e-6 after the
+    # float32 cast on BOTH sides (the repo's double-then-float rule).
+    dec3 = decode_audio(blobs.select("doc_id", F.col("wav3").alias("content")), "doc_id")
+    aemb = (
+        audio_embedding(dec3, "doc_id", rate=8000, n_mels=8, n_fft=16, hop=8)
+        .select("doc_id", F.posexplode("embedding").alias("__m", "__e"))
+        .select(
+            F.lit("aemb").alias("kind"),
+            "doc_id",
+            F.lit("aemb").alias("media_type"),
+            F.col("__m").cast("long").alias("d1"),
+            F.round(F.col("__e") * 1000000.0).cast("long").alias("d2"),
             F.lit(-1).cast("long").alias("n_bytes"),
         )
     )
@@ -2228,7 +2321,7 @@ def _m_multimodal_meta(spark, sf_dir):
         F.lit(-1).cast("long").alias("n_bytes"),
     )
     return _union_tagged(
-        [img, aud, bmp, wav, afeat, afp, gif, avi, warc, jpeg, jpegpx, jpegpr]
+        [img, aud, bmp, wav, afeat, afp, ares, aemb, gif, avi, warc, jpeg, jpegpx, jpegpr]
     )
 
 
@@ -4391,6 +4484,41 @@ def oracle_sql() -> dict[str, str]:
                 f"FROM ({_AFP_DIFF_SQL}) c JOIN ({_AFP_DIFF_SQL}) pr "
                 "ON pr.doc_id=c.doc_id AND pr.f=c.f-1 AND pr.b=c.b "
                 "GROUP BY c.doc_id, c.f"
+            ),
+            (
+                # ares twin: x2 linear-interp upsample in closed form over
+                # pcm2 -- even output taps are source samples (2p scaled by
+                # 65536), odd taps are two-sample midpoints (p + p_next),
+                # and the final tap clamps to the last sample. Every tap is
+                # a multiple of 2^-16, exact in float32, so the sum is an
+                # exact integer.
+                "SELECT 'ares' AS kind, doc_id, 'wav' AS media_type, "
+                "(sum(2*p) + sum(CASE WHEN j < 63 THEN p + pn ELSE 0 END) "
+                " + sum(CASE WHEN j = 63 THEN 2*p ELSE 0 END))::BIGINT AS d1, "
+                "128::BIGINT AS d2, -1::BIGINT AS n_bytes FROM "
+                "(SELECT d.doc_id, j, ((j*9973 + d.doc_id*12289)%65536) - 32768 AS p, "
+                "(((j+1)*9973 + d.doc_id*12289)%65536) - 32768 AS pn "
+                "FROM documents d, range(0,64) rj(j)) GROUP BY doc_id"
+            ),
+            (
+                # aemb twin: log-mel embedding of the DC clip in closed form
+                # -- every frame is c * hann(16), so mel energy m is
+                # c^2 * G_m (G_m independent direct-DFT constants) and the
+                # embedding is ln(c^2 G_m + 1e-10) / L2 norm, quantized at
+                # 1e-6 after the float cast (both engines compute in double
+                # and cast to float, the repo's hash rule)
+                "SELECT 'aemb' AS kind, doc_id, 'aemb' AS media_type, "
+                "m::BIGINT AS d1, "
+                "round(((v / sqrt(sum(v*v) OVER (PARTITION BY doc_id)))::FLOAT)::DOUBLE "
+                " * 1000000)::BIGINT AS d2, -1::BIGINT AS n_bytes FROM "
+                "(SELECT d.doc_id, g.m, ln(d.c * d.c * g.g + 1e-10) AS v FROM "
+                " (SELECT doc_id, ((100 + (doc_id*37)%900) / 32768.0) AS c "
+                "  FROM documents) d, "
+                " (VALUES "
+                + ", ".join(
+                    f"({m}, {g!r})" for m, g in enumerate(_aemb_g_consts())
+                )
+                + ") g(m, g))"
             ),
             (
                 # gif twin: frame pixel sums from the closed-form palette

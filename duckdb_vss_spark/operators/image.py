@@ -42,7 +42,16 @@ from pyspark.sql import DataFrame
 
 from .multimodal import _decode_image_bytes, _resize_kernel
 
-__all__ = ["phash", "dhash", "phash_kernel", "dhash_kernel", "frame_phash", "video_neardup_pairs", "image_neardup_pairs"]
+__all__ = [
+    "phash",
+    "dhash",
+    "phash_kernel",
+    "dhash_kernel",
+    "hash_transcode_images",
+    "frame_phash",
+    "video_neardup_pairs",
+    "image_neardup_pairs",
+]
 
 
 def _dct_matrix(n: int) -> np.ndarray:
@@ -123,6 +132,80 @@ def dhash(df: DataFrame, id_col: str, content_col: str = "content") -> DataFrame
     """(id, dhash LONG) for an image binary column — decodes any natively
     supported format, then :func:`dhash_kernel`. Fanned map-only."""
     return _hash_op(dhash_kernel, "dhash")(df, id_col, content_col)
+
+
+def hash_transcode_images(
+    df: DataFrame,
+    id_col: str,
+    new_width: int,
+    new_height: int,
+    content_col: str = "content",
+    quality: int = 75,
+    method: str = "bilinear",
+    on_error: str = "flag",
+) -> DataFrame:
+    """Fused decode → pHash + resize + JPEG re-encode in ONE pass over
+    the image bytes — the hot loop of
+    :func:`~duckdb_vss_spark.pipelines.image_curate`, which needs both
+    the perceptual hash (dedup) and the thumbnail (sink) per image.
+    Composing :func:`phash` with
+    :func:`~.multimodal.transcode_images` decodes every image twice;
+    at 100 TB the decode IS the cost, so the fusion halves the pipeline.
+
+    Output: ``(id, phash LONG, content BINARY, width INT, height INT,
+    ok BOOLEAN, err STRING)`` — ``width``/``height`` are the ORIGINAL
+    dims (the recipe's quality gates want them; the thumbnail's dims are
+    the constants the caller passed), ``content`` the re-encoded
+    baseline JPEG. ``on_error='flag'`` (default) keeps undecodable rows
+    with ``ok=false``, ``phash=NULL`` and the error text
+    (flag-don't-drop); ``'raise'`` propagates. Fanned map-only, same
+    scale shape as the parents."""
+    if on_error not in ("flag", "raise"):
+        raise ValueError("on_error must be 'flag' or 'raise'")
+    from .dedup import _fan_out
+    from .jpeg import encode_jpeg
+
+    id_t = dict(df.dtypes)[id_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, hs, blobs, ws, hts, oks, errs = [], [], [], [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    arr = _decode_image_bytes(blob)
+                    h0, w0 = arr.shape[:2]
+                    ph = phash_kernel(arr)
+                    out = _resize_kernel(arr, new_width, new_height, method)
+                    enc = encode_jpeg(
+                        np.clip(np.rint(out), 0, 255).astype(np.uint8), quality=quality
+                    )
+                    ids.append(i); hs.append(ph); blobs.append(enc)
+                    ws.append(w0); hts.append(h0); oks.append(True); errs.append(None)
+                except Exception as e:  # noqa: BLE001 - per-row quarantine
+                    if on_error == "raise":
+                        raise
+                    ids.append(i); hs.append(None); blobs.append(None)
+                    ws.append(None); hts.append(None); oks.append(False)
+                    errs.append(f"{type(e).__name__}: {e}"[:200])
+            yield pd.DataFrame(
+                {
+                    id_col: ids, "phash": pd.array(hs, dtype="Int64"),
+                    "content": blobs,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hts, dtype="Int32"),
+                    "ok": oks, "err": errs,
+                }
+            )
+
+    return _fan_out(df.select(id_col, content_col)).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_t}, phash long, content binary, width int, "
+            "height int, ok boolean, err string"
+        ),
+    )
 
 
 def frame_phash(

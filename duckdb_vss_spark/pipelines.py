@@ -301,6 +301,120 @@ def audio_curate(
     return out
 
 
+def image_curate(
+    images: DataFrame,
+    content_col: str = "content",
+    id_col: str = "image_id",
+    min_width: int = 32,
+    min_height: int = 32,
+    thumb_width: int = 64,
+    thumb_height: int = 64,
+    quality: int = 75,
+    max_hamming: int = 10,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    store=None,
+    snapshot: str | None = None,
+) -> DataFrame:
+    """The image analog of :func:`curate_corpus` / :func:`audio_curate`:
+    decode-gate → perceptual near-dup clustering → thumbnail transcode,
+    one flag-don't-drop plan (every input image survives with its flags
+    and its error text — a corrupt image must not silently vanish from
+    the corpus ledger).
+
+    With ``store`` (an :class:`~duckdb_vss_spark.index.image_store.
+    ImageHashStore`), the batch ALSO matches against all previously
+    ingested image history — ``dup_of_store`` rides along and gates
+    ``image_keep`` — and with ``snapshot`` the kept images' pHashes
+    commit to the store so the NEXT batch dedups against this one: the
+    incremental crawl loop, image edition. Historical image bytes are
+    never re-decoded — only 64-bit hashes persist, and the commit
+    reuses THIS batch's already-computed hashes (no second decode).
+
+    Stages and the flags/columns they add:
+
+    1. **Fused decode pass** (:func:`~.operators.image.
+       hash_transcode_images` — ONE decode per image): ``ok`` +
+       ``decode_err``, original ``width``/``height``, ``phash``, and the
+       re-encoded ``thumb`` (baseline JPEG at ``thumb_width`` x
+       ``thumb_height``).
+    2. **Quality gate** — ``quality_keep``: decode succeeded and
+       original dims at least ``min_width`` x ``min_height`` (thumbnails
+       and tracking pixels are upstream noise, not training data).
+    3. **Near-dup clustering** — banded-Hamming pairs over the pHashes
+       (:func:`~.operators.image.image_neardup_pairs`, hot buckets
+       capped) → connected components; ``dedup_keep`` flags one
+       canonical survivor per cluster (min id), ``cluster_id`` rides.
+    4. ``image_keep`` = ``quality_keep AND dedup_keep``
+       (``AND NOT dup_of_store`` when matching history).
+
+    Scale shape: one fanned map-only decode kernel; the only shuffles
+    are the capped band join and the id-keyed flag joins; connected
+    components is the pointer-jumping loop. Nothing collects images to
+    the driver; the store moves 64-bit hashes only.
+    """
+    from .broadcasts import tracked_persist
+    from .operators.graph import dedup_clusters
+    from .operators.image import hash_transcode_images, image_neardup_pairs
+
+    # referenced by the base join, the pair join's hash table, and the
+    # store match/commit — persist the one-decode pass or the codec
+    # kernel re-runs per reference
+    ht = tracked_persist(
+        hash_transcode_images(
+            images.select(id_col, content_col),
+            id_col,
+            thumb_width,
+            thumb_height,
+            quality=quality,
+        )
+    )
+    base = images.join(
+        ht.select(
+            id_col,
+            "phash",
+            F.col("content").alias("thumb"),
+            "width",
+            "height",
+            "ok",
+            F.col("err").alias("decode_err"),
+        ),
+        id_col,
+    ).withColumn(
+        "quality_keep",
+        F.col("ok")
+        & (F.col("width") >= min_width)
+        & (F.col("height") >= min_height),
+    )
+    hashes = ht.filter("ok").select(id_col, "phash")
+    pairs = image_neardup_pairs(
+        hashes, id_col, max_hamming=max_hamming, bands=bands, max_bucket=max_bucket
+    )
+    out = dedup_clusters(base, id_col, pairs.select("id_a", "id_b")).withColumnRenamed(
+        "is_canonical", "dedup_keep"
+    )
+    keep = F.col("quality_keep") & F.col("dedup_keep")
+    if store is not None:
+        hits = (
+            store.match_against(hashes, id_col, hash_col="phash", max_bucket=max_bucket)
+            .select(F.col("id").alias("__mid"))
+            .distinct()
+        )
+        out = (
+            out.join(hits, F.col(id_col) == F.col("__mid"), "left")
+            .withColumn("dup_of_store", F.col("__mid").isNotNull())
+            .drop("__mid")
+        )
+        keep = keep & ~F.col("dup_of_store")
+    out = out.withColumn("image_keep", keep)
+    if store is not None and snapshot is not None:
+        # commit the kept images' ALREADY-COMPUTED hashes (an action —
+        # the commit is the loop's barrier; no second decode)
+        kept = out.filter("image_keep").select(id_col, "phash")
+        store.append_snapshot(kept, id_col, snapshot, hash_col="phash")
+    return out
+
+
 def crawl_ingest(
     batch: DataFrame,
     store,

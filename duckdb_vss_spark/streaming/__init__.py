@@ -28,6 +28,7 @@ from .ops import (  # noqa: F401
     stream_crawl_ingest,
     stream_warc_ingest,
     stream_audio_curate,
+    stream_image_curate,
     stream_curate,
     stream_knn_join,
     run_to_memory,

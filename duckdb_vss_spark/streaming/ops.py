@@ -700,6 +700,93 @@ def stream_audio_curate(
         raise TimeoutError("stream_audio_curate did not drain before timeout")
 
 
+def _image_curate_batch(
+    bdf: DataFrame,
+    bid: int,
+    store,
+    out_path: str,
+    content_col: str,
+    id_col: str,
+    snapshot_prefix: str,
+    **curate_kwargs,
+) -> None:
+    """One micro-batch of :func:`stream_image_curate` — the same replay
+    discipline as the text/audio twins: committed snapshot ⇒ skip;
+    batch-keyed overwrite sink PRECEDES the snapshot commit; the kept
+    rows' hashes are read back from the sink just written (the recipe
+    materialized ``phash`` there), so neither the replay nor the commit
+    re-decodes a single image."""
+    from ..operators.dedup import _fan_out
+    from ..pipelines import image_curate
+
+    name = f"{snapshot_prefix}-{bid:06d}"
+    if any(s["name"] == name for s in store.manifest["snapshots"]):
+        return
+    out = image_curate(
+        _fan_out(bdf), content_col=content_col, id_col=id_col,
+        store=store, snapshot=None, **curate_kwargs,
+    )
+    sink = f"{out_path}/batch={bid:06d}"
+    out.write.mode("overwrite").parquet(sink)
+    kept = (
+        bdf.sparkSession.read.parquet(sink)
+        .filter("image_keep")
+        .select(id_col, "phash")
+    )
+    store.append_snapshot(kept, id_col, name, hash_col="phash")
+
+
+def stream_image_curate(
+    images: DataFrame,
+    store,
+    out_path: str,
+    checkpoint: str,
+    content_col: str = "content",
+    id_col: str = "image_id",
+    snapshot_prefix: str = "image",
+    timeout_sec: float = 180.0,
+    **curate_kwargs,
+) -> None:
+    """Streaming twin of :func:`~duckdb_vss_spark.pipelines.image_curate`
+    — the steady-state image-ingest loop: each arriving micro-batch runs
+    the full recipe (decode gate → within-batch pHash dedup → match
+    against EVERY prior batch's committed hashes → thumbnail transcode),
+    lands batch-keyed in the parquet sink, and commits its kept images'
+    pHashes as snapshot ``{prefix}-{batch_id}`` so the NEXT micro-batch
+    dedups against it. Cross-batch state is the
+    :class:`~duckdb_vss_spark.index.image_store.ImageHashStore`'s banded
+    hash rows — a few longs per kept image, never pixels. Delivery is
+    effectively-once via the snapshot-name skip + batch-keyed overwrite
+    sink, like its siblings (which also own snapshot naming, hence the
+    same kwarg guard)."""
+    forbidden = {"snapshot", "store"} & curate_kwargs.keys()
+    if forbidden:
+        raise ValueError(
+            f"stream_image_curate owns snapshot naming and the store; "
+            f"pass {sorted(forbidden)} as direct arguments, not via curate_kwargs"
+        )
+
+    def _batch(bdf: DataFrame, bid: int) -> None:
+        _image_curate_batch(
+            bdf, bid, store, out_path,
+            content_col=content_col, id_col=id_col,
+            snapshot_prefix=snapshot_prefix, **curate_kwargs,
+        )
+
+    q = (
+        images.writeStream.foreachBatch(_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    deadline = time.monotonic() + timeout_sec
+    while q.isActive and time.monotonic() < deadline:
+        time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("stream_image_curate did not drain before timeout")
+
+
 def stream_warc_ingest(
     spark,
     warc_dir: str,

@@ -357,3 +357,68 @@ def test_empty_store_schema_tracks_string_ids(spark, store_root, tmp_path):
     assert ast.flag_batch(sclips, "content", "clip_id").collect()[0][
         "dup_of_store"
     ] is False
+
+
+# ---------------------------------------------------------------- image store
+
+
+def test_image_store_lifecycle_and_matching(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_vss_spark.index.image_store import ImageHashStore
+    from duckdb_vss_spark.operators import multimodal as M
+    from duckdb_vss_spark.operators.jpeg import encode_jpeg
+
+    def photo(seed):
+        rng = np.random.default_rng(700 + seed)
+        low = rng.uniform(30, 225, size=(8, 8, 3))
+        return np.clip(
+            np.round(M._resize_kernel(low, 64, 64, "bilinear")), 0, 255
+        ).astype(np.uint8)
+
+    root = str(tmp_path / "istore")
+    st = ImageHashStore.create(spark, root)
+    hist = spark.createDataFrame(pd.DataFrame({
+        "image_id": list(range(5)),
+        "content": [M.encode_bmp(photo(i)) for i in range(5)],
+    }))
+    st.append_snapshot(hist, "image_id", "day-0")
+    assert st.info()["n_images"] == 5
+    # batch: a q50 JPEG re-encode of history image 2 + one fresh image
+    batch = spark.createDataFrame(pd.DataFrame({
+        "image_id": [100, 101],
+        "content": [encode_jpeg(photo(2), quality=50), M.encode_bmp(photo(9))],
+    }))
+    m = {r["id"]: r for r in st.match_against(batch, "image_id").collect()}
+    assert 100 in m and m[100]["store_id"] == 2 and m[100]["snapshot"] == "day-0"
+    assert m[100]["hamming"] <= 10
+    assert 101 not in m
+    flagged = {r["image_id"]: r["dup_of_store"] for r in
+               st.flag_batch(batch, "image_id").collect()}
+    assert flagged == {100: True, 101: False}
+    # hash_col path skips the decode and matches identically
+    from duckdb_vss_spark.operators.image import phash
+
+    hb = phash(batch, "image_id")
+    m2 = {r["id"]: r["store_id"] for r in
+          st.match_against(hb, "image_id", hash_col="phash").collect()}
+    assert m2 == {100: 2}
+    # persistence + retention: reopen, drop, then append gets a FRESH dir
+    st2 = ImageHashStore.open(spark, root)
+    assert st2.match_against(batch, "image_id").count() == 1
+    st2.drop_snapshot("day-0")
+    assert st2.match_against(batch, "image_id").count() == 0
+    st2.append_snapshot(batch, "image_id", "day-1")
+    assert st2.info()["snapshots"][-1]["dir"] == "snap-000001"
+    assert st2.vacuum() == ["snap-000000"]
+    # per-call bound above the store's bands is rejected
+    with pytest.raises(ValueError, match="bands"):
+        st2.match_against(batch, "image_id", max_hamming=16)
+    # empty store tracks string id dtype
+    st3 = ImageHashStore.create(spark, str(tmp_path / "istore3"))
+    sb = spark.createDataFrame(
+        [("u-1", bytes(M.encode_bmp(photo(1))))], "image_id: string, content: binary"
+    )
+    empty = st3.match_against(sb, "image_id")
+    assert dict(empty.dtypes)["id"] == "string" and empty.count() == 0

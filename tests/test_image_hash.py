@@ -186,3 +186,33 @@ def test_hamming_pairs_hot_bucket_cap(spark):
     hashes = df.withColumnRenamed("h", "phash")
     assert image_neardup_pairs(hashes, "id", max_hamming=10,
                                max_bucket=100).count() == 1
+
+
+def test_hash_transcode_fused_equals_composition(spark):
+    """hash_transcode_images (one decode) must equal phash +
+    transcode_images (two decodes) bit-for-bit on hashes and bytes, carry
+    the ORIGINAL dims, and quarantine undecodable rows."""
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.image import hash_transcode_images, phash
+    from duckdb_vss_spark.operators.multimodal import encode_bmp, transcode_images
+
+    rows = [(i, encode_bmp(_photo(20 + i, 48, 40))) for i in range(6)]
+    rows.append((99, b"garbage"))
+    df = spark.createDataFrame(pd.DataFrame({
+        "image_id": [r[0] for r in rows], "content": [r[1] for r in rows]}))
+    fused = {r["image_id"]: r for r in
+             hash_transcode_images(df, "image_id", 16, 16).collect()}
+    hs = {r["image_id"]: r["phash"] for r in
+          phash(df.filter("image_id < 99"), "image_id").collect()}
+    tc = {r["image_id"]: r for r in
+          transcode_images(df, "image_id", 16, 16).collect()}
+    for i, _ in rows[:-1]:
+        assert fused[i]["phash"] == hs[i]
+        assert bytes(fused[i]["content"]) == bytes(tc[i]["content"])
+        assert (fused[i]["width"], fused[i]["height"]) == (40, 48)  # original dims
+        assert fused[i]["ok"]
+    assert not fused[99]["ok"] and fused[99]["phash"] is None
+    assert "Error" in fused[99]["err"]
+    with pytest.raises(ValueError, match="on_error"):
+        hash_transcode_images(df, "image_id", 16, 16, on_error="drop")

@@ -644,3 +644,78 @@ def test_audio_curate_mixed_rate_normalization(spark):
     assert out[1]["cluster_id"] == out[2]["cluster_id"]      # matched after resample
     assert {out[1]["dedup_keep"], out[2]["dedup_keep"]} == {True, False}
     assert out[3]["dedup_keep"] and out[3]["cluster_id"] != out[1]["cluster_id"]
+
+
+def _photo_bmp(seed, h=64, w=64):
+    import numpy as np
+
+    from duckdb_vss_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    low = rng.uniform(30, 225, size=(8, 8, 3))
+    img = np.clip(
+        np.round(M._resize_kernel(low, w, h, "bilinear")), 0, 255
+    ).astype(np.uint8)
+    return M.encode_bmp(img), img
+
+
+def test_image_curate_flags_dedup_and_store_loop(spark, tmp_path):
+    """Flag-don't-drop over an image corpus: a corrupt blob fails the
+    decode gate, a tracking pixel fails the dims gate, a JPEG re-encode
+    of a kept image clusters with it (one canonical); batch 2 then
+    near-dups against batch 1's committed pHashes without re-decoding
+    history, and the kept thumbnails are valid JPEGs."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_vss_spark.index.image_store import ImageHashStore
+    from duckdb_vss_spark.operators import multimodal as M
+    from duckdb_vss_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from duckdb_vss_spark.pipelines import image_curate
+
+    bmp0, img0 = _photo_bmp(1)
+    bmp1, _ = _photo_bmp(2)
+    bmp2, _ = _photo_bmp(3)
+    rows = [
+        (0, bmp0),
+        (1, bmp1),
+        (2, bmp2),
+        (100, encode_jpeg(img0, quality=75)),      # re-encode of image 0
+        (200, b"not an image at all"),             # decode failure
+        (300, _photo_bmp(4, h=8, w=8)[0]),         # tracking pixel: dims gate
+    ]
+    df = spark.createDataFrame(pd.DataFrame({
+        "image_id": [r[0] for r in rows], "content": [r[1] for r in rows]}))
+    st = ImageHashStore.create(spark, str(tmp_path / "istore"))
+    out = {r["image_id"]: r for r in
+           image_curate(df, store=st, snapshot="b0").collect()}
+    assert len(out) == 6                                     # never drops rows
+    assert not out[200]["ok"] and "Error" in out[200]["decode_err"]
+    assert not out[200]["quality_keep"] and not out[200]["image_keep"]
+    assert out[300]["ok"] and not out[300]["quality_keep"]   # 8x8 < 32x32
+    assert {out[0]["dedup_keep"], out[100]["dedup_keep"]} == {True, False}
+    assert out[0]["cluster_id"] == out[100]["cluster_id"]
+    for i in (1, 2):
+        assert out[i]["quality_keep"] and out[i]["image_keep"]
+    assert not out[0]["dup_of_store"]                        # empty store at match
+    # kept thumbnails decode as real JPEGs at the requested size
+    th = decode_jpeg(bytes(out[1]["thumb"]))
+    assert th.shape == (64, 64, 3)
+    # the snapshot committed only kept images' hashes
+    committed = st.info()["snapshots"][-1]
+    kept_ids = {i for i, r in out.items() if r["image_keep"]}
+    assert committed["n_images"] == len(kept_ids)
+    # batch 2: a PNG of image 1 (cross-format) + a fresh image
+    png1 = M.encode_png(decode_jpeg(encode_jpeg(
+        np.asarray(
+            M._decode_image_bytes(bmp1), dtype=np.uint8
+        ), quality=90)))
+    b2 = spark.createDataFrame(pd.DataFrame({
+        "image_id": [500, 501],
+        "content": [png1, _photo_bmp(9)[0]],
+    }))
+    out2 = {r["image_id"]: r for r in
+            image_curate(b2, store=st, snapshot="b1").collect()}
+    assert out2[500]["dup_of_store"] and not out2[500]["image_keep"]
+    assert not out2[501]["dup_of_store"] and out2[501]["image_keep"]
+    assert st.info()["snapshots"][-1]["n_images"] == 1       # only the fresh one

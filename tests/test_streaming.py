@@ -595,3 +595,81 @@ def test_stream_audio_curate_rejects_owned_kwargs(spark, tmp_path):
         stream_audio_curate(
             stream, st, str(tmp_path / "o"), str(tmp_path / "c"), snapshot="x",
         )
+
+
+def test_stream_image_curate_incremental(spark, tmp_path):
+    """Streaming image_curate: micro-batch 2's re-encode of a batch-1
+    image flags dup_of_store via the committed pHash history; a corrupt
+    blob fails the decode gate; every image lands flagged; one snapshot
+    per batch with only kept images' hashes; replay is a no-op."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_vss_spark.index.image_store import ImageHashStore
+    from duckdb_vss_spark.operators import multimodal as M
+    from duckdb_vss_spark.operators.jpeg import encode_jpeg
+    from duckdb_vss_spark.streaming import stream_image_curate
+
+    def photo(seed):
+        rng = np.random.default_rng(900 + seed)
+        low = rng.uniform(30, 225, size=(8, 8, 3))
+        return np.clip(
+            np.round(M._resize_kernel(low, 64, 64, "bilinear")), 0, 255
+        ).astype(np.uint8)
+
+    staged = str(tmp_path / "imgs")
+    os.makedirs(staged)
+    spark.createDataFrame(pd.DataFrame({
+        "image_id": [1, 2],
+        "content": [M.encode_bmp(photo(1)), M.encode_bmp(photo(2))],
+    })).coalesce(1).write.mode("overwrite").parquet(staged + "/f1")
+    spark.createDataFrame(pd.DataFrame({
+        "image_id": [10, 11, 12],
+        "content": [
+            encode_jpeg(photo(1), quality=75),   # re-encode of batch-1 image
+            M.encode_bmp(photo(7)),              # fresh
+            b"corrupt bytes",                    # decode failure
+        ],
+    })).coalesce(1).write.mode("overwrite").parquet(staged + "/f2")
+
+    st = ImageHashStore.create(spark, str(tmp_path / "istore_s"))
+    stream = (
+        spark.readStream.schema("image_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged + "/f*")
+    )
+    out_path = str(tmp_path / "iout")
+    stream_image_curate(stream, st, out_path, str(tmp_path / "ickpt"))
+    rows = {r["image_id"]: r for r in spark.read.parquet(out_path).collect()}
+    assert set(rows) == {1, 2, 10, 11, 12}       # flag-don't-drop
+    assert rows[10]["dup_of_store"] and not rows[10]["image_keep"]
+    assert not rows[11]["dup_of_store"] and rows[11]["image_keep"]
+    assert not rows[12]["ok"] and not rows[12]["image_keep"]
+    info = st.info()
+    assert len(info["snapshots"]) == 2
+    assert [s["n_images"] for s in info["snapshots"]] == [2, 1]
+    # replay no-op: re-running the drained stream must not double-commit
+    stream_image_curate(
+        (spark.readStream.schema("image_id long, content binary")
+         .option("maxFilesPerTrigger", 1).parquet(staged + "/f*")),
+        st, out_path, str(tmp_path / "ickpt"),
+    )
+    assert len(st.info()["snapshots"]) == 2
+
+
+def test_stream_image_curate_rejects_owned_kwargs(spark, tmp_path):
+    import os
+
+    from duckdb_vss_spark.index.image_store import ImageHashStore
+    from duckdb_vss_spark.streaming import stream_image_curate
+
+    st = ImageHashStore.create(spark, str(tmp_path / "istore_k"))
+    src = str(tmp_path / "empty_isrc")
+    os.makedirs(src)
+    stream = spark.readStream.schema("image_id long, content binary").parquet(src)
+    with pytest.raises(ValueError, match="owns snapshot naming"):
+        stream_image_curate(
+            stream, st, str(tmp_path / "o"), str(tmp_path / "c"), snapshot="x",
+        )
