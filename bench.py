@@ -61,6 +61,19 @@ def main() -> None:
     from duckdb_vss_spark import get_spark, knn_join_flat, min_by_k, topk, array_distance
     import __spark_entry__ as entrymod
 
+    # quiet-host pre-roll (round 10): the committed artifact must be able
+    # to adjudicate its own regressions, which needs loadavg_start < ~2.
+    # Builder/test processes that just exited keep the 1-minute loadavg
+    # inflated for a while, so wait (bounded, default 240 s; 0 disables)
+    # for the host to drain before the START probe. The wait itself is
+    # recorded in the noise block.
+    quiet_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "240"))
+    quiet_target = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
+    waited = 0.0
+    while waited < quiet_wait and os.getloadavg()[0] >= quiet_target:
+        time.sleep(5.0)
+        waited += 5.0
+
     spark = get_spark("vss-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + codegen before the START probe: without this the
@@ -393,6 +406,20 @@ def main() -> None:
 
     timings["image_phash_dedup"] = run(_phash_dedup)
 
+    # composed image recipe (round 10): ONE fused decode pass (pHash +
+    # thumbnail) -> dims gate -> banded-Hamming clustering -> flags; the
+    # dedup and transcode stages above are its parts, so this row prices
+    # the composition (the fused decode should make it cost ~one decode,
+    # not two)
+    from duckdb_vss_spark.pipelines import image_curate
+
+    timings["image_curate"] = run(
+        lambda: image_curate(
+            bmps_dup, id_col="doc_id", min_width=16, min_height=16,
+            thumb_width=16, thumb_height=12, max_hamming=4,
+        ).filter("image_keep").count()
+    )
+
     # audio fingerprint dedup throughput (round 9): per-doc 2048-sample
     # WAV -> decode -> block fingerprint -> keyed match join with offset
     # votes; clips derived from doc_id % 1000 plant ~5x duplicate groups
@@ -435,6 +462,24 @@ def main() -> None:
         return audio_neardup_pairs(keys, "doc_id", min_matches=8).count()
 
     timings["audio_fingerprint_dedup"] = run(_audio_dedup)
+
+    # operator-equal variant (round 10): the duckdb twin computes its
+    # fingerprint from closed-form PCM (SQL cannot parse RIFF), so the
+    # full-row ratio is confounded by the WAV byte decode only Spark pays.
+    # This row feeds Spark PRE-DECODED samples (cached, like duckdb's
+    # effective input) so the interleaved ratio prices exactly the
+    # fingerprint math + match join both engines run; full-row minus this
+    # row isolates the decode cost.
+    dec_wavs = decode_audio(wavs, "doc_id").cache()
+    dec_wavs.count()
+
+    def _audio_dedup_decoded():
+        keys = fingerprint_keys(
+            block_fingerprint(dec_wavs, "doc_id", frame=128, blocks=8), "doc_id"
+        )
+        return audio_neardup_pairs(keys, "doc_id", min_matches=8).count()
+
+    timings["audio_fp_dedup_decoded"] = run(_audio_dedup_decoded)
 
     calib["mid"] = _calibration(spark)
 
@@ -492,6 +537,13 @@ def main() -> None:
     inter_pairs = {
         "audio_fingerprint_dedup": (
             _audio_dedup,
+            lambda: icon.execute(_afp_sql).fetchall(),
+        ),
+        # operator-equal pair: Spark from cached decoded samples, duckdb
+        # from closed-form PCM — neither side parses WAV bytes, so this
+        # ratio prices the fingerprint + join alone (VERDICT r9 #4)
+        "audio_fp_dedup_decoded": (
+            _audio_dedup_decoded,
             lambda: icon.execute(_afp_sql).fetchall(),
         ),
         "stupid_backoff_lm": (
@@ -887,6 +939,7 @@ def main() -> None:
         "loadavg_max": round(max(loads), 1) if loads else -1.0,
         "loadavg_start": calib["start"]["loadavg_1m"],
         "ratio_spread": round(max(spreads), 2) if spreads else -1.0,
+        "quiet_wait_sec": round(waited, 1),
     }
     compact = {
         "metric": out["metric"],

@@ -512,19 +512,37 @@ def hamming_pairs(
     bands: int = 16,
     nbits: int = 64,
     max_bucket: int | None = 1000,
+    combo: int = 1,
 ) -> DataFrame:
     """Generic Hamming-distance pair join over any integer hash column
     (perceptual image hashes, audio hashes, simhash-like text
     signatures): all pairs with ``bit_count(a XOR b) <= max_hamming``.
 
     Completeness by pigeonhole, as in :func:`simhash_pairs`: an ``nbits``
-    hash split into ``bands`` equal chunks — any pair within Hamming
-    distance < bands agrees on >= 1 chunk, so the chunk-bucket self-join
-    finds ALL such pairs and the final bit_count filter is exact
-    (requires ``max_hamming < bands``). The signature rides through the
-    band explode, so hamming computes inside the join — no verify join
-    afterwards. A pair agreeing on several chunks is kept only at its
-    FIRST agreeing band, decided in codegen (no global distinct).
+    hash split into ``bands`` equal chunks — ``max_hamming`` bit errors
+    corrupt at most that many chunks, so any qualifying pair agrees on
+    >= ``bands - max_hamming`` chunks, and joining on every
+    ``combo``-subset of chunks finds ALL pairs whenever
+    ``max_hamming <= bands - combo``. The final bit_count filter is
+    exact. The signature rides through the band explode, so hamming
+    computes inside the join — no verify join afterwards. With
+    ``combo=1`` (default) a pair agreeing on several chunks is kept only
+    at its FIRST agreeing band, decided in codegen (no global distinct);
+    ``combo>=2`` dedups matches with one ``dropDuplicates`` over the
+    (small) qualifying pair set.
+
+    **Scale note — why combo exists.** With ``combo=1`` the join-key
+    space per band is only ``2^(nbits/bands)`` values (16 at
+    bands=16/nbits=64), so each band-bucket holds ~N/16 rows and the
+    self-join is inherently quadratic in N no matter how clean the
+    corpus — fine at thousands of images, catastrophic at millions.
+    ``combo=2`` squares the key space (e.g. bands=8 → 16-bit keys,
+    65536 buckets) at the price of ``C(bands, combo)`` explode rows per
+    item and a tighter exactness bound (``max_hamming <= bands - 2``):
+    the right trade for large corpora at near-dup thresholds
+    (``bands=8, combo=2`` is exact to hamming 6 and its expected bucket
+    is N/65536). Pick ``combo=1`` for small corpora or high thresholds,
+    ``combo=2`` at scale.
 
     ``max_bucket`` caps the per-(band, bucket) population BEFORE the
     self-join — the same stop-key discipline as
@@ -535,34 +553,81 @@ def hamming_pairs(
     result equals the brute force whenever no (band, bucket) exceeds the
     cap; when a bucket IS hot (> ``max_bucket`` rows sharing one chunk
     value — near-identical boilerplate), pairs whose first-agreeing
-    chunk lands in it are dropped. Pass ``max_bucket=None`` for
-    unconditional exactness (accepting the quadratic worst case).
+    chunk lands in it are dropped (``combo>=2``: pairs ALL of whose
+    agreeing combos are hot). Pass ``max_bucket=None`` for unconditional
+    exactness (accepting the quadratic worst case).
 
     Output: ``(id_a, id_b, hamming INT)`` with ``id_a < id_b``.
     """
-    if max_hamming >= bands:
-        raise ValueError("exactness requires max_hamming < bands (pigeonhole)")
+    if combo < 1:
+        raise ValueError("combo must be >= 1")
+    if max_hamming > bands - combo:
+        raise ValueError(
+            f"exactness requires max_hamming <= bands - combo "
+            f"({bands} - {combo} = {bands - combo}) by pigeonhole"
+        )
     if nbits % bands != 0:
         raise ValueError(f"nbits ({nbits}) must divide into {bands} equal bands")
+    from math import comb as _comb
+
+    if _comb(bands, combo) > 256:
+        raise ValueError(
+            f"C(bands, combo) = {_comb(bands, combo)} explode rows per item "
+            "is past the supported fan-out (256); use fewer bands or a "
+            "smaller combo"
+        )
     width = nbits // bands
     mask = F.lit((1 << width) - 1)
     # the hash table feeds BOTH join sides; its upstream is often an
     # expensive per-item kernel (pHash decodes every image) — persist it
     # once, like simhash_pairs persists its signature table
     hashes = _shared(df.select(F.col(id_col), F.col(hash_col).alias("__h")))
+
+    def _chunk_of(col, b):
+        return F.shiftrightunsigned(col, b * width).bitwiseAND(mask)
+
+    if combo == 1:
+        keys = [_chunk_of(F.col("__h"), b) for b in range(bands)]
+    else:
+        from itertools import combinations
+
+        # bucket of combo (b1<...<bc) = the chunk values concatenated:
+        # each is < 2^width, so the packed key fits a long for any
+        # combination the fan-out guard admits
+        keys = []
+        for idx in combinations(range(bands), combo):
+            k = F.lit(0).cast("long")
+            for pos, b in enumerate(idx):
+                k = F.shiftleft(k, width) + _chunk_of(F.col("__h"), b).cast("long")
+            keys.append(k)
     banded = hashes.select(
-        F.col(id_col), F.col("__h"), F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned(F.col("__h"), b * width).bitwiseAND(mask)
-                for b in range(bands)
-            ])
-        ).alias("b", "bucket")
+        F.col(id_col), F.col("__h"), F.posexplode(F.array(*keys)).alias("b", "bucket")
     )
     if max_bucket is not None:
         sizes = banded.groupBy("b", "bucket").agg(F.count(F.lit(1)).alias("__n"))
         banded = banded.join(
             sizes.filter(F.col("__n") <= max_bucket).select("b", "bucket"),
             ["b", "bucket"],
+        )
+    if combo > 1:
+        a2 = banded.select(
+            "b", "bucket", F.col(id_col).alias("id_a"), F.col("__h").alias("h_a")
+        )
+        b3 = banded.select(
+            "b", "bucket", F.col(id_col).alias("id_b"), F.col("__h").alias("h_b")
+        )
+        return (
+            a2.join(b3, ["b", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+                .cast("int")
+                .alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_a", "id_b"])
         )
     a = banded.select("b", "bucket", F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"))
     b2 = banded.select("b", "bucket", F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"))

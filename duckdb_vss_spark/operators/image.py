@@ -345,17 +345,22 @@ def image_neardup_pairs(
     max_hamming: int = 10,
     bands: int = 16,
     max_bucket: int | None = 1000,
+    combo: int = 1,
 ) -> DataFrame:
     """Perceptual near-dup pairs over a hash table from
     :func:`phash`/:func:`dhash`: ``(id_a, id_b, hamming)`` with
     ``hamming <= max_hamming`` — the banded Hamming self-join
-    (:func:`~.dedup.hamming_pairs`, exact for ``max_hamming < bands``
-    and no band-bucket hotter than ``max_bucket``; hot buckets — N
-    near-identical boilerplate images — are dropped before the join,
-    same stop-key discipline as :func:`video_neardup_pairs`. Pass
-    ``max_bucket=None`` for unconditional exactness)."""
+    (:func:`~.dedup.hamming_pairs`, exact for
+    ``max_hamming <= bands - combo`` and no band-bucket hotter than
+    ``max_bucket``; hot buckets — N near-identical boilerplate images —
+    are dropped before the join, same stop-key discipline as
+    :func:`video_neardup_pairs`. Pass ``max_bucket=None`` for
+    unconditional exactness). For large corpora at tight thresholds
+    prefer ``bands=8, combo=2`` (16-bit join keys instead of 4-bit —
+    see the scale note on :func:`~.dedup.hamming_pairs`)."""
     from .dedup import hamming_pairs
 
     return hamming_pairs(
-        hashes, id_col, hash_col, max_hamming, bands, max_bucket=max_bucket
+        hashes, id_col, hash_col, max_hamming, bands,
+        max_bucket=max_bucket, combo=combo,
     )

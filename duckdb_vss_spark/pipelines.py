@@ -313,6 +313,7 @@ def image_curate(
     max_hamming: int = 10,
     bands: int = 16,
     max_bucket: int = 1000,
+    combo: int = 1,
     store=None,
     snapshot: str | None = None,
 ) -> DataFrame:
@@ -388,7 +389,8 @@ def image_curate(
     )
     hashes = ht.filter("ok").select(id_col, "phash")
     pairs = image_neardup_pairs(
-        hashes, id_col, max_hamming=max_hamming, bands=bands, max_bucket=max_bucket
+        hashes, id_col, max_hamming=max_hamming, bands=bands,
+        max_bucket=max_bucket, combo=combo,
     )
     out = dedup_clusters(base, id_col, pairs.select("id_a", "id_b")).withColumnRenamed(
         "is_canonical", "dedup_keep"

@@ -216,3 +216,39 @@ def test_hash_transcode_fused_equals_composition(spark):
     assert "Error" in fused[99]["err"]
     with pytest.raises(ValueError, match="on_error"):
         hash_transcode_images(df, "image_id", 16, 16, on_error="drop")
+
+
+def test_hamming_pairs_combo2_exact_vs_bruteforce(spark):
+    """combo=2 (join on chunk PAIRS — the at-scale key-space fix) must
+    equal brute force for max_hamming <= bands - 2, including planted
+    pairs at the exactness boundary; past the bound it raises."""
+    from duckdb_vss_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(-(2**62), 2**62, size=30, dtype=np.int64)
+    rows = [(i, int(h)) for i, h in enumerate(base)]
+    for j, d in [(0, 2), (1, 6), (2, 7)]:   # 6 = bands-2 boundary for bands=8
+        flip = int(base[j])
+        for b in rng.choice(64, size=d, replace=False):
+            flip ^= 1 << int(b)
+        flip &= (1 << 64) - 1
+        rows.append((100 + j, flip - (1 << 64) if flip > 2**63 - 1 else flip))
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in hamming_pairs(df, "id", "h", max_hamming=6, bands=8,
+                                  combo=2).collect()}
+    vals = dict(rows)
+    exp = {}
+    for i in vals:
+        for j in vals:
+            if i < j:
+                d = bin((vals[i] ^ vals[j]) & ((1 << 64) - 1)).count("1")
+                if d <= 6:
+                    exp[(i, j)] = d
+    assert got == exp
+    assert (0, 100) in got and (1, 101) in got      # boundary pair found
+    assert (2, 102) not in got                      # hamming 7 > 6
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_pairs(df, "id", "h", max_hamming=7, bands=8, combo=2)
+    with pytest.raises(ValueError, match="fan-out"):
+        hamming_pairs(df, "id", "h", max_hamming=2, bands=16, combo=4)
