@@ -109,6 +109,15 @@ _AFP_DIFF_SQL = (
 )
 
 
+def _IQ_LUM(xe: str, ye: str) -> str:
+    """Rec.601 luma of the q21 BMP fixture's pixel formula at (xe, ye) —
+    inlined per coordinate so the blur twin needs no 5-way self-join."""
+    return (
+        f"(0.299*((({xe})*7+({ye})*13+d.doc_id)%256) "
+        f"+ 0.587*((({xe})*3+({ye})*5)%256) + 0.114*((({xe})+({ye})*11)%256))"
+    )
+
+
 def _aemb_g_consts(n_mels: int = 8, n_fft: int = 16, rate: float = 8000.0) -> list:
     """Spectral constants for the q21 'aemb' oracle leg: G_m =
     sum_k fb[m,k] |W[k]|^2, where W is the DFT of the symmetric Hann
@@ -2101,6 +2110,33 @@ def _m_multimodal_meta(spark, sf_dir):
             F.lit(-1).cast("long").alias("n_bytes"),
         )
     )
+    # iq leg (round 10): the LAION-style image quality signals over the
+    # closed-form BMP — mean luma / contrast / colorfulness / blur are
+    # doc-local double statistics of the pixel formula, so duckdb
+    # recomputes them from the formula directly (same sum/sum-of-squares
+    # shapes), quantized at 1e-6; entropy is pytest-pinned (SQL histogram
+    # entropy is not worth the oracle complexity).
+    from duckdb_vss_spark.operators.image import image_quality_stats
+
+    iq = (
+        image_quality_stats(
+            blobs.select("doc_id", F.col("bmp").alias("content")), "doc_id"
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.array("mean_luma", "contrast", "colorfulness", "blur")
+            ).alias("__si", "__sv"),
+        )
+        .select(
+            F.lit("iq").alias("kind"),
+            "doc_id",
+            F.lit("bmp").alias("media_type"),
+            F.col("__si").cast("long").alias("d1"),
+            F.round(F.col("__sv") * 1000000.0).cast("long").alias("d2"),
+            F.lit(-1).cast("long").alias("n_bytes"),
+        )
+    )
     # ares leg (round 10): x2 linear-interp upsample of the fast-wrapping
     # clip. On the int16 grid every output tap is a multiple of 2^-16
     # (source samples at even taps, two-sample midpoints at odd taps) --
@@ -2140,6 +2176,43 @@ def _m_multimodal_meta(spark, sf_dir):
             F.round(F.col("__e") * 1000000.0).cast("long").alias("d2"),
             F.lit(-1).cast("long").alias("n_bytes"),
         )
+    )
+    # imgl leg (round 10): <img> extraction for image-text pairing — each
+    # doc gets a closed-form HTML page (base href + a relative img with
+    # entity-bearing alt + a root-relative img with a px-suffixed width +
+    # a data: URI that must be skipped); Spark runs the real HTML parser
+    # + urljoin resolution, duckdb string-builds the expected rows
+    # directly, so tag parsing, base resolution, entity decoding, px-dim
+    # parsing, and the skip rule all ride the value hash.
+    from duckdb_vss_spark.functions.text import hash64
+    from duckdb_vss_spark.operators.web import extract_image_links
+
+    def synth_html(batches):
+        for pdf in batches:
+            ids, htmls = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                ids.append(i)
+                htmls.append(
+                    f"<html><head><base href='http://img{i % 7}.example.com/d/'>"
+                    f"<title>doc {i}</title></head><body>"
+                    f"<img src='p{i}_0.jpg' alt='alpha &amp; {i}' width='{10 + i % 90}'>"
+                    f"<p><img src='/r/p{i}_1.png' width='{i % 3}px'/></p>"
+                    "<img src='data:image/gif;base64,R0lGOD'>"
+                    "</body></html>"
+                )
+            yield pd.DataFrame({"doc_id": ids, "html": htmls})
+
+    html_docs = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        synth_html, schema="doc_id long, html string"
+    )
+    imgl = extract_image_links(html_docs, "html", "doc_id").select(
+        F.lit("imgl").alias("kind"),
+        "doc_id",
+        F.lit("html").alias("media_type"),
+        F.col("img_idx").cast("long").alias("d1"),
+        hash64(F.concat_ws("|", F.col("img_url"), F.coalesce(F.col("alt"), F.lit("")))).alias("d2"),
+        F.coalesce(F.col("width"), F.lit(-1)).cast("long").alias("n_bytes"),
     )
     # GIF leg: a two-frame animated GIF per doc, both frames and the
     # 8-color palette in closed form; Spark runs the real encoder (LZW
@@ -2321,7 +2394,7 @@ def _m_multimodal_meta(spark, sf_dir):
         F.lit(-1).cast("long").alias("n_bytes"),
     )
     return _union_tagged(
-        [img, aud, bmp, wav, afeat, afp, ares, aemb, gif, avi, warc, jpeg, jpegpx, jpegpr]
+        [img, aud, bmp, wav, afeat, afp, ares, aemb, iq, imgl, gif, avi, warc, jpeg, jpegpx, jpegpr]
     )
 
 
@@ -4484,6 +4557,62 @@ def oracle_sql() -> dict[str, str]:
                 f"FROM ({_AFP_DIFF_SQL}) c JOIN ({_AFP_DIFF_SQL}) pr "
                 "ON pr.doc_id=c.doc_id AND pr.f=c.f-1 AND pr.b=c.b "
                 "GROUP BY c.doc_id, c.f"
+            ),
+            (
+                # imgl twin: the expected (img_url, alt) rows string-built
+                # from the fixture formula — row 0 resolves against the
+                # <base href> dir, row 1 is root-relative, the data: URI
+                # never appears; width rides n_bytes ('px' parsed)
+                "SELECT 'imgl' AS kind, doc_id, 'html' AS media_type, "
+                "g.i::BIGINT AS d1, "
+                + O.sql_hash64(
+                    "CASE g.i WHEN 0 THEN "
+                    "'http://img' || (doc_id%7) || '.example.com/d/p' || doc_id "
+                    "|| '_0.jpg|alpha & ' || doc_id "
+                    "ELSE 'http://img' || (doc_id%7) || '.example.com/r/p' || doc_id "
+                    "|| '_1.png|' END"
+                )
+                + " AS d2, "
+                "(CASE g.i WHEN 0 THEN 10 + doc_id%90 ELSE doc_id%3 END)::BIGINT "
+                "AS n_bytes FROM documents, (VALUES (0), (1)) g(i)"
+            ),
+            (
+                # iq twin: image quality statistics recomputed from the BMP
+                # pixel formula — mean/contrast from luma sum & sum-of-
+                # squares, colorfulness (Hasler-Süsstrunk) from the rg/yb
+                # opponent channels, blur = variance of the 3x3 Laplacian
+                # over the 6x4 interior; all double, quantized at 1e-6
+                "SELECT 'iq' AS kind, s.doc_id, 'bmp' AS media_type, "
+                "g.i::BIGINT AS d1, "
+                "round((CASE g.i WHEN 0 THEN s.ml WHEN 1 THEN s.ct "
+                " WHEN 2 THEN s.cf ELSE b.bl END) * 1000000)::BIGINT AS d2, "
+                "-1::BIGINT AS n_bytes "
+                "FROM ("
+                "  SELECT doc_id, sum(l)/48 AS ml, "
+                "  sqrt(greatest(sum(l*l)/48 - (sum(l)/48)*(sum(l)/48), 0.0)) AS ct, "
+                "  sqrt(greatest(sum(rg*rg)/48 - (sum(rg)/48)*(sum(rg)/48), 0.0) "
+                "     + greatest(sum(yb*yb)/48 - (sum(yb)/48)*(sum(yb)/48), 0.0)) "
+                "   + 0.3*sqrt((sum(rg)/48)*(sum(rg)/48) + (sum(yb)/48)*(sum(yb)/48)) AS cf "
+                "  FROM ("
+                "    SELECT d.doc_id, "
+                "    0.299*((x*7+y*13+d.doc_id)%256) + 0.587*((x*3+y*5)%256) "
+                "      + 0.114*((x+y*11)%256) AS l, "
+                "    ((x*7+y*13+d.doc_id)%256) - ((x*3+y*5)%256) AS rg, "
+                "    (((x*7+y*13+d.doc_id)%256) + ((x*3+y*5)%256))/2.0 "
+                "      - ((x+y*11)%256) AS yb "
+                "    FROM documents d, range(0,8) rx(x), range(0,6) ry(y)"
+                "  ) GROUP BY doc_id"
+                ") s JOIN ("
+                "  SELECT doc_id, "
+                "  greatest(sum(lap*lap)/24 - (sum(lap)/24)*(sum(lap)/24), 0.0) AS bl "
+                "  FROM ("
+                f"    SELECT d.doc_id, 4*{_IQ_LUM('x','y')} - {_IQ_LUM('x','(y-1)')} "
+                f"      - {_IQ_LUM('x','(y+1)')} - {_IQ_LUM('(x-1)','y')} "
+                f"      - {_IQ_LUM('(x+1)','y')} AS lap "
+                "    FROM documents d, range(1,7) rx(x), range(1,5) ry(y)"
+                "  ) GROUP BY doc_id"
+                ") b ON b.doc_id = s.doc_id, "
+                "(VALUES (0), (1), (2), (3)) g(i)"
             ),
             (
                 # ares twin: x2 linear-interp upsample in closed form over

@@ -17,6 +17,7 @@ from .operators.knn import knn_join, knn_join_flat, knn_match  # noqa: F401
 from .operators.topk import grouped_topk, max_by_k, min_by_k, topk  # noqa: F401
 from .operators.web import (  # noqa: F401
     extract_html_text,
+    extract_image_links,
     filter_domain_blocklist,
     normalize_url,
     parse_url_parts,

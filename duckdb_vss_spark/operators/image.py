@@ -47,6 +47,7 @@ __all__ = [
     "dhash",
     "phash_kernel",
     "dhash_kernel",
+    "image_quality_stats",
     "hash_transcode_images",
     "frame_phash",
     "video_neardup_pairs",
@@ -132,6 +133,131 @@ def dhash(df: DataFrame, id_col: str, content_col: str = "content") -> DataFrame
     """(id, dhash LONG) for an image binary column — decodes any natively
     supported format, then :func:`dhash_kernel`. Fanned map-only."""
     return _hash_op(dhash_kernel, "dhash")(df, id_col, content_col)
+
+
+def image_quality_stats(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    on_error: str = "flag",
+) -> DataFrame:
+    """Per-image quality signals for curation gates — the LAION-style
+    filter set, computed engine-side from decoded pixels (any natively
+    supported format), one fanned map-only Arrow pass:
+
+    - ``mean_luma`` — Rec.601 luminance mean (exposure: near-0 = black
+      frames, near-255 = blown-out scans).
+    - ``contrast`` — population std of luma (flat/blank pages ~0).
+    - ``colorfulness`` — Hasler & Süsstrunk 2003:
+      ``sqrt(var(rg) + var(yb)) + 0.3 * sqrt(mean(rg)^2 + mean(yb)^2)``
+      with ``rg = R - G``, ``yb = (R + G)/2 - B`` (grayscale scans and
+      spacer fills score ~0).
+    - ``blur`` — variance of the 3x3 Laplacian (``4c - up - down - left
+      - right``) over interior luma pixels; the classic
+      variance-of-Laplacian sharpness metric — low = defocused/upscaled.
+      0 when there is no interior (width or height < 3).
+    - ``entropy`` — Shannon entropy (bits) of the 256-bin luma
+      histogram; near-0 = synthetic flat fills, high = natural photos.
+
+    All five are doc-local statistics of the pixel tensor: variances via
+    exact sum/sum-of-squares in float64 (reproducible closed form — the
+    q21 ``iq`` driver leg pins mean/contrast/colorfulness/blur against a
+    duckdb recompute from the fixture's pixel formula). Output:
+    ``(id, width, height, mean_luma, contrast, colorfulness, blur,
+    entropy, ok, err)`` — ``on_error='flag'`` (default) quarantines
+    undecodable rows with ``ok=false`` (flag-don't-drop), ``'raise'``
+    propagates. Compose with :func:`~duckdb_vss_spark.pipelines.
+    image_curate`'s flags for the full gate chain."""
+    if on_error not in ("flag", "raise"):
+        raise ValueError("on_error must be 'flag' or 'raise'")
+    from .dedup import _fan_out
+
+    id_t = dict(df.dtypes)[id_col]
+
+    def one(arr: np.ndarray):
+        a = np.asarray(arr, dtype=np.float64)
+        if a.ndim == 2:
+            a = a[..., None]
+        r = a[..., 0]
+        g = a[..., 1] if a.shape[2] >= 3 else r
+        bch = a[..., 2] if a.shape[2] >= 3 else r
+        luma = 0.299 * r + 0.587 * g + 0.114 * bch
+        n = luma.size
+        mean = float(luma.sum() / n)
+        var = float((luma * luma).sum() / n) - mean * mean
+        contrast = float(np.sqrt(max(var, 0.0)))
+        rg = r - g
+        yb = (r + g) / 2.0 - bch
+        mrg = float(rg.sum() / n)
+        myb = float(yb.sum() / n)
+        vrg = float((rg * rg).sum() / n) - mrg * mrg
+        vyb = float((yb * yb).sum() / n) - myb * myb
+        colorful = float(
+            np.sqrt(max(vrg, 0.0) + max(vyb, 0.0))
+            + 0.3 * np.sqrt(mrg * mrg + myb * myb)
+        )
+        h, w = luma.shape
+        if h >= 3 and w >= 3:
+            lap = (
+                4.0 * luma[1:-1, 1:-1]
+                - luma[:-2, 1:-1]
+                - luma[2:, 1:-1]
+                - luma[1:-1, :-2]
+                - luma[1:-1, 2:]
+            )
+            m = lap.size
+            lm = float(lap.sum() / m)
+            blur = float((lap * lap).sum() / m) - lm * lm
+            blur = max(blur, 0.0)
+        else:
+            blur = 0.0
+        hist = np.bincount(
+            np.clip(np.rint(luma.reshape(-1)), 0, 255).astype(np.int64), minlength=256
+        )
+        p = hist[hist > 0] / n
+        entropy = float(-(p * np.log2(p)).sum())
+        return w, h, mean, contrast, colorful, blur, entropy
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import _decode_image_bytes
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cols = {k: [] for k in (
+                "id", "w", "h", "ml", "ct", "cf", "bl", "en", "ok", "err")}
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    w, h, ml, ct, cf, bl, en = one(_decode_image_bytes(blob))
+                    vals = (i, w, h, ml, ct, cf, bl, en, True, None)
+                except Exception as e:  # noqa: BLE001 - per-row quarantine
+                    if on_error == "raise":
+                        raise
+                    vals = (i, None, None, None, None, None, None, None,
+                            False, f"{type(e).__name__}: {e}"[:200])
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                id_col: cols["id"],
+                "width": pd.array(cols["w"], dtype="Int32"),
+                "height": pd.array(cols["h"], dtype="Int32"),
+                "mean_luma": pd.array(cols["ml"], dtype="float64"),
+                "contrast": pd.array(cols["ct"], dtype="float64"),
+                "colorfulness": pd.array(cols["cf"], dtype="float64"),
+                "blur": pd.array(cols["bl"], dtype="float64"),
+                "entropy": pd.array(cols["en"], dtype="float64"),
+                "ok": cols["ok"],
+                "err": cols["err"],
+            })
+
+    return _fan_out(df.select(id_col, content_col)).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_t}, width int, height int, mean_luma double, "
+            "contrast double, colorfulness double, blur double, "
+            "entropy double, ok boolean, err string"
+        ),
+    )
 
 
 def hash_transcode_images(

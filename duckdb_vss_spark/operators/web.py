@@ -49,6 +49,7 @@ __all__ = [
     "domain_stats",
     "extract_html_text",
     "extract_main_content",
+    "extract_image_links",
     "robots_disallow_rules",
     "flag_robots_disallowed",
 ]
@@ -479,6 +480,137 @@ def extract_html_text(
     return _run_html_extractor(
         df, html_col, id_col, encoding, carry_cols, _one,
         [("title", "string"), ("text", "string"), ("n_text_chars", "long")],
+    )
+
+
+def extract_image_links(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+    base_url_col: str | None = None,
+    encoding: str = "utf-8",
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """``<img>`` extraction — the first stage of an image-text-pair
+    pipeline (LAION-style: crawl pages, pair every image URL with its
+    alt text, then fetch/filter/dedup the images): one output row per
+    ``<img>`` tag, in document order, with its textual context.
+
+    Output: ``(id_col, *carry_cols, img_idx INT, img_url STRING,
+    alt STRING, title STRING, width INT, height INT)`` —
+
+    - ``img_url``: the ``src`` attribute, resolved to absolute via
+      stdlib ``urljoin`` against the document's ``<base href>`` if
+      present, else ``base_url_col`` (when given); data: URIs and
+      src-less tags are skipped (no fetchable image).
+    - ``alt`` / ``title``: the caption-bearing attributes, entity-
+      decoded by the parser, whitespace-collapsed; NULL when absent.
+    - ``width`` / ``height``: the integer attribute values when they
+      parse (``"300"``/``"300px"``), NULL otherwise — the pre-fetch
+      size gate (tracking pixels are declared 1x1 in markup, so they
+      drop BEFORE any bytes are fetched).
+
+    Parsing is the stdlib ``html.parser`` state machine (not a regex —
+    the same reasoning as :func:`extract_html_text`), so self-closing
+    tags, attribute quoting styles, and entities in alt text all
+    handle correctly. Map-only Arrow pass; HTML never leaves the
+    executor. Compose downstream with
+    :func:`~duckdb_vss_spark.pipelines.image_curate` once the images
+    are fetched, and :func:`normalize_url` + exact dedup on
+    ``img_url`` to avoid fetching the same asset twice.
+    """
+    from html.parser import HTMLParser
+    from typing import Iterator
+    from urllib.parse import urljoin
+
+    import pandas as pd
+
+    dtypes = dict(df.dtypes)
+    id_t = dtypes[id_col]
+    src_is_bin = dtypes[html_col] == "binary"
+
+    class _Imgs(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.base: str | None = None
+            self.imgs: list[tuple] = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "base" and self.base is None:
+                for k, v in attrs:
+                    if k == "href" and v:
+                        self.base = v
+            elif tag == "img":
+                a = {k: v for k, v in attrs if v is not None}
+                self.imgs.append(
+                    (a.get("src"), a.get("alt"), a.get("title"),
+                     a.get("width"), a.get("height"))
+                )
+
+    def _dim(v):
+        if v is None:
+            return None
+        v = v.strip().removesuffix("px").strip()
+        return int(v) if v.isdigit() else None
+
+    def _clean(v):
+        return " ".join(v.split()) if v is not None else None
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cols: dict = {id_col: []}
+            for c in carry_cols:
+                cols[c] = []
+            out = {k: [] for k in ("img_idx", "img_url", "alt", "title", "width", "height")}
+            bases = pdf[base_url_col] if base_url_col else [None] * len(pdf)
+            carries = [pdf[c] for c in carry_cols]
+            for ri, (raw, doc_base) in enumerate(zip(pdf[html_col], bases)):
+                h = _decode_html_bytes(raw, encoding) if src_is_bin else (raw or "")
+                p = _Imgs()
+                try:
+                    p.feed(h)
+                    p.close()
+                except Exception:
+                    pass  # salvage what parsed; crawled HTML is adversarial
+                base = p.base or doc_base
+                k = 0
+                for src, alt, title, w, hh in p.imgs:
+                    if not src or src.startswith("data:"):
+                        continue
+                    cols[id_col].append(pdf[id_col].iloc[ri])
+                    for c, series in zip(carry_cols, carries):
+                        cols[c].append(series.iloc[ri])
+                    out["img_idx"].append(k)
+                    out["img_url"].append(urljoin(base, src) if base else src)
+                    out["alt"].append(_clean(alt))
+                    out["title"].append(_clean(title))
+                    out["width"].append(_dim(w))
+                    out["height"].append(_dim(hh))
+                    k += 1
+            cols.update(
+                {
+                    "img_idx": pd.array(out["img_idx"], dtype="Int32"),
+                    "img_url": out["img_url"],
+                    "alt": out["alt"],
+                    "title": out["title"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                }
+            )
+            yield pd.DataFrame(cols)
+
+    carry_schema = "".join(f", {c} {dtypes[c]}" for c in carry_cols)
+    cols_in = [id_col, *carry_cols, html_col] + ([base_url_col] if base_url_col else [])
+    from .dedup import _fan_out
+
+    return _fan_out(df.select(*cols_in)).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_t}{carry_schema}, img_idx int, img_url string, "
+            "alt string, title string, width int, height int"
+        ),
     )
 
 

@@ -252,3 +252,41 @@ def test_hamming_pairs_combo2_exact_vs_bruteforce(spark):
         hamming_pairs(df, "id", "h", max_hamming=7, bands=8, combo=2)
     with pytest.raises(ValueError, match="fan-out"):
         hamming_pairs(df, "id", "h", max_hamming=2, bands=16, combo=4)
+
+
+def test_image_quality_stats_signals(spark):
+    """The LAION-style gate signals behave: flat fill -> zero contrast/
+    entropy/blur; grayscale -> zero colorfulness; blurred photo scores
+    lower variance-of-Laplacian than the sharp original; corrupt rows
+    quarantine; values match a direct numpy recompute."""
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.image import image_quality_stats
+    from duckdb_vss_spark.operators.multimodal import _resize_kernel, encode_bmp
+
+    photo = _photo(31, 48, 48)
+    gray3 = np.repeat(_photo(32, 48, 48)[..., :1], 3, axis=2)
+    flat = np.full((16, 16, 3), 128, dtype=np.uint8)
+    blurred = np.clip(np.round(_resize_kernel(
+        np.clip(np.round(_resize_kernel(photo.astype(np.float64), 12, 12, "bilinear")),
+                0, 255), 48, 48, "bilinear")), 0, 255).astype(np.uint8)
+    rows = [(0, encode_bmp(photo)), (1, encode_bmp(gray3)),
+            (2, encode_bmp(flat)), (3, encode_bmp(blurred)),
+            (9, b"not an image")]
+    df = spark.createDataFrame(pd.DataFrame({
+        "image_id": [r[0] for r in rows], "content": [r[1] for r in rows]}))
+    out = {r["image_id"]: r for r in image_quality_stats(df, "image_id").collect()}
+    # contrast is sqrt(E[x^2] - mean^2): float cancellation leaves ~1e-6
+    # on a perfectly flat fill, not exactly 0
+    assert out[2]["contrast"] < 1e-5 and out[2]["entropy"] == 0.0 and out[2]["blur"] == 0.0
+    assert abs(out[2]["mean_luma"] - 128.0) < 1e-9
+    assert abs(out[1]["colorfulness"]) < 1e-9          # R=G=B
+    assert out[0]["colorfulness"] > 5.0
+    assert out[3]["blur"] < out[0]["blur"]             # blur kills Laplacian var
+    assert out[0]["entropy"] > 3.0
+    assert not out[9]["ok"] and "Error" in out[9]["err"]
+    # exact numpy recompute of the photo's mean/contrast
+    luma = 0.299 * photo[..., 0].astype(np.float64) + \
+        0.587 * photo[..., 1] + 0.114 * photo[..., 2]
+    assert abs(out[0]["mean_luma"] - luma.mean()) < 1e-9
+    assert abs(out[0]["contrast"] - luma.std()) < 1e-6

@@ -395,3 +395,57 @@ def test_main_content_unclosed_anchor_contained(spark):
     df = spark.createDataFrame([(1, html)], "doc_id long, html string")
     r = extract_main_content(df, "html", "doc_id").collect()[0]
     assert prose in r["text"]
+
+
+def test_extract_image_links(spark):
+    """<img> extraction for image-text pairing: document order, base-href
+    resolution, entity-decoded alt, px-suffixed dims, data:/src-less tags
+    skipped, carry columns ride through."""
+    from duckdb_vss_spark.operators.web import extract_image_links
+
+    html = (
+        "<html><head><base href='http://ex.com/a/'><title>t</title></head>"
+        "<body>"
+        "<img src='pic1.jpg' alt='a &amp; b' width='300px' height='200'>"
+        "<p><img src='/abs.png' title='  big   cat '/></p>"
+        "<img src='data:image/gif;base64,R0lGOD'>"   # not fetchable
+        "<img alt='no src'>"                          # not fetchable
+        "<img src='http://cdn.io/x.webp' width='banner'>"
+        "</body></html>"
+    )
+    no_base = "<p><img src='rel.gif' alt='r'></p>"
+    df = spark.createDataFrame(
+        [(1, html, "http://doc.page/dir/index.html", "k1"),
+         (2, no_base, "http://doc.page/dir/index.html", "k2"),
+         (3, "<p>no images</p>", None, "k3"),
+         (4, "<img src='broken.jpg' alt='x", None, "k4")],  # truncated tag
+        "doc_id long, html string, url string, tag string",
+    )
+    rows = extract_image_links(
+        df, "html", "doc_id", base_url_col="url", carry_cols=("tag",)
+    ).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(by[1], key=lambda r: r["img_idx"])
+    assert [r["img_url"] for r in d1] == [
+        "http://ex.com/a/pic1.jpg",      # <base> wins over base_url_col
+        "http://ex.com/abs.png",
+        "http://cdn.io/x.webp",
+    ]
+    assert d1[0]["alt"] == "a & b" and d1[0]["width"] == 300 and d1[0]["height"] == 200
+    assert d1[1]["title"] == "big cat" and d1[1]["alt"] is None
+    assert d1[2]["width"] is None                     # 'banner' isn't a dim
+    assert all(r["tag"] == "k1" for r in d1)
+    # no <base>: the document URL column resolves relatives
+    assert by[2][0]["img_url"] == "http://doc.page/dir/rel.gif"
+    assert 3 not in by                                # no imgs -> no rows
+    # truncated markup salvages nothing but doesn't raise
+    assert 4 not in by or by[4] == []
+    # binary HTML input decodes
+    bdf = spark.createDataFrame(
+        [(9, no_base.encode("utf-8"), "http://b.io/p/")],
+        "doc_id long, html binary, url string",
+    )
+    r9 = extract_image_links(bdf, "html", "doc_id", base_url_col="url").collect()
+    assert [r["img_url"] for r in r9] == ["http://b.io/p/rel.gif"]
