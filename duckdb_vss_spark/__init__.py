@@ -33,6 +33,7 @@ from .index.ivf import IVFIndex, build_ivf  # noqa: F401
 from .index.dedup_store import MinHashStore  # noqa: F401
 from .index.audio_store import AudioFingerprintStore  # noqa: F401
 from .index.image_store import ImageHashStore  # noqa: F401
+from .index.video_store import VideoFingerprintStore  # noqa: F401
 from .sql import SQLFrontend  # noqa: F401
 from .operators.dedup import (  # noqa: F401
     duplicated_span_profile,
@@ -97,6 +98,7 @@ from .operators.audio import (  # noqa: F401
 from .pipelines import (  # noqa: F401
     audio_curate,
     image_curate,
+    video_curate,
     c4_clean,
     ccnet_curate,
     refinedweb_curate,

@@ -135,6 +135,56 @@ def dhash(df: DataFrame, id_col: str, content_col: str = "content") -> DataFrame
     return _hash_op(dhash_kernel, "dhash")(df, id_col, content_col)
 
 
+_STAT_COLS = ("mean_luma", "contrast", "colorfulness", "blur", "entropy")
+
+
+def _stats_kernel(arr: np.ndarray):
+    """(w, h, mean_luma, contrast, colorfulness, blur, entropy) of one
+    decoded image array — shared by :func:`image_quality_stats` and the
+    fused :func:`hash_transcode_images(with_stats=True)` pass."""
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 2:
+        a = a[..., None]
+    r = a[..., 0]
+    g = a[..., 1] if a.shape[2] >= 3 else r
+    bch = a[..., 2] if a.shape[2] >= 3 else r
+    luma = 0.299 * r + 0.587 * g + 0.114 * bch
+    n = luma.size
+    mean = float(luma.sum() / n)
+    var = float((luma * luma).sum() / n) - mean * mean
+    contrast = float(np.sqrt(max(var, 0.0)))
+    rg = r - g
+    yb = (r + g) / 2.0 - bch
+    mrg = float(rg.sum() / n)
+    myb = float(yb.sum() / n)
+    vrg = float((rg * rg).sum() / n) - mrg * mrg
+    vyb = float((yb * yb).sum() / n) - myb * myb
+    colorful = float(
+        np.sqrt(max(vrg, 0.0) + max(vyb, 0.0))
+        + 0.3 * np.sqrt(mrg * mrg + myb * myb)
+    )
+    h, w = luma.shape
+    if h >= 3 and w >= 3:
+        lap = (
+            4.0 * luma[1:-1, 1:-1]
+            - luma[:-2, 1:-1]
+            - luma[2:, 1:-1]
+            - luma[1:-1, :-2]
+            - luma[1:-1, 2:]
+        )
+        m = lap.size
+        lm = float(lap.sum() / m)
+        blur = max(float((lap * lap).sum() / m) - lm * lm, 0.0)
+    else:
+        blur = 0.0
+    hist = np.bincount(
+        np.clip(np.rint(luma.reshape(-1)), 0, 255).astype(np.int64), minlength=256
+    )
+    p = hist[hist > 0] / n
+    entropy = float(-(p * np.log2(p)).sum())
+    return w, h, mean, contrast, colorful, blur, entropy
+
+
 def image_quality_stats(
     df: DataFrame,
     id_col: str,
@@ -174,49 +224,7 @@ def image_quality_stats(
 
     id_t = dict(df.dtypes)[id_col]
 
-    def one(arr: np.ndarray):
-        a = np.asarray(arr, dtype=np.float64)
-        if a.ndim == 2:
-            a = a[..., None]
-        r = a[..., 0]
-        g = a[..., 1] if a.shape[2] >= 3 else r
-        bch = a[..., 2] if a.shape[2] >= 3 else r
-        luma = 0.299 * r + 0.587 * g + 0.114 * bch
-        n = luma.size
-        mean = float(luma.sum() / n)
-        var = float((luma * luma).sum() / n) - mean * mean
-        contrast = float(np.sqrt(max(var, 0.0)))
-        rg = r - g
-        yb = (r + g) / 2.0 - bch
-        mrg = float(rg.sum() / n)
-        myb = float(yb.sum() / n)
-        vrg = float((rg * rg).sum() / n) - mrg * mrg
-        vyb = float((yb * yb).sum() / n) - myb * myb
-        colorful = float(
-            np.sqrt(max(vrg, 0.0) + max(vyb, 0.0))
-            + 0.3 * np.sqrt(mrg * mrg + myb * myb)
-        )
-        h, w = luma.shape
-        if h >= 3 and w >= 3:
-            lap = (
-                4.0 * luma[1:-1, 1:-1]
-                - luma[:-2, 1:-1]
-                - luma[2:, 1:-1]
-                - luma[1:-1, :-2]
-                - luma[1:-1, 2:]
-            )
-            m = lap.size
-            lm = float(lap.sum() / m)
-            blur = float((lap * lap).sum() / m) - lm * lm
-            blur = max(blur, 0.0)
-        else:
-            blur = 0.0
-        hist = np.bincount(
-            np.clip(np.rint(luma.reshape(-1)), 0, 255).astype(np.int64), minlength=256
-        )
-        p = hist[hist > 0] / n
-        entropy = float(-(p * np.log2(p)).sum())
-        return w, h, mean, contrast, colorful, blur, entropy
+    one = _stats_kernel
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .multimodal import _decode_image_bytes
@@ -269,6 +277,7 @@ def hash_transcode_images(
     quality: int = 75,
     method: str = "bilinear",
     on_error: str = "flag",
+    with_stats: bool = False,
 ) -> DataFrame:
     """Fused decode → pHash + resize + JPEG re-encode in ONE pass over
     the image bytes — the hot loop of
@@ -285,7 +294,13 @@ def hash_transcode_images(
     baseline JPEG. ``on_error='flag'`` (default) keeps undecodable rows
     with ``ok=false``, ``phash=NULL`` and the error text
     (flag-don't-drop); ``'raise'`` propagates. Fanned map-only, same
-    scale shape as the parents."""
+    scale shape as the parents.
+
+    ``with_stats=True`` additionally computes the
+    :func:`image_quality_stats` signal set (``mean_luma contrast
+    colorfulness blur entropy``) from the SAME decoded pixels — the
+    stats are array sums, a rounding error next to the decode, so the
+    recipe's quality gates come for free in the one pass."""
     if on_error not in ("flag", "raise"):
         raise ValueError("on_error must be 'flag' or 'raise'")
     from .dedup import _fan_out
@@ -298,6 +313,7 @@ def hash_transcode_images(
             if len(pdf) == 0:
                 continue
             ids, hs, blobs, ws, hts, oks, errs = [], [], [], [], [], [], []
+            stats: dict = {k: [] for k in _STAT_COLS}
             for i, blob in zip(pdf[id_col], pdf[content_col]):
                 try:
                     arr = _decode_image_bytes(blob)
@@ -307,6 +323,9 @@ def hash_transcode_images(
                     enc = encode_jpeg(
                         np.clip(np.rint(out), 0, 255).astype(np.uint8), quality=quality
                     )
+                    if with_stats:
+                        for k, v in zip(_STAT_COLS, _stats_kernel(arr)[2:]):
+                            stats[k].append(v)
                     ids.append(i); hs.append(ph); blobs.append(enc)
                     ws.append(w0); hts.append(h0); oks.append(True); errs.append(None)
                 except Exception as e:  # noqa: BLE001 - per-row quarantine
@@ -315,21 +334,27 @@ def hash_transcode_images(
                     ids.append(i); hs.append(None); blobs.append(None)
                     ws.append(None); hts.append(None); oks.append(False)
                     errs.append(f"{type(e).__name__}: {e}"[:200])
-            yield pd.DataFrame(
-                {
-                    id_col: ids, "phash": pd.array(hs, dtype="Int64"),
-                    "content": blobs,
-                    "width": pd.array(ws, dtype="Int32"),
-                    "height": pd.array(hts, dtype="Int32"),
-                    "ok": oks, "err": errs,
-                }
-            )
+                    if with_stats:
+                        for k in _STAT_COLS:
+                            stats[k].append(None)
+            cols = {
+                id_col: ids, "phash": pd.array(hs, dtype="Int64"),
+                "content": blobs,
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hts, dtype="Int32"),
+                "ok": oks, "err": errs,
+            }
+            if with_stats:
+                for k in _STAT_COLS:
+                    cols[k] = pd.array(stats[k], dtype="float64")
+            yield pd.DataFrame(cols)
 
+    stats_schema = "".join(f", {k} double" for k in _STAT_COLS) if with_stats else ""
     return _fan_out(df.select(id_col, content_col)).mapInPandas(
         gen,
         schema=(
             f"{id_col} {id_t}, phash long, content binary, width int, "
-            "height int, ok boolean, err string"
+            f"height int, ok boolean, err string{stats_schema}"
         ),
     )
 

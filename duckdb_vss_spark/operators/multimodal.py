@@ -69,6 +69,7 @@ __all__ = [
     "parse_jpeg_header",
     "byte_histogram_features",
     "frame_sample",
+    "video_frames",
     "gif_frames",
     "resize_media",
     "transcode_images",
@@ -805,6 +806,78 @@ def gif_frames(
         schema=(
             f"{id_col} {id_t}, frame_idx int, delay_cs int, width int, "
             "height int, pixels array<float>"
+        ),
+    )
+
+
+def video_frames(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    every_nth: int = 1,
+    on_error: str = "flag",
+) -> DataFrame:
+    """Format-dispatching video frame decode: explode a MIXED video
+    column — animated GIFs (LZW) and MJPEG-AVIs (RIFF container + JPEG
+    frames), detected per blob by magic bytes — into the shared decoded-
+    frame contract ``(id, frame_idx, width, height, pixels)``, keeping
+    every ``every_nth`` frame. The one entry point a mixed crawl needs
+    before :func:`~.image.frame_phash` /
+    :func:`~duckdb_vss_spark.pipelines.video_curate`.
+
+    ``on_error='flag'`` emits undecodable CLIPS as a single row with
+    ``frame_idx = -1`` and NULL pixels (flag-don't-drop: the corrupt
+    clip stays in the ledger; frame consumers filter
+    ``frame_idx >= 0``); ``'raise'`` propagates. Fanned map-only."""
+    if on_error not in ("flag", "raise"):
+        raise ValueError("on_error must be 'flag' or 'raise'")
+    from .gif import decode_gif_frames_np
+    from .video import decode_avi_frames_np
+
+    id_t = dict(df.dtypes)[id_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, idxs, ws, hs, px = [], [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    head = bytes(blob[:12])
+                    if head[:6] in (b"GIF87a", b"GIF89a"):
+                        frames = [a for a, _delay in decode_gif_frames_np(blob)]
+                    elif head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+                        frames = list(decode_avi_frames_np(blob))
+                    else:
+                        raise NotImplementedError(
+                            f"not a supported video container (magic {head[:4]!r})"
+                        )
+                    if not frames:
+                        raise ValueError("video decoded to zero frames")
+                    for fi, arr in enumerate(frames):
+                        if fi % every_nth:
+                            continue
+                        h, w = arr.shape[:2]
+                        ids.append(i); idxs.append(fi)
+                        ws.append(w); hs.append(h)
+                        px.append(arr.reshape(-1).astype(np.float32))
+                except Exception:  # noqa: BLE001 - per-clip quarantine
+                    if on_error == "raise":
+                        raise
+                    ids.append(i); idxs.append(-1)
+                    ws.append(None); hs.append(None); px.append(None)
+            yield pd.DataFrame({
+                id_col: ids, "frame_idx": idxs,
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "pixels": px,
+            })
+
+    return _fan_out(df.select(id_col, content_col)).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_t}, frame_idx int, width int, height int, "
+            "pixels array<float>"
         ),
     )
 

@@ -172,7 +172,9 @@ def avi_frames(
                 {id_col: ids, "frame_idx": idxs, "width": ws, "height": hs, "pixels": px}
             )
 
-    return df.select(id_col, content_col).mapInPandas(
+    from .dedup import _fan_out
+
+    return _fan_out(df.select(id_col, content_col)).mapInPandas(
         gen,
         schema=f"{id_col} {id_t}, frame_idx int, width int, height int, pixels array<float>",
     )

@@ -37,6 +37,8 @@ __all__ = [
     "refinedweb_curate",
     "semantic_curate",
     "audio_curate",
+    "image_curate",
+    "video_curate",
     "crawl_ingest",
     "warc_ingest",
     "curate_corpus",
@@ -314,6 +316,8 @@ def image_curate(
     bands: int = 16,
     max_bucket: int = 1000,
     combo: int = 1,
+    min_contrast: float | None = None,
+    min_entropy: float | None = None,
     store=None,
     snapshot: str | None = None,
 ) -> DataFrame:
@@ -342,6 +346,11 @@ def image_curate(
     2. **Quality gate** — ``quality_keep``: decode succeeded and
        original dims at least ``min_width`` x ``min_height`` (thumbnails
        and tracking pixels are upstream noise, not training data).
+       ``min_contrast`` / ``min_entropy`` (off by default) additionally
+       gate on the :func:`~.operators.image.image_quality_stats` signals
+       — blank pages and synthetic flat fills score ~0 on both — and the
+       signal columns ride the output; the stats come from the SAME
+       fused decode pass (``with_stats=True``), not a second decode.
     3. **Near-dup clustering** — banded-Hamming pairs over the pHashes
        (:func:`~.operators.image.image_neardup_pairs`, hot buckets
        capped) → connected components; ``dedup_keep`` flags one
@@ -361,6 +370,7 @@ def image_curate(
     # referenced by the base join, the pair join's hash table, and the
     # store match/commit — persist the one-decode pass or the codec
     # kernel re-runs per reference
+    want_stats = min_contrast is not None or min_entropy is not None
     ht = tracked_persist(
         hash_transcode_images(
             images.select(id_col, content_col),
@@ -368,8 +378,23 @@ def image_curate(
             thumb_width,
             thumb_height,
             quality=quality,
+            with_stats=want_stats,
         )
     )
+    stat_cols = (
+        ["mean_luma", "contrast", "colorfulness", "blur", "entropy"]
+        if want_stats
+        else []
+    )
+    gate = (
+        F.col("ok")
+        & (F.col("width") >= min_width)
+        & (F.col("height") >= min_height)
+    )
+    if min_contrast is not None:
+        gate = gate & (F.col("contrast") >= min_contrast)
+    if min_entropy is not None:
+        gate = gate & (F.col("entropy") >= min_entropy)
     base = images.join(
         ht.select(
             id_col,
@@ -379,14 +404,10 @@ def image_curate(
             "height",
             "ok",
             F.col("err").alias("decode_err"),
+            *stat_cols,
         ),
         id_col,
-    ).withColumn(
-        "quality_keep",
-        F.col("ok")
-        & (F.col("width") >= min_width)
-        & (F.col("height") >= min_height),
-    )
+    ).withColumn("quality_keep", gate)
     hashes = ht.filter("ok").select(id_col, "phash")
     pairs = image_neardup_pairs(
         hashes, id_col, max_hamming=max_hamming, bands=bands,
@@ -414,6 +435,121 @@ def image_curate(
         # the commit is the loop's barrier; no second decode)
         kept = out.filter("image_keep").select(id_col, "phash")
         store.append_snapshot(kept, id_col, snapshot, hash_col="phash")
+    return out
+
+
+def video_curate(
+    clips: DataFrame,
+    content_col: str = "content",
+    id_col: str = "clip_id",
+    min_frames: int = 2,
+    min_width: int = 32,
+    min_height: int = 32,
+    max_hamming: int = 4,
+    bands: int = 8,
+    min_matches: int = 5,
+    max_bucket: int = 1000,
+    every_nth: int = 1,
+    store=None,
+    snapshot: str | None = None,
+) -> DataFrame:
+    """The video analog of :func:`audio_curate` / :func:`image_curate`,
+    completing the modality set: container decode (GIF + MJPEG-AVI,
+    dispatched per blob) → per-clip quality gates → offset-consistent
+    perceptual near-dup clustering, one flag-don't-drop plan.
+
+    With ``store`` (a :class:`~duckdb_vss_spark.index.video_store.
+    VideoFingerprintStore`), the batch ALSO matches against all
+    previously ingested video history — ``dup_of_store`` rides along and
+    gates ``video_keep`` — and with ``snapshot`` the kept clips' frame
+    hashes commit to the store so the NEXT batch dedups against this
+    one. Both the in-batch match AND the commit reuse THIS call's
+    already-computed frame-hash table: each clip is container-decoded
+    exactly once, ever.
+
+    Stages and the flags they add:
+
+    1. **Decode** (:func:`~.operators.multimodal.video_frames`,
+       quarantining): ``decode_ok``, ``n_frames``, ``width``/``height``
+       (the decoded frame dims).
+    2. **Quality gate** — ``quality_keep``: decode succeeded,
+       ``n_frames >= min_frames`` (single-frame stubs and busted
+       containers are not video), dims at least ``min_width`` x
+       ``min_height``.
+    3. **Near-dup clustering** — per-frame pHash → banded-Hamming frame
+       join → offset votes (:func:`~.operators.image.
+       video_neardup_pairs`, hot buckets capped) → connected
+       components; ``dedup_keep`` flags one canonical survivor per
+       cluster, ``cluster_id`` rides.
+    4. ``video_keep`` = ``quality_keep AND dedup_keep``
+       (``AND NOT dup_of_store`` with history).
+
+    Scale shape: one fanned map-only decode, one fanned hash pass; the
+    only shuffles are the capped band join, the vote aggregations, and
+    the id-keyed flag joins. Only ``(id, t, hash)`` longs ever move for
+    matching — pixels stay on the executor that decoded them.
+    """
+    from .broadcasts import tracked_persist
+    from .operators.dedup import _shared
+    from .operators.graph import dedup_clusters
+    from .operators.image import frame_phash, video_neardup_pairs
+    from .operators.multimodal import video_frames
+
+    # the frame table feeds the meta aggregate AND the hash pass — one
+    # container decode total
+    frames = tracked_persist(
+        video_frames(
+            clips.select(id_col, content_col), id_col, content_col,
+            every_nth=every_nth,
+        )
+    )
+    meta = frames.groupBy(id_col).agg(
+        F.max(F.col("frame_idx") >= 0).alias("decode_ok"),
+        F.sum((F.col("frame_idx") >= 0).cast("int")).alias("n_frames"),
+        F.min("width").alias("width"),
+        F.min("height").alias("height"),
+    )
+    base = clips.join(meta, id_col).withColumn(
+        "quality_keep",
+        F.col("decode_ok")
+        & (F.col("n_frames") >= min_frames)
+        & (F.col("width") >= min_width)
+        & (F.col("height") >= min_height),
+    )
+    # the hash table feeds the in-batch pair join, the store match, and
+    # the snapshot commit — one pHash pass total
+    keys = _shared(frame_phash(frames.filter(F.col("frame_idx") >= 0), id_col))
+    pairs = video_neardup_pairs(
+        keys, id_col, max_hamming=max_hamming, bands=bands,
+        min_matches=min_matches, max_bucket=max_bucket,
+    )
+    out = dedup_clusters(base, id_col, pairs.select("id_a", "id_b")).withColumnRenamed(
+        "is_canonical", "dedup_keep"
+    )
+    keep = F.col("quality_keep") & F.col("dedup_keep")
+    if store is not None:
+        hits = (
+            store.match_against(
+                None, id_col, keys_df=keys,
+                min_matches=min_matches, max_bucket=max_bucket,
+            )
+            .select(F.col("id").alias("__mid"))
+            .distinct()
+        )
+        out = (
+            out.join(hits, F.col(id_col) == F.col("__mid"), "left")
+            .withColumn("dup_of_store", F.col("__mid").isNotNull())
+            .drop("__mid")
+        )
+        keep = keep & ~F.col("dup_of_store")
+    out = out.withColumn("video_keep", keep)
+    if store is not None and snapshot is not None:
+        # commit the kept clips' ALREADY-COMPUTED frame hashes (an
+        # action — the commit is the loop's barrier; no second decode)
+        kept_ids = out.filter("video_keep").select(id_col)
+        store.append_snapshot(
+            None, id_col, snapshot, keys_df=keys.join(kept_ids, id_col)
+        )
     return out
 
 

@@ -787,6 +787,94 @@ def stream_image_curate(
         raise TimeoutError("stream_image_curate did not drain before timeout")
 
 
+def _video_curate_batch(
+    bdf: DataFrame,
+    bid: int,
+    store,
+    out_path: str,
+    content_col: str,
+    id_col: str,
+    snapshot_prefix: str,
+    **curate_kwargs,
+) -> None:
+    """One micro-batch of :func:`stream_video_curate` — same replay
+    discipline as the text/audio/image twins: committed snapshot ⇒ skip;
+    batch-keyed overwrite sink PRECEDES the snapshot commit. The replay
+    path re-reads the kept clips' BYTES from the sink and re-fingerprints
+    them through the store's content path (the frame-hash table is
+    per-frame rows, too wide to ride every clip row like the image
+    store's single hash does — the audio twin makes the same trade)."""
+    from ..operators.dedup import _fan_out
+    from ..pipelines import video_curate
+
+    name = f"{snapshot_prefix}-{bid:06d}"
+    if any(s["name"] == name for s in store.manifest["snapshots"]):
+        return
+    out = video_curate(
+        _fan_out(bdf), content_col=content_col, id_col=id_col,
+        store=store, snapshot=None, **curate_kwargs,
+    )
+    sink = f"{out_path}/batch={bid:06d}"
+    out.write.mode("overwrite").parquet(sink)
+    kept = (
+        bdf.sparkSession.read.parquet(sink)
+        .filter("video_keep")
+        .select(id_col, content_col)
+    )
+    store.append_snapshot(kept, id_col, name, content_col=content_col)
+
+
+def stream_video_curate(
+    clips: DataFrame,
+    store,
+    out_path: str,
+    checkpoint: str,
+    content_col: str = "content",
+    id_col: str = "clip_id",
+    snapshot_prefix: str = "video",
+    timeout_sec: float = 180.0,
+    **curate_kwargs,
+) -> None:
+    """Streaming twin of :func:`~duckdb_vss_spark.pipelines.video_curate`
+    — the steady-state video-ingest loop: each arriving micro-batch runs
+    the full recipe (decode gates → within-batch offset-vote dedup →
+    match against EVERY prior batch's committed frame hashes), lands
+    batch-keyed in the parquet sink, and commits its kept clips' frame
+    hashes as snapshot ``{prefix}-{batch_id}`` so the NEXT micro-batch
+    dedups against it. Cross-batch state is the
+    :class:`~duckdb_vss_spark.index.video_store.VideoFingerprintStore`'s
+    ``(id, t, h)`` rows — three longs per kept frame, never pixels.
+    Delivery is effectively-once via the snapshot-name skip +
+    batch-keyed overwrite sink, like its siblings (which also own
+    snapshot naming, hence the same kwarg guard)."""
+    forbidden = {"snapshot", "store"} & curate_kwargs.keys()
+    if forbidden:
+        raise ValueError(
+            f"stream_video_curate owns snapshot naming and the store; "
+            f"pass {sorted(forbidden)} as direct arguments, not via curate_kwargs"
+        )
+
+    def _batch(bdf: DataFrame, bid: int) -> None:
+        _video_curate_batch(
+            bdf, bid, store, out_path,
+            content_col=content_col, id_col=id_col,
+            snapshot_prefix=snapshot_prefix, **curate_kwargs,
+        )
+
+    q = (
+        clips.writeStream.foreachBatch(_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    deadline = time.monotonic() + timeout_sec
+    while q.isActive and time.monotonic() < deadline:
+        time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("stream_video_curate did not drain before timeout")
+
+
 def stream_warc_ingest(
     spark,
     warc_dir: str,

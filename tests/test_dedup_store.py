@@ -422,3 +422,80 @@ def test_image_store_lifecycle_and_matching(spark, tmp_path):
     )
     empty = st3.match_against(sb, "image_id")
     assert dict(empty.dtypes)["id"] == "string" and empty.count() == 0
+
+
+# ---------------------------------------------------------------- video store
+
+
+def _vclip(seed, n=8, q=85):
+    import numpy as np
+
+    from duckdb_vss_spark.operators import multimodal as M
+    from duckdb_vss_spark.operators.video import encode_avi_mjpeg
+
+    frames = []
+    for k in range(n):
+        rng = np.random.default_rng(seed * 100 + k)
+        low = rng.uniform(30, 225, size=(8, 8, 3))
+        frames.append(np.clip(
+            np.round(M._resize_kernel(low, 48, 48, "bilinear")), 0, 255
+        ).astype(np.uint8))
+    return encode_avi_mjpeg(frames, quality=q), frames
+
+
+def test_video_store_lifecycle_and_matching(spark, tmp_path):
+    import pandas as pd
+
+    from duckdb_vss_spark.index.video_store import VideoFingerprintStore
+    from duckdb_vss_spark.operators.video import encode_avi_mjpeg
+
+    root = str(tmp_path / "vstore")
+    st = VideoFingerprintStore.create(spark, root)
+    hist = spark.createDataFrame(pd.DataFrame({
+        "clip_id": list(range(4)),
+        "content": [_vclip(i)[0] for i in range(4)],
+    }))
+    st.append_snapshot(hist, "clip_id", "day-0")
+    assert st.info()["n_clips"] == 4
+    # batch: clip 2's frames delayed by 2 + harsher re-encode, plus fresh
+    _, f2 = _vclip(2)
+    _, filler = _vclip(9)
+    shifted = encode_avi_mjpeg(filler[:2] + f2[:6], quality=60)
+    batch = spark.createDataFrame(pd.DataFrame({
+        "clip_id": [100, 101],
+        "content": [shifted, _vclip(8)[0]],
+    }))
+    m = {r["id"]: r for r in
+         st.match_against(batch, "clip_id", min_matches=5).collect()}
+    assert 100 in m and m[100]["store_id"] == 2 and m[100]["snapshot"] == "day-0"
+    assert m[100]["offset"] == 2 and m[100]["n_matches"] >= 5
+    assert 101 not in m
+    flagged = {r["clip_id"]: r["dup_of_store"] for r in
+               st.flag_batch(batch, "clip_id", min_matches=5).collect()}
+    assert flagged == {100: True, 101: False}
+    # keys_df path (precomputed hashes) matches identically, no decode
+    from duckdb_vss_spark.operators.image import frame_phash
+    from duckdb_vss_spark.operators.multimodal import video_frames
+
+    keys = frame_phash(
+        video_frames(batch, "clip_id").filter("frame_idx >= 0"), "clip_id"
+    )
+    m2 = {r["id"]: r["store_id"] for r in
+          st.match_against(None, "clip_id", keys_df=keys, min_matches=5).collect()}
+    assert m2 == {100: 2}
+    # reopen + retention: drop-then-append never reuses a dir
+    st2 = VideoFingerprintStore.open(spark, root)
+    st2.drop_snapshot("day-0")
+    assert st2.match_against(batch, "clip_id", min_matches=5).count() == 0
+    st2.append_snapshot(batch, "clip_id", "day-1")
+    assert st2.info()["snapshots"][-1]["dir"] == "snap-000001"
+    assert st2.vacuum() == ["snap-000000"]
+    # empty store tracks the id dtype
+    st3 = VideoFingerprintStore.create(spark, str(tmp_path / "vstore3"))
+    sb = spark.createDataFrame(
+        [("u-1", bytes(_vclip(1)[0]))], "clip_id: string, content: binary"
+    )
+    empty = st3.match_against(sb, "clip_id")
+    assert dict(empty.dtypes)["id"] == "string" and empty.count() == 0
+    with pytest.raises(ValueError, match="bands"):
+        st3.match_against(sb, "clip_id", max_hamming=8)

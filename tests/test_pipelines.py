@@ -719,3 +719,94 @@ def test_image_curate_flags_dedup_and_store_loop(spark, tmp_path):
     assert out2[500]["dup_of_store"] and not out2[500]["image_keep"]
     assert not out2[501]["dup_of_store"] and out2[501]["image_keep"]
     assert st.info()["snapshots"][-1]["n_images"] == 1       # only the fresh one
+
+
+def test_image_curate_quality_signal_gates(spark):
+    """min_contrast/min_entropy gate flat synthetic fills out via the
+    fused-pass stats (no second decode); signal columns ride the output."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_vss_spark.operators import multimodal as M
+    from duckdb_vss_spark.pipelines import image_curate
+
+    flat = M.encode_bmp(np.full((48, 48, 3), 200, dtype=np.uint8))
+    photo = _photo_bmp(41, 48, 48)[0]
+    df = spark.createDataFrame(pd.DataFrame({
+        "image_id": [1, 2], "content": [photo, flat]}))
+    out = {r["image_id"]: r for r in
+           image_curate(df, min_contrast=2.0, min_entropy=1.0).collect()}
+    assert out[1]["quality_keep"] and out[1]["image_keep"]
+    assert not out[2]["quality_keep"] and not out[2]["image_keep"]
+    assert out[2]["entropy"] == 0.0 and out[2]["contrast"] < 1e-5
+    assert out[1]["entropy"] > 3.0
+    # without the gates the stats columns are absent and flat passes
+    out2 = {r["image_id"]: r for r in image_curate(df).collect()}
+    assert "entropy" not in out2[1].asDict()
+    assert out2[2]["quality_keep"]
+
+
+def _vid_frames(seed, n=8):
+    import numpy as np
+
+    from duckdb_vss_spark.operators import multimodal as M
+
+    out = []
+    for k in range(n):
+        rng = np.random.default_rng(seed * 100 + k)
+        low = rng.uniform(30, 225, size=(8, 8, 3))
+        out.append(np.clip(
+            np.round(M._resize_kernel(low, 48, 48, "bilinear")), 0, 255
+        ).astype(np.uint8))
+    return out
+
+
+def test_video_curate_flags_dedup_and_store_loop(spark, tmp_path):
+    """The video recipe completes the modality set: mixed GIF+AVI decode,
+    min-frames/dims gates, corrupt-blob quarantine, offset-vote dedup
+    (delayed harsher re-encode clusters with its original), and the
+    incremental store loop — each clip container-decoded exactly once."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_vss_spark.index.video_store import VideoFingerprintStore
+    from duckdb_vss_spark.operators.gif import encode_gif
+    from duckdb_vss_spark.operators.video import encode_avi_mjpeg
+    from duckdb_vss_spark.pipelines import video_curate
+
+    rows = [(i, encode_avi_mjpeg(_vid_frames(i), quality=85)) for i in range(3)]
+    shifted = _vid_frames(9)[:2] + _vid_frames(0)[:6]
+    rows.append((100, encode_avi_mjpeg(shifted, quality=60)))  # near-dup of 0
+    pal = (np.arange(8)[:, None] * np.array([37, 59, 83])[None, :] % 256).astype(np.uint8)
+    gif_frames_ = [pal[(np.add.outer(np.arange(36), np.arange(40)) + f) % 8]
+                   for f in range(4)]
+    rows.append((200, encode_gif(gif_frames_, delays_cs=[4] * 4)))  # mixed container
+    rows.append((300, b"not a video"))                              # decode failure
+    rows.append((400, encode_avi_mjpeg(_vid_frames(5)[:1], quality=85)))  # 1 frame
+    df = spark.createDataFrame(pd.DataFrame({
+        "clip_id": [r[0] for r in rows], "content": [r[1] for r in rows]}))
+    st = VideoFingerprintStore.create(spark, str(tmp_path / "vstore"))
+    out = {r["clip_id"]: r for r in
+           video_curate(df, min_matches=5, store=st, snapshot="b0").collect()}
+    assert len(out) == 7                                   # flag-don't-drop
+    assert not out[300]["decode_ok"] and not out[300]["video_keep"]
+    assert out[400]["decode_ok"] and not out[400]["quality_keep"]  # min_frames
+    assert out[200]["decode_ok"] and out[200]["n_frames"] == 4     # GIF decoded
+    assert out[200]["quality_keep"] and out[200]["video_keep"]
+    assert {out[0]["dedup_keep"], out[100]["dedup_keep"]} == {True, False}
+    assert out[0]["cluster_id"] == out[100]["cluster_id"]
+    for i in (1, 2):
+        assert out[i]["video_keep"]
+    kept = {i for i, r in out.items() if r["video_keep"]}
+    assert st.info()["snapshots"][-1]["n_clips"] == len(kept)
+    # batch 2: a fresh re-encode of kept clip 1 + a brand-new clip
+    b2 = spark.createDataFrame(pd.DataFrame({
+        "clip_id": [500, 501],
+        "content": [encode_avi_mjpeg(_vid_frames(1), quality=60),
+                    encode_avi_mjpeg(_vid_frames(7), quality=85)],
+    }))
+    out2 = {r["clip_id"]: r for r in
+            video_curate(b2, min_matches=5, store=st, snapshot="b1").collect()}
+    assert out2[500]["dup_of_store"] and not out2[500]["video_keep"]
+    assert not out2[501]["dup_of_store"] and out2[501]["video_keep"]
+    assert st.info()["snapshots"][-1]["n_clips"] == 1

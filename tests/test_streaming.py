@@ -673,3 +673,64 @@ def test_stream_image_curate_rejects_owned_kwargs(spark, tmp_path):
         stream_image_curate(
             stream, st, str(tmp_path / "o"), str(tmp_path / "c"), snapshot="x",
         )
+
+
+def test_stream_video_curate_incremental(spark, tmp_path):
+    """Streaming video_curate: micro-batch 2's re-encode of a batch-1
+    clip flags dup_of_store via the committed frame-hash history; a
+    corrupt blob fails the decode gate; one snapshot per batch with only
+    kept clips' hashes; replay is a no-op."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_vss_spark.index.video_store import VideoFingerprintStore
+    from duckdb_vss_spark.operators import multimodal as M
+    from duckdb_vss_spark.operators.video import encode_avi_mjpeg
+    from duckdb_vss_spark.streaming import stream_video_curate
+
+    def clip(seed, q=85):
+        frames = []
+        for k in range(8):
+            rng = np.random.default_rng(7000 + seed * 100 + k)
+            low = rng.uniform(30, 225, size=(8, 8, 3))
+            frames.append(np.clip(
+                np.round(M._resize_kernel(low, 48, 48, "bilinear")), 0, 255
+            ).astype(np.uint8))
+        return encode_avi_mjpeg(frames, quality=q)
+
+    staged = str(tmp_path / "vclips")
+    os.makedirs(staged)
+    spark.createDataFrame(pd.DataFrame({
+        "clip_id": [1, 2], "content": [clip(1), clip(2)],
+    })).coalesce(1).write.mode("overwrite").parquet(staged + "/f1")
+    spark.createDataFrame(pd.DataFrame({
+        "clip_id": [10, 11, 12],
+        "content": [clip(1, q=60), clip(7), b"corrupt"],
+    })).coalesce(1).write.mode("overwrite").parquet(staged + "/f2")
+
+    st = VideoFingerprintStore.create(spark, str(tmp_path / "vstore_s"))
+    stream = (
+        spark.readStream.schema("clip_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged + "/f*")
+    )
+    out_path = str(tmp_path / "vout")
+    stream_video_curate(stream, st, out_path, str(tmp_path / "vckpt"))
+    rows = {r["clip_id"]: r for r in spark.read.parquet(out_path).collect()}
+    assert set(rows) == {1, 2, 10, 11, 12}
+    assert rows[10]["dup_of_store"] and not rows[10]["video_keep"]
+    assert not rows[11]["dup_of_store"] and rows[11]["video_keep"]
+    assert not rows[12]["decode_ok"] and not rows[12]["video_keep"]
+    info = st.info()
+    assert len(info["snapshots"]) == 2
+    assert [s["n_clips"] for s in info["snapshots"]] == [2, 1]
+    stream_video_curate(
+        (spark.readStream.schema("clip_id long, content binary")
+         .option("maxFilesPerTrigger", 1).parquet(staged + "/f*")),
+        st, out_path, str(tmp_path / "vckpt"),
+    )
+    assert len(st.info()["snapshots"]) == 2
+    with pytest.raises(ValueError, match="owns snapshot naming"):
+        stream_video_curate(stream, st, out_path, str(tmp_path / "c2"), snapshot="x")

@@ -84,3 +84,38 @@ def test_avi_through_media_meta_and_decode_image(spark):
     d = decode_image(df, "doc_id").collect()[0]  # first frame
     got = np.asarray(d["pixels"], dtype=np.float32).reshape(16, 16, 3)
     assert np.array_equal(got.astype(np.uint8), frames[0])
+
+
+def test_video_frames_mixed_container_dispatch(spark):
+    """video_frames dispatches per blob by magic: GIF and AVI columns mix
+    freely; undecodable clips quarantine as one frame_idx=-1 row."""
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.gif import encode_gif
+    from duckdb_vss_spark.operators.multimodal import video_frames
+
+    pal = (np.arange(8)[:, None] * np.array([37, 59, 83])[None, :] % 256).astype(np.uint8)
+    gif_fr = [pal[(np.add.outer(np.arange(6), np.arange(8)) + f) % 8] for f in range(3)]
+    im = np.zeros((16, 16), dtype=np.uint8)
+    for bk, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        im[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = 16 + 2 * (bk * 5)
+    avi = encode_avi_mjpeg([np.stack([im, im, im], axis=-1)] * 2, quality=50)
+    df = spark.createDataFrame(pd.DataFrame({
+        "vid": [1, 2, 3],
+        "content": [encode_gif(gif_fr, delays_cs=[4, 4, 4]), avi, b"junk"],
+    }))
+    rows = {}
+    for r in video_frames(df, "vid").collect():
+        rows.setdefault(r["vid"], []).append(r)
+    assert sorted(r["frame_idx"] for r in rows[1]) == [0, 1, 2]   # GIF
+    assert rows[1][0]["width"] == 8 and rows[1][0]["height"] == 6
+    assert sorted(r["frame_idx"] for r in rows[2]) == [0, 1]      # AVI
+    assert rows[2][0]["width"] == 16
+    assert [r["frame_idx"] for r in rows[3]] == [-1]              # quarantined
+    assert rows[3][0]["pixels"] is None
+    # every_nth downsamples the frame grid
+    n = video_frames(df.filter("vid = 1"), "vid", every_nth=2).filter(
+        "frame_idx >= 0").count()
+    assert n == 2  # frames 0 and 2
+    with pytest.raises(ValueError, match="on_error"):
+        video_frames(df, "vid", on_error="drop")
