@@ -419,7 +419,13 @@ def image_curate(
     keep = F.col("quality_keep") & F.col("dedup_keep")
     if store is not None:
         hits = (
-            store.match_against(hashes, id_col, hash_col="phash", max_bucket=max_bucket)
+            # the recipe's threshold governs BOTH the in-batch join and
+            # the history match (a smaller per-call bound than the
+            # store's configured one is always pigeonhole-complete)
+            store.match_against(
+                hashes, id_col, hash_col="phash",
+                max_hamming=max_hamming, max_bucket=max_bucket,
+            )
             .select(F.col("id").alias("__mid"))
             .distinct()
         )
@@ -530,8 +536,8 @@ def video_curate(
     if store is not None:
         hits = (
             store.match_against(
-                None, id_col, keys_df=keys,
-                min_matches=min_matches, max_bucket=max_bucket,
+                None, id_col, keys_df=keys, min_matches=min_matches,
+                max_hamming=max_hamming, max_bucket=max_bucket,
             )
             .select(F.col("id").alias("__mid"))
             .distinct()
