@@ -420,6 +420,43 @@ def main() -> None:
         ).filter("image_keep").count()
     )
 
+    # composed video recipe (round 10): real MJPEG-AVI clips (4 frames of
+    # 24x18, doc_id % 97 keys the content so duplicate groups exist) ->
+    # container decode -> frame pHash -> offset-vote clustering -> flags;
+    # one decode per clip by construction
+    from duckdb_vss_spark.operators.video import encode_avi_mjpeg
+    from duckdb_vss_spark.pipelines import video_curate
+
+    def _synth_avis(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                g = i % 97
+                frames = []
+                for k in range(4):
+                    rng = _np.random.default_rng(g * 50 + k)
+                    low = rng.uniform(30, 225, size=(8, 8, 3))
+                    frames.append(_np.clip(
+                        _np.round(_resize_k(low, 24, 18, "bilinear")), 0, 255
+                    ).astype(_np.uint8))
+                ids.append(i)
+                blobs.append(encode_avi_mjpeg(frames, quality=75))
+            yield _pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    avis = docs.select("doc_id").mapInPandas(
+        _synth_avis, schema="doc_id long, content binary"
+    ).cache()
+    avis.count()
+    timings["video_curate"] = run(
+        lambda: video_curate(
+            avis, id_col="doc_id", min_width=16, min_height=16,
+            min_matches=3,
+        ).filter("video_keep").count()
+    )
+
     # audio fingerprint dedup throughput (round 9): per-doc 2048-sample
     # WAV -> decode -> block fingerprint -> keyed match join with offset
     # votes; clips derived from doc_id % 1000 plant ~5x duplicate groups
