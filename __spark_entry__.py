@@ -109,6 +109,13 @@ _AFP_DIFF_SQL = (
 )
 
 
+import math as _math
+
+# voiced bar for the q21 'avf' leg: frame is voiced iff its int16-grid
+# sum of squares reaches ceil(threshold^2 * frame * 32768^2)
+_AVF_BAR = _math.ceil((0.577 * 32768.0) ** 2 * 16)
+
+
 def _IQ_LUM(xe: str, ye: str) -> str:
     """Rec.601 luma of the q21 BMP fixture's pixel formula at (xe, ye) —
     inlined per coordinate so the blur twin needs no 5-way self-join."""
@@ -2110,6 +2117,21 @@ def _m_multimodal_meta(spark, sf_dir):
             F.lit(-1).cast("long").alias("n_bytes"),
         )
     )
+    # avf leg (round 10): per-clip voiced-activity counts over the
+    # fast-wrapping clip at frame=16 — the voiced test is an INTEGER
+    # comparison on the int16 grid (sum of squares vs the ceiling bar),
+    # so duckdb recomputes it exactly; threshold 0.577 sits at the
+    # uniform distribution's RMS (1/sqrt(3)), so frames genuinely split.
+    from duckdb_vss_spark.operators.audio import voiced_stats
+
+    avf = voiced_stats(dec2, "doc_id", frame=16, threshold=0.577).select(
+        F.lit("avf").alias("kind"),
+        "doc_id",
+        F.lit("wav").alias("media_type"),
+        F.col("n_voiced").alias("d1"),
+        F.col("n_frames").alias("d2"),
+        F.round(F.col("voiced_frac") * 1000000.0).cast("long").alias("n_bytes"),
+    )
     # iq leg (round 10): the LAION-style image quality signals over the
     # closed-form BMP — mean luma / contrast / colorfulness / blur are
     # doc-local double statistics of the pixel formula, so duckdb
@@ -2394,7 +2416,7 @@ def _m_multimodal_meta(spark, sf_dir):
         F.lit(-1).cast("long").alias("n_bytes"),
     )
     return _union_tagged(
-        [img, aud, bmp, wav, afeat, afp, ares, aemb, iq, imgl, gif, avi, warc, jpeg, jpegpx, jpegpr]
+        [img, aud, bmp, wav, afeat, afp, ares, aemb, avf, iq, imgl, gif, avi, warc, jpeg, jpegpx, jpegpr]
     )
 
 
@@ -4557,6 +4579,22 @@ def oracle_sql() -> dict[str, str]:
                 f"FROM ({_AFP_DIFF_SQL}) c JOIN ({_AFP_DIFF_SQL}) pr "
                 "ON pr.doc_id=c.doc_id AND pr.f=c.f-1 AND pr.b=c.b "
                 "GROUP BY c.doc_id, c.f"
+            ),
+            (
+                # avf twin: voiced-frame counts via the exact integer bar
+                # on the int16 grid — frame f is voiced iff its sum of
+                # squared PCM values reaches ceil(threshold^2 * 16 *
+                # 32768^2); voiced_frac (scaled 1e6) rides n_bytes
+                "SELECT 'avf' AS kind, doc_id, 'wav' AS media_type, "
+                f"sum(CASE WHEN ssq >= {_AVF_BAR} "
+                "THEN 1 ELSE 0 END)::BIGINT AS d1, "
+                "4::BIGINT AS d2, "
+                f"round(sum(CASE WHEN ssq >= {_AVF_BAR} "
+                "THEN 1 ELSE 0 END) / 4.0 * 1000000)::BIGINT AS n_bytes FROM ("
+                "  SELECT doc_id, (j // 16) AS f, sum(p*p) AS ssq FROM "
+                "  (SELECT d.doc_id, j, ((j*9973 + d.doc_id*12289)%65536) - 32768 AS p "
+                "   FROM documents d, range(0,64) rj(j)) GROUP BY 1,2"
+                ") GROUP BY doc_id"
             ),
             (
                 # imgl twin: the expected (img_url, alt) rows string-built

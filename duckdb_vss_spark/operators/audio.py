@@ -66,6 +66,7 @@ __all__ = [
     "audio_embedding",
     "resample_audio",
     "split_on_silence",
+    "voiced_stats",
     "block_fingerprint",
     "fingerprint_keys",
     "landmark_fingerprint",
@@ -493,6 +494,69 @@ def split_on_silence(
         schema=(
             f"{id_col} {id_t}, seg_idx int, start_sample bigint, "
             "end_sample bigint, n_samples bigint, samples array<float>"
+        ),
+    )
+
+
+def voiced_stats(
+    df: DataFrame,
+    id_col: str,
+    samples_col: str = "samples",
+    frame: int = 256,
+    threshold: float = 0.01,
+) -> DataFrame:
+    """Per-clip voiced-activity summary — the ASR-pipeline quality gate
+    (drop silence-heavy clips before paying for transcription; the audio
+    counterpart of the text length/stopword ratios): a frame of
+    ``frame`` samples is VOICED when its RMS is at least ``threshold``
+    (normalized [-1,1) amplitude) — the same gate
+    :func:`split_on_silence` segments by, so ``voiced_frac`` predicts
+    exactly what that op would keep.
+
+    Output: ``(id, n_frames, n_voiced, voiced_frac DOUBLE)``; the tail
+    shorter than one frame is ignored (the frame grid contract shared
+    with the fingerprint ops). The voiced test is evaluated on the int16
+    grid as an INTEGER comparison — ``sum(s_i^2) >= ceil(threshold^2 *
+    frame * 32768^2)`` with ``s_i = round(sample * 32768)`` — so the
+    counts are integer-exact and SQL-reproducible (the q21 ``avf`` leg
+    pins them against duckdb's closed-form recompute). Fanned map-only
+    Arrow kernel; clips never leave the executor."""
+    if frame <= 0:
+        raise ValueError("frame must be positive")
+    from .dedup import _fan_out
+
+    id_t = dict(df.dtypes)[id_col]
+    # integer threshold on the int16 grid: RMS >= threshold  <=>
+    # sum(s^2) >= threshold^2 * frame * 32768^2, compared in exact ints
+    import math
+
+    bar = math.ceil((threshold * 32768.0) ** 2 * frame)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, nf_, nv_, fr_ = [], [], [], []
+            for i, s in zip(pdf[id_col], pdf[samples_col]):
+                x = np.asarray(s, dtype=np.float64)
+                nf = len(x) // frame
+                if nf == 0:
+                    ids.append(i); nf_.append(0); nv_.append(0); fr_.append(0.0)
+                    continue
+                q = np.rint(x[: nf * frame] * 32768.0).astype(np.int64)
+                ssq = (q * q).reshape(nf, frame).sum(axis=1)
+                nv = int((ssq >= bar).sum())
+                ids.append(i); nf_.append(nf); nv_.append(nv)
+                fr_.append(nv / nf)
+            yield pd.DataFrame({
+                id_col: ids, "n_frames": nf_, "n_voiced": nv_, "voiced_frac": fr_,
+            })
+
+    return _fan_out(df.select(id_col, samples_col)).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_t}, n_frames bigint, n_voiced bigint, "
+            "voiced_frac double"
         ),
     )
 

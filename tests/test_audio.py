@@ -417,3 +417,32 @@ def test_split_on_silence_counts_voiced_frames(spark):
         df, "clip_id", frame=F_, min_silence_frames=4, min_segment_frames=2
     ).collect()
     assert [(r["start_sample"], r["end_sample"]) for r in out] == [(0, 4 * F_)]
+
+
+def test_voiced_stats_matches_silence_gate(spark):
+    """voiced_frac counts exactly the frames split_on_silence treats as
+    voiced (same RMS gate on the same frame grid); all-silence -> 0,
+    all-tone -> 1, the hand-built mix counts its tone frames; sub-frame
+    clips report zero frames."""
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.audio import voiced_stats
+
+    F_ = 128
+    tone = (0.4 * np.sin(2 * np.pi * 0.1 * np.arange(F_))).astype(np.float64)
+    sil = np.zeros(F_)
+    mix = np.concatenate([tone] * 3 + [sil] * 4 + [tone]).astype(np.float32)
+    df = spark.createDataFrame(pd.DataFrame({
+        "clip_id": [1, 2, 3, 4],
+        "samples": [mix,
+                    np.zeros(F_ * 5, dtype=np.float32),
+                    np.tile(tone, 6).astype(np.float32),
+                    np.zeros(40, dtype=np.float32)],   # shorter than a frame
+    }))
+    out = {r["clip_id"]: r for r in
+           voiced_stats(df, "clip_id", frame=F_).collect()}
+    assert out[1]["n_frames"] == 8 and out[1]["n_voiced"] == 4
+    assert abs(out[1]["voiced_frac"] - 0.5) < 1e-12
+    assert out[2]["n_voiced"] == 0 and out[2]["voiced_frac"] == 0.0
+    assert out[3]["n_voiced"] == 6 and out[3]["voiced_frac"] == 1.0
+    assert out[4]["n_frames"] == 0 and out[4]["voiced_frac"] == 0.0
