@@ -99,6 +99,7 @@ from .pipelines import (  # noqa: F401
     audio_curate,
     image_curate,
     video_curate,
+    image_text_pairs,
     c4_clean,
     ccnet_curate,
     refinedweb_curate,

@@ -39,6 +39,7 @@ __all__ = [
     "audio_curate",
     "image_curate",
     "video_curate",
+    "image_text_pairs",
     "crawl_ingest",
     "warc_ingest",
     "curate_corpus",
@@ -556,6 +557,79 @@ def video_curate(
         store.append_snapshot(
             None, id_col, snapshot, keys_df=keys.join(kept_ids, id_col)
         )
+    return out
+
+
+def image_text_pairs(
+    pages: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    base_url_col: str | None = None,
+    min_alt_tokens: int = 2,
+    max_alt_tokens: int = 128,
+    min_width: int = 64,
+    min_height: int = 64,
+    encoding: str = "utf-8",
+) -> DataFrame:
+    """The pre-fetch stage of an image-text-pair pipeline (the LAION
+    recipe's front half, before any image byte is downloaded): crawled
+    HTML pages → one candidate (image URL, caption) pair per ``<img>``,
+    with every drop decision materialized as a flag — the fetch queue is
+    ``filter("pair_keep")``, and the ledger explains the rest.
+
+    Flags and columns per pair (flag-don't-drop):
+
+    - ``img_url`` (absolute, ``<base href>``-aware) and ``img_url_norm``
+      (:func:`~.operators.web.normalize_url_expr` canonical form — the
+      fetch-dedup key: the same asset linked from a thousand pages is
+      fetched once).
+    - ``alt``, ``alt_tokens``; ``caption_ok`` — alt text present with
+      ``min_alt_tokens <= tokens <= max_alt_tokens`` (no caption means
+      nothing to pair; novels in an alt attribute are markup abuse).
+    - ``size_ok`` — DECLARED dims at least ``min_width`` x
+      ``min_height``; undeclared dims PASS (the gate only drops what the
+      markup already proves is a tracking pixel or icon — real size
+      gating happens post-fetch in :func:`image_curate`).
+    - ``url_canonical`` — exactly one survivor per ``img_url_norm``
+      (smallest (id, img_idx), deterministic at any partitioning).
+    - ``pair_keep`` = ``caption_ok AND size_ok AND url_canonical``.
+
+    Scale shape: one fanned map-only parse (HTML never leaves the
+    executor), map-only normalization/token flags, and ONE url-keyed
+    window for the canonical pick — the only shuffle. Fetch, then feed
+    the bytes to :func:`image_curate` (pHash dedup catches what URL
+    dedup cannot: the same image under different URLs).
+    """
+    from pyspark.sql import Window
+
+    from .operators.web import extract_image_links, normalize_url_expr
+
+    links = extract_image_links(
+        pages, html_col, id_col, base_url_col=base_url_col, encoding=encoding
+    )
+    toks = F.size(T.tokens(F.col("alt")))
+    out = (
+        links.withColumn("img_url_norm", normalize_url_expr(F.col("img_url")))
+        .withColumn("alt_tokens", F.when(F.col("alt").isNull(), F.lit(0)).otherwise(toks))
+        .withColumn(
+            "caption_ok",
+            F.col("alt").isNotNull()
+            & (F.col("alt_tokens") >= min_alt_tokens)
+            & (F.col("alt_tokens") <= max_alt_tokens),
+        )
+        .withColumn(
+            "size_ok",
+            (F.col("width").isNull() | (F.col("width") >= min_width))
+            & (F.col("height").isNull() | (F.col("height") >= min_height)),
+        )
+    )
+    w = Window.partitionBy("img_url_norm").orderBy(id_col, "img_idx")
+    out = out.withColumn(
+        "url_canonical", F.row_number().over(w) == 1
+    ).withColumn(
+        "pair_keep",
+        F.col("caption_ok") & F.col("size_ok") & F.col("url_canonical"),
+    )
     return out
 
 

@@ -810,3 +810,47 @@ def test_video_curate_flags_dedup_and_store_loop(spark, tmp_path):
     assert out2[500]["dup_of_store"] and not out2[500]["video_keep"]
     assert not out2[501]["dup_of_store"] and out2[501]["video_keep"]
     assert st.info()["snapshots"][-1]["n_clips"] == 1
+
+
+def test_image_text_pairs_prefetch_recipe(spark):
+    """LAION front half: one flagged candidate pair per <img>; caption
+    token gates, declared-dims gate (undeclared passes), normalized-URL
+    keep-first dedup across pages, flag-don't-drop."""
+    from duckdb_vss_spark.pipelines import image_text_pairs
+
+    h1 = (
+        "<body>"
+        "<img src='http://cdn.io/a.jpg?utm_source=x' alt='a red fox jumping' width='300' height='200'>"
+        "<img src='http://cdn.io/icon.png' alt='menu icon that is small' width='16' height='16'>"
+        "<img src='http://cdn.io/b.jpg' alt='ok'>"                      # 1 token
+        "<img src='http://cdn.io/c.jpg'>"                               # no alt
+        "<img src='http://cdn.io/d.jpg' alt='tall building at night'>"  # no dims: passes
+        "</body>"
+    )
+    # page 2 links the SAME asset a.jpg (different tracking param) + a fresh one
+    h2 = (
+        "<body>"
+        "<img src='http://cdn.io/a.jpg?utm_campaign=y' alt='same red fox'>"
+        "<img src='http://cdn.io/e.jpg' alt='mountain lake panorama'>"
+        "</body>"
+    )
+    df = spark.createDataFrame(
+        [(1, h1), (2, h2)], "doc_id long, html string"
+    )
+    rows = {(r["doc_id"], r["img_idx"]): r
+            for r in image_text_pairs(df, min_width=32, min_height=32).collect()}
+    assert len(rows) == 7                                  # every <img> flagged
+    a1 = rows[(1, 0)]
+    assert a1["img_url_norm"] == "http://cdn.io/a.jpg"     # tracking param gone
+    assert a1["caption_ok"] and a1["size_ok"] and a1["pair_keep"]
+    assert not rows[(1, 1)]["size_ok"]                     # declared 16x16
+    assert not rows[(1, 2)]["caption_ok"]                  # 1 token < 2
+    assert not rows[(1, 3)]["caption_ok"]                  # no alt
+    d = rows[(1, 4)]
+    assert d["size_ok"] and d["pair_keep"]                 # undeclared dims pass
+    # cross-page URL dedup: page 2's a.jpg normalizes to the same key
+    a2 = rows[(2, 0)]
+    assert a2["img_url_norm"] == "http://cdn.io/a.jpg"
+    assert a1["url_canonical"] and not a2["url_canonical"]
+    assert not a2["pair_keep"]
+    assert rows[(2, 1)]["pair_keep"]
