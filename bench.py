@@ -967,7 +967,12 @@ def main() -> None:
     # ratio holds across interleaved rounds)
     spreads = []
     for rounds in interleaved.values():
-        rs = [r["ratio"] for r in rounds if r["ratio"] > 0]
+        # a pair whose duckdb side runs at the measurement floor (< 50 ms
+        # at sf0.1 — e.g. topk over 2k rows in single-digit ms) has a
+        # ratio that is pure timer jitter; folding it into the spread
+        # made genuinely quiet runs read as noisy (round 10). The raw
+        # rounds stay in the artifact for inspection.
+        rs = [r["ratio"] for r in rounds if r["ratio"] > 0 and r["duckdb"] >= 0.05]
         if len(rs) >= 2:
             spreads.append(max(rs) / max(min(rs), 1e-9))
     noise = {
