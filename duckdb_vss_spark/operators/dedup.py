@@ -512,7 +512,8 @@ def hamming_pairs(
     bands: int = 16,
     nbits: int = 64,
     max_bucket: int | None = 1000,
-    combo: int = 1,
+    combo: int | str = "auto",
+    exact_dup_pairs: str = "all",
 ) -> DataFrame:
     """Generic Hamming-distance pair join over any integer hash column
     (perceptual image hashes, audio hashes, simhash-like text
@@ -525,52 +526,74 @@ def hamming_pairs(
     ``combo``-subset of chunks finds ALL pairs whenever
     ``max_hamming <= bands - combo``. The final bit_count filter is
     exact. The signature rides through the band explode, so hamming
-    computes inside the join — no verify join afterwards. With
-    ``combo=1`` (default) a pair agreeing on several chunks is kept only
-    at its FIRST agreeing band, decided in codegen (no global distinct);
-    ``combo>=2`` dedups matches with one ``dropDuplicates`` over the
-    (small) qualifying pair set.
+    computes inside the join — no verify join afterwards.
 
-    **Scale note — why combo exists.** With ``combo=1`` the join-key
-    space per band is only ``2^(nbits/bands)`` values (16 at
-    bands=16/nbits=64), so each band-bucket holds ~N/16 rows and the
-    self-join is inherently quadratic in N no matter how clean the
-    corpus — fine at thousands of images, catastrophic at millions.
-    ``combo=2`` squares the key space (e.g. bands=8 → 16-bit keys,
-    65536 buckets) at the price of ``C(bands, combo)`` explode rows per
-    item and a tighter exactness bound (``max_hamming <= bands - 2``):
-    the right trade for large corpora at near-dup thresholds
-    (``bands=8, combo=2`` is exact to hamming 6 and its expected bucket
-    is N/65536). Pick ``combo=1`` for small corpora or high thresholds,
-    ``combo=2`` at scale.
+    **Identical hashes are collapsed first** (round 11): the band
+    self-join runs over DISTINCT hash values only (one representative —
+    the min id — per value), then expands back to id pairs. Exact
+    duplicates therefore NEVER hit the bucket cap: a boilerplate image
+    with 10^6 identical copies contributes ONE row per band, not 10^6,
+    and its hamming-0 pairs are emitted directly from the group table.
+    This closes the round-10 failure mode where the most-duplicated
+    content — exactly what dedup exists to catch — silently escaped the
+    capped join.
 
-    ``max_bucket`` caps the per-(band, bucket) population BEFORE the
-    self-join — the same stop-key discipline as
-    :func:`~.image.video_neardup_pairs` / the audio ``max_key_freq``: a
-    real image corpus is full of boilerplate (logos, spacer GIFs, test
-    cards) whose hashes collide into one bucket and turn the band join
-    quadratic. EXACT-BELOW-CAP contract (same as the video path's): the
-    result equals the brute force whenever no (band, bucket) exceeds the
-    cap; when a bucket IS hot (> ``max_bucket`` rows sharing one chunk
-    value — near-identical boilerplate), pairs whose first-agreeing
-    chunk lands in it are dropped (``combo>=2``: pairs ALL of whose
-    agreeing combos are hot). Pass ``max_bucket=None`` for unconditional
-    exactness (accepting the quadratic worst case).
+    ``exact_dup_pairs`` controls the within-group (hamming-0) expansion:
+
+    - ``"all"`` (default): every pair inside an identical-hash group —
+      the full exact contract, output-size bounded but quadratic in the
+      group (a 10^6-copy group IS 5*10^11 pairs).
+    - ``"star"``: one ``(min_id, member)`` edge per non-representative
+      member, and cross-hash pairs at representative level only — linear,
+      connectivity-equivalent (same connected components / clusters).
+      The right choice when the pairs feed
+      :func:`~duckdb_vss_spark.operators.graph.dedup_clusters`, as
+      :func:`~duckdb_vss_spark.pipelines.image_curate` does.
+
+    ``combo="auto"`` (default) picks the band arity from a cheap count
+    of DISTINCT hashes: ``combo=1`` joins on single chunks (key space
+    ``2^(nbits/bands)`` per band — 16 values at bands=16/nbits=64), which
+    saturates ``max_bucket`` once the distinct-hash count passes
+    ``2^(nbits/bands) * max_bucket``; past that point auto escalates to
+    ``combo=2`` (key space squared, e.g. 256 values per band pair),
+    provided the tighter pigeonhole bound ``max_hamming <= bands - 2``
+    holds — otherwise it stays at 1 and the drop warning below reports
+    what the cap cost. Pass an explicit int to pin the arity.
+
+    ``max_bucket`` caps the per-(band, bucket) DISTINCT-HASH population
+    BEFORE the self-join — the stop-key discipline of
+    :func:`~.image.video_neardup_pairs` / the audio ``max_key_freq``:
+    a crawl corpus is full of near-identical boilerplate whose distinct
+    hashes flood one bucket and turn the band join quadratic.
+    EXACT-BELOW-CAP contract: the result equals brute force whenever no
+    (band, bucket) holds more than ``max_bucket`` DISTINCT hashes; when
+    a bucket IS hot, pairs of DISTINCT hashes whose every agreeing
+    chunk lands in hot buckets are dropped — and the call emits a
+    ``RuntimeWarning`` with the dropped banded-row fraction (no silent
+    caps: the builder must see what the cap ate). Identical-hash pairs
+    are never dropped. The pre-count pass is skipped entirely when the
+    distinct-hash count is <= ``max_bucket`` (no bucket can be hot).
+    Pass ``max_bucket=None`` for unconditional exactness (accepting the
+    quadratic worst case).
 
     Output: ``(id_a, id_b, hamming INT)`` with ``id_a < id_b``.
     """
-    if combo < 1:
+    if exact_dup_pairs not in ("all", "star"):
+        raise ValueError("exact_dup_pairs must be 'all' or 'star'")
+    auto_combo = combo == "auto"
+    min_combo = 1 if auto_combo else combo
+    if not auto_combo and combo < 1:
         raise ValueError("combo must be >= 1")
-    if max_hamming > bands - combo:
+    if max_hamming > bands - min_combo:
         raise ValueError(
             f"exactness requires max_hamming <= bands - combo "
-            f"({bands} - {combo} = {bands - combo}) by pigeonhole"
+            f"({bands} - {min_combo} = {bands - min_combo}) by pigeonhole"
         )
     if nbits % bands != 0:
         raise ValueError(f"nbits ({nbits}) must divide into {bands} equal bands")
     from math import comb as _comb
 
-    if _comb(bands, combo) > 256:
+    if not auto_combo and _comb(bands, combo) > 256:
         raise ValueError(
             f"C(bands, combo) = {_comb(bands, combo)} explode rows per item "
             "is past the supported fan-out (256); use fewer bands or a "
@@ -578,10 +601,22 @@ def hamming_pairs(
         )
     width = nbits // bands
     mask = F.lit((1 << width) - 1)
-    # the hash table feeds BOTH join sides; its upstream is often an
-    # expensive per-item kernel (pHash decodes every image) — persist it
-    # once, like simhash_pairs persists its signature table
-    hashes = _shared(df.select(F.col(id_col), F.col(hash_col).alias("__h")))
+    # member table feeds the hamming-0 expansion; group table (one row
+    # per DISTINCT hash, rep = min id) feeds BOTH band-join sides. The
+    # upstream of the hash column is often an expensive per-item kernel
+    # (pHash decodes every image) — persist it once.
+    hashes = _shared(df.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")))
+    groups = _shared(
+        hashes.groupBy("__h").agg(F.min("__id").alias("__rep"), F.count(F.lit(1)).alias("__n"))
+    )
+    stats = groups.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.count(F.when(F.col("__n") > 1, 1)).alias("ndup"),
+    ).collect()[0]
+    n_distinct, n_dup_groups = stats["nd"], stats["ndup"]
+    if auto_combo:
+        saturated = max_bucket is not None and n_distinct > (2**width) * max_bucket
+        combo = 2 if (saturated and max_hamming <= bands - 2 and _comb(bands, 2) <= 256) else 1
 
     def _chunk_of(col, b):
         return F.shiftrightunsigned(col, b * width).bitwiseAND(mask)
@@ -600,57 +635,126 @@ def hamming_pairs(
             for pos, b in enumerate(idx):
                 k = F.shiftleft(k, width) + _chunk_of(F.col("__h"), b).cast("long")
             keys.append(k)
-    banded = hashes.select(
-        F.col(id_col), F.col("__h"), F.posexplode(F.array(*keys)).alias("b", "bucket")
+    banded = groups.select(
+        F.col("__rep"), F.col("__h"), F.posexplode(F.array(*keys)).alias("b", "bucket")
     )
-    if max_bucket is not None:
+    if max_bucket is not None and n_distinct > max_bucket:
         sizes = banded.groupBy("b", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+        sizes = _shared(sizes)
+        hot = sizes.filter(F.col("__n") > max_bucket).agg(
+            F.count(F.lit(1)).alias("hb"), F.coalesce(F.sum("__n"), F.lit(0)).alias("hr")
+        ).collect()[0]
+        if hot["hb"] > 0:
+            import warnings
+
+            total = n_distinct * len(keys)
+            frac = hot["hr"] / total if total else 0.0
+            warnings.warn(
+                f"hamming_pairs: {hot['hb']} hot (band, bucket) groups over "
+                f"max_bucket={max_bucket} dropped {hot['hr']}/{total} banded "
+                f"rows ({frac:.1%}); pairs of DISTINCT hashes whose every "
+                f"agreeing chunk is hot are lost (identical-hash duplicates "
+                f"are unaffected). Raise max_bucket, pass max_bucket=None, "
+                f"or use combo=2 banding (auto escalates when "
+                f"max_hamming <= bands - 2; here combo={combo}).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         banded = banded.join(
             sizes.filter(F.col("__n") <= max_bucket).select("b", "bucket"),
             ["b", "bucket"],
         )
     if combo > 1:
-        a2 = banded.select(
-            "b", "bucket", F.col(id_col).alias("id_a"), F.col("__h").alias("h_a")
-        )
-        b3 = banded.select(
-            "b", "bucket", F.col(id_col).alias("id_b"), F.col("__h").alias("h_b")
-        )
-        return (
+        a2 = banded.select("b", "bucket", F.col("__rep").alias("__ra"), F.col("__h").alias("h_a"))
+        b3 = banded.select("b", "bucket", F.col("__rep").alias("__rb"), F.col("__h").alias("h_b"))
+        rep_pairs = (
             a2.join(b3, ["b", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.col("__ra") < F.col("__rb"))
             .select(
-                "id_a",
-                "id_b",
+                "__ra",
+                "__rb",
+                "h_a",
+                "h_b",
                 F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
                 .cast("int")
                 .alias("hamming"),
             )
             .filter(F.col("hamming") <= max_hamming)
-            .dropDuplicates(["id_a", "id_b"])
+            .dropDuplicates(["__ra", "__rb"])
         )
-    a = banded.select("b", "bucket", F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"))
-    b2 = banded.select("b", "bucket", F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"))
+    else:
+        a = banded.select("b", "bucket", F.col("__rep").alias("__ra"), F.col("__h").alias("h_a"))
+        b2 = banded.select("b", "bucket", F.col("__rep").alias("__rb"), F.col("__h").alias("h_b"))
 
-    def _chunk(col, b):
-        return F.shiftrightunsigned(col, b * width).bitwiseAND(mask)
-
-    first_agree = F.when(_chunk(F.col("h_a"), 0) == _chunk(F.col("h_b"), 0), F.lit(0))
-    for bb in range(1, bands):
-        first_agree = first_agree.when(
-            _chunk(F.col("h_a"), bb) == _chunk(F.col("h_b"), bb), F.lit(bb)
+        # A pair agreeing on multiple chunks surfaces once per agreeing
+        # band; keep only the FIRST agreeing band per pair, decided in
+        # codegen from the two hashes riding through the join — no global
+        # distinct, one less Exchange.
+        first_agree = F.when(_chunk_of(F.col("h_a"), 0) == _chunk_of(F.col("h_b"), 0), F.lit(0))
+        for bb in range(1, bands):
+            first_agree = first_agree.when(
+                _chunk_of(F.col("h_a"), bb) == _chunk_of(F.col("h_b"), bb), F.lit(bb)
+            )
+        rep_pairs = (
+            a.join(b2, ["b", "bucket"])
+            .filter(F.col("__ra") < F.col("__rb"))
+            .filter(F.col("b") == first_agree)
+            .select(
+                "__ra",
+                "__rb",
+                "h_a",
+                "h_b",
+                F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
         )
-    return (
-        a.join(b2, ["b", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("b") == first_agree)
+    if n_dup_groups == 0:
+        # every hash is unique: reps ARE the ids, nothing to expand —
+        # the plan is exactly the classic banded self-join
+        return rep_pairs.select(
+            F.col("__ra").alias("id_a"), F.col("__rb").alias("id_b"), "hamming"
+        )
+    dup_groups = groups.filter(F.col("__n") > 1)
+    if exact_dup_pairs == "star":
+        # connectivity-equivalent: rep-level cross pairs + a star edge
+        # from each group representative to each other member (hamming 0)
+        cross = rep_pairs.select(
+            F.col("__ra").alias("id_a"), F.col("__rb").alias("id_b"), "hamming"
+        )
+        star = (
+            hashes.join(dup_groups.select("__h", "__rep"), "__h")
+            .filter(F.col("__id") != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col("__id").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        return cross.unionByName(star)
+    # full expansion: every member pair across the two hash groups of a
+    # rep pair (hamming is a constant of the hash pair), plus every
+    # member pair within each duplicated hash group (hamming 0). All
+    # joins move (id, hash) longs only; output is the exact answer set.
+    ma = hashes.select(F.col("__id").alias("__ida"), F.col("__h").alias("h_a"))
+    mb = hashes.select(F.col("__id").alias("__idb"), F.col("__h").alias("h_b"))
+    cross = (
+        rep_pairs.select("h_a", "h_b", "hamming")
+        .join(ma, "h_a")
+        .join(mb, "h_b")
         .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int").alias("hamming"),
+            F.least(F.col("__ida"), F.col("__idb")).alias("id_a"),
+            F.greatest(F.col("__ida"), F.col("__idb")).alias("id_b"),
+            "hamming",
         )
-        .filter(F.col("hamming") <= max_hamming)
     )
+    dmem = hashes.join(dup_groups.select("__h"), "__h")
+    within = (
+        dmem.select(F.col("__h"), F.col("__id").alias("id_a"))
+        .join(dmem.select(F.col("__h"), F.col("__id").alias("id_b")), "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(within)
 
 
 def ngram_jaccard_pairs(

@@ -278,6 +278,8 @@ def hash_transcode_images(
     method: str = "bilinear",
     on_error: str = "flag",
     with_stats: bool = False,
+    passthrough: bool = False,
+    out_col: str = "content",
 ) -> DataFrame:
     """Fused decode → pHash + resize + JPEG re-encode in ONE pass over
     the image bytes — the hot loop of
@@ -300,21 +302,59 @@ def hash_transcode_images(
     :func:`image_quality_stats` signal set (``mean_luma contrast
     colorfulness blur entropy``) from the SAME decoded pixels — the
     stats are array sums, a rounding error next to the decode, so the
-    recipe's quality gates come for free in the one pass."""
+    recipe's quality gates come for free in the one pass.
+
+    ``passthrough=True`` carries EVERY input column (the original
+    ``content_col`` bytes included) through the kernel verbatim, with
+    the re-encoded thumbnail emitted as ``out_col`` instead of
+    replacing ``content`` — one row out per row in, same order. This is
+    the shuffle-free way to keep the original bytes next to the derived
+    signals: the kernel already holds the bytes in its Arrow batch, so
+    emitting them costs serialization only, while the alternative —
+    joining this output back to the input on id — sort-merge-exchanges
+    the full byte column across the cluster
+    (:func:`~duckdb_vss_spark.pipelines.image_curate` round-11 fix)."""
     if on_error not in ("flag", "raise"):
         raise ValueError("on_error must be 'flag' or 'raise'")
+    from pyspark.sql.types import (
+        BinaryType, BooleanType, DoubleType, IntegerType, LongType,
+        StringType, StructField, StructType,
+    )
+
     from .dedup import _fan_out
     from .jpeg import encode_jpeg
 
-    id_t = dict(df.dtypes)[id_col]
+    new_cols = ["phash", out_col, "width", "height", "ok", "err"] + (
+        list(_STAT_COLS) if with_stats else []
+    )
+    if passthrough:
+        if out_col in (content_col, id_col):
+            raise ValueError(
+                f"passthrough=True needs a fresh out_col (got {out_col!r}, "
+                f"which collides with an input column)"
+            )
+        clash = [c for c in df.columns if c != content_col and c in new_cols]
+        if clash:
+            raise ValueError(
+                f"passthrough=True: input columns {clash} collide with the "
+                f"kernel's output columns {new_cols}"
+            )
+        in_df = df
+        carry = list(df.columns)
+    else:
+        if out_col != content_col:
+            raise ValueError("out_col is only meaningful with passthrough=True")
+        in_df = df.select(id_col, content_col)
+        carry = [id_col]
+    id_t = dict(df.dtypes)[id_col]  # noqa: F841 - kept for parity with siblings
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids, hs, blobs, ws, hts, oks, errs = [], [], [], [], [], [], []
+            hs, blobs, ws, hts, oks, errs = [], [], [], [], [], []
             stats: dict = {k: [] for k in _STAT_COLS}
-            for i, blob in zip(pdf[id_col], pdf[content_col]):
+            for blob in pdf[content_col]:
                 try:
                     arr = _decode_image_bytes(blob)
                     h0, w0 = arr.shape[:2]
@@ -326,37 +366,40 @@ def hash_transcode_images(
                     if with_stats:
                         for k, v in zip(_STAT_COLS, _stats_kernel(arr)[2:]):
                             stats[k].append(v)
-                    ids.append(i); hs.append(ph); blobs.append(enc)
+                    hs.append(ph); blobs.append(enc)
                     ws.append(w0); hts.append(h0); oks.append(True); errs.append(None)
                 except Exception as e:  # noqa: BLE001 - per-row quarantine
                     if on_error == "raise":
                         raise
-                    ids.append(i); hs.append(None); blobs.append(None)
+                    hs.append(None); blobs.append(None)
                     ws.append(None); hts.append(None); oks.append(False)
                     errs.append(f"{type(e).__name__}: {e}"[:200])
                     if with_stats:
                         for k in _STAT_COLS:
                             stats[k].append(None)
-            cols = {
-                id_col: ids, "phash": pd.array(hs, dtype="Int64"),
-                "content": blobs,
-                "width": pd.array(ws, dtype="Int32"),
-                "height": pd.array(hts, dtype="Int32"),
-                "ok": oks, "err": errs,
-            }
+            data: dict = {c: list(pdf[c]) for c in carry}
+            data["phash"] = pd.array(hs, dtype="Int64")
+            data[out_col] = blobs
+            data["width"] = pd.array(ws, dtype="Int32")
+            data["height"] = pd.array(hts, dtype="Int32")
+            data["ok"] = oks
+            data["err"] = errs
             if with_stats:
                 for k in _STAT_COLS:
-                    cols[k] = pd.array(stats[k], dtype="float64")
-            yield pd.DataFrame(cols)
+                    data[k] = pd.array(stats[k], dtype="float64")
+            yield pd.DataFrame(data)
 
-    stats_schema = "".join(f", {k} double" for k in _STAT_COLS) if with_stats else ""
-    return _fan_out(df.select(id_col, content_col)).mapInPandas(
-        gen,
-        schema=(
-            f"{id_col} {id_t}, phash long, content binary, width int, "
-            f"height int, ok boolean, err string{stats_schema}"
-        ),
-    )
+    fields = {f.name: f for f in df.schema.fields}
+    tail = [
+        StructField("phash", LongType()),
+        StructField(out_col, BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ok", BooleanType()),
+        StructField("err", StringType()),
+    ] + ([StructField(k, DoubleType()) for k in _STAT_COLS] if with_stats else [])
+    schema = StructType([fields[c] for c in carry if c != out_col] + tail)
+    return _fan_out(in_df).mapInPandas(gen, schema=schema)
 
 
 def frame_phash(
@@ -496,22 +539,26 @@ def image_neardup_pairs(
     max_hamming: int = 10,
     bands: int = 16,
     max_bucket: int | None = 1000,
-    combo: int = 1,
+    combo: int | str = "auto",
+    exact_dup_pairs: str = "all",
 ) -> DataFrame:
     """Perceptual near-dup pairs over a hash table from
     :func:`phash`/:func:`dhash`: ``(id_a, id_b, hamming)`` with
     ``hamming <= max_hamming`` — the banded Hamming self-join
-    (:func:`~.dedup.hamming_pairs`, exact for
-    ``max_hamming <= bands - combo`` and no band-bucket hotter than
-    ``max_bucket``; hot buckets — N near-identical boilerplate images —
-    are dropped before the join, same stop-key discipline as
-    :func:`video_neardup_pairs`. Pass ``max_bucket=None`` for
-    unconditional exactness). For large corpora at tight thresholds
-    prefer ``bands=8, combo=2`` (16-bit join keys instead of 4-bit —
-    see the scale note on :func:`~.dedup.hamming_pairs`)."""
+    (:func:`~.dedup.hamming_pairs`). Identical hashes collapse to one
+    representative before banding, so exact duplicates never hit the
+    ``max_bucket`` cap; the cap drops only pairs of DISTINCT hashes in
+    hot buckets (near-identical boilerplate), warning with the dropped
+    fraction when it bites. ``combo="auto"`` escalates to pair-of-chunk
+    join keys when the distinct-hash count saturates the combo=1 key
+    space (see the scale note on :func:`~.dedup.hamming_pairs`); pass
+    ``max_bucket=None`` for unconditional exactness, and
+    ``exact_dup_pairs="star"`` for the linear connectivity-equivalent
+    expansion when the pairs feed
+    :func:`~duckdb_vss_spark.operators.graph.dedup_clusters`."""
     from .dedup import hamming_pairs
 
     return hamming_pairs(
         hashes, id_col, hash_col, max_hamming, bands,
-        max_bucket=max_bucket, combo=combo,
+        max_bucket=max_bucket, combo=combo, exact_dup_pairs=exact_dup_pairs,
     )

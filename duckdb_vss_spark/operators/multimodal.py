@@ -831,6 +831,10 @@ def video_frames(
     ``frame_idx >= 0``); ``'raise'`` propagates. Fanned map-only."""
     if on_error not in ("flag", "raise"):
         raise ValueError("on_error must be 'flag' or 'raise'")
+    if every_nth < 1:
+        # validate driver-side: inside the per-clip try this would read as
+        # a decode failure and quarantine EVERY clip under 'flag' (ADVICE r10)
+        raise ValueError("every_nth must be >= 1")
     from .gif import decode_gif_frames_np
     from .video import decode_avi_frames_np
 

