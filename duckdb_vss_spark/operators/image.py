@@ -50,6 +50,7 @@ __all__ = [
     "image_quality_stats",
     "hash_transcode_images",
     "frame_phash",
+    "fingerprint_videos",
     "video_neardup_pairs",
     "image_neardup_pairs",
 ]
@@ -530,6 +531,125 @@ def video_neardup_pairs(
         F.col("__best.offset").alias("offset"),
         F.col("__best.n_matches").alias("n_matches"),
     ).filter(F.col("n_matches") >= min_matches)
+
+
+def fingerprint_videos(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    every_nth: int = 1,
+    on_error: str = "flag",
+) -> DataFrame:
+    """Fused per-clip container decode → per-frame pHash in ONE pass,
+    emitting ONE row per clip with every input column (bytes included)
+    carried through map-side plus the per-clip signals:
+
+    ``decode_ok BOOLEAN, n_frames INT, width INT, height INT,
+    frame_ts ARRAY<INT>, frame_phashes ARRAY<LONG>, decode_err STRING``
+
+    Container dispatch matches :func:`~.multimodal.video_frames` (GIF /
+    MJPEG-AVI by magic bytes; reference parity: duckdb reads blobs as
+    opaque BLOB columns, `src/include/duckdb/common/types/blob.hpp`),
+    keeping every ``every_nth`` frame; ``width``/``height`` are the
+    minimum over sampled frames and ``n_frames`` the SAMPLED frame
+    count — the same per-clip aggregates
+    :func:`~duckdb_vss_spark.pipelines.video_curate` previously derived
+    from the exploded pixel table. The hashes are bit-identical to
+    ``frame_phash(video_frames(df))``; exploding ``(frame_ts,
+    frame_phashes)`` yields that function's ``(id, t, key)`` contract.
+
+    Why fused (round 11): the exploded-pixel path materialized W*H*4
+    bytes per frame into a persisted table and then joined the byte
+    column back on id — a sort-merge exchange of the corpus. Here
+    pixels die inside the kernel batch (decode → hash → drop), the
+    narrow hash arrays ride next to the original bytes shuffle-free,
+    and nothing pixel-shaped ever enters a cache or exchange.
+    ``on_error='flag'`` quarantines undecodable clips with
+    ``decode_ok=false``, empty arrays and the error text
+    (flag-don't-drop); ``'raise'`` propagates. Fanned map-only."""
+    if on_error not in ("flag", "raise"):
+        raise ValueError("on_error must be 'flag' or 'raise'")
+    if every_nth < 1:
+        raise ValueError("every_nth must be >= 1")
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, IntegerType, LongType, StringType,
+        StructField, StructType,
+    )
+
+    from .dedup import _fan_out
+    from .gif import decode_gif_frames_np
+    from .video import decode_avi_frames_np
+
+    new_cols = ["decode_ok", "n_frames", "width", "height",
+                "frame_ts", "frame_phashes", "decode_err"]
+    clash = [c for c in df.columns if c in new_cols]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with the kernel's output "
+            f"columns {new_cols}"
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            oks, nfs, ws, hs, tss, keys, errs = [], [], [], [], [], [], []
+            for blob in pdf[content_col]:
+                try:
+                    head = bytes(blob[:12])
+                    if head[:6] in (b"GIF87a", b"GIF89a"):
+                        frames = (a for a, _delay in decode_gif_frames_np(blob))
+                    elif head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+                        frames = decode_avi_frames_np(blob)
+                    else:
+                        raise NotImplementedError(
+                            f"not a supported video container (magic {head[:4]!r})"
+                        )
+                    ts, ks, w0, h0, n_all = [], [], None, None, 0
+                    for fi, arr in enumerate(frames):
+                        n_all += 1
+                        if fi % every_nth:
+                            continue
+                        h, w = arr.shape[:2]
+                        w0 = w if w0 is None else min(w0, w)
+                        h0 = h if h0 is None else min(h0, h)
+                        ts.append(fi)
+                        ks.append(phash_kernel(arr))
+                    if n_all == 0:
+                        raise ValueError("video decoded to zero frames")
+                    oks.append(True); nfs.append(len(ts))
+                    ws.append(w0); hs.append(h0)
+                    tss.append(ts); keys.append(ks); errs.append(None)
+                except Exception as e:  # noqa: BLE001 - per-clip quarantine
+                    if on_error == "raise":
+                        raise
+                    oks.append(False); nfs.append(0)
+                    ws.append(None); hs.append(None)
+                    tss.append([]); keys.append([])
+                    errs.append(f"{type(e).__name__}: {e}"[:200])
+            data: dict = {c: list(pdf[c]) for c in pdf.columns}
+            data["decode_ok"] = oks
+            data["n_frames"] = pd.array(nfs, dtype="Int32")
+            data["width"] = pd.array(ws, dtype="Int32")
+            data["height"] = pd.array(hs, dtype="Int32")
+            data["frame_ts"] = tss
+            data["frame_phashes"] = keys
+            data["decode_err"] = errs
+            yield pd.DataFrame(data)
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("decode_ok", BooleanType()),
+            StructField("n_frames", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("frame_ts", ArrayType(IntegerType())),
+            StructField("frame_phashes", ArrayType(LongType())),
+            StructField("decode_err", StringType()),
+        ]
+    )
+    return _fan_out(df).mapInPandas(gen, schema=schema)
 
 
 def image_neardup_pairs(

@@ -214,6 +214,16 @@ def audio_curate(
     kernels; the only shuffles are the capped key join and the id-keyed
     flag joins; connected components is the pointer-jumping loop bounded
     by cluster diameter. Nothing collects clips to the driver.
+
+    .. note:: **Commit-ordering crash window.** With ``snapshot`` set,
+       the kept clips' fingerprints commit to the store as a side effect
+       of THIS call — before the caller has written ``out`` anywhere. If
+       the caller's downstream sink write then fails, the store
+       permanently holds fingerprints of clips that never landed, and
+       every future batch drops them as ``dup_of_store``. Batch loops
+       that write a sink should pass ``snapshot=None`` and commit AFTER
+       the sink write succeeds, as
+       :func:`~duckdb_vss_spark.streaming.stream_audio_curate` does.
     """
     from .operators.audio import (
         audio_features,
@@ -359,10 +369,23 @@ def image_curate(
     4. ``image_keep`` = ``quality_keep AND dedup_keep``
        (``AND NOT dup_of_store`` when matching history).
 
-    Scale shape: one fanned map-only decode kernel; the only shuffles
-    are the capped band join and the id-keyed flag joins; connected
-    components is the pointer-jumping loop. Nothing collects images to
-    the driver; the store moves 64-bit hashes only.
+    Scale shape: one fanned map-only decode kernel with passthrough
+    (the original bytes never cross a join exchange — round 11); the
+    only shuffles are the capped band join, the narrow flag joins, and
+    the single cluster-id attach. Connected components is the
+    pointer-jumping loop. Nothing collects images to the driver; the
+    store moves 64-bit hashes only.
+
+    .. note:: **Commit-ordering crash window.** With ``snapshot`` set,
+       the kept images' hashes commit to the store as a side effect of
+       THIS call — before the caller has written ``out`` anywhere. If
+       the caller's downstream sink write then fails, the store
+       permanently holds hashes of images that never landed, and every
+       future batch drops them as ``dup_of_store``. Batch loops that
+       write a sink should pass ``snapshot=None`` and call
+       ``store.append_snapshot`` AFTER the sink write succeeds — the
+       pattern :func:`~duckdb_vss_spark.streaming.stream_image_curate`
+       uses (sink-write precedes commit).
     """
     from .broadcasts import tracked_persist
     from .operators.graph import dedup_clusters
@@ -453,7 +476,7 @@ def video_curate(
     bands: int = 8,
     min_matches: int = 5,
     max_bucket: int = 1000,
-    every_nth: int = 1,
+    every_nth: int | None = None,
     store=None,
     snapshot: str | None = None,
 ) -> DataFrame:
@@ -473,9 +496,12 @@ def video_curate(
 
     Stages and the flags they add:
 
-    1. **Decode** (:func:`~.operators.multimodal.video_frames`,
-       quarantining): ``decode_ok``, ``n_frames``, ``width``/``height``
-       (the decoded frame dims).
+    1. **Fused decode + fingerprint**
+       (:func:`~.operators.image.fingerprint_videos`, quarantining):
+       ``decode_ok`` + ``decode_err``, ``n_frames``,
+       ``width``/``height`` (the decoded frame dims), and the per-frame
+       pHash arrays — one container decode per clip, pixels never leave
+       the kernel.
     2. **Quality gate** — ``quality_keep``: decode succeeded,
        ``n_frames >= min_frames`` (single-frame stubs and busted
        containers are not video), dims at least ``min_width`` x
@@ -488,48 +514,86 @@ def video_curate(
     4. ``video_keep`` = ``quality_keep AND dedup_keep``
        (``AND NOT dup_of_store`` with history).
 
-    Scale shape: one fanned map-only decode, one fanned hash pass; the
-    only shuffles are the capped band join, the vote aggregations, and
-    the id-keyed flag joins. Only ``(id, t, hash)`` longs ever move for
-    matching — pixels stay on the executor that decoded them.
+    Scale shape (round 11): ONE fused map-only pass decodes each clip
+    and hashes its frames INSIDE the kernel batch — pixels never enter
+    a cache or an exchange (the previous shape persisted a W*H*4
+    floats-per-frame pixel table and joined the clip bytes back on id,
+    a sort-merge exchange of the corpus). The per-clip signal columns
+    and the narrow ``(frame_ts, frame_phashes)`` arrays ride next to
+    the original bytes shuffle-free; the only shuffles left are the
+    capped band join, the vote aggregations, and the cluster-id attach
+    join. Only ``(id, t, hash)`` longs ever move for matching.
+
+    ``every_nth`` (frame-sampling stride) is OWNED BY THE STORE when one
+    is passed: hashes are only comparable between identically sampled
+    frame grids, so the stride defaults from the store manifest and a
+    conflicting explicit value raises (ADVICE r10). Without a store it
+    defaults to 1.
+
+    .. note:: **Commit-ordering crash window.** With ``snapshot`` set,
+       the kept clips' hashes commit to the store as a side effect of
+       THIS call — before the caller has written ``out`` anywhere. If
+       the caller's downstream sink write then fails, the store
+       permanently holds hashes of clips that never landed, and every
+       future batch drops them as ``dup_of_store``. Batch loops that
+       write a sink should pass ``snapshot=None`` and call
+       ``store.append_snapshot`` AFTER the sink write succeeds — the
+       pattern :func:`~duckdb_vss_spark.streaming.stream_video_curate`
+       uses (sink-write precedes commit).
     """
     from .broadcasts import tracked_persist
     from .operators.dedup import _shared
     from .operators.graph import dedup_clusters
-    from .operators.image import frame_phash, video_neardup_pairs
-    from .operators.multimodal import video_frames
+    from .operators.image import fingerprint_videos, video_neardup_pairs
 
-    # the frame table feeds the meta aggregate AND the hash pass — one
-    # container decode total
-    frames = tracked_persist(
-        video_frames(
-            clips.select(id_col, content_col), id_col, content_col,
-            every_nth=every_nth,
-        )
+    if store is not None:
+        manifest_nth = int(store.manifest.get("every_nth", 1))
+        if every_nth is None:
+            every_nth = manifest_nth
+        elif int(every_nth) != manifest_nth:
+            raise ValueError(
+                f"every_nth={every_nth} conflicts with the store's frame "
+                f"grid (manifest every_nth={manifest_nth}); hashes are only "
+                f"comparable between identically sampled grids — omit "
+                f"every_nth to inherit the store's"
+            )
+    elif every_nth is None:
+        every_nth = 1
+    # ONE fused decode+hash pass, persisted: referenced by the output,
+    # the pair join's key table, the store match, and the commit
+    base0 = tracked_persist(
+        fingerprint_videos(clips, id_col, content_col, every_nth=every_nth)
     )
-    meta = frames.groupBy(id_col).agg(
-        F.max(F.col("frame_idx") >= 0).alias("decode_ok"),
-        F.sum((F.col("frame_idx") >= 0).cast("int")).alias("n_frames"),
-        F.min("width").alias("width"),
-        F.min("height").alias("height"),
-    )
-    base = clips.join(meta, id_col).withColumn(
+    base = base0.withColumn(
         "quality_keep",
         F.col("decode_ok")
         & (F.col("n_frames") >= min_frames)
         & (F.col("width") >= min_width)
         & (F.col("height") >= min_height),
     )
-    # the hash table feeds the in-batch pair join, the store match, and
-    # the snapshot commit — one pHash pass total
-    keys = _shared(frame_phash(frames.filter(F.col("frame_idx") >= 0), id_col))
+    # narrow (id, t, key) frame-hash table — frame_phash's contract —
+    # derived from the persisted fused pass (no second decode)
+    keys = _shared(
+        base0.filter("decode_ok")
+        .select(
+            F.col(id_col),
+            F.explode(F.arrays_zip("frame_ts", "frame_phashes")).alias("z"),
+        )
+        .select(
+            id_col,
+            F.col("z.frame_ts").cast("long").alias("t"),
+            F.col("z.frame_phashes").alias("key"),
+        )
+    )
     pairs = video_neardup_pairs(
         keys, id_col, max_hamming=max_hamming, bands=bands,
         min_matches=min_matches, max_bucket=max_bucket,
     )
-    out = dedup_clusters(base, id_col, pairs.select("id_a", "id_b")).withColumnRenamed(
-        "is_canonical", "dedup_keep"
-    )
+    # the hash arrays live on in the persisted fused pass (keys derives
+    # from it); the returned ledger stays at the per-clip signal columns
+    out = dedup_clusters(
+        base.drop("frame_ts", "frame_phashes"), id_col, pairs.select("id_a", "id_b")
+    ).withColumnRenamed("is_canonical", "dedup_keep")
     keep = F.col("quality_keep") & F.col("dedup_keep")
     if store is not None:
         hits = (

@@ -398,3 +398,38 @@ def test_image_curate_bytes_never_join_shuffled(spark):
     joins = [nd for nd in re.split(r"\n\(\d+\) ", plan)
              if nd.split("\n")[0].startswith("SortMergeJoin")]
     assert len(joins) <= 1, plan
+
+
+def test_video_curate_bytes_and_pixels_never_shuffled(spark):
+    """Round-11 pin, video edition: the fused fingerprint kernel decodes
+    and hashes inside the batch — no exploded pixel table may appear in
+    the plan at all, and the only Exchange carrying the clip byte column
+    is the single cluster-id attach join (the round-10 shape persisted
+    W*H*4 floats per frame and sort-merge-joined the bytes against the
+    per-clip meta aggregate)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.video import encode_avi_mjpeg
+    from duckdb_vss_spark.pipelines import video_curate
+
+    rng = np.random.default_rng(5)
+    def clip(seed):
+        return encode_avi_mjpeg(
+            [rng.integers(0, 255, size=(16, 16, 3)).astype(np.uint8)
+             for _ in range(3)], quality=70)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"clip_id": list(range(6)), "content": [clip(s) for s in range(6)]}))
+    out = video_curate(df, min_width=16, min_height=16, min_matches=2)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "pixels" not in plan, plan
+    byte_exchanges = [
+        nd for nd in re.split(r"\n\(\d+\) ", plan)
+        if nd.split("\n")[0].startswith("Exchange")
+        and "hashpartitioning" in nd
+        and "content#" in nd
+    ]
+    assert len(byte_exchanges) == 1, plan

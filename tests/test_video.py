@@ -123,3 +123,72 @@ def test_video_frames_mixed_container_dispatch(spark):
     # fake decode failure inside the per-clip try (ADVICE r10)
     with pytest.raises(ValueError, match="every_nth"):
         video_frames(df, "vid", every_nth=0)
+
+
+def test_fingerprint_videos_fused_equals_composition(spark):
+    """fingerprint_videos (one fused decode+hash pass, round 11) must
+    equal frame_phash(video_frames(df)) hash-for-hash on the same frame
+    grid, carry the same per-clip aggregates video_curate used to derive
+    from the exploded pixel table, and quarantine undecodables."""
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.gif import encode_gif
+    from duckdb_vss_spark.operators.image import fingerprint_videos, frame_phash
+    from duckdb_vss_spark.operators.multimodal import video_frames
+
+    pal = (np.arange(8)[:, None] * np.array([37, 59, 83])[None, :] % 256).astype(np.uint8)
+    gif_fr = [pal[(np.add.outer(np.arange(12), np.arange(16)) + f) % 8] for f in range(5)]
+    im = (np.add.outer(np.arange(16), np.arange(16)) * 3 % 200).astype(np.uint8)
+    avi = encode_avi_mjpeg([np.stack([im, im, im], axis=-1)] * 3, quality=60)
+    df = spark.createDataFrame(pd.DataFrame({
+        "vid": [1, 2, 3], "url": ["a", "b", "c"],
+        "content": [encode_gif(gif_fr, delays_cs=[4] * 5), avi, b"junk"],
+    }))
+    for nth in (1, 2):
+        fused = {r["vid"]: r for r in
+                 fingerprint_videos(df, "vid", every_nth=nth).collect()}
+        ref = {}
+        for r in frame_phash(
+            video_frames(df, "vid", every_nth=nth).filter("frame_idx >= 0"), "vid"
+        ).collect():
+            ref.setdefault(r["vid"], {})[r["t"]] = r["key"]
+        for vid in (1, 2):
+            got = dict(zip(fused[vid]["frame_ts"], fused[vid]["frame_phashes"]))
+            assert got == ref[vid], (nth, vid)
+            assert fused[vid]["n_frames"] == len(ref[vid])
+            assert fused[vid]["decode_ok"] and fused[vid]["decode_err"] is None
+            assert fused[vid]["url"] in ("a", "b")        # passthrough rides
+            assert bytes(fused[vid]["content"])           # original bytes ride
+        assert fused[1]["width"] == 16 and fused[1]["height"] == 12
+        assert not fused[3]["decode_ok"] and fused[3]["n_frames"] == 0
+        assert fused[3]["frame_ts"] == [] and "NotImplementedError" in fused[3]["decode_err"]
+    with pytest.raises(ValueError, match="every_nth"):
+        fingerprint_videos(df, "vid", every_nth=0)
+    with pytest.raises(ValueError, match="collide"):
+        fingerprint_videos(df.withColumnRenamed("url", "n_frames"), "vid")
+
+
+def test_video_curate_every_nth_owned_by_store(spark, tmp_path):
+    """ADVICE r10: hashes are only comparable between identically sampled
+    frame grids, so video_curate defaults every_nth from the store
+    manifest and rejects a conflicting explicit value."""
+    import pandas as pd
+
+    from duckdb_vss_spark.index.video_store import VideoFingerprintStore
+    from duckdb_vss_spark.pipelines import video_curate
+
+    frames = [(np.add.outer(np.arange(16), np.arange(16)) * (k + 2) % 255).astype(np.uint8)
+              for k in range(6)]
+    clips = [np.stack([f, f, f], axis=-1) for f in frames]
+    df = spark.createDataFrame(pd.DataFrame({
+        "clip_id": [1], "content": [encode_avi_mjpeg(clips, quality=80)]}))
+    st = VideoFingerprintStore.create(spark, str(tmp_path / "vs"), every_nth=2)
+    with pytest.raises(ValueError, match="every_nth=3 conflicts"):
+        video_curate(df, store=st, every_nth=3)
+    # inherits the manifest grid: 6 frames at stride 2 -> 3 sampled
+    out = video_curate(df, store=st, min_frames=1, min_matches=2,
+                       min_width=16, min_height=16, snapshot="b0").collect()[0]
+    assert out["n_frames"] == 3 and out["video_keep"]
+    # matching the SAME grid stride explicitly is fine
+    assert video_curate(df, store=st, every_nth=2, min_frames=1, min_width=16,
+                        min_height=16, min_matches=2).collect()[0]["dup_of_store"]
