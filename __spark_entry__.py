@@ -2415,8 +2415,120 @@ def _m_multimodal_meta(spark, sf_dir):
         (F.col("width") * F.col("height")).cast("long").alias("d2"),
         F.lit(-1).cast("long").alias("n_bytes"),
     )
+    # icur/vcur legs (round 11): the COMPOSED image and video recipes,
+    # oracle-gated end-to-end (VERDICT r10 missing #1). Deterministic
+    # corpora with closed-form outcomes: exact-duplicate groups keyed by
+    # doc_id (identical bytes -> identical pHash / frame-hash grids, so
+    # clusters are the modular groups), plus quarantine rows (corrupt
+    # blobs) and quality-fail rows (8x8 tracking pixels / single-frame
+    # stubs). The duckdb twin computes every flag and the cluster
+    # assignment arithmetically from doc_id — so the decode kernels, the
+    # collapsed banded-Hamming join, the offset votes, the connected
+    # components, and the gate wiring all ride the value hash.
+    # d1 = cluster_id; d2 = packed flags (ok*8 + quality*4 + dedup*2 +
+    # keep); n_bytes packs dims (and n_frames for video).
+    from duckdb_vss_spark.operators.multimodal import _resize_kernel as _iv_resize
+    from duckdb_vss_spark.operators.video import encode_avi_mjpeg as _iv_avi
+    from duckdb_vss_spark.pipelines import image_curate, video_curate
+
+    def synth_icur(batches):
+        for pdf in batches:
+            ids_, blobs_ = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 13 == 5:
+                    ids_.append(i); blobs_.append(b"not an image"); continue
+                if i % 13 == 7:
+                    rng = np.random.default_rng(10**6 + i)  # unique per doc
+                    img8 = np.clip(
+                        np.round(rng.uniform(30, 225, size=(8, 8, 3))), 0, 255
+                    ).astype(np.uint8)
+                    ids_.append(i); blobs_.append(encode_bmp(img8)); continue
+                rng = np.random.default_rng(i % 23)          # group content
+                big = np.clip(
+                    np.round(_iv_resize(rng.uniform(30, 225, size=(8, 8, 3)),
+                                        24, 18, "bilinear")), 0, 255
+                ).astype(np.uint8)
+                ids_.append(i); blobs_.append(encode_bmp(big))
+            yield pd.DataFrame({"doc_id": ids_, "content": blobs_})
+
+    icur_blobs = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        synth_icur, schema="doc_id long, content binary"
+    )
+    ic = image_curate(
+        icur_blobs, id_col="doc_id", min_width=16, min_height=16,
+        thumb_width=16, thumb_height=12, max_hamming=4,
+    )
+    icur = ic.select(
+        F.lit("icur").alias("kind"),
+        "doc_id",
+        F.lit("img").alias("media_type"),
+        F.col("cluster_id").cast("long").alias("d1"),
+        (
+            F.col("ok").cast("long") * 8
+            + F.col("quality_keep").cast("long") * 4
+            + F.col("dedup_keep").cast("long") * 2
+            + F.col("image_keep").cast("long")
+        ).alias("d2"),
+        (
+            F.coalesce(F.col("width").cast("long"), F.lit(-1)) * 1000
+            + F.coalesce(F.col("height").cast("long"), F.lit(-1))
+        ).alias("n_bytes"),
+    )
+
+    def synth_vcur(batches):
+        for pdf in batches:
+            ids_, blobs_ = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 11 == 3:
+                    ids_.append(i); blobs_.append(b"not a video"); continue
+                if i % 11 == 7:
+                    rng = np.random.default_rng(2 * 10**6 + i)  # unique stub
+                    fr = np.clip(
+                        np.round(_iv_resize(rng.uniform(30, 225, size=(8, 8, 3)),
+                                            24, 18, "bilinear")), 0, 255
+                    ).astype(np.uint8)
+                    ids_.append(i); blobs_.append(_iv_avi([fr], quality=80))
+                    continue
+                g = i % 19
+                frames_ = []
+                for k in range(4):
+                    rng = np.random.default_rng(3 * 10**6 + g * 50 + k)
+                    frames_.append(np.clip(
+                        np.round(_iv_resize(rng.uniform(30, 225, size=(8, 8, 3)),
+                                            24, 18, "bilinear")), 0, 255
+                    ).astype(np.uint8))
+                ids_.append(i); blobs_.append(_iv_avi(frames_, quality=80))
+            yield pd.DataFrame({"doc_id": ids_, "content": blobs_})
+
+    vcur_blobs = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        synth_vcur, schema="doc_id long, content binary"
+    )
+    vc = video_curate(
+        vcur_blobs, id_col="doc_id", min_frames=2, min_width=16,
+        min_height=16, max_hamming=4, min_matches=3,
+    )
+    vcur = vc.select(
+        F.lit("vcur").alias("kind"),
+        "doc_id",
+        F.lit("vid").alias("media_type"),
+        F.col("cluster_id").cast("long").alias("d1"),
+        (
+            F.col("decode_ok").cast("long") * 8
+            + F.col("quality_keep").cast("long") * 4
+            + F.col("dedup_keep").cast("long") * 2
+            + F.col("video_keep").cast("long")
+        ).alias("d2"),
+        (
+            F.col("n_frames").cast("long") * 1000000
+            + F.coalesce(F.col("width").cast("long"), F.lit(-1)) * 1000
+            + F.coalesce(F.col("height").cast("long"), F.lit(-1))
+        ).alias("n_bytes"),
+    )
     return _union_tagged(
-        [img, aud, bmp, wav, afeat, afp, ares, aemb, avf, iq, imgl, gif, avi, warc, jpeg, jpegpx, jpegpr]
+        [img, aud, bmp, wav, afeat, afp, ares, aemb, avf, iq, imgl, gif, avi,
+         warc, jpeg, jpegpx, jpegpr, icur, vcur]
     )
 
 
@@ -4757,6 +4869,53 @@ def oracle_sql() -> dict[str, str]:
                 "    x -> x <> ''), chr(10)) AS ext\n"
                 "  FROM documents\n"
                 ")"
+            ),
+            (
+                # icur twin: the composed image recipe's flags and cluster
+                # assignment in closed form from doc_id — exact-dup groups
+                # are doc_id % 23 over the 'big' rows (identical bytes ->
+                # identical pHash -> the cluster is the modular group,
+                # canonical = min id); %13==5 rows are corrupt (ok=0),
+                # %13==7 rows are 8x8 tracking pixels (quality=0, unique
+                # content so they cluster alone). d2 packs
+                # ok*8 + quality*4 + dedup*2 + keep; n_bytes = w*1000+h
+                # (-1001 when undecoded)
+                "SELECT 'icur' AS kind, i.doc_id, 'img' AS media_type, "
+                "COALESCE(c.cid, i.doc_id)::BIGINT AS d1, "
+                "((CASE WHEN i.k2 <> 'corrupt' THEN 8 ELSE 0 END) "
+                " + (CASE WHEN i.k2 = 'big' THEN 4 ELSE 0 END) "
+                " + (CASE WHEN c.cid IS NULL OR c.cid = i.doc_id THEN 2 ELSE 0 END) "
+                " + (CASE WHEN i.k2 = 'big' AND c.cid = i.doc_id THEN 1 ELSE 0 END))::BIGINT AS d2, "
+                "(CASE i.k2 WHEN 'big' THEN 24018 WHEN 'tiny' THEN 8008 "
+                " ELSE -1001 END)::BIGINT AS n_bytes "
+                "FROM (SELECT doc_id, CASE WHEN doc_id % 13 = 5 THEN 'corrupt' "
+                "      WHEN doc_id % 13 = 7 THEN 'tiny' ELSE 'big' END AS k2 "
+                "      FROM documents) i "
+                "LEFT JOIN (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY doc_id % 23) AS cid "
+                "           FROM documents WHERE doc_id % 13 NOT IN (5, 7)) c "
+                "ON c.doc_id = i.doc_id"
+            ),
+            (
+                # vcur twin: the composed video recipe likewise — groups are
+                # doc_id % 19 over 'full' 4-frame clips (identical frame-hash
+                # grids -> 4 offset-0 votes >= min_matches=3); %11==3 corrupt,
+                # %11==7 single-frame stubs (n_frames=1 < min_frames). d2
+                # packs decode*8 + quality*4 + dedup*2 + keep; n_bytes =
+                # n_frames*1e6 + w*1000 + h
+                "SELECT 'vcur' AS kind, v.doc_id, 'vid' AS media_type, "
+                "COALESCE(c.cid, v.doc_id)::BIGINT AS d1, "
+                "((CASE WHEN v.k2 <> 'corrupt' THEN 8 ELSE 0 END) "
+                " + (CASE WHEN v.k2 = 'full' THEN 4 ELSE 0 END) "
+                " + (CASE WHEN c.cid IS NULL OR c.cid = v.doc_id THEN 2 ELSE 0 END) "
+                " + (CASE WHEN v.k2 = 'full' AND c.cid = v.doc_id THEN 1 ELSE 0 END))::BIGINT AS d2, "
+                "(CASE v.k2 WHEN 'full' THEN 4024018 WHEN 'stub' THEN 1024018 "
+                " ELSE -1001 END)::BIGINT AS n_bytes "
+                "FROM (SELECT doc_id, CASE WHEN doc_id % 11 = 3 THEN 'corrupt' "
+                "      WHEN doc_id % 11 = 7 THEN 'stub' ELSE 'full' END AS k2 "
+                "      FROM documents) v "
+                "LEFT JOIN (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY doc_id % 19) AS cid "
+                "           FROM documents WHERE doc_id % 11 NOT IN (3, 7)) c "
+                "ON c.doc_id = v.doc_id"
             ),
         ),
         "q23_sql_frontend": union(
