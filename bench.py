@@ -420,6 +420,48 @@ def main() -> None:
         ).filter("image_keep").count()
     )
 
+    # full image-text chain (round 11): synthetic HTML pages (2 <img> per
+    # doc, one URL shared across docs via doc_id % 31 so URL dedup bites)
+    # -> image_text_pairs -> fetched bytes for every unique URL (the
+    # dup-group BMPs above, so pHash dedup bites too) -> image_text_curate
+    # pair ledger. Prices the composed LAION loop end-to-end.
+    from duckdb_vss_spark.pipelines import image_text_curate, image_text_pairs
+
+    def _synth_pages(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, htmls = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                htmls.append(
+                    f"<body><img src='http://img.io/u{i % 31}.bmp' "
+                    f"alt='shared asset caption {i}'>"
+                    f"<img src='http://img.io/p{i}.bmp' "
+                    f"alt='unique asset caption {i}'></body>"
+                )
+                ids.append(i)
+            yield _pd.DataFrame({"doc_id": ids, "html": htmls})
+
+    pages = docs.select("doc_id").mapInPandas(
+        _synth_pages, schema="doc_id long, html string"
+    )
+    fetched = bmps_dup.selectExpr(
+        "concat('http://img.io/p', doc_id, '.bmp') AS url", "content"
+    ).unionByName(
+        bmps_dup.filter("doc_id < 31").selectExpr(
+            "concat('http://img.io/u', doc_id, '.bmp') AS url", "content"
+        )
+    )
+
+    def _image_text_chain():
+        pairs = image_text_pairs(pages, min_width=8, min_height=8)
+        return image_text_curate(
+            pairs, fetched, min_width=16, min_height=16, max_hamming=4
+        ).filter("pair_keep").count()
+
+    timings["image_text_curate"] = run(_image_text_chain)
+
     # composed video recipe (round 10): real MJPEG-AVI clips (4 frames of
     # 24x18, doc_id % 97 keys the content so duplicate groups exist) ->
     # container decode -> frame pHash -> offset-vote clustering -> flags;

@@ -100,6 +100,7 @@ from .pipelines import (  # noqa: F401
     image_curate,
     video_curate,
     image_text_pairs,
+    image_text_curate,
     c4_clean,
     ccnet_curate,
     refinedweb_curate,

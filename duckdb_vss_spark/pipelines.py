@@ -694,6 +694,108 @@ def image_text_pairs(
     return out
 
 
+def image_text_curate(
+    pairs: DataFrame,
+    fetched: DataFrame,
+    url_col: str = "img_url_norm",
+    fetched_url_col: str = "url",
+    content_col: str = "content",
+    min_width: int = 64,
+    min_height: int = 64,
+    max_hamming: int = 10,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    combo: int | str = "auto",
+    min_contrast: float | None = None,
+    min_entropy: float | None = None,
+    store=None,
+    snapshot: str | None = None,
+) -> DataFrame:
+    """The POST-fetch half of the image-text-pair pipeline (LAION
+    recipe's back half), completing the loop :func:`image_text_pairs`
+    opens: candidate (URL, caption) pairs ⋈ fetched bytes →
+    :func:`image_curate` over the unique images → a pair-level keep
+    ledger. Feed it the pre-fetch ledger and whatever your fetcher
+    returned (``(url, content)`` rows; failures may be missing rows or
+    NULL content — both flag, never drop).
+
+    Stages and the columns they add to the pair ledger:
+
+    1. **Fetch join** — ``fetched_ok``: bytes arrived for the pair's
+       ``img_url_norm``. The fetch queue was URL-deduped pre-fetch
+       (``url_canonical``), so the bytes land once per unique URL and
+       every pair of that URL inherits them.
+    2. **Image recipe** (:func:`image_curate`, URL as the image id; one
+       decode per unique URL): ``img_decode_ok``, ``img_width``/
+       ``img_height`` (REAL post-fetch dims — the pre-fetch ``size_ok``
+       only saw declared markup dims), ``img_quality_keep``,
+       ``img_dedup_keep`` + ``img_cluster_id`` (pHash near-dup — catches
+       the same image under different URLs, which URL dedup cannot),
+       ``img_phash``, and ``dup_of_store`` when ``store`` (an
+       :class:`~duckdb_vss_spark.index.image_store.ImageHashStore`)
+       matches against previously ingested history; ``snapshot`` commits
+       the kept images' hashes for the next batch (see the
+       commit-ordering note on :func:`image_curate`).
+    3. **Verdict** — ``pair_keep`` is OVERWRITTEN with the full-chain
+       gate: pre-fetch ``pair_keep`` AND ``fetched_ok`` AND
+       ``img_keep``. The pre-fetch verdict stays reconstructable from
+       its own flags (``caption_ok AND size_ok AND url_canonical``).
+
+    Scale shape: the pair ledger carries captions, never image bytes, so
+    the flag join back to pairs moves narrow rows; the bytes live only
+    inside :func:`image_curate`'s fused map-side pass. One url-keyed
+    join per side plus the recipe's own capped band join.
+    """
+    from .operators.dedup import _shared
+
+    img_in = fetched.select(
+        F.col(fetched_url_col).alias("__iurl"), F.col(content_col).alias("__bytes")
+    ).filter(F.col("__iurl").isNotNull())
+    curated = image_curate(
+        # one decode per unique URL; duplicate fetcher rows (retries)
+        # resolve to one arbitrary non-null-bytes row
+        img_in.filter(F.col("__bytes").isNotNull()).dropDuplicates(["__iurl"]),
+        content_col="__bytes",
+        id_col="__iurl",
+        min_width=min_width,
+        min_height=min_height,
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket=max_bucket,
+        combo=combo,
+        min_contrast=min_contrast,
+        min_entropy=min_entropy,
+        store=store,
+        snapshot=snapshot,
+    )
+    flag_cols = [
+        F.col("__iurl"),
+        F.col("ok").alias("img_decode_ok"),
+        F.col("width").alias("img_width"),
+        F.col("height").alias("img_height"),
+        F.col("phash").alias("img_phash"),
+        F.col("quality_keep").alias("img_quality_keep"),
+        F.col("dedup_keep").alias("img_dedup_keep"),
+        F.col("cluster_id").alias("img_cluster_id"),
+        F.col("image_keep").alias("img_keep"),
+    ]
+    if store is not None:
+        flag_cols.append(F.col("dup_of_store"))
+    # narrow per-URL flag frame — persisted so the expensive decode chain
+    # materializes once; the pair join never touches image bytes
+    flags = _shared(curated.select(*flag_cols))
+    out = pairs.join(flags, pairs[url_col] == flags["__iurl"], "left").drop("__iurl")
+    out = out.withColumn(
+        "fetched_ok", F.col("img_decode_ok").isNotNull()
+    ).withColumn(
+        "pair_keep",
+        F.col("pair_keep")
+        & F.col("fetched_ok")
+        & F.coalesce(F.col("img_keep"), F.lit(False)),
+    )
+    return out
+
+
 def crawl_ingest(
     batch: DataFrame,
     store,

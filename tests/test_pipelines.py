@@ -854,3 +854,63 @@ def test_image_text_pairs_prefetch_recipe(spark):
     assert a1["url_canonical"] and not a2["url_canonical"]
     assert not a2["pair_keep"]
     assert rows[(2, 1)]["pair_keep"]
+
+
+def test_image_text_curate_postfetch_full_chain(spark):
+    """LAION back half (round 11): candidate pairs ⋈ fetched bytes →
+    image_curate → pair-level verdict. Fetch failures flag, pHash dedup
+    catches the same image under a different URL (which URL dedup
+    cannot), real post-fetch dims override the declared-dims gate, and
+    pair_keep becomes the full-chain verdict."""
+    import numpy as np
+
+    from duckdb_vss_spark.operators.jpeg import encode_jpeg
+    from duckdb_vss_spark.operators.multimodal import _resize_kernel, encode_bmp
+    from duckdb_vss_spark.pipelines import image_text_curate, image_text_pairs
+
+    def photo(seed, w=48, h=40):
+        rng = np.random.default_rng(seed)
+        low = rng.uniform(30, 225, size=(8, 8, 3))
+        return np.clip(np.round(_resize_kernel(low, w, h, "bilinear")), 0, 255).astype(np.uint8)
+
+    h1 = (
+        "<body>"
+        "<img src='http://cdn.io/a.jpg?utm_source=x' alt='a red fox jumping'>"
+        "<img src='http://cdn.io/b.jpg' alt='broken download here'>"
+        "<img src='http://cdn.io/c.jpg' alt='never fetched image'>"
+        "<img src='http://cdn.io/d.jpg' alt='same fox other url'>"
+        "<img src='http://cdn.io/e.jpg' alt='tiny tracking pixel'>"
+        "</body>"
+    )
+    pairs = image_text_pairs(
+        spark.createDataFrame([(1, h1)], "doc_id long, html string"))
+    img_a = photo(1)
+    fetched = spark.createDataFrame(
+        [("http://cdn.io/a.jpg", bytearray(encode_bmp(img_a))),
+         ("http://cdn.io/b.jpg", bytearray(b"not an image")),   # fetched, undecodable
+         # same pixels as a.jpg under a different URL: pHash dedup target
+         ("http://cdn.io/d.jpg", bytearray(encode_jpeg(img_a, quality=85))),
+         ("http://cdn.io/e.jpg", bytearray(encode_bmp(photo(7, 8, 8)))),  # tiny
+         ("http://cdn.io/x.jpg", None)],                        # failed fetch
+        "url string, content binary",
+    )
+    out = {r["img_url_norm"]: r for r in
+           image_text_curate(pairs, fetched, min_width=16, min_height=16).collect()}
+    assert len(out) == 5                                    # flag-don't-drop
+    a = out["http://cdn.io/a.jpg"]
+    assert a["fetched_ok"] and a["img_decode_ok"] and a["img_quality_keep"]
+    assert (a["img_width"], a["img_height"]) == (48, 40)    # REAL dims
+    assert a["img_dedup_keep"] and a["pair_keep"]           # the one survivor
+    b = out["http://cdn.io/b.jpg"]
+    assert b["fetched_ok"] and not b["img_decode_ok"] and not b["pair_keep"]
+    c = out["http://cdn.io/c.jpg"]
+    assert not c["fetched_ok"] and c["img_decode_ok"] is None and not c["pair_keep"]
+    d = out["http://cdn.io/d.jpg"]
+    assert d["img_decode_ok"] and d["img_quality_keep"]
+    assert not d["img_dedup_keep"] and not d["pair_keep"]   # lost to a.jpg
+    assert d["img_cluster_id"] == "http://cdn.io/a.jpg"     # same pHash cluster
+    e = out["http://cdn.io/e.jpg"]
+    assert e["img_decode_ok"] and not e["img_quality_keep"] and not e["pair_keep"]
+    # the pre-fetch verdict stays reconstructable from its own flags
+    assert all(r["caption_ok"] and r["size_ok"] and r["url_canonical"]
+               for r in out.values())
