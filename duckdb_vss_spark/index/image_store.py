@@ -24,10 +24,14 @@ Matching is the banded-Hamming contract of
 :func:`~duckdb_vss_spark.operators.dedup.hamming_pairs`: candidates
 agree on >= 1 band chunk (complete for ``hamming < bands`` by
 pigeonhole), verification is ``bit_count(xor)`` computed inside the
-join. Hot buckets (boilerplate images — logos, spacers, test cards) are
-dropped by a per-(band, bucket) frequency cap computed over store+batch
-BEFORE the join, so one viral thumbnail in history cannot turn every
-future batch's match quadratic.
+join. Round-11 discipline: exact matches bypass banding via an
+equi-join on the hash value (cap-immune), the near band join runs over
+DISTINCT hashes per side with the banding auto-picked from the call's
+bound (:func:`~duckdb_vss_spark.operators.dedup._auto_banding`), and
+hot buckets (boilerplate images — logos, spacers, test cards) are still
+capped so one viral thumbnail in history cannot turn every future
+batch's match quadratic — but any capped drop now emits a
+``RuntimeWarning`` with the dropped fraction (no silent caps).
 """
 
 from __future__ import annotations
@@ -94,6 +98,26 @@ class ImageHashStore:
 
     # -- hash plumbing -------------------------------------------------------
 
+    def _hashes(
+        self,
+        df: DataFrame,
+        id_col: str,
+        content_col: Optional[str] = "content",
+        hash_col: Optional[str] = None,
+    ) -> DataFrame:
+        """(id, __h LONG) per image. With ``hash_col`` the caller already
+        has pHashes (e.g. :func:`~duckdb_vss_spark.pipelines.image_curate`
+        computed them in its fused decode pass) and NO decode happens;
+        otherwise ``content_col`` bytes run through the real decoder +
+        :func:`~duckdb_vss_spark.operators.image.phash_kernel`."""
+        if hash_col is not None:
+            return df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("__h"))
+        from ..operators.image import phash
+
+        return phash(df.select(id_col, content_col), id_col).select(
+            F.col(id_col).alias("id"), F.col("phash").alias("__h")
+        )
+
     def band_rows(
         self,
         df: DataFrame,
@@ -102,20 +126,8 @@ class ImageHashStore:
         hash_col: Optional[str] = None,
     ) -> DataFrame:
         """(band INT, bucket LONG, id, h LONG) rows for every image — the
-        batch-side input of :meth:`match_against` and the stored layout of
-        :meth:`append_snapshot`. With ``hash_col`` the caller already has
-        pHashes (e.g. :func:`~duckdb_vss_spark.pipelines.image_curate`
-        computed them in its fused decode pass) and NO decode happens;
-        otherwise ``content_col`` bytes run through the real decoder +
-        :func:`~duckdb_vss_spark.operators.image.phash_kernel`."""
-        if hash_col is not None:
-            hashes = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("__h"))
-        else:
-            from ..operators.image import phash
-
-            hashes = phash(df.select(id_col, content_col), id_col).select(
-                F.col(id_col).alias("id"), F.col("phash").alias("__h")
-            )
+        stored layout of :meth:`append_snapshot`."""
+        hashes = self._hashes(df, id_col, content_col, hash_col)
         bands = self.manifest["bands"]
         width = 64 // bands
         mask = F.lit((1 << width) - 1)
@@ -202,12 +214,27 @@ class ImageHashStore:
         corpus: ``(id, store_id, snapshot, hamming INT)`` with
         ``hamming <= max_hamming`` (default: the store's configured bound;
         a smaller per-call bound is allowed — still complete by
-        pigeonhole; a larger one is rejected). The per-(band, bucket)
-        frequency cap is computed over store+batch TOGETHER, so
-        boilerplate that went viral across history is dropped even if
-        rare in this batch. A pair colliding in several bands is emitted
-        once (min hamming is a pair constant, so any-band is fine)."""
+        pigeonhole; a larger one is rejected).
+
+        Round-11 shape (same discipline as
+        :func:`~duckdb_vss_spark.operators.dedup.hamming_pairs`, which
+        round 10's steady-state measurement showed this path needed too —
+        at 20k stored hashes every 4-bit bucket went hot and the old
+        store+batch cap silently dropped EVERY match):
+
+        - **exact matches bypass banding entirely** — a batch hash equal
+          to a stored hash is found by an equi-join on the hash value,
+          immune to any cap;
+        - the band join runs over DISTINCT hash values per side, with the
+          arity auto-escalated to pair-of-chunk keys when the single-chunk
+          key space saturates ``max_bucket`` (complete while
+          ``max_hamming <= bands - combo``);
+        - hot (band, bucket)s of distinct hashes are still capped — viral
+          boilerplate stays bounded — but any drop now emits a
+          ``RuntimeWarning`` with the dropped fraction (no silent caps).
+        """
         bands = self.manifest["bands"]
+        width = 64 // bands
         bound = self.manifest["max_hamming"] if max_hamming is None else int(max_hamming)
         if bound >= bands:
             raise ValueError(
@@ -218,35 +245,72 @@ class ImageHashStore:
             id_t = dict(df.dtypes)[id_col]
             schema = f"id {id_t}, store_id {id_t}, snapshot string, hamming int"
             return self.spark.createDataFrame([], schema)
-        batch = self.band_rows(df, id_col, content_col, hash_col)
-        freq = (
-            batch.select("band", "bucket")
-            .unionByName(store.select("band", "bucket"))
-            .groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") <= max_bucket)
-            .select("band", "bucket")
+        from ..operators.dedup import _auto_banding, _chunk_keys, _shared
+
+        bh = _shared(self._hashes(df, id_col, content_col, hash_col))
+        sh = store.select(
+            F.col("id").alias("store_id"), F.col("snapshot"), F.col("h")
+        ).dropDuplicates(["store_id", "snapshot", "h"])
+        exact = bh.join(sh, bh["__h"] == sh["h"]).select(
+            "id", "store_id", "snapshot", F.lit(0).cast("int").alias("hamming")
         )
-        b = batch.join(freq, ["band", "bucket"])
-        s = store.join(freq, ["band", "bucket"])
-        return (
-            b.alias("a")
-            .join(
-                s.alias("s"),
-                (F.col("a.band") == F.col("s.band"))
-                & (F.col("a.bucket") == F.col("s.bucket")),
+        if bound == 0:
+            return exact
+        bd = _shared(bh.select("__h").distinct().withColumnRenamed("__h", "h"))
+        sd = _shared(sh.select("h").distinct())
+        nd = bd.count() + sd.count()
+        # cheapest complete banding for THIS call's bound (may re-band to
+        # wider chunks — see _auto_banding; the stored band/bucket layout
+        # is irrelevant here because `h` rides every row)
+        bands_eff, combo = _auto_banding(64, bound, nd, max_bucket)
+        keys = _chunk_keys(F.col("h"), bands_eff, 64 // bands_eff, combo)
+
+        def band(dfh):
+            return dfh.select("h", F.posexplode(F.array(*keys)).alias("b", "bucket"))
+
+        bb, sb = band(bd), band(sd)
+        if nd > max_bucket:
+            sizes = _shared(
+                bb.unionByName(sb)
+                .groupBy("b", "bucket")
+                .agg(F.count(F.lit(1)).alias("__n"))
             )
-            .select(
-                F.col("a.id").alias("id"),
-                F.col("s.id").alias("store_id"),
-                F.col("s.snapshot").alias("snapshot"),
-                F.bit_count(F.col("a.h").bitwiseXOR(F.col("s.h")))
-                .cast("int")
-                .alias("hamming"),
+            hot = sizes.filter(F.col("__n") > max_bucket).agg(
+                F.count(F.lit(1)).alias("hb"),
+                F.coalesce(F.sum("__n"), F.lit(0)).alias("hr"),
+            ).collect()[0]
+            if hot["hb"] > 0:
+                import warnings
+
+                total = nd * len(keys)
+                warnings.warn(
+                    f"ImageHashStore.match_against: {hot['hb']} hot (band, "
+                    f"bucket) groups over max_bucket={max_bucket} dropped "
+                    f"{hot['hr']}/{total} banded rows "
+                    f"({hot['hr'] / total:.1%}); near-matches (hamming >= 1) "
+                    f"whose every agreeing chunk is hot are lost — exact "
+                    f"matches are unaffected. Raise max_bucket.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            ok = sizes.filter(F.col("__n") <= max_bucket).select("b", "bucket")
+            bb, sb = bb.join(ok, ["b", "bucket"]), sb.join(ok, ["b", "bucket"])
+        near_h = (
+            bb.join(sb.withColumnRenamed("h", "hs"), ["b", "bucket"])
+            .select(F.col("h").alias("hb"), "hs")
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("hb").bitwiseXOR(F.col("hs"))).cast("int"),
             )
-            .filter(F.col("hamming") <= bound)
-            .dropDuplicates(["id", "store_id", "snapshot"])
+            .filter((F.col("hamming") >= 1) & (F.col("hamming") <= bound))
+            .dropDuplicates(["hb", "hs"])
         )
+        near = (
+            near_h.join(bh.withColumnRenamed("__h", "hb"), "hb")
+            .join(sh.withColumnRenamed("h", "hs"), "hs")
+            .select("id", "store_id", "snapshot", "hamming")
+        )
+        return near.unionByName(exact)
 
     def flag_batch(
         self,

@@ -24,9 +24,14 @@ sampled frame grids, so the store owns the configuration. Banding
 happens at MATCH time (the stored rows are raw ``(kb, id, t, h)``), so
 a store can tighten ``max_hamming`` per call without rewriting state.
 
-Hot-bucket discipline: the per-(band, bucket) frequency cap is computed
-over store+batch TOGETHER before the join (black frames, test cards,
-station logos collide globally), same as the audio store's key cap.
+Hot-bucket discipline (round 11): exact frame matches bypass banding via
+an equi-join on the hash value (cap-immune), the near band join runs over
+DISTINCT hashes per side with the banding auto-picked from the call's
+bound and a cheap distinct count
+(:func:`~duckdb_vss_spark.operators.dedup._auto_banding`), and any capped
+drop of near candidates (black frames, test cards, station logos collide
+globally) emits a ``RuntimeWarning`` with the dropped fraction — no
+silent caps.
 """
 
 from __future__ import annotations
@@ -236,40 +241,88 @@ class VideoFingerprintStore:
                 "offset long, n_matches long"
             )
             return self.spark.createDataFrame([], schema)
-        from ..operators.dedup import _shared
+        from ..operators.dedup import _auto_banding, _chunk_keys, _shared
 
+        # Round-11 shape (the image store's steady-state measurement
+        # showed the old store+batch frequency cap silently dropping
+        # every match once buckets saturate): exact frame matches bypass
+        # banding via an equi-join on the hash value (cap-immune); near
+        # matches ride a DISTINCT-hash band join with the arity auto-
+        # escalated when the single-chunk key space saturates, and any
+        # capped drop warns with the fraction.
         batch = _shared(self.key_rows(df, id_col, content_col, keys_df))
-        b = self._banded(batch)
-        s = self._banded(store)
-        freq = (
-            b.select("band", "bucket")
-            .unionByName(s.select("band", "bucket"))
-            .groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") <= max_bucket)
-            .select("band", "bucket")
+        skeys = store.select(
+            F.col("id").alias("store_id"), "snapshot", "t", "h"
         )
-        b = b.join(freq, ["band", "bucket"])
-        s = s.join(freq, ["band", "bucket"])
+        exact_pairs = batch.join(skeys, batch["h"] == skeys["h"]).select(
+            "id", "store_id", "snapshot",
+            batch["t"].alias("ta"), skeys["t"].alias("tb"),
+        )
+        near_pairs = None
+        if bound >= 1:
+            bd = _shared(batch.select("h").distinct())
+            sd = _shared(skeys.select("h").distinct())
+            nd = bd.count() + sd.count()
+            # cheapest complete banding for THIS call's bound (may re-band
+            # to wider chunks — see _auto_banding)
+            bands_eff, combo = _auto_banding(64, bound, nd, max_bucket)
+            keys = _chunk_keys(F.col("h"), bands_eff, 64 // bands_eff, combo)
+
+            def band(dfh):
+                return dfh.select(
+                    "h", F.posexplode(F.array(*keys)).alias("b", "bucket")
+                )
+
+            bb, sb = band(bd), band(sd)
+            if nd > max_bucket:
+                sizes = _shared(
+                    bb.unionByName(sb)
+                    .groupBy("b", "bucket")
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                )
+                hot = sizes.filter(F.col("__n") > max_bucket).agg(
+                    F.count(F.lit(1)).alias("hb"),
+                    F.coalesce(F.sum("__n"), F.lit(0)).alias("hr"),
+                ).collect()[0]
+                if hot["hb"] > 0:
+                    import warnings
+
+                    total = nd * len(keys)
+                    warnings.warn(
+                        f"VideoFingerprintStore.match_against: {hot['hb']} "
+                        f"hot (band, bucket) groups over "
+                        f"max_bucket={max_bucket} dropped {hot['hr']}/{total} "
+                        f"banded rows ({hot['hr'] / total:.1%}); near frame "
+                        f"matches (hamming >= 1) whose every agreeing chunk "
+                        f"is hot are lost — exact matches are unaffected. "
+                        f"Raise max_bucket.",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                ok = sizes.filter(F.col("__n") <= max_bucket).select("b", "bucket")
+                bb, sb = bb.join(ok, ["b", "bucket"]), sb.join(ok, ["b", "bucket"])
+            near_h = (
+                bb.join(sb.withColumnRenamed("h", "hs"), ["b", "bucket"])
+                .select(F.col("h").alias("hb"), "hs")
+                .withColumn(
+                    "hamming",
+                    F.bit_count(F.col("hb").bitwiseXOR(F.col("hs"))).cast("int"),
+                )
+                .filter((F.col("hamming") >= 1) & (F.col("hamming") <= bound))
+                .dropDuplicates(["hb", "hs"])
+            )
+            near_pairs = (
+                near_h.join(batch.withColumnRenamed("h", "hb"), "hb")
+                .join(
+                    skeys.withColumnRenamed("h", "hs")
+                    .withColumnRenamed("t", "tb"),
+                    "hs",
+                )
+                .select("id", "store_id", "snapshot", F.col("t").alias("ta"), "tb")
+            )
         frame_pairs = (
-            b.alias("a")
-            .join(
-                s.alias("s"),
-                (F.col("a.band") == F.col("s.band"))
-                & (F.col("a.bucket") == F.col("s.bucket")),
-            )
-            .filter(
-                F.bit_count(F.col("a.h").bitwiseXOR(F.col("s.h"))) <= bound
-            )
-            .select(
-                F.col("a.id").alias("id"),
-                F.col("s.id").alias("store_id"),
-                F.col("s.snapshot").alias("snapshot"),
-                F.col("a.t").alias("ta"),
-                F.col("s.t").alias("tb"),
-            )
-            # one vote per frame pair even when it collides in many bands
-            .dropDuplicates(["id", "store_id", "snapshot", "ta", "tb"])
+            exact_pairs if near_pairs is None
+            else exact_pairs.unionByName(near_pairs)
         )
         votes = frame_pairs.groupBy(
             "id", "store_id", "snapshot", (F.col("ta") - F.col("tb")).alias("offset")

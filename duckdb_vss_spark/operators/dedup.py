@@ -504,6 +504,70 @@ def simhash_pairs(
     )
 
 
+def _auto_banding(
+    nbits: int, bound: int, nd: int, max_bucket: int | None
+) -> tuple[int, int]:
+    """Pick ``(bands_eff, combo)`` for a banded Hamming join — the
+    cheapest configuration that is (a) COMPLETE for ``bound`` by
+    pigeonhole (``bound <= bands_eff - combo``) and (b) whose key space
+    does not saturate ``max_bucket`` at ``nd`` distinct hashes
+    (``nd <= 2^(width*combo) * max_bucket``). Cost is the explode width
+    (number of join keys): re-banding to fewer, wider chunks beats
+    combinatorial keys whenever the bound allows — 8 bands of 8 bits is
+    exact to hamming 7 with 8 keys and a 256-value key space, where
+    C(16,2)=120 packed keys buy the same key space 15x dearer. The
+    multi-index-hashing trade (Norouzi et al. 2014) picked from the
+    bound and a cheap distinct count, never silently."""
+    from math import comb as _comb
+
+    best = None
+    for be in (2, 4, 8, 16, 32, 64):
+        if nbits % be != 0 or be > nbits:
+            continue
+        w = nbits // be
+        for combo in (1, 2):
+            if bound > be - combo:
+                continue  # not complete
+            nkeys = be if combo == 1 else _comb(be, combo)
+            if nkeys > 256 or (combo == 2 and 2 * w > 62):
+                continue  # fan-out guard / packed key must fit a long
+            saturated = (
+                max_bucket is not None and nd > (2 ** (w * combo)) * max_bucket
+            )
+            cand = (saturated, nkeys, be, combo)
+            if best is None or cand < best:
+                best = cand
+    assert best is not None  # be=nbits/1-bit chunks always complete
+    return best[2], best[3]
+
+
+def _chunk_keys(hcol, bands: int, width: int, combo: int) -> list:
+    """Banded join-key expressions for a hash column split into ``bands``
+    chunks of ``width`` bits: ``combo=1`` → the chunk values themselves;
+    ``combo>=2`` → every combo-subset of chunks packed into one long
+    (each chunk < 2^width, so the packed key fits for any combination the
+    fan-out guards admit). Shared by :func:`hamming_pairs` and the
+    banded-Hamming store match paths (ImageHashStore /
+    VideoFingerprintStore), which must band identically to stay
+    pigeonhole-complete."""
+    mask = F.lit((1 << width) - 1)
+
+    def chunk(b):
+        return F.shiftrightunsigned(hcol, b * width).bitwiseAND(mask)
+
+    if combo == 1:
+        return [chunk(b) for b in range(bands)]
+    from itertools import combinations
+
+    keys = []
+    for idx in combinations(range(bands), combo):
+        k = F.lit(0).cast("long")
+        for b in idx:
+            k = F.shiftleft(k, width) + chunk(b).cast("long")
+        keys.append(k)
+    return keys
+
+
 def hamming_pairs(
     df: DataFrame,
     id_col: str,
@@ -550,15 +614,16 @@ def hamming_pairs(
       :func:`~duckdb_vss_spark.operators.graph.dedup_clusters`, as
       :func:`~duckdb_vss_spark.pipelines.image_curate` does.
 
-    ``combo="auto"`` (default) picks the band arity from a cheap count
-    of DISTINCT hashes: ``combo=1`` joins on single chunks (key space
-    ``2^(nbits/bands)`` per band — 16 values at bands=16/nbits=64), which
-    saturates ``max_bucket`` once the distinct-hash count passes
-    ``2^(nbits/bands) * max_bucket``; past that point auto escalates to
-    ``combo=2`` (key space squared, e.g. 256 values per band pair),
-    provided the tighter pigeonhole bound ``max_hamming <= bands - 2``
-    holds — otherwise it stays at 1 and the drop warning below reports
-    what the cap cost. Pass an explicit int to pin the arity.
+    ``combo="auto"`` (default) picks the banding from a cheap count of
+    DISTINCT hashes: the cheapest configuration (fewest join keys) that
+    is complete for ``max_hamming`` and whose key space does not
+    saturate ``max_bucket`` — it may RE-BAND to fewer, wider chunks
+    (``max_hamming <= 7`` at scale → 8 bands of 8 bits: 8 keys, 256
+    buckets — the multi-index-hashing trade) and/or escalate to packed
+    ``combo=2`` subset keys (``max_hamming <= bands - 2``); when no
+    complete configuration avoids saturation it keeps the roomiest one
+    and the drop warning below reports what the cap cost. Pass an
+    explicit int ``combo`` to pin the arity to the ``bands`` given.
 
     ``max_bucket`` caps the per-(band, bucket) DISTINCT-HASH population
     BEFORE the self-join — the stop-key discipline of
@@ -615,26 +680,17 @@ def hamming_pairs(
     ).collect()[0]
     n_distinct, n_dup_groups = stats["nd"], stats["ndup"]
     if auto_combo:
-        saturated = max_bucket is not None and n_distinct > (2**width) * max_bucket
-        combo = 2 if (saturated and max_hamming <= bands - 2 and _comb(bands, 2) <= 256) else 1
+        # pick the cheapest complete, non-saturating configuration — may
+        # RE-BAND to fewer, wider chunks (e.g. bound<=7 at scale: 8 bands
+        # of 8 bits, 8 keys) as well as escalate to packed combo keys
+        bands, combo = _auto_banding(nbits, max_hamming, n_distinct, max_bucket)
+        width = nbits // bands
+        mask = F.lit((1 << width) - 1)
 
     def _chunk_of(col, b):
         return F.shiftrightunsigned(col, b * width).bitwiseAND(mask)
 
-    if combo == 1:
-        keys = [_chunk_of(F.col("__h"), b) for b in range(bands)]
-    else:
-        from itertools import combinations
-
-        # bucket of combo (b1<...<bc) = the chunk values concatenated:
-        # each is < 2^width, so the packed key fits a long for any
-        # combination the fan-out guard admits
-        keys = []
-        for idx in combinations(range(bands), combo):
-            k = F.lit(0).cast("long")
-            for pos, b in enumerate(idx):
-                k = F.shiftleft(k, width) + _chunk_of(F.col("__h"), b).cast("long")
-            keys.append(k)
+    keys = _chunk_keys(F.col("__h"), bands, width, combo)
     banded = groups.select(
         F.col("__rep"), F.col("__h"), F.posexplode(F.array(*keys)).alias("b", "bucket")
     )

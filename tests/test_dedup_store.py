@@ -499,3 +499,44 @@ def test_video_store_lifecycle_and_matching(spark, tmp_path):
     assert dict(empty.dtypes)["id"] == "string" and empty.count() == 0
     with pytest.raises(ValueError, match="bands"):
         st3.match_against(sb, "clip_id", max_hamming=8)
+
+
+def test_image_store_match_survives_hot_buckets_at_scale(spark, tmp_path):
+    """Round-11 regression: 20k distinct stored hashes saturate the 4-bit
+    combo=1 key space (every (band, bucket) holds > max_bucket=1000), and
+    round 10's store+batch cap silently dropped EVERY match — the
+    steady-state loop measured dup_of_store=0 across five batches. Now
+    exact matches bypass banding (equi-join on the hash value, cap-
+    immune) and near matches ride the auto-escalated combo=2 banding."""
+    import warnings as _w
+
+    import numpy as np
+
+    from duckdb_vss_spark.index.image_store import ImageHashStore
+
+    st = ImageHashStore.create(spark, str(tmp_path / "bigstore"))
+    rng = np.random.default_rng(21)
+    stored = sorted({int(v) for v in
+                     rng.integers(-(2**62), 2**62, size=20000, dtype=np.int64)})
+    sdf = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(stored)], "img_id long, phash long"
+    ).repartition(8)
+    st.append_snapshot(sdf, "img_id", "s0", hash_col="phash")
+    # batch: 100 exact re-encounters, 50 near (2 bit flips), 100 fresh
+    batch = (
+        [(10**6 + j, stored[j]) for j in range(100)]
+        + [(2 * 10**6 + j, stored[200 + j] ^ (1 << 3) ^ (1 << 44)) for j in range(50)]
+        + [(3 * 10**6 + j, int(v)) for j, v in enumerate(
+            rng.integers(-(2**62), 2**62, size=100, dtype=np.int64))]
+    )
+    bdf = spark.createDataFrame(batch, "img_id long, phash long")
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)  # combo=2 must not warn here
+        hits = {r["id"]: r for r in
+                st.match_against(bdf, "img_id", hash_col="phash").collect()}
+    assert all(10**6 + j in hits and hits[10**6 + j]["hamming"] == 0
+               for j in range(100))
+    assert all(2 * 10**6 + j in hits and hits[2 * 10**6 + j]["hamming"] == 2
+               for j in range(50))
+    assert not any(3 * 10**6 + j in hits for j in range(100))
+    assert len(hits) == 150
