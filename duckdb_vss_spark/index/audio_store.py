@@ -178,9 +178,17 @@ class AudioFingerprintStore:
     ) -> DataFrame:
         """Near-duplicate matches of ``df``'s clips against the stored
         corpus: ``(id, store_id, snapshot, offset, n_matches)`` with the
-        best-offset vote count ``>= min_matches``. The frequency cap is
-        computed over store+batch keys together, so a key that went viral
-        across history is dropped even if rare in this batch."""
+        best-offset vote count ``>= min_matches``.
+
+        Round-11 discipline (the in-batch matcher's): batch clips whose
+        ENTIRE fingerprint table is identical collapse to one
+        representative before the key join — a batch of N copies of one
+        clip no longer makes every one of its keys hot — and hits expand
+        back to all members afterwards. The frequency cap is computed
+        over representative-batch + store keys together, so a key that
+        went viral across history is still dropped even if rare in this
+        batch, but the drop now emits a ``RuntimeWarning`` with the
+        dropped fraction (no silent caps)."""
         store = self._store_df()
         if store is None:
             # empty-store schema must track the caller's id dtype (string
@@ -194,19 +202,54 @@ class AudioFingerprintStore:
             return self.spark.createDataFrame([], schema)
         from ..operators.dedup import _shared
 
-        # referenced twice (frequency union + join probe side) behind the
-        # WAV decode + fingerprint chain — persist once per match
+        # referenced by the digest aggregate and the join probe side
+        # behind the WAV decode + fingerprint chain — persist once
         batch = _shared(self.key_rows(df, content_col, id_col))
-        freq = (
-            batch.select("key")
+        digests = _shared(
+            batch.groupBy("id").agg(
+                F.md5(
+                    F.to_json(F.sort_array(F.collect_list(F.struct("t", "key"))))
+                ).alias("__d")
+            )
+        )
+        groups = _shared(
+            digests.groupBy("__d").agg(
+                F.min("id").alias("__rep"), F.count(F.lit(1)).alias("__n")
+            )
+        )
+        n_dup_groups = groups.agg(
+            F.count(F.when(F.col("__n") > 1, 1)).alias("nd")
+        ).collect()[0]["nd"]
+        brep = batch.join(groups.select(F.col("__rep").alias("id")), "id")
+        freq = _shared(
+            brep.select("key")
             .unionByName(store.select("key"))
             .groupBy("key")
             .agg(F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") <= max_key_freq)
-            .select("key")
         )
-        b = batch.join(freq, "key")
-        s = store.join(freq, "key")
+        is_hot = F.col("__c") > max_key_freq
+        hot = freq.agg(
+            F.count(F.when(is_hot, 1)).alias("hk"),
+            F.coalesce(F.sum(F.when(is_hot, F.col("__c"))), F.lit(0)).alias("hr"),
+            F.coalesce(F.sum("__c"), F.lit(0)).alias("total"),
+        ).collect()[0]
+        if hot["hk"] > 0:
+            import warnings
+
+            warnings.warn(
+                f"AudioFingerprintStore.match_against: {hot['hk']} hot keys "
+                f"over max_key_freq={max_key_freq} dropped "
+                f"{hot['hr']}/{hot['total']} key rows "
+                f"({hot['hr'] / hot['total']:.1%}); votes through those keys "
+                f"are lost (identical batch clips still collapse to one "
+                f"probe). Raise max_key_freq if these are not degenerate "
+                f"keys (silence, test tones).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        ok_keys = freq.filter(~is_hot).select("key")
+        b = brep.join(ok_keys, "key")
+        s = store.join(ok_keys, "key")
         votes = (
             b.alias("a")
             .join(s.alias("s"), F.col("a.key") == F.col("s.key"))
@@ -221,13 +264,30 @@ class AudioFingerprintStore:
         best = votes.groupBy("id", "store_id", "snapshot").agg(
             F.max(F.struct("n_matches", "offset")).alias("__best")
         )
-        return best.select(
+        rep_hits = best.select(
             "id",
             "store_id",
             "snapshot",
             F.col("__best.offset").alias("offset"),
             F.col("__best.n_matches").alias("n_matches"),
         ).filter(F.col("n_matches") >= min_matches)
+        if n_dup_groups == 0:
+            return rep_hits
+        # expand: every member of a duplicated batch digest inherits its
+        # representative's store matches verbatim
+        rep_to_d = groups.select(F.col("__rep").alias("id"), "__d")
+        members = digests.select(F.col("id").alias("__mid"), "__d")
+        return (
+            rep_hits.join(rep_to_d, "id")
+            .join(members, "__d")
+            .select(
+                F.col("__mid").alias("id"),
+                "store_id",
+                "snapshot",
+                "offset",
+                "n_matches",
+            )
+        )
 
     def flag_batch(
         self,

@@ -648,6 +648,7 @@ def audio_neardup_pairs(
     key_col: str = "key",
     min_matches: int = 5,
     max_key_freq: int = 1000,
+    exact_dup_pairs: str = "all",
 ) -> DataFrame:
     """Offset-consistent fingerprint matching over an ``(id, t, key)``
     table (from :func:`fingerprint_keys` or :func:`landmark_fingerprint`):
@@ -656,24 +657,40 @@ def audio_neardup_pairs(
     offset collects ``>= min_matches`` votes — Wang 2003's histogram
     alignment step as one groupBy.
 
-    Keys appearing in more than ``max_key_freq`` rows globally are
-    dropped BEFORE the join (silence and test tones produce degenerate
-    keys shared by everything; without the cap one hot key makes the
-    join quadratic — the same stop-key discipline as the n-gram Jaccard
-    prefix filter). Output: ``(id_a, id_b, offset, n_matches)`` with
-    ``id_a < id_b``.
+    **Exact-duplicate clips collapse before the key join** (round 11,
+    the :func:`~.dedup.hamming_pairs` discipline): clips whose ENTIRE
+    fingerprint table is identical (md5 digest of the sorted ``(t, key)``
+    list) reduce to one representative, and their within-group pairs emit
+    directly — ``(offset 0, n_matches = the clip's key-row count)``,
+    qualifying when that count reaches ``min_matches``. Without the
+    collapse, a clip duplicated more than ``max_key_freq`` times made
+    EVERY one of its keys hot, so the most-duplicated audio silently
+    escaped dedup. ``exact_dup_pairs='all'`` (default) expands duplicate
+    groups to every pair; ``'star'`` emits one ``(min_id, member)`` edge
+    per member plus representative-level cross pairs — linear,
+    connectivity-equivalent, the right choice when the pairs feed
+    :func:`~duckdb_vss_spark.operators.graph.dedup_clusters`.
 
-    Scale shape: one count-aggregate over keys (map-side combinable),
-    one key-bucketed self-join whose per-key fan-out is capped, one
-    combinable vote count, one per-pair max. Only longs move.
+    Keys appearing in more than ``max_key_freq`` REPRESENTATIVE rows are
+    still dropped before the join (silence and test tones produce
+    degenerate keys shared by everything — content that should not
+    vote), but the drop now emits a ``RuntimeWarning`` with the dropped
+    fraction (no silent caps). Output: ``(id_a, id_b, offset,
+    n_matches)`` with ``id_a < id_b``.
+
+    Scale shape: one digest aggregate and one count-aggregate (both
+    map-side combinable), one key-bucketed self-join over representatives
+    whose per-key fan-out is capped, one combinable vote count, one
+    per-pair max; duplicate-group expansion joins move only ids. Only
+    longs and 32-char digests move.
     """
+    if exact_dup_pairs not in ("all", "star"):
+        raise ValueError("exact_dup_pairs must be 'all' or 'star'")
     from .dedup import _shared
 
-    # the key table is referenced THREE times (frequency count + both join
-    # sides) and its upstream is the expensive decode+fingerprint chain —
-    # Spark performs no common-subplan dedup, so without a persist the
-    # whole codec/DSP pipeline runs three times (measured 3x wall on the
-    # bench fixture)
+    # the key table is referenced by the digest aggregate and both join
+    # sides and its upstream is the expensive decode+fingerprint chain —
+    # Spark performs no common-subplan dedup, so persist once
     k = _shared(
         keys_df.select(
             F.col(id_col).alias("__id"),
@@ -681,10 +698,46 @@ def audio_neardup_pairs(
             F.col(key_col).cast("long").alias("__k"),
         )
     )
-    freq = k.groupBy("__k").agg(F.count(F.lit(1)).alias("__c"))
-    k = k.join(freq.filter(F.col("__c") <= max_key_freq).select("__k"), "__k")
-    a = k.select(F.col("__k"), F.col("__id").alias("id_a"), F.col("__t").alias("ta"))
-    b = k.select(F.col("__k"), F.col("__id").alias("id_b"), F.col("__t").alias("tb"))
+    digests = _shared(
+        k.groupBy("__id").agg(
+            F.md5(
+                F.to_json(F.sort_array(F.collect_list(F.struct("__t", "__k"))))
+            ).alias("__d"),
+            F.count(F.lit(1)).alias("__nk"),
+        )
+    )
+    groups = _shared(
+        digests.groupBy("__d").agg(
+            F.min("__id").alias("__rep"), F.count(F.lit(1)).alias("__n")
+        )
+    )
+    n_dup_groups = groups.agg(
+        F.count(F.when(F.col("__n") > 1, 1)).alias("nd")
+    ).collect()[0]["nd"]
+    krep = k.join(groups.select(F.col("__rep").alias("__id")), "__id")
+    freq = _shared(krep.groupBy("__k").agg(F.count(F.lit(1)).alias("__c")))
+    is_hot = F.col("__c") > max_key_freq
+    hot = freq.agg(
+        F.count(F.when(is_hot, 1)).alias("hk"),
+        F.coalesce(F.sum(F.when(is_hot, F.col("__c"))), F.lit(0)).alias("hr"),
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("total"),
+    ).collect()[0]
+    if hot["hk"] > 0:
+        import warnings
+
+        warnings.warn(
+            f"audio_neardup_pairs: {hot['hk']} hot keys over "
+            f"max_key_freq={max_key_freq} dropped {hot['hr']}/{hot['total']} "
+            f"key rows ({hot['hr'] / hot['total']:.1%}); votes through those "
+            f"keys are lost (identical-clip duplicates are unaffected — they "
+            f"pair via the digest collapse). Raise max_key_freq if these are "
+            f"not degenerate keys (silence, test tones).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    kj = krep.join(freq.filter(~is_hot).select("__k"), "__k")
+    a = kj.select(F.col("__k"), F.col("__id").alias("id_a"), F.col("__t").alias("ta"))
+    b = kj.select(F.col("__k"), F.col("__id").alias("id_b"), F.col("__t").alias("tb"))
     votes = (
         a.join(b, "__k")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -694,9 +747,60 @@ def audio_neardup_pairs(
     best = votes.groupBy("id_a", "id_b").agg(
         F.max(F.struct("n_matches", "offset")).alias("__best")
     )
-    return best.select(
+    rep_pairs = best.select(
         "id_a",
         "id_b",
         F.col("__best.offset").alias("offset"),
         F.col("__best.n_matches").alias("n_matches"),
     ).filter(F.col("n_matches") >= min_matches)
+    if n_dup_groups == 0:
+        return rep_pairs
+    dmem = digests.join(
+        groups.filter(F.col("__n") > 1).select("__d", "__rep"), "__d"
+    )
+    if exact_dup_pairs == "star":
+        star = (
+            dmem.filter(F.col("__id") != F.col("__rep"))
+            .filter(F.col("__nk") >= min_matches)
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col("__id").alias("id_b"),
+                F.lit(0).cast("long").alias("offset"),
+                F.col("__nk").cast("long").alias("n_matches"),
+            )
+        )
+        return rep_pairs.unionByName(star)
+    rep_of = digests.select(F.col("__id").alias("__rid"), F.col("__d").alias("__rd"))
+    ma = digests.select(F.col("__id").alias("ma"), F.col("__d").alias("da"))
+    mb = digests.select(F.col("__id").alias("mb"), F.col("__d").alias("db"))
+    cross = (
+        rep_pairs.join(
+            rep_of.withColumnRenamed("__rid", "id_a").withColumnRenamed("__rd", "da"),
+            "id_a",
+        )
+        .join(
+            rep_of.withColumnRenamed("__rid", "id_b").withColumnRenamed("__rd", "db"),
+            "id_b",
+        )
+        .join(ma, "da")
+        .join(mb, "db")
+        .select(
+            F.least(F.col("ma"), F.col("mb")).alias("id_a"),
+            F.greatest(F.col("ma"), F.col("mb")).alias("id_b"),
+            "offset",
+            "n_matches",
+        )
+    )
+    within = (
+        dmem.filter(F.col("__nk") >= min_matches)
+        .select("__d", F.col("__id").alias("id_a"), F.col("__nk").alias("__nka"))
+        .join(dmem.select("__d", F.col("__id").alias("id_b")), "__d")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.lit(0).cast("long").alias("offset"),
+            F.col("__nka").cast("long").alias("n_matches"),
+        )
+    )
+    return cross.unionByName(within)

@@ -452,6 +452,7 @@ def video_neardup_pairs(
     bands: int = 8,
     min_matches: int = 5,
     max_bucket: int = 1000,
+    exact_dup_pairs: str = "all",
 ) -> DataFrame:
     """Video near-duplicate pairs over a per-frame hash table from
     :func:`frame_phash`: two clips match when ``min_matches`` frame pairs
@@ -462,35 +463,104 @@ def video_neardup_pairs(
     fingerprints, too brittle for perceptual hashes (a re-encoded frame
     lands at hamming 1-2, not 0). Here the frame join is the banded
     Hamming join (exact for ``max_hamming < bands`` by pigeonhole), then
-    the same offset-vote aggregation. Hot buckets (black frames, test
-    cards shared across a corpus) are dropped by a per-(band, bucket)
-    size cap before the join. Output: ``(id_a, id_b, offset,
-    n_matches)``.
+    the same offset-vote aggregation.
+
+    **Exact-duplicate clips collapse before the frame join** (round 11,
+    the :func:`~.dedup.hamming_pairs` discipline): clips whose ENTIRE
+    fingerprint table is identical (md5 digest of the sorted ``(t, key)``
+    list) reduce to one representative in the banded join, and their
+    within-group pairs emit directly — ``(offset 0, n_matches = the
+    clip's frame-key count)``, qualifying when that count reaches
+    ``min_matches``. A 10^5-copy viral clip therefore cannot flood the
+    band buckets, and — the round-10 failure mode — cannot silently
+    escape dedup when they overflow. ``exact_dup_pairs='all'`` (default)
+    expands duplicate groups to every pair (the exact contract);
+    ``'star'`` emits one ``(min_id, member)`` edge per member plus
+    representative-level cross pairs — linear, connectivity-equivalent,
+    what :func:`~duckdb_vss_spark.pipelines.video_curate` uses.
+
+    Hot (band, bucket)s of the remaining representative frames (black
+    frames, test cards shared across a corpus — content that SHOULD not
+    vote) are still dropped by ``max_bucket``, but the drop now emits a
+    ``RuntimeWarning`` with the dropped fraction (no silent caps).
+    Output: ``(id_a, id_b, offset, n_matches)``.
     """
     if max_hamming >= bands:
         raise ValueError("exactness requires max_hamming < bands (pigeonhole)")
+    if exact_dup_pairs not in ("all", "star"):
+        raise ValueError("exact_dup_pairs must be 'all' or 'star'")
     from pyspark.sql import functions as F
+
+    from .dedup import _shared
 
     width = 64 // bands
     mask = F.lit((1 << width) - 1)
-    h = F.col(key_col)
-    chunk_arr = F.array(
-        *[F.shiftrightunsigned(h, b * width).bitwiseAND(mask) for b in range(bands)]
-    )
-    from .dedup import _shared
-
-    # referenced THREE times (bucket-size screen + both join sides) and
-    # the upstream is a per-frame pHash over decoded pixels — persist
-    # once or the whole decode+hash chain runs three times
-    banded = _shared(
+    # the key table feeds the digest aggregate and the banded join; its
+    # upstream is a per-frame pHash over decoded pixels — persist once
+    k = _shared(
         keys_df.select(
             F.col(id_col).alias("__id"),
             F.col(t_col).cast("long").alias("__t"),
-            h.cast("long").alias("__h"),
-            F.posexplode(chunk_arr).alias("b", "bucket"),
+            F.col(key_col).cast("long").alias("__h"),
         )
     )
-    sizes = banded.groupBy("b", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+    # one row per clip: full-fingerprint digest + frame-key count
+    digests = _shared(
+        k.groupBy("__id").agg(
+            F.md5(
+                F.to_json(F.sort_array(F.collect_list(F.struct("__t", "__h"))))
+            ).alias("__d"),
+            F.count(F.lit(1)).alias("__nk"),
+        )
+    )
+    groups = _shared(
+        digests.groupBy("__d").agg(
+            F.min("__id").alias("__rep"), F.count(F.lit(1)).alias("__n")
+        )
+    )
+    stats = groups.agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.count(F.when(F.col("__n") > 1, 1)).alias("ndup"),
+    ).collect()[0]
+    n_dup_groups = stats["ndup"]
+    reps = groups.select(F.col("__rep").alias("__id"))
+    krep = k.join(reps, "__id")
+    banded = _shared(
+        krep.select(
+            "__id",
+            "__t",
+            "__h",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("__h"), b * width).bitwiseAND(mask)
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("b", "bucket"),
+        )
+    )
+    sizes = _shared(banded.groupBy("b", "bucket").agg(F.count(F.lit(1)).alias("__n")))
+    is_hot = F.col("__n") > max_bucket
+    hot = sizes.agg(
+        F.count(F.when(is_hot, 1)).alias("hb"),
+        F.coalesce(F.sum(F.when(is_hot, F.col("__n"))), F.lit(0)).alias("hr"),
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("total"),
+    ).collect()[0]
+    if hot["hb"] > 0:
+        import warnings
+
+        total = hot["total"]
+        warnings.warn(
+            f"video_neardup_pairs: {hot['hb']} hot (band, bucket) groups over "
+            f"max_bucket={max_bucket} dropped {hot['hr']}/{total} banded frame "
+            f"rows ({hot['hr'] / total:.1%}); frame votes through those buckets "
+            f"are lost (identical-clip duplicates are unaffected — they pair "
+            f"via the digest collapse). Raise max_bucket if these are not "
+            f"boilerplate frames.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     banded = banded.join(
         sizes.filter(F.col("__n") <= max_bucket).select("b", "bucket"), ["b", "bucket"]
     )
@@ -525,12 +595,68 @@ def video_neardup_pairs(
     best = votes.groupBy("id_a", "id_b").agg(
         F.max(F.struct("n_matches", "offset")).alias("__best")
     )
-    return best.select(
+    rep_pairs = best.select(
         "id_a",
         "id_b",
         F.col("__best.offset").alias("offset"),
         F.col("__best.n_matches").alias("n_matches"),
     ).filter(F.col("n_matches") >= min_matches)
+    if n_dup_groups == 0:
+        return rep_pairs
+    # exact-duplicate expansion: a member clip is byte-identical in
+    # fingerprint to its representative, so cross pairs inherit the rep
+    # pair's offset/votes and within-group pairs sit at offset 0 with
+    # every frame key voting
+    dmem = digests.join(
+        groups.filter(F.col("__n") > 1).select("__d", "__rep"), "__d"
+    )
+    if exact_dup_pairs == "star":
+        star = (
+            dmem.filter(F.col("__id") != F.col("__rep"))
+            .filter(F.col("__nk") >= min_matches)
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col("__id").alias("id_b"),
+                F.lit(0).cast("long").alias("offset"),
+                F.col("__nk").cast("long").alias("n_matches"),
+            )
+        )
+        return rep_pairs.unionByName(star)
+    mem = digests.select("__id", "__d", "__nk")
+    rep_of = digests.select(F.col("__id").alias("__rid"), F.col("__d").alias("__rd"))
+    ma = mem.select(F.col("__id").alias("ma"), F.col("__d").alias("da"))
+    mb = mem.select(F.col("__id").alias("mb"), F.col("__d").alias("db"))
+    cross = (
+        rep_pairs.join(
+            rep_of.withColumnRenamed("__rid", "id_a").withColumnRenamed("__rd", "da"),
+            "id_a",
+        )
+        .join(
+            rep_of.withColumnRenamed("__rid", "id_b").withColumnRenamed("__rd", "db"),
+            "id_b",
+        )
+        .join(ma, "da")
+        .join(mb, "db")
+        .select(
+            F.least(F.col("ma"), F.col("mb")).alias("id_a"),
+            F.greatest(F.col("ma"), F.col("mb")).alias("id_b"),
+            "offset",
+            "n_matches",
+        )
+    )
+    within = (
+        dmem.filter(F.col("__nk") >= min_matches)
+        .select("__d", F.col("__id").alias("id_a"), F.col("__nk").alias("__nka"))
+        .join(dmem.select("__d", F.col("__id").alias("id_b")), "__d")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.lit(0).cast("long").alias("offset"),
+            F.col("__nka").cast("long").alias("n_matches"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def fingerprint_videos(

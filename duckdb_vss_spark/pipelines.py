@@ -282,7 +282,11 @@ def audio_curate(
         )
     )
     keys = fingerprint_keys(block_fingerprint(dec, id_col), id_col)
-    pairs = audio_neardup_pairs(keys, id_col, min_matches=min_matches)
+    # pairs only feed connected components: the linear star expansion of
+    # identical-fingerprint clips is connectivity-equivalent
+    pairs = audio_neardup_pairs(
+        keys, id_col, min_matches=min_matches, exact_dup_pairs="star"
+    )
     out = dedup_clusters(base, id_col, pairs.select("id_a", "id_b")).withColumnRenamed(
         "is_canonical", "dedup_keep"
     )
@@ -588,6 +592,9 @@ def video_curate(
     pairs = video_neardup_pairs(
         keys, id_col, max_hamming=max_hamming, bands=bands,
         min_matches=min_matches, max_bucket=max_bucket,
+        # pairs only feed connected components: the linear star expansion
+        # of identical-fingerprint clips is connectivity-equivalent
+        exact_dup_pairs="star",
     )
     # the hash arrays live on in the persisted fused pass (keys derives
     # from it); the returned ledger stays at the per-clip signal columns

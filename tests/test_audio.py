@@ -151,19 +151,43 @@ def test_audio_neardup_finds_planted_shifted_copy(spark):
 
 
 def test_audio_neardup_hot_key_cap(spark):
-    """Silent clips share the all-zero key everywhere; the frequency cap
-    must drop those keys so silence does not match silence quadratically."""
+    """DISTINCT silent clips (different lengths, so their fingerprint
+    tables differ) share the all-zero key everywhere; the frequency cap
+    must drop those keys — warning with the fraction (round 11: no silent
+    caps) — so silence does not match silence quadratically. IDENTICAL
+    clips, by contrast, are exact duplicates and MUST pair regardless of
+    the cap (the digest collapse; round 10 silently lost them)."""
     import pandas as pd
 
-    rows = [(i, M.encode_wav(np.zeros(4096, dtype=np.int16), 8000)) for i in range(8)]
+    rows = [(i, M.encode_wav(np.zeros(4096 + 256 * i, dtype=np.int16), 8000))
+            for i in range(8)]
     df = spark.createDataFrame(
         pd.DataFrame({"clip_id": [r[0] for r in rows], "content": [r[1] for r in rows]})
     )
     keys = fingerprint_keys(
         block_fingerprint(M.decode_audio(df, "clip_id"), "clip_id"), "clip_id"
     )
-    out = audio_neardup_pairs(keys, "clip_id", min_matches=5, max_key_freq=20)
-    assert out.count() == 0
+    with pytest.warns(RuntimeWarning, match="hot keys"):
+        out = audio_neardup_pairs(keys, "clip_id", min_matches=5, max_key_freq=20)
+        assert out.count() == 0
+    # 8 byte-identical silent clips: identical fingerprint tables collapse
+    # to one digest -> all C(8,2) exact-dup pairs survive the cap
+    rows2 = [(i, M.encode_wav(np.zeros(4096, dtype=np.int16), 8000)) for i in range(8)]
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [r[0] for r in rows2], "content": [r[1] for r in rows2]})
+    )
+    keys2 = fingerprint_keys(
+        block_fingerprint(M.decode_audio(df2, "clip_id"), "clip_id"), "clip_id"
+    )
+    got = {(r["id_a"], r["id_b"]): r for r in audio_neardup_pairs(
+        keys2, "clip_id", min_matches=5, max_key_freq=20).collect()}
+    assert len(got) == 8 * 7 // 2
+    assert got[(0, 1)]["offset"] == 0
+    # star expansion for cluster consumers: linear
+    n_star = audio_neardup_pairs(keys2, "clip_id", min_matches=5,
+                                 max_key_freq=20,
+                                 exact_dup_pairs="star").count()
+    assert n_star == 7
 
 
 def test_landmark_fingerprint_matches_exact_copy(spark):

@@ -398,3 +398,58 @@ def test_hash_transcode_passthrough_carries_columns(spark):
                               16, 16, passthrough=True, out_col="thumb")
     with pytest.raises(ValueError, match="passthrough"):
         hash_transcode_images(df, "image_id", 16, 16, out_col="thumb")
+
+
+def test_video_neardup_exact_dup_clips_immune_to_cap(spark):
+    """Round-11: clips with IDENTICAL fingerprint tables collapse to one
+    representative before the banded frame join, so a viral clip with
+    more copies than any bucket can hold still dedups (round 10 dropped
+    such groups silently); hot-bucket drops of representative frames now
+    warn with the fraction."""
+    import warnings as _w
+
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.image import video_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    # 40 identical copies of one clip (5 frames) with max_bucket=8:
+    # pre-collapse every (band, bucket) of those frames held 40 > 8 rows
+    keys = []
+    base_frames = [int(v) for v in rng.integers(-(2**62), 2**62, size=5)]
+    for cid in range(40):
+        for t, h in enumerate(base_frames):
+            keys.append((cid, t, h))
+    # plus one near-dup pair: clip 100 and clip 101 = same frames, one
+    # bit flipped per frame in 101, shifted by 1
+    other = [int(v) for v in rng.integers(-(2**62), 2**62, size=6)]
+    for t, h in enumerate(other):
+        keys.append((100, t, h))
+    for t, h in enumerate(other[:5]):
+        keys.append((101, t + 1, h ^ (1 << 9)))
+    df = spark.createDataFrame(pd.DataFrame(
+        {"clip_id": [k[0] for k in keys], "t": [k[1] for k in keys],
+         "key": [k[2] for k in keys]}))
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)   # collapse => no hot bucket
+        pairs = {(r["id_a"], r["id_b"]): r for r in video_neardup_pairs(
+            df, "clip_id", min_matches=5, max_bucket=8).collect()}
+    # ALL C(40,2) identical pairs survive at offset 0 with 5 votes
+    assert len([p for p in pairs if p[1] < 100]) == 40 * 39 // 2
+    assert pairs[(0, 1)]["offset"] == 0 and pairs[(0, 1)]["n_matches"] == 5
+    assert pairs[(100, 101)]["n_matches"] == 5 and pairs[(100, 101)]["offset"] == -1
+    # star expansion: 39 member edges + the near pair
+    star = video_neardup_pairs(df, "clip_id", min_matches=5, max_bucket=8,
+                               exact_dup_pairs="star").collect()
+    assert len(star) == 39 + 1
+    # a genuinely hot bucket of DISTINCT frames warns: 30 distinct clips
+    # sharing one identical FRAME (but differing elsewhere -> distinct
+    # digests) with a tiny cap
+    hot_keys = [(200 + c, 0, 777) for c in range(30)]
+    hot_keys += [(200 + c, 1, int(v)) for c, v in enumerate(
+        rng.integers(-(2**62), 2**62, size=30))]
+    hdf = spark.createDataFrame(pd.DataFrame(
+        {"clip_id": [k[0] for k in hot_keys], "t": [k[1] for k in hot_keys],
+         "key": [k[2] for k in hot_keys]}))
+    with pytest.warns(RuntimeWarning, match="hot .* dropped"):
+        video_neardup_pairs(hdf, "clip_id", min_matches=2, max_bucket=8).collect()
