@@ -408,7 +408,6 @@ def simhash_pairs(
     """
     if max_hamming >= bands:
         raise ValueError("exactness requires max_hamming < bands (pigeonhole)")
-    width = 60 // bands
     from ..functions.text import SIMHASH_BITS, tokens
 
     # Per-token hashes stay in the JVM md5 pipeline — hash64 applied inside
@@ -470,38 +469,20 @@ def simhash_pairs(
                 pos = end
             yield pd.DataFrame({"id": ids_all, "sh": out_sigs})
 
-    sh = _shared(
-        base.mapInPandas(sig, schema=f"id {id_t}, sh long").withColumnRenamed("id", id_col)
+    sig_df = base.mapInPandas(sig, schema=f"id {id_t}, sh long").withColumnRenamed(
+        "id", id_col
     )
-    # band chunks: any pair with hamming < bands shares >= 1 chunk; one
-    # self-join on (band index, chunk value) finds all of them. The signature
-    # is a single long, so it rides along through the band explode and hamming
-    # computes inside the join — no signature-lookup joins afterwards (two
-    # fewer shuffles than the generic bucket-join + verify shape)
-    chunk_arr = F.array(
-        *[F.shiftright(F.col("sh"), b * width).bitwiseAND(F.lit((1 << width) - 1)) for b in range(bands)]
+    # Identical documents produce identical signatures: route through the
+    # generic collapsed banded join (round 11) so exact-duplicate groups
+    # skip the band explode entirely — a 10^6-copy boilerplate page is one
+    # band-join row, not 10^6 quadratic ones. max_bucket=None preserves
+    # simhash's unconditional exactness (no cap, no warning); the pair set
+    # is unchanged.
+    out = hamming_pairs(
+        sig_df, id_col, "sh", max_hamming=max_hamming, bands=bands,
+        nbits=60, max_bucket=None, combo=1,
     )
-    banded = sh.select(F.col(id_col), F.col("sh"), F.posexplode(chunk_arr).alias("b", "bucket"))
-    a = banded.select("b", "bucket", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b2 = banded.select("b", "bucket", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-
-    # A pair agreeing on multiple chunks would surface once per agreeing
-    # band; keep only the FIRST agreeing band per pair, decided in codegen
-    # from the two signatures riding through the join — no global distinct(),
-    # one less Exchange (the dedup happens for free inside the join filter).
-    def _chunk(col, b):
-        return F.shiftright(col, b * width).bitwiseAND(F.lit((1 << width) - 1))
-
-    first_agree = F.when(_chunk(F.col("sh_a"), 0) == _chunk(F.col("sh_b"), 0), F.lit(0))
-    for bb in range(1, bands):
-        first_agree = first_agree.when(_chunk(F.col("sh_a"), bb) == _chunk(F.col("sh_b"), bb), F.lit(bb))
-    return (
-        a.join(b2, ["b", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("b") == first_agree)
-        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def _auto_banding(
