@@ -29,6 +29,25 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
+_BENCH_TMP_ROOT = None
+
+
+def _bench_tmp(prefix: str) -> str:
+    """mkdtemp under ONE per-run root removed at exit. The bench stages
+    ~3 GB of fixture/index dirs per run; round 11 found 45 GB of them
+    accumulated across rounds (750 orphan dirs — a full disk mid-bench),
+    so every temp dir now lives under a root with an atexit rmtree."""
+    global _BENCH_TMP_ROOT
+    import atexit
+    import shutil
+    import tempfile as _tempfile
+
+    if _BENCH_TMP_ROOT is None:
+        _BENCH_TMP_ROOT = _tempfile.mkdtemp(prefix="bench_run_")
+        atexit.register(shutil.rmtree, _BENCH_TMP_ROOT, True)
+    return _tempfile.mkdtemp(prefix=prefix, dir=_BENCH_TMP_ROOT)
+
+
 def _calibration(spark) -> dict:
     """Fixed-cost probes: if these inflate between rounds, the host (not
     the engine) changed. Each is best-of-3 of an O(fixed) operation."""
@@ -154,7 +173,7 @@ def main() -> None:
     _old = docs.filter("doc_id % 2 = 0")
     _new = docs.filter("doc_id % 2 = 1")
     t0 = time.perf_counter()
-    _st = MinHashStore.create(spark, _tf.mkdtemp(prefix="bench_mh_") + "/store", 3, 16, 4)
+    _st = MinHashStore.create(spark, _bench_tmp("bench_mh_") + "/store", 3, 16, 4)
     _st.append_snapshot(_old, "text", "doc_id", "old")
     timings["minhash_store_build"] = time.perf_counter() - t0
     timings["minhash_store_match"] = run(
@@ -235,7 +254,7 @@ def main() -> None:
     # packing, one call — the end-to-end number a pipeline user ships
     from duckdb_vss_spark.pipelines import curate_corpus
 
-    _cst = MinHashStore.create(spark, _tf.mkdtemp(prefix="bench_cc_") + "/store", 3, 16, 4)
+    _cst = MinHashStore.create(spark, _bench_tmp("bench_cc_") + "/store", 3, 16, 4)
     t0 = time.perf_counter()
     _cst.append_snapshot(docs.filter("doc_id % 4 = 0"), "text", "doc_id", "history")
     timings["curate_store_build"] = time.perf_counter() - t0
@@ -254,7 +273,7 @@ def main() -> None:
 
     from duckdb_vss_spark import VSSEngine
 
-    eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="bench_idx_"))
+    eng = VSSEngine(spark, index_root=_bench_tmp("bench_idx_"))
     eng.register_table("emb_bench", emb)
     t0 = time.perf_counter()
     eng.create_index("bench_idx", "emb_bench", "embedding", "vec_id", replace=True)
@@ -268,7 +287,7 @@ def main() -> None:
 
     # IVF-PQ: 8-byte codes in the hot scan instead of 256-byte vectors
     # (own engine root so the planner can't route to the flat index above)
-    peng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="bench_pq_"))
+    peng = VSSEngine(spark, index_root=_bench_tmp("bench_pq_"))
     peng.register_table("emb_bench", emb)
     t0 = time.perf_counter()
     peng.create_index("bench_pq", "emb_bench", "embedding", "vec_id", options={"pq_m": 8}, replace=True)
@@ -282,7 +301,7 @@ def main() -> None:
 
     # SQ8 (`quantization: 'i8'`): int8 codes in the hot scan (dim bytes/row),
     # exact re-rank — the engine analog of usearch's i8 scalar kind
-    seng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="bench_sq_"))
+    seng = VSSEngine(spark, index_root=_bench_tmp("bench_sq_"))
     seng.register_table("emb_bench", emb)
     t0 = time.perf_counter()
     seng.create_index("bench_sq", "emb_bench", "embedding", "vec_id", options={"quantization": "i8"}, replace=True)
@@ -295,7 +314,7 @@ def main() -> None:
     )
 
     # graph backend (index_type='hnsw'): per-shard neighbor graphs + beam search
-    geng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="bench_graph_"))
+    geng = VSSEngine(spark, index_root=_bench_tmp("bench_graph_"))
     geng.register_table("emb_bench", emb)
     t0 = time.perf_counter()
     geng.create_index(
@@ -331,7 +350,7 @@ def main() -> None:
     timings["mmr_rerank_k10"] = run(
         lambda: mmr_rerank(emb, "embedding", "vec_id", Q, k=10, lam=0.7, pool=128).collect()
     )
-    zdir = tempfile.mkdtemp(prefix="bench_zorder_") + "/d"
+    zdir = _bench_tmp("bench_zorder_") + "/d"
     timings["zorder_write"] = run(
         lambda: write_zordered(
             docs, [F.col("n_chars"), F.col("doc_id") % 4096], zdir, n_files=32
@@ -710,7 +729,7 @@ def main() -> None:
     if mult > 1:
         import duckdb
 
-        stage = tempfile.mkdtemp(prefix="bench_scale2_")
+        stage = _bench_tmp("bench_scale2_")
         n_emb = emb.count()
         emb_big = (
             emb.crossJoin(spark.range(mult).withColumnRenamed("id", "__rep"))
@@ -805,7 +824,7 @@ def main() -> None:
         )
         # index-vs-brute crossover at 1M rows, in the per-round record:
         # the ANN path is the engine's answer to the brute-scan latency gap
-        s2eng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix="bench_s2idx_"))
+        s2eng = VSSEngine(spark, index_root=_bench_tmp("bench_s2idx_"))
         s2eng.register_table("emb_b", emb_b)
         t0 = time.perf_counter()
         s2eng.create_index("s2_idx", "emb_b", "embedding", "vec_id", replace=True)
@@ -836,7 +855,7 @@ def main() -> None:
     if mult3 > 1:
         import duckdb
 
-        stage3 = tempfile.mkdtemp(prefix="bench_scale3_")
+        stage3 = _bench_tmp("bench_scale3_")
         n_emb = emb.count()
         emb3 = (
             emb.crossJoin(spark.range(mult3).withColumnRenamed("id", "__rep"))
@@ -902,7 +921,7 @@ def main() -> None:
     if rmult > 1:
         from duckdb_vss_spark.operators.knn import knn_join_flat_indexed
 
-        rstage = tempfile.mkdtemp(prefix="bench_recall_")
+        rstage = _bench_tmp("bench_recall_")
         n_emb = emb.count()
         jit = (
             emb.crossJoin(spark.range(rmult).withColumnRenamed("id", "__rep"))
@@ -958,7 +977,7 @@ def main() -> None:
             ("b1_auto", {"quantization": "b1", "target_recall": 0.95}),
             ("graph", {"index_type": "hnsw"}),
         ):
-            reng = VSSEngine(spark, index_root=tempfile.mkdtemp(prefix=f"bench_rc_{bname}_"))
+            reng = VSSEngine(spark, index_root=_bench_tmp(f"bench_rc_{bname}_"))
             reng.register_table("emb_r", emb_r)
             t0 = time.perf_counter()
             reng.create_index(f"rc_{bname}", "emb_r", "embedding", "vec_id", options=opts, replace=True)
@@ -1029,7 +1048,9 @@ def main() -> None:
         "metric": out["metric"],
         "value": out["value"],
         "unit": "sec",
-        "queries": out["queries"],
+        # ms precision on the capture-bounded line (full values in
+        # BENCH_SELF.json) — keeps all rows under the 1900-byte bound
+        "queries": {k: round(v, 3) for k, v in out["queries"].items()},
         "sf": sf,
         "noise": noise,
         "self": "BENCH_SELF.json",
@@ -1046,7 +1067,10 @@ def main() -> None:
     if len(line) > 1900:
         # never truncate mid-JSON: drop to the 15 slowest queries instead
         compact["queries"] = dict(
-            sorted(out["queries"].items(), key=lambda kv: -kv[1])[:15]
+            sorted(
+                ((k, round(v, 3)) for k, v in out["queries"].items()),
+                key=lambda kv: -kv[1],
+            )[:15]
         )
         compact["queries_top15_by_time"] = True
         line = json.dumps(compact, separators=(",", ":"))

@@ -205,21 +205,22 @@ class AudioFingerprintStore:
         # referenced by the digest aggregate and the join probe side
         # behind the WAV decode + fingerprint chain — persist once
         batch = _shared(self.key_rows(df, content_col, id_col))
+        # order-free 128-bit-equivalent digest (two independent xxhash64
+        # XOR-folds + row count, map-side combinable; (t, key) rows are
+        # unique within a clip so XOR cancellation cannot occur)
         digests = _shared(
             batch.groupBy("id").agg(
-                F.md5(
-                    F.to_json(F.sort_array(F.collect_list(F.struct("t", "key"))))
-                ).alias("__d")
+                F.bit_xor(F.xxhash64(F.col("t"), F.col("key"))).alias("__d1"),
+                F.bit_xor(F.xxhash64(F.lit(1), F.col("t"), F.col("key"))).alias("__d2"),
+                F.count(F.lit(1)).alias("__nk"),
             )
         )
+        _D = ["__d1", "__d2", "__nk"]
         groups = _shared(
-            digests.groupBy("__d").agg(
+            digests.groupBy(*_D).agg(
                 F.min("id").alias("__rep"), F.count(F.lit(1)).alias("__n")
             )
         )
-        n_dup_groups = groups.agg(
-            F.count(F.when(F.col("__n") > 1, 1)).alias("nd")
-        ).collect()[0]["nd"]
         brep = batch.join(groups.select(F.col("__rep").alias("id")), "id")
         freq = _shared(
             brep.select("key")
@@ -228,11 +229,19 @@ class AudioFingerprintStore:
             .agg(F.count(F.lit(1)).alias("__c"))
         )
         is_hot = F.col("__c") > max_key_freq
-        hot = freq.agg(
-            F.count(F.when(is_hot, 1)).alias("hk"),
-            F.coalesce(F.sum(F.when(is_hot, F.col("__c"))), F.lit(0)).alias("hr"),
-            F.coalesce(F.sum("__c"), F.lit(0)).alias("total"),
-        ).collect()[0]
+        # ONE driver action for both decisions (expansion gate + warning)
+        hot = (
+            groups.agg(F.count(F.when(F.col("__n") > 1, 1)).alias("ndup"))
+            .crossJoin(
+                freq.agg(
+                    F.count(F.when(is_hot, 1)).alias("hk"),
+                    F.coalesce(F.sum(F.when(is_hot, F.col("__c"))), F.lit(0)).alias("hr"),
+                    F.coalesce(F.sum("__c"), F.lit(0)).alias("total"),
+                )
+            )
+            .collect()[0]
+        )
+        n_dup_groups = hot["ndup"]
         if hot["hk"] > 0:
             import warnings
 
@@ -275,8 +284,8 @@ class AudioFingerprintStore:
             return rep_hits
         # expand: every member of a duplicated batch digest inherits its
         # representative's store matches verbatim
-        rep_to_d = groups.select(F.col("__rep").alias("id"), "__d")
-        members = digests.select(F.col("id").alias("__mid"), "__d")
+        rep_to_d = groups.select(F.col("__rep").alias("id"), F.struct(*_D).alias("__d"))
+        members = digests.select(F.col("id").alias("__mid"), F.struct(*_D).alias("__d"))
         return (
             rep_hits.join(rep_to_d, "id")
             .join(members, "__d")

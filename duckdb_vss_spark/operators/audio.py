@@ -698,30 +698,42 @@ def audio_neardup_pairs(
             F.col(key_col).cast("long").alias("__k"),
         )
     )
+    # order-free 128-bit-equivalent digest of the clip's (t, key)
+    # multiset: two independent xxhash64 XOR-folds + the row count, all
+    # map-side combinable — a collect_list+md5 digest forced every key
+    # row through its clip's reducer and cost ~0.4 s on the 5k-clip bench
+    # row (random collision odds ~2^-128; (t, key) rows are unique within
+    # a clip so XOR cancellation cannot occur)
     digests = _shared(
         k.groupBy("__id").agg(
-            F.md5(
-                F.to_json(F.sort_array(F.collect_list(F.struct("__t", "__k"))))
-            ).alias("__d"),
+            F.bit_xor(F.xxhash64(F.col("__t"), F.col("__k"))).alias("__d1"),
+            F.bit_xor(F.xxhash64(F.lit(1), F.col("__t"), F.col("__k"))).alias("__d2"),
             F.count(F.lit(1)).alias("__nk"),
         )
     )
+    _D = ["__d1", "__d2", "__nk"]
     groups = _shared(
-        digests.groupBy("__d").agg(
+        digests.groupBy(*_D).agg(
             F.min("__id").alias("__rep"), F.count(F.lit(1)).alias("__n")
         )
     )
-    n_dup_groups = groups.agg(
-        F.count(F.when(F.col("__n") > 1, 1)).alias("nd")
-    ).collect()[0]["nd"]
     krep = k.join(groups.select(F.col("__rep").alias("__id")), "__id")
     freq = _shared(krep.groupBy("__k").agg(F.count(F.lit(1)).alias("__c")))
     is_hot = F.col("__c") > max_key_freq
-    hot = freq.agg(
-        F.count(F.when(is_hot, 1)).alias("hk"),
-        F.coalesce(F.sum(F.when(is_hot, F.col("__c"))), F.lit(0)).alias("hr"),
-        F.coalesce(F.sum("__c"), F.lit(0)).alias("total"),
-    ).collect()[0]
+    # ONE driver action for both decisions: dup-group presence (the
+    # expansion gate) and the hot-key stats (the no-silent-caps warning)
+    hot = (
+        groups.agg(F.count(F.when(F.col("__n") > 1, 1)).alias("ndup"))
+        .crossJoin(
+            freq.agg(
+                F.count(F.when(is_hot, 1)).alias("hk"),
+                F.coalesce(F.sum(F.when(is_hot, F.col("__c"))), F.lit(0)).alias("hr"),
+                F.coalesce(F.sum("__c"), F.lit(0)).alias("total"),
+            )
+        )
+        .collect()[0]
+    )
+    n_dup_groups = hot["ndup"]
     if hot["hk"] > 0:
         import warnings
 
@@ -756,7 +768,7 @@ def audio_neardup_pairs(
     if n_dup_groups == 0:
         return rep_pairs
     dmem = digests.join(
-        groups.filter(F.col("__n") > 1).select("__d", "__rep"), "__d"
+        groups.filter(F.col("__n") > 1).select(*_D, "__rep"), _D
     )
     if exact_dup_pairs == "star":
         star = (
@@ -770,9 +782,10 @@ def audio_neardup_pairs(
             )
         )
         return rep_pairs.unionByName(star)
-    rep_of = digests.select(F.col("__id").alias("__rid"), F.col("__d").alias("__rd"))
-    ma = digests.select(F.col("__id").alias("ma"), F.col("__d").alias("da"))
-    mb = digests.select(F.col("__id").alias("mb"), F.col("__d").alias("db"))
+    dig1 = digests.select("__id", F.struct(*_D).alias("__d"))
+    rep_of = dig1.select(F.col("__id").alias("__rid"), F.col("__d").alias("__rd"))
+    ma = dig1.select(F.col("__id").alias("ma"), F.col("__d").alias("da"))
+    mb = dig1.select(F.col("__id").alias("mb"), F.col("__d").alias("db"))
     cross = (
         rep_pairs.join(
             rep_of.withColumnRenamed("__rid", "id_a").withColumnRenamed("__rd", "da"),
@@ -793,8 +806,8 @@ def audio_neardup_pairs(
     )
     within = (
         dmem.filter(F.col("__nk") >= min_matches)
-        .select("__d", F.col("__id").alias("id_a"), F.col("__nk").alias("__nka"))
-        .join(dmem.select("__d", F.col("__id").alias("id_b")), "__d")
+        .select(*_D, F.col("__id").alias("id_a"), F.col("__nk").alias("__nka"))
+        .join(dmem.select(*_D, F.col("__id").alias("id_b")), _D)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",

@@ -655,11 +655,17 @@ def hamming_pairs(
     groups = _shared(
         hashes.groupBy("__h").agg(F.min("__id").alias("__rep"), F.count(F.lit(1)).alias("__n"))
     )
-    stats = groups.agg(
-        F.count(F.lit(1)).alias("nd"),
-        F.count(F.when(F.col("__n") > 1, 1)).alias("ndup"),
-    ).collect()[0]
-    n_distinct, n_dup_groups = stats["nd"], stats["ndup"]
+    if auto_combo or max_bucket is not None:
+        stats = groups.agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.count(F.when(F.col("__n") > 1, 1)).alias("ndup"),
+        ).collect()[0]
+        n_distinct, n_dup_groups = stats["nd"], stats["ndup"]
+    else:
+        # pinned banding, no cap: nothing needs the driver-side count —
+        # stay fully lazy and build the duplicate expansion
+        # unconditionally (its joins are ~free when no groups repeat)
+        n_distinct, n_dup_groups = None, None
     if auto_combo:
         # pick the cheapest complete, non-saturating configuration — may
         # RE-BAND to fewer, wider chunks (e.g. bound<=7 at scale: 8 bands

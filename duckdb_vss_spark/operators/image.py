@@ -504,27 +504,25 @@ def video_neardup_pairs(
             F.col(key_col).cast("long").alias("__h"),
         )
     )
-    # one row per clip: full-fingerprint digest + frame-key count
+    # one row per clip: order-free 128-bit-equivalent digest of the
+    # frame-hash multiset (two independent xxhash64 XOR-folds + row
+    # count, map-side combinable — collect_list+md5 forced every frame
+    # row through its clip's reducer; (t, h) rows are unique within a
+    # clip so XOR cancellation cannot occur) + frame-key count
     digests = _shared(
         k.groupBy("__id").agg(
-            F.md5(
-                F.to_json(F.sort_array(F.collect_list(F.struct("__t", "__h"))))
-            ).alias("__d"),
+            F.bit_xor(F.xxhash64(F.col("__t"), F.col("__h"))).alias("__d1"),
+            F.bit_xor(F.xxhash64(F.lit(1), F.col("__t"), F.col("__h"))).alias("__d2"),
             F.count(F.lit(1)).alias("__nk"),
         )
     )
+    _D = ["__d1", "__d2", "__nk"]
     groups = _shared(
-        digests.groupBy("__d").agg(
+        digests.groupBy(*_D).agg(
             F.min("__id").alias("__rep"), F.count(F.lit(1)).alias("__n")
         )
     )
-    stats = groups.agg(
-        F.count(F.lit(1)).alias("ng"),
-        F.count(F.when(F.col("__n") > 1, 1)).alias("ndup"),
-    ).collect()[0]
-    n_dup_groups = stats["ndup"]
-    reps = groups.select(F.col("__rep").alias("__id"))
-    krep = k.join(reps, "__id")
+    krep = k.join(groups.select(F.col("__rep").alias("__id")), "__id")
     banded = _shared(
         krep.select(
             "__id",
@@ -542,11 +540,20 @@ def video_neardup_pairs(
     )
     sizes = _shared(banded.groupBy("b", "bucket").agg(F.count(F.lit(1)).alias("__n")))
     is_hot = F.col("__n") > max_bucket
-    hot = sizes.agg(
-        F.count(F.when(is_hot, 1)).alias("hb"),
-        F.coalesce(F.sum(F.when(is_hot, F.col("__n"))), F.lit(0)).alias("hr"),
-        F.coalesce(F.sum("__n"), F.lit(0)).alias("total"),
-    ).collect()[0]
+    # ONE driver action for both decisions: dup-group presence (the
+    # expansion gate) and the hot-bucket stats (the warning)
+    hot = (
+        groups.agg(F.count(F.when(F.col("__n") > 1, 1)).alias("ndup"))
+        .crossJoin(
+            sizes.agg(
+                F.count(F.when(is_hot, 1)).alias("hb"),
+                F.coalesce(F.sum(F.when(is_hot, F.col("__n"))), F.lit(0)).alias("hr"),
+                F.coalesce(F.sum("__n"), F.lit(0)).alias("total"),
+            )
+        )
+        .collect()[0]
+    )
+    n_dup_groups = hot["ndup"]
     if hot["hb"] > 0:
         import warnings
 
@@ -608,7 +615,7 @@ def video_neardup_pairs(
     # pair's offset/votes and within-group pairs sit at offset 0 with
     # every frame key voting
     dmem = digests.join(
-        groups.filter(F.col("__n") > 1).select("__d", "__rep"), "__d"
+        groups.filter(F.col("__n") > 1).select(*_D, "__rep"), _D
     )
     if exact_dup_pairs == "star":
         star = (
@@ -622,10 +629,10 @@ def video_neardup_pairs(
             )
         )
         return rep_pairs.unionByName(star)
-    mem = digests.select("__id", "__d", "__nk")
-    rep_of = digests.select(F.col("__id").alias("__rid"), F.col("__d").alias("__rd"))
-    ma = mem.select(F.col("__id").alias("ma"), F.col("__d").alias("da"))
-    mb = mem.select(F.col("__id").alias("mb"), F.col("__d").alias("db"))
+    dig1 = digests.select("__id", F.struct(*_D).alias("__d"))
+    rep_of = dig1.select(F.col("__id").alias("__rid"), F.col("__d").alias("__rd"))
+    ma = dig1.select(F.col("__id").alias("ma"), F.col("__d").alias("da"))
+    mb = dig1.select(F.col("__id").alias("mb"), F.col("__d").alias("db"))
     cross = (
         rep_pairs.join(
             rep_of.withColumnRenamed("__rid", "id_a").withColumnRenamed("__rd", "da"),
@@ -646,8 +653,8 @@ def video_neardup_pairs(
     )
     within = (
         dmem.filter(F.col("__nk") >= min_matches)
-        .select("__d", F.col("__id").alias("id_a"), F.col("__nk").alias("__nka"))
-        .join(dmem.select("__d", F.col("__id").alias("id_b")), "__d")
+        .select(*_D, F.col("__id").alias("id_a"), F.col("__nk").alias("__nka"))
+        .join(dmem.select(*_D, F.col("__id").alias("id_b")), _D)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
