@@ -512,14 +512,23 @@ def _auto_banding(
             nkeys = be if combo == 1 else _comb(be, combo)
             if nkeys > 256 or (combo == 2 and 2 * w > 62):
                 continue  # fan-out guard / packed key must fit a long
-            saturated = (
-                max_bucket is not None and nd > (2 ** (w * combo)) * max_bucket
+            kspace = 2 ** (w * combo)
+            saturated = max_bucket is not None and nd > kspace * max_bucket
+            # non-saturated: cheapest (fewest keys) wins. ALL saturated:
+            # the ROOMIEST key space wins — it minimizes what the cap
+            # drops (fewest-keys here would pick the config that loses
+            # the most candidates), then fewest keys breaks ties.
+            cand = (
+                1 if saturated else 0,
+                -kspace if saturated else nkeys,
+                nkeys,
+                be,
+                combo,
             )
-            cand = (saturated, nkeys, be, combo)
             if best is None or cand < best:
                 best = cand
     assert best is not None  # be=nbits/1-bit chunks always complete
-    return best[2], best[3]
+    return best[3], best[4]
 
 
 def _chunk_keys(hcol, bands: int, width: int, combo: int) -> list:

@@ -453,3 +453,28 @@ def test_video_neardup_exact_dup_clips_immune_to_cap(spark):
          "key": [k[2] for k in hot_keys]}))
     with pytest.warns(RuntimeWarning, match="hot .* dropped"):
         video_neardup_pairs(hdf, "clip_id", min_matches=2, max_bucket=8).collect()
+
+
+def test_auto_banding_ladder():
+    """_auto_banding picks the cheapest pigeonhole-complete, non-saturating
+    configuration: re-banding to wider chunks before packed combo keys,
+    falling back to the roomiest complete config when everything saturates."""
+    from duckdb_vss_spark.operators.dedup import _auto_banding
+
+    # small corpus, default-ish bound: plain 16-band single chunks... no —
+    # 8 bands of 8 bits is complete to 7 and cheapest for bound <= 7
+    assert _auto_banding(64, 4, 1000, 1000) == (8, 1)
+    # bound 10 needs >= 11 bands at combo=1 -> 16 bands; small corpus fits
+    assert _auto_banding(64, 10, 1000, 1000) == (16, 1)
+    # bound 10 at saturating scale -> packed combo-2 over 16 bands
+    assert _auto_banding(64, 10, 10**6, 1000) == (16, 2)
+    # bound <= 3: 4 bands of 16 bits (65536-value key space, 4 keys)
+    assert _auto_banding(64, 3, 10**6, 1000) == (4, 1)
+    # bound 4 at a scale where 8x8 saturates -> combo-2 over 8 bands
+    # (16-bit packed keys) rather than 120 keys over 16 bands
+    assert _auto_banding(64, 4, 10**6, 1000) == (8, 2)
+    # no cap: nothing saturates, cheapest complete wins
+    assert _auto_banding(64, 6, 10**9, None) == (8, 1)
+    # everything saturates: the roomiest complete config with fewest keys
+    be, combo = _auto_banding(64, 15, 10**9, 10)
+    assert 15 <= be - combo

@@ -914,3 +914,49 @@ def test_image_text_curate_postfetch_full_chain(spark):
     # the pre-fetch verdict stays reconstructable from its own flags
     assert all(r["caption_ok"] and r["size_ok"] and r["url_canonical"]
                for r in out.values())
+
+
+def test_image_text_curate_store_loop(spark, tmp_path):
+    """The LAION loop's cross-batch half: batch 2's re-fetch of a batch-1
+    image under a BRAND-NEW URL (URL dedup blind) is caught by the
+    ImageHashStore history and its pair drops as dup_of_store."""
+    import numpy as np
+
+    from duckdb_vss_spark.index.image_store import ImageHashStore
+    from duckdb_vss_spark.operators.jpeg import encode_jpeg
+    from duckdb_vss_spark.operators.multimodal import _resize_kernel, encode_bmp
+    from duckdb_vss_spark.pipelines import image_text_curate, image_text_pairs
+
+    def photo(seed):
+        rng = np.random.default_rng(seed)
+        low = rng.uniform(30, 225, size=(8, 8, 3))
+        return np.clip(np.round(_resize_kernel(low, 48, 40, "bilinear")),
+                       0, 255).astype(np.uint8)
+
+    st = ImageHashStore.create(spark, str(tmp_path / "itstore"))
+    p1 = image_text_pairs(spark.createDataFrame(
+        [(1, "<img src='http://a.io/x.bmp' alt='first batch image'>")],
+        "doc_id long, html string"))
+    f1 = spark.createDataFrame(
+        [("http://a.io/x.bmp", bytearray(encode_bmp(photo(3))))],
+        "url string, content binary")
+    out1 = image_text_curate(p1, f1, min_width=16, min_height=16,
+                             store=st, snapshot="b0").collect()[0]
+    assert out1["pair_keep"] and not out1["dup_of_store"]
+    assert st.manifest["n_images"] == 1
+    # batch 2: same pixels re-encoded under a fresh URL + a new image
+    p2 = image_text_pairs(spark.createDataFrame(
+        [(2, "<img src='http://b.io/y.jpg' alt='same pixels new url'>"
+             "<img src='http://b.io/z.bmp' alt='genuinely new image'>")],
+        "doc_id long, html string"))
+    f2 = spark.createDataFrame(
+        [("http://b.io/y.jpg", bytearray(encode_jpeg(photo(3), quality=85))),
+         ("http://b.io/z.bmp", bytearray(encode_bmp(photo(9))))],
+        "url string, content binary")
+    out2 = {r["img_url_norm"]: r for r in image_text_curate(
+        p2, f2, min_width=16, min_height=16, store=st, snapshot="b1").collect()}
+    y = out2["http://b.io/y.jpg"]
+    assert y["dup_of_store"] and not y["pair_keep"]          # history caught it
+    z = out2["http://b.io/z.bmp"]
+    assert not z["dup_of_store"] and z["pair_keep"]
+    assert st.manifest["n_images"] == 2                       # only z committed
