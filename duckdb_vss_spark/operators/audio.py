@@ -800,7 +800,13 @@ def audio_neardup_pairs(
         .select(
             F.least(F.col("ma"), F.col("mb")).alias("id_a"),
             F.greatest(F.col("ma"), F.col("mb")).alias("id_b"),
-            "offset",
+            # the rep pair's offset is t_a - t_b with id_a < id_b at REP
+            # level; when the member ids swap that order, the lag flips
+            # sign (round-12 ADVICE fix — a member of the higher group
+            # with a smaller id was carrying the un-negated offset)
+            F.when(F.col("ma") <= F.col("mb"), F.col("offset"))
+            .otherwise(-F.col("offset"))
+            .alias("offset"),
             "n_matches",
         )
     )

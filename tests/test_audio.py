@@ -470,3 +470,24 @@ def test_voiced_stats_matches_silence_gate(spark):
     assert out[2]["n_voiced"] == 0 and out[2]["voiced_frac"] == 0.0
     assert out[3]["n_voiced"] == 6 and out[3]["voiced_frac"] == 1.0
     assert out[4]["n_frames"] == 0 and out[4]["voiced_frac"] == 0.0
+
+
+def test_audio_neardup_dup_expansion_offset_sign(spark):
+    """Round-12 ADVICE fix: the duplicate-group cross expansion must
+    flip the lag's sign when least/greatest swaps the member ids
+    (offset contract: t_a - t_b with id_a < id_b). Clip 10 is an exact
+    fingerprint copy of clip 1; clip 5 is the same keys shifted +10 —
+    so (1, 5) lags -10 but (5, 10) must lag +10, not the rep pair's
+    un-negated -10."""
+    import pandas as pd
+
+    rows = []
+    for cid, t0 in ((1, 10), (10, 10), (5, 20)):
+        rows += [(cid, t0 + j, 100 + j) for j in range(5)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [r[0] for r in rows],
+                      "t": [r[1] for r in rows],
+                      "key": [r[2] for r in rows]}))
+    got = {(r["id_a"], r["id_b"]): (r["offset"], r["n_matches"])
+           for r in audio_neardup_pairs(df, "clip_id", min_matches=5).collect()}
+    assert got == {(1, 5): (-10, 5), (5, 10): (10, 5), (1, 10): (0, 5)}

@@ -478,3 +478,213 @@ def test_auto_banding_ladder():
     # everything saturates: the roomiest complete config with fewest keys
     be, combo = _auto_banding(64, 15, 10**9, 10)
     assert 15 <= be - combo
+
+
+def test_hamming_pairs_capped_keeps_pair_with_hot_first_band(spark):
+    """Round-11 verdict repro (the first_agree-under-cap loss): pair
+    (76, 92) agrees on bands 0, 1, 3 (1 bit apart in band 2); band 0's
+    bucket is made hot by three fillers. The old combo=1 path kept only
+    the row where b == first_agree (band 0) — which the cap had dropped
+    — losing the pair entirely even though bands 1 and 3 are cold. The
+    capped path must keep a pair as long as ANY agreeing chunk survives
+    (the documented every-agreeing-chunk-hot contract)."""
+    from duckdb_vss_spark.operators.dedup import hamming_pairs
+
+    # nbits=8, bands=4 (2-bit chunks). Chunk vectors (b0..b3):
+    #   76 -> (0,3,0,1)   92 -> (0,3,1,1)   agree on b0,b1,b3; hamming 1
+    #  164 -> (0,1,2,2)  248 -> (0,2,3,3)   20 -> (0,1,1,0)
+    # band0/bucket0 holds all five distinct hashes -> hot at cap 2; every
+    # other (band, bucket) holds <= 2. All other pairs are > hamming 1.
+    rows = [(1, 76), (2, 92), (3, 164), (4, 248), (5, 20)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    with pytest.warns(RuntimeWarning, match="hot .* dropped"):
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in hamming_pairs(
+            df, "id", "h", max_hamming=1, bands=4, nbits=8, max_bucket=2,
+            combo=1,
+        ).collect()}
+    assert got == {(1, 2): 1}
+
+
+def test_hamming_pairs_capped_contract_property(spark):
+    """Property pin for the capped regime (three silent-cap diseases in
+    two rounds escaped example tests): for random skewed hash sets with
+    planted duplicates and hot buckets, across combo in {1,2} x
+    exact_dup_pairs in {all, star}, the capped output must EQUAL the
+    closed-form expectation — every pair with >= 1 surviving (non-hot)
+    agreeing chunk kept, a pair lost ONLY when every agreeing chunk is
+    hot, identical-hash pairs cap-immune."""
+    import warnings as _w
+    from collections import Counter
+    from itertools import combinations
+
+    from duckdb_vss_spark.operators.dedup import hamming_pairs
+
+    NBITS, BANDS, BOUND, CAP = 16, 4, 2, 2
+    WIDTH = NBITS // BANDS
+    MASK = (1 << WIDTH) - 1
+
+    def keyset(h, combo):
+        chunks = [(h >> (b * WIDTH)) & MASK for b in range(BANDS)]
+        if combo == 1:
+            return list(enumerate(chunks))
+        out = []
+        for ki, idx in enumerate(combinations(range(BANDS), combo)):
+            k = 0
+            for b in idx:
+                k = (k << WIDTH) | chunks[b]
+            out.append((ki + BANDS, k))  # distinct index space per arity
+        return out
+
+    def expected(rows, combo, mode):
+        members: dict[int, list[int]] = {}
+        for i, h in rows:
+            members.setdefault(h, []).append(i)
+        cnt = Counter(kk for h in members for kk in keyset(h, combo))
+        hot = {kk for kk, c in cnt.items() if c > CAP}
+
+        def findable(h1, h2):
+            k2 = dict(keyset(h2, combo))
+            return any(
+                v == k2[ki] and (ki, v) not in hot for ki, v in keyset(h1, combo)
+            )
+
+        exp = set()
+        hs = sorted(members)
+        for x in range(len(hs)):
+            for y in range(x + 1, len(hs)):
+                h1, h2 = hs[x], hs[y]
+                d = bin(h1 ^ h2).count("1")
+                if d > BOUND or not findable(h1, h2):
+                    continue
+                if mode == "all":
+                    for a in members[h1]:
+                        for b in members[h2]:
+                            exp.add((min(a, b), max(a, b), d))
+                else:
+                    ra, rb = min(members[h1]), min(members[h2])
+                    exp.add((min(ra, rb), max(ra, rb), d))
+        for ms in members.values():
+            if len(ms) > 1:
+                ms = sorted(ms)
+                if mode == "all":
+                    for a, b in combinations(ms, 2):
+                        exp.add((a, b, 0))
+                else:
+                    for b in ms[1:]:
+                        exp.add((ms[0], b, 0))
+        return exp
+
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        pool = [int(v) for v in rng.integers(0, 1 << NBITS, size=18)]
+        # skew: share the low chunk so band-0 buckets go hot
+        pool += [int(v) & ~MASK for v in rng.integers(0, 1 << NBITS, size=10)]
+        # planted near pairs + exact duplicates
+        pool += [pool[0] ^ 1, pool[1] ^ 3, pool[-1] ^ (1 << 5)]
+        pool += [pool[2]] * 3 + [pool[-2]] * 2
+        rows = [(i, h) for i, h in enumerate(pool)]
+        df = spark.createDataFrame(rows, "id long, h long")
+        for combo in (1, 2):
+            for mode in ("all", "star"):
+                with _w.catch_warnings():
+                    _w.simplefilter("ignore", RuntimeWarning)
+                    got = {
+                        (r["id_a"], r["id_b"], r["hamming"])
+                        for r in hamming_pairs(
+                            df, "id", "h", max_hamming=BOUND, bands=BANDS,
+                            nbits=NBITS, max_bucket=CAP, combo=combo,
+                            exact_dup_pairs=mode,
+                        ).collect()
+                    }
+                exp = expected(rows, combo, mode)
+                assert got == exp, (seed, combo, mode)
+
+
+def test_hamming_pairs_driver_action_budget(spark, monkeypatch):
+    """Driver-action accounting (round-11 verdict #2): ZERO collects in
+    the uncapped build, ONE folded collect for a pinned combo with a
+    cap, ONE for the auto banding choice in the cool regime."""
+    from duckdb_vss_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(11)
+    vals = sorted({int(v) for v in rng.integers(0, 2**62, size=200)})
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, h long")
+    calls = []
+    cls = type(df)  # the concrete (classic) DataFrame class, not the base
+    orig = cls.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting)
+    hamming_pairs(df, "id", "h", max_hamming=3, bands=16, max_bucket=None)
+    hamming_pairs(df, "id", "h", max_hamming=3, bands=16, max_bucket=None, combo=1)
+    assert len(calls) == 0  # uncapped: fully lazy build, auto or pinned
+    calls.clear()
+    hamming_pairs(df, "id", "h", max_hamming=3, bands=16, max_bucket=50, combo=1)
+    assert len(calls) == 1  # pinned + cap: counts fold into the hot-stats action
+    calls.clear()
+    hamming_pairs(df, "id", "h", max_hamming=3, bands=16, max_bucket=1000)
+    assert len(calls) == 1  # auto banding needs the distinct count; cool regime
+    # stops there (no bucket can be hot when nd <= max_bucket)
+
+
+def test_auto_banding_divisor_generic():
+    """Non-power-of-2 hash widths band correctly (round-11 missing #3):
+    candidate bands are every divisor of nbits, and an impossible bound
+    raises an explanatory ValueError instead of a bare assert."""
+    from duckdb_vss_spark.operators.dedup import _auto_banding
+
+    be, combo = _auto_banding(60, 4, 1000, 1000)
+    assert 60 % be == 0 and 4 <= be - combo
+    assert (be, combo) == (5, 1)  # cheapest complete: 5 bands of 12 bits
+    # nd=None (no cap taken) never saturates
+    assert _auto_banding(60, 4, None, None) == (5, 1)
+    with pytest.raises(ValueError, match="pass bands/combo explicitly"):
+        _auto_banding(8, 8, 10, None)
+
+
+def test_hamming_pairs_60bit_auto_end_to_end(spark):
+    """hamming_pairs over a 60-bit hash with combo='auto' (previously an
+    assert death in _auto_banding): exact vs brute force."""
+    from duckdb_vss_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(5)
+    vals = sorted({int(v) for v in rng.integers(0, 1 << 60, size=30)})
+    rows = [(i, v) for i, v in enumerate(vals)]
+    rows.append((500, vals[0] ^ (1 << 3) ^ (1 << 45)))  # hamming 2 from vals[0]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in hamming_pairs(
+        df, "id", "h", max_hamming=4, bands=5, nbits=60).collect()}
+    vals_d = dict(rows)
+    exp = {}
+    for i in vals_d:
+        for j in vals_d:
+            if i < j and bin(vals_d[i] ^ vals_d[j]).count("1") <= 4:
+                exp[(i, j)] = bin(vals_d[i] ^ vals_d[j]).count("1")
+    assert got == exp and (0, 500) in got
+
+
+def test_hash_transcode_images_custom_content_col(spark):
+    """Round-12 ADVICE fix: non-passthrough with a custom content column
+    works again (out_col defaults to the content column in place), and
+    an explicit foreign out_col without passthrough is still rejected."""
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.image import hash_transcode_images
+    from duckdb_vss_spark.operators.multimodal import encode_png
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "image_id": [1, 2],
+        "img_bytes": [encode_png(_photo(1)), encode_png(_photo(2))],
+    }))
+    out = hash_transcode_images(df, "image_id", 16, 16, content_col="img_bytes")
+    assert set(out.columns) == {"image_id", "phash", "img_bytes", "width",
+                                "height", "ok", "err"}
+    rows = {r["image_id"]: r for r in out.collect()}
+    assert rows[1]["ok"] and rows[1]["phash"] is not None
+    assert rows[1]["img_bytes"] is not None  # the re-encoded thumbnail
+    with pytest.raises(ValueError, match="passthrough"):
+        hash_transcode_images(df, "image_id", 16, 16, content_col="img_bytes",
+                              out_col="thumb")

@@ -554,3 +554,18 @@ def test_exact_dedup_agg_equals_window_form(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="method"):
         exact_dedup(df, "text", "doc_id", method="nope")
+
+
+def test_simhash_non_divisor_bands_still_exact(docs, spark):
+    """Round-12 ADVICE fix: bands that do not divide 60 (e.g. 8) band at
+    the historical floor width 60 // bands — uncovered high bits corrupt
+    no chunk, so the pair set stays pigeonhole-complete and must equal
+    the divisor banding's exact output."""
+    sub = docs.limit(60)
+    ragged = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in D.simhash_pairs(sub, "text", "doc_id", 3, 8).collect()}
+    exact = {(r["id_a"], r["id_b"], r["hamming"])
+             for r in D.simhash_pairs(sub, "text", "doc_id", 3, 4).collect()}
+    assert ragged == exact
+    with pytest.raises(ValueError, match="60-bit"):
+        D.simhash_pairs(sub, "text", "doc_id", 3, 61)

@@ -192,3 +192,61 @@ def test_video_curate_every_nth_owned_by_store(spark, tmp_path):
     # matching the SAME grid stride explicitly is fine
     assert video_curate(df, store=st, every_nth=2, min_frames=1, min_width=16,
                         min_height=16, min_matches=2).collect()[0]["dup_of_store"]
+
+
+def test_video_neardup_capped_vote_survives_hot_first_band(spark):
+    """Round-11 verdict twin of the hamming_pairs first_agree repro: a
+    frame pair whose FIRST agreeing band is hot must still vote through
+    a later agreeing non-hot band. Clips 1 and 2 share chunks 0, 1, 3
+    (1 bit apart in chunk 2); three filler clips heat band 0's bucket.
+    The old path kept only the b == first_agree row (band 0, dropped by
+    the cap) — the vote vanished and the near-dup pair fell below
+    min_matches."""
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.image import video_neardup_pairs
+
+    def key_of(c0, c1, c2, c3):
+        return (c3 << 48) | (c2 << 32) | (c1 << 16) | c0
+
+    rows = [
+        (1, 0, key_of(5, 7, 1, 9)),
+        (2, 0, key_of(5, 7, 3, 9)),     # chunk2: 1 vs 3 -> hamming 1
+        (3, 0, key_of(5, 100, 400, 700)),
+        (4, 0, key_of(5, 200, 500, 600)),
+        (5, 0, key_of(5, 300, 900, 800)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [r[0] for r in rows],
+                      "t": [r[1] for r in rows],
+                      "key": [r[2] for r in rows]}))
+    with pytest.warns(RuntimeWarning, match="hot .* dropped"):
+        pairs = {(r["id_a"], r["id_b"]): r for r in video_neardup_pairs(
+            df, "clip_id", max_hamming=1, bands=4, min_matches=1, max_bucket=2,
+        ).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)]["offset"] == 0 and pairs[(1, 2)]["n_matches"] == 1
+
+
+def test_video_neardup_dup_expansion_offset_sign(spark):
+    """Round-12 ADVICE fix: the duplicate-group cross expansion must
+    flip the lag's sign when least/greatest swaps the member ids. Clip
+    10 is an exact fingerprint copy of clip 1; clip 5 is the same
+    content shifted +10 — so (1, 5) lags -10 but (5, 10) lags +10."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.image import video_neardup_pairs
+
+    rng = np.random.default_rng(21)
+    keys = [int(v) for v in rng.integers(0, 2**62, size=5)]
+    rows = []
+    for cid, t0 in ((1, 10), (10, 10), (5, 20)):
+        rows += [(cid, t0 + j, k) for j, k in enumerate(keys)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [r[0] for r in rows],
+                      "t": [r[1] for r in rows],
+                      "key": [r[2] for r in rows]}))
+    got = {(r["id_a"], r["id_b"]): (r["offset"], r["n_matches"])
+           for r in video_neardup_pairs(df, "clip_id", min_matches=5).collect()}
+    assert got == {(1, 5): (-10, 5), (5, 10): (10, 5), (1, 10): (0, 5)}
