@@ -2526,9 +2526,108 @@ def _m_multimodal_meta(spark, sf_dir):
             + F.coalesce(F.col("height").cast("long"), F.lit(-1))
         ).alias("n_bytes"),
     )
+    # itcur leg (round 12): the COMPOSED image-text recipe
+    # (image_text_pairs -> fetched bytes -> image_text_curate),
+    # oracle-gated end-to-end (VERDICT r11 missing #1). One candidate
+    # pair per doc's img0 (unique zero-padded URL, tracking param
+    # stripped by normalization) plus a SHARED banner img1 on every
+    # doc_id % 5 == 0 page (url_canonical only for the smallest
+    # (doc_id, img_idx) — the URL-dedup shape pHash dedup can't see).
+    # Closed-form outcomes per doc_id:
+    #   caption gate   doc_id % 7 == 2  (1-token alt)
+    #   size gate      doc_id % 7 == 3  (declared 16x16 < 64)
+    #   fetch miss     doc_id % 13 == 11 (URL absent from fetched)
+    #   undecodable    doc_id % 13 == 5
+    #   tracking px    doc_id % 13 == 7 (8x8 unique content)
+    #   else           group photo keyed by doc_id % 23 (identical bytes
+    #                  -> one pHash cluster per group, canonical=min id)
+    # d1 = cluster canonical doc_id (-1 unfetched, -2 banner cluster);
+    # d2 packs the 9-flag chain (caption 256, size 128, canonical 64,
+    # fetched 32, decode 16, quality 8, dedup 4, img_keep 2,
+    # pair_keep 1); n_bytes = real post-fetch dims (w*1000 + h).
+    from duckdb_vss_spark.pipelines import image_text_curate, image_text_pairs
+
+    def synth_itpages(batches):
+        for pdf in batches:
+            ids_, htmls_ = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                cap = "x" if i % 7 == 2 else f"photo of group {i % 23}"
+                dims = " width='16' height='16'" if i % 7 == 3 else ""
+                html = (f"<body><img src='http://img.io/d{i:07d}.bmp"
+                        f"?utm_source=x' alt='{cap}'{dims}>")
+                if i % 5 == 0:
+                    html += ("<img src='http://img.io/common.bmp' "
+                             "alt='the shared site banner image'>")
+                ids_.append(i); htmls_.append(html + "</body>")
+            yield pd.DataFrame({"doc_id": ids_, "html": htmls_})
+
+    def _it_photo(seed, w=24, h=18):
+        rng = np.random.default_rng(seed)
+        return np.clip(
+            np.round(_iv_resize(rng.uniform(30, 225, size=(8, 8, 3)), w, h,
+                                "bilinear")), 0, 255
+        ).astype(np.uint8)
+
+    def synth_itfetch(batches):
+        for pdf in batches:
+            urls_, blobs_ = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 13 == 11:
+                    continue  # the fetch failure: this URL never lands
+                if i % 13 == 5:
+                    blob = b"not an image"
+                elif i % 13 == 7:
+                    blob = encode_bmp(_it_photo(4 * 10**6 + i, 8, 8))
+                else:
+                    blob = encode_bmp(_it_photo(5 * 10**6 + i % 23))
+                urls_.append(f"http://img.io/d{i:07d}.bmp")
+                blobs_.append(blob)
+            yield pd.DataFrame({"url": urls_, "content": blobs_})
+
+    it_pages = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        synth_itpages, schema="doc_id long, html string"
+    )
+    it_fetched = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        synth_itfetch, schema="url string, content binary"
+    ).unionByName(spark.createDataFrame(
+        [("http://img.io/common.bmp", bytearray(encode_bmp(_it_photo(6 * 10**6))))],
+        "url string, content binary",
+    ))
+    itc = image_text_curate(
+        image_text_pairs(it_pages), it_fetched,
+        min_width=16, min_height=16, max_hamming=4,
+    )
+
+    def _itb(c):
+        return F.coalesce(F.col(c).cast("long"), F.lit(0))
+
+    itcur = itc.select(
+        F.lit("itcur").alias("kind"),
+        "doc_id",
+        F.concat(F.lit("p"), F.col("img_idx").cast("string")).alias("media_type"),
+        F.when(F.col("img_cluster_id").isNull(), F.lit(-1))
+        .when(F.col("img_cluster_id") == "http://img.io/common.bmp", F.lit(-2))
+        .otherwise(
+            F.regexp_extract("img_cluster_id", r"d(\d{7})\.bmp", 1).cast("long")
+        )
+        .alias("d1"),
+        (
+            _itb("caption_ok") * 256 + _itb("size_ok") * 128
+            + _itb("url_canonical") * 64 + _itb("fetched_ok") * 32
+            + _itb("img_decode_ok") * 16 + _itb("img_quality_keep") * 8
+            + _itb("img_dedup_keep") * 4 + _itb("img_keep") * 2
+            + _itb("pair_keep")
+        ).alias("d2"),
+        (
+            F.coalesce(F.col("img_width").cast("long"), F.lit(-1)) * 1000
+            + F.coalesce(F.col("img_height").cast("long"), F.lit(-1))
+        ).alias("n_bytes"),
+    )
     return _union_tagged(
         [img, aud, bmp, wav, afeat, afp, ares, aemb, avf, iq, imgl, gif, avi,
-         warc, jpeg, jpegpx, jpegpr, icur, vcur]
+         warc, jpeg, jpegpx, jpegpr, icur, vcur, itcur]
     )
 
 
@@ -4916,6 +5015,53 @@ def oracle_sql() -> dict[str, str]:
                 "LEFT JOIN (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY doc_id % 19) AS cid "
                 "           FROM documents WHERE doc_id % 11 NOT IN (3, 7)) c "
                 "ON c.doc_id = v.doc_id"
+            ),
+            (
+                # itcur twin: the composed image-text recipe's pair ledger
+                # in closed form from doc_id — img0 rows carry the
+                # independent gate arithmetic (caption %7==2, declared-size
+                # %7==3, fetch-miss %13==11, corrupt %13==5, tracking pixel
+                # %13==7, else pHash cluster = min id of the %23 group over
+                # fetched decodable non-tiny docs); img1 rows are the
+                # shared banner (one canonical pair: the smallest %5==0
+                # doc). d2 packs caption*256 + size*128 + canonical*64 +
+                # fetched*32 + decode*16 + quality*8 + dedup*4 +
+                # img_keep*2 + pair_keep; n_bytes = w*1000 + h (-1001
+                # when the image never decoded)
+                "SELECT 'itcur' AS kind, p.doc_id, 'p0' AS media_type, "
+                "(CASE WHEN p.k2 = 'missing' THEN -1 "
+                "      WHEN p.k2 IN ('corrupt', 'tiny') THEN p.doc_id "
+                "      ELSE c.cid END)::BIGINT AS d1, "
+                "((CASE WHEN p.doc_id % 7 <> 2 THEN 256 ELSE 0 END) "
+                " + (CASE WHEN p.doc_id % 7 <> 3 THEN 128 ELSE 0 END) "
+                " + 64 "
+                " + (CASE WHEN p.k2 <> 'missing' THEN 32 ELSE 0 END) "
+                " + (CASE WHEN p.k2 IN ('tiny', 'big') THEN 16 ELSE 0 END) "
+                " + (CASE WHEN p.k2 = 'big' THEN 8 ELSE 0 END) "
+                " + (CASE WHEN p.k2 IN ('corrupt', 'tiny') "
+                "         OR (p.k2 = 'big' AND c.cid = p.doc_id) THEN 4 ELSE 0 END) "
+                " + (CASE WHEN p.k2 = 'big' AND c.cid = p.doc_id THEN 2 ELSE 0 END) "
+                " + (CASE WHEN p.doc_id % 7 NOT IN (2, 3) AND p.k2 = 'big' "
+                "         AND c.cid = p.doc_id THEN 1 ELSE 0 END))::BIGINT AS d2, "
+                "(CASE p.k2 WHEN 'big' THEN 24018 WHEN 'tiny' THEN 8008 "
+                " ELSE -1001 END)::BIGINT AS n_bytes "
+                "FROM (SELECT doc_id, "
+                "      CASE WHEN doc_id % 13 = 11 THEN 'missing' "
+                "           WHEN doc_id % 13 = 5 THEN 'corrupt' "
+                "           WHEN doc_id % 13 = 7 THEN 'tiny' ELSE 'big' END AS k2 "
+                "      FROM documents) p "
+                "LEFT JOIN (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY doc_id % 23) AS cid "
+                "           FROM documents WHERE doc_id % 13 NOT IN (5, 7, 11)) c "
+                "ON c.doc_id = p.doc_id "
+                "UNION ALL "
+                "SELECT 'itcur', d.doc_id, 'p1', (-2)::BIGINT, "
+                "(256 + 128 + (CASE WHEN d.doc_id = m.m5 THEN 64 ELSE 0 END) "
+                " + 32 + 16 + 8 + 4 + 2 "
+                " + (CASE WHEN d.doc_id = m.m5 THEN 1 ELSE 0 END))::BIGINT, "
+                "24018::BIGINT "
+                "FROM documents d, "
+                "     (SELECT MIN(doc_id) AS m5 FROM documents WHERE doc_id % 5 = 0) m "
+                "WHERE d.doc_id % 5 = 0"
             ),
         ),
         "q23_sql_frontend": union(
