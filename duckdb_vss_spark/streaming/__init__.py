@@ -29,6 +29,7 @@ from .ops import (  # noqa: F401
     stream_warc_ingest,
     stream_audio_curate,
     stream_image_curate,
+    stream_image_text_curate,
     stream_video_curate,
     stream_curate,
     stream_knn_join,

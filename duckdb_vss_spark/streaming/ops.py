@@ -875,6 +875,132 @@ def stream_video_curate(
         raise TimeoutError("stream_video_curate did not drain before timeout")
 
 
+def _image_text_curate_batch(
+    bdf: DataFrame,
+    bid: int,
+    store,
+    out_path: str,
+    fetch_fn,
+    html_col: str,
+    id_col: str,
+    snapshot_prefix: str,
+    prefetch_kwargs: dict,
+    **curate_kwargs,
+) -> None:
+    """One micro-batch of :func:`stream_image_text_curate` — the same
+    replay discipline as the text/audio/image/video twins: committed
+    snapshot ⇒ skip (the replay never re-fetches a byte); batch-keyed
+    overwrite sink PRECEDES the snapshot commit; the kept images'
+    pHashes are read back from the pair ledger just written (it
+    materializes ``img_phash``), so neither the replay nor the commit
+    re-decodes an image."""
+    from ..operators.dedup import _fan_out
+    from ..pipelines import image_text_curate, image_text_pairs
+
+    name = f"{snapshot_prefix}-{bid:06d}"
+    if any(s["name"] == name for s in store.manifest["snapshots"]):
+        return
+    pairs = image_text_pairs(
+        _fan_out(bdf), html_col=html_col, id_col=id_col, **prefetch_kwargs
+    )
+    # the fetch queue is the PRE-fetch verdict: one URL per kept pair
+    queue = (
+        pairs.filter("pair_keep")
+        .select(F.col("img_url_norm").alias("url"))
+        .distinct()
+    )
+    out = image_text_curate(
+        pairs, fetch_fn(queue), store=store, snapshot=None, **curate_kwargs
+    )
+    sink = f"{out_path}/batch={bid:06d}"
+    out.write.mode("overwrite").parquet(sink)
+    kept = (
+        bdf.sparkSession.read.parquet(sink)
+        .filter("img_keep")
+        .select(F.col("img_url_norm"), F.col("img_phash"))
+        .dropDuplicates(["img_url_norm"])
+    )
+    store.append_snapshot(kept, "img_url_norm", name, hash_col="img_phash")
+
+
+def stream_image_text_curate(
+    pages: DataFrame,
+    store,
+    out_path: str,
+    checkpoint: str,
+    fetch_fn=None,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    snapshot_prefix: str = "imgtext",
+    timeout_sec: float = 180.0,
+    prefetch_kwargs: dict | None = None,
+    **curate_kwargs,
+) -> None:
+    """Streaming twin of the LAION-style image-text recipe — the
+    steady-state pair-ingest loop: each arriving micro-batch of crawled
+    HTML pages runs :func:`~duckdb_vss_spark.pipelines.image_text_pairs`
+    (pre-fetch ledger), hands the kept pairs' deduped URL queue to
+    ``fetch_fn``, completes the chain with
+    :func:`~duckdb_vss_spark.pipelines.image_text_curate` (decode gate →
+    within-batch pHash dedup → match against EVERY prior batch's
+    committed hashes), lands the pair ledger batch-keyed in the parquet
+    sink, and commits the kept images' pHashes as snapshot
+    ``{prefix}-{batch_id}`` so the NEXT micro-batch dedups against them
+    — the cross-batch net that catches a batch-1 image re-fetched under
+    a brand-new URL in batch 2, which URL dedup cannot see.
+
+    ``fetch_fn(queue_df) -> DataFrame`` is the caller's downloader: it
+    receives a one-column ``url`` frame (the deduped fetch queue) and
+    returns ``(url, content binary)`` rows; failures may be missing rows
+    or NULL content — both flag as ``fetched_ok=false``, never drop. The
+    actual HTTP transfer is outside the engine (and stubbed
+    deterministically in tests); everything Spark-side — queue dedup,
+    byte-side recipe, narrow flag join, store commit — is real.
+
+    Cross-batch state is the
+    :class:`~duckdb_vss_spark.index.image_store.ImageHashStore`'s banded
+    hash rows — a few longs per kept image, never pixels or captions.
+    Delivery is effectively-once via the snapshot-name skip +
+    batch-keyed overwrite sink, like its siblings (which also own
+    snapshot naming, hence the same kwarg guard). ``prefetch_kwargs``
+    feed :func:`image_text_pairs` (declared-dims and caption gates);
+    ``curate_kwargs`` feed :func:`image_text_curate` (real post-fetch
+    gates) — the two stages intentionally keep separate ``min_width``/
+    ``min_height`` namespaces."""
+    if fetch_fn is None:
+        raise ValueError(
+            "stream_image_text_curate requires fetch_fn: the engine owns the "
+            "fetch queue and the post-fetch recipe, the caller owns the bytes"
+        )
+    forbidden = {"snapshot", "store"} & curate_kwargs.keys()
+    if forbidden:
+        raise ValueError(
+            f"stream_image_text_curate owns snapshot naming and the store; "
+            f"pass {sorted(forbidden)} as direct arguments, not via curate_kwargs"
+        )
+
+    def _batch(bdf: DataFrame, bid: int) -> None:
+        _image_text_curate_batch(
+            bdf, bid, store, out_path, fetch_fn,
+            html_col=html_col, id_col=id_col,
+            snapshot_prefix=snapshot_prefix,
+            prefetch_kwargs=dict(prefetch_kwargs or {}), **curate_kwargs,
+        )
+
+    q = (
+        pages.writeStream.foreachBatch(_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    deadline = time.monotonic() + timeout_sec
+    while q.isActive and time.monotonic() < deadline:
+        time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("stream_image_text_curate did not drain before timeout")
+
+
 def stream_warc_ingest(
     spark,
     warc_dir: str,

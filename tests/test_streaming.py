@@ -675,6 +675,125 @@ def test_stream_image_curate_rejects_owned_kwargs(spark, tmp_path):
         )
 
 
+def test_stream_image_text_curate_incremental(spark, tmp_path):
+    """Streaming image-text loop (round 12): micro-batch 2's re-fetch of
+    a batch-1 image under a BRAND-NEW URL flags dup_of_store via the
+    committed pHash history; the fetch queue only ever carries pre-fetch
+    pair_keep URLs (the 1-token-caption icon is never requested); a
+    queued URL the fetcher misses flags fetched_ok=false; one snapshot
+    per batch with only kept images' hashes; replay is a no-op that
+    re-fetches nothing."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_vss_spark.index.image_store import ImageHashStore
+    from duckdb_vss_spark.operators import multimodal as M
+    from duckdb_vss_spark.operators.jpeg import encode_jpeg
+    from duckdb_vss_spark.streaming import stream_image_text_curate
+
+    def photo(seed):
+        rng = np.random.default_rng(700 + seed)
+        low = rng.uniform(30, 225, size=(8, 8, 3))
+        return np.clip(
+            np.round(M._resize_kernel(low, 48, 40, "bilinear")), 0, 255
+        ).astype(np.uint8)
+
+    blobs = {
+        "http://cdn.io/a.bmp": bytes(M.encode_bmp(photo(1))),
+        # batch 2: same pixels as a.bmp re-encoded under a fresh URL
+        "http://cdn.io/y.jpg": bytes(encode_jpeg(photo(1), quality=85)),
+        "http://cdn.io/z.bmp": bytes(M.encode_bmp(photo(9))),
+        # http://cdn.io/miss.bmp is queued but the fetcher never delivers
+    }
+    requested: list[str] = []
+
+    def fetch(queue):
+        urls = sorted(r["url"] for r in queue.collect())
+        requested.extend(urls)
+        hits = [(u, bytearray(blobs[u])) for u in urls if u in blobs]
+        return queue.sparkSession.createDataFrame(
+            hits or [("http://none/", None)], "url string, content binary"
+        )
+
+    staged = str(tmp_path / "itpages")
+    os.makedirs(staged)
+    spark.createDataFrame(
+        [(1, "<body><img src='http://cdn.io/a.bmp' alt='a red fox jumping'>"
+             "<img src='http://cdn.io/icon.png' alt='x'></body>")],
+        "doc_id long, html string",
+    ).coalesce(1).write.mode("overwrite").parquet(staged + "/f1")
+    spark.createDataFrame(
+        [(2, "<body><img src='http://cdn.io/y.jpg' alt='same fox new url'>"
+             "<img src='http://cdn.io/z.bmp' alt='genuinely new image'>"
+             "<img src='http://cdn.io/miss.bmp' alt='download always fails'>"
+             "</body>")],
+        "doc_id long, html string",
+    ).coalesce(1).write.mode("overwrite").parquet(staged + "/f2")
+
+    st = ImageHashStore.create(spark, str(tmp_path / "itstore_s"))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, html string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged + "/f*")
+        )
+
+    out_path = str(tmp_path / "itout")
+    stream_image_text_curate(
+        stream(), st, out_path, str(tmp_path / "itckpt"), fetch_fn=fetch,
+        min_width=16, min_height=16,
+    )
+    rows = {r["img_url_norm"]: r for r in spark.read.parquet(out_path).collect()}
+    assert set(rows) == {"http://cdn.io/a.bmp", "http://cdn.io/icon.png",
+                         "http://cdn.io/y.jpg", "http://cdn.io/z.bmp",
+                         "http://cdn.io/miss.bmp"}      # flag-don't-drop
+    a = rows["http://cdn.io/a.bmp"]
+    assert a["pair_keep"] and not a["dup_of_store"]
+    icon = rows["http://cdn.io/icon.png"]
+    assert not icon["caption_ok"] and not icon["fetched_ok"]
+    y = rows["http://cdn.io/y.jpg"]
+    assert y["fetched_ok"] and y["dup_of_store"] and not y["pair_keep"]
+    z = rows["http://cdn.io/z.bmp"]
+    assert z["pair_keep"] and not z["dup_of_store"]
+    m = rows["http://cdn.io/miss.bmp"]
+    assert not m["fetched_ok"] and m["img_decode_ok"] is None and not m["pair_keep"]
+    # the queue carried ONLY pre-fetch pair_keep URLs, each exactly once
+    assert requested == ["http://cdn.io/a.bmp", "http://cdn.io/miss.bmp",
+                         "http://cdn.io/y.jpg", "http://cdn.io/z.bmp"]
+    info = st.info()
+    assert len(info["snapshots"]) == 2
+    assert [s["n_images"] for s in info["snapshots"]] == [1, 1]  # kept only
+    # replay no-op: no new snapshots AND not a single new fetch
+    stream_image_text_curate(
+        stream(), st, out_path, str(tmp_path / "itckpt"), fetch_fn=fetch,
+        min_width=16, min_height=16,
+    )
+    assert len(st.info()["snapshots"]) == 2
+    assert len(requested) == 4
+
+
+def test_stream_image_text_curate_guards(spark, tmp_path):
+    import os
+
+    from duckdb_vss_spark.index.image_store import ImageHashStore
+    from duckdb_vss_spark.streaming import stream_image_text_curate
+
+    st = ImageHashStore.create(spark, str(tmp_path / "itstore_g"))
+    src = str(tmp_path / "empty_itsrc")
+    os.makedirs(src)
+    stream = spark.readStream.schema("doc_id long, html string").parquet(src)
+    with pytest.raises(ValueError, match="requires fetch_fn"):
+        stream_image_text_curate(stream, st, str(tmp_path / "o"), str(tmp_path / "c"))
+    with pytest.raises(ValueError, match="owns snapshot naming"):
+        stream_image_text_curate(
+            stream, st, str(tmp_path / "o"), str(tmp_path / "c"),
+            fetch_fn=lambda q: q, snapshot="x",
+        )
+
+
 def test_stream_video_curate_incremental(spark, tmp_path):
     """Streaming video_curate: micro-batch 2's re-encode of a batch-1
     clip flags dup_of_store via the committed frame-hash history; a
