@@ -256,6 +256,8 @@ class ImageHashStore:
         )
         if bound == 0:
             return exact
+        from ..operators.dedup import _roomiest_banding
+
         bd = _shared(bh.select("__h").distinct().withColumnRenamed("__h", "h"))
         sd = _shared(sh.select("h").distinct())
         nd = bd.count() + sd.count()
@@ -263,22 +265,41 @@ class ImageHashStore:
         # wider chunks — see _auto_banding; the stored band/bucket layout
         # is irrelevant here because `h` rides every row)
         bands_eff, combo = _auto_banding(64, bound, nd, max_bucket)
-        keys = _chunk_keys(F.col("h"), bands_eff, 64 // bands_eff, combo)
 
-        def band(dfh):
+        def band(dfh, keys):
             return dfh.select("h", F.posexplode(F.array(*keys)).alias("b", "bucket"))
 
-        bb, sb = band(bd), band(sd)
+        keys = _chunk_keys(F.col("h"), bands_eff, 64 // bands_eff, combo)
+        bb, sb = band(bd, keys), band(sd, keys)
         if nd > max_bucket:
-            sizes = _shared(
-                bb.unionByName(sb)
-                .groupBy("b", "bucket")
-                .agg(F.count(F.lit(1)).alias("__n"))
-            )
-            hot = sizes.filter(F.col("__n") > max_bucket).agg(
-                F.count(F.lit(1)).alias("hb"),
-                F.coalesce(F.sum("__n"), F.lit(0)).alias("hr"),
-            ).collect()[0]
+
+            def hot_stats(bb_, sb_):
+                sizes_ = _shared(
+                    bb_.unionByName(sb_)
+                    .groupBy("b", "bucket")
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                )
+                row = sizes_.filter(F.col("__n") > max_bucket).agg(
+                    F.count(F.lit(1)).alias("hb"),
+                    F.coalesce(F.sum("__n"), F.lit(0)).alias("hr"),
+                ).collect()[0]
+                return sizes_, row
+
+            sizes, hot = hot_stats(bb, sb)
+            if hot["hb"] > 0:
+                # observed skew beat the average-load choice: re-band ONCE
+                # to the roomiest complete configuration before accepting
+                # any drop — a hot bucket of DIVERSE hashes under a
+                # single-chunk key usually spreads cold under the packed
+                # pair key (the round-12 image-text loop measured exactly
+                # this: 135k+ distinct pHashes, unsaturated by the
+                # average, a few skewed buckets over the cap)
+                be2, c2 = _roomiest_banding(64, bound)
+                if (be2, c2) != (bands_eff, combo):
+                    bands_eff, combo = be2, c2
+                    keys = _chunk_keys(F.col("h"), bands_eff, 64 // bands_eff, c2)
+                    bb, sb = band(bd, keys), band(sd, keys)
+                    sizes, hot = hot_stats(bb, sb)
             if hot["hb"] > 0:
                 import warnings
 
@@ -287,14 +308,16 @@ class ImageHashStore:
                     f"ImageHashStore.match_against: {hot['hb']} hot (band, "
                     f"bucket) groups over max_bucket={max_bucket} dropped "
                     f"{hot['hr']}/{total} banded rows "
-                    f"({hot['hr'] / total:.1%}); near-matches (hamming >= 1) "
-                    f"whose every agreeing chunk is hot are lost — exact "
-                    f"matches are unaffected. Raise max_bucket.",
+                    f"({hot['hr'] / total:.1%}) even at the roomiest "
+                    f"complete banding ({bands_eff} bands, combo={combo}); "
+                    f"near-matches (hamming >= 1) whose every agreeing "
+                    f"chunk is hot are lost — exact matches are "
+                    f"unaffected. Raise max_bucket.",
                     RuntimeWarning,
                     stacklevel=2,
                 )
-            ok = sizes.filter(F.col("__n") <= max_bucket).select("b", "bucket")
-            bb, sb = bb.join(ok, ["b", "bucket"]), sb.join(ok, ["b", "bucket"])
+                ok = sizes.filter(F.col("__n") <= max_bucket).select("b", "bucket")
+                bb, sb = bb.join(ok, ["b", "bucket"]), sb.join(ok, ["b", "bucket"])
         near_h = (
             bb.join(sb.withColumnRenamed("h", "hs"), ["b", "bucket"])
             .select(F.col("h").alias("hb"), "hs")

@@ -260,30 +260,50 @@ class VideoFingerprintStore:
         )
         near_pairs = None
         if bound >= 1:
+            from ..operators.dedup import _roomiest_banding
+
             bd = _shared(batch.select("h").distinct())
             sd = _shared(skeys.select("h").distinct())
             nd = bd.count() + sd.count()
             # cheapest complete banding for THIS call's bound (may re-band
             # to wider chunks — see _auto_banding)
             bands_eff, combo = _auto_banding(64, bound, nd, max_bucket)
-            keys = _chunk_keys(F.col("h"), bands_eff, 64 // bands_eff, combo)
 
-            def band(dfh):
+            def band(dfh, keys):
                 return dfh.select(
                     "h", F.posexplode(F.array(*keys)).alias("b", "bucket")
                 )
 
-            bb, sb = band(bd), band(sd)
+            keys = _chunk_keys(F.col("h"), bands_eff, 64 // bands_eff, combo)
+            bb, sb = band(bd, keys), band(sd, keys)
             if nd > max_bucket:
-                sizes = _shared(
-                    bb.unionByName(sb)
-                    .groupBy("b", "bucket")
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                )
-                hot = sizes.filter(F.col("__n") > max_bucket).agg(
-                    F.count(F.lit(1)).alias("hb"),
-                    F.coalesce(F.sum("__n"), F.lit(0)).alias("hr"),
-                ).collect()[0]
+
+                def hot_stats(bb_, sb_):
+                    sizes_ = _shared(
+                        bb_.unionByName(sb_)
+                        .groupBy("b", "bucket")
+                        .agg(F.count(F.lit(1)).alias("__n"))
+                    )
+                    row = sizes_.filter(F.col("__n") > max_bucket).agg(
+                        F.count(F.lit(1)).alias("hb"),
+                        F.coalesce(F.sum("__n"), F.lit(0)).alias("hr"),
+                    ).collect()[0]
+                    return sizes_, row
+
+                sizes, hot = hot_stats(bb, sb)
+                if hot["hb"] > 0:
+                    # observed skew beat the average-load choice: re-band
+                    # ONCE to the roomiest complete configuration before
+                    # accepting any drop (see the image store twin — the
+                    # round-12 image-text loop measured this regime)
+                    be2, c2 = _roomiest_banding(64, bound)
+                    if (be2, c2) != (bands_eff, combo):
+                        bands_eff, combo = be2, c2
+                        keys = _chunk_keys(
+                            F.col("h"), bands_eff, 64 // bands_eff, c2
+                        )
+                        bb, sb = band(bd, keys), band(sd, keys)
+                        sizes, hot = hot_stats(bb, sb)
                 if hot["hb"] > 0:
                     import warnings
 
@@ -292,15 +312,21 @@ class VideoFingerprintStore:
                         f"VideoFingerprintStore.match_against: {hot['hb']} "
                         f"hot (band, bucket) groups over "
                         f"max_bucket={max_bucket} dropped {hot['hr']}/{total} "
-                        f"banded rows ({hot['hr'] / total:.1%}); near frame "
-                        f"matches (hamming >= 1) whose every agreeing chunk "
-                        f"is hot are lost — exact matches are unaffected. "
-                        f"Raise max_bucket.",
+                        f"banded rows ({hot['hr'] / total:.1%}) even at the "
+                        f"roomiest complete banding ({bands_eff} bands, "
+                        f"combo={combo}); near frame matches (hamming >= 1) "
+                        f"whose every agreeing chunk is hot are lost — exact "
+                        f"matches are unaffected. Raise max_bucket.",
                         RuntimeWarning,
                         stacklevel=2,
                     )
-                ok = sizes.filter(F.col("__n") <= max_bucket).select("b", "bucket")
-                bb, sb = bb.join(ok, ["b", "bucket"]), sb.join(ok, ["b", "bucket"])
+                    ok = sizes.filter(F.col("__n") <= max_bucket).select(
+                        "b", "bucket"
+                    )
+                    bb, sb = (
+                        bb.join(ok, ["b", "bucket"]),
+                        sb.join(ok, ["b", "bucket"]),
+                    )
             near_h = (
                 bb.join(sb.withColumnRenamed("h", "hs"), ["b", "bucket"])
                 .select(F.col("h").alias("hb"), "hs")

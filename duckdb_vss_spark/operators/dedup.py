@@ -554,6 +554,20 @@ def _auto_banding(
     return best[3], best[4]
 
 
+def _roomiest_banding(nbits: int, bound: int) -> tuple[int, int]:
+    """The complete banding with the LARGEST per-key value space (ties
+    broken by fewest keys) — what :func:`_auto_banding` falls back to
+    when every configuration saturates on AVERAGE load. The store
+    matchers use it to re-band ONCE when OBSERVED skew makes buckets hot
+    under the cheapest banding even though the average said it wouldn't:
+    a hot bucket of diverse hashes under an 8-bit chunk key usually
+    spreads cold under a 16-bit packed pair key, turning a warned drop
+    into an exact result for one extra sizes pass."""
+    # forcing saturation on every candidate reuses _auto_banding's
+    # all-saturated branch, which picks exactly the roomiest key space
+    return _auto_banding(nbits, bound, 1 << 120, 1)
+
+
 def _chunk_keys(hcol, bands: int, width: int, combo: int) -> list:
     """Banded join-key expressions for a hash column split into ``bands``
     chunks of ``width`` bits: ``combo=1`` → the chunk values themselves;

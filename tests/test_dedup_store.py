@@ -540,3 +540,141 @@ def test_image_store_match_survives_hot_buckets_at_scale(spark, tmp_path):
                for j in range(50))
     assert not any(3 * 10**6 + j in hits for j in range(100))
     assert len(hits) == 150
+
+
+def test_image_store_match_rebands_on_observed_skew(spark, tmp_path):
+    """Round 12: observed skew (not average saturation) used to warn and
+    drop — the image-text loop measured 135k+ distinct pHashes whose
+    AVERAGE load sat under the cap while a few skewed buckets went hot.
+    match_against now re-bands ONCE to the roomiest complete
+    configuration before accepting any drop: a near pair whose every
+    single-chunk agreeing bucket is hot (diverse hot-bucket members) is
+    recovered warning-free through the packed pair key, where the same
+    buckets spread cold."""
+    import warnings as _w
+
+    import numpy as np
+
+    from duckdb_vss_spark.index.image_store import ImageHashStore
+
+    C0, C1 = 0x1234, 0x5678
+    rng = np.random.default_rng(7)
+
+    def r16():
+        while True:
+            v = int(rng.integers(1, 0x3FFF))
+            if v not in (C0, C1):
+                return v
+
+    def pack(c0, c1, c2, c3):
+        return c0 | (c1 << 16) | (c2 << 32) | (c3 << 48)
+
+    # group A heats band0/C0 with DIVERSE other chunks; group B heats
+    # band1/C1 likewise — under the cheapest bound-2 banding (4 chunks,
+    # combo=1) BOTH agreeing buckets of the planted pair are hot, but
+    # neither group shares the (C0, C1) packed pair key
+    stored = [(i, pack(C0, r16(), r16(), r16())) for i in range(30)]
+    stored += [(100 + i, pack(r16(), C1, r16(), r16())) for i in range(15)]
+    s_hash = pack(C0, C1, 0x2AAA, 0x1555)
+    stored.append((500, s_hash))
+    st = ImageHashStore.create(spark, str(tmp_path / "skewstore"))
+    st.append_snapshot(
+        spark.createDataFrame(stored, "img_id long, phash long"),
+        "img_id", "s0", hash_col="phash",
+    )
+    batch = spark.createDataFrame(
+        [(9000, s_hash ^ (1 << 33) ^ (1 << 50))],  # hamming 2, agrees on chunks 0+1 only
+        "img_id long, phash long",
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)  # the re-band must not warn
+        hits = st.match_against(
+            batch, "img_id", hash_col="phash", max_hamming=2, max_bucket=4
+        ).collect()
+    assert [(r["id"], r["store_id"], r["hamming"]) for r in hits] == [(9000, 500, 2)]
+
+
+def test_image_store_match_warns_when_roomiest_still_hot(spark, tmp_path):
+    """The honest-drop fallback survives the re-band: when the hot
+    bucket's members are IDENTICAL in both agreeing chunks, the packed
+    pair key is just as hot, the warning names the roomiest banding, and
+    exact matches still land via the cap-immune bypass."""
+    import numpy as np
+
+    from duckdb_vss_spark.index.image_store import ImageHashStore
+
+    C0, C1 = 0x0F0F, 0x3CC3
+    rng = np.random.default_rng(11)
+
+    def pack(c0, c1, c2, c3):
+        return c0 | (c1 << 16) | (c2 << 32) | (c3 << 48)
+
+    stored = [
+        (i, pack(C0, C1, int(rng.integers(1, 0x3FFF)), int(rng.integers(1, 0x3FFF))))
+        for i in range(30)
+    ]
+    s_hash = pack(C0, C1, 0x2AAA, 0x1555)
+    stored.append((500, s_hash))
+    st = ImageHashStore.create(spark, str(tmp_path / "hotstore"))
+    st.append_snapshot(
+        spark.createDataFrame(stored, "img_id long, phash long"),
+        "img_id", "s0", hash_col="phash",
+    )
+    batch = spark.createDataFrame(
+        [(9000, s_hash ^ (1 << 33) ^ (1 << 50)),   # near: every agreeing chunk hot
+         (9001, stored[3][1])],                     # exact: bypasses banding
+        "img_id long, phash long",
+    )
+    with pytest.warns(RuntimeWarning, match="roomiest complete banding"):
+        hits = {r["id"]: r for r in st.match_against(
+            batch, "img_id", hash_col="phash", max_hamming=2, max_bucket=4
+        ).collect()}
+    assert set(hits) == {9001}
+    assert hits[9001]["store_id"] == 3 and hits[9001]["hamming"] == 0
+
+
+def test_video_store_match_rebands_on_observed_skew(spark, tmp_path):
+    """Video twin of the skew re-band: a frame vote whose every
+    single-chunk agreeing bucket is hot (diverse members) survives
+    through the packed pair key, warning-free, at its exact offset."""
+    import warnings as _w
+
+    import numpy as np
+
+    from duckdb_vss_spark.index.video_store import VideoFingerprintStore
+
+    C0, C1 = 0x1234, 0x5678
+    rng = np.random.default_rng(13)
+
+    def r16():
+        while True:
+            v = int(rng.integers(1, 0x3FFF))
+            if v not in (C0, C1):
+                return v
+
+    def pack(c0, c1, c2, c3):
+        return c0 | (c1 << 16) | (c2 << 32) | (c3 << 48)
+
+    rows = [(i, 0, pack(C0, r16(), r16(), r16())) for i in range(30)]
+    rows += [(100 + i, 0, pack(r16(), C1, r16(), r16())) for i in range(15)]
+    # clip 500: two frames the batch clip re-encounters 2 frames later
+    fa, fb = pack(C0, C1, 0x2AAA, 0x1555), pack(C0, C1, 0x0777, 0x3BBB)
+    rows += [(500, 0, fa), (500, 1, fb)]
+    st = VideoFingerprintStore.create(spark, str(tmp_path / "vskewstore"))
+    st.append_snapshot(
+        None, "clip_id", "s0",
+        keys_df=spark.createDataFrame(rows, "clip_id long, t long, key long"),
+    )
+    bkeys = spark.createDataFrame(
+        [(9000, 2, fa ^ (1 << 33) ^ (1 << 50)),
+         (9000, 3, fb ^ (1 << 40) ^ (1 << 55))],
+        "clip_id long, t long, key long",
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        m = st.match_against(
+            None, "clip_id", keys_df=bkeys, max_hamming=2, min_matches=2,
+            max_bucket=4,
+        ).collect()
+    assert [(r["id"], r["store_id"], r["offset"], r["n_matches"]) for r in m] \
+        == [(9000, 500, 2, 2)]
