@@ -675,8 +675,12 @@ def hamming_pairs(
     ``combo="auto"`` with a cap, one action for the banding choice plus
     a second hot-bucket action only when the distinct count exceeds
     ``max_bucket`` (below it no bucket can be hot and the pass is
-    skipped). Pass ``max_bucket=None`` for unconditional exactness
-    (accepting the quadratic worst case).
+    skipped) — and when that pass finds hot buckets, ONE re-banded hot
+    pass at the roomiest complete configuration before any drop is
+    accepted (observed skew can heat buckets the average-load banding
+    choice called cold; the store matchers share this discipline).
+    Pass ``max_bucket=None`` for unconditional exactness (accepting the
+    quadratic worst case).
 
     Output: ``(id_a, id_b, hamming INT)`` with ``id_a < id_b``.
     """
@@ -770,6 +774,30 @@ def hamming_pairs(
             n_distinct, n_dup_groups = row["nd"], row["ndup"]
         else:
             row = hot_agg.collect()[0]
+        if row["hb"] > 0 and auto_combo:
+            # observed skew beat the average-load banding choice (the
+            # store matchers share this discipline): re-band ONCE to the
+            # roomiest complete configuration before accepting any drop —
+            # a hot bucket of diverse hashes under a single-chunk key
+            # usually spreads cold under the packed pair key. Only for
+            # combo='auto'; a caller-pinned banding is honored as asked.
+            be2, c2 = _roomiest_banding(nbits, max_hamming)
+            if (be2, c2) != (bands, combo):
+                bands, combo = be2, c2
+                width = nbits // bands
+                mask = F.lit((1 << width) - 1)
+                keys = _chunk_keys(F.col("__h"), bands, width, combo)
+                banded = groups.select(
+                    F.col("__rep"), F.col("__h"),
+                    F.posexplode(F.array(*keys)).alias("b", "bucket"),
+                )
+                sizes = _shared(
+                    banded.groupBy("b", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+                )
+                row = sizes.agg(
+                    F.count(F.when(is_hot, 1)).alias("hb"),
+                    F.coalesce(F.sum(F.when(is_hot, F.col("__n"))), F.lit(0)).alias("hr"),
+                ).collect()[0]
         if row["hb"] > 0:
             import warnings
 

@@ -688,3 +688,45 @@ def test_hash_transcode_images_custom_content_col(spark):
     with pytest.raises(ValueError, match="passthrough"):
         hash_transcode_images(df, "image_id", 16, 16, content_col="img_bytes",
                               out_col="thumb")
+
+
+def test_hamming_pairs_auto_rebands_on_observed_skew(spark):
+    """Round 12: combo='auto' with a cap re-bands ONCE to the roomiest
+    complete configuration when observed skew heats buckets the
+    average-load choice called cold — a pair whose every single-chunk
+    agreeing bucket is hot (diverse members) is recovered warning-free
+    through the packed pair key; caller-pinned bandings stay as asked."""
+    import warnings as _w
+
+    from duckdb_vss_spark.operators.dedup import hamming_pairs
+
+    C0, C1 = 0x1234, 0x5678
+    rng = np.random.default_rng(17)
+
+    def r16():
+        while True:
+            v = int(rng.integers(1, 0x3FFF))
+            if v not in (C0, C1):
+                return v
+
+    def pack(c0, c1, c2, c3):
+        return c0 | (c1 << 16) | (c2 << 32) | (c3 << 48)
+
+    rows = [(i, pack(C0, r16(), r16(), r16())) for i in range(30)]
+    rows += [(100 + i, pack(r16(), C1, r16(), r16())) for i in range(15)]
+    s = pack(C0, C1, 0x2AAA, 0x1555)
+    rows += [(500, s), (501, s ^ (1 << 33) ^ (1 << 50))]  # agree on chunks 0+1 only
+    df = spark.createDataFrame(rows, "id long, h long")
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)  # the re-band must not warn
+        got = {(r["id_a"], r["id_b"], r["hamming"]) for r in hamming_pairs(
+            df, "id", "h", max_hamming=2, bands=4, max_bucket=4,
+        ).collect()}
+    assert got == {(500, 501, 2)}
+    # the same data under a PINNED combo=1 banding keeps the honest
+    # warn-and-drop contract (no silent re-band behind the caller's back)
+    with pytest.warns(RuntimeWarning, match="hot .* dropped"):
+        pinned = hamming_pairs(
+            df, "id", "h", max_hamming=2, bands=4, max_bucket=4, combo=1,
+        ).collect()
+    assert pinned == []
