@@ -678,3 +678,100 @@ def test_video_store_match_rebands_on_observed_skew(spark, tmp_path):
         ).collect()
     assert [(r["id"], r["store_id"], r["offset"], r["n_matches"]) for r in m] \
         == [(9000, 500, 2, 2)]
+
+
+def test_image_store_capped_match_contract_property(spark, tmp_path):
+    """Property pin for the matcher's capped regime (the store twin of
+    hamming_pairs' contract property): for random skewed store+batch
+    hash sets, capped matches must EQUAL the closed-form expectation —
+    exact (hamming-0) matches always found via the cap-immune bypass,
+    and a near match lost if and ONLY if every chunk the two hashes
+    agree on is hot AT THE FINAL BANDING (initial auto choice, re-banded
+    once to the roomiest complete configuration when the first pass ran
+    hot). The model recomputes bucket membership and loss independently,
+    reusing only the banding-choice functions."""
+    import warnings as _w
+    from collections import Counter
+    from itertools import combinations
+
+    import numpy as np
+
+    from duckdb_vss_spark.index.image_store import ImageHashStore
+    from duckdb_vss_spark.operators.dedup import _auto_banding, _roomiest_banding
+
+    BOUND, CAP = 2, 3
+
+    def keyset(h, be, combo):
+        w = 64 // be
+        mask = (1 << w) - 1
+        chunks = [(h >> (b * w)) & mask for b in range(be)]
+        if combo == 1:
+            return list(enumerate(chunks))
+        out = []
+        for ki, idx in enumerate(combinations(range(be), combo)):
+            k = 0
+            for b in idx:
+                k = (k << w) | chunks[b]
+            out.append((ki, k))
+        return out
+
+    def hot_keys(hs, be, combo):
+        cnt = Counter(kk for h in hs for kk in keyset(h, be, combo))
+        return {kk for kk, c in cnt.items() if c > CAP}
+
+    def expected(stored, batch):
+        sh, bh = {h for _, h in stored}, {h for _, h in batch}
+        nd = len(sh) + len(bh)
+        be, combo = _auto_banding(64, BOUND, nd, CAP)
+        hot = hot_keys(sh | bh, be, combo)
+        if hot:
+            be2, c2 = _roomiest_banding(64, BOUND)
+            if (be2, c2) != (be, combo):
+                be, combo = be2, c2
+                hot = hot_keys(sh | bh, be, combo)
+        exp = set()
+        for bid, h in batch:
+            for sid, s in stored:
+                d = bin(h ^ s).count("1")
+                if d == 0:
+                    exp.add((bid, sid, 0))
+                    continue
+                if d > BOUND:
+                    continue
+                k2 = dict(keyset(s, be, combo))
+                if any(v == k2[ki] and (ki, v) not in hot
+                       for ki, v in keyset(h, be, combo)):
+                    exp.add((bid, sid, d))
+        return exp
+
+    for seed in (3, 4):
+        rng = np.random.default_rng(seed)
+        # skew: a shared low 16-bit chunk heats single-chunk buckets
+        C = int(rng.integers(1, 0xFFFF))
+        def mk(n, share):
+            out = []
+            for _ in range(n):
+                h = int(rng.integers(0, 1 << 62))
+                if share:
+                    h = (h & ~0xFFFF) | C
+                out.append(h)
+            return out
+        stored_h = mk(8, True) + mk(6, False)
+        batch_h = mk(3, True) + mk(3, False)
+        # planted: exact dup + 1-bit and 2-bit neighbours of stored hashes
+        batch_h += [stored_h[0], stored_h[1] ^ (1 << 7),
+                    stored_h[9] ^ (1 << 20) ^ (1 << 50)]
+        stored = [(i, h) for i, h in enumerate(stored_h)]
+        batch = [(1000 + i, h) for i, h in enumerate(batch_h)]
+        st = ImageHashStore.create(spark, str(tmp_path / f"prop{seed}"))
+        st.append_snapshot(
+            spark.createDataFrame(stored, "img_id long, phash long"),
+            "img_id", "s0", hash_col="phash",
+        )
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", RuntimeWarning)
+            got = {(r["id"], r["store_id"], r["hamming"]) for r in st.match_against(
+                spark.createDataFrame(batch, "img_id long, phash long"),
+                "img_id", hash_col="phash", max_hamming=BOUND, max_bucket=CAP,
+            ).collect()}
+        assert got == expected(stored, batch), seed
