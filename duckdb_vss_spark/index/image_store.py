@@ -256,7 +256,7 @@ class ImageHashStore:
         )
         if bound == 0:
             return exact
-        from ..operators.dedup import _roomiest_banding
+        from ..operators.dedup import _escalate_banding
 
         bd = _shared(bh.select("__h").distinct().withColumnRenamed("__h", "h"))
         sd = _shared(sh.select("h").distinct())
@@ -272,34 +272,24 @@ class ImageHashStore:
         keys = _chunk_keys(F.col("h"), bands_eff, 64 // bands_eff, combo)
         bb, sb = band(bd, keys), band(sd, keys)
         if nd > max_bucket:
+            from ..operators.dedup import _banded_hot_stats
 
-            def hot_stats(bb_, sb_):
-                sizes_ = _shared(
-                    bb_.unionByName(sb_)
-                    .groupBy("b", "bucket")
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                )
-                row = sizes_.filter(F.col("__n") > max_bucket).agg(
-                    F.count(F.lit(1)).alias("hb"),
-                    F.coalesce(F.sum("__n"), F.lit(0)).alias("hr"),
-                ).collect()[0]
-                return sizes_, row
-
-            sizes, hot = hot_stats(bb, sb)
+            sizes, hot = _banded_hot_stats(bb.unionByName(sb), max_bucket)
             if hot["hb"] > 0:
-                # observed skew beat the average-load choice: re-band ONCE
-                # to the roomiest complete configuration before accepting
-                # any drop — a hot bucket of DIVERSE hashes under a
-                # single-chunk key usually spreads cold under the packed
-                # pair key (the round-12 image-text loop measured exactly
-                # this: 135k+ distinct pHashes, unsaturated by the
-                # average, a few skewed buckets over the cap)
-                be2, c2 = _roomiest_banding(64, bound)
-                if (be2, c2) != (bands_eff, combo):
-                    bands_eff, combo = be2, c2
-                    keys = _chunk_keys(F.col("h"), bands_eff, 64 // bands_eff, c2)
+                # observed skew beat the average-load choice: escalate
+                # ONCE to packed pair keys over the same chunks before
+                # accepting any drop — loss-monotone (see
+                # _escalate_banding); diverse hot-bucket members spread
+                # cold under the pair key (the round-12 image-text loop
+                # measured exactly this: 135k+ distinct pHashes,
+                # unsaturated by the average, a few skewed buckets over
+                # the cap)
+                esc = _escalate_banding(64, bound, bands_eff, combo)
+                if esc is not None:
+                    bands_eff, combo = esc
+                    keys = _chunk_keys(F.col("h"), bands_eff, 64 // bands_eff, combo)
                     bb, sb = band(bd, keys), band(sd, keys)
-                    sizes, hot = hot_stats(bb, sb)
+                    sizes, hot = _banded_hot_stats(bb.unionByName(sb), max_bucket)
             if hot["hb"] > 0:
                 import warnings
 
@@ -308,11 +298,11 @@ class ImageHashStore:
                     f"ImageHashStore.match_against: {hot['hb']} hot (band, "
                     f"bucket) groups over max_bucket={max_bucket} dropped "
                     f"{hot['hr']}/{total} banded rows "
-                    f"({hot['hr'] / total:.1%}) even at the roomiest "
-                    f"complete banding ({bands_eff} bands, combo={combo}); "
-                    f"near-matches (hamming >= 1) whose every agreeing "
-                    f"chunk is hot are lost — exact matches are "
-                    f"unaffected. Raise max_bucket.",
+                    f"({hot['hr'] / total:.1%}) at the final banding "
+                    f"({bands_eff} bands, combo={combo}); near-matches "
+                    f"(hamming >= 1) whose every agreeing chunk is hot "
+                    f"are lost — exact matches are unaffected. Raise "
+                    f"max_bucket.",
                     RuntimeWarning,
                     stacklevel=2,
                 )

@@ -260,7 +260,7 @@ class VideoFingerprintStore:
         )
         near_pairs = None
         if bound >= 1:
-            from ..operators.dedup import _roomiest_banding
+            from ..operators.dedup import _escalate_banding
 
             bd = _shared(batch.select("h").distinct())
             sd = _shared(skeys.select("h").distinct())
@@ -277,33 +277,22 @@ class VideoFingerprintStore:
             keys = _chunk_keys(F.col("h"), bands_eff, 64 // bands_eff, combo)
             bb, sb = band(bd, keys), band(sd, keys)
             if nd > max_bucket:
+                from ..operators.dedup import _banded_hot_stats
 
-                def hot_stats(bb_, sb_):
-                    sizes_ = _shared(
-                        bb_.unionByName(sb_)
-                        .groupBy("b", "bucket")
-                        .agg(F.count(F.lit(1)).alias("__n"))
-                    )
-                    row = sizes_.filter(F.col("__n") > max_bucket).agg(
-                        F.count(F.lit(1)).alias("hb"),
-                        F.coalesce(F.sum("__n"), F.lit(0)).alias("hr"),
-                    ).collect()[0]
-                    return sizes_, row
-
-                sizes, hot = hot_stats(bb, sb)
+                sizes, hot = _banded_hot_stats(bb.unionByName(sb), max_bucket)
                 if hot["hb"] > 0:
-                    # observed skew beat the average-load choice: re-band
-                    # ONCE to the roomiest complete configuration before
-                    # accepting any drop (see the image store twin — the
-                    # round-12 image-text loop measured this regime)
-                    be2, c2 = _roomiest_banding(64, bound)
-                    if (be2, c2) != (bands_eff, combo):
-                        bands_eff, combo = be2, c2
+                    # observed skew beat the average-load choice: escalate
+                    # ONCE to packed pair keys over the same chunks —
+                    # loss-monotone (see _escalate_banding; the image
+                    # store twin and the round-12 image-text loop)
+                    esc = _escalate_banding(64, bound, bands_eff, combo)
+                    if esc is not None:
+                        bands_eff, combo = esc
                         keys = _chunk_keys(
-                            F.col("h"), bands_eff, 64 // bands_eff, c2
+                            F.col("h"), bands_eff, 64 // bands_eff, combo
                         )
                         bb, sb = band(bd, keys), band(sd, keys)
-                        sizes, hot = hot_stats(bb, sb)
+                        sizes, hot = _banded_hot_stats(bb.unionByName(sb), max_bucket)
                 if hot["hb"] > 0:
                     import warnings
 
@@ -312,11 +301,11 @@ class VideoFingerprintStore:
                         f"VideoFingerprintStore.match_against: {hot['hb']} "
                         f"hot (band, bucket) groups over "
                         f"max_bucket={max_bucket} dropped {hot['hr']}/{total} "
-                        f"banded rows ({hot['hr'] / total:.1%}) even at the "
-                        f"roomiest complete banding ({bands_eff} bands, "
-                        f"combo={combo}); near frame matches (hamming >= 1) "
-                        f"whose every agreeing chunk is hot are lost — exact "
-                        f"matches are unaffected. Raise max_bucket.",
+                        f"banded rows ({hot['hr'] / total:.1%}) at the final "
+                        f"banding ({bands_eff} bands, combo={combo}); near "
+                        f"frame matches (hamming >= 1) whose every agreeing "
+                        f"chunk is hot are lost — exact matches are "
+                        f"unaffected. Raise max_bucket.",
                         RuntimeWarning,
                         stacklevel=2,
                     )

@@ -554,18 +554,49 @@ def _auto_banding(
     return best[3], best[4]
 
 
-def _roomiest_banding(nbits: int, bound: int) -> tuple[int, int]:
-    """The complete banding with the LARGEST per-key value space (ties
-    broken by fewest keys) — what :func:`_auto_banding` falls back to
-    when every configuration saturates on AVERAGE load. The store
-    matchers use it to re-band ONCE when OBSERVED skew makes buckets hot
-    under the cheapest banding even though the average said it wouldn't:
-    a hot bucket of diverse hashes under an 8-bit chunk key usually
-    spreads cold under a 16-bit packed pair key, turning a warned drop
-    into an exact result for one extra sizes pass."""
-    # forcing saturation on every candidate reuses _auto_banding's
-    # all-saturated branch, which picks exactly the roomiest key space
-    return _auto_banding(nbits, bound, 1 << 120, 1)
+def _escalate_banding(
+    nbits: int, bound: int, bands: int, combo: int
+) -> tuple[int, int] | None:
+    """The loss-MONOTONE skew escalation: packed pair keys over the SAME
+    chunks, or nothing. When OBSERVED skew makes buckets hot under a
+    combo=1 banding that average load said would stay cold, re-keying on
+    chunk PAIRS spreads diverse hot-bucket members ~key-space-times
+    thinner — and because a pair-key bucket's membership is a subset of
+    each member chunk's bucket, every pair the capped combo=1 join kept
+    stays kept (cold chunk ⇒ cold pair key). A re-band onto a DIFFERENT
+    chunk partition has no such guarantee: for non-nested widths (e.g.
+    60-bit, 20-bit chunks → packed 15-bit pairs) it can LOSE pairs the
+    initial banding found, a strictly worse trade. So: escalate iff the
+    current banding is combo=1, the pair keys stay complete
+    (``bound <= bands - 2``), fit a long, and respect the fan-out guard;
+    otherwise ``None`` — accept the honest warned drop."""
+    from math import comb as _comb
+
+    w = nbits // bands
+    if (
+        combo == 1
+        and bound <= bands - 2
+        and _comb(bands, 2) <= 256
+        and 2 * w <= 62
+    ):
+        return bands, 2
+    return None
+
+
+def _banded_hot_stats(banded_union: DataFrame, max_bucket: int):
+    """Per-(band, bucket) sizes over a banded frame plus the hot-bucket
+    scalar stats in one action: ``(sizes_df, row)`` with ``row['hb']``
+    the count of buckets over ``max_bucket`` and ``row['hr']`` the
+    banded rows they hold. The shared cap pass of the store matchers
+    (their two banded sides union into one frame first)."""
+    sizes = _shared(
+        banded_union.groupBy("b", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+    )
+    row = sizes.filter(F.col("__n") > max_bucket).agg(
+        F.count(F.lit(1)).alias("hb"),
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("hr"),
+    ).collect()[0]
+    return sizes, row
 
 
 def _chunk_keys(hcol, bands: int, width: int, combo: int) -> list:
@@ -675,10 +706,11 @@ def hamming_pairs(
     ``combo="auto"`` with a cap, one action for the banding choice plus
     a second hot-bucket action only when the distinct count exceeds
     ``max_bucket`` (below it no bucket can be hot and the pass is
-    skipped) — and when that pass finds hot buckets, ONE re-banded hot
-    pass at the roomiest complete configuration before any drop is
-    accepted (observed skew can heat buckets the average-load banding
-    choice called cold; the store matchers share this discipline).
+    skipped) — and when that pass finds hot buckets, ONE escalated hot
+    pass with same-chunk packed pair keys before any drop is accepted
+    (observed skew can heat buckets the average-load banding choice
+    called cold; the escalation is loss-monotone — see
+    :func:`_escalate_banding` — and the store matchers share it).
     Pass ``max_bucket=None`` for unconditional exactness (accepting the
     quadratic worst case).
 
@@ -776,14 +808,14 @@ def hamming_pairs(
             row = hot_agg.collect()[0]
         if row["hb"] > 0 and auto_combo:
             # observed skew beat the average-load banding choice (the
-            # store matchers share this discipline): re-band ONCE to the
-            # roomiest complete configuration before accepting any drop —
-            # a hot bucket of diverse hashes under a single-chunk key
-            # usually spreads cold under the packed pair key. Only for
-            # combo='auto'; a caller-pinned banding is honored as asked.
-            be2, c2 = _roomiest_banding(nbits, max_hamming)
-            if (be2, c2) != (bands, combo):
-                bands, combo = be2, c2
+            # store matchers share this discipline): escalate ONCE to
+            # packed pair keys over the same chunks before accepting any
+            # drop — loss-monotone by the subset argument in
+            # :func:`_escalate_banding`. Only for combo='auto'; a
+            # caller-pinned banding is honored as asked.
+            esc = _escalate_banding(nbits, max_hamming, bands, combo)
+            if esc is not None:
+                bands, combo = esc
                 width = nbits // bands
                 mask = F.lit((1 << width) - 1)
                 keys = _chunk_keys(F.col("__h"), bands, width, combo)

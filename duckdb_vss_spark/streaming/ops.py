@@ -39,6 +39,9 @@ __all__ = [
     "stream_warc_ingest",
     "stream_curate",
     "stream_audio_curate",
+    "stream_image_curate",
+    "stream_image_text_curate",
+    "stream_video_curate",
     "run_to_memory",
 ]
 
@@ -233,6 +236,22 @@ def score_vector_stream(
     return out
 
 
+def _drain(q, timeout_sec: float, name: str) -> None:
+    """Wait for a one-shot (``availableNow``) streaming query to finish.
+    A query that DIED must not look like a successful drain: after the
+    poll loop, ``awaitTermination`` re-raises the query's own failure
+    (a fetch_fn error, a sink write failure) instead of swallowing it;
+    a query still running at the deadline is stopped and surfaces as
+    ``TimeoutError``."""
+    deadline = time.monotonic() + timeout_sec
+    while q.isActive and time.monotonic() < deadline:
+        time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"{name} did not drain before timeout")
+    q.awaitTermination()
+
+
 def stream_knn_join(
     probes: DataFrame,
     index,
@@ -270,13 +289,7 @@ def stream_knn_join(
         .option("checkpointLocation", out_path + ".ckpt")
         .start()
     )
-    deadline = time.monotonic() + timeout_sec
-    while q.isActive and time.monotonic() < deadline:
-        time.sleep(0.2)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError(f"stream_knn_join did not finish in {timeout_sec}s")
-    q.awaitTermination()
+    _drain(q, timeout_sec, "stream_knn_join")
     return spark.read.parquet(out_path)
 
 
@@ -298,13 +311,7 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    deadline = time.monotonic() + timeout_sec
-    while q.isActive and time.monotonic() < deadline:
-        time.sleep(0.2)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError(f"streaming query {name} did not finish in {timeout_sec}s")
-    q.awaitTermination()
+    _drain(q, timeout_sec, f"streaming query {name}")
     return spark.table(name)
 
 
@@ -363,12 +370,7 @@ def stream_index_insert(
         .option("checkpointLocation", checkpoint)
         .start()
     )
-    deadline = time.monotonic() + timeout_sec
-    while q.isActive and time.monotonic() < deadline:
-        time.sleep(0.2)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError("stream_index_insert did not drain before timeout")
+    _drain(q, timeout_sec, "stream_index_insert")
 
 
 def _crawl_ingest_batch(
@@ -460,12 +462,7 @@ def stream_crawl_ingest(
         .option("checkpointLocation", checkpoint)
         .start()
     )
-    deadline = time.monotonic() + timeout_sec
-    while q.isActive and time.monotonic() < deadline:
-        time.sleep(0.2)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError("stream_crawl_ingest did not drain before timeout")
+    _drain(q, timeout_sec, "stream_crawl_ingest")
 
 
 def _curate_batch(
@@ -603,12 +600,7 @@ def stream_curate(
             .option("checkpointLocation", checkpoint)
             .start()
         )
-        deadline = time.monotonic() + timeout_sec
-        while q.isActive and time.monotonic() < deadline:
-            time.sleep(0.2)
-        if q.isActive:
-            q.stop()
-            raise TimeoutError("stream_curate did not drain before timeout")
+        _drain(q, timeout_sec, "stream_curate")
     finally:
         if owned_grams is not None:
             owned_grams.unpersist()
@@ -692,12 +684,7 @@ def stream_audio_curate(
         .option("checkpointLocation", checkpoint)
         .start()
     )
-    deadline = time.monotonic() + timeout_sec
-    while q.isActive and time.monotonic() < deadline:
-        time.sleep(0.2)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError("stream_audio_curate did not drain before timeout")
+    _drain(q, timeout_sec, "stream_audio_curate")
 
 
 def _image_curate_batch(
@@ -779,12 +766,7 @@ def stream_image_curate(
         .option("checkpointLocation", checkpoint)
         .start()
     )
-    deadline = time.monotonic() + timeout_sec
-    while q.isActive and time.monotonic() < deadline:
-        time.sleep(0.2)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError("stream_image_curate did not drain before timeout")
+    _drain(q, timeout_sec, "stream_image_curate")
 
 
 def _video_curate_batch(
@@ -867,12 +849,7 @@ def stream_video_curate(
         .option("checkpointLocation", checkpoint)
         .start()
     )
-    deadline = time.monotonic() + timeout_sec
-    while q.isActive and time.monotonic() < deadline:
-        time.sleep(0.2)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError("stream_video_curate did not drain before timeout")
+    _drain(q, timeout_sec, "stream_video_curate")
 
 
 def _image_text_curate_batch(
@@ -893,34 +870,43 @@ def _image_text_curate_batch(
     overwrite sink PRECEDES the snapshot commit; the kept images'
     pHashes are read back from the pair ledger just written (it
     materializes ``img_phash``), so neither the replay nor the commit
-    re-decodes an image."""
-    from ..operators.dedup import _fan_out
+    re-decodes an image. The pair ledger is persisted for the batch's
+    lifetime — it is evaluated twice (the fetch queue inside
+    ``fetch_fn``, then the flag-join side of the recipe), and without
+    the persist the HTML parse and the url_canonical window would run
+    twice per micro-batch — and released before the batch returns, so a
+    long stream does not accumulate one cached frame per batch."""
+    from ..broadcasts import untrack_persist
+    from ..operators.dedup import _fan_out, _shared
     from ..pipelines import image_text_curate, image_text_pairs
 
     name = f"{snapshot_prefix}-{bid:06d}"
     if any(s["name"] == name for s in store.manifest["snapshots"]):
         return
-    pairs = image_text_pairs(
+    pairs = _shared(image_text_pairs(
         _fan_out(bdf), html_col=html_col, id_col=id_col, **prefetch_kwargs
-    )
-    # the fetch queue is the PRE-fetch verdict: one URL per kept pair
-    queue = (
-        pairs.filter("pair_keep")
-        .select(F.col("img_url_norm").alias("url"))
-        .distinct()
-    )
-    out = image_text_curate(
-        pairs, fetch_fn(queue), store=store, snapshot=None, **curate_kwargs
-    )
-    sink = f"{out_path}/batch={bid:06d}"
-    out.write.mode("overwrite").parquet(sink)
-    kept = (
-        bdf.sparkSession.read.parquet(sink)
-        .filter("img_keep")
-        .select(F.col("img_url_norm"), F.col("img_phash"))
-        .dropDuplicates(["img_url_norm"])
-    )
-    store.append_snapshot(kept, "img_url_norm", name, hash_col="img_phash")
+    ))
+    try:
+        # the fetch queue is the PRE-fetch verdict: one URL per kept pair
+        queue = (
+            pairs.filter("pair_keep")
+            .select(F.col("img_url_norm").alias("url"))
+            .distinct()
+        )
+        out = image_text_curate(
+            pairs, fetch_fn(queue), store=store, snapshot=None, **curate_kwargs
+        )
+        sink = f"{out_path}/batch={bid:06d}"
+        out.write.mode("overwrite").parquet(sink)
+        kept = (
+            bdf.sparkSession.read.parquet(sink)
+            .filter("img_keep")
+            .select(F.col("img_url_norm"), F.col("img_phash"))
+            .dropDuplicates(["img_url_norm"])
+        )
+        store.append_snapshot(kept, "img_url_norm", name, hash_col="img_phash")
+    finally:
+        untrack_persist(pairs)
 
 
 def stream_image_text_curate(
@@ -993,12 +979,7 @@ def stream_image_text_curate(
         .option("checkpointLocation", checkpoint)
         .start()
     )
-    deadline = time.monotonic() + timeout_sec
-    while q.isActive and time.monotonic() < deadline:
-        time.sleep(0.2)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError("stream_image_text_curate did not drain before timeout")
+    _drain(q, timeout_sec, "stream_image_text_curate")
 
 
 def stream_warc_ingest(
@@ -1096,9 +1077,4 @@ def stream_warc_ingest(
         .option("checkpointLocation", checkpoint)
         .start()
     )
-    deadline = time.monotonic() + timeout_sec
-    while q.isActive and time.monotonic() < deadline:
-        time.sleep(0.2)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError("stream_warc_ingest did not drain before timeout")
+    _drain(q, timeout_sec, "stream_warc_ingest")

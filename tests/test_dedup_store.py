@@ -546,8 +546,8 @@ def test_image_store_match_rebands_on_observed_skew(spark, tmp_path):
     """Round 12: observed skew (not average saturation) used to warn and
     drop — the image-text loop measured 135k+ distinct pHashes whose
     AVERAGE load sat under the cap while a few skewed buckets went hot.
-    match_against now re-bands ONCE to the roomiest complete
-    configuration before accepting any drop: a near pair whose every
+    match_against now escalates ONCE to same-chunk packed pair keys
+    before accepting any drop: a near pair whose every
     single-chunk agreeing bucket is hot (diverse hot-bucket members) is
     recovered warning-free through the packed pair key, where the same
     buckets spread cold."""
@@ -594,10 +594,10 @@ def test_image_store_match_rebands_on_observed_skew(spark, tmp_path):
     assert [(r["id"], r["store_id"], r["hamming"]) for r in hits] == [(9000, 500, 2)]
 
 
-def test_image_store_match_warns_when_roomiest_still_hot(spark, tmp_path):
+def test_image_store_match_warns_when_escalation_still_hot(spark, tmp_path):
     """The honest-drop fallback survives the re-band: when the hot
     bucket's members are IDENTICAL in both agreeing chunks, the packed
-    pair key is just as hot, the warning names the roomiest banding, and
+    pair key is just as hot, the warning names the final banding, and
     exact matches still land via the cap-immune bypass."""
     import numpy as np
 
@@ -625,7 +625,7 @@ def test_image_store_match_warns_when_roomiest_still_hot(spark, tmp_path):
          (9001, stored[3][1])],                     # exact: bypasses banding
         "img_id long, phash long",
     )
-    with pytest.warns(RuntimeWarning, match="roomiest complete banding"):
+    with pytest.warns(RuntimeWarning, match="final banding"):
         hits = {r["id"]: r for r in st.match_against(
             batch, "img_id", hash_col="phash", max_hamming=2, max_bucket=4
         ).collect()}
@@ -686,9 +686,8 @@ def test_image_store_capped_match_contract_property(spark, tmp_path):
     hash sets, capped matches must EQUAL the closed-form expectation —
     exact (hamming-0) matches always found via the cap-immune bypass,
     and a near match lost if and ONLY if every chunk the two hashes
-    agree on is hot AT THE FINAL BANDING (initial auto choice, re-banded
-    once to the roomiest complete configuration when the first pass ran
-    hot). The model recomputes bucket membership and loss independently,
+    agree on is hot AT THE FINAL BANDING (initial auto choice, escalated
+    once to same-chunk packed pair keys when the first pass ran hot). The model recomputes bucket membership and loss independently,
     reusing only the banding-choice functions."""
     import warnings as _w
     from collections import Counter
@@ -697,7 +696,7 @@ def test_image_store_capped_match_contract_property(spark, tmp_path):
     import numpy as np
 
     from duckdb_vss_spark.index.image_store import ImageHashStore
-    from duckdb_vss_spark.operators.dedup import _auto_banding, _roomiest_banding
+    from duckdb_vss_spark.operators.dedup import _auto_banding, _escalate_banding
 
     BOUND, CAP = 2, 3
 
@@ -725,9 +724,9 @@ def test_image_store_capped_match_contract_property(spark, tmp_path):
         be, combo = _auto_banding(64, BOUND, nd, CAP)
         hot = hot_keys(sh | bh, be, combo)
         if hot:
-            be2, c2 = _roomiest_banding(64, BOUND)
-            if (be2, c2) != (be, combo):
-                be, combo = be2, c2
+            esc = _escalate_banding(64, BOUND, be, combo)
+            if esc is not None:
+                be, combo = esc
                 hot = hot_keys(sh | bh, be, combo)
         exp = set()
         for bid, h in batch:

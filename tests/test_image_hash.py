@@ -691,11 +691,11 @@ def test_hash_transcode_images_custom_content_col(spark):
 
 
 def test_hamming_pairs_auto_rebands_on_observed_skew(spark):
-    """Round 12: combo='auto' with a cap re-bands ONCE to the roomiest
-    complete configuration when observed skew heats buckets the
-    average-load choice called cold — a pair whose every single-chunk
-    agreeing bucket is hot (diverse members) is recovered warning-free
-    through the packed pair key; caller-pinned bandings stay as asked."""
+    """Round 12: combo='auto' with a cap escalates ONCE to same-chunk
+    packed pair keys when observed skew heats buckets the average-load
+    choice called cold — a pair whose every single-chunk agreeing bucket
+    is hot (diverse members) is recovered warning-free through the
+    packed pair key; caller-pinned bandings stay as asked."""
     import warnings as _w
 
     from duckdb_vss_spark.operators.dedup import hamming_pairs
@@ -730,3 +730,20 @@ def test_hamming_pairs_auto_rebands_on_observed_skew(spark):
             df, "id", "h", max_hamming=2, bands=4, max_bucket=4, combo=1,
         ).collect()
     assert pinned == []
+
+
+def test_escalate_banding_is_same_chunk_only():
+    """The skew escalation must be loss-monotone: packed pair keys over
+    the SAME chunks, or nothing. A re-band onto a different chunk
+    partition (the old roomiest-config fallback) could lose pairs the
+    initial banding kept — e.g. 60-bit hashes where the cheapest bound-2
+    banding is 3x20-bit chunks but the roomiest was 4 bands of packed
+    15-bit pairs, not a refinement."""
+    from duckdb_vss_spark.operators.dedup import _escalate_banding
+
+    assert _escalate_banding(64, 4, 8, 1) == (8, 2)    # the measured regime
+    assert _escalate_banding(64, 2, 4, 1) == (4, 2)
+    assert _escalate_banding(60, 2, 3, 1) is None      # pairs incomplete at be=3
+    assert _escalate_banding(64, 7, 8, 1) is None      # bound 7 > 8 - 2
+    assert _escalate_banding(64, 2, 4, 2) is None      # already packed
+    assert _escalate_banding(64, 1, 2, 1) is None      # 2w = 64 > 62 guard

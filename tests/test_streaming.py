@@ -853,3 +853,36 @@ def test_stream_video_curate_incremental(spark, tmp_path):
     assert len(st.info()["snapshots"]) == 2
     with pytest.raises(ValueError, match="owns snapshot naming"):
         stream_video_curate(stream, st, out_path, str(tmp_path / "c2"), snapshot="x")
+
+
+def test_stream_image_text_curate_surfaces_batch_failure(spark, tmp_path):
+    """Round-12 self-review: a micro-batch that DIES (the fetcher
+    raised) must surface as an error, not return as a successful drain —
+    the drain helper re-raises the query's own failure for every
+    streaming twin."""
+    import os
+
+    from duckdb_vss_spark.index.image_store import ImageHashStore
+    from duckdb_vss_spark.streaming import stream_image_text_curate
+
+    staged = str(tmp_path / "failpages")
+    os.makedirs(staged)
+    spark.createDataFrame(
+        [(1, "<img src='http://cdn.io/a.bmp' alt='a perfectly fine page'>")],
+        "doc_id long, html string",
+    ).coalesce(1).write.mode("overwrite").parquet(staged + "/f1")
+    st = ImageHashStore.create(spark, str(tmp_path / "failstore"))
+
+    def broken_fetch(queue):
+        raise RuntimeError("fetcher exploded mid-batch")
+
+    with pytest.raises(Exception) as ei:
+        stream_image_text_curate(
+            (spark.readStream.schema("doc_id long, html string")
+             .parquet(staged + "/f*")),
+            st, str(tmp_path / "failout"), str(tmp_path / "failckpt"),
+            fetch_fn=broken_fetch,
+        )
+    assert not isinstance(ei.value, TimeoutError)
+    assert "fetcher exploded" in str(ei.value)
+    assert st.info()["snapshots"] == []  # nothing half-committed
