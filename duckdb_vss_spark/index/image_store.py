@@ -31,7 +31,12 @@ bound (:func:`~duckdb_vss_spark.operators.dedup._auto_banding`), and
 hot buckets (boilerplate images — logos, spacers, test cards) are still
 capped so one viral thumbnail in history cannot turn every future
 batch's match quadratic — but any capped drop now emits a
-``RuntimeWarning`` with the dropped fraction (no silent caps).
+``RuntimeWarning`` with the dropped fraction (no silent caps). Round-12
+discipline: before accepting any drop, a hot first pass escalates ONCE
+to packed pair keys over the same chunks
+(:func:`~duckdb_vss_spark.operators.dedup._escalate_banding` —
+loss-monotone, and diverse hot-bucket members spread cold under the
+roomier key), so only buckets hot under BOTH keyings are ever dropped.
 """
 
 from __future__ import annotations

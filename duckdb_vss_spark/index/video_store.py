@@ -31,7 +31,8 @@ bound and a cheap distinct count
 (:func:`~duckdb_vss_spark.operators.dedup._auto_banding`), and any capped
 drop of near candidates (black frames, test cards, station logos collide
 globally) emits a ``RuntimeWarning`` with the dropped fraction — no
-silent caps.
+silent caps. Round-12: a hot first pass escalates once to same-chunk
+packed pair keys (loss-monotone) before any drop is accepted.
 """
 
 from __future__ import annotations
