@@ -747,3 +747,99 @@ def test_escalate_banding_is_same_chunk_only():
     assert _escalate_banding(64, 7, 8, 1) is None      # bound 7 > 8 - 2
     assert _escalate_banding(64, 2, 4, 2) is None      # already packed
     assert _escalate_banding(64, 1, 2, 1) is None      # 2w = 64 > 62 guard
+
+
+def test_hamming_pairs_differential_fuzz(spark):
+    """Differential fuzz vs brute force over random configurations
+    (nbits x bands x combo x cap x expansion): uncapped or WARNING-FREE
+    capped runs must equal brute force exactly (the no-silent-caps
+    invariant — a cap that dropped nothing observable must change
+    nothing); warned runs must be a subset with correct hamming values
+    and every exact-dup pair preserved. 120-trial ad-hoc sweeps of this
+    harness ran clean in round 12; the seeded 20 here are the
+    regression pin."""
+    import warnings as _w
+    from itertools import combinations
+
+    from duckdb_vss_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(2026)
+    for trial in range(20):
+        nbits = int(rng.choice([16, 32, 60, 64]))
+        divisors = [b for b in range(2, nbits + 1) if nbits % b == 0]
+        bands = int(rng.choice(divisors))
+        combo_opts = ["auto", 1]
+        if bands >= 3 and 2 * (nbits // bands) <= 62 and bands * (bands - 1) // 2 <= 256:
+            combo_opts.append(2)
+        combo = combo_opts[int(rng.integers(len(combo_opts)))]
+        mh_cap = bands - (2 if combo == 2 else 1)
+        if mh_cap < 1:
+            continue
+        max_hamming = max(1, min(int(rng.integers(0, 6)) + 1, mh_cap))
+        max_bucket = [None, 2, 4, 16][int(rng.integers(4))]
+        mode = ["all", "star"][int(rng.integers(2))]
+
+        width = nbits // bands
+        mask = (1 << width) - 1
+        pool = [int(v) for v in rng.integers(0, 1 << min(nbits, 62),
+                                             size=int(rng.integers(10, 60)))]
+        C = int(rng.integers(0, mask + 1))
+        for _ in range(int(rng.integers(0, len(pool) // 2 + 1))):
+            h = int(rng.integers(0, 1 << min(nbits, 62)))
+            pool.append((h & ~mask) | C)             # heat band-0 buckets
+        for _ in range(int(rng.integers(0, 5))):
+            base = pool[int(rng.integers(len(pool)))]
+            flip = 0
+            for _ in range(int(rng.integers(1, max_hamming + 1))):
+                flip ^= 1 << int(rng.integers(min(nbits, 62)))
+            pool.append(base ^ flip)                 # planted near pair
+        for _ in range(int(rng.integers(0, 4))):
+            pool.append(pool[int(rng.integers(len(pool)))])   # exact dup
+
+        rows = [(i, h) for i, h in enumerate(pool)]
+        df = spark.createDataFrame(rows, "id long, h long")
+        with _w.catch_warnings(record=True) as wlog:
+            _w.simplefilter("always", RuntimeWarning)
+            got = {(r["id_a"], r["id_b"]): r["hamming"] for r in hamming_pairs(
+                df, "id", "h", max_hamming=max_hamming, bands=bands,
+                nbits=nbits, max_bucket=max_bucket, combo=combo,
+                exact_dup_pairs=mode,
+            ).collect()}
+        warned = any(issubclass(w.category, RuntimeWarning) for w in wlog)
+
+        members: dict[int, list[int]] = {}
+        for i, h in rows:
+            members.setdefault(h, []).append(i)
+        brute: dict[tuple[int, int], int] = {}
+        hs = sorted(members)
+        for x in range(len(hs)):
+            for y in range(x + 1, len(hs)):
+                d = bin(hs[x] ^ hs[y]).count("1")
+                if d > max_hamming:
+                    continue
+                if mode == "all":
+                    for a in members[hs[x]]:
+                        for b in members[hs[y]]:
+                            brute[(min(a, b), max(a, b))] = d
+                else:
+                    ra, rb = min(members[hs[x]]), min(members[hs[y]])
+                    brute[(min(ra, rb), max(ra, rb))] = d
+        dup_pairs: dict[tuple[int, int], int] = {}
+        for ms in members.values():
+            if len(ms) > 1:
+                ms = sorted(ms)
+                if mode == "all":
+                    for a, b in combinations(ms, 2):
+                        dup_pairs[(a, b)] = 0
+                else:
+                    for b in ms[1:]:
+                        dup_pairs[(ms[0], b)] = 0
+        brute.update(dup_pairs)
+
+        cfg = (trial, nbits, bands, combo, max_hamming, max_bucket, mode)
+        if max_bucket is None or not warned:
+            assert got == brute, cfg
+        else:
+            assert set(got) <= set(brute), cfg
+            assert all(got[k] == brute[k] for k in got), cfg
+            assert set(dup_pairs) <= set(got), cfg
