@@ -61,10 +61,16 @@ def connected_components(
     # adj is referenced by EVERY iteration's join; without materialization
     # the whole upstream pair plan (often an expensive banded dedup join)
     # re-executes once per round — measured 35 s -> 13 s on the 100k-image
-    # curate (round 10). localCheckpoint also truncates the lineage.
-    adj = adj.localCheckpoint(eager=True)
+    # curate (round 10) — and localCheckpoint also truncates the lineage
+    # (plan size otherwise multiplies ~4x per round: the exponential
+    # iterative-planning trap). Round 12: the checkpoints turn LAZY
+    # (eager=True paid one driver action per frame purely to
+    # materialize; now the first convergence count materializes
+    # everything in the same job), and adj is hash-partitioned by the
+    # join key first, so every round's adj-side Exchange is replaced by
+    # the checkpoint's preserved partitioning.
+    adj = adj.repartition(F.col("b")).localCheckpoint(eager=False)
     comp = adj.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
-    comp = comp.localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
         nbr = (
@@ -88,8 +94,12 @@ def connected_components(
                 F.coalesce(F.col("lcomp"), F.col("comp")).alias("comp"),
             )
         )
-        jumped = jumped.localCheckpoint(eager=True)  # truncate iterative lineage
-        changed = jumped.filter(F.col("comp") < F.col("old")).limit(1).count()
+        # ONE driver action per round: the (lazy) checkpoint truncates
+        # the lineage and the full count materializes it AND decides
+        # convergence — the previous shape paid two actions per round
+        # (eager checkpoint + a limit-1 count).
+        jumped = jumped.localCheckpoint(eager=False)
+        changed = jumped.filter(F.col("comp") < F.col("old")).count()
         comp = jumped.select("node", "comp")
         if changed == 0:
             converged = True

@@ -67,6 +67,7 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 
 _DCT32 = _dct_matrix(32)
+_SHIFTS64 = np.arange(64, dtype=np.uint64)
 
 
 def _gray(arr: np.ndarray) -> np.ndarray:
@@ -87,9 +88,12 @@ def phash_kernel(arr: np.ndarray) -> int:
     small = _resize_kernel(g[..., None], 32, 32, "bilinear")[..., 0]
     coef = _DCT32 @ small @ _DCT32.T
     low = coef[:8, :8].reshape(-1)
-    med = np.median(low)
+    # median of 64 = mean of the two middle order statistics — same value
+    # np.median computes, without its axis/ufunc dispatch overhead
+    part = np.partition(low, (31, 32))
+    med = (part[31] + part[32]) / 2.0
     bits = (low > med).astype(np.uint64)
-    return int((bits << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+    return int((bits << _SHIFTS64).sum().astype(np.int64))
 
 
 def dhash_kernel(arr: np.ndarray) -> int:
@@ -98,7 +102,7 @@ def dhash_kernel(arr: np.ndarray) -> int:
     g = _gray(arr)
     small = _resize_kernel(g[..., None], 9, 8, "bilinear")[..., 0]
     bits = (small[:, 1:] > small[:, :-1]).reshape(-1).astype(np.uint64)
-    return int((bits << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+    return int((bits << _SHIFTS64).sum().astype(np.int64))
 
 
 def _hash_op(kernel, out_col):

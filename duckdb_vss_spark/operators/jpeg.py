@@ -170,6 +170,12 @@ def _scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
 
 
 class _BitWriter:
+    """Entropy-segment writer. Bits accumulate in one Python int and
+    drain to bytes in bounded chunks (``int.to_bytes`` + a C-speed
+    ``bytes.replace`` for the 0xFF00 stuffing) instead of a Python loop
+    per output byte — the per-symbol ``write`` was the encoder's
+    second-hottest line."""
+
     def __init__(self) -> None:
         self.out = bytearray()
         self.acc = 0
@@ -178,23 +184,36 @@ class _BitWriter:
     def write(self, value: int, length: int) -> None:
         self.acc = (self.acc << length) | (value & ((1 << length) - 1))
         self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:  # byte stuffing
-                self.out.append(0x00)
-            self.nbits -= 8
-        self.acc &= (1 << self.nbits) - 1
+        if self.nbits >= 1024:
+            self._drain()
+
+    def _drain(self) -> None:
+        keep = self.nbits & 7
+        nbytes = (self.nbits - keep) >> 3
+        if nbytes:
+            chunk = (self.acc >> keep).to_bytes(nbytes, "big")
+            self.out += chunk.replace(b"\xff", b"\xff\x00")
+            self.acc &= (1 << keep) - 1
+            self.nbits = keep
 
     def flush(self) -> bytes:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits (T.81 F.1.2.3)
+        if self.nbits & 7:
+            pad = 8 - (self.nbits & 7)
+            # pad with 1-bits (T.81 F.1.2.3)
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            self.nbits += pad
+        self._drain()
         return bytes(self.out)
 
 
 class _BitReader:
-    """Entropy-segment reader: un-stuffs 0xFF00 and stops at markers."""
+    """Entropy-segment reader: un-stuffs 0xFF00 and stops at markers.
+
+    The accumulator is kept bounded (always < 2^32; ``nbits`` unread bits
+    live in its low end), so bulk ``read_bits`` and the 16-bit
+    Huffman-LUT peek in :meth:`decode_symbol` are O(1) int ops instead of
+    a Python loop per bit — the measured hot path of the whole decoder
+    (411k ``read_bit`` calls per 200 frames before the rewrite)."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -209,13 +228,11 @@ class _BitReader:
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RSTn consumed by caller
-                raise _AtMarker(nxt)
-            else:
+            else:  # marker (RSTn consumed by caller, EOI/others raised)
                 raise _AtMarker(nxt)
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -225,10 +242,37 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def decode_symbol(self, lut_len: list, lut_sym: list) -> int:
+        """One canonical-Huffman symbol via a 16-bit peek LUT (prefix
+        codes are <= 16 bits, T.81 C.2). Equivalent to the bit-serial
+        walk: the LUT's first-matching-prefix IS the unique code."""
+        if self.nbits < 16:
+            try:
+                while self.nbits < 16:
+                    self._fill()
+            except _AtMarker:
+                # marker inside the peek window: a complete code within
+                # the real bits decodes as usual; needing the padding
+                # means the bit-serial reader would have consumed past
+                # the marker — propagate, exactly as it did
+                nb = self.nbits
+                w = (self.acc << (16 - nb)) & 0xFFFF
+                length = lut_len[w]
+                if length == 0 or length > nb:
+                    raise
+                self.nbits = nb - length
+                return lut_sym[w]
+        w = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        length = lut_len[w]
+        if length == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.nbits -= length
+        return lut_sym[w]
 
     def byte_align(self) -> None:
         self.acc = 0
@@ -243,18 +287,28 @@ class _AtMarker(Exception):
 # -- Huffman -----------------------------------------------------------------
 
 
-def _build_codes(bits: list, huffval: list) -> dict:
-    """symbol -> (code, length), canonical assignment (T.81 C.2)."""
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _build_codes_t(bits_t: tuple, vals_t: tuple) -> dict:
     codes = {}
     code = 0
     k = 0
     for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            codes[huffval[k]] = (code, length)
+        for _ in range(bits_t[length - 1]):
+            codes[vals_t[k]] = (code, length)
             code += 1
             k += 1
         code <<= 1
     return codes
+
+
+def _build_codes(bits: list, huffval: list) -> dict:
+    """symbol -> (code, length), canonical assignment (T.81 C.2). Cached
+    per table definition — every encode call was rebuilding the four
+    standard tables (0.13 ms/image on the thumbnail bench row)."""
+    return _build_codes_t(tuple(bits), tuple(huffval))
 
 
 def _build_decode_table(bits: list, huffval: list) -> dict:
@@ -271,14 +325,34 @@ def _build_decode_table(bits: list, huffval: list) -> dict:
     return table
 
 
-def _decode_symbol(br: _BitReader, table: dict) -> int:
+@lru_cache(maxsize=64)
+def _huff_tables(bits_t: tuple, vals_t: tuple) -> tuple:
+    """(bit-serial dict, 16-bit-peek LUT lengths, LUT symbols) for one
+    canonical table, cached per definition: a corpus of images sharing
+    the standard tables — or every frame of an MJPEG stream — builds each
+    table once per process instead of once per DHT segment. The LUT maps
+    every 16-bit window to the unique code prefixing it (prefix-free by
+    construction), turning symbol decode into one list index."""
+    table = _build_decode_table(list(bits_t), list(vals_t))
+    lut_len = [0] * 65536
+    lut_sym = [0] * 65536
     code = 0
+    k = 0
     for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+        for _ in range(bits_t[length - 1]):
+            start = code << (16 - length)
+            span = 1 << (16 - length)
+            lut_len[start : start + span] = [length] * span
+            lut_sym[start : start + span] = [vals_t[k]] * span
+            code += 1
+            k += 1
+        code <<= 1
+    return table, lut_len, lut_sym
+
+
+def _decode_symbol(br: _BitReader, t: tuple) -> int:
+    """Decode one symbol against a :func:`_huff_tables` triple."""
+    return br.decode_symbol(t[1], t[2])
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -332,29 +406,41 @@ def _to_blocks(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def _encode_block(blk: np.ndarray, pred: int, dc_codes: dict, ac_codes: dict, bw: _BitWriter) -> int:
+def _encode_block(blk, pred: int, dc_codes: dict, ac_codes: dict, bw: _BitWriter) -> int:
     """Entropy-code ONE zigzag-ordered quantized block; returns the new DC
     predictor. Shared by the grayscale plane path and the interleaved
-    color MCU path."""
-    dc = int(blk[0])
-    size, bits = _magnitude(dc - pred)
-    code, length = dc_codes[size]
-    bw.write(code, length)
-    if size:
+    color MCU path. The coefficients are pulled into a plain list once —
+    a NumPy scalar read per coefficient plus a `_magnitude` call per
+    nonzero was most of the encoder's remaining time."""
+    v = blk.tolist() if not isinstance(blk, list) else blk
+    dc = v[0]
+    diff = dc - pred
+    if diff == 0:
+        code, length = dc_codes[0]
+        bw.write(code, length)
+    else:
+        size = (diff if diff > 0 else -diff).bit_length()
+        bits = diff if diff > 0 else diff + (1 << size) - 1
+        code, length = dc_codes[size]
+        bw.write(code, length)
         bw.write(bits, size)
-    nz = np.flatnonzero(blk[1:])
-    last_nz = (nz[-1] + 1) if len(nz) else 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if v[i]:
+            last_nz = i
+            break
     run = 0
     for i in range(1, last_nz + 1):
-        v = int(blk[i])
-        if v == 0:
+        val = v[i]
+        if val == 0:
             run += 1
             continue
         while run > 15:
             code, length = ac_codes[0xF0]  # ZRL
             bw.write(code, length)
             run -= 16
-        size, bits = _magnitude(v)
+        size = (val if val > 0 else -val).bit_length()
+        bits = val if val > 0 else val + (1 << size) - 1
         code, length = ac_codes[(run << 4) | size]
         bw.write(code, length)
         bw.write(bits, size)
@@ -790,7 +876,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nv])
-                htables[(tc, th)] = _build_decode_table(bits, vals)
+                htables[(tc, th)] = _huff_tables(tuple(bits), tuple(vals))
                 p += 17 + nv
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
@@ -842,11 +928,21 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     vmax = max(c["v"] for c in frame["comps"])
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
-    # per-component coefficient planes (in MCU-padded dims)
-    planes = {}
+    # Per-component zigzag coefficient rows on the MCU-padded block grid
+    # plus a decoded-block mask: the entropy loop (irreducibly serial)
+    # only fills coefficient rows; dequant + IDCT + plane assembly run
+    # ONCE per component over every decoded block afterwards — one
+    # batched einsum instead of one 8x8 einsum per block (round 12;
+    # _idct2 is batch-shaped already, so the per-block results are
+    # bit-identical).
+    store = {}
     for comp, _, _ in scan:
-        cw, ch = mcux * comp["h"] * 8, mcuy * comp["v"] * 8
-        planes[comp["id"]] = np.zeros((ch, cw), dtype=np.float64)
+        cols_c, rows_c = mcux * comp["h"], mcuy * comp["v"]
+        # (flat coef indices, coef values, decoded block ids): plain
+        # Python lists in the serial loop, ONE fancy-index scatter per
+        # component afterwards — a NumPy scalar store per coefficient
+        # was the next-hottest line after the LUT rewrite
+        store[comp["id"]] = (cols_c, rows_c, [], [], [])
     br = _BitReader(data, pos)
     preds = {comp["id"]: 0 for comp, _, _ in scan}
     n_mcu = mcux * mcuy
@@ -863,39 +959,41 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
         my, mx = divmod(mcu, mcux)
         try:
             for comp, td, ta in scan:
-                qt = qtables[comp["tq"]]
-                dct_t = htables[(0, td)]
-                act_t = htables[(1, ta)]
+                cid = comp["id"]
+                cols_c, _rows, fidx, fval, done = store[cid]
+                dct_ll, dct_ls = htables[(0, td)][1], htables[(0, td)][2]
+                act_ll, act_ls = htables[(1, ta)][1], htables[(1, ta)][2]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        blk = np.zeros(64, dtype=np.float64)
-                        size = _decode_symbol(br, dct_t)
-                        diff = _extend(br.read_bits(size), size) if size else 0
-                        preds[comp["id"]] += diff
-                        blk[0] = preds[comp["id"]]
+                        bi = (my * comp["v"] + by) * cols_c + (mx * comp["h"] + bx)
+                        base = bi << 6
+                        size = br.decode_symbol(dct_ll, dct_ls)
+                        if size:
+                            bits = br.read_bits(size)
+                            if bits < (1 << (size - 1)):
+                                bits -= (1 << size) - 1
+                            preds[cid] += bits
+                        fidx.append(base)
+                        fval.append(preds[cid])
                         k = 1
                         while k < 64:
-                            rs = _decode_symbol(br, act_t)
-                            r, s = rs >> 4, rs & 0x0F
+                            rs = br.decode_symbol(act_ll, act_ls)
+                            s = rs & 0x0F
                             if s == 0:
-                                if r == 15:
+                                if rs == 0xF0:  # ZRL
                                     k += 16
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise ValueError("JPEG AC index overflow")
-                            blk[k] = _extend(br.read_bits(s), s)
+                            bits = br.read_bits(s)
+                            if bits < (1 << (s - 1)):
+                                bits -= (1 << s) - 1
+                            fidx.append(base + k)
+                            fval.append(bits)
                             k += 1
-                        # blk is zigzag-ordered, qt natural-ordered:
-                        # de-zigzag FIRST, then dequantize (multiplying in
-                        # zigzag order scaled every AC coefficient by the
-                        # wrong table entry — round-9 review finding)
-                        coef = (blk[UNZIGZAG] * qt).reshape(8, 8)
-                        px = _idct2(coef[None])[0] + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+                        done.append(bi)
         except _AtMarker as m:
             if m.marker == 0xD9:
                 break
@@ -903,7 +1001,23 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
         mcu += 1
     out_planes = []
     for comp, _, _ in scan:
-        p = planes[comp["id"]]
+        cols_c, rows_c, fidx, fval, done = store[comp["id"]]
+        arr = np.zeros((rows_c * cols_c, 64), dtype=np.float64)
+        if fidx:
+            arr.reshape(-1)[fidx] = fval
+        mask = np.zeros(rows_c * cols_c, dtype=bool)
+        mask[done] = True
+        qt = qtables[comp["tq"]]
+        # rows are zigzag-ordered, qt natural-ordered: de-zigzag FIRST,
+        # then dequantize (multiplying in zigzag order scaled every AC
+        # coefficient by the wrong table entry — round-9 review finding)
+        px = _idct2((arr[:, UNZIGZAG] * qt[None, :]).reshape(-1, 8, 8)) + 128.0
+        # undecoded blocks (truncated stream) stay 0.0 in the plane,
+        # exactly as the per-block path left them
+        px[~mask] = 0.0
+        p = px.reshape(rows_c, cols_c, 8, 8).transpose(0, 2, 1, 3).reshape(
+            rows_c * 8, cols_c * 8
+        )
         # nearest-neighbor upsample to full resolution (JFIF allows any
         # upsampling filter; nearest is the deterministic choice)
         ry, rx = vmax // comp["v"], hmax // comp["h"]
