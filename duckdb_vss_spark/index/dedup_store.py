@@ -166,24 +166,21 @@ class MinHashStore:
         rows = self.band_rows(df, text_col, id_col).withColumn(
             "snapshot", F.lit(snapshot)
         )
+        # The doc count folds into the WRITE job via the Observation API:
+        # band_rows emits exactly ``bands`` rows per signed document
+        # (minhash_per_doc groups by id), so rows/bands IS the committed
+        # doc count. The previous shape re-read the just-written parquet
+        # for a distinct count — one extra driver action + file listing
+        # per commit, and a window where a transient read error after a
+        # good write had to be special-cased (it cannot exist now: the
+        # count comes from the write itself, and an EMPTY snapshot —
+        # legitimate steady state — observes 0 rows).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        rows = rows.observe(obs, F.count(F.lit(1)).alias("rows"))
         rows.write.partitionBy("band").parquet(out, mode="overwrite")
-        # A fully-filtered batch (e.g. every row was a dup of history) writes
-        # zero data files — an EMPTY snapshot is legitimate steady state and
-        # must still commit, so the next batch gets a fresh snapshot name and
-        # the ledger records the event. But "empty" must be proven by the
-        # directory listing, not inferred from a failed read: a transient
-        # read error after a successful write would otherwise commit
-        # n_docs=0 and _store_df would silently skip the snapshot's
-        # fingerprints forever.
-        names = fs.listdir(self.spark, out)
-        has_data = any(
-            n.startswith("band=") or (n.startswith("part-") and not n.endswith(".crc"))
-            for n in names
-        )
-        if has_data:
-            n = self.spark.read.parquet(out).select("id").distinct().count()
-        else:
-            n = 0
+        n = int(obs.get["rows"]) // int(self.manifest["bands"])
         entry = {"name": snapshot, "dir": dirname, "n_docs": n}
         self.manifest["snapshots"].append(entry)
         self.manifest["n_docs"] += n

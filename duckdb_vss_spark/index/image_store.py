@@ -189,17 +189,17 @@ class ImageHashStore:
         rows = self.band_rows(df, id_col, content_col, hash_col).withColumn(
             "snapshot", F.lit(snapshot)
         )
+        # image count folded into the write job (the MinHashStore
+        # discipline): band_rows emits exactly ``bands`` rows per input
+        # image, so rows/bands is the committed image count — no
+        # read-back action. Callers commit one row per image id (the
+        # recipes' kept frames / the streaming sink read-back).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        rows = rows.observe(obs, F.count(F.lit(1)).alias("rows"))
         rows.write.partitionBy("band").parquet(out, mode="overwrite")
-        names = fs.listdir(self.spark, out)
-        has_data = any(
-            n.startswith("band=") or (n.startswith("part-") and not n.endswith(".crc"))
-            for n in names
-        )
-        n = (
-            self.spark.read.parquet(out).select("id").distinct().count()
-            if has_data
-            else 0
-        )
+        n = int(obs.get["rows"]) // int(self.manifest["bands"])
         entry = {"name": snapshot, "dir": dirname, "n_images": n}
         self.manifest["snapshots"].append(entry)
         self.manifest["n_images"] += n

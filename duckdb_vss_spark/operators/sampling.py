@@ -173,6 +173,7 @@ def stratified_sample(
     id_col: str,
     seed: str = "strata",
     internal_persist: bool = True,
+    n_strata: int | None = None,
 ) -> DataFrame:
     """Exact-count stratified sample: within each stratum keep the first
     ``ceil(fraction * n_stratum)`` rows in hash-of-id order.
@@ -225,8 +226,13 @@ def stratified_sample(
         df = tracked_persist(df)
     h = _hash_of(id_col, seed)
     # stratum count sizes the bucket width only — correctness-relevant
-    # counts all come from the single per-(stratum, bucket) collect below
-    n_strata = df.select(strata_col).distinct().count()
+    # counts all come from the single per-(stratum, bucket) collect
+    # below, so a caller that already knows the stratum count (e.g.
+    # curate_corpus, whose temperature_rates collect is one row per
+    # stratum) passes ``n_strata`` and skips this extra driver action;
+    # a stale hint can only mis-size the bucket width, never the cut
+    if n_strata is None or n_strata <= 0:
+        n_strata = df.select(strata_col).distinct().count()
     if n_strata == 0:
         return df.filter(F.lit(False))
     k_bits = min(12, max(0, (STRATA_CUT_TARGET // n_strata).bit_length() - 1))
@@ -502,6 +508,7 @@ def pack_sequences(
     seed: str = "pack",
     out_col: str = "pack_id",
     internal_persist: bool = True,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: order documents deterministically
     (hash of id) within each shard, accumulate token counts, and assign
@@ -541,7 +548,12 @@ def pack_sequences(
     shard = F.col(shard_col) if shard_col else F.lit(0)
     h = _hash_of(id_col, seed)
     spark = df.sparkSession
-    n_shards = df.select(shard.alias("__s")).distinct().count()
+    # shard count sizes the bucket width only (see stratified_sample's
+    # n_strata note); callers that know it skip one driver action. With
+    # a hint and an actually-empty frame the offsets collect is empty,
+    # so the broadcast join below returns the same zero rows.
+    if n_shards is None or n_shards <= 0:
+        n_shards = df.select(shard.alias("__s")).distinct().count()
     if n_shards == 0:
         return df.withColumn(out_col, F.lit(None).cast("long"))
     k_bits = min(12, max(0, (STRATA_CUT_TARGET // n_shards).bit_length() - 1))
@@ -703,8 +715,16 @@ def dsir_weights(
     tcol = target_text_col or text_col
     tgt = _shared(_bucket_counts(target_df, tcol, buckets))
     raw = _shared(_bucket_counts(df, text_col, buckets))
-    nt = int(tgt.agg(F.sum("__c")).collect()[0][0] or 0)
-    nr = int(raw.agg(F.sum("__c")).collect()[0][0] or 0)
+    # ONE driver action for both scalar totals (crossJoin of two 1-row
+    # aggregates — the video_neardup_pairs discipline); both sides are
+    # persisted above, so the ratio join below reuses the materialization
+    _tot = (
+        tgt.agg(F.sum("__c").alias("__nt"))
+        .crossJoin(raw.agg(F.sum("__c").alias("__nr")))
+        .collect()[0]
+    )
+    nt = int(_tot["__nt"] or 0)
+    nr = int(_tot["__nr"] or 0)
     dt, dr = float(nt + s * B), float(nr + s * B)
     ratio = (
         tgt.withColumnRenamed("__c", "__ct")

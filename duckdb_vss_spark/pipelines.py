@@ -1092,8 +1092,28 @@ def curate_corpus(
     out = out.withColumn(
         "quality_ok", F.col("clf_score") >= F.lit(float(quality_threshold))
     )
+    hits = None
     if store is not None:
-        out = store.flag_batch(out, text_col, id_col, threshold=store_threshold)
+        # flag_batch inlined with the matched-id set PERSISTED: the hits
+        # probe is the whole signature chain (batch MinHash shuffle +
+        # band join against every committed snapshot), and it is
+        # re-evaluated by EVERY downstream driver action (the narrow
+        # flag-frame materialization AND the caller's final action both
+        # reference it as a fresh broadcast side — measured as two
+        # ~equal heavy jobs per call, round 12). The set is bounded by
+        # the batch's matched ids — a few longs per duplicate.
+        from .broadcasts import tracked_persist
+
+        hits = tracked_persist(
+            store.match_against(out, text_col, id_col, store_threshold)
+            .select(F.col("id").alias("__mid"))
+            .distinct()
+        )
+        out = (
+            out.join(hits, F.col(id_col) == F.col("__mid"), "left")
+            .withColumn("dup_of_store", F.col("__mid").isNotNull())
+            .drop("__mid")
+        )
     else:
         out = out.withColumn("dup_of_store", F.lit(False))
     if bench is not None or bench_grams is not None:
@@ -1139,9 +1159,11 @@ def curate_corpus(
         )
         kept = stratified_sample(
             # derives from the persisted narrow frame: deterministic, so
-            # the operator's own internal persist would only double-cache
+            # the operator's own internal persist would only double-cache;
+            # the rates dict is one entry per surviving stratum, so it IS
+            # the stratum count — skip the operator's sizing action
             parts.select(id_col, strata_col), strata_col, rates, id_col,
-            internal_persist=False,
+            internal_persist=False, n_strata=len(rates),
         ).select(id_col, F.lit(True).alias("__mix"))
         out = (
             out.join(kept, id_col, "left")
@@ -1169,6 +1191,9 @@ def curate_corpus(
             id_col,
             shard_col=shard,
             internal_persist=False,  # derives from the persisted narrow frame
+            # sharded by the mix strata (their count is len(rates)) or
+            # packed as one logical shard — either way the count is known
+            n_shards=(len(rates) if strata_col is not None else 1),
         ).select(id_col, "pack_id")
         out = out.join(packed, id_col, "left")
     else:
@@ -1192,4 +1217,5 @@ def curate_corpus(
     # the oldest frame — repeated invocations can no longer accumulate
     # caches without bound.
     out._curate_narrow = narrow
+    out._curate_hits = hits
     return out

@@ -512,13 +512,15 @@ def _curate_batch(
         .select(id_col, text_col)
     )
     store.append_snapshot(kept, text_col, id_col, name)
-    narrow = getattr(out, "_curate_narrow", None)
-    if narrow is not None:
-        from ..broadcasts import untrack_persist
+    # unpersist AND vacate the tracked-ring slot, so a long stream's
+    # per-batch frames (the narrow flag frame and the store-match hit
+    # set) don't evict ring entries still in use
+    for attr in ("_curate_narrow", "_curate_hits"):
+        cached = getattr(out, attr, None)
+        if cached is not None:
+            from ..broadcasts import untrack_persist
 
-        # unpersist AND vacate the tracked-ring slot, so a long stream's
-        # per-batch narrow frames don't evict ring entries still in use
-        untrack_persist(narrow)
+            untrack_persist(cached)
 
 
 def stream_curate(
