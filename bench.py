@@ -381,7 +381,15 @@ def main() -> None:
                 blobs.append(encode_bmp(img))
             yield _pd.DataFrame({"doc_id": ids, "content": blobs})
 
-    bmps = docs.select("doc_id").mapInPandas(
+    # Fixture synthesis fans to cluster width first: `docs` is one cached
+    # single-file partition, so every per-doc synthesis kernel below was
+    # serializing onto ONE core (measured round 12: the 10k-clip AVI
+    # synthesis alone ran 20 s single-core inside the setup). For the
+    # cached fixtures this is untimed setup; for this row (bmps is
+    # re-synthesized per rep by design) it is a measurement fix — the
+    # row times the transcode operator, not a 1-core fixture generator.
+    _par = spark.sparkContext.defaultParallelism
+    bmps = docs.select("doc_id").repartition(_par).mapInPandas(
         _synth_bmps, schema="doc_id long, content binary"
     )
     timings["transcode_images"] = run(
@@ -413,7 +421,7 @@ def main() -> None:
                 blobs.append(encode_bmp(img))
             yield _pd.DataFrame({"doc_id": ids, "content": blobs})
 
-    bmps_dup = docs.select("doc_id").mapInPandas(
+    bmps_dup = docs.select("doc_id").repartition(_par).mapInPandas(
         _synth_bmps_dup, schema="doc_id long, content binary"
     ).cache()
     bmps_dup.count()
@@ -462,7 +470,7 @@ def main() -> None:
                 ids.append(i)
             yield _pd.DataFrame({"doc_id": ids, "html": htmls})
 
-    pages = docs.select("doc_id").mapInPandas(
+    pages = docs.select("doc_id").repartition(_par).mapInPandas(
         _synth_pages, schema="doc_id long, html string"
     )
     fetched = bmps_dup.selectExpr(
@@ -507,7 +515,7 @@ def main() -> None:
                 blobs.append(encode_avi_mjpeg(frames, quality=75))
             yield _pd.DataFrame({"doc_id": ids, "content": blobs})
 
-    avis = docs.select("doc_id").mapInPandas(
+    avis = docs.select("doc_id").repartition(_par).mapInPandas(
         _synth_avis, schema="doc_id long, content binary"
     ).cache()
     avis.count()
@@ -547,7 +555,7 @@ def main() -> None:
     # cache the synthesized fixture so reps time decode->fingerprint->join,
     # not the Python-side WAV synthesis (the other rows likewise read
     # cached/parquet inputs; duckdb's twin generates PCM in SQL)
-    wavs = docs.select("doc_id").mapInPandas(
+    wavs = docs.select("doc_id").repartition(_par).mapInPandas(
         _synth_wavs, schema="doc_id long, content binary"
     ).cache()
     wavs.count()

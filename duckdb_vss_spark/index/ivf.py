@@ -127,15 +127,23 @@ def _nearest_centroid(x: np.ndarray, centroids: np.ndarray, dtype=None) -> np.nd
         centroids = centroids.astype(dtype, copy=False)
     n = x.shape[0]
     csq = (centroids * centroids).sum(1)
-    if n <= _NC_CHUNK:
-        d2 = (x * x).sum(1)[:, None] + csq[None, :] - 2.0 * (x @ centroids.T)
+
+    def _chunk_argmin(xc):
+        # d2 = (|x|^2 + |c|^2) - 2 x.c with the SAME association as the
+        # spelled-out expression (values bit-identical, so near-tie
+        # assignments cannot flip), but the subtraction runs in place —
+        # one fewer (chunk x nlist) temporary per call, which dominated
+        # the driver k-means profile at small dims
+        d2 = (xc * xc).sum(1)[:, None] + csq[None, :]
+        d2 -= 2.0 * (xc @ centroids.T)
         return d2.argmin(axis=1)
+
+    if n <= _NC_CHUNK:
+        return _chunk_argmin(x)
     out = np.empty(n, dtype=np.int64)
     for lo in range(0, n, _NC_CHUNK):
         hi = min(n, lo + _NC_CHUNK)
-        xc = x[lo:hi]
-        d2 = (xc * xc).sum(1)[:, None] + csq[None, :] - 2.0 * (xc @ centroids.T)
-        out[lo:hi] = d2.argmin(axis=1)
+        out[lo:hi] = _chunk_argmin(x[lo:hi])
     return out
 
 

@@ -990,6 +990,14 @@ def ngram_jaccard_pairs(
     # stream is at its widest (1e-12 slack covers the double boundary)
     pa = prefix.select(F.col("s"), F.col(id_col).alias("id_a"), F.col("nsz").alias("n_a"))
     pb = prefix.select(F.col("s"), F.col(id_col).alias("id_b"), F.col("nsz").alias("n_b"))
+    # the pair-key repartition carries an EXPLICIT partition count so AQE
+    # does not coalesce it away: the verify stage downstream is
+    # compute-heavy (array_intersect/union over full shingle sets) but
+    # byte-light, and AQE's size-based coalescing was squeezing it onto
+    # 6 of 32 cores (measured round 12 — 2.5 s with 26 cores idle). The
+    # count is the cluster's default parallelism, not a constant. The
+    # dropDuplicates then reuses this exchange's hash partitioning.
+    par = df.sparkSession.sparkContext.defaultParallelism
     cand = (
         pa.join(pb, "s")
         .filter(
@@ -1000,7 +1008,8 @@ def ngram_jaccard_pairs(
             )
         )
         .select("id_a", "id_b")
-        .distinct()
+        .repartition(par, "id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
     # exact verification on the full (distinct, sorted) shingle sets
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))

@@ -70,7 +70,17 @@ def connected_components(
     # join key first, so every round's adj-side Exchange is replaced by
     # the checkpoint's preserved partitioning.
     adj = adj.repartition(F.col("b")).localCheckpoint(eager=False)
-    comp = adj.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    # fused init: label = min(self, neighbors) — the same single shuffle
+    # the old distinct() init paid, but one propagation step ahead, so
+    # the dense near-dup graphs this loop sees (star/clique components
+    # from the banded candidate joins) converge one full round earlier.
+    # Every label is still a node id of the same component, which the
+    # pointer jump below requires.
+    comp = (
+        adj.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("__mb"))
+        .select("node", F.least(F.col("node"), F.col("__mb")).alias("comp"))
+    )
     converged = False
     for _ in range(max_iter):
         nbr = (

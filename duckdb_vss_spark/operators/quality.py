@@ -573,7 +573,8 @@ def stupid_backoff_score(
     order-``n`` table is the big one — gram-keyed shuffle joins, never a
     driver collect), ``2n-1`` probe joins of the exploded token frame
     against the count tables (AQE broadcasts the small low orders), one
-    per-document aggregation. N/V is a single 2-scalar driver aggregate.
+    per-document aggregation. N/V ride as a crossJoined one-row broadcast
+    (zero driver actions in the build).
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -623,8 +624,15 @@ def stupid_backoff_score(
         )
         order = F.size(F.split(F.col("gram"), " "))
         counts = {k: _shared(ext.filter(order == k)) for k in range(1, n + 1)}
-    tot = counts[1].agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
-    N, V = int(tot["n"] or 0), int(tot["v"] or 0)
+    # N (token total) and V (vocab size) ride as columns from a one-row
+    # crossJoined aggregate instead of a driver collect: the collect was
+    # one extra action (~0.5 s at sf0.1) whose only purpose was turning
+    # the two scalars into literals — the arithmetic below is identical
+    # double math either way
+    tot = counts[1].agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("double").alias("__N"),
+        F.count(F.lit(1)).cast("double").alias("__V"),
+    )
 
     # probe joins: order-k gram count as ck, order-k context count as xk_c
     # (context of order k is an order-(k-1) gram, so it probes counts[k-1])
@@ -640,6 +648,7 @@ def stupid_backoff_score(
             f"x{k}",
             "left",
         )
+    rows = rows.crossJoin(F.broadcast(tot))
 
     k0 = F.least(F.col("__pos") + 1, F.lit(n))
     lp = None
@@ -650,12 +659,15 @@ def stupid_backoff_score(
             + (k0 - k).cast("double") * F.lit(ln_a)
         )
         lp = F.when(hit, term) if lp is None else lp.when(hit, term)
+    # __N is the exact double of the integer token total and __N + __V an
+    # exact double sum (both < 2^53), so these match the old
+    # float(N) / float(N + V) literals bit-for-bit
     uni = (
-        F.log(F.col("c1").cast("double") / F.lit(float(N)))
+        F.log(F.col("c1").cast("double") / F.col("__N"))
         + (k0 - 1).cast("double") * F.lit(ln_a)
     )
     floor = (
-        F.log(F.lit(1.0) / F.lit(float(N + V)))
+        F.log(F.lit(1.0) / (F.col("__N") + F.col("__V")))
         + (k0 - 1).cast("double") * F.lit(ln_a)
     )
     hit1 = F.col("c1").isNotNull()

@@ -1084,10 +1084,17 @@ def curate_corpus(
     own oracle-gated plan — this function only wires flag joins, all on
     the id column.
     """
+    from .operators.dedup import _fan_out
     from .operators.quality import classifier_score, decontaminate
     from .operators.sampling import pack_sequences, stratified_sample, temperature_rates
 
-    out = classifier_score(docs, text_col)
+    # fan the document frame to cluster width FIRST: a single-file source
+    # arrives as one partition, and the recipe's map-only stages
+    # (classifier, token counts, decontamination probe) inherit it — the
+    # whole quality pass was measured serializing onto one core while 31
+    # idled (round 12; the MinHash stage re-fans itself, these do not).
+    # Doc rows are cheap to shuffle relative to anything derived from them.
+    out = classifier_score(_fan_out(docs), text_col)
     out = out.withColumn("n_tok", T.token_count(F.col(text_col)))
     out = out.withColumn(
         "quality_ok", F.col("clf_score") >= F.lit(float(quality_threshold))
