@@ -285,6 +285,7 @@ def hash_transcode_images(
     with_stats: bool = False,
     passthrough: bool = False,
     out_col: str | None = None,
+    transcode: bool = True,
 ) -> DataFrame:
     """Fused decode → pHash + resize + JPEG re-encode in ONE pass over
     the image bytes — the hot loop of
@@ -318,7 +319,14 @@ def hash_transcode_images(
     emitting them costs serialization only, while the alternative —
     joining this output back to the input on id — sort-merge-exchanges
     the full byte column across the cluster
-    (:func:`~duckdb_vss_spark.pipelines.image_curate` round-11 fix)."""
+    (:func:`~duckdb_vss_spark.pipelines.image_curate` round-11 fix).
+
+    ``transcode=False`` skips the resize + JPEG re-encode and emits NULL
+    for ``out_col`` (schema unchanged) — for consumers that only need
+    the hash/dims/stats signals (the image-text pair ledger never ships
+    thumbnails; encoding 10k-per-batch thumbnails nobody reads was ~30%
+    of that recipe's kernel CPU — round 12, guide §1.2: don't compute
+    what you throw away)."""
     if on_error not in ("flag", "raise"):
         raise ValueError("on_error must be 'flag' or 'raise'")
     from pyspark.sql.types import (
@@ -371,10 +379,13 @@ def hash_transcode_images(
                     arr = _decode_image_bytes(blob)
                     h0, w0 = arr.shape[:2]
                     ph = phash_kernel(arr)
-                    out = _resize_kernel(arr, new_width, new_height, method)
-                    enc = encode_jpeg(
-                        np.clip(np.rint(out), 0, 255).astype(np.uint8), quality=quality
-                    )
+                    if transcode:
+                        out = _resize_kernel(arr, new_width, new_height, method)
+                        enc = encode_jpeg(
+                            np.clip(np.rint(out), 0, 255).astype(np.uint8), quality=quality
+                        )
+                    else:
+                        enc = None
                     if with_stats:
                         for k, v in zip(_STAT_COLS, _stats_kernel(arr)[2:]):
                             stats[k].append(v)

@@ -335,6 +335,7 @@ def image_curate(
     min_entropy: float | None = None,
     store=None,
     snapshot: str | None = None,
+    thumbnail: bool = True,
 ) -> DataFrame:
     """The image analog of :func:`curate_corpus` / :func:`audio_curate`:
     decode-gate → perceptual near-dup clustering → thumbnail transcode,
@@ -414,6 +415,10 @@ def image_curate(
             with_stats=want_stats,
             passthrough=True,
             out_col="thumb",
+            # thumbnail=False callers (the image-text pair ledger) never
+            # read the thumb column — skip the resize+JPEG work entirely
+            # (the column stays, NULL)
+            transcode=thumbnail,
         )
     )
     gate = (
@@ -774,6 +779,9 @@ def image_text_curate(
         min_entropy=min_entropy,
         store=store,
         snapshot=snapshot,
+        # the pair ledger carries flags and hashes, never thumbnails —
+        # don't pay the 10k-per-batch JPEG encodes nobody reads
+        thumbnail=False,
     )
     flag_cols = [
         F.col("__iurl"),
