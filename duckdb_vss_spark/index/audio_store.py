@@ -151,6 +151,10 @@ class AudioFingerprintStore:
         rows = self.key_rows(df, content_col, id_col).withColumn(
             "snapshot", F.lit(snapshot)
         )
+        # cluster by key bucket before the write (the MinHashStore
+        # discipline: fewer small files + commit ops per batch-scale
+        # snapshot; AQE sizes the partition count)
+        rows = rows.repartition(F.col("kb"))
         rows.write.partitionBy("kb").parquet(out, mode="overwrite")
         names = fs.listdir(self.spark, out)
         has_data = any(

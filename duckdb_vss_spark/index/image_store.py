@@ -198,8 +198,28 @@ class ImageHashStore:
 
         obs = Observation()
         rows = rows.observe(obs, F.count(F.lit(1)).alias("rows"))
+        # cluster by band before the write (see MinHashStore: fewer
+        # small files + commit ops per batch-scale snapshot)
+        rows = rows.repartition(F.col("band"))
         rows.write.partitionBy("band").parquet(out, mode="overwrite")
-        n = int(obs.get["rows"]) // int(self.manifest["bands"])
+        try:
+            n = int(obs.get["rows"]) // int(self.manifest["bands"])
+        except Exception:
+            # an EMPTY batch: AQE's empty-relation propagation can
+            # eliminate the CollectMetrics node with the rest of the
+            # plan, so no metrics row exists — prove emptiness (or not)
+            # from the directory listing, as the pre-Observation code did
+            names = fs.listdir(self.spark, out)
+            has_data = any(
+                nm.startswith("band=")
+                or (nm.startswith("part-") and not nm.endswith(".crc"))
+                for nm in names
+            )
+            n = (
+                self.spark.read.parquet(out).select("id").distinct().count()
+                if has_data
+                else 0
+            )
         entry = {"name": snapshot, "dir": dirname, "n_images": n}
         self.manifest["snapshots"].append(entry)
         self.manifest["n_images"] += n

@@ -193,6 +193,10 @@ class VideoFingerprintStore:
         rows = self.key_rows(df, id_col, content_col, keys_df).withColumn(
             "snapshot", F.lit(snapshot)
         )
+        # cluster by key bucket before the write (the MinHashStore
+        # discipline: fewer small files + commit ops per batch-scale
+        # snapshot; AQE sizes the partition count)
+        rows = rows.repartition(F.col("kb"))
         rows.write.partitionBy("kb").parquet(out, mode="overwrite")
         names = fs.listdir(self.spark, out)
         has_data = any(
