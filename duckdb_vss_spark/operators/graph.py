@@ -206,10 +206,13 @@ def pagerank(
         .unionByName(e.select(F.col("__dst").alias("id")))
         .distinct()
     )
-    nodes = nodes.localCheckpoint(eager=True)
+    # lazy checkpoints (round 12): both frames are shared RDDs across
+    # every iteration's plan, so they materialize once inside the first
+    # consuming job — eager=True only added two driver-blocking actions
+    nodes = nodes.localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(1.0))
     ed = e.join(deg, "__src")  # (src, dst, out_deg) — static across iterations
-    ed = ed.localCheckpoint(eager=True)
+    ed = ed.localCheckpoint(eager=False)
     from ..functions.text import hash64
 
     bkt = F.pmod(hash64(F.col("__src").cast("string"), seed="prb:"), PAGERANK_FOLD_BUCKETS)

@@ -1160,59 +1160,105 @@ def curate_corpus(
     if strata_col is not None or pack_budget is not None:
         from .broadcasts import tracked_persist
 
-        cols = [id_col, "n_tok", "quality_ok", "dup_of_store", "contaminated"]
+        cols = [
+            id_col, "clf_score", "n_tok", "quality_ok", "dup_of_store",
+            "n_hit_grams", "contaminated",
+        ]
         if "ingest_keep" in docs.columns:
             cols.append("ingest_keep")
         for extra in (strata_col, mix_weight_col):
             if extra is not None and extra not in cols:
                 cols.append(extra)
         narrow = tracked_persist(out.select(*cols))
-    if strata_col is not None:
-        parts = narrow.filter(surv)
-        rates = temperature_rates(
-            parts, strata_col, alpha, weight_col=mix_weight_col, target_total=mix_target
-        )
-        kept = stratified_sample(
-            # derives from the persisted narrow frame: deterministic, so
-            # the operator's own internal persist would only double-cache;
-            # the rates dict is one entry per surviving stratum, so it IS
-            # the stratum count — skip the operator's sizing action
-            parts.select(id_col, strata_col), strata_col, rates, id_col,
-            internal_persist=False, n_strata=len(rates),
-        ).select(id_col, F.lit(True).alias("__mix"))
-        out = (
-            out.join(kept, id_col, "left")
-            # participants that lost the race: False; non-participants:
-            # True (dropped by their own flag, not this one)
-            .withColumn("mix_keep", F.coalesce(F.col("__mix"), ~surv))
-            .drop("__mix")
-        )
-    else:
+    if narrow is None:
+        # no mixing, no packing: the plan stays PURELY map-only over the
+        # documents (plus the bounded broadcast probes) — no shuffle of
+        # the text column at all
         out = out.withColumn("mix_keep", F.lit(True))
-    keep = surv & F.col("mix_keep")
-    out = out.withColumn("curate_keep", keep)
-    if pack_budget is not None:
-        shard = strata_col
-        # kept rows, reconstructed narrow-side: keep = surv AND won-the-mix
-        # (non-participants' mix_keep=True never reaches the pack — their
-        # surv is False)
-        pack_src = narrow.filter(surv)
-        if strata_col is not None:
-            pack_src = pack_src.join(kept.select(id_col), id_col)
-        packed = pack_sequences(
-            pack_src.select(id_col, "n_tok", *([shard] if shard else [])),
-            "n_tok",
-            pack_budget,
-            id_col,
-            shard_col=shard,
-            internal_persist=False,  # derives from the persisted narrow frame
-            # sharded by the mix strata (their count is len(rates)) or
-            # packed as one logical shard — either way the count is known
-            n_shards=(len(rates) if strata_col is not None else 1),
-        ).select(id_col, "pack_id")
-        out = out.join(packed, id_col, "left")
-    else:
+        out = out.withColumn("curate_keep", surv & F.col("mix_keep"))
         out = out.withColumn("pack_id", F.lit(None).cast("long"))
+    else:
+        # The mix/pack joins force one id-keyed exchange of the document
+        # rows no matter what, so the final frame is assembled as ONE
+        # join of the documents against a consolidated per-id decision
+        # frame built entirely from the persisted narrow flags. The
+        # previous shape joined kept/packed into the RAW heavy chain,
+        # and the optimizer duplicated the classifier/token expressions
+        # into 7 plan branches (round-12 plan audit) — every final-action
+        # row paid the quality chain several times over; now the heavy
+        # operators run exactly once, to materialize the narrow frame.
+        decisions = narrow
+        if strata_col is not None:
+            parts = narrow.filter(surv)
+            rates = temperature_rates(
+                parts, strata_col, alpha, weight_col=mix_weight_col,
+                target_total=mix_target,
+            )
+            kept = stratified_sample(
+                # derives from the persisted narrow frame: deterministic,
+                # so the operator's own internal persist would only
+                # double-cache; the rates dict is one entry per surviving
+                # stratum, so it IS the stratum count — skip the
+                # operator's sizing action
+                parts.select(id_col, strata_col), strata_col, rates, id_col,
+                internal_persist=False, n_strata=len(rates),
+            ).select(id_col, F.lit(True).alias("__mix"))
+            decisions = (
+                decisions.join(kept, id_col, "left")
+                # participants that lost the race: False; non-participants:
+                # True (dropped by their own flag, not this one)
+                .withColumn("mix_keep", F.coalesce(F.col("__mix"), ~surv))
+                .drop("__mix")
+            )
+        else:
+            decisions = decisions.withColumn("mix_keep", F.lit(True))
+        decisions = decisions.withColumn("curate_keep", surv & F.col("mix_keep"))
+        if pack_budget is not None:
+            shard = strata_col
+            # kept rows, reconstructed narrow-side: keep = surv AND
+            # won-the-mix (non-participants' mix_keep=True never reaches
+            # the pack — their surv is False)
+            pack_src = narrow.filter(surv)
+            if strata_col is not None:
+                pack_src = pack_src.join(kept.select(id_col), id_col)
+            packed = pack_sequences(
+                pack_src.select(id_col, "n_tok", *([shard] if shard else [])),
+                "n_tok",
+                pack_budget,
+                id_col,
+                shard_col=shard,
+                internal_persist=False,  # derives from the persisted narrow frame
+                # sharded by the mix strata (their count is len(rates)) or
+                # packed as one logical shard — either way the count is known
+                n_shards=(len(rates) if strata_col is not None else 1),
+            ).select(id_col, "pack_id")
+            decisions = decisions.join(packed, id_col, "left")
+        else:
+            decisions = decisions.withColumn("pack_id", F.lit(None).cast("long"))
+        new_cols = [
+            "clf_score", "n_tok", "quality_ok", "dup_of_store",
+            "n_hit_grams", "contaminated", "mix_keep", "curate_keep", "pack_id",
+        ]
+        # reproduce the incremental-withColumn semantics exactly: a flag
+        # column the input ALREADY had (e.g. a crawl front's
+        # dup_of_store) is REPLACED in place, the rest append in order
+        d = docs.alias("__curate_docs")
+        f = decisions.select(id_col, *new_cols).alias("__curate_flags")
+        joined = d.join(f, id_col)
+        sel = []
+        for c in docs.columns:
+            if c == id_col:
+                sel.append(F.col(id_col))
+            elif c in new_cols:
+                sel.append(F.col(f"__curate_flags.{c}").alias(c))
+            else:
+                sel.append(F.col(f"__curate_docs.{c}").alias(c))
+        sel += [
+            F.col(f"__curate_flags.{c}").alias(c)
+            for c in new_cols
+            if c not in docs.columns
+        ]
+        out = joined.select(*sel)
     if snapshot is not None:
         if store is None:
             raise ValueError("snapshot commit requires a store")
