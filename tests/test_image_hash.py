@@ -843,3 +843,31 @@ def test_hamming_pairs_differential_fuzz(spark):
             assert set(got) <= set(brute), cfg
             assert all(got[k] == brute[k] for k in got), cfg
             assert set(dup_pairs) <= set(got), cfg
+
+
+def test_hash_transcode_skip_transcode_signals_equal(spark):
+    """transcode=False (the image-text pair recipe's mode) must emit the
+    SAME phash/dims/flags as the full pass with a NULL thumbnail — the
+    optimization skips work nobody reads, never changes a signal."""
+    import pandas as pd
+
+    from duckdb_vss_spark.operators.image import hash_transcode_images
+    from duckdb_vss_spark.operators.multimodal import encode_png
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "image_id": [1, 2, 3],
+        "content": [encode_png(_photo(1)), encode_png(_photo(2)), b"corrupt"],
+    }))
+    full = {r["image_id"]: r for r in hash_transcode_images(
+        df, "image_id", 16, 16, passthrough=True, out_col="thumb"
+    ).collect()}
+    skip = {r["image_id"]: r for r in hash_transcode_images(
+        df, "image_id", 16, 16, passthrough=True, out_col="thumb", transcode=False
+    ).collect()}
+    assert set(full) == set(skip) == {1, 2, 3}
+    for i in (1, 2, 3):
+        for c in ("phash", "width", "height", "ok", "err"):
+            assert full[i][c] == skip[i][c], (i, c)
+    assert skip[1]["thumb"] is None and full[1]["thumb"] is not None
+    # undecodable rows still flag identically
+    assert not skip[3]["ok"] and skip[3]["err"]

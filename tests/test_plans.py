@@ -391,7 +391,11 @@ def test_image_curate_bytes_never_join_shuffled(spark):
         and "hashpartitioning" in nd          # join shuffles; the _fan_out
         and ("content#" in nd or "thumb#" in nd)  # width repartition is RoundRobin
     ]
-    assert len(byte_exchanges) == 1, plan
+    # round 11 pinned EXACTLY one byte-carrying hash Exchange (the
+    # cluster-id attach); round 12's lazy-checkpoint label frame lets
+    # the planner BROADCAST the labels instead, so the ideal is now ZERO
+    # — the contract stays "at most the one attach exchange"
+    assert len(byte_exchanges) <= 1, plan
     # and the byte frame is produced by ONE fused kernel pass, not joined
     # back to a second scan of the input (node-entry count: AQE repeats
     # the join in the tree and Initial Plan text sections)
@@ -432,4 +436,6 @@ def test_video_curate_bytes_and_pixels_never_shuffled(spark):
         and "hashpartitioning" in nd
         and "content#" in nd
     ]
-    assert len(byte_exchanges) == 1, plan
+    # same contract as the image pin above: at most the one attach
+    # exchange (zero when the label frame broadcasts — round 12)
+    assert len(byte_exchanges) <= 1, plan
