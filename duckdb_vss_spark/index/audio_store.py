@@ -151,21 +151,53 @@ class AudioFingerprintStore:
         rows = self.key_rows(df, content_col, id_col).withColumn(
             "snapshot", F.lit(snapshot)
         )
-        # cluster by key bucket before the write (the MinHashStore
-        # discipline: fewer small files + commit ops per batch-scale
-        # snapshot; AQE sizes the partition count)
-        rows = rows.repartition(F.col("kb"))
+        # The clip count folds into the WRITE job via the Observation API
+        # (the MinHashStore discipline): fingerprint_keys posexplodes key
+        # positions, so every clip with >= 1 key emits EXACTLY ONE t == 0
+        # row — count_if(t = 0) IS the committed distinct-clip count, and
+        # the per-commit read-back (one extra driver action + a full file
+        # listing, a cluster barrier per commit at streaming scale) goes.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        rows = rows.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.count_if(F.col("t") == 0).alias("clips"),
+        )
+        # cluster by (key bucket, id-hash) before the write (the
+        # MinHashStore discipline: fewer small files per batch-scale
+        # snapshot via AQE coalescing, cluster-width spread for corpus-
+        # scale initial builds instead of the distinct-bucket ceiling)
+        par = max(1, int(self.spark.sparkContext.defaultParallelism))
+        rows = rows.repartition(
+            F.col("kb"), F.pmod(F.xxhash64(F.col("id")), F.lit(par))
+        )
         rows.write.partitionBy("kb").parquet(out, mode="overwrite")
-        names = fs.listdir(self.spark, out)
-        has_data = any(
-            n.startswith("kb=") or (n.startswith("part-") and not n.endswith(".crc"))
-            for n in names
-        )
-        n = (
-            self.spark.read.parquet(out).select("id").distinct().count()
-            if has_data
-            else 0
-        )
+        try:
+            got = obs.get
+            n = int(got["clips"])
+            if n == 0 and int(got["rows"]) > 0:
+                # defensive: key rows without the t==0 marker cannot come
+                # from fingerprint_keys, but prove the count from the
+                # written snapshot rather than silently committing 0
+                n = self.spark.read.parquet(out).select("id").distinct().count()
+        except Exception:
+            # an EMPTY batch: AQE's empty-relation propagation can
+            # eliminate the CollectMetrics node with the rest of the
+            # plan, so no metrics row exists — prove emptiness (or not)
+            # from the directory listing, as the pre-Observation code did
+            names = fs.listdir(self.spark, out)
+            has_data = any(
+                nm.startswith("kb=")
+                or (nm.startswith("part-") and not nm.endswith(".crc"))
+                for nm in names
+            )
+            n = (
+                self.spark.read.parquet(out).select("id").distinct().count()
+                if has_data
+                else 0
+            )
         entry = {"name": snapshot, "dir": dirname, "n_clips": n}
         self.manifest["snapshots"].append(entry)
         self.manifest["n_clips"] += n

@@ -182,10 +182,18 @@ class MinHashStore:
         # cluster by the partition column before the write: without it
         # every task writes one file per band it holds (tasks x bands
         # small files + their commit overhead, measured 0.53 s -> 0.34 s
-        # per snapshot at the bench scale). Snapshots are BATCH-scale
-        # (incremental commits), so one partition per band of a batch is
-        # bounded; AQE sizes the actual partition count.
-        rows = rows.repartition(F.col("band"))
+        # per snapshot at the bench scale). The key is COMPOSITE
+        # (band, pmod(xxhash64(id), defaultParallelism)): clustering on
+        # band alone capped write parallelism at the distinct-band count
+        # (~16 tasks for a 100 TB initial build); the deterministic id
+        # sub-key keeps bands x parallelism distinct keys so a
+        # corpus-scale commit spreads to cluster width, while AQE's
+        # coalescing (REPARTITION_BY_COL origin) still folds a batch-
+        # scale commit into the same few files per band as before.
+        par = max(1, int(self.spark.sparkContext.defaultParallelism))
+        rows = rows.repartition(
+            F.col("band"), F.pmod(F.xxhash64(F.col("id")), F.lit(par))
+        )
         rows.write.partitionBy("band").parquet(out, mode="overwrite")
         try:
             n = int(obs.get["rows"]) // int(self.manifest["bands"])

@@ -198,9 +198,14 @@ class ImageHashStore:
 
         obs = Observation()
         rows = rows.observe(obs, F.count(F.lit(1)).alias("rows"))
-        # cluster by band before the write (see MinHashStore: fewer
-        # small files + commit ops per batch-scale snapshot)
-        rows = rows.repartition(F.col("band"))
+        # cluster by (band, id-hash) before the write (see MinHashStore:
+        # fewer small files per batch-scale snapshot via AQE coalescing,
+        # cluster-width spread for corpus-scale initial builds instead
+        # of the distinct-band task ceiling)
+        par = max(1, int(self.spark.sparkContext.defaultParallelism))
+        rows = rows.repartition(
+            F.col("band"), F.pmod(F.xxhash64(F.col("id")), F.lit(par))
+        )
         rows.write.partitionBy("band").parquet(out, mode="overwrite")
         try:
             n = int(obs.get["rows"]) // int(self.manifest["bands"])

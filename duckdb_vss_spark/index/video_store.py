@@ -193,21 +193,54 @@ class VideoFingerprintStore:
         rows = self.key_rows(df, id_col, content_col, keys_df).withColumn(
             "snapshot", F.lit(snapshot)
         )
-        # cluster by key bucket before the write (the MinHashStore
-        # discipline: fewer small files + commit ops per batch-scale
-        # snapshot; AQE sizes the partition count)
-        rows = rows.repartition(F.col("kb"))
+        # The clip count folds into the WRITE job via the Observation API
+        # (the MinHashStore discipline): frame grids always sample frame 0
+        # (fi % every_nth == 0 at fi = 0), so every decodable clip emits
+        # EXACTLY ONE t == 0 row — count_if(t = 0) IS the committed
+        # distinct-clip count, and the per-commit read-back (one extra
+        # driver action + a full file listing, a cluster barrier per
+        # commit at streaming scale) goes. A caller-shaped ``keys_df``
+        # without a t == 0 marker row falls back to the proven read-back.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        rows = rows.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.count_if(F.col("t") == 0).alias("clips"),
+        )
+        # cluster by (key bucket, id-hash) before the write (the
+        # MinHashStore discipline: fewer small files per batch-scale
+        # snapshot via AQE coalescing, cluster-width spread for corpus-
+        # scale initial builds instead of the distinct-bucket ceiling)
+        par = max(1, int(self.spark.sparkContext.defaultParallelism))
+        rows = rows.repartition(
+            F.col("kb"), F.pmod(F.xxhash64(F.col("id")), F.lit(par))
+        )
         rows.write.partitionBy("kb").parquet(out, mode="overwrite")
-        names = fs.listdir(self.spark, out)
-        has_data = any(
-            n.startswith("kb=") or (n.startswith("part-") and not n.endswith(".crc"))
-            for n in names
-        )
-        n = (
-            self.spark.read.parquet(out).select("id").distinct().count()
-            if has_data
-            else 0
-        )
+        try:
+            got = obs.get
+            n = int(got["clips"])
+            if n == 0 and int(got["rows"]) > 0:
+                # keys_df without a frame-0 marker row (not a frame_phash
+                # grid): prove the count from the written snapshot
+                n = self.spark.read.parquet(out).select("id").distinct().count()
+        except Exception:
+            # an EMPTY batch: AQE's empty-relation propagation can
+            # eliminate the CollectMetrics node with the rest of the
+            # plan, so no metrics row exists — prove emptiness (or not)
+            # from the directory listing, as the pre-Observation code did
+            names = fs.listdir(self.spark, out)
+            has_data = any(
+                nm.startswith("kb=")
+                or (nm.startswith("part-") and not nm.endswith(".crc"))
+                for nm in names
+            )
+            n = (
+                self.spark.read.parquet(out).select("id").distinct().count()
+                if has_data
+                else 0
+            )
         entry = {"name": snapshot, "dir": dirname, "n_clips": n}
         self.manifest["snapshots"].append(entry)
         self.manifest["n_clips"] += n

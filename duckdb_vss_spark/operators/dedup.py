@@ -294,7 +294,18 @@ def minhash_per_doc(
     """
     from ..functions.text import minhash_from_halves
 
-    shingled = _fan_out(df).select(
+    # KEYED fan-out (round 13): hash-partition the doc rows BY id rather
+    # than round-robin. The groupBy(id) below then reuses this exchange
+    # (hashpartitioning(id) satisfies the aggregate's distribution), so
+    # the exploded shingle->hash rows — 3-4x the doc bytes — never cross
+    # a shuffle: the only exchange in the signature chain moves the
+    # narrow doc rows once (guide §2.4/§8: shuffle the lightweight rows,
+    # compute the heavy derivation after the exchange). Ids are unique,
+    # so the hash spread is as even as round-robin. Width keeps the
+    # larger of cluster parallelism and the input's own partitioning.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    keyed = df.repartition(max(par, df.rdd.getNumPartitions()), F.col(id_col))
+    shingled = keyed.select(
         F.col(id_col), F.explode(word_ngrams(text_col, shingle_n)).alias("s")
     )
     hashed = shingled.select(
