@@ -249,9 +249,13 @@ def build_graph(
             yield pdf.assign(cell=_nearest_centroid(mat, c).astype(np.int32))
 
     assigned = src.mapInPandas(assign_cell, schema=f"id {id_t}, vec array<float>, cell int")
-    # cell -> shard plan: greedy-pack consecutive cells up to part_rows per
-    # shard; an oversized cell gets its own run of hash sub-shards. The
-    # per-shard graph build is quadratic, so boundedness is load-bearing.
+    # The assignment pass (a GEMM over EVERY vector) feeds two consumers:
+    # the per-cell counts collect below and the shard build/write job.
+    # Unpersisted it ran TWICE — the second full nearest-centroid pass was
+    # the single largest avoidable cost of the build (round 13; guide §5
+    # persist-when-reused). MEMORY_AND_DISK spills rather than evicts, so
+    # at corpus scale the second read is a disk scan, not a re-GEMM.
+    assigned = assigned.persist()
     counts = {r["cell"]: r["n"] for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
     starts, nsubs = [], []
     next_pid, acc_rows, cur_pid = 0, 0, -1
@@ -306,6 +310,8 @@ def build_graph(
     built = sharded.drop("cell").groupBy("part_id").applyInPandas(build_part, schema=out_schema)
     vdir = fs.join(path, version)
     built.write.mode("overwrite").partitionBy("part_id").parquet(fs.join(vdir, "data"))
+    # build artifacts are on disk; the assignment cache has no third reader
+    assigned.unpersist(blocking=False)
     fs.write_npy(spark, fs.join(vdir, "centroids.npy"), centroids)
     manifest = {
         "format": GRAPH_FORMAT,

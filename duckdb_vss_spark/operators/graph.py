@@ -57,7 +57,7 @@ def connected_components(
     labels would silently split one true component into several.
     """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    adj = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    adj = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # adj is referenced by EVERY iteration's join; without materialization
     # the whole upstream pair plan (often an expensive banded dedup join)
     # re-executes once per round — measured 35 s -> 13 s on the 100k-image
@@ -69,7 +69,19 @@ def connected_components(
     # everything in the same job), and adj is hash-partitioned by the
     # join key first, so every round's adj-side Exchange is replaced by
     # the checkpoint's preserved partitioning.
-    adj = adj.repartition(F.col("b")).localCheckpoint(eager=False)
+    # ONE exchange instead of two (round 13): the edge dedup used to run
+    # distinct() (Exchange on (a, b)) and THEN repartition(b) (a second
+    # full Exchange of the deduped list). hashpartitioning(b) satisfies
+    # the dedup aggregate's ClusteredDistribution([a, b]) — equal (a, b)
+    # rows share b, so they co-locate — which means dropDuplicates AFTER
+    # the b-repartition dedups in place and the planner inserts no second
+    # exchange: the edge list crosses the wire once, already laid out for
+    # every iteration's join.
+    adj = (
+        adj.repartition(F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)
+    )
     # fused init: label = min(self, neighbors) — the same single shuffle
     # the old distinct() init paid, but one propagation step ahead, so
     # the dense near-dup graphs this loop sees (star/clique components
