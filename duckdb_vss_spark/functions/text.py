@@ -340,5 +340,29 @@ def hashed_embedding(col, dim: int = 64) -> Column:
         zero,
         lambda acc, p: F.transform(acc, lambda x, i: F.when(i == p["b"], x + p["s"]).otherwise(x)),
     )
-    nrm = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda a, x: a + x * x))
-    return F.transform(emb, lambda x: F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0)))
+    # let-bind the fold result and the norm (round 13): the normalizing
+    # transform's lambda references the norm twice PER ELEMENT, and the
+    # norm subtree contains the whole token fold — inlined, the fold was
+    # re-evaluated ~2*dim times per row (measured 36 ms/row at dim=64;
+    # the same HOF collapse trap the tokh comment above guards against,
+    # one level up). A lambda variable is a bound value, so `e` and `n`
+    # are each computed once per row; arithmetic and order are unchanged,
+    # so outputs stay bit-identical (every addend is ±1.0 — see above).
+    return _let(
+        emb,
+        lambda e: _let(
+            F.sqrt(F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x)),
+            lambda n: F.transform(
+                e, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0))
+            ),
+        ),
+    )
+
+
+def _let(value: Column, body) -> Column:
+    """Expression-level let-binding: bind ``value`` to a HOF lambda
+    variable (a bound VALUE, evaluated once per invocation) and return
+    ``body(var)`` — a subtree referenced many times in ``body`` is then
+    computed once instead of being inlined per reference (the
+    CollapseProject/HOF re-evaluation trap)."""
+    return F.get(F.transform(F.array(value), body), 0)

@@ -737,10 +737,19 @@ def classifier_score(
 
     feats = _hashed_features(text_col, buckets)
     if weights_df is None:
-        n = F.size(feats)
-        s = F.aggregate(feats, F.lit(0.0), lambda a, b: a + _hash_weight(b))
-        logit = F.lit(bias) + F.when(n > 0, s / n.cast("double")).otherwise(F.lit(0.0))
-        return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)))
+        from ..functions.text import _let
+
+        # let-bind the feature array (round 13): `size` and the weight
+        # fold both referenced `feats`, so the tokenize+hash pipeline ran
+        # twice per row; a bound lambda variable evaluates it once. Same
+        # arithmetic, bit-identical scores.
+        def _score(fs):
+            n = F.size(fs)
+            s = F.aggregate(fs, F.lit(0.0), lambda a, b: a + _hash_weight(b))
+            logit = F.lit(bias) + F.when(n > 0, s / n.cast("double")).otherwise(F.lit(0.0))
+            return F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+
+        return df.withColumn(out_col, _let(feats, _score))
     if id_col is None:
         raise ValueError("weights_df scoring needs id_col to fold per document")
     from .dedup import _fan_out
