@@ -244,6 +244,7 @@ def test_audio_store_lifecycle_and_matching(spark, tmp_path):
     assert st2.vacuum() == ["snap-000000"]
 
 
+@pytest.mark.slow  # opt-in: heavy steady-state/property tier (see pytest.ini)
 def test_audio_store_incremental_loop_via_audio_curate(spark, tmp_path):
     """Batch N+1 dedups against what batch N KEPT: the audio edition of
     the crawl_ingest steady-state loop."""
@@ -777,3 +778,62 @@ def test_image_store_capped_match_contract_property(spark, tmp_path):
                 "img_id", hash_col="phash", max_hamming=BOUND, max_bucket=CAP,
             ).collect()}
         assert got == expected(stored, batch), seed
+
+
+def test_audio_video_store_commit_needs_no_readback(spark, tmp_path, monkeypatch):
+    """Round-13 pin: the audio/video store commit folds the distinct-clip
+    count into the WRITE job (Observation over the t==0 marker rows), so
+    the happy path must neither list the snapshot directory nor re-read
+    the parquet it just wrote. Proven by poisoning the read-back surfaces
+    for the duration of the append."""
+    import numpy as np
+
+    from duckdb_vss_spark.index import fs
+    from duckdb_vss_spark.index.audio_store import AudioFingerprintStore
+    from duckdb_vss_spark.index.video_store import VideoFingerprintStore
+    from duckdb_vss_spark.operators.multimodal import encode_wav
+    from duckdb_vss_spark.operators.video import encode_avi_mjpeg
+
+    def synth_wav(g):
+        j = np.arange(2048, dtype=np.int64)
+        pcm = (((j * (4093 + g * 2) + g * 12289) % 65536) - 32768).astype(np.int16)
+        return encode_wav(pcm, 8000)
+
+    wavs = spark.createDataFrame(
+        [(i, synth_wav(i % 3)) for i in range(6)], "clip_id long, content binary"
+    )
+    ast = AudioFingerprintStore.create(
+        spark, str(tmp_path / "ast"), frame=128, blocks=8
+    )
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 255, size=(16, 16, 3)).astype(np.uint8) for _ in range(3)]
+    avis = spark.createDataFrame(
+        [(i, encode_avi_mjpeg(frames, quality=70)) for i in range(4)],
+        "clip_id long, content binary",
+    )
+    vst = VideoFingerprintStore.create(spark, str(tmp_path / "vst"))
+
+    real_listdir = fs.listdir
+
+    def poisoned_listdir(spark_, path):
+        raise AssertionError(f"commit read back the snapshot dir: {path}")
+
+    orig_read = spark.read.__class__.parquet
+    committed_dirs = []
+
+    def poisoned_parquet(self, *paths):
+        for p in paths:
+            for d in committed_dirs:
+                if p.startswith(d):
+                    raise AssertionError(f"commit re-read its own snapshot: {p}")
+        return orig_read(self, *paths)
+
+    monkeypatch.setattr(fs, "listdir", poisoned_listdir)
+    monkeypatch.setattr(spark.read.__class__, "parquet", poisoned_parquet)
+    committed_dirs.append(str(tmp_path / "ast"))
+    committed_dirs.append(str(tmp_path / "vst"))
+    entry_a = ast.append_snapshot(wavs, "content", "clip_id", "s1")
+    entry_v = vst.append_snapshot(avis, "clip_id", "s1", content_col="content")
+    monkeypatch.setattr(fs, "listdir", real_listdir)
+    assert entry_a["n_clips"] == 6
+    assert entry_v["n_clips"] == 4

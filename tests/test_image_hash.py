@@ -749,6 +749,7 @@ def test_escalate_banding_is_same_chunk_only():
     assert _escalate_banding(64, 1, 2, 1) is None      # 2w = 64 > 62 guard
 
 
+@pytest.mark.slow  # opt-in: heavy steady-state/property tier (see pytest.ini)
 def test_hamming_pairs_differential_fuzz(spark):
     """Differential fuzz vs brute force over random configurations
     (nbits x bands x combo x cap x expansion): uncapped or WARNING-FREE

@@ -916,6 +916,7 @@ def test_image_text_curate_postfetch_full_chain(spark):
                for r in out.values())
 
 
+@pytest.mark.slow  # opt-in: heavy steady-state/property tier (see pytest.ini)
 def test_image_text_curate_store_loop(spark, tmp_path):
     """The LAION loop's cross-batch half: batch 2's re-fetch of a batch-1
     image under a BRAND-NEW URL (URL dedup blind) is caught by the

@@ -306,6 +306,7 @@ def test_b1_scan_prunes_vec_column(spark, tmp_path):
     assert all("vec" not in ln.split("ReadSchema:")[1] for ln in approx_scans)
 
 
+@pytest.mark.slow  # opt-in: heavy steady-state/property tier (see pytest.ini)
 def test_embedding_neardup_prunes_on_clustered_data(spark):
     """r7 verdict task 6: on data WITH cluster structure (the near-dup use
     case) the epsilon-join's triangle-inequality bound must strictly prune
@@ -439,3 +440,29 @@ def test_video_curate_bytes_and_pixels_never_shuffled(spark):
     # same contract as the image pin above: at most the one attach
     # exchange (zero when the label frame broadcasts — round 12)
     assert len(byte_exchanges) <= 1, plan
+
+
+def test_connected_components_adj_single_exchange(spark):
+    """Round-13 pin: the CC edge-list preparation (union of both edge
+    directions -> dedup -> layout by the join key) must pay exactly ONE
+    Exchange. hashpartitioning(b) satisfies the dedup aggregate's
+    ClusteredDistribution([a, b]) — equal (a, b) rows share b — so the
+    dropDuplicates after the b-repartition must not plan a second
+    exchange (the pre-r13 shape paid distinct() on (a, b) AND then the
+    repartition: two full passes of the edge list over the wire)."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (1, 2)], "id_a long, id_b long"
+    )
+    und = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    adj = (
+        und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    plan = adj._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    # and the result is the correct undirected deduped edge set
+    got = sorted((r["a"], r["b"]) for r in adj.collect())
+    assert got == [(1, 2), (2, 1), (2, 3), (3, 2), (4, 5), (5, 4)]

@@ -460,6 +460,7 @@ def test_sq_distributed_join_full_probe_exact(spark, tmp_path):
     assert len(r) == 150 and all(x["rid"] != gone for x in r)
 
 
+@pytest.mark.slow  # opt-in: heavy steady-state/property tier (see pytest.ini)
 def test_pq_rerank_recovers_near_tie_recall(spark, tmp_path):
     """The near-tie regime (round-8 README/BASELINE measurement, small
     twin; 512 base clusters (beyond the 256-entry-per-subspace codebook capacity, so codes cannot separate the jitter) keep the probed-cell coverage below the
@@ -679,6 +680,7 @@ def test_b1_wrong_dimension_query_clean_error(spark, tmp_path):
         eng.topk("e", "embedding", [0.5] * 16, 5)
 
 
+@pytest.mark.slow  # opt-in: heavy steady-state/property tier (see pytest.ini)
 def test_target_recall_auto_sizes_shortlist_on_near_ties(spark, tmp_path):
     """Round-9 gate: with ``target_recall`` set and NO manual rerank knob,
     the build-time probe must detect the near-tie structure (the round-8

@@ -272,6 +272,7 @@ def test_quality_projections_run_on_streams(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow  # opt-in: heavy steady-state/property tier (see pytest.ini)
 def test_stream_crawl_ingest_incremental(spark, tmp_path):
     """Streaming crawl ingest: micro-batches curate against the accumulated
     MinHashStore — a doc that duplicates an EARLIER micro-batch is flagged
@@ -431,6 +432,7 @@ def test_stream_index_insert_auto_compacts_midstream(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow  # opt-in: heavy steady-state/property tier (see pytest.ini)
 def test_stream_curate_incremental(spark, tmp_path):
     """Streaming curate_corpus: each micro-batch runs the full recipe
     against the accumulated fingerprint history — a doc near-dupping an
@@ -519,6 +521,7 @@ def test_stream_curate_rejects_owned_kwargs(spark, tmp_path):
         )
 
 
+@pytest.mark.slow  # opt-in: heavy steady-state/property tier (see pytest.ini)
 def test_stream_audio_curate_incremental(spark, tmp_path):
     """Streaming audio_curate: micro-batch 2's copy of a batch-1 clip
     flags dup_of_store via the committed fingerprint history; silence
@@ -675,6 +678,7 @@ def test_stream_image_curate_rejects_owned_kwargs(spark, tmp_path):
         )
 
 
+@pytest.mark.slow  # opt-in: heavy steady-state/property tier (see pytest.ini)
 def test_stream_image_text_curate_incremental(spark, tmp_path):
     """Streaming image-text loop (round 12): micro-batch 2's re-fetch of
     a batch-1 image under a BRAND-NEW URL flags dup_of_store via the
@@ -794,6 +798,7 @@ def test_stream_image_text_curate_guards(spark, tmp_path):
         )
 
 
+@pytest.mark.slow  # opt-in: heavy steady-state/property tier (see pytest.ini)
 def test_stream_video_curate_incremental(spark, tmp_path):
     """Streaming video_curate: micro-batch 2's re-encode of a batch-1
     clip flags dup_of_store via the committed frame-hash history; a

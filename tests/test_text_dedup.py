@@ -376,6 +376,7 @@ def test_semdedup_matches_bruteforce(spark):
     assert any(k for _, k in got.values())
 
 
+@pytest.mark.slow  # opt-in: heavy steady-state/property tier (see pytest.ini)
 def test_semdedup_fitted_k_is_partitioning_invariant(spark):
     import numpy as np
 

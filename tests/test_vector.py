@@ -184,6 +184,7 @@ def test_group_centroids_single_exchange(emb):
     assert "partial_avg" in plan or "partial" in plan.lower()  # map-side combine
 
 
+@pytest.mark.slow  # opt-in: heavy steady-state/property tier (see pytest.ini)
 def test_kmeans_fit_init_deterministic_across_partitioning(spark):
     """Without id_col the init must not depend on partition order: content-
     hash ordering gives identical centroids on any layout (VERDICT r3 #4)."""
