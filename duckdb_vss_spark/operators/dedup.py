@@ -344,10 +344,11 @@ def minhash_per_doc(
     # paid once per call, i.e. per bench rep and per streaming
     # micro-batch.
     sess = df.sparkSession
-    par = max(
-        sess.sparkContext.defaultParallelism,
-        int(sess.conf.get("spark.sql.shuffle.partitions")),
-    )
+    try:
+        shuf = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuf = 0  # vendor runtimes allow non-numeric values ("auto")
+    par = max(sess.sparkContext.defaultParallelism, shuf)
     keyed = df.repartition(par, F.col(id_col))
     shingled = keyed.select(
         F.col(id_col), F.explode(word_ngrams(text_col, shingle_n)).alias("s")
