@@ -122,9 +122,21 @@ def _build_shard_graph(mat: np.ndarray, m0: int, part_seed: int) -> np.ndarray:
     deg = m0 + n_long
     nbrs = np.empty((n, deg), dtype=np.int32)
     sq = (mat * mat).sum(1)
+    # chunk buffers reused across the loop (same values, same association
+    # as the one-expression d2 — just ``out=`` targets): fresh (chunk x n)
+    # float64 temporaries are ~128 MB at the default shard size and were
+    # re-faulted per chunk (see ivf._nearest_centroid, round 13)
+    crows = min(n, _EXACT_GRAPH_CHUNK)
+    d2_buf = np.empty((crows, n))
+    g_buf = np.empty((crows, n))
     for lo in range(0, n, _EXACT_GRAPH_CHUNK):
         hi = min(n, lo + _EXACT_GRAPH_CHUNK)
-        d2 = sq[lo:hi, None] + sq[None, :] - 2.0 * (mat[lo:hi] @ mat.T)
+        d2 = d2_buf[: hi - lo]
+        g = g_buf[: hi - lo]
+        np.add(sq[lo:hi, None], sq[None, :], out=d2)
+        np.matmul(mat[lo:hi], mat.T, out=g)
+        np.multiply(g, 2.0, out=g)
+        np.subtract(d2, g, out=d2)
         rows = np.arange(lo, hi)
         d2[np.arange(hi - lo), rows] = np.inf  # no self edge
         take = min(m0, n - 1)

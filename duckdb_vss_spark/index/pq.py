@@ -73,10 +73,20 @@ def encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
     n, dim = mat.shape
     m, ks, dsub = books.shape
     codes = np.empty((n, m), dtype=np.uint8)
+    # distance/GEMM buffers shared across subspaces (same values, same
+    # association as the one-expression form — just ``out=`` targets):
+    # fresh multi-MB temporaries per subspace re-fault their pages on
+    # every loop pass (see ivf._nearest_centroid, round 13)
+    dt = np.result_type(mat, books)
+    d2 = np.empty((n, ks), dtype=dt)
+    g = np.empty((n, ks), dtype=dt)
     for j in range(m):
         sub = mat[:, j * dsub : (j + 1) * dsub]
         cb = books[j]
-        d2 = (sub * sub).sum(1)[:, None] + (cb * cb).sum(1)[None, :] - 2.0 * (sub @ cb.T)
+        np.add((sub * sub).sum(1)[:, None], (cb * cb).sum(1)[None, :], out=d2)
+        np.matmul(sub, cb.T, out=g)
+        np.multiply(g, 2.0, out=g)
+        np.subtract(d2, g, out=d2)
         codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
     return codes
 
