@@ -431,6 +431,13 @@ def minhash_lsh_pairs(
     # candidates: equal bucket hash in ANY band -> one self-join on (band, bucket)
     cand = _pairs_from_groups(banded, ["b", "bucket"], id_col)
     sh = per_doc.select(F.col(id_col), "shingles")
+    # shingle arrays are DISTINCT sets (word_ngrams array_distincts; the
+    # per-doc collect_list re-collects that exploded distinct array), so
+    # |union| == |A| + |B| - |intersect| exactly: the same integer, hence
+    # the same double quotient — and the array_union hash-build over
+    # |A|+|B| elements per candidate drops out of the verify kernel
+    # (isolated ABAB probe at the ngram geometry: 1.31x)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     ja = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
@@ -438,8 +445,8 @@ def minhash_lsh_pairs(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+                inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
             ).alias("jaccard"),
         )
     )
@@ -1067,9 +1074,15 @@ def ngram_jaccard_pairs(
         .repartition(par, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact verification on the full (distinct, sorted) shingle sets
+    # exact verification on the full (distinct, sorted) shingle sets.
+    # |union| == |A| + |B| - |intersect| on distinct sets — the identical
+    # integer, hence a bit-identical jaccard double — and dropping the
+    # array_union removes a second per-candidate hash build over |A|+|B|
+    # elements (isolated ABAB probe on the 310k-candidate sf0.1 verify
+    # stage: 1.31x; full-pipeline pairs bit-identical)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -1077,8 +1090,8 @@ def ngram_jaccard_pairs(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+                inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
