@@ -63,15 +63,77 @@ def _c(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# Session-scoped memo for UNRESOLVED Column expressions. Builders like
+# word_ngrams/minhash_from_halves construct a few hundred Column objects,
+# each a py4j driver->JVM roundtrip (~0.5 ms), so one signature chain
+# costs ~150 ms of pure driver latency — paid identically per operator
+# call and per streaming micro-batch, since the expression depends only
+# on (column NAME, constants). A Column over plain named columns is an
+# immutable plan fragment reusable across any DataFrame of the session
+# (never data, never results — the same discipline as _plan_partitions).
+# Keyed by the live JVM context (gateway identity + JavaSparkContext
+# target id) so a restarted session never sees another JVM's handles.
+_COL_MEMO: dict = {}
+
+
+def _session_epoch():
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None or getattr(sc, "_jsc", None) is None:
+        return None
+    return (id(sc._gateway), sc._jsc._target_id)
+
+
+def memo_column(key, builder) -> Column:
+    """Return ``builder()`` memoized per session for hashable ``key``.
+    Only pass builders whose output depends solely on the key (column
+    names and constants) — never on a specific DataFrame or literal data."""
+    ep = _session_epoch()
+    if ep is None:
+        return builder()
+    k = (ep, key)
+    col = _COL_MEMO.get(k)
+    if col is None:
+        if len(_COL_MEMO) >= 256:
+            _COL_MEMO.clear()
+        col = builder()
+        _COL_MEMO[k] = col
+    return col
+
+
+def _memo_builder(fn):
+    """Session-memoize a pure Column builder ``fn(col, *scalars)`` when its
+    first argument is a plain column NAME and every argument is hashable.
+    Column-object arguments (bound to a specific frame's expression) and
+    keyword calls fall through to a fresh build."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(col, *args, **kwargs):
+        if isinstance(col, str) and not kwargs:
+            key = (fn.__qualname__, col) + tuple(args)
+            try:
+                hash(key)
+            except TypeError:
+                return fn(col, *args)
+            return memo_column(key, lambda: fn(col, *args))
+        return fn(col, *args, **kwargs)
+
+    return wrapper
+
+
 def tokens(col) -> Column:
     """Whitespace tokens of trimmed text."""
     return F.split(F.trim(_c(col)), r"\s+")
 
 
+@_memo_builder
 def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
+@_memo_builder
 def token_count_regex(col) -> Column:
     """BPE-ish token count: letter runs + digit runs + individual symbols."""
     return F.size(F.expr(f"regexp_extract_all({_sql_name(col)}, '{TOKEN_REGEX}', 0)"))
@@ -83,6 +145,7 @@ def _sql_name(col) -> str:
     raise ValueError("token_count_regex requires a plain column name")
 
 
+@_memo_builder
 def char_ngrams(col, n: int = 3) -> Column:
     """Distinct character n-grams of the normalized text (shingles), sorted
     (duckdb's list_distinct does not preserve order, so sorted form is the
@@ -101,6 +164,7 @@ def char_ngrams(col, n: int = 3) -> Column:
     return F.array_sort(F.array_distinct(full))
 
 
+@_memo_builder
 def word_ngrams(col, n: int = 3) -> Column:
     """Distinct word n-gram shingles joined by a single space, sorted.
 
@@ -120,6 +184,7 @@ def word_ngrams(col, n: int = 3) -> Column:
     return F.array_sort(F.array_distinct(full))
 
 
+@_memo_builder
 def word_ngrams_all(col, n: int = 3) -> Column:
     """ALL word n-gram occurrences in document order (with multiplicity) —
     the repetition-analysis counterpart of :func:`word_ngrams`, which
@@ -134,6 +199,7 @@ def word_ngrams_all(col, n: int = 3) -> Column:
     return F.slice(grams, 1, F.greatest(F.lit(1), F.size(t) - (n - 1)))
 
 
+@_memo_builder
 def hash64(col, seed: str = "") -> Column:
     """Deterministic 60-bit positive int64 hash shared with the duckdb oracle:
     ``CAST(CONV(SUBSTR(MD5(seed || s), 1, 15), 16, 10) AS BIGINT)``."""
@@ -170,6 +236,7 @@ def minhash_from_halves(h1s, h2s, num_perm: int = DEFAULT_NUM_PERM) -> Column:
     )
 
 
+@_memo_builder
 def minhash_signature(col, n: int = 3, num_perm: int = DEFAULT_NUM_PERM) -> Column:
     """MinHash signature over word n-gram shingles (one-shot expression form;
     inside operators prefer materializing :func:`shingle_hash_halves` first)."""
@@ -206,6 +273,7 @@ def simhash_from_hashes(hashes) -> Column:
     return out
 
 
+@_memo_builder
 def simhash64(col, n: int = 1) -> Column:
     """One-shot SimHash over word n-gram features. Convenient for tests and
     small frames; operators use the explode-and-materialize path instead
@@ -214,6 +282,7 @@ def simhash64(col, n: int = 1) -> Column:
     return simhash_from_hashes(F.transform(feats, _hash64_expr))
 
 
+@_memo_builder
 def stopword_ratio(col, lang: str = "en") -> Column:
     """|distinct tokens ∩ stopwords(lang)| / |distinct tokens| (set semantics
     on both sides: Spark array_intersect == duckdb list_intersect)."""
@@ -222,6 +291,7 @@ def stopword_ratio(col, lang: str = "en") -> Column:
     return hits.cast("double") / F.size(t).cast("double")
 
 
+@_memo_builder
 def lang_id(col, threshold: float = 0.02) -> Column:
     """Stopword-ratio language heuristic: the first language (in LANGS order)
     whose ratio is maximal; 'und' when the best ratio is below threshold."""
@@ -234,6 +304,7 @@ def lang_id(col, threshold: float = 0.02) -> Column:
     return expr
 
 
+@_memo_builder
 def quality_score(col) -> Column:
     """Heuristic document quality in [0,1]:
     0.4 * min(1, tokens/64) + 0.3 * min(1, stopword_ratio(en)*5)
@@ -249,6 +320,7 @@ def quality_score(col) -> Column:
     )
 
 
+@_memo_builder
 def normalize_text(col) -> Column:
     """Canonical form for fingerprinting: lowercase, non-alphanumerics to
     space, whitespace collapsed, trimmed."""
@@ -257,11 +329,13 @@ def normalize_text(col) -> Column:
     return F.trim(F.regexp_replace(c, " +", " "))
 
 
+@_memo_builder
 def fingerprint_md5(col) -> Column:
     """Exact-duplicate document fingerprint: md5 of the normalized text."""
     return F.md5(normalize_text(col))
 
 
+@_memo_builder
 def winnow_fingerprints(col, k: int = 5, w: int = 8) -> Column:
     """Rolling-hash document fingerprints by winnowing (Schleimer,
     Wilkerson, Aiken — SIGMOD'03, the MOSS algorithm): hash every k-char
@@ -289,6 +363,7 @@ def winnow_fingerprints(col, k: int = 5, w: int = 8) -> Column:
     return F.array_distinct(wins)
 
 
+@_memo_builder
 def char_gram_hashes(col, k: int = 5) -> Column:
     """int64 hashes of every k-char gram of the normalized text, in order.
     Built from ``zip_with`` over shifted char-array copies (constant
@@ -307,6 +382,7 @@ def char_gram_hashes(col, k: int = 5) -> Column:
     return F.transform(full, lambda g: hash64(g))
 
 
+@_memo_builder
 def hashed_embedding(col, dim: int = 64) -> Column:
     """Feature-hashing text embedding (the hashing trick, Weinberger et
     al. 2009, arXiv:0902.2206): each token adds ±1 to the bucket

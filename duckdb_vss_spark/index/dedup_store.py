@@ -113,7 +113,7 @@ class MinHashStore:
             F.col(id_col).alias("id"),
             F.col("sig"),
             F.posexplode(
-                band_buckets_expr(F.col("sig"), m["num_perm"], m["bands"])
+                band_buckets_expr("sig", m["num_perm"], m["bands"])
             ).alias("band", "bucket"),
         ).select("band", "bucket", "id", "sig")
 

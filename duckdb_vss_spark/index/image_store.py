@@ -299,7 +299,7 @@ class ImageHashStore:
         def band(dfh, keys):
             return dfh.select("h", F.posexplode(F.array(*keys)).alias("b", "bucket"))
 
-        keys = _chunk_keys(F.col("h"), bands_eff, 64 // bands_eff, combo)
+        keys = _chunk_keys("h", bands_eff, 64 // bands_eff, combo)
         bb, sb = band(bd, keys), band(sd, keys)
         if nd > max_bucket:
             from ..operators.dedup import _banded_hot_stats
@@ -317,7 +317,7 @@ class ImageHashStore:
                 esc = _escalate_banding(64, bound, bands_eff, combo)
                 if esc is not None:
                     bands_eff, combo = esc
-                    keys = _chunk_keys(F.col("h"), bands_eff, 64 // bands_eff, combo)
+                    keys = _chunk_keys("h", bands_eff, 64 // bands_eff, combo)
                     bb, sb = band(bd, keys), band(sd, keys)
                     sizes, hot = _banded_hot_stats(bb.unionByName(sb), max_bucket)
             if hot["hb"] > 0:

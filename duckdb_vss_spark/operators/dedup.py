@@ -353,11 +353,22 @@ def minhash_per_doc(
     shingled = keyed.select(
         F.col(id_col), F.explode(word_ngrams(text_col, shingle_n)).alias("s")
     )
+    # fixed-name Column fragments are session-memoized: the minhash
+    # chain's py4j construction (~150 ms/call) is paid once per session
+    # instead of per operator call / per streaming micro-batch
+    from ..functions.text import memo_column
+
+    h1 = memo_column(
+        ("mh_h1",), lambda: F.conv(F.substring(F.md5("s"), 1, 10), 16, 10).cast("long")
+    )
+    h2 = memo_column(
+        ("mh_h2",), lambda: F.conv(F.substring(F.md5("s"), 11, 10), 16, 10).cast("long")
+    )
     hashed = shingled.select(
         F.col(id_col),
         F.col("s"),
-        F.conv(F.substring(F.md5("s"), 1, 10), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(F.md5("s"), 11, 10), 16, 10).cast("long").alias("h2"),
+        h1.alias("h1"),
+        h2.alias("h2"),
     )
     aggs = [F.collect_list("h1").alias("h1s"), F.collect_list("h2").alias("h2s")]
     if with_shingles:
@@ -370,7 +381,10 @@ def minhash_per_doc(
     per = hashed.groupBy(id_col).agg(*aggs)
     if share:
         per = _shared(per)
-    sig = minhash_from_halves(F.col("h1s"), F.col("h2s"), num_perm)
+    sig = memo_column(
+        ("mh_sig", num_perm),
+        lambda: minhash_from_halves(F.col("h1s"), F.col("h2s"), num_perm),
+    )
     cols = [F.col(id_col), sig.alias("sig")]
     if with_shingles:
         cols.append(F.col("shingles"))
@@ -380,8 +394,18 @@ def minhash_per_doc(
 def band_buckets_expr(sig, num_perm: int, bands: int):
     """ARRAY<LONG>[bands] of LSH band buckets for a materialized ``sig``
     column: hash64 of the comma-joined band slice. md5-based (not
-    ``F.hash``) so the duckdb oracle produces identical buckets."""
+    ``F.hash``) so the duckdb oracle produces identical buckets.
+    String column names get the session Column memo (the bands x md5
+    chain is another ~50 ms of py4j construction per call)."""
     assert num_perm % bands == 0, "num_perm must divide into equal bands"
+    if isinstance(sig, str):
+        from ..functions.text import memo_column
+
+        name = sig
+        return memo_column(
+            ("band_buckets", name, num_perm, bands),
+            lambda: band_buckets_expr(F.col(name), num_perm, bands),
+        )
     rows_per_band = num_perm // bands
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -426,7 +450,7 @@ def minhash_lsh_pairs(
     per_doc = minhash_per_doc(df, text_col, id_col, shingle_n, num_perm, with_shingles=True)
     banded = per_doc.select(
         F.col(id_col),
-        F.posexplode(band_buckets_expr(F.col("sig"), num_perm, bands)).alias("b", "bucket"),
+        F.posexplode(band_buckets_expr("sig", num_perm, bands)).alias("b", "bucket"),
     )
     # candidates: equal bucket hash in ANY band -> one self-join on (band, bucket)
     cand = _pairs_from_groups(banded, ["b", "bucket"], id_col)
@@ -487,10 +511,17 @@ def simhash_pairs(
     import pandas as pd
 
     nbits = SIMHASH_BITS - 4  # top 4 bits of the 60-bit md5-derived hash are 0
-    base = _fan_out(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(F.array_distinct(tokens(text_col)), lambda t: hash64(t)).alias("hs"),
-    )
+    from ..functions.text import memo_column
+
+    if isinstance(text_col, str):
+        tc = text_col
+        hs = memo_column(
+            ("simhash_hs", tc),
+            lambda: F.transform(F.array_distinct(tokens(tc)), lambda t: hash64(t)),
+        )
+    else:
+        hs = F.transform(F.array_distinct(tokens(text_col)), lambda t: hash64(t))
+    base = _fan_out(df).select(F.col(id_col).alias("id"), hs.alias("hs"))
     id_t = dict(base.dtypes)["id"]
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -670,7 +701,17 @@ def _chunk_keys(hcol, bands: int, width: int, combo: int) -> list:
     fan-out guards admit). Shared by :func:`hamming_pairs` and the
     banded-Hamming store match paths (ImageHashStore /
     VideoFingerprintStore), which must band identically to stay
-    pigeonhole-complete."""
+    pigeonhole-complete. String column names get the session Column
+    memo (combo=2 builds C(bands, combo) packed keys — hundreds of py4j
+    roundtrips per call otherwise)."""
+    if isinstance(hcol, str):
+        from ..functions.text import memo_column
+
+        name = hcol
+        return memo_column(
+            ("chunk_keys", name, bands, width, combo),
+            lambda: _chunk_keys(F.col(name), bands, width, combo),
+        )
     mask = F.lit((1 << width) - 1)
 
     def chunk(b):
@@ -842,7 +883,7 @@ def hamming_pairs(
     def _chunk_of(col, b):
         return F.shiftrightunsigned(col, b * width).bitwiseAND(mask)
 
-    keys = _chunk_keys(F.col("__h"), bands, width, combo)
+    keys = _chunk_keys("__h", bands, width, combo)
     banded = groups.select(
         F.col("__rep"), F.col("__h"), F.posexplode(F.array(*keys)).alias("b", "bucket")
     )
@@ -881,7 +922,7 @@ def hamming_pairs(
                 bands, combo = esc
                 width = nbits // bands
                 mask = F.lit((1 << width) - 1)
-                keys = _chunk_keys(F.col("__h"), bands, width, combo)
+                keys = _chunk_keys("__h", bands, width, combo)
                 banded = groups.select(
                     F.col("__rep"), F.col("__h"),
                     F.posexplode(F.array(*keys)).alias("b", "bucket"),
