@@ -225,3 +225,47 @@ def test_classifier_weights_path_preserves_columns(spark):
     out = classifier_score(df, "text", id_col="doc_id", weights_df=w)
     assert set(out.columns) == {"doc_id", "text", "lang", "clf_score"}
     assert out.count() == 2
+
+
+def test_column_memo_reuses_and_matches_fresh_build(spark):
+    """The session Column memo returns the SAME unresolved fragment for a
+    repeated (builder, column-name, constants) key, a DIFFERENT build for
+    Column-object arguments, and a memoized expression computes exactly
+    what a fresh build computes."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.functions import text as T
+
+    c1 = T.word_ngrams("text", 3)
+    c2 = T.word_ngrams("text", 3)
+    assert c1 is c2  # memo hit: same key -> same Column handle
+    assert T.word_ngrams("text", 2) is not c1  # constants are part of the key
+    # Column-object arguments must NOT be memoized (they bind a frame)
+    assert T.word_ngrams(F.col("text"), 3) is not c1
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e"), (3, None)], "doc_id long, text string"
+    )
+    memod = df.select("doc_id", c1.alias("g")).collect()
+    fresh = df.select("doc_id", T.word_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert sorted(map(tuple, memod)) == sorted(map(tuple, fresh))
+    # one memoized Column used twice in ONE plan stays analyzable
+    twice = df.select(c1.alias("g1"), F.size(c1).alias("n")).collect()
+    assert len(twice) == 3
+
+
+def test_column_memo_epoch_is_session_scoped():
+    """The memo key embeds the live JVM context identity, so entries from
+    another (or a restarted) session can never be returned."""
+    from duckdb_vss_spark.functions.text import _COL_MEMO, _session_epoch, memo_column
+
+    ep = _session_epoch()
+    built = []
+    col = memo_column(("__memo_test__",), lambda: built.append(1) or "sentinel")
+    if ep is None:
+        # no active context in this worker: memo must fall through to build
+        assert built == [1]
+    else:
+        assert ((ep, ("__memo_test__",)) in _COL_MEMO) and built == [1]
+        # a different epoch (simulating a restarted session) misses
+        assert (("other-epoch", ("__memo_test__",)) not in _COL_MEMO)
